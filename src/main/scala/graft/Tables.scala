@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * One parquet directory per scale factor; tables are the TPC-H-ish star
+  * schema plus `events` (stream-shaped), `documents` and `embeddings`
+  * (LLM-data-prep extensions). At 100 TB these would be partitioned /
+  * bucketed tables in a catalog; the `DataFrame`-returning accessor keeps
+  * every downstream plan declarative so Catalyst can push filters and
+  * prune columns into the scan regardless of physical layout.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any realistic scale
+    * (region 5 rows, nation 25 — fixed-cardinality in TPC-H-like data). */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

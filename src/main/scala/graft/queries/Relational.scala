@@ -1,0 +1,500 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operator inventory (SURVEY.md §2.1–§2.8), expressed
+  * Spark-first over the driver's TPC-H-ish tables.
+  *
+  * Conventions shared with the DuckDB oracle (`oracles`):
+  *   - money/quantity sums go through `DECIMAL(38,4)` so results are exact
+  *     and engine/order independent (double sums are not associative);
+  *   - averages are rounded to 4 decimals;
+  *   - every result is totally ordered by a unique key set, and every
+  *     computed column carries the same alias in Spark and SQL (the driver
+  *     sorts columns by name before hashing).
+  *
+  * Scale notes are on each query: the shapes are chosen so the same plan
+  * holds at 100 TB (partial aggregation before shuffle, broadcast joins for
+  * fixed-cardinality dims, TakeOrderedAndProject for top-n, no driver-side
+  * loops).
+  */
+object Relational {
+
+  private val Dec = DecimalType(38, 4)
+  private def decSum(c: Column, name: String): Column = sum(c.cast(Dec)).as(name)
+
+  /** q1: TPC-H Q1-style full-scan aggregate (SURVEY A1/A3; reference scalar
+    * SUM queries e.g. `Billion_Dollar/.../noaa_disaster_db.ipynb` cell 9).
+    * Hash aggregate with map-side partial agg: the shuffle carries only
+    * |returnflag×linestatus| ≤ 6 groups regardless of input size. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity"), "sum_qty"),
+        decSum(col("l_extendedprice"), "sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
+      | SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
+      | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+      | ROUND(AVG(l_quantity), 4) AS avg_qty,
+      | ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: projected scan + predicate + order + limit (SURVEY S1/P1/P8/W1/W2;
+    * reference pushed WHERE/ORDER/LIMIT, `Billion_Dollar/server.py:41-43`).
+    * Compiles to TakeOrderedAndProject: each partition keeps a 100-row heap,
+    * only 100×P rows reach the driver — safe at any scale. */
+  def q2TopN(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .filter(col("l_quantity") >= 48.0)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val q2Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity >= 48.0
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  /** q3: star join fact→dim with broadcast (SURVEY §2.3 J1/J2; replaces the
+    * reference's per-entity query fan-out, `EDGARclient.py:228-303`).
+    * customer is shuffle-joined on the key; nation/region are fixed-size
+    * dims → broadcast hash join, no shuffle of the fact side for them. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(decSum(col("o_totalprice"), "revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q3Sql =
+    """SELECT r_name, n_name,
+      | SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS revenue,
+      | COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q4: left-semi join = EXISTS (SURVEY J3, existence probe
+    * `era5client.py:63-82`). Semi join keeps only the probe side's columns
+    * and short-circuits per key. */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private val q4Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q5: left-anti join = NOT EXISTS (SURVEY §2.3 surface). Filtered to
+    * 'P' orders so the result is nonempty at every scale factor. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private val q5Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q6: scalar aggregate under composed predicates — BETWEEN + IN + compare
+    * (SURVEY P8/P9/P10/P12/A1, filter composition
+    * `Disaster dollar/server.py:63-97`). All three predicates push to the
+    * parquet scan (visible as PushedFilters). */
+  def q6ScalarAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate").between(to_timestamp(lit("1997-01-01")), to_timestamp(lit("1997-12-31"))) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_discount") > 0.02)
+      .agg(
+        decSum(col("l_extendedprice") * col("l_discount"), "revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql =
+    """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS revenue,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+      |  AND l_returnflag IN ('A', 'R') AND l_discount > 0.02""".stripMargin
+
+  /** q7: DISTINCT (SURVEY A4, `SELECT DISTINCT City` etc.). Partial
+    * distinct before the shuffle → shuffle carries unique values only. */
+  def q7Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+  private val q7Sql =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  /** q8: deterministic dedup — GROUP BY keys keeping min surrogate
+    * (SURVEY A5/A6 `drop_duplicates`; min() makes the survivor stable,
+    * unlike dropDuplicates' arbitrary-first-row semantics). */
+  def q8DedupGroup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(min(col("o_orderkey")).as("first_order"), count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey", "o_orderstatus")
+
+  private val q8Sql =
+    """SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS first_order,
+      | COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey, o_orderstatus
+      |ORDER BY o_custkey, o_orderstatus""".stripMargin
+
+  /** q9: ranking window, top-3 per group with deterministic tiebreak
+    * (SURVEY W5 top-1 fuzzy match generalized to row_number). Window keys
+    * are the shuffle keys; at scale this is one hash partition per segment
+    * group — skew-safe because segments are low-cardinality but the rank
+    * cutoff keeps output bounded. */
+  def q9WindowTopK(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  private val q9Sql =
+    """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** q10: analytic window over a time series — lag + moving average
+    * (SURVEY §2.5: the reference's advertised year-over-year trend
+    * analysis). The monthly pre-aggregation shrinks the windowed input to
+    * |months| rows, so the single-partition global window is safe. */
+  def q10WindowLag(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val monthly = o
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+      .agg(decSum(col("o_totalprice"), "rev"))
+    val w = Window.orderBy(col("month"))
+    monthly.select(
+      col("month"), col("rev"),
+      lag(col("rev"), 1).over(w).as("prev_rev"),
+      round(avg(col("rev").cast("double")).over(w.rowsBetween(-2, 0)), 4).as("ma3"))
+      .orderBy("month")
+  }
+
+  private val q10Sql =
+    """WITH m AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+      |    SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT month, rev,
+      |  LAG(rev, 1) OVER (ORDER BY month) AS prev_rev,
+      |  ROUND(AVG(CAST(rev AS DOUBLE)) OVER (ORDER BY month
+      |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+      |FROM m ORDER BY month""".stripMargin
+
+  /** q11/q12/q13: set operations (SURVEY §2.6 — engine surface subsuming the
+    * reference's per-table loops over `{country}_df{0,1}`). */
+  def q11Union(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val hi = c.filter(col("c_acctbal") > 4500).select("c_custkey")
+    val bld = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    hi.union(bld).distinct().orderBy("c_custkey")
+  }
+
+  private val q11Sql =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 4500
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
+  def q12Intersect(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val hi = c.filter(col("c_acctbal") > 4500).select("c_custkey")
+    val bld = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    hi.intersect(bld).orderBy("c_custkey")
+  }
+
+  private val q12Sql =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 4500
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
+  def q13Except(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val hi = c.filter(col("c_acctbal") > 4500).select("c_custkey")
+    val bld = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    hi.except(bld).orderBy("c_custkey")
+  }
+
+  private val q13Sql =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 4500
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q14: pivot to wide layout (SURVEY §2.8 — NOAA/EDGAR wide layouts are
+    * pivots of the canonical long form). Explicit value list keeps the plan
+    * single-pass (no extra distinct job to discover pivot values). */
+  def q14Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_year")
+
+  private val q14Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** q15: unpivot wide→long (SURVEY §2.8 — the EDGAR year-columns and NOAA
+    * type-pairs normalization, `Dataset.unpivot`). */
+  def q15Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(decSum(col("l_quantity"), "qty"), decSum(col("l_extendedprice"), "price"))
+    wide.unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")), "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  private val q15Sql =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    SUM(CAST(l_quantity AS DECIMAL(38,4))) AS qty,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+      |UNION ALL
+      |SELECT l_returnflag, 'price' AS measure, price AS value FROM w
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  /** q16: ROLLUP hierarchy totals (SURVEY §2.4 engine surface; grouping-set
+    * nulls made explicit for oracle determinism). */
+  def q16Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity"), "sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q16Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      | COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      | COUNT(*) AS n,
+      | SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q17: string scalar functions + LIKE-prefix and case-insensitive
+    * equality predicates (SURVEY P7/P11/F1-F4). */
+  def q17Strings(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .filter(col("p_type").like("STAND%") || upper(col("p_brand")) === lit("BRAND#13"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        concat_ws(" ", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        length(col("p_name")).as("name_len"))
+      .orderBy("p_partkey")
+
+  private val q17Sql =
+    """SELECT p_partkey, upper(p_name) AS uname,
+      | concat_ws(' ', p_brand, p_type) AS brand_type,
+      | substring(p_name, 1, 5) AS prefix,
+      | CAST(length(p_name) AS INTEGER) AS name_len
+      |FROM part
+      |WHERE p_type LIKE 'STAND%' OR upper(p_brand) = 'BRAND#13'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q18: date part extraction + C-style formatting (SURVEY F7/F11/F13 —
+    * `to_date`/`year()`/currency strings). Timestamps leave the engine as
+    * formatted strings so the oracle compare is representation-stable. */
+  def q18Dates(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        format_string("$%.2f", col("o_totalprice")).as("price_fmt"))
+      .orderBy("o_orderkey")
+
+  private val q18Sql =
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      | CAST(month(o_orderdate) AS INTEGER) AS o_month,
+      | CAST(day(o_orderdate) AS INTEGER) AS o_day,
+      | strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      | printf('$%.2f', o_totalprice) AS price_fmt
+      |FROM orders WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q19: fuzzy top-1 entity resolution as a similarity join (SURVEY J4/F9
+    * — `difflib.get_close_matches` behavior: best match above a cutoff).
+    * Candidates × dim is a broadcast cross join (dim is tiny); ranking by
+    * (similarity, name) makes the winner deterministic. */
+  def q19FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cands = Seq("AMERIC", "EUROP", "ASIAA", "AFRICCA", "MIDLE EAST", "ATLANTIS")
+      .toDF("cand")
+    val r = Tables(s, dir, "region")
+    val scored = cands.crossJoin(broadcast(r))
+      .withColumn("sim",
+        lit(1.0) - levenshtein(upper(col("cand")), col("r_name")).cast("double") /
+          greatest(length(col("cand")), length(col("r_name"))).cast("double"))
+    val w = Window.partitionBy(col("cand")).orderBy(col("sim").desc, col("r_name"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("sim") >= 0.6)
+      .select(col("cand"), col("r_name").as("matched"), round(col("sim"), 4).as("sim"))
+      .orderBy("cand")
+  }
+
+  private val q19Sql =
+    """WITH cands(cand) AS (VALUES ('AMERIC'), ('EUROP'), ('ASIAA'),
+      |                            ('AFRICCA'), ('MIDLE EAST'), ('ATLANTIS')),
+      |scored AS (
+      |  SELECT cand, r_name,
+      |    1.0 - CAST(levenshtein(upper(cand), r_name) AS DOUBLE) /
+      |          CAST(greatest(length(cand), length(r_name)) AS DOUBLE) AS sim
+      |  FROM cands CROSS JOIN region),
+      |ranked AS (
+      |  SELECT cand, r_name, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY cand ORDER BY sim DESC, r_name) AS rk
+      |  FROM scored)
+      |SELECT cand, r_name AS matched, ROUND(sim, 4) AS sim
+      |FROM ranked WHERE rk = 1 AND sim >= 0.6
+      |ORDER BY cand""".stripMargin
+
+  /** q20: null-count profiling (SURVEY A8 — ETL QA `df.isna().sum()`). */
+  def q20NullProfile(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val nullCount: String => Column =
+      name => sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"nulls_$name")
+    c.agg(
+      count(lit(1)).as("n_rows"),
+      nullCount("c_custkey"), nullCount("c_name"), nullCount("c_nationkey"),
+      nullCount("c_acctbal"), nullCount("c_mktsegment"))
+  }
+
+  private val q20Sql =
+    """SELECT COUNT(*) AS n_rows,
+      | CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_custkey,
+      | CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_name,
+      | CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_nationkey,
+      | CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_acctbal,
+      | CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_mktsegment
+      |FROM customer""".stripMargin
+
+  /** q21: dimension fan-out as a cross join (SURVEY J1 — the reference's
+    * cities × metrics × months loop becomes one cross join of small
+    * literal/dim frames, then a single left join against facts). */
+  def q21CrossFanout(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables(s, dir, "region").select("r_name")
+    val statuses = Tables(s, dir, "orders").select(col("o_orderstatus")).distinct()
+    r.crossJoin(statuses).orderBy("r_name", "o_orderstatus")
+  }
+
+  private val q21Sql =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      |ORDER BY r_name, o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_topn" -> (q2TopN _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_scalar_agg" -> (q6ScalarAgg _),
+    "q7_distinct" -> (q7Distinct _),
+    "q8_dedup_group" -> (q8DedupGroup _),
+    "q9_window_topk" -> (q9WindowTopK _),
+    "q10_window_lag" -> (q10WindowLag _),
+    "q11_union" -> (q11Union _),
+    "q12_intersect" -> (q12Intersect _),
+    "q13_except" -> (q13Except _),
+    "q14_pivot" -> (q14Pivot _),
+    "q15_unpivot" -> (q15Unpivot _),
+    "q16_rollup" -> (q16Rollup _),
+    "q17_strings" -> (q17Strings _),
+    "q18_dates" -> (q18Dates _),
+    "q19_fuzzy_match" -> (q19FuzzyMatch _),
+    "q20_null_profile" -> (q20NullProfile _),
+    "q21_cross_fanout" -> (q21CrossFanout _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_topn" -> q2Sql,
+    "q3_join_agg" -> q3Sql,
+    "q4_semi_join" -> q4Sql,
+    "q5_anti_join" -> q5Sql,
+    "q6_scalar_agg" -> q6Sql,
+    "q7_distinct" -> q7Sql,
+    "q8_dedup_group" -> q8Sql,
+    "q9_window_topk" -> q9Sql,
+    "q10_window_lag" -> q10Sql,
+    "q11_union" -> q11Sql,
+    "q12_intersect" -> q12Sql,
+    "q13_except" -> q13Sql,
+    "q14_pivot" -> q14Sql,
+    "q15_unpivot" -> q15Sql,
+    "q16_rollup" -> q16Sql,
+    "q17_strings" -> q17Sql,
+    "q18_dates" -> q18Sql,
+    "q19_fuzzy_match" -> q19Sql,
+    "q20_null_profile" -> q20Sql,
+    "q21_cross_fanout" -> q21Sql)
+}
