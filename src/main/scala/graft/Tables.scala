@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -20,6 +21,16 @@ object Tables {
     * (region 5 rows, nation 25 — fixed-cardinality in TPC-H-like data). */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+      // type for (DuckDB reads it as TIMESTAMP_NS). Read the physical INT64
+      // as nanos-since-epoch and convert with integer division — nanos
+      // epochs (~1.7e18) exceed double's 2^53 exact-integer range, so a
+      // floating-point `/ 1000` would corrupt the microsecond value.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-table operators: the batch twins of the Structured Streaming path
+  * (SURVEY §2.9). Every query here has the same shape as its streaming
+  * counterpart in `graft.streaming` — tumbling/sliding windows,
+  * sessionization, dedup — so the semantics are pinned by the DuckDB oracle
+  * in batch and reused by the stream.
+  *
+  * Timestamps are compared in epoch microseconds (`unix_micros` ↔ DuckDB
+  * `epoch_us`) and leave the engine as formatted strings, so results are
+  * representation-stable across engines.
+  */
+object EventOps {
+
+  private val Dec = DecimalType(38, 4)
+
+  /** e1: tumbling 1-hour window aggregate (streaming-equivalent:
+    * `groupBy(window($"ts", "1 hour"))`). Epoch-aligned buckets match
+    * DuckDB's `time_bucket`. Partial agg keeps the shuffle at
+    * |buckets × types| rows. */
+  def e1WindowHourly(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("bucket", "event_type")
+
+  private val e1Sql =
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      | event_type, COUNT(*) AS n,
+      | SUM(CAST(value AS DECIMAL(38,4))) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** e2: sliding window (1 hour every 30 min) — each event lands in
+    * size/slide = 2 windows. The oracle replays Spark's epoch-aligned
+    * window-start arithmetic with an explicit 2-offset cross join. */
+  def e2WindowSliding(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n"), col("total_value"))
+      .orderBy("w_start")
+
+  private val e2Sql =
+    """SELECT strftime(to_timestamp(floor((epoch_us(ts)/1000000.0 - k*1800)/3600)*3600 + k*1800),
+      |                '%Y-%m-%d %H:%M:%S') AS w_start,
+      | COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,4))) AS total_value
+      |FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+      |GROUP BY 1 ORDER BY w_start""".stripMargin
+
+  /** e3: gap-based sessionization (30-min inactivity), the batch analog of
+    * `session_window`/`flatMapGroupsWithState`. Window keys = user_id, so
+    * the shuffle partitions by user and each session is computed within one
+    * partition — the standard scale-out shape for per-entity state. */
+  def e3Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        sum(col("value").cast(Dec)).as("sess_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  private val e3Sql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM y)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+      |  SUM(CAST(value AS DECIMAL(38,4))) AS sess_value
+      |FROM z GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
+  /** e4: JSON field extraction from the string `props` column (semantic
+    * extension of SURVEY F14 — structured access instead of tuple-text
+    * parsing). */
+  def e4JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") >= 90)
+      .orderBy("event_id")
+
+  private val e4Sql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  /** e5: per-type event profile (SURVEY A1/A2 over the stream table). */
+  def e5TypeStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(Dec)).as("total_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("event_type")
+
+  private val e5Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      | COUNT(DISTINCT user_id) AS n_users,
+      | SUM(CAST(value AS DECIMAL(38,4))) AS total_value,
+      | ROUND(AVG(value), 4) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** e6: exact event dedup keeping the earliest occurrence per
+    * (user, type) — deterministic `dropDuplicates` (SURVEY A5/A6; streaming
+    * twin: `dropDuplicatesWithinWatermark`). */
+  def e6DedupFirst(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(col("event_id")).as("first_event"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("user_id", "event_type")
+
+  private val e6Sql =
+    """SELECT user_id, event_type, MIN(event_id) AS first_event,
+      | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+      | COUNT(*) AS n_dups
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_window_hourly" -> (e1WindowHourly _),
+    "e2_window_sliding" -> (e2WindowSliding _),
+    "e3_sessionize" -> (e3Sessionize _),
+    "e4_json_extract" -> (e4JsonExtract _),
+    "e5_type_stats" -> (e5TypeStats _),
+    "e6_dedup_first" -> (e6DedupFirst _))
+
+  val oracles: Map[String, String] = Map(
+    "e1_window_hourly" -> e1Sql,
+    "e2_window_sliding" -> e2Sql,
+    "e3_sessionize" -> e3Sql,
+    "e4_json_extract" -> e4Sql,
+    "e5_type_stats" -> e5Sql,
+    "e6_dedup_first" -> e6Sql)
+}

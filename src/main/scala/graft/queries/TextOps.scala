@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data text-prep operators over the `documents` table: exact
+  * dedup, token/quality statistics, fingerprinting, heuristic language ID,
+  * and n-gram Jaccard near-dedup (north-star extension per SURVEY §7.2
+  * phase 8).
+  *
+  * Every formula is written in engine-portable arithmetic (length
+  * differences, regexp_replace, md5) so the DuckDB oracle replays it
+  * exactly. The non-SQL-expressible scale variants (MinHash/LSH, SimHash)
+  * live in `graft.operators` and are spec-tested against these exact
+  * versions.
+  */
+object TextOps {
+
+  /** d1: exact dedup via content hash + group-by, keeping the smallest
+    * doc_id (SURVEY A5/A6 scaled up: the canonical 100 TB exact-dedup is a
+    * hash-shuffle on md5(text), never a pairwise compare). */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("keep_id")
+
+  private val d1Sql =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+      | COUNT(*) AS dup_count
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** d2: per-document token statistics (token count, punctuation ratio,
+    * stopword hits) — the building blocks of quality filtering. */
+  def d2TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val charLen = length(col("text"))
+    val tokens = charLen - length(expr("replace(text, ' ', '')")) + 1
+    val punct = charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val lowered = lower(col("text"))
+    val theHits = ((length(lowered) - length(expr("replace(lower(text), 'the', '')"))) / 3).cast("int")
+    d.select(
+      col("doc_id"),
+      charLen.as("char_len"),
+      tokens.as("n_tokens"),
+      round(punct.cast("double") / charLen.cast("double"), 6).as("punct_ratio"),
+      theHits.as("the_hits"))
+      .orderBy("doc_id")
+  }
+
+  private val d2Sql =
+    """SELECT doc_id,
+      | CAST(length(text) AS INTEGER) AS char_len,
+      | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
+      | ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |       / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+      | CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3 AS INTEGER) AS the_hits
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** d3: composite quality score + bucket (SURVEY north-star quality
+    * scoring: length/punctuation heuristics composed into one [0,1]
+    * score). */
+  def d3QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val charLen = length(col("text"))
+    val tokens = (charLen - length(expr("replace(text, ' ', '')")) + 1).cast("double")
+    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val punctRatio = punct / charLen.cast("double")
+    val score = round(
+      least(lit(1.0), tokens / lit(200.0)) * (lit(1.0) - least(lit(1.0), punctRatio * 10)), 6)
+    d.select(
+      col("doc_id"),
+      score.as("quality_score"),
+      when(score > 0.8, "high").when(score > 0.5, "medium").otherwise("low")
+        .as("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val d3Sql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    ROUND(least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
+      |      * (1.0 - least(1.0,
+      |          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |          / CAST(length(text) AS DOUBLE) * 10)), 6) AS quality_score
+      |  FROM documents)
+      |SELECT doc_id, quality_score,
+      |  CASE WHEN quality_score > 0.8 THEN 'high'
+      |       WHEN quality_score > 0.5 THEN 'medium'
+      |       ELSE 'low' END AS quality_bucket
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  /** d4: document fingerprint — md5 of whitespace-normalized lowercased
+    * text (SURVEY north-star fingerprinting; robust to spacing/case
+    * variants where d1 is byte-exact). */
+  def d4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  private val d4Sql =
+    """SELECT doc_id,
+      | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      | lang, source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** d5: heuristic language scoring — English marker-word hits (the
+    * SQL-expressible core of language ID; the n-gram profile variant is in
+    * `graft.operators.TextAnalysis` with spec coverage). */
+  def d5LangScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    def hits(word: String): Column =
+      ((length(lower(col("text"))) -
+        length(expr(s"replace(lower(text), '$word', '')"))) / lit(word.length)).cast("int")
+    val enScore = hits("the") + hits("and") + hits("data")
+    d.select(
+      col("doc_id"), col("lang"),
+      enScore.as("en_score"),
+      when(enScore >= 3, "en").otherwise("unknown").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val d5Sql =
+    """SELECT doc_id, lang,
+      | CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+      |    + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3
+      |    + (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4 AS INTEGER) AS en_score,
+      | CASE WHEN (length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+      |         + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3
+      |         + (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4 >= 3
+      |      THEN 'en' ELSE 'unknown' END AS pred_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** d6: n-gram (word-set) Jaccard near-dedup over a blocked subset —
+    * token inverted-index self-join, the exact-similarity baseline that
+    * MinHash/LSH approximates at scale. The doc_id<100 block bounds the
+    * candidate pair explosion; at 100 TB the block becomes LSH bucket ids
+    * (see `graft.operators.MinHashDedup`). */
+  def d6JaccardNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+    val tok = docs.select(
+      col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = tok.as("a")
+      .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d6Sql =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM docs),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_token_stats" -> (d2TokenStats _),
+    "d3_quality_score" -> (d3QualityScore _),
+    "d4_fingerprint" -> (d4Fingerprint _),
+    "d5_lang_score" -> (d5LangScore _),
+    "d6_jaccard_neardup" -> (d6JaccardNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_token_stats" -> d2Sql,
+    "d3_quality_score" -> d3Sql,
+    "d4_fingerprint" -> d4Sql,
+    "d5_lang_score" -> d5Sql,
+    "d6_jaccard_neardup" -> d6Sql)
+}

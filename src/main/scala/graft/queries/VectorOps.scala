@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Embedding-column operators (north-star similarity search, SURVEY §7.2
+  * phase 8): brute-force cosine top-k as the exact baseline, plus
+  * per-label vector statistics. The LSH-bucketed approximate variant lives
+  * in `graft.operators.AnnSearch` and is spec-tested for recall against
+  * v1's exact result.
+  *
+  * All arithmetic is promoted to double *before* the dot product
+  * (`array<float>` → `array<double>`) and accumulated in element order, so
+  * Spark's `aggregate(zip_with(...))` and DuckDB's `list_dot_product` over
+  * `DOUBLE[]` produce bit-identical results.
+  */
+object VectorOps {
+
+  /** Sequential-order dot product over two double arrays — codegen'd
+    * higher-order functions, no UDF. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** v1: exact brute-force cosine top-5 neighbors for 3 query vectors.
+    * The query side is tiny → broadcast; the corpus side streams through
+    * one projection+window. At 100 TB the same plan holds with the query
+    * batch broadcast against a partitioned corpus; rank ties break on
+    * neighbor id so the result is total-ordered. */
+  def v1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val v1Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    ROUND(list_dot_product(q_emb, emb) /
+      |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
+      |  FROM q CROSS JOIN e WHERE vec_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, vec_id AS neighbor, cos, rk
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** v2: per-label vector profile — count, dimensionality, exact decimal
+    * sum of L2 norms (norms are per-row deterministic; the cross-row sum
+    * goes through DECIMAL so aggregation order can't perturb bits). */
+  def v2LabelStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    e.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(size(col("emb"))).as("dim"),
+        sum(round(col("norm"), 6).cast("decimal(38,6)")).as("sum_norm"))
+      .orderBy("label")
+  }
+
+  private val v2Sql =
+    """SELECT label, COUNT(*) AS n_vecs,
+      | CAST(MIN(len(embedding)) AS INTEGER) AS dim,
+      | SUM(CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+      |     AS DECIMAL(38,6))) AS sum_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_knn_brute" -> (v1KnnBrute _),
+    "v2_label_stats" -> (v2LabelStats _))
+
+  val oracles: Map[String, String] = Map(
+    "v1_knn_brute" -> v1Sql,
+    "v2_label_stats" -> v2Sql)
+}
