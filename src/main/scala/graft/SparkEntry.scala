@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventOps, Relational, TextOps, VectorOps}
+import graft.queries.{EventOps, Relational, ScaleOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,8 +19,10 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventOps.queries ++ TextOps.queries ++ VectorOps.queries
+    Relational.queries ++ EventOps.queries ++ TextOps.queries ++
+      VectorOps.queries ++ ScaleOps.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++ VectorOps.oracles
+    Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
+      VectorOps.oracles ++ ScaleOps.oracles
 }

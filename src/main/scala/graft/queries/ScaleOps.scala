@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AnnSearch, MinHashDedup, SimHash}
+
+/** Oracle-checked entry points for the scale operators (MinHash/LSH,
+  * SimHash, hyperplane-LSH ANN). The operator logic lives in
+  * `graft.operators`; this object pins each pipeline's exact semantics
+  * with a DuckDB replay built from the same constants (K/R/B, hyperplane
+  * seeds), so the approximation algorithms themselves are hash-verified —
+  * not just smoke-tested.
+  */
+object ScaleOps {
+
+  /** m1: MinHash+LSH near-dup candidates verified with exact Jaccard
+    * (threshold 0.3 keeps the result non-trivial on synthetic data). */
+  def m1MinhashNeardup(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text", 0.3)
+      .orderBy("id_a", "id_b")
+
+  private val hex60Sql: String => String =
+    e => s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
+  private val m1Sql: String = {
+    val K = MinHashDedup.K
+    val R = MinHashDedup.R
+    val mins = (0 until K)
+      .map(k => s"    MIN(${hex60Sql(s"'$k:' || shingle")}) AS mh$k")
+      .mkString(",\n")
+    val bands = (0 until MinHashDedup.B).map { b =>
+      val cat = (b * R until (b + 1) * R)
+        .map(k => s"CAST(mh$k AS VARCHAR)").mkString(" || ',' || ")
+      s"  SELECT id, $b AS band, md5($cat) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    unnest(CASE WHEN len(string_split(text,' ')) >= 3
+       |      THEN list_transform(range(0, len(string_split(text,' ')) - 2),
+       |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
+       |      ELSE [text] END) AS shingle
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT id,
+       |$mins
+       |  FROM sh GROUP BY id),
+       |bands AS (
+       |$bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       |sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT id_a, id_b, COUNT(*) AS inter
+       |  FROM pairs
+       |  JOIN sh sa ON id_a = sa.id
+       |  JOIN sh sb ON id_b = sb.id AND sa.shingle = sb.shingle
+       |  GROUP BY id_a, id_b)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON id_a = za.id
+       |JOIN sizes zb ON id_b = zb.id
+       |WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** m2: SimHash fingerprint pairs within Hamming distance 3 (same
+    * high-12-bit block). */
+  def m2SimhashNeardup(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+
+  private val m2Sql: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |th AS (SELECT id, ${hex60Sql("w")} AS h FROM tok),
+       |bits AS (
+       |  SELECT id, j,
+       |    SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN range(${SimHash.Bits}) t(j) GROUP BY id, j),
+       |fp AS (
+       |  SELECT id,
+       |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY id)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b
+       |  ON (a.simhash >> ${SimHash.BlockShift}) = (b.simhash >> ${SimHash.BlockShift})
+       | AND a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** a1: LSH-bucketed approximate cosine top-5 for the same 3 query
+    * vectors as the exact baseline `v1_knn_brute` (recall is spec-tested
+    * against it). */
+  def a1AnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    AnnSearch.approxTopK(e.filter(col("vec_id") < 3), e, "vec_id", "embedding", 5)
+      .orderBy("q_id", "rk")
+  }
+
+  private val a1Sql: String = {
+    val planeExpr =
+      s"""list_transform(range(0, ${AnnSearch.Dim}),
+         |      c -> (CAST(${hex60Sql("CAST(t AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ',' || CAST(c AS VARCHAR)")} % 2001 AS DOUBLE) - 1000.0) / 1000.0)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |planes AS (
+       |  SELECT t, j, $planeExpr AS w
+       |  FROM range(${AnnSearch.Tables}) tt(t) CROSS JOIN range(${AnnSearch.Planes}) jj(j)),
+       |sigs AS (
+       |  SELECT vec_id, emb, t,
+       |    SUM(CASE WHEN list_dot_product(emb, w) > 0
+       |        THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS sig
+       |  FROM e CROSS JOIN planes GROUP BY vec_id, emb, t),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, t, sig FROM sigs WHERE vec_id < 3),
+       |cands AS (
+       |  SELECT DISTINCT q_id, q_emb, s.vec_id AS neighbor, s.emb
+       |  FROM q JOIN sigs s ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, neighbor,
+       |    ROUND(list_dot_product(q_emb, emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT q_id, neighbor, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+       |  FROM scored)
+       |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_minhash_neardup" -> (m1MinhashNeardup _),
+    "m2_simhash_neardup" -> (m2SimhashNeardup _),
+    "a1_ann_topk" -> (a1AnnTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "m1_minhash_neardup" -> m1Sql,
+    "m2_simhash_neardup" -> m2Sql,
+    "a1_ann_topk" -> a1Sql)
+}
