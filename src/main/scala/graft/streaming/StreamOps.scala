@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming ingestion path over the events stream (north-star
+  * extension, SURVEY §2.9/§7.2 phase 7 — the reference has no streaming;
+  * these are the `readStream` twins of the oracle-checked batch queries in
+  * `queries/EventOps`, sharing shapes so batch results pin the semantics).
+  *
+  * Every transform here takes a *streaming* DataFrame and stays fully
+  * declarative: event-time watermarks bound state, windowed aggregates run
+  * with partial aggregation, and state stores shard by the grouping key —
+  * the same plan scales from MemoryStream tests to a Kafka-fed cluster
+  * with checkpointed exactly-once sinks.
+  */
+object StreamOps {
+
+  private val Dec = DecimalType(38, 4)
+
+  /** Typed row for the events stream (mirrors events.parquet). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  /** Session state for [[runningUserTotals]]. */
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** File-based streaming source over a directory of event parquet (one
+    * file per micro-batch in tests; at scale this is the drop-zone
+    * pattern, schema pinned up front as required by readStream). Applies
+    * the same TIMESTAMP(NANOS) handling as `graft.Tables`: read the
+    * physical INT64 as nanos and integer-divide to microseconds. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Streaming twin of `EventOps.e1WindowHourly`: tumbling 1-hour counts
+    * per event type, 2-hour watermark bounds window state. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming twin of `EventOps.e2WindowSliding`: 1-hour windows sliding
+    * every 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Streaming twin of `EventOps.e3Sessionize`: native session windows
+    * with a 30-minute inactivity gap; state is per (user, session) and
+    * evicted once the watermark passes the gap. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(Dec)).as("sess_value"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"), col("sess_value"))
+
+  /** Streaming exact dedup on event_id: watermark-bounded state (SURVEY
+    * A5/A6's streaming form). Late duplicates beyond the watermark are
+    * dropped with their window, so state size is bounded by the delay,
+    * not the stream length. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count and value total (the general template for state Spark's
+    * built-in aggregates can't express).
+    *
+    * Pass `GroupStateTimeout.ProcessingTimeTimeout` in production to keep
+    * idle-user state evictable — and pair it with a real trigger interval:
+    * processing-time timeouts make the engine run empty micro-batches to
+    * evaluate them, which with the default as-fast-as-possible trigger
+    * degenerates into a busy loop. */
+  def runningUserTotals(events: Dataset[Event],
+                        timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    val usesTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](timeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserAgg(uid, n, v)
+          state.update(next)
+          if (usesTimeout) state.setTimeoutDuration("1 hour")
+          next
+      }
+  }
+
+  /** Convenience: drain a streaming transform into an in-memory table and
+    * block until all available data is processed (test/debug surface). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Streaming semantics pinned with MemoryStream micro-batches; where a
+  * batch twin exists (EventOps e1/e3/e6) the streaming result must agree
+  * with the batch computation over the same rows. */
+class StreamOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+
+  private val batch1 = Seq(
+    Event(1L, ts(0), 1L, "click", 1.0, "{}"),
+    Event(2L, ts(5), 1L, "click", 2.0, "{}"),
+    Event(3L, ts(10), 2L, "view", 3.0, "{}"))
+  private val batch2 = Seq(
+    Event(4L, ts(65), 1L, "click", 4.0, "{}"),   // next hour, new session for u1 (gap 60m)
+    Event(5L, ts(70), 2L, "view", 5.0, "{}"),    // u2 gap 60m -> new session
+    Event(2L, ts(5), 1L, "click", 2.0, "{}"))    // duplicate event_id within watermark
+
+  test("hourlyByType matches batch groupBy over the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(batch1); ms.addData(batch2)
+    StreamOps.runToMemory(StreamOps.hourlyByType(ms.toDF()), "hourly", OutputMode.Complete())
+    val got = spark.table("hourly")
+      .select(date_format(col("bucket"), "HH:mm").as("b"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // batch2 re-delivers event_id 2 at 10:05 — a windowed aggregate
+    // without dedup counts it again, so hour-10 clicks = 3
+    assert(got == Set(("10:00", "click", 3L), ("10:00", "view", 1L),
+      ("11:00", "click", 1L), ("11:00", "view", 1L)))
+  }
+
+  test("sessionize produces one session per 30-min activity gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(batch1 ++ batch2.take(2))
+    StreamOps.runToMemory(StreamOps.sessionize(ms.toDF()), "sessions", OutputMode.Complete())
+    val got = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(identity)
+    // u1: (events 1,2)=2 then (4)=1; u2: (3)=1 then (5)=1
+    assert(got.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("dedupEvents drops the duplicate event_id inside the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(batch1); ms.addData(batch2)
+    StreamOps.runToMemory(StreamOps.dedupEvents(ms.toDF()), "dedup", OutputMode.Append())
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${ids.toSeq}")
+  }
+
+  test("runningUserTotals accumulates state across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(batch1)
+    val q = StreamOps.runningUserTotals(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("totals").outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    ms.addData(batch2.take(2))
+    q.processAllAvailable()
+    q.stop()
+    // last update per user wins
+    val last = spark.table("totals").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+    assert(last(1L) == ((3L, 7.0)))
+    assert(last(2L) == ((2L, 8.0)))
+  }
+
+  test("streaming file source over testdata events agrees with batch e5 counts") {
+    // file streams need a drop-zone directory, not a single file
+    val dropZone = java.nio.file.Files.createTempDirectory("events_drop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dropZone.resolve("events.parquet"))
+    val stream = StreamOps.readEvents(spark, dropZone.toString)
+    val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    StreamOps.runToMemory(agg, "file_counts", OutputMode.Complete())
+    val got = spark.table("file_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = queries.EventOps.e5TypeStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}
