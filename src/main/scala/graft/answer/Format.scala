@@ -1,0 +1,48 @@
+package graft.answer
+
+import org.apache.spark.sql.Row
+
+import graft.model.Domain
+
+/** Row → answer-text formatting (SURVEY F13/F19, W4): currency strings,
+  * unit annotation from the metric registry, per-row rendering — the
+  * reference's client-side formatting layer without the tuple-text
+  * parsing (rows are structured end-to-end in Spark, so F14 disappears).
+  */
+object Format {
+
+  /** `$X.X billion` — NOAA cost formatting (`new_disaster_c.py:313-317`,
+    * costs stored in billions). */
+  def billions(v: Double): String = f"$$$v%.1f billion"
+
+  /** `$1,234,567.00` — FEMA dollar metrics. */
+  def dollars(v: Double): String = f"$$$v%,.2f"
+
+  /** value + unit from the metric registry ("5.8 m/s", "306.4 K"). */
+  def withUnit(metric: String, v: Double): String = {
+    val u = Domain.unitOf(metric)
+    if (u.isEmpty) v.toString else s"$v $u"
+  }
+
+  /** Render rows as the `col=value` lines the reference feeds its LLM
+    * prompt, capped like the prompt-size guard (`client.py:248`). */
+  def renderRows(rows: Seq[Row], maxRows: Int = 25): String =
+    rows.take(maxRows).map { r =>
+      r.schema.fieldNames.zipWithIndex
+        .map { case (f, i) => s"$f=${r.get(i)}" }.mkString(", ")
+    }.mkString("\n")
+}
+
+/** External LLM boundary as an interface with a deterministic stub — the
+  * reference POSTs rows+question to a chat-completions API
+  * (`era5client.py:304-324`); this environment has zero egress, so the
+  * engine ships the seam, not the call. */
+trait LlmClient {
+  def answer(question: String, context: String): String
+}
+
+/** Deterministic echo stub: answer = context summary (what tests pin). */
+object EchoLlm extends LlmClient {
+  def answer(question: String, context: String): String =
+    s"Q: $question\n$context"
+}

@@ -1,0 +1,204 @@
+package graft.nlp
+
+/** Pure question-parsing functions (no Spark dependency) replacing the
+  * reference's regex/NER planners. Each function documents the reference
+  * behavior it preserves — including the quirks (fallback years, "all
+  * months" defaults, first-keyword-wins), which are kept deliberately and
+  * pinned by specs rather than silently "fixed".
+  *
+  * Reference behaviors: year extraction (`GHG_Emissions/EDGARclient.py:
+  * 204-208`, `Disaster dollar/client.py:116-124`), range phrases
+  * (`Disaster dollar/client.py:167-213`), month parsing
+  * (`ERA5_Monthly_Means/era5client.py:186-218`), metric detection
+  * (`era5client.py:165-181`), comparison phrases (`client.py:216-228`),
+  * NOAA keyword→column map (`Billion_Dollar/new_disaster_c.py:19-34`).
+  */
+object Parsers {
+
+  // ---- years ----------------------------------------------------------
+
+  private val YearRx = raw"\b(\d{4})\b".r
+
+  /** All 4-digit years within [lo, hi] (reference uses 1970–2023 for
+    * EDGAR, 1900–2100 for FEMA). */
+  def extractYears(q: String, lo: Int = 1900, hi: Int = 2100): List[Int] =
+    YearRx.findAllMatchIn(q).map(_.group(1).toInt).filter(y => y >= lo && y <= hi).toList
+
+  sealed trait YearFilter
+  case class YearEq(y: Int) extends YearFilter
+  case class YearRange(a: Int, b: Int) extends YearFilter
+  case class YearCmp(op: String, y: Int) extends YearFilter // ">=", "<=", ">", "<"
+
+  private val BetweenRx = raw"(?i)between\s+(\d{4})\s+and\s+(\d{4})".r
+  private val FromToRx = raw"(?i)from\s+(\d{4})\s+to\s+(\d{4})".r
+  private val DashRx = raw"\b(\d{4})\s*[-–]\s*(\d{4})\b".r
+  private val AfterRx = raw"(?i)\b(?:after|since)\s+(\d{4})".r
+  private val BeforeRx = raw"(?i)\bbefore\s+(\d{4})".r
+
+  /** Range phrases first (between/from-to/dash), then directional
+    * (after/since → >=, before → <=), then a bare year → equality —
+    * the precedence the FEMA client implements. */
+  def extractYearFilter(q: String): Option[YearFilter] =
+    BetweenRx.findFirstMatchIn(q).map(m => YearRange(m.group(1).toInt, m.group(2).toInt))
+      .orElse(FromToRx.findFirstMatchIn(q).map(m => YearRange(m.group(1).toInt, m.group(2).toInt)))
+      .orElse(DashRx.findFirstMatchIn(q).map(m => YearRange(m.group(1).toInt, m.group(2).toInt)))
+      .orElse(AfterRx.findFirstMatchIn(q).map(m => YearCmp(">=", m.group(1).toInt)))
+      .orElse(BeforeRx.findFirstMatchIn(q).map(m => YearCmp("<=", m.group(1).toInt)))
+      .orElse(extractYears(q).headOption.map(YearEq))
+
+  // ---- months ---------------------------------------------------------
+
+  private val MonthNames = List(
+    "january" -> "01", "february" -> "02", "march" -> "03", "april" -> "04",
+    "may" -> "05", "june" -> "06", "july" -> "07", "august" -> "08",
+    "september" -> "09", "october" -> "10", "november" -> "11", "december" -> "12")
+
+  private val MmYyyyRx = raw"\b(\d{1,2})[/-](\d{4})\b".r
+
+  val AllMonths: List[String] = MonthNames.map(_._2)
+
+  /** ERA5 date semantics: explicit months via name or MM/YYYY; defaults
+    * are ALL months and year 2020 when unspecified (the reference's
+    * documented quirk, `era5client.py:211-215`). Returns (years, months)
+    * as zero-padded strings. */
+  def extractDates(q: String): (List[String], List[String]) = {
+    val lower = q.toLowerCase
+    val mmYears = MmYyyyRx.findAllMatchIn(q).map(_.group(2)).toList
+    val mmMonths = MmYyyyRx.findAllMatchIn(q)
+      .map(m => f"${m.group(1).toInt}%02d").toList
+    val nameMonths = MonthNames.collect { case (n, num) if lower.contains(n) => num }
+    val years = (mmYears ++ extractYears(q, 1900, 2100).map(_.toString)).distinct
+    val months = (mmMonths ++ nameMonths).distinct
+    (if (years.nonEmpty) years else List("2020"),
+     if (months.nonEmpty) months else AllMonths)
+  }
+
+  // ---- numeric comparisons -------------------------------------------
+
+  case class NumericFilter(column: String, op: String, value: Double)
+
+  private val MoreThanRx = raw"(?i)(?:more than|greater than|over|above)\s+[$$]?([\d,]+(?:\.\d+)?)".r
+  private val LessThanRx = raw"(?i)(?:less than|under|below)\s+[$$]?([\d,]+(?:\.\d+)?)".r
+  private val AtLeastRx = raw"(?i)at least\s+[$$]?([\d,]+(?:\.\d+)?)".r
+
+  /** Comparison phrases ("more than $5,000,000") → operator + value for a
+    * caller-chosen metric column. */
+  def extractComparison(q: String, column: String): Option[NumericFilter] = {
+    def num(s: String): Double = s.replace(",", "").toDouble
+    MoreThanRx.findFirstMatchIn(q).map(m => NumericFilter(column, ">", num(m.group(1))))
+      .orElse(LessThanRx.findFirstMatchIn(q).map(m => NumericFilter(column, "<", num(m.group(1)))))
+      .orElse(AtLeastRx.findFirstMatchIn(q).map(m => NumericFilter(column, ">=", num(m.group(1)))))
+  }
+
+  // ---- entities -------------------------------------------------------
+
+  /** US states: name ↔ 2-letter abbreviation (engine analog of the
+    * reference's `us.states.lookup`). */
+  val UsStates: Map[String, String] = Map(
+    "alabama" -> "AL", "alaska" -> "AK", "arizona" -> "AZ", "arkansas" -> "AR",
+    "california" -> "CA", "colorado" -> "CO", "connecticut" -> "CT",
+    "delaware" -> "DE", "florida" -> "FL", "georgia" -> "GA", "hawaii" -> "HI",
+    "idaho" -> "ID", "illinois" -> "IL", "indiana" -> "IN", "iowa" -> "IA",
+    "kansas" -> "KS", "kentucky" -> "KY", "louisiana" -> "LA", "maine" -> "ME",
+    "maryland" -> "MD", "massachusetts" -> "MA", "michigan" -> "MI",
+    "minnesota" -> "MN", "mississippi" -> "MS", "missouri" -> "MO",
+    "montana" -> "MT", "nebraska" -> "NE", "nevada" -> "NV",
+    "new hampshire" -> "NH", "new jersey" -> "NJ", "new mexico" -> "NM",
+    "new york" -> "NY", "north carolina" -> "NC", "north dakota" -> "ND",
+    "ohio" -> "OH", "oklahoma" -> "OK", "oregon" -> "OR",
+    "pennsylvania" -> "PA", "rhode island" -> "RI", "south carolina" -> "SC",
+    "south dakota" -> "SD", "tennessee" -> "TN", "texas" -> "TX",
+    "utah" -> "UT", "vermont" -> "VT", "virginia" -> "VA",
+    "washington" -> "WA", "west virginia" -> "WV", "wisconsin" -> "WI",
+    "wyoming" -> "WY")
+
+  /** First state mentioned in the question, by name or bare abbreviation. */
+  def extractState(q: String): Option[String] = {
+    val lower = q.toLowerCase
+    UsStates.collectFirst { case (name, abbr) if lower.contains(name) => abbr }
+      .orElse {
+        val abbrs = UsStates.values.toSet
+        raw"\b([A-Z]{2})\b".r.findAllMatchIn(q).map(_.group(1)).find(abbrs.contains)
+      }
+  }
+
+  /** FEMA incident-type whitelist (`Disaster dollar/client.py:41-45`). */
+  val IncidentTypes: List[String] = List(
+    "Hurricane", "Severe Storm", "Fire", "Typhoon", "Earthquake",
+    "Severe Ice Storm", "Flood", "Dam or Levee Break", "Dam/Levee Break",
+    "Snowstorm", "Tornado", "Tsunami", "Coastal Storm", "Mud/Landslide",
+    "Freezing", "Other", "Volcanic Eruption", "Winter Storm",
+    "Tropical Storm", "Straight-Line Winds")
+
+  /** Lemma-ish match: singular/plural + lowercase containment (the spaCy
+    * lemma whitelist match, reduced to what the corpus needs). */
+  def extractIncidentType(q: String): Option[String] = {
+    val lower = q.toLowerCase
+    IncidentTypes.find { t =>
+      val l = t.toLowerCase
+      lower.contains(l) || lower.contains(l + "s") ||
+        l.split(" ").forall(w => lower.contains(w) || lower.contains(w + "s"))
+    }
+  }
+
+  /** NOAA disaster keyword → wide-column prefix, FIRST keyword wins (the
+    * reference iterates an ordered map and stops on the first hit —
+    * `new_disaster_c.py:45-49`). */
+  val NoaaKeywordMap: List[(String, String)] = List(
+    "drought" -> "Drought", "flood" -> "Flooding", "freeze" -> "Freeze",
+    "severe storm" -> "Severe Storm", "storm" -> "Severe Storm",
+    "hurricane" -> "Tropical Cyclone", "tropical cyclone" -> "Tropical Cyclone",
+    "cyclone" -> "Tropical Cyclone", "wildfire" -> "Wildfire",
+    "fire" -> "Wildfire", "winter storm" -> "Winter Storm")
+
+  def noaaDisasterTypes(q: String): List[String] = {
+    val lower = q.toLowerCase
+    val hits = NoaaKeywordMap.collect { case (k, v) if lower.contains(k) => v }
+    hits.distinct
+  }
+
+  /** Metric detection against a registry of (canonical name, aliases):
+    * exact substring first, then fuzzy token match above `cutoff` using
+    * [[Similarity.ratio]] (difflib-parity). */
+  def detectMetrics(q: String, registry: Seq[(String, Seq[String])],
+                    cutoff: Double = 0.8): List[String] = {
+    val lower = q.toLowerCase
+    val exact = registry.collect {
+      case (name, aliases) if (name +: aliases).exists(a => lower.contains(a.toLowerCase)) => name
+    }
+    if (exact.nonEmpty) exact.toList.distinct
+    else {
+      val tokens = raw"\b[\w-]+\b".r.findAllIn(lower).toList
+      registry.collect {
+        case (name, aliases) if (name +: aliases).exists(a =>
+          tokens.exists(t => Similarity.ratio(t, a.toLowerCase) >= cutoff)) => name
+      }.toList.distinct
+    }
+  }
+
+  /** Candidate entity n-grams: word sequences minus stopwords (the ERA5
+    * city-candidate generator, `era5client.py:92-101`). */
+  private val Stopwords = Set(
+    "what", "was", "the", "in", "of", "and", "for", "to", "a", "an", "is",
+    "how", "much", "many", "compare", "between", "show", "me", "on", "at",
+    "versus", "vs", "with", "by", "from", "were", "did", "do", "does")
+
+  def entityCandidates(q: String, maxLen: Int = 2): List[String] = {
+    val words = raw"\b[A-Za-z]+\b".r.findAllIn(q).toList
+      .filterNot(w => Stopwords.contains(w.toLowerCase) || w.forall(_.isDigit))
+    val grams = for {
+      n <- 1 to maxLen
+      i <- 0 to words.length - n
+    } yield words.slice(i, i + n).mkString(" ")
+    grams.toList.distinct
+  }
+
+  /** Top-1 fuzzy resolution of candidates against a dimension (difflib
+    * `get_close_matches(n=1, cutoff)` behavior: best ratio wins, None
+    * below cutoff; ties break to the earlier dimension value). */
+  def fuzzyResolve(cand: String, dim: Seq[String], cutoff: Double): Option[String] =
+    dim.map(d => d -> Similarity.ratio(cand.toLowerCase, d.toLowerCase))
+      .filter(_._2 >= cutoff)
+      .sortBy { case (d, r) => (-r, dim.indexOf(d)) }
+      .headOption.map(_._1)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.nlp.{Parsers, Similarity}
+
+/** Ports the reference's parser test semantics (era5test.py cases, FEMA
+  * range phrases, NOAA keyword map) plus difflib-parity checks. */
+class ParsersSpec extends AnyFunSuite {
+  import Parsers._
+
+  // era5test.py: test_extract_dates — "April 2022" → ("2022", "04")
+  test("extractDates: month name + year") {
+    assert(extractDates("What was the wind speed in April 2022?") ==
+      (List("2022"), List("04")))
+  }
+
+  // reference quirk: unspecified year → 2020, unspecified months → all 12
+  test("extractDates defaults: all months, year 2020") {
+    val (years, months) = extractDates("Compare skin temperature and total ozone in Delhi")
+    assert(years == List("2020"))
+    assert(months == AllMonths)
+  }
+
+  test("extractDates: MM/YYYY form") {
+    assert(extractDates("rainfall in 06/2021") == (List("2021"), List("06")))
+  }
+
+  test("extractYearFilter precedence: range phrases before bare year") {
+    assert(extractYearFilter("between 2000 and 2010") == Some(YearRange(2000, 2010)))
+    assert(extractYearFilter("from 2015 to 2020") == Some(YearRange(2015, 2020)))
+    assert(extractYearFilter("costs 1980-1984 compared") == Some(YearRange(1980, 1984)))
+    assert(extractYearFilter("after 2010 in California") == Some(YearCmp(">=", 2010)))
+    assert(extractYearFilter("since 2005") == Some(YearCmp(">=", 2005)))
+    assert(extractYearFilter("before 1995") == Some(YearCmp("<=", 1995)))
+    assert(extractYearFilter("in 2016") == Some(YearEq(2016)))
+    assert(extractYearFilter("no year here") == None)
+  }
+
+  test("extractComparison: more-than phrases with $ and commas") {
+    assert(extractComparison("more than $5,000,000 in aid", "ihp_total") ==
+      Some(NumericFilter("ihp_total", ">", 5000000.0)))
+    assert(extractComparison("under 300", "x") == Some(NumericFilter("x", "<", 300.0)))
+    assert(extractComparison("at least 42.5", "x") == Some(NumericFilter("x", ">=", 42.5)))
+  }
+
+  test("extractState: full names and abbreviations") {
+    assert(extractState("tornado incidents in Texas") == Some("TX"))
+    assert(extractState("Show earthquakes in California after 2010") == Some("CA"))
+    assert(extractState("declarations in NC last year") == Some("NC"))
+    assert(extractState("nothing here") == None)
+  }
+
+  test("extractIncidentType matches the FEMA whitelist incl. plurals") {
+    assert(extractIncidentType("Show tornado incidents in Texas") == Some("Tornado"))
+    assert(extractIncidentType("hurricanes in 2005") == Some("Hurricane"))
+    assert(extractIncidentType("earthquake-related applications") == Some("Earthquake"))
+  }
+
+  // era5test.py: test_extract_metrics — both metrics found
+  test("detectMetrics: 'skin temperature and total ozone' finds both") {
+    val reg = graft.model.Domain.metricRegistry("era5")
+    val got = detectMetrics("Compare skin temperature and total ozone in Delhi", reg)
+    assert(got.toSet == Set("skin_temperature", "total_ozone"))
+  }
+
+  test("detectMetrics: alias and fuzzy fallback") {
+    val reg = graft.model.Domain.metricRegistry("era5")
+    assert(detectMetrics("how much rainfall in Dhaka", reg) == List("total_precipitation"))
+    // typo resolved by fuzzy token match at 0.8
+    assert(detectMetrics("what was the snowfal like", reg) == List("snowfall"))
+  }
+
+  test("NOAA keyword map: first-keyword-wins ordering, hurricane → Tropical Cyclone") {
+    assert(noaaDisasterTypes("How many droughts occurred in 1980?") == List("Drought"))
+    assert(noaaDisasterTypes("hurricane costs") == List("Tropical Cyclone"))
+    assert(noaaDisasterTypes("Compare the flooding and tropical cyclone cost between 1980-1984")
+      == List("Flooding", "Tropical Cyclone"))
+  }
+
+  test("fuzzyResolve behaves like get_close_matches(n=1, cutoff)") {
+    val dim = Seq("Mumbai", "Delhi", "Dhaka", "Colombo")
+    assert(fuzzyResolve("mumbay", dim, 0.8) == Some("Mumbai"))
+    assert(fuzzyResolve("xyz", dim, 0.8) == None)
+    assert(fuzzyResolve("delhi", dim, 0.8) == Some("Delhi"))
+  }
+
+  // difflib parity: SequenceMatcher(None, a, b).ratio() reference values
+  test("Similarity.ratio matches Python difflib on known pairs") {
+    assert(Similarity.ratio("abcd", "bcde") == 0.75)
+    assert(Similarity.ratio("", "") == 1.0)
+    assert(Similarity.ratio("abc", "") == 0.0)
+    assert(math.abs(Similarity.ratio("mumbay", "mumbai") - 10.0 / 12) < 1e-12)
+    // transposition case where R/O differs from naive LCS-only scoring
+    assert(math.abs(Similarity.ratio("qabxcd", "abycdf") - 8.0 / 12) < 1e-12)
+  }
+
+  test("entityCandidates drops stopwords and numbers, keeps bigrams") {
+    val c = entityCandidates("What was the wind speed in Mumbai in June 2021?")
+    assert(c.contains("Mumbai"))
+    assert(c.contains("wind speed"))
+    assert(!c.exists(_.toLowerCase == "what"))
+    assert(!c.contains("2021"))
+  }
+}
