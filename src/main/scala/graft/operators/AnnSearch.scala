@@ -67,6 +67,26 @@ object AnnSearch {
       .select(col("id"), col("emb"), col("ts.t").as("t"), col("ts.sig").as("sig"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors sharing any LSH
+    * bucket with cosine >= threshold (the all-pairs twin of
+    * [[approxTopK]]; the bucket self-join keeps pair generation off the
+    * O(n²) space — cost is Σ bucket²,  controlled by Planes). */
+  def cosineNearDuplicates(corpus: DataFrame, idCol: String, embCol: String,
+                           threshold: Double): DataFrame = {
+    val cs = signatures(corpus, idCol, embCol)
+    val pairs = cs.as("a").join(cs.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.emb").as("emb_a"),
+        col("b.id").as("id_b"), col("b.emb").as("emb_b"))
+      .distinct()
+    pairs.withColumn("cos",
+      round(dot(col("emb_a"), col("emb_b")) /
+        (sqrt(dot(col("emb_a"), col("emb_a"))) * sqrt(dot(col("emb_b"), col("emb_b")))), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Approximate top-k cosine neighbors per query vector. Queries and
     * corpus share the signature function; ties break on neighbor id. */
   def approxTopK(queries: DataFrame, corpus: DataFrame,

@@ -135,13 +135,51 @@ object ScaleOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** a2: embedding-cosine near-dup pairs over a bounded block (vec_id <
+    * 500). The synthetic embeddings are near-uniform (max pairwise cosine
+    * ≈ 0.44), so 0.35 is a demo threshold that keeps the result
+    * non-vacuous; real corpora use ~0.9+ with more planes per table. */
+  def a2EmbeddingNeardup(s: SparkSession, dir: String): DataFrame =
+    AnnSearch.cosineNearDuplicates(
+      Tables(s, dir, "embeddings").filter(col("vec_id") < 500),
+      "vec_id", "embedding", 0.35)
+      .orderBy("id_a", "id_b")
+
+  private val a2Sql: String = {
+    val planeExpr =
+      s"""list_transform(range(0, ${AnnSearch.Dim}),
+         |      c -> (CAST(${hex60Sql("CAST(t AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ',' || CAST(c AS VARCHAR)")} % 2001 AS DOUBLE) - 1000.0) / 1000.0)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 500),
+       |planes AS (
+       |  SELECT t, j, $planeExpr AS w
+       |  FROM range(${AnnSearch.Tables}) tt(t) CROSS JOIN range(${AnnSearch.Planes}) jj(j)),
+       |sigs AS (
+       |  SELECT vec_id, emb, t,
+       |    SUM(CASE WHEN list_dot_product(emb, w) > 0
+       |        THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS sig
+       |  FROM e CROSS JOIN planes GROUP BY vec_id, emb, t),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, a.emb AS emb_a, b.vec_id AS id_b, b.emb AS emb_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b,
+       |  ROUND(list_dot_product(emb_a, emb_b) /
+       |    (sqrt(list_dot_product(emb_a, emb_a)) * sqrt(list_dot_product(emb_b, emb_b))), 6) AS cos
+       |FROM pairs
+       |WHERE ROUND(list_dot_product(emb_a, emb_b) /
+       |    (sqrt(list_dot_product(emb_a, emb_a)) * sqrt(list_dot_product(emb_b, emb_b))), 6) >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_minhash_neardup" -> (m1MinhashNeardup _),
     "m2_simhash_neardup" -> (m2SimhashNeardup _),
-    "a1_ann_topk" -> (a1AnnTopk _))
+    "a1_ann_topk" -> (a1AnnTopk _),
+    "a2_embedding_neardup" -> (a2EmbeddingNeardup _))
 
   val oracles: Map[String, String] = Map(
     "m1_minhash_neardup" -> m1Sql,
     "m2_simhash_neardup" -> m2Sql,
-    "a1_ann_topk" -> a1Sql)
+    "a1_ann_topk" -> a1Sql,
+    "a2_embedding_neardup" -> a2Sql)
 }
