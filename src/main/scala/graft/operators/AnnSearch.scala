@@ -43,28 +43,31 @@ object AnnSearch {
       }
     }
 
-  /** Sequential-order dot product of an array<double> column with a
-    * constant plane — stays inside codegen (no UDF). */
-  private def dotConst(emb: Column, w: Seq[Double]): Column =
-    aggregate(zip_with(emb, array(w.map(lit): _*), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** (id, emb, t, sig): P sign bits per table, exploded to one row per
-    * (vector, table). */
-  def signatures(vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
+  /** All T×P plane vectors as one nested array literal — the signature
+    * computation below iterates it with higher-order functions, so the
+    * generated code is a loop over the constant array instead of
+    * T×P×Dim unrolled multiply expressions (which dominated wall time
+    * as codegen/JIT compile cost, not execution). */
+  private lazy val planesLit: Column = {
     val ps = planes
-    val sigStructs = (0 until Tables).map { t =>
-      val sig: Column = (0 until Planes).map { j =>
-        when(dotConst(col("emb"), ps(t)(j)) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), sig.as("sig"))
-    }
+    array(ps.map(tp => array(tp.map(pl => array(pl.map(lit): _*)): _*)): _*)
+  }
+
+  /** (id, emb, t, sig): P sign bits per table, one row per
+    * (vector, table). sig = Σ 2ʲ·[dot(emb, plane_j) > 0] computed by
+    * Horner over the reversed bit list — identical values to explicit
+    * shifts. */
+  def signatures(vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val sigArr = transform(planesLit, tp => {
+      val bits = transform(tp, p => when(dot(col("emb"), p) > 0, lit(1L)).otherwise(lit(0L)))
+      aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
+    })
     vecs.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
-      .select(col("id"), col("emb"), explode(array(sigStructs: _*)).as("ts"))
-      .select(col("id"), col("emb"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+      .select(col("id"), col("emb"), posexplode(sigArr))
+      .withColumnsRenamed(Map("pos" -> "t", "col" -> "sig"))
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors sharing any LSH
@@ -73,16 +76,22 @@ object AnnSearch {
     * O(n²) space — cost is Σ bucket²,  controlled by Planes). */
   def cosineNearDuplicates(corpus: DataFrame, idCol: String, embCol: String,
                            threshold: Double): DataFrame = {
-    val cs = signatures(corpus, idCol, embCol)
+    val e = corpus.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+    val cs = signatures(corpus, idCol, embCol).select("id", "t", "sig")
+    // dedup pairs on ids ONLY (two longs), then re-join the vectors —
+    // distinct over embedding arrays shuffles 64 doubles per candidate
+    // and dominated this operator's wall time
     val pairs = cs.as("a").join(cs.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.emb").as("emb_a"),
-        col("b.id").as("id_b"), col("b.emb").as("emb_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    pairs.withColumn("cos",
-      round(dot(col("emb_a"), col("emb_b")) /
-        (sqrt(dot(col("emb_a"), col("emb_a"))) * sqrt(dot(col("emb_b"), col("emb_b")))), 6))
+    pairs
+      .join(e.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .withColumn("cos",
+        round(dot(col("emb_a"), col("emb_b")) /
+          (sqrt(dot(col("emb_a"), col("emb_a"))) * sqrt(dot(col("emb_b"), col("emb_b")))), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

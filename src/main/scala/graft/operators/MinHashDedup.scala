@@ -35,25 +35,54 @@ object MinHashDedup {
   val R = 2       // rows per band
   val B: Int = K / R
 
-  /** (id, shingle) — distinct word 3-shingles; documents shorter than 3
-    * tokens contribute their whole text as one shingle. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  // The K hash functions are ONE md5 per shingle followed by K affine
+  // rehashes h_k = (A_k·h + B_k) mod P over the Mersenne prime P=2³¹−1
+  // (the standard minhash family). md5 dominated the profile 16× before;
+  // the affine products stay < 2⁶² so int64 arithmetic is exact and the
+  // DuckDB oracle replays it bit-for-bit. Coefficients are seeded from
+  // [[PortableHash.hex60]] so both engines derive identical constants.
+  val P: Long = 2147483647L
+  val coeffA: IndexedSeq[Long] = (0 until K).map(k => PortableHash.hex60(s"A$k") % (P - 1) + 1)
+  val coeffB: IndexedSeq[Long] = (0 until K).map(k => PortableHash.hex60(s"B$k") % P)
+
+  /** (id, shingle_set) — per-document array of DISTINCT word 3-shingles;
+    * documents shorter than 3 tokens contribute their whole text as one
+    * shingle. Dedup is `array_distinct` (per-row, no shuffle) — an
+    * explode+distinct would shuffle every shingle string across the
+    * cluster just to dedup within documents. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // shingles via slice + zip_with, NOT per-element element_at lambdas:
+    // the optimizer freely duplicates this expression (e.g.
+    // InferFiltersFromGenerate pushes a size()>0 copy beneath the
+    // projection), and an element_at form re-runs `split` per element
+    // when inlined — O(tokens²) per copy, profiled ~7x slower. The
+    // slice/zip_with form stays O(tokens) per evaluation no matter how
+    // many times it is duplicated or inlined.
     val ws = split(col(textCol), " ")
-    val grams = transform(
-      sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
-    docs.select(
+    val n = size(ws)
+    val grams = zip_with(
+      zip_with(slice(ws, lit(1), n - 2), slice(ws, lit(2), n - 2), (a, b) => concat_ws(" ", a, b)),
+      slice(ws, lit(3), n - 2),
+      (ab, c) => concat_ws(" ", ab, c))
+    docs.repartition(col(idCol)).select(
       col(idCol).as("id"),
-      explode(when(size(ws) >= 3, grams).otherwise(array(col(textCol)))).as("shingle"))
-      .distinct()
+      array_distinct(when(n >= 3, grams).otherwise(array(col(textCol)))).as("shset"))
   }
 
-  /** (id, mh0..mh{K-1}) — one row per document, single shuffle. */
+  /** (id, shingle) — exploded form of [[shingleSets]]. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleSets(docs, idCol, textCol)
+      .select(col("id"), explode(col("shset")).as("shingle"))
+
+  /** (id, mh0..mh{K-1}) — one row per document, single shuffle, one md5
+    * per shingle (the K variants are affine rehashes of it). */
   def signature(sh: DataFrame): DataFrame = {
+    val h = PortableHash.hex60(col("shingle")) % P
+    val hashed = sh.withColumn("h", h)
     val mins = (0 until K).map { k =>
-      min(PortableHash.hex60(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k")
+      min((col("h") * coeffA(k) + coeffB(k)) % P).as(s"mh$k")
     }
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** (id, band, sig) — band signature = md5 of the comma-joined row
@@ -68,8 +97,11 @@ object MinHashDedup {
   }
 
   /** Distinct candidate pairs (id_a < id_b) sharing any band bucket. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bs = bandSignatures(signature(shingles(docs, idCol, textCol)))
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    candidatePairsFromShingles(shingles(docs, idCol, textCol))
+
+  def candidatePairsFromShingles(sh: DataFrame): DataFrame = {
+    val bs = bandSignatures(signature(sh))
     bs.as("a").join(bs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
@@ -78,12 +110,15 @@ object MinHashDedup {
   }
 
   /** Candidate pairs with exact shingle-set Jaccard attached, filtered to
-    * `>= threshold`. */
+    * `>= threshold`. Set sizes come straight from the per-row shingle
+    * arrays (no aggregation shuffle); only the intersection count needs
+    * the exploded join. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val pairs = candidatePairs(docs, idCol, textCol)
+    val sets = shingleSets(docs, idCol, textCol)
+    val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
+    val sizes = sets.select(col("id"), size(col("shset")).cast("long").as("sz"))
+    val pairs = candidatePairsFromShingles(sh)
     val inter = pairs
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))

@@ -26,7 +26,7 @@ object SimHash {
 
   /** (id, simhash) — one 60-bit fingerprint per document. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(
+    val tok = docs.repartition(col(idCol)).select(
       col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("w"))
       .withColumn("h", PortableHash.hex60(col("w")))

@@ -27,8 +27,9 @@ object ScaleOps {
   private val m1Sql: String = {
     val K = MinHashDedup.K
     val R = MinHashDedup.R
+    val P = MinHashDedup.P
     val mins = (0 until K)
-      .map(k => s"    MIN(${hex60Sql(s"'$k:' || shingle")}) AS mh$k")
+      .map(k => s"    MIN((h * ${MinHashDedup.coeffA(k)} + ${MinHashDedup.coeffB(k)}) % $P) AS mh$k")
       .mkString(",\n")
     val bands = (0 until MinHashDedup.B).map { b =>
       val cat = (b * R until (b + 1) * R)
@@ -42,10 +43,11 @@ object ScaleOps {
        |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
        |      ELSE [text] END) AS shingle
        |  FROM documents),
+       |hashed AS (SELECT id, shingle, ${hex60Sql("shingle")} % $P AS h FROM sh),
        |sigs AS (
        |  SELECT id,
        |$mins
-       |  FROM sh GROUP BY id),
+       |  FROM hashed GROUP BY id),
        |bands AS (
        |$bands),
        |pairs AS (
