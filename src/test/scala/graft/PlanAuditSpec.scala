@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale properties the queries claim
+  * (pushdown, pruning, broadcast, top-k, partial aggregation, codegen)
+  * must be visible in the executed plan, not just intended. A regression
+  * that silently drops a pushed filter or turns a broadcast join into a
+  * shuffle join fails here even though results stay correct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Formatted explain of the FINAL (AQE-resolved) plan. */
+  private def formatted(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Distinct node ids for operator `op` in the FINAL plan tree only.
+    * AQE explain prints the final tree ("Op (id)" lines), then the
+    * pre-adaptive tree under "== Initial Plan ==", then per-node details
+    * ("(id) Op" lines) — only the final tree reflects what executed. */
+  private def nodeCount(plan: String, op: String): Int = {
+    val tree = plan.split(raw"== Initial Plan ==").head
+    raw"$op[^(\n]*\((\d+)\)".r.findAllMatchIn(tree).map(_.group(1)).toSet.size
+  }
+
+  test("q2_topn: filter pushed to parquet scan, TakeOrderedAndProject, pruned read schema") {
+    val s = formatted(SparkEntry.queries("q2_topn")(spark, sfDir))
+    assert(s.contains("GreaterThanOrEqual(l_quantity,48.0)"), "filter not pushed to scan")
+    assert(s.contains("TakeOrderedAndProject"), "order+limit should compile to a per-partition top-k heap")
+    assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+      "scan reads more columns than the projection needs")
+  }
+
+  test("q6_scalar_agg: all three predicates push to the scan") {
+    val s = formatted(SparkEntry.queries("q6_scalar_agg")(spark, sfDir))
+    assert(s.contains("GreaterThan(l_discount,0.02)"), s.linesIterator.filter(_.contains("PushedFilters")).mkString)
+    assert(s.contains("In(l_returnflag, [A,R])"))
+    assert(s.contains("GreaterThanOrEqual(l_shipdate,"))
+    assert(s.contains("ReadSchema: struct<l_extendedprice:double,l_discount:double,l_returnflag:string,l_shipdate:timestamp"),
+      "scan should read only the 4 referenced columns")
+  }
+
+  test("q3_join_agg: nation and region join as broadcast hash joins") {
+    val s = formatted(SparkEntry.queries("q3_join_agg")(spark, sfDir))
+    assert(nodeCount(s, "BroadcastHashJoin") >= 2,
+      s"expected >=2 broadcast joins:\n${s.linesIterator.filter(_.contains("Join")).mkString("\n")}")
+  }
+
+  test("q1_agg: partial aggregation before the shuffle, inside whole-stage codegen") {
+    val s = formatted(SparkEntry.queries("q1_agg")(spark, sfDir))
+    assert(s.contains("partial_sum"), "no map-side partial aggregation")
+    assert(nodeCount(s, "HashAggregate") >= 2, "expected partial+final hash aggregates")
+    assert(s.contains("codegen id"), "hot path fell out of whole-stage codegen")
+  }
+
+  test("semi/anti joins keep only probe-side columns (no wide shuffle)") {
+    val s4 = formatted(SparkEntry.queries("q4_semi_join")(spark, sfDir))
+    assert(s4.contains("LeftSemi"))
+    assert(s4.contains("ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>"),
+      "orders side should read only join key + filter column")
+    val s5 = formatted(SparkEntry.queries("q5_anti_join")(spark, sfDir))
+    assert(s5.contains("LeftAnti"))
+  }
+
+  test("e1 window aggregate: one wide shuffle plus the final sort exchange") {
+    val s = formatted(SparkEntry.queries("e1_window_hourly")(spark, sfDir))
+    assert(nodeCount(s, "Exchange") <= 2,
+      s"expected <=2 exchanges:\n${s.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
+  }
+
+  test("v1 knn: query batch broadcasts against the corpus (no shuffle pair)") {
+    val s = formatted(graft.queries.VectorOps.v1KnnBrute(spark, sfDir))
+    assert(s.contains("BroadcastNestedLoopJoin") || nodeCount(s, "BroadcastHashJoin") > 0,
+      "query side should broadcast")
+    assert(nodeCount(s, "SortMergeJoin") == 0, "corpus must not sort-merge shuffle")
+  }
+
+  test("minhash signature: exactly one wide shuffle for the signature aggregate") {
+    val docs = Tables(spark, sfDir, "documents")
+    val sig = graft.operators.MinHashDedup.signature(
+      graft.operators.MinHashDedup.shingles(docs, "doc_id", "text"))
+    val s = formatted(sig)
+    // repartition(id) + groupBy(id) share hash partitioning: the
+    // aggregate must not add a second wide exchange of shingle rows
+    assert(nodeCount(s, "Exchange") <= 1,
+      s"expected <=1 exchange:\n${s.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
+  }
+}
