@@ -1,0 +1,123 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.nlp.{Parsers, Similarity}
+import graft.operators.PortableHash
+
+/** Property tests (SURVEY §5 strategy item 4) for the pure layers —
+  * similarity, hashing, parsers — plus Spark round-trip laws on small
+  * generated frames. */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def check(p: Prop, tune: SCTest.Parameters => SCTest.Parameters): Unit = {
+    val res = SCTest.check(tune(SCTest.Parameters.default), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+  private val text: Gen[String] = Gen.choose(0, 12)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("Similarity.ratio: bounded, identity; order-dependence matches difflib") {
+    check(forAll(text, text) { (a, b) =>
+      val r = Similarity.ratio(a, b)
+      r >= 0.0 && r <= 1.0
+    })
+    check(forAll(text) { a => Similarity.ratio(a, a) == 1.0 })
+    // Ratcliff/Obershelp is NOT symmetric (recursion follows a's longest
+    // match); difflib shares exactly this behavior — parity pinned here
+    // on a pair where the two orders genuinely differ (verified against
+    // Python difflib: 0.2105… vs 0.1754…)
+    val a = "qayb dvzxdt laiz ysr cq fk bpj idex bvostkd"
+    val b = "k y wkd stsbzv"
+    assert(math.abs(Similarity.ratio(a, b) - 0.21052631578947367) < 1e-15)
+    assert(math.abs(Similarity.ratio(b, a) - 0.17543859649122806) < 1e-15)
+  }
+
+  test("PortableHash.hex60: 60-bit range, engine/driver agreement on ASCII") {
+    check(forAll(text) { s =>
+      val h = PortableHash.hex60(s)
+      h >= 0L && h < (1L << 60)
+    })
+  }
+
+  test("Parsers.extractYears: subset of literal 4-digit tokens, in range") {
+    val yearish = Gen.listOf(Gen.oneOf(
+      Gen.choose(1900, 2100).map(_.toString), word)).map(_.mkString(" "))
+    check(forAll(yearish) { q =>
+      val got = Parsers.extractYears(q)
+      got.forall(y => y >= 1900 && y <= 2100 && q.contains(y.toString))
+    })
+  }
+
+  test("Parsers.extractDates: always non-empty years and months (defaults)") {
+    check(forAll(text) { q =>
+      val (years, months) = Parsers.extractDates(q)
+      years.nonEmpty && months.nonEmpty &&
+        months.forall(m => m.length == 2 && m.toInt >= 1 && m.toInt <= 12)
+    })
+  }
+
+  test("fuzzyResolve: cutoff monotone (higher cutoff never adds matches)") {
+    val dim = Seq("Mumbai", "Delhi", "Dhaka", "Colombo", "Karachi")
+    check(forAll(word, Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (cand, c1, c2) =>
+      val (lo, hi) = if (c1 < c2) (c1, c2) else (c2, c1)
+      val atHi = Parsers.fuzzyResolve(cand, dim, hi)
+      val atLo = Parsers.fuzzyResolve(cand, dim, lo)
+      atHi.isEmpty || atLo == atHi
+    })
+  }
+
+  test("MinHash: identical docs get identical signatures; signature is permutation-stable") {
+    import spark.implicits._
+    val docsGen = Gen.listOfN(4, text.suchThat(_.nonEmpty))
+    check(Prop.forAllNoShrink(docsGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sig = graft.operators.MinHashDedup.signature(
+        graft.operators.MinHashDedup.shingles(docs, "doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      // same text => same signature, regardless of doc order
+      texts.zipWithIndex.groupBy(_._1).values.forall { grp =>
+        grp.map { case (_, i) => sig(i.toLong) }.distinct.size == 1
+      }
+    }, (p: org.scalacheck.Test.Parameters) => p.withMinSuccessfulTests(5))
+  }
+
+  test("Unpivot round-trip law on generated NOAA-shaped frames") {
+    import spark.implicits._
+    val row = for {
+      y <- Gen.choose(1980, 2024)
+      counts <- Gen.listOfN(7, Gen.choose(0, 20))
+      costs <- Gen.listOfN(7, Gen.choose(0.0, 500.0).map(d => math.round(d * 10) / 10.0))
+    } yield (y, counts, costs)
+    val frame = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, row))
+      .map(_.distinctBy(_._1))
+    check(Prop.forAllNoShrink(frame) { rows =>
+      val wide = rows.map { case (y, cn, cs) =>
+        (y, cn(0), cs(0), cn(1), cs(1), cn(2), cs(2), cn(3), cs(3),
+          cn(4), cs(4), cn(5), cs(5), cn(6), cs(6))
+      }.toDF("Year",
+        "Drought_Count", "Drought_Cost", "Flooding_Count", "Flooding_Cost",
+        "Freeze_Count", "Freeze_Cost", "Severe_Storm_Count", "Severe_Storm_Cost",
+        "Tropical_Cyclone_Count", "Tropical_Cyclone_Cost",
+        "Wildfire_Count", "Wildfire_Cost", "Winter_Storm_Count", "Winter_Storm_Cost")
+      val types = graft.model.Domain.noaaTypes
+      val back = graft.ingest.Unpivot.noaaToWide(
+        graft.ingest.Unpivot.noaaToLong(wide, types), types)
+      back.orderBy("Year").collect().toSeq ==
+        wide.select(back.columns.map(org.apache.spark.sql.functions.col): _*)
+          .orderBy("Year").collect().toSeq
+    }, (p: org.scalacheck.Test.Parameters) => p.withMinSuccessfulTests(5))
+  }
+}
