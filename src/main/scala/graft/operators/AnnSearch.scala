@@ -46,14 +46,24 @@ object AnnSearch {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** All T×P plane vectors as one nested array literal — the signature
-    * computation below iterates it with higher-order functions, so the
-    * generated code is a loop over the constant array instead of
-    * T×P×Dim unrolled multiply expressions (which dominated wall time
-    * as codegen/JIT compile cost, not execution). */
+  /** (id, nemb): unit-normalized vectors, norm materialized in its own
+    * projection so the division lambda reads a column, not a recomputed
+    * aggregate per element. Cosine between pairs then costs ONE dot —
+    * higher-order-function dots evaluate interpreted (CodegenFallback),
+    * so per-pair work is the scale lever. */
+  def normalized(vecs: DataFrame, idCol: String, embCol: String): DataFrame =
+    vecs.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+      .select(col("id"), col("emb"), sqrt(dot(col("emb"), col("emb"))).as("nrm"))
+      .select(col("id"), transform(col("emb"), x => x / col("nrm")).as("nemb"))
+
+  /** All T×P plane vectors as ONE nested-array literal (typedLit packs
+    * the whole T×P×Dim tensor into a single Literal node) iterated with
+    * higher-order functions: the generated code is a loop over constant
+    * array data. The alternatives both pay at plan/codegen time — T×P×Dim
+    * unrolled multiplies, or a CreateArray tree of 4096 lit() nodes. */
   private lazy val planesLit: Column = {
-    val ps = planes
-    array(ps.map(tp => array(tp.map(pl => array(pl.map(lit): _*)): _*)): _*)
+    val ps: Seq[Seq[Seq[Double]]] = planes.map(_.map(_.toSeq).toSeq)
+    typedLit(ps)
   }
 
   /** (id, emb, t, sig): P sign bits per table, one row per
@@ -86,12 +96,11 @@ object AnnSearch {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val n = normalized(e, "id", "emb")
     pairs
-      .join(e.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
-      .join(e.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
-      .withColumn("cos",
-        round(dot(col("emb_a"), col("emb_b")) /
-          (sqrt(dot(col("emb_a"), col("emb_a"))) * sqrt(dot(col("emb_b"), col("emb_b")))), 6))
+      .join(n.select(col("id").as("id_a"), col("nemb").as("na")), "id_a")
+      .join(n.select(col("id").as("id_b"), col("nemb").as("nb")), "id_b")
+      .withColumn("cos", round(dot(col("na"), col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -101,15 +110,18 @@ object AnnSearch {
   def approxTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, embCol: String, k: Int): DataFrame = {
     val qs = signatures(queries, idCol, embCol)
-      .select(col("id").as("q_id"), col("emb").as("q_emb"), col("t"), col("sig"))
-    val cs = signatures(corpus, idCol, embCol)
+      .select(col("id").as("q_id"), col("t"), col("sig"))
+    val cs = signatures(corpus, idCol, embCol).select("id", "t", "sig")
     val cands = broadcast(qs).join(cs,
         qs("t") === cs("t") && qs("sig") === cs("sig") && col("id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("id").as("neighbor"), col("emb"))
+      .select(col("q_id"), col("id").as("neighbor"))
       .distinct()
-    val scored = cands.withColumn("cos",
-      round(dot(col("q_emb"), col("emb")) /
-        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+    val qn = normalized(queries, idCol, embCol)
+    val n = normalized(corpus, idCol, embCol)
+    val scored = cands
+      .join(broadcast(qn.select(col("id").as("q_id"), col("nemb").as("qn"))), "q_id")
+      .join(n.select(col("id").as("neighbor"), col("nemb").as("cn")), "neighbor")
+      .withColumn("cos", round(dot(col("qn"), col("cn")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

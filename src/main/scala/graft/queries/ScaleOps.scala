@@ -116,19 +116,22 @@ object ScaleOps {
        |  SELECT t, j, $planeExpr AS w
        |  FROM range(${AnnSearch.Tables}) tt(t) CROSS JOIN range(${AnnSearch.Planes}) jj(j)),
        |sigs AS (
-       |  SELECT vec_id, emb, t,
+       |  SELECT vec_id, t,
        |    SUM(CASE WHEN list_dot_product(emb, w) > 0
        |        THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS sig
-       |  FROM e CROSS JOIN planes GROUP BY vec_id, emb, t),
-       |q AS (SELECT vec_id AS q_id, emb AS q_emb, t, sig FROM sigs WHERE vec_id < 3),
+       |  FROM e CROSS JOIN planes GROUP BY vec_id, t),
+       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |n AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS nemb FROM nr),
+       |q AS (SELECT vec_id AS q_id, t, sig FROM sigs WHERE vec_id < 3),
        |cands AS (
-       |  SELECT DISTINCT q_id, q_emb, s.vec_id AS neighbor, s.emb
+       |  SELECT DISTINCT q_id, s.vec_id AS neighbor
        |  FROM q JOIN sigs s ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.q_id),
        |scored AS (
        |  SELECT q_id, neighbor,
-       |    ROUND(list_dot_product(q_emb, emb) /
-       |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
-       |  FROM cands),
+       |    ROUND(list_dot_product(qn.nemb, cn.nemb), 6) AS cos
+       |  FROM cands
+       |  JOIN n qn ON qn.vec_id = q_id
+       |  JOIN n cn ON cn.vec_id = neighbor),
        |ranked AS (
        |  SELECT q_id, neighbor, cos,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
@@ -156,20 +159,22 @@ object ScaleOps {
        |  SELECT t, j, $planeExpr AS w
        |  FROM range(${AnnSearch.Tables}) tt(t) CROSS JOIN range(${AnnSearch.Planes}) jj(j)),
        |sigs AS (
-       |  SELECT vec_id, emb, t,
+       |  SELECT vec_id, t,
        |    SUM(CASE WHEN list_dot_product(emb, w) > 0
        |        THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS sig
-       |  FROM e CROSS JOIN planes GROUP BY vec_id, emb, t),
+       |  FROM e CROSS JOIN planes GROUP BY vec_id, t),
+       |nr AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |n AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS nemb FROM nr),
        |pairs AS (
-       |  SELECT DISTINCT a.vec_id AS id_a, a.emb AS emb_a, b.vec_id AS id_b, b.emb AS emb_b
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM sigs a JOIN sigs b
-       |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b,
-       |  ROUND(list_dot_product(emb_a, emb_b) /
-       |    (sqrt(list_dot_product(emb_a, emb_a)) * sqrt(list_dot_product(emb_b, emb_b))), 6) AS cos
-       |FROM pairs
-       |WHERE ROUND(list_dot_product(emb_a, emb_b) /
-       |    (sqrt(list_dot_product(emb_a, emb_a)) * sqrt(list_dot_product(emb_b, emb_b))), 6) >= 0.35
+       |    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b, ROUND(list_dot_product(na.nemb, nb.nemb), 6) AS cos
+       |  FROM pairs
+       |  JOIN n na ON na.vec_id = id_a
+       |  JOIN n nb ON nb.vec_id = id_b)
+       |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
   }
 
