@@ -59,6 +59,8 @@ object RatcliffSimilarity {
 /** SparkSessionExtensions entry point:
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(RatcliffSimilarity.info)
+    ext.injectFunction(DotProduct.info)
+  }
 }

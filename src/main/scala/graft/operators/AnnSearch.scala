@@ -43,18 +43,21 @@ object AnnSearch {
       }
     }
 
+  /** Codegen'd sequential dot product (`graft.functions.DotProduct`) —
+    * bit-identical to the `aggregate(zip_with(...))` fold it replaces,
+    * but a primitive loop instead of interpreted lambda machinery. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   /** (id, nemb): unit-normalized vectors, norm materialized in its own
     * projection so the division lambda reads a column, not a recomputed
-    * aggregate per element. Cosine between pairs then costs ONE dot —
-    * higher-order-function dots evaluate interpreted (CodegenFallback),
-    * so per-pair work is the scale lever. */
-  def normalized(vecs: DataFrame, idCol: String, embCol: String): DataFrame =
+    * aggregate per element. Cosine between pairs then costs ONE dot. */
+  def normalized(vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.functions.DotProduct.register(vecs.sparkSession)
     vecs.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
       .select(col("id"), col("emb"), sqrt(dot(col("emb"), col("emb"))).as("nrm"))
       .select(col("id"), transform(col("emb"), x => x / col("nrm")).as("nemb"))
+  }
 
   /** All T×P plane vectors as ONE nested-array literal (typedLit packs
     * the whole T×P×Dim tensor into a single Literal node) iterated with
@@ -71,6 +74,7 @@ object AnnSearch {
     * Horner over the reversed bit list — identical values to explicit
     * shifts. */
   def signatures(vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.functions.DotProduct.register(vecs.sparkSession)
     val sigArr = transform(planesLit, tp => {
       val bits = transform(tp, p => when(dot(col("emb"), p) > 0, lit(1L)).otherwise(lit(0L)))
       aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)

@@ -19,10 +19,11 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Sequential-order dot product over two double arrays — codegen'd
-    * higher-order functions, no UDF. */
+  /** Sequential-order dot product — `graft.functions.DotProduct`
+    * (codegen'd primitive loop, bit-identical to the aggregate/zip_with
+    * fold and to DuckDB's list_dot_product). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dotProduct(a, b)
 
   /** v1: exact brute-force cosine top-5 neighbors for 3 query vectors.
     * The query side is tiny → broadcast; the corpus side streams through
@@ -30,6 +31,7 @@ object VectorOps {
     * batch broadcast against a partitioned corpus; rank ties break on
     * neighbor id so the result is total-ordered. */
   def v1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = e.filter(col("vec_id") < 3)
@@ -64,6 +66,7 @@ object VectorOps {
     * sum of L2 norms (norms are per-row deterministic; the cross-row sum
     * goes through DECIMAL so aggregation order can't perturb bits). */
   def v2LabelStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     val e = Tables(s, dir, "embeddings")
       .select(col("label"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
