@@ -74,22 +74,25 @@ object MinHashDedup {
     shingleSets(docs, idCol, textCol)
       .select(col("id"), explode(col("shset")).as("shingle"))
 
-  /** (id, mh0..mh{K-1}) — one row per document, single shuffle, one md5
-    * per shingle (the K variants are affine rehashes of it). */
-  def signature(sh: DataFrame): DataFrame = {
-    val h = PortableHash.hex60(col("shingle")) % P
-    val hashed = sh.withColumn("h", h)
-    val mins = (0 until K).map { k =>
-      min((col("h") * coeffA(k) + coeffB(k)) % P).as(s"mh$k")
-    }
-    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  /** (id, mh: array<long>) — one row per document, ZERO shuffles: the
+    * K-min fold runs as a row-local codegen'd expression
+    * (`graft.functions.MinHashSignature`) over the per-document shingle
+    * hash array, instead of exploding shingles into a K-column
+    * aggregate. One md5 per shingle (the K variants are affine
+    * rehashes computed inside the expression). */
+  def signatureFromSets(sets: DataFrame): DataFrame = {
+    graft.functions.SketchFunctions.register(sets.sparkSession)
+    sets.select(col("id"),
+      graft.functions.SketchFunctions.minhashSig(
+        transform(col("shset"), s => PortableHash.hex60(s))).as("mh"))
   }
 
-  /** (id, band, sig) — band signature = md5 of the comma-joined row
+  /** (id, band, sig) — band signature = md5 of the comma-joined minhash
     * values, so bucket keys are fixed-width strings. */
   def bandSignatures(sigs: DataFrame): DataFrame = {
     val bands = (0 until B).map { b =>
-      val cols = (b * R until (b + 1) * R).map(k => col(s"mh$k").cast("string"))
+      val cols = (b * R until (b + 1) * R)
+        .map(k => element_at(col("mh"), k + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
     }
     sigs.select(col("id"), explode(array(bands: _*)).as("bs"))
@@ -98,10 +101,10 @@ object MinHashDedup {
 
   /** Distinct candidate pairs (id_a < id_b) sharing any band bucket. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    candidatePairsFromShingles(shingles(docs, idCol, textCol))
+    candidatePairsFromSets(shingleSets(docs, idCol, textCol))
 
-  def candidatePairsFromShingles(sh: DataFrame): DataFrame = {
-    val bs = bandSignatures(signature(sh))
+  def candidatePairsFromSets(sets: DataFrame): DataFrame = {
+    val bs = bandSignatures(signatureFromSets(sets))
     bs.as("a").join(bs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
@@ -118,7 +121,7 @@ object MinHashDedup {
     val sets = shingleSets(docs, idCol, textCol)
     val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
     val sizes = sets.select(col("id"), size(col("shset")).cast("long").as("sz"))
-    val pairs = candidatePairsFromShingles(sh)
+    val pairs = candidatePairsFromSets(sets)
     val inter = pairs
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))

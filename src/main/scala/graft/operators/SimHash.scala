@@ -24,20 +24,18 @@ object SimHash {
   val Bits = 60
   val BlockShift = 48 // block key = top 12 bits
 
-  /** (id, simhash) — one 60-bit fingerprint per document. */
+  /** (id, simhash) — one 60-bit fingerprint per document, ZERO
+    * shuffles: the bit-vote fold runs as a row-local codegen'd
+    * expression (`graft.functions.SimHash60`) over the per-document
+    * distinct-token hash array, instead of exploding tokens into a
+    * 60-counter aggregate. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.repartition(col(idCol)).select(
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    docs.repartition(col(idCol)).select(
       col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .withColumn("h", PortableHash.hex60(col("w")))
-    val votes = (0 until Bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j")
-    }
-    val assembled: Column = (0 until Bits).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"), assembled.as("simhash"))
+      graft.functions.SketchFunctions.simhash60(
+        transform(array_distinct(split(col(textCol), " ")),
+          w => PortableHash.hex60(w))).as("simhash"))
   }
 
   /** Pairs (id_a < id_b) in the same high-bit block with Hamming distance

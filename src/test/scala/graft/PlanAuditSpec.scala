@@ -80,13 +80,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "SortMergeJoin") == 0, "corpus must not sort-merge shuffle")
   }
 
-  test("minhash signature: exactly one wide shuffle for the signature aggregate") {
+  test("minhash signature: no wide shuffle beyond the compute repartition") {
     val docs = Tables(spark, sfDir, "documents")
-    val sig = graft.operators.MinHashDedup.signature(
-      graft.operators.MinHashDedup.shingles(docs, "doc_id", "text"))
+    val sig = graft.operators.MinHashDedup.signatureFromSets(
+      graft.operators.MinHashDedup.shingleSets(docs, "doc_id", "text"))
     val s = formatted(sig)
-    // repartition(id) + groupBy(id) share hash partitioning: the
-    // aggregate must not add a second wide exchange of shingle rows
+    // the row-local minhash_sig expression replaces the K-column
+    // aggregate: only the compute-spreading repartition remains
     assert(nodeCount(s, "Exchange") <= 1,
       s"expected <=1 exchange:\n${s.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
   }

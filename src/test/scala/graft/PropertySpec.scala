@@ -84,9 +84,9 @@ class PropertySpec extends AnyFunSuite {
     check(Prop.forAllNoShrink(docsGen) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val sig = graft.operators.MinHashDedup.signature(
-        graft.operators.MinHashDedup.shingles(docs, "doc_id", "text"))
-        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val sig = graft.operators.MinHashDedup.signatureFromSets(
+        graft.operators.MinHashDedup.shingleSets(docs, "doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       // same text => same signature, regardless of doc order
       texts.zipWithIndex.groupBy(_._1).values.forall { grp =>
         grp.map { case (_, i) => sig(i.toLong) }.distinct.size == 1
