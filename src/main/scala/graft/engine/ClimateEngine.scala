@@ -137,7 +137,15 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
   def edgarAnswer(question: String): String = {
     val gases = Parsers.detectMetrics(question, Domain.metricRegistry("edgar"))
     if (gases.isEmpty) return llm.answer(question, "no gas recognized")
-    val years = Parsers.extractYears(question, 1970, 2023)
+    // range phrases cover every year in the range (the reference fans
+    // out one query per year; here the expansion feeds a single isin)
+    val years: List[Int] = Parsers.extractYearFilter(question) match {
+      case Some(Parsers.YearRange(a, b)) => (a to b).toList
+      case Some(Parsers.YearEq(y)) => List(y)
+      case Some(Parsers.YearCmp(">=", y)) => (y to 2023).toList
+      case Some(Parsers.YearCmp("<=", y)) => (1970 to y).toList
+      case _ => Parsers.extractYears(question, 1970, 2023)
+    }
     val dim = resolve("edgar").select("Name").distinct()
       .collect().map(_.getString(0)).toList.sorted
     val countries = Parsers.entityCandidates(question)

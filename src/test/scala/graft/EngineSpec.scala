@@ -125,6 +125,13 @@ class EngineSpec extends AnyFunSuite {
     assert(a.contains("China 2018: 10717.4 kt"), a)
   }
 
+  test("EDGAR: 'Methane emissions in Brazil from 2015 to 2020' covers interior years") {
+    val a = engine.edgarAnswer("Methane emissions in Brazil from 2015 to 2020")
+    assert(a.contains("Brazil 2015"), a)
+    assert(a.contains("Brazil 2018"), a) // interior year of the range
+    assert(a.contains("Brazil 2020"), a)
+  }
+
   // ---- ingest round-trips --------------------------------------------
 
   test("noaa unpivot∘pivot = id on the wide fixture") {
