@@ -83,6 +83,49 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(last(2L) == ((2L, 8.0)))
   }
 
+  test("native session_window agrees with e3's manual gap sessionization on testdata") {
+    import org.apache.spark.sql.functions._
+    // batch-mode session_window over the full events table
+    val native = Tables(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"))
+      .select("user_id", "sess_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val manual = queries.EventOps.e3Sessionize(spark, sfDir)
+      .select("user_id", "sess_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(native == manual,
+      s"diff: native-only=${(native -- manual).take(3)}, manual-only=${(manual -- native).take(3)}")
+  }
+
+  test("watermark drops events later than the delay, keeps late-but-in-window ones") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.hourlyByType(ms.toDF())
+      .writeStream.format("memory").queryName("late").outputMode(OutputMode.Append())
+      .start()
+    // batch 1 advances event time to 14:00 → watermark = 12:00 (2h delay)
+    ms.addData(Seq(Event(10L, Timestamp.valueOf("2024-01-01 14:00:00"), 1L, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 2: 12:30 is late but within the watermark (counted);
+    // 09:00 is beyond it (dropped with its expired window)
+    ms.addData(Seq(
+      Event(11L, Timestamp.valueOf("2024-01-01 12:30:00"), 1L, "click", 1.0, "{}"),
+      Event(12L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 3 advances the watermark far enough to emit all live windows
+    ms.addData(Seq(Event(13L, Timestamp.valueOf("2024-01-01 20:00:00"), 1L, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val buckets = spark.table("late")
+      .select(date_format(col("bucket"), "HH:mm").as("b"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets.get("12:00").contains(1L), s"late-but-valid event lost: $buckets")
+    assert(!buckets.contains("09:00"), s"expired event leaked: $buckets")
+  }
+
   test("streaming file source over testdata events agrees with batch e5 counts") {
     // file streams need a drop-zone directory, not a single file
     val dropZone = java.nio.file.Files.createTempDirectory("events_drop")
