@@ -180,7 +180,44 @@ object TextOps {
       |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d7: BPE-style token counting (letter runs / digit runs / single
+    * symbols — `operators.TextAnalysis.BpeTokenPattern`) next to the
+    * whitespace count, over the documents table. */
+  def d7BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val ws = length(col("text")) - length(expr("replace(text, ' ', '')")) + 1
+    d.select(
+      col("doc_id"),
+      graft.operators.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+      ws.cast("int").as("ws_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val d7Sql =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpeTokenPattern}')) AS INTEGER) AS bpe_tokens,
+       | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS ws_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** d8: polynomial rolling-hash fingerprint (Horner fold over character
+    * codes, exact int64 arithmetic — `TextAnalysis.rollingHash`). */
+  def d8RollingHash(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.rollingHash(col("text")).as("roll_hash"))
+      .orderBy("doc_id")
+
+  private val d8Sql =
+    s"""SELECT doc_id,
+       | list_reduce(
+       |   list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(string_split_regex(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |   (acc, c) -> (acc * ${graft.operators.TextAnalysis.RollBase} + c) % ${graft.operators.TextAnalysis.RollMod}) AS roll_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_bpe_tokens" -> (d7BpeTokens _),
+    "d8_rolling_hash" -> (d8RollingHash _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_token_stats" -> (d2TokenStats _),
     "d3_quality_score" -> (d3QualityScore _),
@@ -189,6 +226,8 @@ object TextOps {
     "d6_jaccard_neardup" -> (d6JaccardNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "d7_bpe_tokens" -> d7Sql,
+    "d8_rolling_hash" -> d8Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_token_stats" -> d2Sql,
     "d3_quality_score" -> d3Sql,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("languageId classifies obvious English/Spanish/German text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog went into the forest of kings"),
+      (2L, "la casa de la abuela es el lugar de los recuerdos en el pueblo"),
+      (3L, "die kinder spielen in der schule und singen ein schoenes lied"),
+      (4L, "zzz qqq xxx 123")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en", got.toString)
+    assert(got(2L) == "es", got.toString)
+    assert(got(3L) == "de", got.toString)
+    assert(got(4L) == "unknown", got.toString)
+  }
+
+  test("bpeTokenCount splits symbols and digit runs into their own tokens") {
+    import spark.implicits._
+    val df = Seq(("hello, world 42!")).toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text")).as("n"))
+    // tokens: hello , world 42 !  -> 5
+    assert(df.collect()(0).getInt(0) == 5)
+  }
+
+  test("rollingHash is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq(("abc"), ("acb"), ("abc")).toDF("text")
+      .select(TextAnalysis.rollingHash(col("text")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(2))
+    assert(hs(0) != hs(1), "transposition must change the hash")
+    // Horner check: ((0*31+97)*31+98)*31+99
+    assert(hs(0) == ((97L * 31 + 98) * 31 + 99))
+  }
+
+  test("languageId runs over the documents table without error") {
+    val out = TextAnalysis.languageId(Tables(spark, sfDir, "documents"), "doc_id", "text")
+    assert(out.count() == 500)
+    assert(out.select("pred_lang").distinct().count() >= 1)
+  }
+}
