@@ -11,9 +11,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JIT/codegen/shuffle machinery, so the first timed query
-    // isn't charged for one-time JVM costs
+    // warm-up: JIT/codegen/shuffle/window/join machinery, so the first
+    // timed query of each shape isn't charged for one-time JVM costs
     spark.range(2000000).selectExpr("sum(id * 2)", "count(distinct id % 97)").collect()
+    spark.range(100000)
+      .selectExpr("id", "row_number() OVER (PARTITION BY id % 100 ORDER BY id) AS rk")
+      .filter("rk <= 3").count()
+    val l = spark.range(100000).selectExpr("id AS k", "id * 2 AS v")
+    val r = spark.range(100).selectExpr("id AS k", "id AS w")
+    l.join(org.apache.spark.sql.functions.broadcast(r), "k").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink fully materializes every output column (count() lets
