@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotProduct
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * cluster-pruned alternative to hyperplane LSH (`AnnSearch`): a coarse
+  * k-means quantizer assigns every vector to its nearest centroid, and a
+  * query scans only the `nprobe` nearest inverted lists.
+  *
+  * Scale design: training iterations are assignment jobs over the corpus
+  * (broadcast centroids — k·dim doubles — against a partitioned corpus;
+  * the per-iteration driver collect is k rows of means, never data).
+  * Search cost is |lists probed| / k of the corpus per query versus
+  * LSH's collision-driven candidates; IVF wins when the corpus clusters,
+  * LSH when it doesn't. Everything is deterministic: initial centroids
+  * are the k lowest-id vectors, and ties in assignment break on centroid
+  * id — no RNG anywhere (same property the oracle-checked operators
+  * rely on).
+  */
+object IvfSearch {
+
+  private def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
+
+  /** Squared L2 distance via codegen'd dots:
+    * |a-b|² = |a|² − 2a·b + |b|². */
+  private def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Deterministic Lloyd's k-means over the embedding column. Returns
+    * (centroid_id, centroid) rows collected to the driver (k·dim values). */
+  def kmeansFit(corpus: DataFrame, idCol: String, embCol: String,
+                k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    DotProduct.register(corpus.sparkSession)
+    val e = corpus
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+    var centroids: Seq[(Int, Seq[Double])] = e.orderBy("id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
+    for (_ <- 0 until iters) {
+      val assigned = assign(e, centroids)
+      // element-wise mean per cluster: posexplode to (cid, pos, val),
+      // per-dimension avg, re-assemble sorted by pos — no UDAF needed
+      val updated = assigned
+        .select(col("centroid_id"), posexplode(col("emb")))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
+        .select(col("centroid_id"), transform(col("sm"), s => s.getField("m")).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // a cluster that lost all members keeps its previous centroid
+      centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    centroids
+  }
+
+  /** (id, emb, centroid_id): nearest centroid per vector. */
+  def assign(e: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(dist2(col("emb"), typedLit(c)).as("d"), lit(cid).as("cid"))
+    }
+    e.withColumn("best", least(scored: _*))
+      .select(col("id"), col("emb"), col("best.cid").as("centroid_id"))
+  }
+
+  /** IVF index: (vec_id, centroid_id) + the centroid table. */
+  case class Index(centroids: Seq[(Int, Seq[Double])], assignments: DataFrame)
+
+  def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
+                 k: Int, iters: Int): Index = {
+    val cs = kmeansFit(corpus, idCol, embCol, k, iters)
+    val e = corpus
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+    Index(cs, assign(e, cs))
+  }
+
+  /** Approximate cosine top-k: probe the `nprobe` nearest inverted lists
+    * per query, exact cosine within them. */
+  def approxTopK(queries: DataFrame, index: Index, idCol: String, embCol: String,
+                 k: Int, nprobe: Int): DataFrame = {
+    DotProduct.register(queries.sparkSession)
+    val q = queries
+      .select(col(idCol).as("q_id"), col(embCol).cast("array<double>").as("q_emb"))
+    // nearest nprobe centroids per query — centroid count is tiny, so
+    // this is a per-row sort over a literal array
+    val probes = index.centroids.map { case (cid, c) =>
+      struct(dist2(col("q_emb"), typedLit(c)).as("d"), lit(cid).as("cid"))
+    }
+    val probed = q.withColumn("probe",
+        explode(slice(array_sort(array(probes: _*)), 1, nprobe)))
+      .select(col("q_id"), col("q_emb"), col("probe.cid").as("centroid_id"))
+    val cands = broadcast(probed)
+      .join(index.assignments, Seq("centroid_id"))
+      .filter(col("id") =!= col("q_id"))
+    val scored = cands.withColumn("cos",
+      round(dot(col("q_emb"), col("emb")) /
+        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("neighbor"), col("cos"), col("rk"))
+  }
+}
