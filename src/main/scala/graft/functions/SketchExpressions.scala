@@ -181,13 +181,70 @@ object SketchFunctions {
       graft.operators.MinHashDedup.coeffA, graft.operators.MinHashDedup.coeffB,
       graft.operators.MinHashDedup.P))
 
+  val hex60Info: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("hex60_array"),
+    new ExpressionInfo(classOf[Hex60Array].getName, "hex60_array"),
+    (children: Seq[Expression]) => Hex60Array(children(0)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       simhashInfo._1, simhashInfo._2, simhashInfo._3)
     spark.sessionState.functionRegistry.registerFunction(
       minhashInfo._1, minhashInfo._2, minhashInfo._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      hex60Info._1, hex60Info._2, hex60Info._3)
   }
 
   def simhash60(c: Column): Column = call_function("simhash60", c)
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
+  def hex60Array(c: Column): Column = call_function("hex60_array", c)
+}
+
+/** `hex60_array(strings)` — element-wise [[graft.operators.PortableHash]]
+  * 60-bit md5 hash of a string array in one codegen'd loop (the
+  * composable `transform(arr, s -> conv(substring(md5(s),1,15),16,10))`
+  * runs interpreted per element through four expression layers). Feeds
+  * `minhash_sig` / `simhash60`. */
+case class Hex60Array(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = graft.operators.PortableHash.hex60Bytes(
+        arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $arr.numElements();
+         |final long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = graft.operators.PortableHash.hex60Bytes(
+         |    $arr.getUTF8String($i).getBytes());
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Hex60Array =
+    copy(child = newChild)
+
+  override def prettyName: String = "hex60_array"
 }

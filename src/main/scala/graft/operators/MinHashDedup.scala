@@ -84,7 +84,7 @@ object MinHashDedup {
     graft.functions.SketchFunctions.register(sets.sparkSession)
     sets.select(col("id"),
       graft.functions.SketchFunctions.minhashSig(
-        transform(col("shset"), s => PortableHash.hex60(s))).as("mh"))
+        graft.functions.SketchFunctions.hex60Array(col("shset"))).as("mh"))
   }
 
   /** (id, band, sig) — band signature = md5 of the comma-joined minhash

@@ -28,11 +28,27 @@ object PortableHash {
 
   /** Driver-side twin of [[hex60]] for deriving constants (e.g. LSH
     * hyperplane weights) that must match the in-engine/oracle values. */
-  def hex60(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  def hex60(s: String): Long =
+    hex60Bytes(s.getBytes(StandardCharsets.UTF_8))
+
+  private val digests = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** Hot-path form (called per element from `hex60_array`'s generated
+    * code): first 15 hex chars of md5 = top 60 bits of the first 8
+    * digest bytes, read arithmetically — no hex-string round-trip. */
+  def hex60Bytes(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    // big-endian long of bytes 0..7, then drop the low nibble (16 hex
+    // chars → first 15) and clear the sign: identical to parsing the
+    // first 15 hex characters
+    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
   }
 
   /** Pseudo-random weight in [-1, 1] derived from a seed string —

@@ -34,8 +34,8 @@ object SimHash {
     docs.repartition(col(idCol)).select(
       col(idCol).as("id"),
       graft.functions.SketchFunctions.simhash60(
-        transform(array_distinct(split(col(textCol), " ")),
-          w => PortableHash.hex60(w))).as("simhash"))
+        graft.functions.SketchFunctions.hex60Array(
+          array_distinct(split(col(textCol), " ")))).as("simhash"))
   }
 
   /** Pairs (id_a < id_b) in the same high-bit block with Hamming distance
