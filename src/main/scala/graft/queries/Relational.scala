@@ -335,6 +335,26 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q22: CUBE — all grouping-set combinations (SURVEY §2.4 engine
+    * surface next to q16's ROLLUP). */
+  def q22Cube(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice"), "revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("revenue"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private val q22Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      | COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      | COUNT(*) AS n,
+      | SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS revenue
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   /** q17: string scalar functions + LIKE-prefix and case-insensitive
     * equality predicates (SURVEY P7/P11/F1-F4). */
   def q17Strings(s: SparkSession, dir: String): DataFrame =
@@ -473,7 +493,8 @@ object Relational {
     "q18_dates" -> (q18Dates _),
     "q19_fuzzy_match" -> (q19FuzzyMatch _),
     "q20_null_profile" -> (q20NullProfile _),
-    "q21_cross_fanout" -> (q21CrossFanout _))
+    "q21_cross_fanout" -> (q21CrossFanout _),
+    "q22_cube" -> (q22Cube _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -496,5 +517,6 @@ object Relational {
     "q18_dates" -> q18Sql,
     "q19_fuzzy_match" -> q19Sql,
     "q20_null_profile" -> q20Sql,
-    "q21_cross_fanout" -> q21Sql)
+    "q21_cross_fanout" -> q21Sql,
+    "q22_cube" -> q22Sql)
 }

@@ -113,10 +113,14 @@ object TextOps {
     * SQL-expressible core of language ID; the n-gram profile variant is in
     * `graft.operators.TextAnalysis` with spec coverage). */
   def d5LangScore(s: SparkSession, dir: String): DataFrame = {
+    // lower(text) materialized once: referenced 6x below, and
+    // CollapseProject keeps multi-referenced non-cheap aliases in their
+    // own projection instead of re-inlining the scan per use
     val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("lt"))
     def hits(word: String): Column =
-      ((length(lower(col("text"))) -
-        length(expr(s"replace(lower(text), '$word', '')"))) / lit(word.length)).cast("int")
+      ((length(col("lt")) -
+        length(expr(s"replace(lt, '$word', '')"))) / lit(word.length)).cast("int")
     val enScore = hits("the") + hits("and") + hits("data")
     d.select(
       col("doc_id"), col("lang"),

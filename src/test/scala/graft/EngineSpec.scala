@@ -96,6 +96,13 @@ class EngineSpec extends AnyFunSuite {
     assert(a.contains("$2,900,000.00"), a)
   }
 
+  test("FEMA: comparison phrase filters the summed metric ('more than $X')") {
+    // metric + comparison: sum of the metric over rows passing the
+    // threshold — Katrina (5.2e9) is the only ihp_total > 1e9
+    val a = engine.femaAnswer("Which hurricanes had more than $1,000,000,000 in ihp total?")
+    assert(a.contains("$5,200,000,000.00"), a)
+  }
+
   test("FEMA: 'Show tornado incidents in Texas between 2000 and 2010' lists rows") {
     val a = engine.femaAnswer("Show tornado incidents in Texas between 2000 and 2010")
     assert(a.contains("Texas Tornado"), a)
