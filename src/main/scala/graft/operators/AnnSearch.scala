@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * the query; exact cosine is computed only for candidates.
   *
   * Scale design: corpus signatures are computed in one projection pass
-  * (48 codegen'd dot products per row, no shuffle), and candidate
+  * (Tables×Planes dot products per row, no shuffle), and candidate
   * generation is an equi-join on (t, sig) — cost tracks bucket
   * collisions, never the O(|queries|·|corpus|) brute-force space. More
   * tables raise recall linearly in cost; the spec test pins recall vs
