@@ -472,6 +472,27 @@ object Relational {
       |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
       |ORDER BY r_name, o_orderstatus""".stripMargin
 
+  /** q23: correlated subquery surface (not in the reference, SURVEY
+    * §2.4 "not present" list — engine capability for the harness):
+    * customers whose account balance exceeds their nation's average.
+    * Spark plans the decorrelation as an aggregate + join; expressed
+    * through the SQL surface (SqlGate-compatible) to exercise the
+    * parser path too. */
+  def q23CorrelatedSub(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("q23_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM q23_customer o
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM q23_customer i
+        |                   WHERE i.c_nationkey = o.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q23Sql =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer o
+      |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer i
+      |                   WHERE i.c_nationkey = o.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_topn" -> (q2TopN _),
@@ -494,7 +515,8 @@ object Relational {
     "q19_fuzzy_match" -> (q19FuzzyMatch _),
     "q20_null_profile" -> (q20NullProfile _),
     "q21_cross_fanout" -> (q21CrossFanout _),
-    "q22_cube" -> (q22Cube _))
+    "q22_cube" -> (q22Cube _),
+    "q23_correlated_sub" -> (q23CorrelatedSub _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -518,5 +540,6 @@ object Relational {
     "q19_fuzzy_match" -> q19Sql,
     "q20_null_profile" -> q20Sql,
     "q21_cross_fanout" -> q21Sql,
-    "q22_cube" -> q22Sql)
+    "q22_cube" -> q22Sql,
+    "q23_correlated_sub" -> q23Sql)
 }

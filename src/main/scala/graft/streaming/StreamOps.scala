@@ -111,6 +111,14 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment join: events stream × a static dimension
+    * (the integration-pipeline shape: facts arrive, dims are slowly
+    * changing tables re-read per micro-batch). The static side joins
+    * broadcast when small — no stream state involved, so no watermark
+    * needed. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Convenience: drain a streaming transform into an in-memory table and
     * block until all available data is processed (test/debug surface). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

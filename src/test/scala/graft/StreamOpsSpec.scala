@@ -126,6 +126,22 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!buckets.contains("09:00"), s"expired event leaked: $buckets")
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    ms.addData(batch1)
+    val q = StreamOps.enrich(ms.toDF(), dim, "user_id")
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "gold", 2L -> "gold", 3L -> "silver"))
+  }
+
   test("streaming file source over testdata events agrees with batch e5 counts") {
     // file streams need a drop-zone directory, not a single file
     val dropZone = java.nio.file.Files.createTempDirectory("events_drop")
