@@ -104,7 +104,11 @@ object MinHashDedup {
     candidatePairsFromSets(shingleSets(docs, idCol, textCol))
 
   def candidatePairsFromSets(sets: DataFrame): DataFrame = {
+    // persist the band table before self-joining: both join sides would
+    // otherwise recompute the whole shingle→hash→signature chain (B
+    // small rows per doc — cache cost is negligible next to the chain)
     val bs = bandSignatures(signatureFromSets(sets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bs.as("a").join(bs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
