@@ -493,6 +493,27 @@ object Relational {
       |                   WHERE i.c_nationkey = o.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q24: exact percentiles per group (statistics surface; Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the linear-
+    * interpolation definition, so values are engine-portable —
+    * approx_percentile/HLL sketches are NOT and stay out of the oracle
+    * set). */
+  def q24Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("price_p95"))
+      .orderBy("l_returnflag")
+
+  private val q24Sql =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.5) AS p50,
+      | quantile_cont(l_quantity, 0.9) AS p90,
+      | ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_topn" -> (q2TopN _),
@@ -516,7 +537,8 @@ object Relational {
     "q20_null_profile" -> (q20NullProfile _),
     "q21_cross_fanout" -> (q21CrossFanout _),
     "q22_cube" -> (q22Cube _),
-    "q23_correlated_sub" -> (q23CorrelatedSub _))
+    "q23_correlated_sub" -> (q23CorrelatedSub _),
+    "q24_percentiles" -> (q24Percentiles _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -541,5 +563,6 @@ object Relational {
     "q20_null_profile" -> q20Sql,
     "q21_cross_fanout" -> q21Sql,
     "q22_cube" -> q22Sql,
-    "q23_correlated_sub" -> q23Sql)
+    "q23_correlated_sub" -> q23Sql,
+    "q24_percentiles" -> q24Sql)
 }
