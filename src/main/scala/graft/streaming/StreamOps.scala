@@ -119,6 +119,19 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Checkpointed parquet sink: exactly-once file output via the commit
+    * log in `checkpoint` — restarting the query from the same checkpoint
+    * resumes after the last committed batch instead of re-emitting it.
+    * Returns the started query (caller stops it). */
+  def sinkParquet(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Convenience: drain a streaming transform into an in-memory table and
     * block until all available data is processed (test/debug surface). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

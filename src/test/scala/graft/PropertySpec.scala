@@ -94,6 +94,45 @@ class PropertySpec extends AnyFunSuite {
     }, (p: org.scalacheck.Test.Parameters) => p.withMinSuccessfulTests(5))
   }
 
+  test("SpecCompiler predicates agree with a reference evaluator on random trees") {
+    import spark.implicits._
+    import graft.query.{Predicate, SpecCompiler}
+    val rows = (1 to 60).map(i => (i.toLong, s"k${i % 7}", (i % 20) * 1.5))
+    val df = rows.toDF("id", "k", "v")
+    val leaf: Gen[Predicate] = Gen.oneOf(
+      Gen.choose(1, 60).map(i => Predicate.Eq("id", i.toLong)),
+      Gen.choose(0, 6).map(i => Predicate.Eq("k", s"k$i")),
+      Gen.choose(0.0, 30.0).map(x => Predicate.Cmp("v", ">", x)),
+      Gen.choose(0.0, 30.0).map(x => Predicate.Cmp("v", "<=", x)),
+      Gen.choose(1, 50).flatMap(a => Gen.choose(a, 60).map(b =>
+        Predicate.Between("id", a.toLong, b.toLong))),
+      Gen.listOfN(3, Gen.choose(0, 6)).map(is => Predicate.In("k", is.map(i => s"k$i"))),
+      Gen.const(Predicate.Prefix("k", "k1")))
+    def tree(depth: Int): Gen[Predicate] =
+      if (depth == 0) leaf
+      else Gen.oneOf(leaf,
+        Gen.listOfN(2, tree(depth - 1)).map(Predicate.And(_)),
+        Gen.listOfN(2, tree(depth - 1)).map(Predicate.Or(_)))
+    def evalRef(p: Predicate, r: (Long, String, Double)): Boolean = p match {
+      case Predicate.Eq("id", x) => r._1 == x
+      case Predicate.Eq("k", x) => r._2 == x
+      case Predicate.Cmp("v", ">", x: Double) => r._3 > x
+      case Predicate.Cmp("v", "<=", x: Double) => r._3 <= x
+      case Predicate.Between("id", a: Long, b: Long) => r._1 >= a && r._1 <= b
+      case Predicate.In("k", vs) => vs.contains(r._2)
+      case Predicate.Prefix("k", pre) => r._2.startsWith(pre)
+      case Predicate.And(ps) => ps.forall(evalRef(_, r))
+      case Predicate.Or(ps) => ps.exists(evalRef(_, r))
+      case other => sys.error(s"unexpected $other")
+    }
+    check(Prop.forAllNoShrink(tree(2)) { p =>
+      val got = df.filter(SpecCompiler.predicate(p))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = rows.filter(evalRef(p, _)).map(_._1).toSet
+      got == want
+    }, (pp: SCTest.Parameters) => pp.withMinSuccessfulTests(15))
+  }
+
   test("Unpivot round-trip law on generated NOAA-shaped frames") {
     import spark.implicits._
     val row = for {

@@ -142,6 +142,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "gold", 2L -> "gold", 3L -> "silver"))
   }
 
+  test("checkpointed parquet sink is exactly-once across a query restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    val ms = MemoryStream[Event]
+    ms.addData(batch1)
+    val q1 = StreamOps.sinkParquet(ms.toDF(), out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint: already-committed batch must not
+    // re-emit; only the new batch lands
+    ms.addData(batch2.take(2))
+    val q2 = StreamOps.sinkParquet(ms.toDF(), out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"got $ids")
+  }
+
   test("streaming file source over testdata events agrees with batch e5 counts") {
     // file streams need a drop-zone directory, not a single file
     val dropZone = java.nio.file.Files.createTempDirectory("events_drop")
