@@ -51,6 +51,18 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed table sink: pre-shuffles data into `n` buckets on the join
+    * key at WRITE time, so repeated joins/aggregations on that key skip
+    * their exchange entirely (the 100 TB lever for fact-fact joins that
+    * would otherwise shuffle both sides every query). Requires
+    * `saveAsTable` — bucket metadata lives in the catalog. */
+  def saveBucketedTable(df: DataFrame, name: String,
+                        bucketCols: Seq[String], n: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+
   /** S6 — `SELECT name FROM sqlite_master` → catalog listing. */
   def listTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq

@@ -42,6 +42,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.filter(org.apache.spark.sql.functions.col("country") === "india").count() == 5)
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import org.apache.spark.sql.functions._
+    val o = Tables(spark, sfDir, "orders")
+    val c = Tables(spark, sfDir, "customer")
+    Sources.saveBucketedTable(o, "orders_b", Seq("o_custkey"), 4)
+    Sources.saveBucketedTable(c.withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_b", Seq("o_custkey"), 4)
+    // disable broadcast so the co-location is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1200)}")
+      // and it is still correct
+      val expect = o.join(c, o("o_custkey") === c("c_custkey")).count()
+      assert(joined.count() == expect)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("catalog introspection mirrors sqlite_master/PRAGMA probes") {
     graft.model.Fixtures.fema(spark).createOrReplaceTempView("fema_cat")
     assert(Sources.listTables(spark).contains("fema_cat"))
