@@ -1,7 +1,6 @@
 package graft.ingest
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Geographic ETL for the ERA5 pipeline (SURVEY P13, J5, A3): bounding
@@ -35,24 +34,28 @@ object Geo {
     lit(6371.0) * lit(2.0) * asin(sqrt(a))
   }
 
-  /** Tag each (latitude, longitude) row with its nearest gazetteer city:
-    * broadcast cross join + min-distance window. Gazetteer columns:
-    * (city, country, lat, lon). At scale, pre-bucketing both sides by
-    * rounded lat/lon would cut the candidate set; the broadcast form is
-    * exact and already shuffle-free on the grid side. */
+  /** Tag each (latitude, longitude) row with its nearest gazetteer city.
+    * Gazetteer columns: (city, country, lat, lon); it is broadcast-sized
+    * by definition (an offline cities list), so the argmin runs as a
+    * per-row `least` over (distance, city, country) structs built from
+    * the collected entries — one codegen'd expression, no join, no
+    * shuffle, and (unlike a cross-join + min-distance window keyed on
+    * coordinates) no collapsing of distinct rows that happen to share a
+    * grid point. Ties break on city name. */
   def reverseGeocode(points: DataFrame, gazetteer: DataFrame): DataFrame = {
-    val g = broadcast(gazetteer.select(
-      col("city").as("_g_city"), col("country").as("_g_country"),
-      col("lat").as("_g_lat"), col("lon").as("_g_lon")))
-    val scored = points.crossJoin(g)
-      .withColumn("_g_dist",
-        haversineKm(col("latitude"), col("longitude"), col("_g_lat"), col("_g_lon")))
-    val w = Window.partitionBy(col("latitude"), col("longitude"))
-      .orderBy(col("_g_dist"), col("_g_city"))
-    scored.withColumn("_g_rk", row_number().over(w))
-      .filter(col("_g_rk") === 1)
-      .withColumnsRenamed(Map("_g_city" -> "City", "_g_country" -> "Country"))
-      .drop("_g_lat", "_g_lon", "_g_dist", "_g_rk")
+    val entries = gazetteer.select("city", "country", "lat", "lon").collect()
+    require(entries.nonEmpty, "empty gazetteer")
+    val cands = entries.map { r =>
+      struct(
+        haversineKm(col("latitude"), col("longitude"),
+          lit(r.getDouble(2)), lit(r.getDouble(3))).as("d"),
+        lit(r.getString(0)).as("city"),
+        lit(r.getString(1)).as("country"))
+    }
+    points.withColumn("_g_best", least(cands.toIndexedSeq: _*))
+      .withColumn("City", col("_g_best.city"))
+      .withColumn("Country", col("_g_best.country"))
+      .drop("_g_best")
   }
 
   /** Collapse grid points to per-(City, date) means over every numeric

@@ -157,6 +157,25 @@ class EngineSpec extends AnyFunSuite {
     assert(long.count() == 9) // 3 rows x 3 years
   }
 
+  test("ERA5 ingest pipeline end-to-end: grid -> bbox -> geocode -> city means") {
+    import spark.implicits._
+    // flattened NetCDF-like grid: 2 points near Mumbai, 1 near Delhi,
+    // 1 outside the bbox, over two months
+    val grid = Seq(
+      ("2020-06-01", 19.0, 72.8, 301.0), ("2020-06-01", 19.2, 73.0, 303.0),
+      ("2020-06-01", 28.6, 77.2, 310.0), ("2020-06-01", 52.5, 13.4, 288.0),
+      ("2020-07-01", 19.0, 72.8, 299.0), ("2020-07-01", 19.2, 73.0, 301.0))
+      .toDF("date", "latitude", "longitude", "skin_temperature")
+    val boxed = graft.ingest.Geo.bboxFilter(grid, 6.5, 37.5, 68.0, 97.5)
+    assert(boxed.count() == 5, "Berlin point must fall outside the South-Asia bbox")
+    val tagged = graft.ingest.Geo.reverseGeocode(boxed, Fixtures.gazetteer(spark))
+    val means = graft.ingest.Geo.cityMonthMeans(tagged, Seq("skin_temperature"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(means(("Mumbai", "2020-06-01")) == 302.0) // (301+303)/2
+    assert(means(("Mumbai", "2020-07-01")) == 300.0)
+    assert(means(("Delhi", "2020-06-01")) == 310.0)
+  }
+
   test("reverse geocode tags grid points with nearest gazetteer city") {
     import spark.implicits._
     val pts = Seq((19.0, 72.9, 5.0), (28.6, 77.2, 7.0)).toDF("latitude", "longitude", "v")
