@@ -38,9 +38,13 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
-  test("every oracle key has a matching query") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  test("queries and oracles are in 1:1 correspondence") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracle entries without queries: $orphanOracles")
+    // every query here is SQL-expressible; a missing oracle would
+    // silently downgrade it to the driver's weaker rows-only check
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracle coverage: $unchecked")
   }
 
   test("q1_agg groups are the lineitem flag/status domain") {
