@@ -182,19 +182,29 @@ object Relational {
       |ORDER BY o_custkey, o_orderstatus""".stripMargin
 
   /** q9: ranking window, top-3 per group with deterministic tiebreak
-    * (SURVEY W5 top-1 fuzzy match generalized to row_number). Window keys
-    * are the shuffle keys; at scale this is one hash partition per segment
-    * group — skew-safe because segments are low-cardinality but the rank
-    * cutoff keeps output bounded. */
+    * (SURVEY W5 top-1 fuzzy match generalized to row_number), computed
+    * in TWO phases: top-3 within (segment, salt) shards first, then
+    * top-3 of the surviving 3·S rows per segment. A single window
+    * partitioned by the 5-value segment column would pull the entire
+    * fact table through 5 reducer sorts at scale; the salted phase
+    * bounds every sort partition, and phase 2's input is 3·S rows per
+    * group regardless of data size. Top-3 of per-shard top-3s is
+    * exactly the global top-3, so results are identical. */
   def q9WindowTopK(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
     val c = Tables(s, dir, "customer")
     val joined = o.join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
-    val w = Window.partitionBy(col("c_mktsegment"))
+    val salted = joined.withColumn("_salt", pmod(col("o_orderkey"), lit(16)))
+    val w1 = Window.partitionBy(col("c_mktsegment"), col("_salt"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    joined.withColumn("rk", row_number().over(w))
+    val phase1 = salted.withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= 3)
+    val w2 = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    phase1.withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rk"))
       .orderBy(col("c_mktsegment"), col("rk"))
   }
 
