@@ -117,13 +117,21 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
     llm.answer(question, body)
   }
 
-  /** Cities resolved against the DISTINCT City dimension — exact
-    * (case-insensitive) first, then fuzzy top-1 at difflib cutoff 0.8
-    * (`era5client.py:122-144`); the dimension is collected once, not
-    * re-fetched per candidate like the reference's quadratic loop. */
-  private def resolveCities(question: String): List[String] = {
-    val dim = resolve("era5").select("City").distinct()
+  /** Entity dimensions collected ONCE per engine instance — the
+    * reference re-fetches `SELECT DISTINCT City` per unmatched candidate
+    * n-gram (`era5client.py:122-137`, a quadratic anti-pattern). */
+  private lazy val era5Cities: List[String] =
+    resolve("era5").select("City").distinct()
       .collect().map(_.getString(0)).toList.sorted
+  private lazy val edgarCountries: List[String] =
+    resolve("edgar").select("Name").distinct()
+      .collect().map(_.getString(0)).toList.sorted
+
+  /** Cities resolved against the cached City dimension — exact
+    * (case-insensitive) first, then fuzzy top-1 at difflib cutoff 0.8
+    * (`era5client.py:122-144`). */
+  private def resolveCities(question: String): List[String] = {
+    val dim = era5Cities
     val cands = Parsers.entityCandidates(question)
     val exact = cands.filter(c => dim.exists(_.equalsIgnoreCase(c)))
       .map(c => dim.find(_.equalsIgnoreCase(c)).get)
@@ -146,10 +154,8 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
       case Some(Parsers.YearCmp("<=", y)) => (1970 to y).toList
       case _ => Parsers.extractYears(question, 1970, 2023)
     }
-    val dim = resolve("edgar").select("Name").distinct()
-      .collect().map(_.getString(0)).toList.sorted
     val countries = Parsers.entityCandidates(question)
-      .flatMap(c => Parsers.fuzzyResolve(c, dim, 0.85)).distinct
+      .flatMap(c => Parsers.fuzzyResolve(c, edgarCountries, 0.85)).distinct
     val preds = Seq.newBuilder[Predicate]
     preds += Predicate.In("gas", gases)
     if (countries.nonEmpty) preds += Predicate.In("Name", countries)
