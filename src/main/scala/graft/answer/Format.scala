@@ -11,12 +11,23 @@ import graft.model.Domain
   */
 object Format {
 
+  /** Round like Python's f-string formatting (HALF_EVEN on the exact
+    * binary value) — Java's %.Nf rounds HALF_UP, which diverges from the
+    * reference on exact halves (38.25 → "$38.3" instead of "$38.2"). */
+  private def py(v: Double, scale: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(v).setScale(scale, java.math.RoundingMode.HALF_EVEN)
+
   /** `$X.X billion` — NOAA cost formatting (`new_disaster_c.py:313-317`,
     * costs stored in billions). */
-  def billions(v: Double): String = f"$$$v%.1f billion"
+  def billions(v: Double): String = s"$$${py(v, 1)} billion"
 
   /** `$1,234,567.00` — FEMA dollar metrics. */
-  def dollars(v: Double): String = f"$$$v%,.2f"
+  def dollars(v: Double): String = {
+    val nf = java.text.NumberFormat.getNumberInstance(java.util.Locale.US)
+    nf.setMinimumFractionDigits(2)
+    nf.setMaximumFractionDigits(2)
+    s"$$${nf.format(py(v, 2))}"
+  }
 
   /** value + unit from the metric registry ("5.8 m/s", "306.4 K"). */
   def withUnit(metric: String, v: Double): String = {
