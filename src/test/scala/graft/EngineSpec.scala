@@ -109,6 +109,18 @@ class EngineSpec extends AnyFunSuite {
     assert(!a.contains("Outbreak"), s"2015 row leaked into 2000-2010 range: $a")
   }
 
+  test("FEMA: 'Show all earthquake-related applications after 2010 in California'") {
+    val a = engine.femaAnswer("Show all earthquake-related applications after 2010 in California")
+    // applications alias → valid_ihp_applications; CA earthquakes after
+    // 2010: 2012 (510) + 2019 (2342) = 2852
+    assert(a.contains("2852.0"), a)
+  }
+
+  test("ERA5: 'What was the wind speed in April 2022?' (no city → all cities)") {
+    val a = engine.era5Answer("What was the wind speed in April 2022?")
+    assert(a.contains("Karachi 2022-04 wind_speed: 4.9 m/s"), a)
+  }
+
   test("ERA5: 'What was the wind speed in Mumbai in June 2021?'") {
     val a = engine.era5Answer("What was the wind speed in Mumbai in June 2021?")
     assert(a.contains("Mumbai 2021-06 wind_speed: 5.8 m/s"), a)
