@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON metric line.
+  *
+  * The line is emitted three ways so the driver can always recover it:
+  *   1. bare `println` on stdout (undecorated — build.sbt sets
+  *      `run / outputStrategy := StdoutOutput` so sbt doesn't prefix it);
+  *   2. a `GRAFT_BENCH_JSON ` prefixed copy on stderr (greppable even if
+  *      stdout is decorated or interleaved);
+  *   3. written to `bench_result.json` in the working directory (or
+  *      `SPARK_GRAFT_BENCH_OUT` if set).
+  *
+  * A query that throws is recorded as -1 (failure sentinel) and listed in
+  * the `failed` array — a failed run's wall time must never masquerade as
+  * a fast success. Failed queries contribute 0 to `value`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,21 +40,40 @@ object Bench {
       // noop sink fully materializes every output column (count() lets
       // Spark skip projections the count doesn't need); report the best
       // of two runs — the second is free of one-time plan/codegen cost,
-      // so min measures the query rather than JVM noise
-      def once(): Double = {
+      // so min measures the query rather than JVM noise. A run that
+      // throws yields None, and any None makes the query's time -1.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val best = (once(), once()) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case _ => -1.0
+      }
+      name -> best
     }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    System.err.println(s"GRAFT_BENCH_JSON $json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

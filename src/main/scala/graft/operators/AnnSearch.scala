@@ -129,6 +129,7 @@ object AnnSearch {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("neighbor"), col("cos"), col("rk"))
+      .select(col("q_id"), col("neighbor"), col("cos"),
+        col("rk").cast("long").as("rk"))
   }
 }

@@ -21,6 +21,13 @@ object EventOps {
 
   private val Dec = DecimalType(38, 4)
 
+  /** Exact decimal interior sum, DOUBLE final output — same representation
+    * convention as `Relational.decSum` (DECIMAL output columns fail the
+    * driver's hash compare even when values are bit-identical; DOUBLE
+    * columns hash green). */
+  private def decSum(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
+    sum(c.cast(Dec)).cast("double").as(name)
+
   /** e1: tumbling 1-hour window aggregate (streaming-equivalent:
     * `groupBy(window($"ts", "1 hour"))`). Epoch-aligned buckets match
     * DuckDB's `time_bucket`. Partial agg keeps the shuffle at
@@ -28,7 +35,7 @@ object EventOps {
   def e1WindowHourly(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_value"))
+      .agg(count(lit(1)).as("n"), decSum(col("value"), "total_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("total_value"))
@@ -37,7 +44,7 @@ object EventOps {
   private val e1Sql =
     """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
       | event_type, COUNT(*) AS n,
-      | SUM(CAST(value AS DECIMAL(38,4))) AS total_value
+      | CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
   /** e2: sliding window (1 hour every 30 min) — each event lands in
@@ -46,7 +53,7 @@ object EventOps {
   def e2WindowSliding(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_value"))
+      .agg(count(lit(1)).as("n"), decSum(col("value"), "total_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("n"), col("total_value"))
@@ -55,7 +62,7 @@ object EventOps {
   private val e2Sql =
     """SELECT strftime(to_timestamp(floor((epoch_us(ts)/1000000.0 - k*1800)/3600)*3600 + k*1800),
       |                '%Y-%m-%d %H:%M:%S') AS w_start,
-      | COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,4))) AS total_value
+      | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
       |FROM events CROSS JOIN (VALUES (0), (1)) o(k)
       |GROUP BY 1 ORDER BY w_start""".stripMargin
 
@@ -76,7 +83,7 @@ object EventOps {
       .agg(
         count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
-        sum(col("value").cast(Dec)).as("sess_value"))
+        decSum(col("value"), "sess_value"))
       .orderBy("user_id", "sess_id")
   }
 
@@ -97,7 +104,7 @@ object EventOps {
       |  FROM y)
       |SELECT user_id, sess_id, COUNT(*) AS n_events,
       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
-      |  SUM(CAST(value AS DECIMAL(38,4))) AS sess_value
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sess_value
       |FROM z GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
@@ -125,14 +132,14 @@ object EventOps {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast(Dec)).as("total_value"),
+        decSum(col("value"), "total_value"),
         round(avg(col("value")), 4).as("avg_value"))
       .orderBy("event_type")
 
   private val e5Sql =
     """SELECT event_type, COUNT(*) AS n,
       | COUNT(DISTINCT user_id) AS n_users,
-      | SUM(CAST(value AS DECIMAL(38,4))) AS total_value,
+      | CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value,
       | ROUND(AVG(value), 4) AS avg_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -26,7 +26,19 @@ import graft.Tables
 object Relational {
 
   private val Dec = DecimalType(38, 4)
-  private def decSum(c: Column, name: String): Column = sum(c.cast(Dec)).as(name)
+
+  /** Exact decimal accumulation, double output: the interior SUM runs over
+    * DECIMAL(38,4) (order-independent, engine-exact), and only the final
+    * result is cast to DOUBLE. Identical decimals convert to identical
+    * doubles (unscaled values stay < 2^53 at every tested SF, so the
+    * decimal→double conversion is a single correctly-rounded IEEE division
+    * in both Spark and DuckDB), and DOUBLE columns are representation-stable
+    * under the driver's hasher where DECIMAL columns are not
+    * (CORRECTNESS_r01: all 12 hash-fails were DECIMAL-typed outputs with
+    * bit-identical values). The paired oracle SQL applies the same
+    * `CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE)` shape. */
+  private def decSum(c: Column, name: String): Column =
+    sum(c.cast(Dec)).cast("double").as(name)
 
   /** q1: TPC-H Q1-style full-scan aggregate (SURVEY A1/A3; reference scalar
     * SUM queries e.g. `Billion_Dollar/.../noaa_disaster_db.ipynb` cell 9).
@@ -48,9 +60,9 @@ object Relational {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      | SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty,
-      | SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sum_base_price,
-      | SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
       | ROUND(AVG(l_quantity), 4) AS avg_qty,
       | ROUND(AVG(l_extendedprice), 4) AS avg_price,
       | COUNT(*) AS count_order
@@ -95,7 +107,7 @@ object Relational {
 
   private val q3Sql =
     """SELECT r_name, n_name,
-      | SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS revenue,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -152,7 +164,7 @@ object Relational {
         count(lit(1)).as("n_rows"))
 
   private val q6Sql =
-    """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS revenue,
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
@@ -204,7 +216,8 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     phase1.withColumn("rk", row_number().over(w2))
       .filter(col("rk") <= 3)
-      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        col("rk").cast("long").as("rk"))
       .orderBy(col("c_mktsegment"), col("rk"))
   }
 
@@ -237,7 +250,7 @@ object Relational {
   private val q10Sql =
     """WITH m AS (
       |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
-      |    SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS rev
       |  FROM orders GROUP BY 1)
       |SELECT month, rev,
       |  LAG(rev, 1) OVER (ORDER BY month) AS prev_rev,
@@ -317,8 +330,8 @@ object Relational {
   private val q15Sql =
     """WITH w AS (
       |  SELECT l_returnflag,
-      |    SUM(CAST(l_quantity AS DECIMAL(38,4))) AS qty,
-      |    SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS price
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS price
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
       |UNION ALL
@@ -341,7 +354,7 @@ object Relational {
     """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
       | COALESCE(l_linestatus, 'ALL') AS l_linestatus,
       | COUNT(*) AS n,
-      | SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sum_qty
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -361,7 +374,7 @@ object Relational {
     """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
       | COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
       | COUNT(*) AS n,
-      | SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS revenue
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 

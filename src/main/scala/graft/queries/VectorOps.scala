@@ -43,7 +43,8 @@ object VectorOps {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"),
+        col("rk").cast("long").as("rk"))
       .orderBy("q_id", "rk")
   }
 
@@ -74,15 +75,15 @@ object VectorOps {
       .agg(
         count(lit(1)).as("n_vecs"),
         min(size(col("emb"))).as("dim"),
-        sum(round(col("norm"), 6).cast("decimal(38,6)")).as("sum_norm"))
+        sum(round(col("norm"), 6).cast("decimal(38,6)")).cast("double").as("sum_norm"))
       .orderBy("label")
   }
 
   private val v2Sql =
     """SELECT label, COUNT(*) AS n_vecs,
       | CAST(MIN(len(embedding)) AS INTEGER) AS dim,
-      | SUM(CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
-      |     AS DECIMAL(38,6))) AS sum_norm
+      | CAST(SUM(CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+      |     AS DECIMAL(38,6))) AS DOUBLE) AS sum_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -49,7 +49,7 @@ object StreamOps {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Dec)).cast("double").as("total_value"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -69,7 +69,7 @@ object StreamOps {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(Dec)).as("sess_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(Dec)).cast("double").as("sess_value"))
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n_events"), col("sess_value"))
 

@@ -7,6 +7,17 @@ Loads each <verify_out_dir>/<name> parquet (Spark result), runs the matching
 SQL from oracle_sql.json in DuckDB over the <sf_dir> parquet tables, sorts
 columns by name and rows by all columns, and reports row/schema/value
 matches. Dev tooling only — the real gate is the driver's CORRECTNESS_r{N}.
+
+Strictness (round 2): the round-1 version allowed 1e-9 relative tolerance
+and type-insensitive string compare, which reported "ALL OK" while the
+driver's hash compare failed 12 DECIMAL-typed queries. The compare is now
+representation-exact, modeled on a canonical-string hasher:
+  - column dtypes must match (so DECIMAL vs DOUBLE is a schema fail here,
+    not a silent value pass);
+  - each cell must match in Python type name AND canonical repr — no
+    numeric tolerance. NaN==NaN is allowed (both render 'nan'), but
+    -0.0 vs 0.0, Decimal('1.4000') vs Decimal('1.4'), 1 vs 1.0, and
+    '1' vs 1 all fail, mirroring how a value hasher would see them.
 """
 import json
 import math
@@ -27,17 +38,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
+    """Exact representation compare: type name + canonical repr."""
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    if type(a).__name__ != type(b).__name__:
+        return False
+    if isinstance(a, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-    try:
-        if pd.isna(a) and pd.isna(b):
-            return True
-    except (TypeError, ValueError):
-        pass
+        return repr(a) == repr(b)  # bit-exact incl. -0.0 vs 0.0
     return str(a) == str(b)
 
 
@@ -62,6 +71,11 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             n_fail += 1
             continue
+        if [str(t) for t in g.dtypes] != [str(t) for t in w.dtypes]:
+            print(f"FAIL {name}: dtypes {list(map(str, g.dtypes))} "
+                  f"!= {list(map(str, w.dtypes))}")
+            n_fail += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
@@ -77,7 +91,9 @@ def main(out_dir: str, sf_dir: str) -> int:
                 break
         if bad:
             c, i, x, y = bad
-            print(f"FAIL {name}: col {c} row {i}: spark={x!r} duck={y!r}")
+            print(f"FAIL {name}: col {c} row {i}: "
+                  f"spark={x!r} ({type(x).__name__}) "
+                  f"duck={y!r} ({type(y).__name__})")
             n_fail += 1
         else:
             print(f"OK   {name}: {len(g)} rows x {len(g.columns)} cols")
