@@ -32,18 +32,23 @@ object Parsers {
   private val BetweenRx = raw"(?i)between\s+(\d{4})\s+and\s+(\d{4})".r
   private val FromToRx = raw"(?i)from\s+(\d{4})\s+to\s+(\d{4})".r
   private val DashRx = raw"\b(\d{4})\s*[-–]\s*(\d{4})\b".r
-  private val AfterRx = raw"(?i)\b(?:after|since)\s+(\d{4})".r
+  private val AfterRx = raw"(?i)\bafter\s+(\d{4})".r
   private val BeforeRx = raw"(?i)\bbefore\s+(\d{4})".r
+  private val SinceRx = raw"(?i)\bsince\s+(\d{4})".r
 
-  /** Range phrases first (between/from-to/dash), then directional
-    * (after/since → >=, before → <=), then a bare year → equality —
-    * the precedence the FEMA client implements. */
+  /** Range phrases first (between/from-to/dash), then directional, then a
+    * bare year → equality — the precedence the FEMA client implements.
+    * Directional operators are the reference's exact strictness
+    * (`Disaster dollar/client.py:185-189` TIME_DIRECTIONAL_PATTERNS):
+    * "after YYYY" is strict `>`, "before YYYY" is strict `<`, and only
+    * "since YYYY" is `>=` — so "after 2010" excludes 2010 itself. */
   def extractYearFilter(q: String): Option[YearFilter] =
     BetweenRx.findFirstMatchIn(q).map(m => YearRange(m.group(1).toInt, m.group(2).toInt))
       .orElse(FromToRx.findFirstMatchIn(q).map(m => YearRange(m.group(1).toInt, m.group(2).toInt)))
       .orElse(DashRx.findFirstMatchIn(q).map(m => YearRange(m.group(1).toInt, m.group(2).toInt)))
-      .orElse(AfterRx.findFirstMatchIn(q).map(m => YearCmp(">=", m.group(1).toInt)))
-      .orElse(BeforeRx.findFirstMatchIn(q).map(m => YearCmp("<=", m.group(1).toInt)))
+      .orElse(AfterRx.findFirstMatchIn(q).map(m => YearCmp(">", m.group(1).toInt)))
+      .orElse(BeforeRx.findFirstMatchIn(q).map(m => YearCmp("<", m.group(1).toInt)))
+      .orElse(SinceRx.findFirstMatchIn(q).map(m => YearCmp(">=", m.group(1).toInt)))
       .orElse(extractYears(q).headOption.map(YearEq))
 
   // ---- months ---------------------------------------------------------
@@ -112,10 +117,22 @@ object Parsers {
     "washington" -> "WA", "west virginia" -> "WV", "wisconsin" -> "WI",
     "wyoming" -> "WY")
 
-  /** First state mentioned in the question, by name or bare abbreviation. */
+  // Longest name first with word-boundary anchors: bare `contains` over an
+  // unordered Map made "Arkansas" nondeterministically resolve to KS (the
+  // substring "kansas") and "West Virginia" to VA. Boundaries reject
+  // mid-word substrings; length order makes two-word states beat their
+  // one-word suffixes.
+  private val StatePatterns: List[(scala.util.matching.Regex, String)] =
+    UsStates.toList.sortBy { case (name, _) => (-name.length, name) }
+      .map { case (name, abbr) =>
+        (raw"\b${java.util.regex.Pattern.quote(name)}\b".r, abbr) }
+
+  /** First state mentioned in the question, by name or bare abbreviation;
+    * longest full name wins, matched on word boundaries. */
   def extractState(q: String): Option[String] = {
     val lower = q.toLowerCase
-    UsStates.collectFirst { case (name, abbr) if lower.contains(name) => abbr }
+    StatePatterns.collectFirst {
+      case (rx, abbr) if rx.findFirstIn(lower).isDefined => abbr }
       .orElse {
         val abbrs = UsStates.values.toSet
         raw"\b([A-Z]{2})\b".r.findAllMatchIn(q).map(_.group(1)).find(abbrs.contains)
@@ -141,20 +158,44 @@ object Parsers {
     }
   }
 
-  /** NOAA disaster keyword → wide-column prefix, FIRST keyword wins (the
-    * reference iterates an ordered map and stops on the first hit —
-    * `new_disaster_c.py:45-49`). */
-  val NoaaKeywordMap: List[(String, String)] = List(
-    "drought" -> "Drought", "flood" -> "Flooding", "freeze" -> "Freeze",
-    "severe storm" -> "Severe Storm", "storm" -> "Severe Storm",
-    "hurricane" -> "Tropical Cyclone", "tropical cyclone" -> "Tropical Cyclone",
-    "cyclone" -> "Tropical Cyclone", "wildfire" -> "Wildfire",
-    "fire" -> "Wildfire", "winter storm" -> "Winter Storm")
+  /** NOAA disaster keyword → wide-column prefix, in the reference's exact
+    * insertion order (`Billion_Dollar/new_disaster_c.py:19-34`
+    * DISASTER_COLUMN_MAPPING — Python dicts preserve it). `None` marks the
+    * reference's explicit "earthquake is not in the schema" entry. */
+  val NoaaKeywordMap: List[(String, Option[String])] = List(
+    "earthquake" -> None,
+    "flood" -> Some("Flooding"), "flooding" -> Some("Flooding"),
+    "freeze" -> Some("Freeze"),
+    "severe storm" -> Some("Severe Storm"), "storm" -> Some("Severe Storm"),
+    "tropical cyclone" -> Some("Tropical Cyclone"),
+    "hurricane" -> Some("Tropical Cyclone"), "cyclone" -> Some("Tropical Cyclone"),
+    "wildfire" -> Some("Wildfire"), "fire" -> Some("Wildfire"),
+    "winter storm" -> Some("Winter Storm"), "snow" -> Some("Winter Storm"),
+    "drought" -> Some("Drought"))
 
+  /** Exact reference parity: iterate the ordered map, stop on the FIRST
+    * contained keyword (`new_disaster_c.py:45-49`) — including the quirk
+    * that a "winter storm" question hits "storm" first and yields
+    * Severe Storm, and that "earthquake" matches with no column. Returns
+    * (matched keyword, mapped column). */
+  def noaaFirstDisaster(q: String): Option[(String, Option[String])] = {
+    val lower = q.toLowerCase
+    NoaaKeywordMap.collectFirst { case (k, v) if lower.contains(k) => (k, v) }
+  }
+
+  /** Multi-type extraction — a DELIBERATE engine extension beyond the
+    * reference (which stops at the first keyword; see [[noaaFirstDisaster]]
+    * for exact parity): compare-style questions ("flooding and tropical
+    * cyclone costs") need every mentioned type. Scans in reference key
+    * order; a keyword that is a substring of another matched keyword is
+    * suppressed, so "winter storm" resolves to Winter Storm here rather
+    * than the reference's first-hit Severe Storm. */
   def noaaDisasterTypes(q: String): List[String] = {
     val lower = q.toLowerCase
-    val hits = NoaaKeywordMap.collect { case (k, v) if lower.contains(k) => v }
-    hits.distinct
+    val hits = NoaaKeywordMap.filter { case (k, _) => lower.contains(k) }
+    hits.filterNot { case (k, _) =>
+      hits.exists { case (k2, _) => k2 != k && k2.contains(k) } }
+      .flatMap(_._2).distinct
   }
 
   /** Metric detection against a registry of (canonical name, aliases):

@@ -30,9 +30,11 @@ class ParsersSpec extends AnyFunSuite {
     assert(extractYearFilter("between 2000 and 2010") == Some(YearRange(2000, 2010)))
     assert(extractYearFilter("from 2015 to 2020") == Some(YearRange(2015, 2020)))
     assert(extractYearFilter("costs 1980-1984 compared") == Some(YearRange(1980, 1984)))
-    assert(extractYearFilter("after 2010 in California") == Some(YearCmp(">=", 2010)))
+    // reference strictness (client.py TIME_DIRECTIONAL_PATTERNS): after is
+    // strict >, before is strict <, only since is >=
+    assert(extractYearFilter("after 2010 in California") == Some(YearCmp(">", 2010)))
     assert(extractYearFilter("since 2005") == Some(YearCmp(">=", 2005)))
-    assert(extractYearFilter("before 1995") == Some(YearCmp("<=", 1995)))
+    assert(extractYearFilter("before 1995") == Some(YearCmp("<", 1995)))
     assert(extractYearFilter("in 2016") == Some(YearEq(2016)))
     assert(extractYearFilter("no year here") == None)
   }
@@ -49,6 +51,17 @@ class ParsersSpec extends AnyFunSuite {
     assert(extractState("Show earthquakes in California after 2010") == Some("CA"))
     assert(extractState("declarations in NC last year") == Some("NC"))
     assert(extractState("nothing here") == None)
+  }
+
+  test("extractState: word boundaries and longest-name-wins") {
+    // 'arkansas' must not resolve via its 'kansas' substring
+    assert(extractState("floods in Arkansas") == Some("AR"))
+    assert(extractState("floods in Kansas") == Some("KS"))
+    // 'west virginia' must not resolve via its 'virginia' suffix
+    assert(extractState("storms in West Virginia") == Some("WV"))
+    assert(extractState("storms in Virginia") == Some("VA"))
+    // boundary check: a mid-word substring is not a state mention
+    assert(extractState("the Texline depot") == None)
   }
 
   test("extractIncidentType matches the FEMA whitelist incl. plurals") {
@@ -71,11 +84,32 @@ class ParsersSpec extends AnyFunSuite {
     assert(detectMetrics("what was the snowfal like", reg) == List("snowfall"))
   }
 
-  test("NOAA keyword map: first-keyword-wins ordering, hurricane → Tropical Cyclone") {
+  test("noaaFirstDisaster: exact reference first-hit-wins parity incl. quirks") {
+    // new_disaster_c.py iterates DISASTER_COLUMN_MAPPING and breaks on the
+    // first `keyword in question` hit
+    assert(noaaFirstDisaster("hurricane costs") ==
+      Some(("hurricane", Some("Tropical Cyclone"))))
+    // quirk preserved: 'storm' precedes 'winter storm' in the map
+    assert(noaaFirstDisaster("winter storm damage in 1993") ==
+      Some(("storm", Some("Severe Storm"))))
+    // reference maps earthquake explicitly to no column
+    assert(noaaFirstDisaster("earthquake cost") == Some(("earthquake", None)))
+    assert(noaaFirstDisaster("snow damage") == Some(("snow", Some("Winter Storm"))))
+    assert(noaaFirstDisaster("sunny day") == None)
+  }
+
+  test("noaaDisasterTypes: multi-type engine extension over reference order") {
     assert(noaaDisasterTypes("How many droughts occurred in 1980?") == List("Drought"))
     assert(noaaDisasterTypes("hurricane costs") == List("Tropical Cyclone"))
     assert(noaaDisasterTypes("Compare the flooding and tropical cyclone cost between 1980-1984")
       == List("Flooding", "Tropical Cyclone"))
+    // documented divergence from first-hit parity: the longest keyword wins
+    // per mention, so 'winter storm' is Winter Storm here (reference quirk
+    // would say Severe Storm — see noaaFirstDisaster)
+    assert(noaaDisasterTypes("winter storm damage") == List("Winter Storm"))
+    assert(noaaDisasterTypes("snow damage") == List("Winter Storm"))
+    // earthquake has no NOAA column → contributes nothing
+    assert(noaaDisasterTypes("earthquake cost") == Nil)
   }
 
   test("fuzzyResolve behaves like get_close_matches(n=1, cutoff)") {
