@@ -119,16 +119,22 @@ object MinHashDedup {
   /** Candidate pairs with exact shingle-set Jaccard attached, filtered to
     * `>= threshold`. Set sizes come straight from the per-row shingle
     * arrays (no aggregation shuffle); only the intersection count needs
-    * the exploded join. */
+    * the exploded join — and that join carries `hex60(shingle)` longs
+    * (8 bytes) instead of raw shingle strings (~25+ bytes), cutting the
+    * verify phase's shuffle bytes ~4× at a 2⁻⁶⁰ per-pair collision risk.
+    * The DuckDB oracle joins on the same hashes, so results stay
+    * bit-identical by construction. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
     val sets = shingleSets(docs, idCol, textCol)
-    val sh = sets.select(col("id"), explode(col("shset")).as("shingle"))
+    val sh = sets.select(col("id"),
+      explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh"))
     val sizes = sets.select(col("id"), size(col("shset")).cast("long").as("sz"))
     val pairs = candidatePairsFromSets(sets)
     val inter = pairs
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("za"), col("id_a") === col("za.id"))

@@ -29,7 +29,7 @@ object ScaleOps {
     val R = MinHashDedup.R
     val P = MinHashDedup.P
     val mins = (0 until K)
-      .map(k => s"    MIN((h * ${MinHashDedup.coeffA(k)} + ${MinHashDedup.coeffB(k)}) % $P) AS mh$k")
+      .map(k => s"    MIN(((hx % $P) * ${MinHashDedup.coeffA(k)} + ${MinHashDedup.coeffB(k)}) % $P) AS mh$k")
       .mkString(",\n")
     val bands = (0 until MinHashDedup.B).map { b =>
       val cat = (b * R until (b + 1) * R)
@@ -43,7 +43,7 @@ object ScaleOps {
        |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
        |      ELSE [text] END) AS shingle
        |  FROM documents),
-       |hashed AS (SELECT id, shingle, ${hex60Sql("shingle")} % $P AS h FROM sh),
+       |hashed AS (SELECT id, ${hex60Sql("shingle")} AS hx FROM sh),
        |sigs AS (
        |  SELECT id,
        |$mins
@@ -58,8 +58,8 @@ object ScaleOps {
        |inter AS (
        |  SELECT id_a, id_b, COUNT(*) AS inter
        |  FROM pairs
-       |  JOIN sh sa ON id_a = sa.id
-       |  JOIN sh sb ON id_b = sb.id AND sa.shingle = sb.shingle
+       |  JOIN hashed sa ON id_a = sa.id
+       |  JOIN hashed sb ON id_b = sb.id AND sa.hx = sb.hx
        |  GROUP BY id_a, id_b)
        |SELECT id_a, id_b,
        |  ROUND(CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE), 6) AS jaccard
@@ -70,8 +70,11 @@ object ScaleOps {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** m2: SimHash fingerprint pairs within Hamming distance 3 (same
-    * high-12-bit block). */
+  /** m2: SimHash fingerprint pairs within Hamming distance 3. With
+    * `NumBands` = 5 disjoint 12-bit bands, banding finds EVERY pair at
+    * Hamming ≤ 4, so the result is exactly the full Hamming-≤3 pair set
+    * and the oracle can replay it without modeling the blocking at all —
+    * it simply joins on the same rotated bands. */
   def m2SimhashNeardup(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDuplicates(Tables(s, dir, "documents"), "doc_id", "text", 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
@@ -89,12 +92,16 @@ object ScaleOps {
        |fp AS (
        |  SELECT id,
        |    SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS simhash
-       |  FROM bits GROUP BY id)
-       |SELECT a.id AS id_a, b.id AS id_b,
+       |  FROM bits GROUP BY id),
+       |bands AS (
+       |  SELECT id, simhash, t,
+       |    (simhash >> (${SimHash.Bits} - ${SimHash.BandBits} * (CAST(t AS INTEGER) + 1)))
+       |      & ${(1L << SimHash.BandBits) - 1} AS blk
+       |  FROM fp CROSS JOIN range(${SimHash.NumBands}) tt(t))
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |FROM fp a JOIN fp b
-       |  ON (a.simhash >> ${SimHash.BlockShift}) = (b.simhash >> ${SimHash.BlockShift})
-       | AND a.id < b.id
+       |FROM bands a JOIN bands b
+       |  ON a.t = b.t AND a.blk = b.blk AND a.id < b.id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 

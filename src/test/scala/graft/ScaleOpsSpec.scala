@@ -78,6 +78,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("SimHash multi-band blocking finds EXACTLY the Hamming<=4 pair set") {
+    import spark.implicits._
+    // crafted corpus: identical pairs (hamming 0), near-identical variants
+    // (small hamming), and unrelated filler — plus the assertion that the
+    // banded join returns the same set as brute-force all-pairs Hamming,
+    // i.e. recall 1.0 at maxHamming = NumBands - 1 (the pigeonhole bound)
+    val base = (0 until 10).map(i =>
+      (100L + i, s"cluster $i shares a long common body of tokens alpha beta gamma delta epsilon zeta eta theta"))
+    val dup = base.map { case (id, t) => (id + 50, t) } // exact duplicates
+    val variant = base.map { case (id, t) => (id + 100, t + s" extra${id}") }
+    val filler = (0 until 30).map(i =>
+      (300L + i, s"unrelated document number $i with completely different words w${i}a w${i}b w${i}c w${i}d"))
+    val docs = (base ++ dup ++ variant ++ filler).toDF("doc_id", "text")
+    val fps = SimHash.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= SimHash.NumBands - 1
+    } yield (ia, ib, h)).toSet
+    assert(exact.nonEmpty, "crafted corpus produced no close pairs")
+    val got = SimHash.nearDuplicates(docs, "doc_id", "text", SimHash.NumBands - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact,
+      s"banded != exact: missed ${(exact -- got).take(5)}, spurious ${(got -- exact).take(5)}")
+  }
+
+  test("SimHash banding is exact on the sf0.001 documents table too") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val fps = SimHash.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 4
+    } yield (ia, ib, h)).toSet
+    val got = SimHash.nearDuplicates(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact)
+  }
+
   test("AnnSearch planes are deterministic and in [-1,1]") {
     val ps = AnnSearch.planes
     assert(ps.length == AnnSearch.Tables)
