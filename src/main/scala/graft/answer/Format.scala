@@ -50,9 +50,17 @@ object Format {
   * engine ships the seam, not the call. */
 trait LlmClient {
   def answer(question: String, context: String): String
+
+  /** Second-pass readability rewrite of a drafted answer — the NOAA
+    * client's `improved_answer` stage (`Billion_Dollar/
+    * new_disaster_c.py:93-127`): a follow-up LLM call instructed to
+    * preserve every fact and only improve wording. Defaults to the
+    * identity (the only fact-preserving deterministic stub). */
+  def rewrite(question: String, draft: String): String = draft
 }
 
-/** Deterministic echo stub: answer = context summary (what tests pin). */
+/** Deterministic echo stub: answer = context summary, rewrite = identity
+  * (what tests pin). */
 object EchoLlm extends LlmClient {
   def answer(question: String, context: String): String =
     s"Q: $question\n$context"

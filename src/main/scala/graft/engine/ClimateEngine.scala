@@ -20,7 +20,8 @@ import graft.query._
   * plan with `isin` + groupBy (SURVEY J1).
   */
 class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
-                    llm: LlmClient = EchoLlm) {
+                    llm: LlmClient = EchoLlm,
+                    geocoder: Geocoder = NullGeocoder) {
 
   private def resolve(name: String): DataFrame =
     tables.getOrElse(name, sys.error(s"unregistered table '$name'"))
@@ -49,7 +50,9 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
       val prefix = if (types.size > 1) s"${r.getString(0)}: " else ""
       prefix + (if (wantCost) Format.billions(v) else v.toInt.toString)
     }.mkString("\n")
-    llm.answer(question, body)
+    // NOAA's two-stage lifecycle: draft from rows, then a readability
+    // rewrite pass (`new_disaster_c.py:93-127` improved_answer)
+    llm.rewrite(question, llm.answer(question, body))
   }
 
   /** FEMA: metric questions ("What was the IHP total for California
@@ -129,14 +132,21 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
 
   /** Cities resolved against the cached City dimension — exact
     * (case-insensitive) first, then fuzzy top-1 at difflib cutoff 0.8
-    * (`era5client.py:122-144`). */
+    * (`era5client.py:122-144`), then the external-geocoder fallback seam
+    * for candidates neither stage recognized (`era5client.py:147-157`;
+    * [[NullGeocoder]] by default, so the fallback is a no-op unless a
+    * client is wired in). */
   private def resolveCities(question: String): List[String] = {
     val dim = era5Cities
     val cands = Parsers.entityCandidates(question)
     val exact = cands.filter(c => dim.exists(_.equalsIgnoreCase(c)))
       .map(c => dim.find(_.equalsIgnoreCase(c)).get)
     if (exact.nonEmpty) exact.distinct
-    else cands.flatMap(c => Parsers.fuzzyResolve(c, dim, 0.8)).distinct
+    else {
+      val fuzzy = cands.flatMap(c => Parsers.fuzzyResolve(c, dim, 0.8)).distinct
+      if (fuzzy.nonEmpty) fuzzy
+      else cands.flatMap(geocoder.lookupCity).distinct
+    }
   }
 
   /** EDGAR: "What were the CO2 emissions in China in 2018?" — gas routing
@@ -152,6 +162,8 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
       case Some(Parsers.YearEq(y)) => List(y)
       case Some(Parsers.YearCmp(">=", y)) => (y to 2023).toList
       case Some(Parsers.YearCmp("<=", y)) => (1970 to y).toList
+      case Some(Parsers.YearCmp(">", y)) => (y + 1 to 2023).toList
+      case Some(Parsers.YearCmp("<", y)) => (1970 to y - 1).toList
       case _ => Parsers.extractYears(question, 1970, 2023)
     }
     val countries = Parsers.entityCandidates(question)

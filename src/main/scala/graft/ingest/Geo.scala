@@ -58,6 +58,79 @@ object Geo {
       .drop("_g_best")
   }
 
+  /** Gazetteer-size cutoff for [[reverseGeocodeAuto]]: below it the
+    * literal-`least` plan is fastest; above it the plan itself becomes the
+    * bottleneck (one expression node per gazetteer row — a 10⁵-row
+    * gazetteer would blow up codegen/planning long before data size
+    * matters), so the bucketed path takes over. */
+  val LiteralPathMax = 1000
+
+  /** Scale path for large gazetteers: grid-cell bucketed broadcast join +
+    * per-row min-haversine.
+    *
+    * Build (bounded by gazetteer size, not points): each city is assigned
+    * to its `cellDeg`-degree cell and replicated to the 3×3 neighborhood
+    * (longitude wraps at ±180°), then grouped into one candidate array per
+    * cell. That table (≤ 9·|gazetteer| rows pre-group) is broadcast and
+    * equi-joined to points on the cell key — the points side NEVER
+    * shuffles, and the per-point argmin is a row-local fold over its
+    * cell's candidate array (same (distance, city, country) tie-break as
+    * the literal path).
+    *
+    * Exactness contract: the result is the true nearest city whenever the
+    * nearest city lies in the point's 3×3 cell ring — guaranteed when its
+    * distance is under `cellDeg` degrees in both axes, i.e. pick `cellDeg`
+    * at or above the gazetteer's covering radius (1° ≈ 111 km works for
+    * any country-level cities list). Points whose ring holds no city get
+    * null City/Country (deep-ocean rows under a too-small `cellDeg`) —
+    * they are detectable and re-runnable with a larger cell.
+    */
+  def reverseGeocodeBucketed(points: DataFrame, gazetteer: DataFrame,
+                             cellDeg: Double = 1.0): DataFrame = {
+    require(cellDeg > 0, "cellDeg must be positive")
+    val nLon = math.max(1, math.round(360.0 / cellDeg).toInt)
+    def latCell(c: org.apache.spark.sql.Column) =
+      floor((c + lit(90.0)) / lit(cellDeg)).cast("long")
+    def lonCell(c: org.apache.spark.sql.Column) =
+      pmod(floor((c + lit(180.0)) / lit(cellDeg)).cast("long"), lit(nLon.toLong))
+    def key(la: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column) =
+      la * lit(nLon.toLong) + lo
+    val offsets = for { dla <- -1 to 1; dlo <- -1 to 1 } yield (dla, dlo)
+    val cells = gazetteer
+      .select(col("city"), col("country"), col("lat"), col("lon"),
+        latCell(col("lat")).as("la"), lonCell(col("lon")).as("lo"))
+      .select(col("city"), col("country"), col("lat"), col("lon"),
+        explode(array(offsets.map { case (dla, dlo) =>
+          key(col("la") + dla, pmod(col("lo") + dlo, lit(nLon.toLong)))
+        }: _*)).as("cell"))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("lat"), col("lon"),
+        col("city"), col("country"))).as("cands"))
+    points
+      .join(broadcast(cells),
+        key(latCell(col("latitude")), lonCell(col("longitude"))) === col("cell"),
+        "left")
+      // per-row argmin over ~|ring| candidates: transform/array_min are
+      // interpreted (CodegenFallback), but the fold is O(candidates) per
+      // row with no shuffle — the right trade against exploding points
+      .withColumn("_g_best", array_min(transform(col("cands"), c =>
+        struct(
+          haversineKm(col("latitude"), col("longitude"), c("lat"), c("lon")).as("d"),
+          c("city").as("city"), c("country").as("country")))))
+      .withColumn("City", col("_g_best.city"))
+      .withColumn("Country", col("_g_best.country"))
+      .drop("cell", "cands", "_g_best")
+  }
+
+  /** Dispatch: literal-`least` plan for gazetteers up to
+    * [[LiteralPathMax]] rows (fastest, exact, zero-join), bucketed
+    * broadcast join above it (plan size stays O(1) in gazetteer rows). */
+  def reverseGeocodeAuto(points: DataFrame, gazetteer: DataFrame,
+                         cellDeg: Double = 1.0): DataFrame =
+    if (gazetteer.limit(LiteralPathMax + 1).count() <= LiteralPathMax)
+      reverseGeocode(points, gazetteer)
+    else reverseGeocodeBucketed(points, gazetteer, cellDeg)
+
   /** Collapse grid points to per-(City, date) means over every numeric
     * column (the notebook's `groupby(["City","date"]).mean()`). */
   def cityMonthMeans(df: DataFrame, numericCols: Seq[String]): DataFrame =

@@ -31,9 +31,16 @@ object IvfSearch {
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
   /** Deterministic Lloyd's k-means over the embedding column. Returns
-    * (centroid_id, centroid) rows collected to the driver (k·dim values). */
+    * (centroid_id, centroid) rows collected to the driver (k·dim values).
+    *
+    * `roundDecimals >= 0` rounds every updated centroid mean to that many
+    * decimals after each iteration — the engine-portability convention
+    * (NOTES "round(x,4) avgs"): cross-row double means are summation-order
+    * dependent at the last ulp, and rounding makes the fitted centroids —
+    * and therefore every downstream assignment — bit-identical between
+    * Spark and the DuckDB oracle replay. */
   def kmeansFit(corpus: DataFrame, idCol: String, embCol: String,
-                k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+                k: Int, iters: Int, roundDecimals: Int = -1): Seq[(Int, Seq[Double])] = {
     DotProduct.register(corpus.sparkSession)
     val e = corpus
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
@@ -43,9 +50,11 @@ object IvfSearch {
       val assigned = assign(e, centroids)
       // element-wise mean per cluster: posexplode to (cid, pos, val),
       // per-dimension avg, re-assemble sorted by pos — no UDAF needed
+      val mean = if (roundDecimals >= 0) round(avg(col("col")), roundDecimals)
+                 else avg(col("col"))
       val updated = assigned
         .select(col("centroid_id"), posexplode(col("emb")))
-        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"), col("pos")).agg(mean.as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
         .select(col("centroid_id"), transform(col("sm"), s => s.getField("m")).as("mean"))
@@ -70,8 +79,8 @@ object IvfSearch {
   case class Index(centroids: Seq[(Int, Seq[Double])], assignments: DataFrame)
 
   def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
-                 k: Int, iters: Int): Index = {
-    val cs = kmeansFit(corpus, idCol, embCol, k, iters)
+                 k: Int, iters: Int, roundDecimals: Int = -1): Index = {
+    val cs = kmeansFit(corpus, idCol, embCol, k, iters, roundDecimals)
     val e = corpus
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
     Index(cs, assign(e, cs))
@@ -101,6 +110,7 @@ object IvfSearch {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("q_id"), col("id").as("neighbor"), col("cos"), col("rk"))
+      .select(col("q_id"), col("id").as("neighbor"), col("cos"),
+        col("rk").cast("long").as("rk"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnSearch, MinHashDedup, SimHash}
+import graft.operators.{AnnSearch, IvfSearch, MinHashDedup, SimHash}
 
 /** Oracle-checked entry points for the scale operators (MinHash/LSH,
   * SimHash, hyperplane-LSH ANN). The operator logic lives in
@@ -185,15 +185,91 @@ object ScaleOps {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // i1 constants shared by the Spark query and its SQL replay
+  private val IvfK = 8       // coarse centroids
+  private val IvfIters = 2   // Lloyd iterations (unrolled in the oracle)
+  private val IvfNprobe = 3  // inverted lists probed per query
+  private val IvfTopK = 5
+  private val IvfRound = 6   // centroid-mean rounding (engine portability)
+
+  /** i1: IVF (k-means inverted-file) approximate cosine top-5 for the
+    * same 3 query vectors as v1/a1. The deterministic Lloyd fit (lowest-id
+    * init, cid tie-break, round-6 means) is fully replayed by the oracle —
+    * each iteration is unrolled into assignment + per-dimension mean CTEs,
+    * so the clustering itself is hash-verified, not just the final ranks. */
+  def i1IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    IvfSearch.approxTopK(e.filter(col("vec_id") < 3), idx,
+        "vec_id", "embedding", k = IvfTopK, nprobe = IvfNprobe)
+      .orderBy("q_id", "rk")
+  }
+
+  private val i1Sql: String = {
+    val D = AnnSearch.Dim
+    def dist2(a: String, b: String) =
+      s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+    val iterCtes = (1 to IvfIters).map { i =>
+      s"""a$i AS (
+         |  SELECT id, emb, cid FROM (
+         |    SELECT e.id, e.emb, cc.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.id
+         |        ORDER BY ${dist2("e.emb", "cc.c")}, cc.cid) AS rn
+         |    FROM e CROSS JOIN c${i - 1} cc) z WHERE rn = 1),
+         |n$i AS (
+         |  SELECT cid, list(m ORDER BY j) AS c FROM (
+         |    SELECT cid, j, ROUND(AVG(emb[CAST(j AS INTEGER) + 1]), $IvfRound) AS m
+         |    FROM a$i CROSS JOIN range($D) t(j) GROUP BY cid, j) z GROUP BY cid),
+         |c$i AS (
+         |  SELECT p.cid, COALESCE(n.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN n$i n ON p.cid = n.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INTEGER) - 1 AS cid, emb AS c
+       |  FROM (SELECT id, emb FROM e ORDER BY id LIMIT $IvfK) s),
+       |$iterCtes,
+       |af AS (
+       |  SELECT id, emb, cid FROM (
+       |    SELECT e.id, e.emb, cc.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.id
+       |        ORDER BY ${dist2("e.emb", "cc.c")}, cc.cid) AS rn
+       |    FROM e CROSS JOIN c$IvfIters cc) z WHERE rn = 1),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |pr AS (
+       |  SELECT q_id, q_emb, cid FROM (
+       |    SELECT q.q_id, q.q_emb, cc.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dist2("q.q_emb", "cc.c")}, cc.cid) AS rn
+       |    FROM q CROSS JOIN c$IvfIters cc) z WHERE rn <= $IvfNprobe),
+       |cands AS (
+       |  SELECT pr.q_id, pr.q_emb, a.id AS neighbor, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id),
+       |scored AS (
+       |  SELECT q_id, neighbor,
+       |    ROUND(list_dot_product(q_emb, emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT q_id, neighbor, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+       |  FROM scored)
+       |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= $IvfTopK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_minhash_neardup" -> (m1MinhashNeardup _),
     "m2_simhash_neardup" -> (m2SimhashNeardup _),
     "a1_ann_topk" -> (a1AnnTopk _),
-    "a2_embedding_neardup" -> (a2EmbeddingNeardup _))
+    "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
+    "i1_ivf_topk" -> (i1IvfTopk _))
 
   val oracles: Map[String, String] = Map(
     "m1_minhash_neardup" -> m1Sql,
     "m2_simhash_neardup" -> m2Sql,
     "a1_ann_topk" -> a1Sql,
-    "a2_embedding_neardup" -> a2Sql)
+    "a2_embedding_neardup" -> a2Sql,
+    "i1_ivf_topk" -> i1Sql)
 }
