@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnSearch, IvfSearch, MinHashDedup, SimHash}
+import graft.operators.{AnnSearch, IvfSearch, MinHashDedup, SimHash, SkewAgg}
 
 /** Oracle-checked entry points for the scale operators (MinHash/LSH,
   * SimHash, hyperplane-LSH ANN). The operator logic lives in
@@ -259,17 +259,42 @@ object ScaleOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** s1: salted two-phase aggregation (the hot-key lever) pinned against a
+    * PLAIN `GROUP BY` oracle: because the summed column goes through
+    * DECIMAL(38,4), the aggregation is order-independent, so the salted
+    * (key, salt)→key merge must be bit-identical to the direct aggregate —
+    * the oracle verifies the skew machinery changes the plan, never the
+    * answer. Final sum output cast to DOUBLE per the representation
+    * convention. */
+  def s1SkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("v"))
+    SkewAgg.saltedSumCount(e, Seq("user_id"), "v", salt = 16)
+      .select(col("user_id"),
+        col("sum_v").cast("double").as("total_value"), col("n_rows"))
+      .orderBy("user_id")
+  }
+
+  private val s1Sql: String =
+    """SELECT user_id,
+      | CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value,
+      | COUNT(*) AS n_rows
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_minhash_neardup" -> (m1MinhashNeardup _),
     "m2_simhash_neardup" -> (m2SimhashNeardup _),
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
-    "i1_ivf_topk" -> (i1IvfTopk _))
+    "i1_ivf_topk" -> (i1IvfTopk _),
+    "s1_skew_agg" -> (s1SkewAgg _))
 
   val oracles: Map[String, String] = Map(
     "m1_minhash_neardup" -> m1Sql,
     "m2_simhash_neardup" -> m2Sql,
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
-    "i1_ivf_topk" -> i1Sql)
+    "i1_ivf_topk" -> i1Sql,
+    "s1_skew_agg" -> s1Sql)
 }
