@@ -21,7 +21,8 @@ import graft.query._
   */
 class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
                     llm: LlmClient = EchoLlm,
-                    geocoder: Geocoder = NullGeocoder) {
+                    geocoder: Geocoder = NullGeocoder,
+                    today: java.time.LocalDate = java.time.LocalDate.now()) {
 
   private def resolve(name: String): DataFrame =
     tables.getOrElse(name, sys.error(s"unregistered table '$name'"))
@@ -63,11 +64,16 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
     val preds = Seq.newBuilder[Predicate]
     Parsers.extractState(question).foreach(s => preds += Predicate.Eq("state", s))
     Parsers.extractIncidentType(question).foreach(t => preds += Predicate.Eq("incident_type", t))
-    Parsers.extractYearFilter(question).foreach {
-      case Parsers.YearEq(y) => preds += Predicate.Eq("year", y)
-      case Parsers.YearRange(a, b) => preds += Predicate.Between("year", a, b)
-      case Parsers.YearCmp(op, y) => preds += Predicate.Cmp("year", op, y)
-    }
+    // range/directional phrases first; a relative phrase ("last year",
+    // "two years ago", "last summer") resolves against the engine clock —
+    // the reference's spaCy-DATE + dateparser path
+    Parsers.extractYearFilter(question)
+      .orElse(Parsers.extractYearNlp(question, today).map(Parsers.YearEq))
+      .foreach {
+        case Parsers.YearEq(y) => preds += Predicate.Eq("year", y)
+        case Parsers.YearRange(a, b) => preds += Predicate.Between("year", a, b)
+        case Parsers.YearCmp(op, y) => preds += Predicate.Cmp("year", op, y)
+      }
     metric.foreach { m =>
       Parsers.extractComparison(question, m).foreach(f =>
         preds += Predicate.Cmp(f.column, f.op, f.value))

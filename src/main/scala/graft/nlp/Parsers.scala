@@ -51,6 +51,51 @@ object Parsers {
       .orElse(SinceRx.findFirstMatchIn(q).map(m => YearCmp(">=", m.group(1).toInt)))
       .orElse(extractYears(q).headOption.map(YearEq))
 
+  // ---- relative dates -------------------------------------------------
+
+  private val WordNums = Map(
+    "a" -> 1, "one" -> 1, "two" -> 2, "three" -> 3, "four" -> 4,
+    "five" -> 5, "six" -> 6, "seven" -> 7, "eight" -> 8, "nine" -> 9,
+    "ten" -> 10)
+  private val YearsAgoRx =
+    raw"(?i)\b(\d{1,3}|a|one|two|three|four|five|six|seven|eight|nine|ten)\s+years?\s+ago\b".r
+  // meteorological seasons (northern), season -> last month of the season
+  private val SeasonEnd = Map(
+    "spring" -> 5, "summer" -> 8, "fall" -> 11, "autumn" -> 11, "winter" -> 2)
+  private val LastSeasonRx = raw"(?i)\blast\s+(spring|summer|fall|autumn|winter)\b".r
+
+  /** Resolve the year of a relative or absolute date phrase — the engine
+    * analog of the reference's spaCy-DATE + `dateparser.parse` step
+    * (`Disaster dollar/client.py:110-124`: first DATE entity whose parsed
+    * year lands in [1900, 2100], else the first bare 4-digit token).
+    * `dateparser` resolves relative phrases against the wall clock; here
+    * the clock is an explicit `today` argument so resolution is
+    * deterministic and testable. Covered phrase classes (the documented
+    * subset — full dateparser generality is out of scope): explicit years,
+    * "last/this/next year", "N years ago" (digits or number words), and
+    * "last <season>" (most recently COMPLETED season: "last summer" asked
+    * in 2026-01 → 2025; "last winter" asked in 2026-08 → the Jan–Feb 2026
+    * winter). Explicit years win, mirroring the reference's
+    * first-match-in-question-order behavior on its corpus. */
+  def extractYearNlp(q: String, today: java.time.LocalDate): Option[Int] = {
+    val lower = q.toLowerCase
+    def relative: Option[Int] =
+      YearsAgoRx.findFirstMatchIn(q).map { m =>
+        val tok = m.group(1).toLowerCase
+        today.getYear - WordNums.getOrElse(tok, tok.toInt)
+      }.orElse(LastSeasonRx.findFirstMatchIn(q).map { m =>
+        val end = SeasonEnd(m.group(1).toLowerCase)
+        if (today.getMonthValue > end) today.getYear else today.getYear - 1
+      }).orElse {
+        if (lower.contains("last year")) Some(today.getYear - 1)
+        else if (lower.contains("this year") || lower.contains("current year"))
+          Some(today.getYear)
+        else if (lower.contains("next year")) Some(today.getYear + 1)
+        else None
+      }
+    extractYears(q).headOption.orElse(relative).filter(y => y >= 1900 && y <= 2100)
+  }
+
   // ---- months ---------------------------------------------------------
 
   private val MonthNames = List(

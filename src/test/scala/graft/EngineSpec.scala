@@ -196,6 +196,33 @@ class EngineSpec extends AnyFunSuite {
     assert(got == Set("Mumbai", "Delhi"))
   }
 
+  test("FEMA: relative date phrase 'last year' resolves against the engine clock") {
+    val eng2016 = new ClimateEngine(spark, Map(
+      "noaa" -> noaaLong, "fema" -> Fixtures.fema(spark),
+      "era5" -> Fixtures.era5(spark), "edgar" -> edgarLong),
+      today = java.time.LocalDate.of(2016, 3, 15))
+    val a = eng2016.femaAnswer("Show tornado incidents in Texas last year")
+    assert(a.contains("Texas Tornado Outbreak"), a) // the 2015 row
+    assert(!a.contains("2004"), s"2004 tornado must be excluded by last-year filter: $a")
+  }
+
+  test("extractYearNlp: relative phrase subset with a fixed clock") {
+    import graft.nlp.Parsers._
+    val aug2026 = java.time.LocalDate.of(2026, 8, 12)
+    val jan2026 = java.time.LocalDate.of(2026, 1, 10)
+    assert(extractYearNlp("floods last year", aug2026) == Some(2025))
+    assert(extractYearNlp("storms this year", aug2026) == Some(2026))
+    assert(extractYearNlp("fires two years ago", aug2026) == Some(2024))
+    assert(extractYearNlp("fires 3 years ago", aug2026) == Some(2023))
+    // most recently completed season: summer hasn't ended in Jan
+    assert(extractYearNlp("droughts last summer", jan2026) == Some(2025))
+    assert(extractYearNlp("droughts last summer", java.time.LocalDate.of(2026, 11, 2)) == Some(2026))
+    assert(extractYearNlp("storms last winter", aug2026) == Some(2026)) // Jan-Feb 2026
+    // explicit year wins over a relative phrase
+    assert(extractYearNlp("hurricanes in 2005, not last year", aug2026) == Some(2005))
+    assert(extractYearNlp("no date at all", aug2026) == None)
+  }
+
   test("ERA5 geocoder fallback: off-dimension alias resolves via the stub") {
     // "Bombay" is neither exact nor fuzzy-close (difflib 0.8) to any
     // dimension city; the FixtureGeocoder stands in for the reference's

@@ -90,4 +90,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "Exchange") <= 1,
       s"expected <=1 exchange:\n${s.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
   }
+
+  test("s1 salted agg: both phases partial-aggregate, no cartesian anywhere") {
+    val s = formatted(SparkEntry.queries("s1_skew_agg")(spark, sfDir))
+    // phase 1 (key,salt) and phase 2 (key) each split into partial+final
+    // HashAggregate around their exchange — 4 aggregate nodes total
+    assert(nodeCount(s, "HashAggregate") >= 4,
+      s"expected two two-phase aggregates:\n${s.linesIterator.filter(_.contains("HashAggregate")).mkString("\n")}")
+    assert(!s.contains("CartesianProduct"))
+  }
+
+  test("i1 ivf probe: candidate join is broadcast, corpus side never cartesian") {
+    val s = formatted(SparkEntry.queries("i1_ivf_topk")(spark, sfDir))
+    assert(nodeCount(s, "BroadcastHashJoin") >= 1,
+      s"probe->assignments join should broadcast the tiny probe side:\n" +
+        s.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!s.contains("CartesianProduct"), "IVF probing must stay an equi-join")
+  }
+
+  test("bucketed reverse geocode: broadcast join on cell key, points never shuffle") {
+    import spark.implicits._
+    val pts = Seq((19.0, 72.9), (28.6, 77.2)).toDF("latitude", "longitude")
+    val gaz = (0 until 2000).map(i => (s"c$i", "X", -50.0 + i * 0.05, -180.0 + i * 0.18))
+      .toDF("city", "country", "lat", "lon")
+    val s = formatted(graft.ingest.Geo.reverseGeocodeBucketed(pts, gaz, 1.0))
+    assert(nodeCount(s, "BroadcastHashJoin") >= 1, "cell join should broadcast")
+    assert(!s.contains("CartesianProduct"))
+    // the cell-candidate build shuffles (bounded by gazetteer size); the
+    // points side itself must not appear below any Exchange: the only
+    // exchanges in the plan belong to the gazetteer aggregation
+    val tree = s.split(raw"== Initial Plan ==").head
+    val exchanges = tree.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(nodeCount(s, "Exchange") <= 2, s"unexpected exchanges:\n$exchanges")
+  }
 }
