@@ -50,6 +50,12 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
+        } finally {
+          // operators that persist derived tables (minhash/simhash bands)
+          // must not leak cache across 46 queries: eviction pressure and
+          // re-cache warnings distort later timings, and clearing between
+          // runs keeps each measurement honest (full recompute both runs)
+          spark.catalog.clearCache()
         }
       }
       val best = (once(), once()) match {

@@ -219,7 +219,50 @@ object TextOps {
        |   (acc, c) -> (acc * ${graft.operators.TextAnalysis.RollBase} + c) % ${graft.operators.TextAnalysis.RollMod}) AS roll_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** d9: deterministic hash-based train/val/test split — the canonical
+    * 100 TB dataset-splitting primitive: assignment is a pure function of
+    * the content hash, so it is reproducible across runs/engines, stable
+    * under re-partitioning, and needs no shuffle at all (row-local md5).
+    * 90/5/5 by hash bucket; keyed on content (not doc_id) so exact
+    * duplicates always land in the same split (no train→test leakage). */
+  def d9HashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        pmod(graft.operators.PortableHash.hex60(col("text")), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy("doc_id")
+
+  private val d9Sql =
+    """SELECT doc_id,
+      | CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 100 AS bucket,
+      | CASE WHEN CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 100 < 90 THEN 'train'
+      |      WHEN CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 100 < 95 THEN 'val'
+      |      ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** d10: corpus vocabulary — token frequency and document frequency,
+    * top-100 by count (tokenizer/vocab building). The explode happens
+    * in-partition and map-side partial aggregation means the shuffle
+    * carries per-partition (token, partial-count) rows, not the token
+    * stream; df's distinct runs as the standard two-phase expand. */
+  def d10VocabTopK(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  private val d10Sql =
+    """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_hash_split" -> (d9HashSplit _),
+    "d10_vocab_topk" -> (d10VocabTopK _),
     "d7_bpe_tokens" -> (d7BpeTokens _),
     "d8_rolling_hash" -> (d8RollingHash _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -230,6 +273,8 @@ object TextOps {
     "d6_jaccard_neardup" -> (d6JaccardNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "d9_hash_split" -> d9Sql,
+    "d10_vocab_topk" -> d10Sql,
     "d7_bpe_tokens" -> d7Sql,
     "d8_rolling_hash" -> d8Sql,
     "d1_exact_dedup" -> d1Sql,

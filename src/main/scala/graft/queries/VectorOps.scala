@@ -86,11 +86,35 @@ object VectorOps {
       |     AS DECIMAL(38,6))) AS DOUBLE) AS sum_norm
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  /** v3: per-label embedding centroid (class prototypes — the embedding
+    * pipeline's nearest-class-mean / few-shot-prototype primitive), one
+    * row per (label, dimension) so the oracle compares flat scalars.
+    * posexplode runs in-partition and the per-(label, pos) mean partial-
+    * aggregates map-side, so the shuffle carries ≤ |labels|·dim rows per
+    * partition — never the corpus. Means round to 6 (the engine-
+    * portability convention for cross-row double averages). */
+  def v3LabelCentroid(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pos")
+
+  private val v3Sql: String =
+    s"""SELECT label, CAST(j AS INTEGER) AS pos,
+       | ROUND(AVG(emb[CAST(j AS INTEGER) + 1]), 6) AS centroid,
+       | COUNT(*) AS n_vecs
+       |FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings) e
+       |CROSS JOIN range(${graft.operators.AnnSearch.Dim}) t(j)
+       |GROUP BY label, j ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_brute" -> (v1KnnBrute _),
-    "v2_label_stats" -> (v2LabelStats _))
+    "v2_label_stats" -> (v2LabelStats _),
+    "v3_label_centroid" -> (v3LabelCentroid _))
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1Sql,
-    "v2_label_stats" -> v2Sql)
+    "v2_label_stats" -> v2Sql,
+    "v3_label_centroid" -> v3Sql)
 }
