@@ -42,8 +42,14 @@ object IvfSearch {
   def kmeansFit(corpus: DataFrame, idCol: String, embCol: String,
                 k: Int, iters: Int, roundDecimals: Int = -1): Seq[(Int, Seq[Double])] = {
     DotProduct.register(corpus.sparkSession)
+    // every iteration runs an assignment job AND a mean job over the
+    // corpus, plus the caller's final assignment — persist the projected
+    // (id, emb) once so 2·iters+1 passes hit cache instead of re-reading
+    // and re-casting the source (at cluster scale: cache or checkpoint
+    // the training projection, never re-scan the lake per Lloyd step)
     val e = corpus
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[(Int, Seq[Double])] = e.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
     for (_ <- 0 until iters) {
@@ -63,6 +69,7 @@ object IvfSearch {
       // a cluster that lost all members keeps its previous centroid
       centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
+    e.unpersist()
     centroids
   }
 
