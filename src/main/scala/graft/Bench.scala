@@ -52,7 +52,7 @@ object Bench {
           None
         } finally {
           // operators that persist derived tables (minhash/simhash bands)
-          // must not leak cache across 46 queries: eviction pressure and
+          // must not leak cache across the suite: eviction pressure and
           // re-cache warnings distort later timings, and clearing between
           // runs keeps each measurement honest (full recompute both runs)
           spark.catalog.clearCache()

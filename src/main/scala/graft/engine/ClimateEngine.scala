@@ -161,23 +161,23 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
   def edgarAnswer(question: String): String = {
     val gases = Parsers.detectMetrics(question, Domain.metricRegistry("edgar"))
     if (gases.isEmpty) return llm.answer(question, "no gas recognized")
-    // range phrases cover every year in the range (the reference fans
-    // out one query per year; here the expansion feeds a single isin)
-    val years: List[Int] = Parsers.extractYearFilter(question) match {
-      case Some(Parsers.YearRange(a, b)) => (a to b).toList
-      case Some(Parsers.YearEq(y)) => List(y)
-      case Some(Parsers.YearCmp(">=", y)) => (y to 2023).toList
-      case Some(Parsers.YearCmp("<=", y)) => (1970 to y).toList
-      case Some(Parsers.YearCmp(">", y)) => (y + 1 to 2023).toList
-      case Some(Parsers.YearCmp("<", y)) => (1970 to y - 1).toList
-      case _ => Parsers.extractYears(question, 1970, 2023)
-    }
     val countries = Parsers.entityCandidates(question)
       .flatMap(c => Parsers.fuzzyResolve(c, edgarCountries, 0.85)).distinct
     val preds = Seq.newBuilder[Predicate]
     preds += Predicate.In("gas", gases)
     if (countries.nonEmpty) preds += Predicate.In("Name", countries)
-    if (years.nonEmpty) preds += Predicate.In("year", years)
+    // year phrases compile to predicates directly (the reference fans out
+    // one query per year of an expanded list; a direct predicate keeps
+    // boundary phrases like "after 2023" correct — an empty expansion
+    // would wrongly read as "no year filter")
+    Parsers.extractYearFilter(question) match {
+      case Some(Parsers.YearRange(a, b)) => preds += Predicate.Between("year", a, b)
+      case Some(Parsers.YearEq(y)) => preds += Predicate.Eq("year", y)
+      case Some(Parsers.YearCmp(op, y)) => preds += Predicate.Cmp("year", op, y)
+      case None =>
+        val ys = Parsers.extractYears(question, 1970, 2023)
+        if (ys.nonEmpty) preds += Predicate.In("year", ys)
+    }
     val spec = QuerySpec("edgar", where = preds.result(),
       groupBy = Seq("Name", "year"),
       aggregations = Seq(Aggregation(AggFn.Sum, "value", "emissions")),

@@ -39,17 +39,27 @@ object IvfSearch {
     * dependent at the last ulp, and rounding makes the fitted centroids —
     * and therefore every downstream assignment — bit-identical between
     * Spark and the DuckDB oracle replay. */
+  private def projection(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+
   def kmeansFit(corpus: DataFrame, idCol: String, embCol: String,
                 k: Int, iters: Int, roundDecimals: Int = -1): Seq[(Int, Seq[Double])] = {
     DotProduct.register(corpus.sparkSession)
     // every iteration runs an assignment job AND a mean job over the
-    // corpus, plus the caller's final assignment — persist the projected
-    // (id, emb) once so 2·iters+1 passes hit cache instead of re-reading
-    // and re-casting the source (at cluster scale: cache or checkpoint
-    // the training projection, never re-scan the lake per Lloyd step)
-    val e = corpus
-      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+    // corpus — persist the projected (id, emb) once so 2·iters passes hit
+    // cache instead of re-reading and re-casting the source (at cluster
+    // scale: cache or checkpoint the training projection, never re-scan
+    // the lake per Lloyd step)
+    val e = projection(corpus, idCol, embCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitPrepared(e, k, iters, roundDecimals)
+    finally e.unpersist()
+  }
+
+  /** Lloyd loop over an already-prepared (and ideally persisted)
+    * (id, emb) projection. */
+  private def fitPrepared(e: DataFrame, k: Int, iters: Int,
+                          roundDecimals: Int): Seq[(Int, Seq[Double])] = {
     var centroids: Seq[(Int, Seq[Double])] = e.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
     for (_ <- 0 until iters) {
@@ -69,7 +79,6 @@ object IvfSearch {
       // a cluster that lost all members keeps its previous centroid
       centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
-    e.unpersist()
     centroids
   }
 
@@ -82,15 +91,29 @@ object IvfSearch {
       .select(col("id"), col("emb"), col("best.cid").as("centroid_id"))
   }
 
-  /** IVF index: (vec_id, centroid_id) + the centroid table. */
-  case class Index(centroids: Seq[(Int, Seq[Double])], assignments: DataFrame)
+  /** IVF index: (vec_id, centroid_id) + the centroid table. The
+    * `assignments` table IS the inverted file and stays persisted (that is
+    * the point of an index — probes read it repeatedly); release it with
+    * [[Index.close]] when done. */
+  case class Index(centroids: Seq[(Int, Seq[Double])], assignments: DataFrame) {
+    def close(): Unit = assignments.unpersist()
+  }
 
   def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
                  k: Int, iters: Int, roundDecimals: Int = -1): Index = {
-    val cs = kmeansFit(corpus, idCol, embCol, k, iters, roundDecimals)
-    val e = corpus
-      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
-    Index(cs, assign(e, cs))
+    DotProduct.register(corpus.sparkSession)
+    val e = projection(corpus, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cs = fitPrepared(e, k, iters, roundDecimals)
+      // materialize the inverted file while the training projection is
+      // still cached — the final assignment pass reads cache, and the
+      // persisted assignments table is what probes hit afterwards
+      val assignments = assign(e, cs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assignments.count()
+      Index(cs, assignments)
+    } finally e.unpersist()
   }
 
   /** Approximate cosine top-k: probe the `nprobe` nearest inverted lists

@@ -106,7 +106,10 @@ object MinHashDedup {
   def candidatePairsFromSets(sets: DataFrame): DataFrame = {
     // persist the band table before self-joining: both join sides would
     // otherwise recompute the whole shingle→hash→signature chain (B
-    // small rows per doc — cache cost is negligible next to the chain)
+    // small rows per doc — cache cost is negligible next to the chain).
+    // Lifecycle: the returned plan READS this cache lazily, so it cannot
+    // be unpersisted here; callers that loop over corpora should
+    // `spark.catalog.clearCache()` between runs (Bench/Verify do)
     val bs = bandSignatures(signatureFromSets(sets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bs.as("a").join(bs.as("b"),

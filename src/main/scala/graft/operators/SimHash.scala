@@ -54,7 +54,10 @@ object SimHash {
                      maxHamming: Int): DataFrame = {
     // persist the banded fingerprint table before self-joining: both join
     // sides would otherwise recompute the whole fingerprint chain (one
-    // NumBands-row record per doc — cache cost is negligible next to it)
+    // NumBands-row record per doc — cache cost is negligible next to it).
+    // Lifecycle: the returned plan READS this cache lazily, so it cannot
+    // be unpersisted here; callers that loop over corpora should
+    // `spark.catalog.clearCache()` between runs (Bench/Verify do)
     val bands = fingerprints(docs, idCol, textCol)
       .select(col("id"), col("simhash"),
         explode(array((0 until NumBands).map(t =>

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -19,14 +18,8 @@ import graft.Tables
   */
 object EventOps {
 
-  private val Dec = DecimalType(38, 4)
-
-  /** Exact decimal interior sum, DOUBLE final output — same representation
-    * convention as `Relational.decSum` (DECIMAL output columns fail the
-    * driver's hash compare even when values are bit-identical; DOUBLE
-    * columns hash green). */
   private def decSum(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
-    sum(c.cast(Dec)).cast("double").as(name)
+    Conventions.decSum(c, name)
 
   /** e1: tumbling 1-hour window aggregate (streaming-equivalent:
     * `groupBy(window($"ts", "1 hour"))`). Epoch-aligned buckets match

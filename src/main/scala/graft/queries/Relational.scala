@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -25,20 +24,7 @@ import graft.Tables
   */
 object Relational {
 
-  private val Dec = DecimalType(38, 4)
-
-  /** Exact decimal accumulation, double output: the interior SUM runs over
-    * DECIMAL(38,4) (order-independent, engine-exact), and only the final
-    * result is cast to DOUBLE. Identical decimals convert to identical
-    * doubles (unscaled values stay < 2^53 at every tested SF, so the
-    * decimal→double conversion is a single correctly-rounded IEEE division
-    * in both Spark and DuckDB), and DOUBLE columns are representation-stable
-    * under the driver's hasher where DECIMAL columns are not
-    * (CORRECTNESS_r01: all 12 hash-fails were DECIMAL-typed outputs with
-    * bit-identical values). The paired oracle SQL applies the same
-    * `CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE)` shape. */
-  private def decSum(c: Column, name: String): Column =
-    sum(c.cast(Dec)).cast("double").as(name)
+  private def decSum(c: Column, name: String): Column = Conventions.decSum(c, name)
 
   /** q1: TPC-H Q1-style full-scan aggregate (SURVEY A1/A3; reference scalar
     * SUM queries e.g. `Billion_Dollar/.../noaa_disaster_db.ipynb` cell 9).

@@ -151,6 +151,18 @@ class EngineSpec extends AnyFunSuite {
     assert(a.contains("Brazil 2020"), a)
   }
 
+  test("EDGAR: boundary directional year filters stay filters, never unfiltered") {
+    // "after 2020" (the newest fixture year) must return NO rows — a naive
+    // (y+1 to max).toList expansion would be empty and read as "no filter",
+    // wrongly returning every year
+    val a = engine.edgarAnswer("What were the CO2 emissions in China after 2020?")
+    assert(!a.contains("China 20"), s"expected no year rows: $a")
+    // strict > excludes the named year itself
+    val b = engine.edgarAnswer("What were the CO2 emissions in China after 2015?")
+    assert(!b.contains("China 2015"), b)
+    assert(b.contains("China 2018") && b.contains("China 2020"), b)
+  }
+
   // ---- ingest round-trips --------------------------------------------
 
   test("noaa unpivot∘pivot = id on the wide fixture") {
@@ -294,7 +306,8 @@ class EngineSpec extends AnyFunSuite {
     // plan is O(1) in gazetteer size (no per-city expression nodes)
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(500))
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") == false)
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
     val res = got.select("latitude", "longitude", "City").collect()
       .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getString(2)).toMap
     def hv(a: Double, b: Double, c: Double, d: Double): Double = {
