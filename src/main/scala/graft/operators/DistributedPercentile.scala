@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact linear-interpolated percentiles computed sort-based — the 100 TB
+  * replacement for `percentile()` (SURVEY §2.4 statistics surface).
+  *
+  * Spark's exact `percentile` aggregate buffers EVERY value of a group in
+  * the aggregation state (ObjectHashAggregate), so a hot group at data
+  * scale OOMs the reducer; `approx_percentile` fixes memory but loses
+  * oracle exactness. This operator gets both: rank the values with a
+  * window sort (a disk-spillable shuffle sort, never an in-memory buffer),
+  * compute each percentile's bracketing ranks from the group counts, and
+  * fetch exactly 2 rows per (group, percentile) with a broadcast of the
+  * tiny target-rank table. The interpolation replicates Spark's
+  * `Percentile.getPercentile` formula bit-for-bit
+  * (`lowerValue + (higherValue - lowerValue) * (position - lowerIndex)`),
+  * which DuckDB's `quantile_cont` also matches — so results are
+  * oracle-checkable, and a spec pins equality against `percentile()`.
+  */
+object DistributedPercentile {
+
+  /** One row per group with a column per requested percentile.
+    *
+    * @param ps (outputColumnName, fraction in [0,1]) pairs
+    */
+  def groupPercentiles(df: DataFrame, keyCol: String, valCol: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+    val ranked = df.select(col(keyCol), col(valCol).cast("double").as("_v"))
+      .withColumn("_rk", row_number().over(w))
+    val counts = ranked.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+    // 0-based fractional position per (group, percentile); bracketing
+    // 1-based ranks _lo/_hi. |groups|·|ps| rows — broadcast-sized.
+    val targets = ps.map { case (nm, p) =>
+      counts.select(col(keyCol).as("_k"), lit(nm).as("_p"),
+        (lit(p) * (col("_n") - lit(1)).cast("double")).as("_pos"))
+    }.reduce(_ unionAll _)
+      .withColumn("_lo", floor(col("_pos")).cast("long") + 1)
+      .withColumn("_hi", ceil(col("_pos")).cast("long") + 1)
+    val bracketed = ranked.join(broadcast(targets),
+      col(keyCol) === col("_k") &&
+        (col("_rk") === col("_lo") || col("_rk") === col("_hi")))
+    val perP = bracketed
+      .groupBy(col(keyCol), col("_p"), col("_pos"), col("_lo"), col("_hi"))
+      .agg(
+        max(when(col("_rk") === col("_lo"), col("_v"))).as("_lov"),
+        max(when(col("_rk") === col("_hi"), col("_v"))).as("_hiv"))
+      .withColumn("_val",
+        when(col("_lo") === col("_hi"), col("_lov"))
+          .otherwise(col("_lov") +
+            (col("_hiv") - col("_lov")) * (col("_pos") - (col("_lo") - lit(1)).cast("double"))))
+    perP.groupBy(col(keyCol))
+      .pivot("_p", ps.map(_._1))
+      .agg(first(col("_val")))
+      .orderBy(keyCol)
+  }
+}

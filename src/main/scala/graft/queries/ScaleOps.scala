@@ -282,13 +282,30 @@ object ScaleOps {
       | COUNT(*) AS n_rows
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** p2: sort-based exact percentiles — value-identical to q24's
+    * `percentile()` per the shared interpolation formula, but computed
+    * with a spillable window sort + 2-row-per-(group,p) fetch instead of
+    * buffering whole groups in aggregation state (the q24 approach OOMs
+    * on hot groups at data scale). */
+  def p2PercentileDist(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedPercentile.groupPercentiles(
+      Tables(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+
+  private val p2Sql: String =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.5) AS p50,
+      | quantile_cont(l_quantity, 0.9) AS p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_minhash_neardup" -> (m1MinhashNeardup _),
     "m2_simhash_neardup" -> (m2SimhashNeardup _),
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
-    "s1_skew_agg" -> (s1SkewAgg _))
+    "s1_skew_agg" -> (s1SkewAgg _),
+    "p2_percentile_dist" -> (p2PercentileDist _))
 
   val oracles: Map[String, String] = Map(
     "m1_minhash_neardup" -> m1Sql,
@@ -296,5 +313,6 @@ object ScaleOps {
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
     "i1_ivf_topk" -> i1Sql,
-    "s1_skew_agg" -> s1Sql)
+    "s1_skew_agg" -> s1Sql,
+    "p2_percentile_dist" -> p2Sql)
 }

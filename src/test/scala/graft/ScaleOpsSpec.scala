@@ -117,6 +117,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("DistributedPercentile equals the built-in percentile() bit-for-bit") {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val dist = graft.operators.DistributedPercentile.groupPercentiles(
+      li, "l_returnflag", "l_quantity", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(dist == builtin)
+  }
+
   test("AnnSearch planes are deterministic and in [-1,1]") {
     val ps = AnnSearch.planes
     assert(ps.length == AnnSearch.Tables)
