@@ -111,6 +111,24 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: correlate two event streams on a key
+    * within a bounded event-time window (right event lands in
+    * [left.ts, left.ts + maxGap]). Both sides carry watermarks, so each
+    * side's join state is evicted once the watermark passes the interval
+    * bound — state stays proportional to the delay window, never the
+    * stream length. The canonical click→conversion attribution shape. */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+                maxGap: String = "10 minutes",
+                watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $maxGap"))
+      .select(col(s"l.$key").as(key),
+        col("l.event_id").as("left_event"), col("r.event_id").as("right_event"),
+        col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
+  }
+
   /** Stream-static enrichment join: events stream × a static dimension
     * (the integration-pipeline shape: facts arrive, dims are slowly
     * changing tables re-read per micro-batch). The static side joins

@@ -126,6 +126,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!buckets.contains("09:00"), s"expired event leaked: $buckets")
   }
 
+  test("stream-stream interval join correlates events within the gap only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    clicks.addData(Seq(
+      Event(1L, ts(0), 1L, "click", 1.0, "{}"),
+      Event(2L, ts(30), 2L, "click", 1.0, "{}")))
+    buys.addData(Seq(
+      Event(100L, ts(5), 1L, "buy", 9.0, "{}"),    // 5 min after click 1 -> joins
+      Event(101L, ts(50), 2L, "buy", 9.0, "{}"),   // 20 min after click 2 -> outside 10-min gap
+      Event(102L, ts(2), 2L, "buy", 9.0, "{}")))   // BEFORE u2's click -> excluded
+    val joined = StreamOps.correlate(clicks.toDF(), buys.toDF(), "user_id")
+    StreamOps.runToMemory(joined, "attributed", OutputMode.Append())
+    val got = spark.table("attributed")
+      .select("left_event", "right_event")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L)), s"got $got")
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
