@@ -260,9 +260,58 @@ object TextOps {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
       |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
 
+  /** d11: token-repetition ratio — the classic LLM-data quality signal
+    * (heavily repeated documents are boilerplate/spam): fraction of
+    * tokens that are repeats of an earlier token in the same document.
+    * Everything is per-row array arithmetic (split, array_distinct,
+    * size) — zero shuffles beyond the output sort. */
+  def d11Repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"))
+      .withColumn("repetition_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val d11Sql =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+      | ROUND(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |       / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS repetition_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** d12: per-language document-length profile via the scale-safe
+    * sort-based percentile operator (corpus profiling before filtering:
+    * "what does a typical doc look like per language?"). Reuses
+    * `DistributedPercentile` — spillable sort, 2 rows per (lang, p). */
+  def d12LenProfile(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("lang"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1).as("n_tokens"))
+    graft.operators.DistributedPercentile.groupPercentiles(
+      toks, "lang", "n_tokens", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+  }
+
+  private val d12Sql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS n_tokens
+      |  FROM documents)
+      |SELECT lang,
+      | quantile_cont(n_tokens, 0.5) AS p50,
+      | quantile_cont(n_tokens, 0.9) AS p90,
+      | quantile_cont(n_tokens, 0.99) AS p99
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_hash_split" -> (d9HashSplit _),
     "d10_vocab_topk" -> (d10VocabTopK _),
+    "d11_repetition" -> (d11Repetition _),
+    "d12_len_profile" -> (d12LenProfile _),
     "d7_bpe_tokens" -> (d7BpeTokens _),
     "d8_rolling_hash" -> (d8RollingHash _),
     "d1_exact_dedup" -> (d1ExactDedup _),
@@ -275,6 +324,8 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "d9_hash_split" -> d9Sql,
     "d10_vocab_topk" -> d10Sql,
+    "d11_repetition" -> d11Sql,
+    "d12_len_profile" -> d12Sql,
     "d7_bpe_tokens" -> d7Sql,
     "d8_rolling_hash" -> d8Sql,
     "d1_exact_dedup" -> d1Sql,

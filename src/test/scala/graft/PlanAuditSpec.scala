@@ -91,6 +91,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected <=1 exchange:\n${s.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
   }
 
+  test("no declared query ever plans a CartesianProduct") {
+    // sweeping scale-killer net over the whole inventory: broadcast cross
+    // joins on tiny dims (q19/q21) plan as BroadcastNestedLoopJoin and are
+    // fine; an un-broadcast CartesianProduct anywhere is a regression
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${plan.take(800)}")
+    }
+  }
+
   test("s1 salted agg: both phases partial-aggregate, no cartesian anywhere") {
     val s = formatted(SparkEntry.queries("s1_skew_agg")(spark, sfDir))
     // phase 1 (key,salt) and phase 2 (key) each split into partial+final
