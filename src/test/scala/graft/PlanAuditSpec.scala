@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions: the scale properties the queries claim
@@ -117,6 +118,51 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe->assignments join should broadcast the tiny probe side:\n" +
         s.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!s.contains("CartesianProduct"), "IVF probing must stay an equi-join")
+  }
+
+  test("partitioned sink + partition pruning: filtered read scans one partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables(spark, sfDir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val read = spark.read.parquet(tmp).filter(col("event_type") === "click")
+    val s = formatted(read)
+    // the predicate must land in PartitionFilters (directory pruning at
+    // the source — the 100 TB layout lever), NOT as a post-scan Filter
+    val pf = s.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("= click"),
+      s.linesIterator.filter(l => l.contains("Partition") || l.contains("Filter"))
+        .mkString("\n"))
+  }
+
+  test("bucketed tables co-locate: same-key join plans with zero exchanges") {
+    val ev = Tables(spark, sfDir, "events").select("event_id", "user_id", "value")
+    spark.sql("DROP TABLE IF EXISTS ev_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS ev_bucket_b")
+    ev.write.format("parquet").bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_bucket_a")
+    ev.write.format("parquet").bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_bucket_b")
+    // disable auto-broadcast: at the test SF the sides are broadcast-sized,
+    // but the property under audit is the big-big case where both sides
+    // are far past the broadcast threshold and bucketing is what removes
+    // the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucket_a").alias("a")
+        .join(spark.table("ev_bucket_b").alias("b"), "user_id")
+      val s = formatted(joined.groupBy(col("user_id")).agg(count(lit(1)).as("n")))
+      // bucket layout replaces the shuffle: both join sides and the
+      // follow-on user_id aggregation reuse the bucketing, so the whole
+      // plan runs without a single Exchange — the co-located-join lever
+      // the 100 TB design calls for
+      assert(nodeCount(s, "Exchange") == 0,
+        s.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS ev_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS ev_bucket_b")
+    }
   }
 
   test("bucketed reverse geocode: broadcast join on cell key, points never shuffle") {
