@@ -20,7 +20,15 @@ object Parsers {
   private val YearRx = raw"\b(\d{4})\b".r
 
   /** All 4-digit years within [lo, hi] (reference uses 1970–2023 for
-    * EDGAR, 1900–2100 for FEMA). */
+    * EDGAR, 1900–2100 for FEMA).
+    *
+    * DELIBERATE divergence from the NOAA client (`new_disaster_c.py:52-69`):
+    * its `word.isdigit()` token scan misses years with adjacent punctuation
+    * ("...in 1980?"), which only its hardcoded `"1980"`/`"1983"` substring
+    * fallbacks rescue for the demo corpus. The `\b(\d{4})\b` regex here
+    * subsumes both the scan and the fallbacks — identical answers on every
+    * reference question, and correct ones for the punctuated years the
+    * reference drops (spec-pinned in ParsersSpec). */
   def extractYears(q: String, lo: Int = 1900, hi: Int = 2100): List[Int] =
     YearRx.findAllMatchIn(q).map(_.group(1).toInt).filter(y => y >= lo && y <= hi).toList
 

@@ -39,6 +39,16 @@ class ParsersSpec extends AnyFunSuite {
     assert(extractYearFilter("no year here") == None)
   }
 
+  test("extractYears: punctuation-adjacent years (documented divergence)") {
+    // the NOAA client's isdigit() scan drops "2005?" and only hardcoded
+    // 1980/1983 substring fallbacks rescue its demo corpus; the regex
+    // handles every year uniformly
+    assert(extractYears("How many droughts occurred in 1980?") == List(1980))
+    assert(extractYears("total disaster cost in 1983?") == List(1983))
+    assert(extractYears("hurricanes in 2005?") == List(2005)) // reference: None
+    assert(extractYears("(2016)") == List(2016))
+  }
+
   test("extractComparison: more-than phrases with $ and commas") {
     assert(extractComparison("more than $5,000,000 in aid", "ihp_total") ==
       Some(NumericFilter("ihp_total", ">", 5000000.0)))
