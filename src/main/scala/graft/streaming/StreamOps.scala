@@ -111,6 +111,61 @@ object StreamOps {
       }
   }
 
+  /** Per-user session state for [[completedSessions]]. */
+  case class SessionState(start: Timestamp, lastTs: Timestamp,
+                          n_events: Long, total_value: Double)
+
+  /** A closed session emitted by [[completedSessions]]. */
+  case class SessionOut(user_id: Long, sess_start: Timestamp,
+                        n_events: Long, sess_value: Double)
+
+  /** Closed-session emission via flatMapGroupsWithState — the general
+    * keyed-state template when one input can emit zero..many outputs
+    * (mapGroupsWithState is exactly-one). Sessions buffer per user; a
+    * session closes either when a later event arrives past the gap, or
+    * when the EVENT-TIME timeout fires (watermark passes lastTs + gap) —
+    * so idle users' sessions still flush and their state is evicted,
+    * bounded by the watermark delay, never the stream length. */
+  def completedSessions(events: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start, s.n_events, s.total_value))
+          } else {
+            // micro-batch delivery is unordered within a group
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastTs.getTime <= gapMs =>
+                  cur = Some(s.copy(lastTs = e.ts,
+                    n_events = s.n_events + 1, total_value = s.total_value + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.n_events, s.total_value)
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: correlate two event streams on a key
     * within a bounded event-time window (right event lands in
     * [left.ts, left.ts + maxGap]). Both sides carry watermarks, so each

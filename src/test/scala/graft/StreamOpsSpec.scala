@@ -126,6 +126,36 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!buckets.contains("09:00"), s"expired event leaked: $buckets")
   }
 
+  test("flatMapGroupsWithState emits closed sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.completedSessions(ms.toDS())
+      .writeStream.format("memory").queryName("closed").outputMode(OutputMode.Append())
+      .start()
+    // session A: u1 at 10:00 + 10:05
+    ms.addData(Seq(
+      Event(1L, ts(0), 1L, "click", 1.0, "{}"),
+      Event(2L, ts(5), 1L, "click", 2.0, "{}")))
+    q.processAllAvailable()
+    // u1 again at 11:05 (gap 60m > 30m) -> closes session A in-batch and
+    // opens session B; u2's lone event opens session C
+    ms.addData(Seq(
+      Event(3L, ts(65), 1L, "click", 4.0, "{}"),
+      Event(4L, ts(70), 2L, "view", 8.0, "{}")))
+    q.processAllAvailable()
+    // far-future event advances the watermark (2h delay) past B and C's
+    // timeout timestamps -> both flush via the event-time timeout path
+    ms.addData(Seq(Event(9L, Timestamp.valueOf("2024-01-02 09:00:00"), 3L, "click", 0.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("closed")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.contains((1L, 2L, 3.0)), s"gap-closed session A missing: $got")
+    assert(got.contains((1L, 1L, 4.0)), s"timeout-closed session B missing: $got")
+    assert(got.contains((2L, 1L, 8.0)), s"timeout-closed session C missing: $got")
+  }
+
   test("stream-stream interval join correlates events within the gap only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
