@@ -136,6 +136,13 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
     resolve("edgar").select("Name").distinct()
       .collect().map(_.getString(0)).toList.sorted
 
+  /** ISO-3 code → canonical name, collected once (the reference's
+    * `{country_code → name}` probe dict, `EDGARclient.py:91-140` — J2's
+    * engine-side analog). */
+  private lazy val edgarCodeToName: Map[String, String] =
+    resolve("edgar").select("Country_code_A3", "Name").distinct()
+      .collect().map(r => r.getString(0).toUpperCase -> r.getString(1)).toMap
+
   /** Cities resolved against the cached City dimension — exact
     * (case-insensitive) first, then fuzzy top-1 at difflib cutoff 0.8
     * (`era5client.py:122-144`), then the external-geocoder fallback seam
@@ -161,8 +168,13 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
   def edgarAnswer(question: String): String = {
     val gases = Parsers.detectMetrics(question, Domain.metricRegistry("edgar"))
     if (gases.isEmpty) return llm.answer(question, "no gas recognized")
-    val countries = Parsers.entityCandidates(question)
-      .flatMap(c => Parsers.fuzzyResolve(c, edgarCountries, 0.85)).distinct
+    // candidates resolve as ISO-3 codes first (exact, case-insensitive),
+    // then fuzzy against names — the reference probes its code dict before
+    // get_close_matches (`EDGARclient.py:120-157`)
+    val cands = Parsers.entityCandidates(question)
+    val countries =
+      (cands.flatMap(c => edgarCodeToName.get(c.toUpperCase)) ++
+        cands.flatMap(c => Parsers.fuzzyResolve(c, edgarCountries, 0.85))).distinct
     val preds = Seq.newBuilder[Predicate]
     preds += Predicate.In("gas", gases)
     if (countries.nonEmpty) preds += Predicate.In("Name", countries)

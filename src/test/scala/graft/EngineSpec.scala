@@ -151,6 +151,14 @@ class EngineSpec extends AnyFunSuite {
     assert(a.contains("Brazil 2020"), a)
   }
 
+  test("EDGAR: ISO-3 country codes resolve via the code dimension (J2)") {
+    val a = engine.edgarAnswer("What were the CO2 emissions in CHN in 2018?")
+    assert(a.contains("China 2018: 10717.4 kt"), a)
+    // case-insensitive, like the reference's token probe
+    val b = engine.edgarAnswer("co2 for usa in 2015")
+    assert(b.contains("United States 2015"), b)
+  }
+
   test("EDGAR: boundary directional year filters stay filters, never unfiltered") {
     // "after 2020" (the newest fixture year) must return NO rows — a naive
     // (y+1 to max).toList expansion would be empty and read as "no filter",
