@@ -168,13 +168,18 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
   def edgarAnswer(question: String): String = {
     val gases = Parsers.detectMetrics(question, Domain.metricRegistry("edgar"))
     if (gases.isEmpty) return llm.answer(question, "no gas recognized")
-    // candidates resolve as ISO-3 codes first (exact, case-insensitive),
-    // then fuzzy against names — the reference probes its code dict before
-    // get_close_matches (`EDGARclient.py:120-157`)
+    // candidates resolve as ISO-3 codes first, then fuzzy against names —
+    // the reference probes its code dict before get_close_matches
+    // (`EDGARclient.py:120-157`). DELIBERATE divergence: codes only match
+    // when written in ALL CAPS ("CHN"), because the reference's
+    // case-insensitive probe turns common words into countries ("are" →
+    // ARE/United Arab Emirates, "can" → CAN/Canada, "per" → PER/Peru) on
+    // the full 210-country dimension — spec-pinned in EngineSpec.
     val cands = Parsers.entityCandidates(question)
+    val byCode = cands.filter(c => c.length == 3 && c.forall(_.isUpper))
+      .flatMap(edgarCodeToName.get)
     val countries =
-      (cands.flatMap(c => edgarCodeToName.get(c.toUpperCase)) ++
-        cands.flatMap(c => Parsers.fuzzyResolve(c, edgarCountries, 0.85))).distinct
+      (byCode ++ cands.flatMap(c => Parsers.fuzzyResolve(c, edgarCountries, 0.85))).distinct
     val preds = Seq.newBuilder[Predicate]
     preds += Predicate.In("gas", gases)
     if (countries.nonEmpty) preds += Predicate.In("Name", countries)
@@ -186,9 +191,7 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
       case Some(Parsers.YearRange(a, b)) => preds += Predicate.Between("year", a, b)
       case Some(Parsers.YearEq(y)) => preds += Predicate.Eq("year", y)
       case Some(Parsers.YearCmp(op, y)) => preds += Predicate.Cmp("year", op, y)
-      case None =>
-        val ys = Parsers.extractYears(question, 1970, 2023)
-        if (ys.nonEmpty) preds += Predicate.In("year", ys)
+      case None => () // no year phrase → no year filter (all years)
     }
     val spec = QuerySpec("edgar", where = preds.result(),
       groupBy = Seq("Name", "year"),

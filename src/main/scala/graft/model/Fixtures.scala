@@ -76,7 +76,10 @@ object Fixtures {
     Seq(
       ("Non-Annex_I", "CHN", "China", "CO2", 10275.1, 10717.4, 11030.0),
       ("Non-Annex_I", "BRA", "Brazil", "CH4", 20554.0, 20783.1, 21002.9),
-      ("Annex_I", "USA", "United States", "CO2", 5007.3, 4900.1, 5222.2))
+      ("Annex_I", "USA", "United States", "CO2", 5007.3, 4900.1, 5222.2),
+      // ARE's code collides with the English word "are" — pins the
+      // all-caps-only code matching in ClimateEngine.edgarAnswer
+      ("Non-Annex_I", "ARE", "United Arab Emirates", "CO2", 201.1, 222.4, 241.9))
       .toDF("IPCC_annex", "Country_code_A3", "Name", "Substance", "Y_2015", "Y_2018", "Y_2020")
   }
 

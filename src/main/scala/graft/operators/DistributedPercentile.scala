@@ -30,7 +30,11 @@ object DistributedPercentile {
                        ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_v"))
+    // percentile()/quantile_cont ignore NULLs; rank/count only real values
+    // (an ascending sort would otherwise rank nulls first and skew both
+    // the count and the bracketing ranks)
     val ranked = df.select(col(keyCol), col(valCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
       .withColumn("_rk", row_number().over(w))
     val counts = ranked.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
     // 0-based fractional position per (group, percentile); bracketing

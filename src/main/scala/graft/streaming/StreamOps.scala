@@ -148,8 +148,14 @@ object StreamOps {
             evs.foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.lastTs.getTime <= gapMs =>
-                  cur = Some(s.copy(lastTs = e.ts,
-                    n_events = s.n_events + 1, total_value = s.total_value + e.value))
+                  // a late-but-in-watermark event from an earlier batch can
+                  // precede the stored bounds — extend, never rewind (a
+                  // plain lastTs = e.ts would move the timeout backwards
+                  // and mis-stamp sess_start)
+                  val start = if (e.ts.before(s.start)) e.ts else s.start
+                  val last = if (e.ts.after(s.lastTs)) e.ts else s.lastTs
+                  cur = Some(SessionState(start, last,
+                    s.n_events + 1, s.total_value + e.value))
                 case Some(s) =>
                   closed += SessionOut(uid, s.start, s.n_events, s.total_value)
                   cur = Some(SessionState(e.ts, e.ts, 1L, e.value))

@@ -154,9 +154,17 @@ class EngineSpec extends AnyFunSuite {
   test("EDGAR: ISO-3 country codes resolve via the code dimension (J2)") {
     val a = engine.edgarAnswer("What were the CO2 emissions in CHN in 2018?")
     assert(a.contains("China 2018: 10717.4 kt"), a)
-    // case-insensitive, like the reference's token probe
-    val b = engine.edgarAnswer("co2 for usa in 2015")
+    val b = engine.edgarAnswer("CO2 for USA in 2015")
     assert(b.contains("United States 2015"), b)
+    // divergence pin: the reference's case-insensitive probe would turn
+    // the word "are" into ARE (United Arab Emirates); all-caps-only
+    // matching keeps common words from becoming countries
+    val c = engine.edgarAnswer("What are the CO2 emissions of China in 2018?")
+    assert(c.contains("China 2018"), c)
+    assert(!c.contains("United Arab Emirates"), c)
+    // ...while an explicit all-caps ARE still resolves
+    val d = engine.edgarAnswer("CO2 emissions in ARE in 2018")
+    assert(d.contains("United Arab Emirates 2018"), d)
   }
 
   test("EDGAR: boundary directional year filters stay filters, never unfiltered") {
@@ -186,7 +194,7 @@ class EngineSpec extends AnyFunSuite {
     val long = edgarLong
     assert(long.filter(col("Name") === "China" && col("year") === 2020)
       .collect()(0).getAs[Double]("value") == 11030.0)
-    assert(long.count() == 9) // 3 rows x 3 years
+    assert(long.count() == 12) // 4 rows x 3 years
   }
 
   test("ERA5 ingest pipeline end-to-end: grid -> bbox -> geocode -> city means") {

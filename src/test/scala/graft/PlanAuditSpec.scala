@@ -96,11 +96,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // sweeping scale-killer net over the whole inventory: broadcast cross
     // joins on tiny dims (q19/q21) plan as BroadcastNestedLoopJoin and are
     // fine; an un-broadcast CartesianProduct anywhere is a regression
-    SparkEntry.queries.foreach { case (name, fn) =>
+    try SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n${plan.take(800)}")
-    }
+    } finally spark.catalog.clearCache() // i1/m1/m2 construction persists
   }
 
   test("s1 salted agg: both phases partial-aggregate, no cartesian anywhere") {
@@ -121,17 +121,24 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("partitioned sink + partition pruning: filtered read scans one partition") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
-    Tables(spark, sfDir, "events")
-      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-    val read = spark.read.parquet(tmp).filter(col("event_type") === "click")
-    val s = formatted(read)
-    // the predicate must land in PartitionFilters (directory pruning at
-    // the source — the 100 TB layout lever), NOT as a post-scan Filter
-    val pf = s.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(pf.contains("= click"),
-      s.linesIterator.filter(l => l.contains("Partition") || l.contains("Filter"))
-        .mkString("\n"))
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_part")
+    val tmp = tmpPath.toString
+    try {
+      Tables(spark, sfDir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      val read = spark.read.parquet(tmp).filter(col("event_type") === "click")
+      val s = formatted(read)
+      // the predicate must land in PartitionFilters (directory pruning at
+      // the source — the 100 TB layout lever), NOT as a post-scan Filter
+      val pf = s.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("= click"),
+        s.linesIterator.filter(l => l.contains("Partition") || l.contains("Filter"))
+          .mkString("\n"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("bucketed tables co-locate: same-key join plans with zero exchanges") {

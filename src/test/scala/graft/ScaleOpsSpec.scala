@@ -130,6 +130,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(dist == builtin)
   }
 
+  test("DistributedPercentile ignores NULLs like percentile()/quantile_cont") {
+    import spark.implicits._
+    val df = Seq(("a", Some(10.0)), ("a", None), ("a", Some(20.0)), ("a", Some(30.0)),
+      ("b", Some(5.0)), ("b", None))
+      .toDF("k", "v")
+    val got = graft.operators.DistributedPercentile
+      .groupPercentiles(df, "k", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 20.0, "b" -> 5.0), got)
+  }
+
   test("AnnSearch planes are deterministic and in [-1,1]") {
     val ps = AnnSearch.planes
     assert(ps.length == AnnSearch.Tables)

@@ -156,6 +156,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L, 8.0)), s"timeout-closed session C missing: $got")
   }
 
+  test("completedSessions extends, never rewinds, on late-but-valid events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.completedSessions(ms.toDS())
+      .writeStream.format("memory").queryName("late_sess").outputMode(OutputMode.Append())
+      .start()
+    ms.addData(Seq(Event(1L, ts(20), 1L, "click", 1.0, "{}")))    // 10:20
+    q.processAllAvailable()
+    // late event at 10:00 (inside the 2h watermark): must extend the
+    // session's start backwards WITHOUT rewinding lastTs/timeout
+    ms.addData(Seq(Event(2L, ts(0), 1L, "click", 2.0, "{}")))
+    q.processAllAvailable()
+    // 10:45 is within 30 min of lastTs=10:20 -> same session (a rewound
+    // lastTs=10:00 would wrongly split here)
+    ms.addData(Seq(Event(3L, ts(45), 1L, "click", 4.0, "{}")))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(9L, Timestamp.valueOf("2024-01-02 09:00:00"), 3L, "click", 0.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_sess").filter(col("user_id") === 1L)
+      .collect().map(r => (r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((ts(0), 3L, 7.0)), s"got $got")
+  }
+
   test("stream-stream interval join correlates events within the gap only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
