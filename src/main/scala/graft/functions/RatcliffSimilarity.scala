@@ -62,5 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(RatcliffSimilarity.info)
     ext.injectFunction(DotProduct.info)
+    ext.injectFunction(SketchFunctions.simhashInfo)
+    ext.injectFunction(SketchFunctions.minhashInfo)
+    ext.injectFunction(SketchFunctions.hex60Info)
+    ext.injectFunction(NearestEntry.info)
   }
 }

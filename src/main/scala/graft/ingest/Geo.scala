@@ -106,17 +106,16 @@ object Geo {
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("lat"), col("lon"),
         col("city"), col("country"))).as("cands"))
+    graft.functions.NearestEntry.register(points.sparkSession)
     points
       .join(broadcast(cells),
         key(latCell(col("latitude")), lonCell(col("longitude"))) === col("cell"),
         "left")
-      // per-row argmin over ~|ring| candidates: transform/array_min are
-      // interpreted (CodegenFallback), but the fold is O(candidates) per
-      // row with no shuffle — the right trade against exploding points
-      .withColumn("_g_best", array_min(transform(col("cands"), c =>
-        struct(
-          haversineKm(col("latitude"), col("longitude"), c("lat"), c("lon")).as("d"),
-          c("city").as("city"), c("country").as("country")))))
+      // per-row argmin over ~|ring| candidates as ONE codegen'd loop
+      // (`nearest_entry`; the composable transform/array_min form runs
+      // interpreted and allocates a scored struct per candidate)
+      .withColumn("_g_best", graft.functions.NearestEntry.nearestEntry(
+        col("latitude"), col("longitude"), col("cands")))
       .withColumn("City", col("_g_best.city"))
       .withColumn("Country", col("_g_best.country"))
       .drop("cell", "cands", "_g_best")

@@ -44,4 +44,35 @@ class FunctionsSpec extends AnyFunSuite {
         org.apache.spark.sql.catalyst.expressions.Literal("bcde")))
     assert(built.eval(null) == 0.75)
   }
+
+  test("nearest_entry: argmin by haversine with (city, country) tie-break") {
+    import spark.implicits._
+    graft.functions.NearestEntry.register(spark)
+    // point at origin; two candidates equidistant (symmetric lat) must tie-
+    // break to the lexicographically smaller city; a closer third wins
+    val df = Seq((0.0, 0.0)).toDF("latitude", "longitude")
+      .withColumn("cands", expr(
+        """array(
+          | named_struct('lat',  1.0D, 'lon', 0.0D, 'city', 'Beta',  'country', 'X'),
+          | named_struct('lat', -1.0D, 'lon', 0.0D, 'city', 'Alpha', 'country', 'X'))""".stripMargin))
+    val tie = df.select(graft.functions.NearestEntry.nearestEntry(
+        col("latitude"), col("longitude"), col("cands")).as("b"))
+      .select("b.city").collect()(0).getString(0)
+    assert(tie == "Alpha")
+    val df2 = df.withColumn("cands", expr(
+      """array(
+        | named_struct('lat', 5.0D, 'lon', 0.0D, 'city', 'Far',  'country', 'X'),
+        | named_struct('lat', 0.1D, 'lon', 0.1D, 'city', 'Near', 'country', 'X'))""".stripMargin))
+    val near = df2.select(graft.functions.NearestEntry.nearestEntry(
+        col("latitude"), col("longitude"), col("cands")).as("b"))
+      .select("b.city").collect()(0).getString(0)
+    assert(near == "Near")
+    // empty candidate array -> null struct
+    val empty = df.withColumn("cands", expr(
+      "CAST(array() AS array<struct<lat:double,lon:double,city:string,country:string>>)"))
+      .select(graft.functions.NearestEntry.nearestEntry(
+        col("latitude"), col("longitude"), col("cands")).as("b"))
+      .collect()(0)
+    assert(empty.isNullAt(0))
+  }
 }
