@@ -302,6 +302,28 @@ class EngineSpec extends AnyFunSuite {
     assert(buck == lit)
   }
 
+  test("reverseGeocodeAuto dispatches on gazetteer size") {
+    import spark.implicits._
+    val pts = Seq((19.0, 72.9)).toDF("latitude", "longitude")
+    // small gazetteer -> literal path: a join-free plan (the least() fold
+    // constant-folds away over this local relation, so test for the
+    // absence of the bucketed path's join rather than the function name)
+    val small = graft.ingest.Geo.reverseGeocodeAuto(pts, Fixtures.gazetteer(spark))
+    assert(!small.queryExecution.executedPlan.toString.contains("Join"),
+      "expected the join-free literal plan for a small gazetteer")
+    assert(small.select("City").collect()(0).getString(0) == "Mumbai")
+    // >LiteralPathMax rows -> bucketed path: a join appears instead
+    // fixed longitude so the probe point's 3x3 cell ring holds candidates
+    val big = (0 to graft.ingest.Geo.LiteralPathMax)
+      .map(i => (s"c$i", "X", 10.0 + i * 0.01, 72.5))
+      .toDF("city", "country", "lat", "lon")
+    val bucketed = graft.ingest.Geo.reverseGeocodeAuto(pts, big)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"expected the bucketed join plan:\n${plan.take(400)}")
+    assert(bucketed.select("City").collect()(0).getString(0).startsWith("c"),
+      "bucketed path must still answer")
+  }
+
   test("bucketed reverse geocode: 10^5-row gazetteer plans and answers exactly") {
     import spark.implicits._
     // ~100k synthetic cities on a 0.5 deg x 0.72 deg grid: dense enough
