@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ApproxOps
+
+/** Accuracy envelopes for the approximate sketch surface — these cannot
+  * be oracle-checked (sketch internals are engine-private), so the
+  * contract pinned here is bounded error against the exact answers. */
+class ApproxOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("approx_count_distinct lands within 3x its target rsd of exact") {
+    val ev = Tables(spark, sfDir, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ApproxOps.approxDistinct(ev, Seq("event_type"), "user_id", rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val rel = math.abs(approx(k) - n).toDouble / n
+      assert(rel <= 0.15, s"type $k: exact $n approx ${approx(k)} rel $rel")
+    }
+  }
+
+  test("approx_percentile brackets the exact percentiles") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.5, 0.9))").as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = ApproxOps.approxPercentiles(
+        li, Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, ps) =>
+      ps.zip(approx(k)).foreach { case (e, a) =>
+        // l_quantity spans 1..50; a high-accuracy sketch must land within
+        // one integer step of the exact interpolated value
+        assert(math.abs(a - e) <= 1.0, s"group $k: exact $e approx $a")
+      }
+    }
+  }
+}
