@@ -30,6 +30,18 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines with an explicit schema (source-family completeness next
+    * to S1/S2 — the interchange format event feeds and API dumps arrive
+    * in). Same rationale as [[csv]]: pinning the schema skips the
+    * inference pass and surfaces drift as nulls instead of silent type
+    * changes; `multiLine = true` reads one JSON document per FILE (a
+    * non-splittable layout — keep the default line-per-record form for
+    * anything large). */
+  def json(spark: SparkSession, path: String, schema: StructType,
+           multiLine: Boolean = false): DataFrame =
+    spark.read.schema(schema)
+      .option("multiLine", multiLine.toString).json(path)
+
   /** JDBC scan (S1 parity-ingest form, e.g. `jdbc:sqlite:` for reading
     * the reference's own DB files). `partitionColumn` options enable
     * parallel reads; predicates still push to the remote engine. */

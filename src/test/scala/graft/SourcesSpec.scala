@@ -31,6 +31,27 @@ class SourcesSpec extends AnyFunSuite {
       .collect()(0).getDouble(2) == 177.1)
   }
 
+  test("json reader: explicit schema, drift surfaces as null not type change") {
+    val dir = Files.createTempDirectory("json_src")
+    val f = dir.resolve("events.jsonl")
+    Files.writeString(f,
+      """{"event_id": 1, "event_type": "click", "value": 1.5}
+        |{"event_id": 2, "event_type": "view", "value": "not-a-number"}
+        |{"event_id": 3, "event_type": "click"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val df = Sources.json(spark, f.toString, schema)
+    assert(df.schema == schema)
+    assert(df.count() == 3)
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(2) == 1.5)
+    assert(byId(2L).isNullAt(2), "type drift must surface as null")
+    assert(byId(3L).isNullAt(2), "missing field must surface as null")
+  }
+
   test("parquet sink round-trips with partition pruning layout") {
     val dir = Files.createTempDirectory("pq_sink").resolve("era5")
     Sources.saveParquet(graft.model.Fixtures.era5(spark), dir.toString,
