@@ -18,7 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * result — the hot-path shape for `Geo.reverseGeocodeBucketed` where
   * every grid point of a 100 TB ETL pass evaluates it. The distance
   * formula replicates `Geo.haversineKm` operation-for-operation, so both
-  * paths pick identical winners.
+  * paths pick identical winners on well-formed candidates.
+  *
+  * Degenerate candidates are SKIPPED rather than crashed on or scored:
+  * null array elements, null lat/lon/city/country fields, and NaN
+  * distances (NaN probe or candidate coordinates) never win; if no valid
+  * candidate remains the result is null. (The array_min form it replaces
+  * NPE-free but nondeterministically ranked NaN-scored structs; skipping
+  * is the deliberate, saner contract.)
   */
 case class NearestEntry(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {
@@ -45,25 +52,34 @@ case class NearestEntry(first: Expression, second: Expression, third: Expression
       var bestCountry: UTF8String = null
       var i = 0
       while (i < n) {
-        val c = arr.getStruct(i, 4)
-        val d = NearestEntry.haversineKm(lat, lon, c.getDouble(0), c.getDouble(1))
-        val city = c.getUTF8String(2)
-        val country = c.getUTF8String(3)
-        val better =
-          if (bestCity == null) true
-          else if (d != bestD) d < bestD
-          else {
-            val cc = city.compareTo(bestCity)
-            cc < 0 || (cc == 0 && country.compareTo(bestCountry) < 0)
+        val skip = arr.isNullAt(i) || {
+          val c = arr.getStruct(i, 4)
+          c.isNullAt(0) || c.isNullAt(1) || c.isNullAt(2) || c.isNullAt(3)
+        }
+        if (!skip) {
+          val c = arr.getStruct(i, 4)
+          val d = NearestEntry.haversineKm(lat, lon, c.getDouble(0), c.getDouble(1))
+          if (!java.lang.Double.isNaN(d)) {
+            val city = c.getUTF8String(2)
+            val country = c.getUTF8String(3)
+            val better =
+              if (bestCity == null) true
+              else if (d != bestD) d < bestD
+              else {
+                val cc = city.compareTo(bestCity)
+                cc < 0 || (cc == 0 && country.compareTo(bestCountry) < 0)
+              }
+            if (better) {
+              bestD = d
+              bestCity = city.clone() // detach from possibly-reused buffers
+              bestCountry = country.clone()
+            }
           }
-        if (better) {
-          bestD = d
-          bestCity = city.clone() // detach from possibly-reused buffers
-          bestCountry = country.clone()
         }
         i += 1
       }
-      new GenericInternalRow(Array[Any](bestCity, bestCountry))
+      if (bestCity == null) null
+      else new GenericInternalRow(Array[Any](bestCity, bestCountry))
     }
   }
 
@@ -85,32 +101,35 @@ case class NearestEntry(first: Expression, second: Expression, third: Expression
       val generic = classOf[GenericInternalRow].getName
       s"""
          |final int $n = $cands.numElements();
-         |if ($n == 0) {
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |$utf8 $bestCity = null;
+         |$utf8 $bestCountry = null;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($cands.isNullAt($i)) continue;
+         |  final $row $c = $cands.getStruct($i, 4);
+         |  if ($c.isNullAt(0) || $c.isNullAt(1) || $c.isNullAt(2) || $c.isNullAt(3)) continue;
+         |  final double $d = graft.functions.NearestEntry.haversineKm(
+         |    $lat, $lon, $c.getDouble(0), $c.getDouble(1));
+         |  if (Double.isNaN($d)) continue;
+         |  final $utf8 $city = $c.getUTF8String(2);
+         |  final $utf8 $country = $c.getUTF8String(3);
+         |  boolean $better;
+         |  if ($bestCity == null) { $better = true; }
+         |  else if ($d != $bestD) { $better = $d < $bestD; }
+         |  else {
+         |    final int $cmp = $city.compareTo($bestCity);
+         |    $better = $cmp < 0 ||
+         |      ($cmp == 0 && $country.compareTo($bestCountry) < 0);
+         |  }
+         |  if ($better) {
+         |    $bestD = $d;
+         |    $bestCity = $city.clone();
+         |    $bestCountry = $country.clone();
+         |  }
+         |}
+         |if ($bestCity == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $bestD = Double.POSITIVE_INFINITY;
-         |  $utf8 $bestCity = null;
-         |  $utf8 $bestCountry = null;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final $row $c = $cands.getStruct($i, 4);
-         |    final double $d = graft.functions.NearestEntry.haversineKm(
-         |      $lat, $lon, $c.getDouble(0), $c.getDouble(1));
-         |    final $utf8 $city = $c.getUTF8String(2);
-         |    final $utf8 $country = $c.getUTF8String(3);
-         |    boolean $better;
-         |    if ($bestCity == null) { $better = true; }
-         |    else if ($d != $bestD) { $better = $d < $bestD; }
-         |    else {
-         |      final int $cmp = $city.compareTo($bestCity);
-         |      $better = $cmp < 0 ||
-         |        ($cmp == 0 && $country.compareTo($bestCountry) < 0);
-         |    }
-         |    if ($better) {
-         |      $bestD = $d;
-         |      $bestCity = $city.clone();
-         |      $bestCountry = $country.clone();
-         |    }
-         |  }
          |  ${ev.value} = new $generic(new Object[]{$bestCity, $bestCountry});
          |}
        """.stripMargin

@@ -75,4 +75,28 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(empty.isNullAt(0))
   }
+
+  test("nearest_entry skips null and NaN-distance candidates instead of crashing") {
+    import spark.implicits._
+    graft.functions.NearestEntry.register(spark)
+    val base = Seq((0.0, 0.0)).toDF("latitude", "longitude")
+    // null array element + null field + one valid candidate -> valid wins
+    val mixed = base.withColumn("cands", expr(
+      """array(
+        | CAST(NULL AS struct<lat:double,lon:double,city:string,country:string>),
+        | named_struct('lat', CAST(NULL AS DOUBLE), 'lon', 0.0D, 'city', 'BadLat', 'country', 'X'),
+        | named_struct('lat', 1.0D, 'lon', 0.0D, 'city', 'Good', 'country', 'X'))""".stripMargin))
+      .select(graft.functions.NearestEntry.nearestEntry(
+        col("latitude"), col("longitude"), col("cands")).as("b"))
+      .select("b.city").collect()(0).getString(0)
+    assert(mixed == "Good")
+    // NaN probe coordinate -> every distance NaN -> null result, no winner
+    val nanProbe = Seq((Double.NaN, 0.0)).toDF("latitude", "longitude")
+      .withColumn("cands", expr(
+        """array(named_struct('lat', 1.0D, 'lon', 0.0D, 'city', 'A', 'country', 'X'))"""))
+      .select(graft.functions.NearestEntry.nearestEntry(
+        col("latitude"), col("longitude"), col("cands")).as("b"))
+      .collect()(0)
+    assert(nanProbe.isNullAt(0), "NaN distances must never produce a winner")
+  }
 }
