@@ -4,13 +4,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every `SparkEntry.queries` entry against
   * `SPARK_GRAFT_SF_DIR` and emits ONE JSON metric line.
   *
-  * The line is emitted three ways so the driver can always recover it:
-  *   1. bare `println` on stdout (undecorated — build.sbt sets
-  *      `run / outputStrategy := StdoutOutput` so sbt doesn't prefix it);
-  *   2. a `GRAFT_BENCH_JSON ` prefixed copy on stderr (greppable even if
-  *      stdout is decorated or interleaved);
-  *   3. written to `bench_result.json` in the working directory (or
-  *      `SPARK_GRAFT_BENCH_OUT` if set).
+  * Emission contract: EXACTLY ONE line in the process's combined output
+  * contains the token "metric" — the bare JSON, printed on stdout AFTER
+  * `spark.stop()` so it is the last line this process writes (build.sbt
+  * sets `run / outputStrategy := StdoutOutput` so sbt doesn't prefix it).
+  * A driver that greps for the metric line and json-parses the match must
+  * never see a second, decorated candidate. Recovery copies that cannot
+  * collide with that grep:
+  *   1. written verbatim to `bench_result.json` in the working directory
+  *      (or `SPARK_GRAFT_BENCH_OUT` if set);
+  *   2. a base64-encoded copy on stderr behind the `GRAFT_BENCH_B64 `
+  *      marker (no JSON punctuation or keywords survive encoding).
+  *
+  * Queries run in name order (`sortBy(_._1)`) so per-query timings are
+  * position-comparable across rounds — Scala `Map` hash order reshuffles
+  * whenever the key set changes, which made round-over-round per-query
+  * diffs meaningless (the first queries absorb residual warm-up).
   *
   * A query that throws is recorded as -1 (failure sentinel) and listed in
   * the `failed` array — a failed run's wall time must never masquerade as
@@ -36,7 +45,7 @@ object Bench {
     val l = spark.range(100000).selectExpr("id AS k", "id * 2 AS v")
     val r = spark.range(100).selectExpr("id AS k", "id AS w")
     l.join(org.apache.spark.sql.functions.broadcast(r), "k").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink fully materializes every output column (count() lets
       // Spark skip projections the count doesn't need); report the best
       // of two runs — the second is free of one-time plan/codegen cost,
@@ -67,12 +76,10 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    println(json)
-    System.err.println(s"GRAFT_BENCH_JSON $json")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
@@ -80,6 +87,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
-    spark.stop()
+    System.err.println("GRAFT_BENCH_B64 " + java.util.Base64.getEncoder
+      .encodeToString(json.getBytes("UTF-8")))
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
+    // the single "metric"-bearing line, last thing this process prints
+    println(json)
   }
 }

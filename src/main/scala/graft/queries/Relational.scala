@@ -523,6 +523,63 @@ object Relational {
       | ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q25: TPC-H Q5-shape fact-fact multi-join — revenue per nation for one
+    * region and date window, with the local-supplier constraint
+    * (`c_nationkey = s_nationkey`). This is the one join family the rest of
+    * the inventory doesn't exercise: lineitem ⋈ orders is LARGE ⋈ LARGE, so
+    * no side can broadcast and the plan must shuffle both facts on
+    * `orderkey` (sort-merge or shuffled-hash — AQE's call, including
+    * runtime skew-split). Everything else stays cheap by construction:
+    *   - the date filter pushes to the `orders` scan and the quantity
+    *     filter to the `lineitem` scan (both visible as PushedFilters), so
+    *     the shuffled fact volume is cut before the exchange;
+    *   - customer/supplier shuffle-join on their keys (at 100 TB these are
+    *     the natural bucketing columns);
+    *   - nation/region are fixed-cardinality dims → explicit broadcast;
+    *   - the final aggregate carries ≤ |nation| groups.
+    * Reference analog: none — SURVEY §2.3 records the reference has no
+    * multi-table joins; this is the engine surface the harness's TPC-H-ish
+    * tables exist to prove at scale. */
+  def q25FactJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 5.0)
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val c = Tables(s, dir, "customer")
+    val su = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  private val q25Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_quantity >= 5.0
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_topn" -> (q2TopN _),
@@ -547,7 +604,8 @@ object Relational {
     "q21_cross_fanout" -> (q21CrossFanout _),
     "q22_cube" -> (q22Cube _),
     "q23_correlated_sub" -> (q23CorrelatedSub _),
-    "q24_percentiles" -> (q24Percentiles _))
+    "q24_percentiles" -> (q24Percentiles _),
+    "q25_fact_join" -> (q25FactJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -573,5 +631,6 @@ object Relational {
     "q21_cross_fanout" -> q21Sql,
     "q22_cube" -> q22Sql,
     "q23_correlated_sub" -> q23Sql,
-    "q24_percentiles" -> q24Sql)
+    "q24_percentiles" -> q24Sql,
+    "q25_fact_join" -> q25Sql)
 }

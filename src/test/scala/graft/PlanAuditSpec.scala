@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions: the scale properties the queries claim
@@ -118,6 +118,67 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe->assignments join should broadcast the tiny probe side:\n" +
         s.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(!s.contains("CartesianProduct"), "IVF probing must stay an equi-join")
+  }
+
+  test("q25 fact-fact join: filters push to both fact scans, dims broadcast, shuffle equi-join") {
+    // with auto-broadcast disabled, the only broadcasts left are the
+    // explicit nation/region hints; the fact-fact joins must then plan as
+    // shuffle equi-joins (sort-merge or shuffled-hash — never cartesian),
+    // which is exactly the big-big shape a 100 TB run would execute
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val s = formatted(SparkEntry.queries("q25_fact_join")(spark, sfDir))
+      assert(s.contains("GreaterThanOrEqual(l_quantity,5.0)"),
+        "quantity filter not pushed to the lineitem scan")
+      assert(s.contains("GreaterThanOrEqual(o_orderdate,"),
+        "date filter not pushed to the orders scan")
+      assert(nodeCount(s, "BroadcastHashJoin") >= 2,
+        s"nation/region hints lost:\n${s.linesIterator.filter(_.contains("Join")).mkString("\n")}")
+      assert(nodeCount(s, "SortMergeJoin") + nodeCount(s, "ShuffledHashJoin") >= 1,
+        s"no shuffle join for the fact-fact pair:\n${s.linesIterator.filter(_.contains("Join")).mkString("\n")}")
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        "every join must stay an equi-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // the runtime complement to SkewAgg's manual salting: one hot key makes
+    // one shuffle partition vastly larger than the rest, and AQE's skew-join
+    // rule must split it (visible as skew=true / "skewed" in the final
+    // plan) instead of letting a single reducer absorb the whole key
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 90% of rows share key 0, and the payload is incompressible (md5) —
+      // skew detection runs on COMPRESSED shuffle sizes, so a constant pad
+      // deflates away and the hot partition never crosses the 2× median bar
+      val left = spark.range(200000).select(
+        when(col("id") % 10 === 0, col("id")).otherwise(0L).as("k"),
+        org.apache.spark.sql.functions.md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(2000).select(col("id").as("k"), lit(1L).as("w"))
+      // global (ungrouped) aggregate on top: a groupBy("k") could reuse the
+      // join's hash partitioning, and AQE refuses to split skewed partitions
+      // when a downstream stage requires that distribution
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.max(col("payload")).as("m"))
+      val s = formatted(joined)
+      assert(s.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n" +
+          s.linesIterator.filter(l => l.contains("Join") || l.contains("AQEShuffleRead"))
+            .mkString("\n"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("partitioned sink + partition pruning: filtered read scans one partition") {
