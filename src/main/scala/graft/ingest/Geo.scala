@@ -126,7 +126,10 @@ object Geo {
     * broadcast join above it (plan size stays O(1) in gazetteer rows). */
   def reverseGeocodeAuto(points: DataFrame, gazetteer: DataFrame,
                          cellDeg: Double = 1.0): DataFrame =
-    if (gazetteer.limit(LiteralPathMax + 1).count() <= LiteralPathMax)
+    // head(n+1) probes partitions incrementally (first partition usually
+    // suffices) instead of the full shuffle-free-but-whole-scan job that
+    // limit(n+1).count() launches
+    if (gazetteer.head(LiteralPathMax + 1).length <= LiteralPathMax)
       reverseGeocode(points, gazetteer)
     else reverseGeocodeBucketed(points, gazetteer, cellDeg)
 

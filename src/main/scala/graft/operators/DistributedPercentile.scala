@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * window sort (a disk-spillable shuffle sort, never an in-memory buffer),
   * compute each percentile's bracketing ranks from the group counts, and
   * fetch exactly 2 rows per (group, percentile) with a broadcast of the
-  * tiny target-rank table. The interpolation replicates Spark's
-  * `Percentile.getPercentile` formula bit-for-bit
-  * (`lowerValue + (higherValue - lowerValue) * (position - lowerIndex)`),
-  * which DuckDB's `quantile_cont` also matches — so results are
-  * oracle-checkable, and a spec pins equality against `percentile()`.
+  * tiny target-rank table. The interpolation uses the WEIGHTED form
+  * `(higherIndex - position) * lowerValue + (position - lowerIndex) *
+  * higherValue` — the exact formula of Spark's `Percentile.getPercentile`
+  * AND (verified empirically on 1-ulp-divergent doubles) of DuckDB's
+  * `quantile_cont`; the algebraically-equal lerp form
+  * `lo + (hi - lo) * frac` can differ from both by 1 ulp, which the
+  * repr-exact oracle gate would flag. Groups whose values are all NULL
+  * surface with NULL percentiles, matching `percentile()`/`quantile_cont`
+  * row counts.
   */
 object DistributedPercentile {
 
@@ -55,11 +59,17 @@ object DistributedPercentile {
         max(when(col("_rk") === col("_hi"), col("_v"))).as("_hiv"))
       .withColumn("_val",
         when(col("_lo") === col("_hi"), col("_lov"))
-          .otherwise(col("_lov") +
-            (col("_hiv") - col("_lov")) * (col("_pos") - (col("_lo") - lit(1)).cast("double"))))
-    perP.groupBy(col(keyCol))
+          .otherwise(
+            ((col("_hi") - lit(1)).cast("double") - col("_pos")) * col("_lov") +
+              (col("_pos") - (col("_lo") - lit(1)).cast("double")) * col("_hiv")))
+    val pivoted = perP.groupBy(col(keyCol))
       .pivot("_p", ps.map(_._1))
       .agg(first(col("_val")))
+    // all-NULL groups were dropped by the isNotNull filter above; re-join
+    // onto the distinct keys so they surface with NULL percentile columns
+    // (the row set percentile()/quantile_cont produce)
+    df.select(col(keyCol)).distinct()
+      .join(pivoted, Seq(keyCol), "left")
       .orderBy(keyCol)
   }
 }

@@ -64,8 +64,9 @@ object TextAnalysis {
         size(array_intersect(col("grams"), array(profile.map(lit): _*))).as("score"),
         lit(lang).as("lang"))
     }
-    // max over (score, lang) structs = argmax with deterministic
-    // alphabetical tie-break
+    // max over (score, lang) structs = argmax; score ties break to the
+    // lexically LARGEST language code (struct comparison falls through to
+    // the second field), deterministic and spec-pinned
     scored.withColumn("best", greatest(langScores: _*))
       .select(
         col("id"),

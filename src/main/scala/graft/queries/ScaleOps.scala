@@ -201,9 +201,16 @@ object ScaleOps {
     val e = Tables(s, dir, "embeddings")
     val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
       k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
-    IvfSearch.approxTopK(e.filter(col("vec_id") < 3), idx,
-        "vec_id", "embedding", k = IvfTopK, nprobe = IvfNprobe)
-      .orderBy("q_id", "rk")
+    try {
+      val res = IvfSearch.approxTopK(e.filter(col("vec_id") < 3), idx,
+          "vec_id", "embedding", k = IvfTopK, nprobe = IvfNprobe)
+        .orderBy("q_id", "rk")
+      // materialize before closing the index so the cached inverted file
+      // is released here, not leaked to the caller; the result is bounded
+      // (|queries|·k = 15 rows), so this collect is a final-answer collect,
+      // same class as Bench/Verify's own materialization
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
   }
 
   private val i1Sql: String = {

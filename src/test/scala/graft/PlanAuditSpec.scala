@@ -113,11 +113,22 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("i1 ivf probe: candidate join is broadcast, corpus side never cartesian") {
-    val s = formatted(SparkEntry.queries("i1_ivf_topk")(spark, sfDir))
-    assert(nodeCount(s, "BroadcastHashJoin") >= 1,
-      s"probe->assignments join should broadcast the tiny probe side:\n" +
-        s.linesIterator.filter(_.contains("Join")).mkString("\n"))
-    assert(!s.contains("CartesianProduct"), "IVF probing must stay an equi-join")
+    // audit the operator's live plan: the i1 query wrapper materializes
+    // and closes the index (cache-leak fix), so its returned frame is a
+    // LocalRelation with no join left to inspect
+    val e = Tables(spark, sfDir, "embeddings")
+    val idx = graft.operators.IvfSearch.buildIndex(
+      e, "vec_id", "embedding", k = 8, iters = 2, roundDecimals = 6)
+    try {
+      val probe = graft.operators.IvfSearch.approxTopK(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 3), idx,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      val s = formatted(probe)
+      assert(nodeCount(s, "BroadcastHashJoin") >= 1,
+        s"probe->assignments join should broadcast the tiny probe side:\n" +
+          s.linesIterator.filter(_.contains("Join")).mkString("\n"))
+      assert(!s.contains("CartesianProduct"), "IVF probing must stay an equi-join")
+    } finally idx.close()
   }
 
   test("q25 fact-fact join: filters push to both fact scans, dims broadcast, shuffle equi-join") {

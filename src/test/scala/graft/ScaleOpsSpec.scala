@@ -141,6 +141,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 20.0, "b" -> 5.0), got)
   }
 
+  test("DistributedPercentile surfaces all-NULL groups with NULL values like percentile()") {
+    import spark.implicits._
+    val df = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("c", None), ("c", None))
+      .toDF("k", "v")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    val builtin = norm(df.groupBy(col("k"))
+      .agg(expr("percentile(v, 0.5)").as("p50")).orderBy("k").collect())
+    val got = norm(graft.operators.DistributedPercentile
+      .groupPercentiles(df, "k", "v", Seq("p50" -> 0.5)).collect())
+    assert(got == builtin, s"got $got vs builtin $builtin")
+    assert(got.contains(("c", None)), "all-NULL group must surface with NULL value")
+  }
+
+  test("i1IvfTopk releases the IVF index cache (no persisted RDDs leaked)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = queries.ScaleOps.i1IvfTopk(spark, sfDir)
+    assert(res.count() > 0)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDD ids: $leaked")
+  }
+
   test("AnnSearch planes are deterministic and in [-1,1]") {
     val ps = AnnSearch.planes
     assert(ps.length == AnnSearch.Tables)

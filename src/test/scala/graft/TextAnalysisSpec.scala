@@ -24,6 +24,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) == "unknown", got.toString)
   }
 
+  test("languageId score ties break to the lexically largest language code") {
+    import spark.implicits._
+    // trigrams of "xthex yy lax": exactly one en hit ("the") and one es hit
+    // (" la"), zero de hits — a genuine 1-1 score tie; greatest over
+    // (score, lang) structs resolves it to the larger code, "es"
+    val docs = Seq((1L, "xthex yy lax")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(docs, "doc_id", "text").collect()(0)
+    assert(got.getInt(2) == 1, s"expected score 1, got $got")
+    assert(got.getString(1) == "es", s"tie must resolve reverse-alphabetically, got $got")
+  }
+
   test("bpeTokenCount splits symbols and digit runs into their own tokens") {
     import spark.implicits._
     val df = Seq(("hello, world 42!")).toDF("text")
