@@ -10,18 +10,22 @@ import org.apache.spark.sql.functions._
   * per-partition passes — the Scala analog of the mapInPandas pattern
   * (arrow batches → vectorized decode).
   *
-  * The actual media decode is STUBBED (this container ships no
-  * image/audio codecs): `FakeCodec` derives deterministic
-  * dimensions/frames/features from the bytes' md5, so every schema,
-  * partitioning, and batch-shape decision is real and tested while the
-  * codec call sites are single, clearly-marked functions to swap for
-  * javacv/ffmpeg bindings in production.
+  * The IMAGE path is real: [[ImageCodec]] decodes PNG/JPEG/GIF/BMP via
+  * the JDK's `javax.imageio` (no external dependency), reads actual
+  * width/height/band-count, and extracts a deterministic 64-dim
+  * grid-luminance embedding from the decoded pixels; real resize +
+  * PNG re-encode runs through an offscreen `Graphics2D`. Payloads no
+  * registered ImageIO reader claims (e.g. the text-bytes fixture media)
+  * fall back to [[FakeCodec]]'s digest-derived stand-in, as do VIDEO
+  * frames (this container ships no video codec; the ffmpeg-binding call
+  * site stays a single clearly-marked function).
   *
   * Scale notes: decode is the CPU hot spot, so [[decodeImages]]
   * repartitions by media_id to spread work across executors regardless
   * of upstream file layout, and processing runs per-partition
   * (mapPartitions — one codec init per task, not per row, exactly like
-  * a pandas-UDF batch).
+  * a pandas-UDF batch). ImageIO's tmp-file disk cache is disabled once
+  * per executor JVM — per-row tmp writes would thrash task-local disk.
   */
 object MediaOps {
 
@@ -35,9 +39,77 @@ object MediaOps {
 
   case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
-  /** ======== STUB CODEC ========
-    * Deterministic fake standing in for a real decoder; replace these
-    * three functions (only) with real bindings. */
+  /** Real in-JDK image codec (javax.imageio): decode, grid-luminance
+    * features, resize, PNG re-encode. Everything is deterministic —
+    * PNG/JPEG decoding and the sRGB conversion in `getRGB` are
+    * pixel-exact functions of the payload. */
+  object ImageCodec {
+    // one-time per-JVM: ImageIO defaults to spooling streams through a
+    // tmp-file cache, which per-row would hammer task-local disk
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decode any format a registered ImageIO reader claims (PNG, JPEG,
+      * GIF, BMP, WBMP in a stock JDK); None for unclaimed payloads. */
+    def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case _: java.io.IOException => None }
+
+    /** 64-dim embedding: mean luminance over an 8×8 cell grid of the
+      * decoded pixels (the classic perceptual-thumbnail feature),
+      * normalized to [0,1] — same dim as the embeddings table, so the
+      * ANN path applies unchanged. */
+    def gridFeatures(img: java.awt.image.BufferedImage, grid: Int = 8): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Float](grid * grid)
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          val x0 = gx * w / grid; val x1 = math.max(x0 + 1, (gx + 1) * w / grid)
+          val y0 = gy * h / grid; val y1 = math.max(y0 + 1, (gy + 1) * h / grid)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < h && y < y1) {
+            var x = x0
+            while (x < w && x < x1) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          out(gy * grid + gx) = if (n == 0) 0.0f else (sum / n).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+
+    /** Bilinear resize through an offscreen Graphics2D (headless-safe). */
+    def resize(img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** ======== STUB CODEC (video + undecodable-payload fallback) ========
+    * Deterministic fake standing in for a video decoder (and for image
+    * payloads no ImageIO reader claims); replace these three functions
+    * (only) with real ffmpeg bindings. */
   object FakeCodec {
     private def digest(b: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("MD5").digest(b)
@@ -73,29 +145,43 @@ object MediaOps {
       .as[MediaFile]
   }
 
-  /** Batched image decode + feature extraction. One codec per partition,
-    * rows processed as an iterator (never materialized per-task). */
+  /** Batched image decode + feature extraction: real ImageIO decode
+    * (actual width/height/bands + pixel-derived grid features), digest
+    * fallback for payloads no reader claims. Runs per-partition so codec
+    * setup happens once per task, rows stream as an iterator (never
+    * materialized per-task). */
   def decodeImages(media: Dataset[MediaFile], parallelism: Int): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image")
       .repartition(parallelism, col("media_id"))
       .mapPartitions { batch =>
-        // real impl: initialize the codec ONCE here, then stream the batch
         batch.map { m =>
-          val (w, h, c) = FakeCodec.imageDims(m.content)
-          ImageFeatures(m.media_id, w, h, c, FakeCodec.features(m.content))
+          ImageCodec.decode(m.content) match {
+            case Some(img) =>
+              ImageFeatures(m.media_id, img.getWidth, img.getHeight,
+                img.getRaster.getNumBands, ImageCodec.gridFeatures(img))
+            case None =>
+              val (w, h, c) = FakeCodec.imageDims(m.content)
+              ImageFeatures(m.media_id, w, h, c, FakeCodec.features(m.content))
+          }
         }
       }
   }
 
-  /** Resize: metadata transform + (stubbed) byte transform, preserving
-    * the opaque-binary shape so downstream stages are codec-agnostic. */
+  /** Resize: real bilinear scale + PNG re-encode for decodable images;
+    * undecodable payloads keep their bytes and get the metadata tag only.
+    * Both paths preserve the opaque-binary shape so downstream stages
+    * stay codec-agnostic. */
   def resizeImages(media: Dataset[MediaFile], w: Int, h: Int): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     media.map { m =>
       if (m.kind != "image") m
-      else m.copy(content = m.content, // real impl: re-encoded pixels
-        mime = s"${m.mime}; resized=${w}x$h")
+      else ImageCodec.decode(m.content) match {
+        case Some(img) =>
+          m.copy(content = ImageCodec.encodePng(ImageCodec.resize(img, w, h)),
+            mime = s"image/png; resized=${w}x$h")
+        case None => m.copy(mime = s"${m.mime}; resized=${w}x$h")
+      }
     }
   }
 

@@ -4,12 +4,62 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.MediaOps
 
-/** Multimodal plumbing: schemas, partitioning, batch shape, and
-  * deterministic stub behavior. */
+/** Multimodal plumbing: schemas, partitioning, batch shape, real ImageIO
+  * decode on PNG fixtures, and deterministic fallback-stub behavior. */
 class MediaOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private lazy val media = MediaOps.mediaFromDocuments(spark, sfDir)
+
+  /** In-memory PNG fixture: wxh gradient, deterministic bytes. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / math.max(1, w - 1)) << 16) |
+        ((y * 255 / math.max(1, h - 1)) << 8) | 0x33)
+    MediaOps.ImageCodec.encodePng(img)
+  }
+
+  test("decodeImages reads real PNG dimensions/channels/pixels via ImageIO") {
+    import spark.implicits._
+    val fixture = Seq(
+      MediaOps.MediaFile(1L, "image", pngBytes(5, 3), "image/png", "fixture"),
+      MediaOps.MediaFile(2L, "image", "not an image at all".getBytes("UTF-8"),
+        "text/plain", "fixture")).toDS()
+    val feats = MediaOps.decodeImages(fixture, parallelism = 2)
+      .collect().sortBy(_.media_id)
+    // real decode: exact fixture dims, RGB raster = 3 bands
+    assert(feats(0).width == 5 && feats(0).height == 3 && feats(0).channels == 3,
+      s"real PNG decode returned ${feats(0)}")
+    assert(feats(0).embedding.length == 64)
+    // gradient image: luminance grid must not be constant (real pixels,
+    // not a digest artifact) and must increase left-to-right on a row
+    assert(feats(0).embedding.distinct.length > 1)
+    assert(feats(0).embedding(0) < feats(0).embedding(7))
+    // unclaimed payload falls back to the digest stub, same shape
+    assert(feats(1).embedding.length == 64)
+    // deterministic across runs and partitionings
+    val again = MediaOps.decodeImages(fixture, parallelism = 1)
+      .collect().sortBy(_.media_id)
+    assert(again(0).width == 5 && again(0).embedding.toSeq == feats(0).embedding.toSeq)
+  }
+
+  test("resizeImages really rescales decodable images and re-encodes PNG") {
+    import spark.implicits._
+    val fixture = Seq(
+      MediaOps.MediaFile(1L, "image", pngBytes(16, 8), "image/png", "fixture"),
+      MediaOps.MediaFile(2L, "image", "plain text".getBytes("UTF-8"),
+        "text/plain", "fixture")).toDS()
+    val resized = MediaOps.resizeImages(fixture, 4, 2).collect().sortBy(_.media_id)
+    val back = MediaOps.ImageCodec.decode(resized(0).content)
+    assert(back.isDefined && back.get.getWidth == 4 && back.get.getHeight == 2,
+      "resized payload must round-trip through ImageIO at the target size")
+    assert(resized(0).mime == "image/png; resized=4x2")
+    // undecodable bytes pass through untouched, tag only
+    assert(resized(1).content.sameElements("plain text".getBytes("UTF-8")))
+    assert(resized(1).mime.contains("resized=4x2"))
+  }
 
   test("media table partitions kinds deterministically") {
     import spark.implicits._
