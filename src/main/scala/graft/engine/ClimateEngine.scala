@@ -101,11 +101,12 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
     * metric × (year, month) in ONE plan (the reference's cartesian
     * point-query fan-out, J1, as a single filter+aggregate). Unspecified
     * year defaults to 2020, unspecified months to all — reference
-    * quirks preserved. */
+    * quirks preserved. Relative month phrases ("last month", "two months
+    * ago", "last march") resolve against the engine clock first. */
   def era5Answer(question: String): String = {
     val metrics = Parsers.detectMetrics(question, Domain.metricRegistry("era5"))
     if (metrics.isEmpty) return llm.answer(question, "no metric recognized")
-    val (years, months) = Parsers.extractDates(question)
+    val (years, months) = Parsers.extractDatesNlp(question, today)
     val cities = resolveCities(question)
     val prefixes = for (y <- years; m <- months) yield s"$y-$m"
     val base = resolve("era5")

@@ -100,7 +100,10 @@ object Parsers {
           Some(today.getYear)
         else if (lower.contains("next year")) Some(today.getYear + 1)
         else None
-      }
+      // month-granularity phrases resolve to their year too — the
+      // reference's dateparser.parse("last month") yields a full date
+      // whose .year passes the 1900-2100 gate (`client.py:110-115`)
+      }.orElse(extractYearMonthNlp(q, today).map(_._1))
     extractYears(q).headOption.orElse(relative).filter(y => y >= 1900 && y <= 2100)
   }
 
@@ -130,6 +133,52 @@ object Parsers {
     (if (years.nonEmpty) years else List("2020"),
      if (months.nonEmpty) months else AllMonths)
   }
+
+  // ---- relative months ------------------------------------------------
+
+  private val MonthNum: Map[String, Int] =
+    MonthNames.map { case (n, s) => n -> s.toInt }.toMap
+  private val MonthsAgoRx =
+    raw"(?i)\b(\d{1,3}|a|one|two|three|four|five|six|seven|eight|nine|ten)\s+months?\s+ago\b".r
+  private val LastMonthNameRx =
+    (raw"(?i)\blast\s+(" + MonthNames.map(_._1).mkString("|") + raw")\b").r
+
+  /** Month-granularity relative dates against the injectable clock — the
+    * engine analog of the reference's `dateparser` resolving "last month"
+    * / "two months ago" (`Disaster dollar/client.py:110-115`). Covered
+    * phrases: "last/this/current/next month", "N months ago" (digits or
+    * number words), and "last <monthname>" (the most recent such month
+    * strictly before the current one: "last march" asked 2026-08 → 2026-03,
+    * "last september" asked 2026-08 → 2025-09, "last august" asked
+    * 2026-08 → 2025-08). Returns (year, month). */
+  def extractYearMonthNlp(q: String, today: java.time.LocalDate): Option[(Int, Int)] = {
+    val lower = q.toLowerCase
+    def ym(d: java.time.LocalDate) = (d.getYear, d.getMonthValue)
+    MonthsAgoRx.findFirstMatchIn(q).map { m =>
+      val tok = m.group(1).toLowerCase
+      ym(today.minusMonths(WordNums.getOrElse(tok, tok.toInt).toLong))
+    }.orElse(LastMonthNameRx.findFirstMatchIn(lower).map { m =>
+      val mo = MonthNum(m.group(1))
+      (if (mo < today.getMonthValue) today.getYear else today.getYear - 1, mo)
+    }).orElse {
+      if (lower.contains("last month")) Some(ym(today.minusMonths(1)))
+      else if (lower.contains("this month") || lower.contains("current month"))
+        Some(ym(today))
+      else if (lower.contains("next month")) Some(ym(today.plusMonths(1)))
+      else None
+    }
+  }
+
+  /** [[extractDates]] with the relative-month layer: a relative phrase
+    * resolves to its exact (year, month) against the clock and WINS over
+    * the bare-name explicit path — "last march" must not fall through to
+    * explicit month=03 with the default year 2020. Questions with no
+    * relative phrase take the explicit/defaults path unchanged. */
+  def extractDatesNlp(q: String, today: java.time.LocalDate): (List[String], List[String]) =
+    extractYearMonthNlp(q, today) match {
+      case Some((y, m)) => (List(y.toString), List(f"$m%02d"))
+      case None => extractDates(q)
+    }
 
   // ---- numeric comparisons -------------------------------------------
 

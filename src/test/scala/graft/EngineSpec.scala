@@ -251,6 +251,16 @@ class EngineSpec extends AnyFunSuite {
     assert(extractYearNlp("no date at all", aug2026) == None)
   }
 
+  test("ERA5: golden relative-month question resolves against the engine clock") {
+    val eng = new ClimateEngine(spark, Map(
+      "noaa" -> noaaLong, "fema" -> Fixtures.fema(spark),
+      "era5" -> Fixtures.era5(spark), "edgar" -> edgarLong),
+      today = java.time.LocalDate.of(2021, 8, 15))
+    val a = eng.era5Answer("What was the wind speed in Mumbai last month?")
+    assert(a.contains("Mumbai 2021-07 wind_speed"), a) // the 6.2 July row
+    assert(!a.contains("2021-06"), s"June rows must be excluded by the month filter: $a")
+  }
+
   test("ERA5 geocoder fallback: off-dimension alias resolves via the stub") {
     // "Bombay" is neither exact nor fuzzy-close (difflib 0.8) to any
     // dimension city; the FixtureGeocoder stands in for the reference's

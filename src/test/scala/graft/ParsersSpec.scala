@@ -26,6 +26,43 @@ class ParsersSpec extends AnyFunSuite {
     assert(extractDates("rainfall in 06/2021") == (List("2021"), List("06")))
   }
 
+  test("extractYearMonthNlp resolves month-level phrases against the clock") {
+    import java.time.LocalDate
+    val aug2026 = LocalDate.of(2026, 8, 12)
+    assert(extractYearMonthNlp("rainfall last month", aug2026) == Some((2026, 7)))
+    assert(extractYearMonthNlp("rainfall this month", aug2026) == Some((2026, 8)))
+    assert(extractYearMonthNlp("rainfall next month", aug2026) == Some((2026, 9)))
+    assert(extractYearMonthNlp("wind two months ago", aug2026) == Some((2026, 6)))
+    assert(extractYearMonthNlp("wind 14 months ago", aug2026) == Some((2025, 6)))
+    // year boundary: last month of January is December of the prior year
+    assert(extractYearMonthNlp("snow last month", LocalDate.of(2026, 1, 5)) ==
+      Some((2025, 12)))
+    // "last <monthname>": most recent such month strictly before today's
+    assert(extractYearMonthNlp("temp last march", aug2026) == Some((2026, 3)))
+    assert(extractYearMonthNlp("temp last september", aug2026) == Some((2025, 9)))
+    assert(extractYearMonthNlp("temp last august", aug2026) == Some((2025, 8)))
+    assert(extractYearMonthNlp("no dates here", aug2026) == None)
+  }
+
+  test("extractDatesNlp: relative month wins over bare-name explicit; explicit path unchanged") {
+    val aug2026 = java.time.LocalDate.of(2026, 8, 12)
+    // "last march" must NOT fall through to explicit month=03/year-2020
+    assert(extractDatesNlp("temperature last march", aug2026) ==
+      (List("2026"), List("03")))
+    assert(extractDatesNlp("wind speed in June 2021", aug2026) ==
+      (List("2021"), List("06")))
+    // reference defaults preserved on the non-relative path
+    assert(extractDatesNlp("skin temperature in Delhi", aug2026) ==
+      (List("2020"), AllMonths))
+  }
+
+  test("extractYearNlp resolves month-level phrases to their year (dateparser parity)") {
+    assert(extractYearNlp("floods last month", java.time.LocalDate.of(2026, 1, 5)) ==
+      Some(2025))
+    assert(extractYearNlp("fires two months ago", java.time.LocalDate.of(2026, 8, 12)) ==
+      Some(2026))
+  }
+
   test("extractYearFilter precedence: range phrases before bare year") {
     assert(extractYearFilter("between 2000 and 2010") == Some(YearRange(2000, 2010)))
     assert(extractYearFilter("from 2015 to 2020") == Some(YearRange(2015, 2020)))
