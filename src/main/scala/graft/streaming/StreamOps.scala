@@ -177,14 +177,23 @@ object StreamOps {
     * [left.ts, left.ts + maxGap]). Both sides carry watermarks, so each
     * side's join state is evicted once the watermark passes the interval
     * bound — state stays proportional to the delay window, never the
-    * stream length. The canonical click→conversion attribution shape. */
+    * stream length. The canonical click→conversion attribution shape.
+    *
+    * `joinType = "leftOuter"` is the attribution-COMPLETENESS form: a
+    * left event with no right match inside its interval is emitted with
+    * NULL right columns once the watermark closes the interval (i.e.
+    * passes left.ts + maxGap) — unconverted clicks surface instead of
+    * silently disappearing, at the cost of that emission waiting out the
+    * watermark delay. */
   def correlate(left: DataFrame, right: DataFrame, key: String,
                 maxGap: String = "10 minutes",
-                watermark: String = "1 hour"): DataFrame = {
+                watermark: String = "1 hour",
+                joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r,
-      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $maxGap"))
+      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $maxGap"),
+      joinType)
       .select(col(s"l.$key").as(key),
         col("l.event_id").as("left_event"), col("r.event_id").as("right_event"),
         col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
@@ -197,6 +206,34 @@ object StreamOps {
     * needed. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Streaming → ANN composition (foreachBatch): enrich each micro-batch
+    * of events with a static (user_id → embedding) dimension, then probe
+    * the hyperplane-LSH index for each event's top-k cosine neighbors in
+    * the corpus — the streaming-retrieval shape (events arrive, each gets
+    * candidates from a large persisted index).
+    *
+    * foreachBatch is the right seam: the batch inside the lambda is a
+    * plain DataFrame, so the UNCHANGED batch ANN operator applies —
+    * streaming and batch retrieval share one implementation (and one set
+    * of oracle checks). At scale the corpus-side signature table is
+    * computed once and persisted/bucketed by (t, sig) outside the query;
+    * per batch only the tiny probe side is re-signed and broadcast.
+    * Exactly-once delivery into the sink follows from the checkpointed
+    * batchId (idempotent overwrite per epoch is the standard pattern). */
+  def annPerBatch(events: DataFrame, userEmb: DataFrame, corpus: DataFrame,
+                  k: Int, idCol: String = "vec_id", embCol: String = "embedding")
+                 (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val probes = enrich(batch, userEmb, "user_id")
+          .filter(col(embCol).isNotNull)
+          .select(col("event_id").as(idCol), col(embCol))
+        sink(graft.operators.AnnSearch.approxTopK(probes, corpus, idCol, embCol, k),
+          batchId)
+      }
+      .start()
 
   /** Checkpointed parquet sink: exactly-once file output via the commit
     * log in `checkpoint` — restarting the query from the same checkpoint

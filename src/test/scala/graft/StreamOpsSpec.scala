@@ -201,6 +201,75 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L)), s"got $got")
   }
 
+  test("left-outer interval join emits unmatched lefts when the watermark closes the interval") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = StreamOps.correlate(clicks.toDF(), buys.toDF(), "user_id",
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("attr_outer")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: u1 converts in-interval; u2 never converts; u3 not yet
+    clicks.addData(Seq(
+      Event(1L, ts(0), 1L, "click", 1.0, "{}"),
+      Event(2L, ts(30), 2L, "click", 1.0, "{}"),
+      Event(3L, ts(20), 3L, "click", 1.0, "{}")))
+    buys.addData(Seq(Event(100L, ts(5), 1L, "buy", 9.0, "{}")))
+    q.processAllAvailable()
+    // batch 2: u3's conversion arrives a micro-batch LATE but with event
+    // time 10:25, inside [10:20, 10:30] and inside the watermark -> joins
+    buys.addData(Seq(Event(102L, ts(25), 3L, "buy", 9.0, "{}")))
+    q.processAllAvailable()
+    // batch 3: advance BOTH watermarks far past 10:30+10min+1h so u2's
+    // interval closes and the unmatched left emits with NULL right side
+    clicks.addData(Seq(Event(8L, Timestamp.valueOf("2024-01-02 09:00:00"), 9L, "click", 0.0, "{}")))
+    buys.addData(Seq(Event(9L, Timestamp.valueOf("2024-01-02 09:00:00"), 9L, "buy", 0.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_outer").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got.contains((1L, Some(100L))), s"in-interval match missing: $got")
+    assert(got.contains((3L, Some(102L))), s"late-but-in-watermark match missing: $got")
+    assert(got.contains((2L, None)), s"unmatched left not emitted on watermark close: $got")
+    assert(!got.contains((2L, Some(100L))), s"cross-user leak: $got")
+  }
+
+  test("streaming ANN probe per batch equals the batch ANN result on the same data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = Tables(spark, sfDir, "embeddings")
+    // static user->embedding dim and a disjoint retrieval corpus
+    val userEmb = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("user_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val ms = MemoryStream[Event]
+    val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val q = StreamOps.annPerBatch(ms.toDF(), userEmb, corpus, k = 3) { (df, id) =>
+      val s = df.select("q_id", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (s.nonEmpty) perBatch(id) = s
+    }
+    ms.addData(batch1)
+    q.processAllAvailable()
+    ms.addData(batch2.take(2))
+    q.processAllAvailable()
+    q.stop()
+    // batch twin: identical enrich + ANN over the union of both batches —
+    // per-probe independence makes the per-batch union equal the one-shot
+    // batch result, proving the streaming seam changes nothing semantic
+    val probes = (batch1 ++ batch2.take(2)).toDF()
+      .join(broadcast(userEmb), Seq("user_id"))
+      .select(col("event_id").as("vec_id"), col("embedding"))
+    val want = graft.operators.AnnSearch
+      .approxTopK(probes, corpus, "vec_id", "embedding", 3)
+      .select("q_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "batch twin produced no candidates — weak test data")
+    assert(perBatch.values.flatten.toSet == want,
+      s"streaming ${perBatch.values.flatten.toSet} != batch $want")
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
