@@ -155,13 +155,76 @@ object EventOps {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** e7: left-outer interval join — every click paired with each purchase
+    * by the same user inside (click.ts, click.ts + 30 min]; unconverted
+    * clicks surface with NULL right columns. The batch twin of
+    * `StreamOps.correlate(joinType = "leftOuter")`, same condition shape.
+    * Plans as a shuffle equi-join on user_id with the range bound as a
+    * post-join filter — the equality key keeps it SMJ/SHJ (never a
+    * cartesian), and per-user event counts bound the pair fan-out. */
+  def e7IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("left_event"), col("ts").as("lts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("event_id").as("right_event"),
+        col("ts").as("rts"))
+    c.join(p, col("user_id") === col("r_user") &&
+        col("rts") >= col("lts") &&
+        unix_micros(col("rts")) <= unix_micros(col("lts")) + 1800000000L,
+      "left")
+      .select(col("user_id"), col("left_event"), col("right_event"),
+        date_format(col("lts"), "yyyy-MM-dd HH:mm:ss").as("left_ts"),
+        date_format(col("rts"), "yyyy-MM-dd HH:mm:ss").as("right_ts"))
+      .orderBy("left_event", "right_event")
+  }
+
+  private val e7Sql =
+    """SELECT c.user_id, c.event_id AS left_event, p.event_id AS right_event,
+      | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS left_ts,
+      | strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS right_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND p.ts >= c.ts
+      |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+      |ORDER BY left_event, right_event""".stripMargin
+
+  /** e8: backward as-of join — each click matched to the same user's most
+    * recent purchase at or before it (`operators.AsofJoin`: union +
+    * running window, ONE shuffle, no pair explosion). The oracle is
+    * DuckDB's native ASOF JOIN — an independent implementation of the
+    * semantics, not a replay of this algorithm. */
+  def e8AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.operators.AsofJoin
+      .asofBackward(clicks, purchases, "user_id", "ts", Seq("event_id"))
+      .select(col("user_id"), col("click_event"),
+        col("asof_event_id").as("last_purchase"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("us_since_purchase"))
+      .orderBy("click_event")
+  }
+
+  private val e8Sql =
+    """SELECT c.user_id, c.event_id AS click_event, p.event_id AS last_purchase,
+      | epoch_us(c.ts) - epoch_us(p.ts) AS us_since_purchase
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND p.ts <= c.ts
+      |ORDER BY click_event""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
     "e3_sessionize" -> (e3Sessionize _),
     "e4_json_extract" -> (e4JsonExtract _),
     "e5_type_stats" -> (e5TypeStats _),
-    "e6_dedup_first" -> (e6DedupFirst _))
+    "e6_dedup_first" -> (e6DedupFirst _),
+    "e7_interval_join" -> (e7IntervalJoin _),
+    "e8_asof_join" -> (e8AsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "e1_window_hourly" -> e1Sql,
@@ -169,5 +232,7 @@ object EventOps {
     "e3_sessionize" -> e3Sql,
     "e4_json_extract" -> e4Sql,
     "e5_type_stats" -> e5Sql,
-    "e6_dedup_first" -> e6Sql)
+    "e6_dedup_first" -> e6Sql,
+    "e7_interval_join" -> e7Sql,
+    "e8_asof_join" -> e8Sql)
 }

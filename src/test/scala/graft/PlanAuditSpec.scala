@@ -131,6 +131,24 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally idx.close()
   }
 
+  test("e8 as-of join is join-free: window carry, no Join operator, no pair explosion") {
+    val s = formatted(SparkEntry.queries("e8_asof_join")(spark, sfDir))
+    val tree = s.split(raw"== Initial Plan ==").head
+    assert(!tree.contains("Join"),
+      s"as-of must plan as union+window, not a range join:\n" +
+        tree.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(nodeCount(s, "Window") >= 1, "running-carry window missing")
+    assert(nodeCount(s, "Union") >= 1, "tagged union missing")
+  }
+
+  test("e7 interval join plans as a shuffle equi-join on user_id, never cartesian") {
+    val s = formatted(SparkEntry.queries("e7_interval_join")(spark, sfDir))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "interval join must keep the user_id equality as the join key")
+    assert(nodeCount(s, "SortMergeJoin") + nodeCount(s, "ShuffledHashJoin") +
+      nodeCount(s, "BroadcastHashJoin") >= 1, s"no equi-join found:\n$s")
+  }
+
   test("q25 fact-fact join: filters push to both fact scans, dims broadcast, shuffle equi-join") {
     // with auto-broadcast disabled, the only broadcasts left are the
     // explicit nation/region hints; the fact-fact joins must then plan as
