@@ -108,13 +108,48 @@ object VectorOps {
        |CROSS JOIN range(${graft.operators.AnnSearch.Dim}) t(j)
        |GROUP BY label, j ORDER BY label, pos""".stripMargin
 
+  /** v4: int8 scalar quantization of the embedding column
+    * (`operators.VectorQuant` — the SQ8 storage tier). Per-row only,
+    * zero shuffle; codes serialize to a csv string so the oracle
+    * compares flat scalars, and the max reconstruction error is emitted
+    * per vector (bounded by scale/2, spec-pinned). */
+  def v4QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorQuant._
+    val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    e.withColumn("scale", sq8Scale(col("emb")))
+      .withColumn("codes", sq8Codes(col("emb"), col("scale")))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("codes_str"),
+        array_max(zip_with(col("emb"), col("codes"),
+          (x, c) => abs(x - c.cast("double") * col("scale")))).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  private val v4Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 50),
+       |s AS (SELECT vec_id, emb,
+       |  list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e),
+       |q AS (SELECT vec_id, emb, scale,
+       |  CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+       |       ELSE list_transform(emb, x ->
+       |         CAST(GREATEST(-127, LEAST(127, FLOOR(x / scale + 0.5))) AS INTEGER)) END AS codes
+       |  FROM s)
+       |SELECT vec_id, scale,
+       |  array_to_string(codes, ',') AS codes_str,
+       |  list_max(list_transform(range(${graft.operators.AnnSearch.Dim}), j ->
+       |    abs(emb[CAST(j AS INTEGER) + 1] - codes[CAST(j AS INTEGER) + 1] * scale))) AS max_abs_err
+       |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_brute" -> (v1KnnBrute _),
     "v2_label_stats" -> (v2LabelStats _),
-    "v3_label_centroid" -> (v3LabelCentroid _))
+    "v3_label_centroid" -> (v3LabelCentroid _),
+    "v4_quantize_int8" -> (v4QuantizeInt8 _))
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1Sql,
     "v2_label_stats" -> v2Sql,
-    "v3_label_centroid" -> v3Sql)
+    "v3_label_centroid" -> v3Sql,
+    "v4_quantize_int8" -> v4Sql)
 }

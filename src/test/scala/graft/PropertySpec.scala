@@ -133,6 +133,38 @@ class PropertySpec extends AnyFunSuite {
     }, (pp: SCTest.Parameters) => pp.withMinSuccessfulTests(15))
   }
 
+  test("AsofJoin agrees with an in-memory reference evaluator on random frames") {
+    import spark.implicits._
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(off: Int) = new java.sql.Timestamp(baseMs + off * 1000L)
+    val leftGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n,
+      for { k <- Gen.choose(1L, 3L); off <- Gen.choose(0, 100) } yield (k, off)))
+    val rightGen = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n,
+      for { k <- Gen.choose(1L, 3L); off <- Gen.choose(0, 100); q <- Gen.choose(1L, 50L) }
+        yield (k, off, q)))
+    val tolGen = Gen.oneOf(Gen.const(Option.empty[Long]),
+      Gen.choose(1, 40).map(s => Some(s * 1000000L)))
+    check(Prop.forAllNoShrink(leftGen, rightGen, tolGen) { (ls, rs, tol) =>
+      val left = ls.zipWithIndex.map { case ((k, off), i) => (k, t(off), i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.map { case (k, off, q) => (k, t(off), q) }.toDF("k", "ts", "qid")
+      val got = graft.operators.AsofJoin
+        .asofBackward(left, right, "k", "ts", Seq("qid"), toleranceUs = tol)
+        .select("lid", "asof_qid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val want = ls.zipWithIndex.map { case ((k, off), i) =>
+        val cands = rs.filter { case (rk, roff, _) => rk == k && roff <= off }
+        val best = if (cands.isEmpty) None else {
+          val m = cands.maxBy { case (_, roff, q) => (roff, q) }
+          val ageUs = (off - m._2) * 1000000L
+          if (tol.exists(ageUs > _)) None else Some(m._3)
+        }
+        i.toLong -> best
+      }.toMap
+      got == want
+    }, (p: SCTest.Parameters) => p.withMinSuccessfulTests(6))
+  }
+
   test("Unpivot round-trip law on generated NOAA-shaped frames") {
     import spark.implicits._
     val row = for {

@@ -163,6 +163,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked persistent RDD ids: $leaked")
   }
 
+  test("VectorQuant SQ8: codes in [-127,127], reconstruction error <= scale/2") {
+    val rows = queries.VectorOps.v4QuantizeInt8(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(",").map(_.toInt)
+      val err = r.getDouble(3)
+      assert(codes.length == 64 && codes.forall(c => c >= -127 && c <= 127))
+      assert(err <= scale / 2 + 1e-12,
+        s"vec ${r.getLong(0)}: err $err exceeds the half-step bound ${scale / 2}")
+    }
+  }
+
   test("AnnSearch planes are deterministic and in [-1,1]") {
     val ps = AnnSearch.planes
     assert(ps.length == AnnSearch.Tables)
