@@ -79,6 +79,45 @@ class AsofJoinSpec extends AnyFunSuite {
     assert((r.getAs[Double]("asof_px"), r.getAs[Long]("asof_qid")) == ((6.0, 11L)))
   }
 
+  test("asofForward matches the earliest right row at or after each left row") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, t("2024-01-01 10:00:00"), "T0"), // exactly at a quote's timestamp
+      (1L, t("2024-01-01 10:00:10"), "T1"),
+      (2L, t("2024-01-01 09:00:00"), "T2")) // all of k2's quotes are earlier
+      .toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 11L),
+      (1L, t("2024-01-01 10:05:00"), 12L),
+      (2L, t("2024-01-01 08:00:00"), 20L))
+      .toDF("k", "ts", "qid")
+    val got = AsofJoin.asofForward(trades, quotes, "k", "ts", Seq("qid"))
+      .select("trade", "asof_qid").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got("T0") == Some(11L), "at-or-after: equal timestamps must match")
+    assert(got("T1") == Some(12L))
+    assert(got("T2") == None, "no right row at or after -> NULL")
+  }
+
+  test("asofNearest picks the closer side; backward wins exact ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), "closerAfter"),  // 120 s back vs 60 s fwd
+      (2L, t("2024-01-01 10:00:30"), "tie"))          // 30 s back vs 30 s fwd
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 09:58:00"), 1L),
+      (1L, t("2024-01-01 10:01:00"), 2L),
+      (2L, t("2024-01-01 10:00:00"), 3L),
+      (2L, t("2024-01-01 10:01:00"), 4L))
+      .toDF("k", "ts", "qid")
+    val got = AsofJoin.asofNearest(left, right, "k", "ts", Seq("qid"))
+      .select("tag", "asof_qid").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("closerAfter") == 2L)
+    assert(got("tie") == 3L, "equal distances must resolve backward")
+  }
+
   test("e8 as-of equals the brute-force range-join argmax on testdata") {
     val ev = Tables(spark, sfDir, "events")
     val c = ev.filter(col("event_type") === "click")

@@ -148,20 +148,42 @@ class PropertySpec extends AnyFunSuite {
       val left = ls.zipWithIndex.map { case ((k, off), i) => (k, t(off), i.toLong) }
         .toDF("k", "ts", "lid")
       val right = rs.map { case (k, off, q) => (k, t(off), q) }.toDF("k", "ts", "qid")
-      val got = graft.operators.AsofJoin
-        .asofBackward(left, right, "k", "ts", Seq("qid"), toleranceUs = tol)
-        .select("lid", "asof_qid").collect()
-        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-      val want = ls.zipWithIndex.map { case ((k, off), i) =>
+      def run(fn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                   String, String, Seq[String], Option[Long]) => org.apache.spark.sql.DataFrame) =
+        fn(left, right, "k", "ts", Seq("qid"), tol)
+          .select("lid", "asof_qid").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // in-memory reference: tolerance filters each direction, then
+      // nearest picks the closer survivor (backward wins ties)
+      def refBack(k: Long, off: Int): Option[Long] = {
         val cands = rs.filter { case (rk, roff, _) => rk == k && roff <= off }
-        val best = if (cands.isEmpty) None else {
-          val m = cands.maxBy { case (_, roff, q) => (roff, q) }
-          val ageUs = (off - m._2) * 1000000L
-          if (tol.exists(ageUs > _)) None else Some(m._3)
+        cands.sortBy { case (_, roff, q) => (roff, q) }.lastOption
+          .filterNot { case (_, roff, _) => tol.exists((off - roff) * 1000000L > _) }
+          .map(_._3)
+      }
+      def refFwd(k: Long, off: Int): Option[Long] = {
+        val cands = rs.filter { case (rk, roff, _) => rk == k && roff >= off }
+        cands.sortBy { case (_, roff, q) => (roff, q) }.headOption
+          .filterNot { case (_, roff, _) => tol.exists((roff - off) * 1000000L > _) }
+          .map(_._3)
+      }
+      def refNear(k: Long, off: Int): Option[Long] = {
+        val bOff = rs.filter { case (rk, roff, _) => rk == k && roff <= off }
+          .map(_._2).sorted.lastOption.filterNot(ro => tol.exists((off - ro) * 1000000L > _))
+        val fOff = rs.filter { case (rk, roff, _) => rk == k && roff >= off }
+          .map(_._2).sorted.headOption.filterNot(ro => tol.exists((ro - off) * 1000000L > _))
+        (bOff, fOff) match {
+          case (Some(b), Some(f)) => if (off - b <= f - off) refBack(k, off) else refFwd(k, off)
+          case (Some(_), None) => refBack(k, off)
+          case (None, Some(_)) => refFwd(k, off)
+          case _ => None
         }
-        i.toLong -> best
-      }.toMap
-      got == want
+      }
+      def want(ref: (Long, Int) => Option[Long]) =
+        ls.zipWithIndex.map { case ((k, off), i) => i.toLong -> ref(k, off) }.toMap
+      run(graft.operators.AsofJoin.asofBackward) == want(refBack) &&
+        run(graft.operators.AsofJoin.asofForward) == want(refFwd) &&
+        run(graft.operators.AsofJoin.asofNearest) == want(refNear)
     }, (p: SCTest.Parameters) => p.withMinSuccessfulTests(6))
   }
 
