@@ -149,6 +149,16 @@ class PlanAuditSpec extends AnyFunSuite {
       nodeCount(s, "BroadcastHashJoin") >= 1, s"no equi-join found:\n$s")
   }
 
+  test("v4 quantization is shuffle-free per-row work: no join, at most the final sort exchange") {
+    val s = formatted(SparkEntry.queries("v4_quantize_int8")(spark, sfDir))
+    val tree = s.split(raw"== Initial Plan ==").head
+    assert(!tree.contains("Join"), "SQ8 must be pure per-row arithmetic")
+    assert(s.contains("LessThan(vec_id,50)"), "id filter not pushed to the scan")
+    assert(nodeCount(s, "Exchange") <= 1,
+      s"only the final orderBy may exchange:\n" +
+        tree.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q25 fact-fact join: filters push to both fact scans, dims broadcast, shuffle equi-join") {
     // with auto-broadcast disabled, the only broadcasts left are the
     // explicit nation/region hints; the fact-fact joins must then plan as

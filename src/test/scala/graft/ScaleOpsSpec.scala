@@ -176,6 +176,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8-dequantized brute-force top-5 closely preserves exact kNN ranking") {
+    import graft.operators.VectorQuant._
+    import org.apache.spark.sql.expressions.Window
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct.dotProduct(a, b)
+    def top5(corpus: org.apache.spark.sql.DataFrame) = {
+      val q = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val scored = org.apache.spark.sql.functions.broadcast(q)
+        .join(corpus, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val deq = e.withColumn("scale", sq8Scale(col("emb")))
+      .select(col("vec_id"),
+        sq8Dequant(sq8Codes(col("emb"), col("scale")), col("scale")).as("emb"))
+    val exact = top5(e)
+    val quant = top5(deq)
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall $recall < 0.8 (exact=$exact quant=$quant)")
+  }
+
   test("AnnSearch planes are deterministic and in [-1,1]") {
     val ps = AnnSearch.planes
     assert(ps.length == AnnSearch.Tables)
