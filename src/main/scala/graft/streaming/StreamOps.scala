@@ -207,6 +207,55 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Latest right row carried per key for [[asofLatest]]. */
+  case class LatestRight(event_id: Long, ts: Timestamp)
+
+  /** A left event enriched with the most recent right event for its key
+    * ([[asofLatest]] output); NULL/None right fields when none seen. */
+  case class AsofOut(user_id: Long, left_event: Long, left_ts: Timestamp,
+                     right_event: Option[Long], right_ts: Option[Timestamp])
+
+  /** Streaming backward as-of ("latest value" enrich): each left event is
+    * joined to the newest right event for its key seen so far — the
+    * streaming twin of `operators.AsofJoin.asofBackward` (quotes→trades,
+    * price→order enrichment). Union both streams, group by key, and keep
+    * ONE right row per key in state — state is bounded by |keys|, never
+    * the stream length.
+    *
+    * Ordering contract: within a micro-batch events are sorted by event
+    * time (right before left on ties, so an equal-timestamp right row
+    * matches — same tie rule as the batch operator); ACROSS micro-batches
+    * the enrich is processing-time — a right row arriving in a later
+    * batch than a left row it precedes in event time cannot retro-fix the
+    * already-emitted output. That is the standard streaming-enrich
+    * tradeoff; when batches arrive in event-time order the result equals
+    * the batch operator exactly (spec-pinned). */
+  def asofLatest(left: Dataset[Event], right: Dataset[Event]): Dataset[AsofOut] = {
+    import left.sparkSession.implicits._
+    val tagged = left.map(e => (true, e)).union(right.map(e => (false, e)))
+    tagged.groupByKey(_._2.user_id)
+      .flatMapGroupsWithState[LatestRight, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[(Boolean, Event)], state: GroupState[LatestRight]) =>
+          // right rows sort before left rows on equal timestamps
+          val evs = batch.toSeq.sortBy { case (isLeft, e) =>
+            (e.ts.getTime, isLeft, e.event_id) }
+          val out = Seq.newBuilder[AsofOut]
+          var latest = state.getOption
+          evs.foreach {
+            case (false, r) =>
+              val newer = latest.forall(lr => r.ts.getTime > lr.ts.getTime ||
+                (r.ts.getTime == lr.ts.getTime && r.event_id > lr.event_id))
+              if (newer) latest = Some(LatestRight(r.event_id, r.ts))
+            case (true, l) =>
+              out += AsofOut(uid, l.event_id, l.ts,
+                latest.map(_.event_id), latest.map(_.ts))
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming → ANN composition (foreachBatch): enrich each micro-batch
     * of events with a static (user_id → embedding) dimension, then probe
     * the hyperplane-LSH index for each event's top-k cosine neighbors in

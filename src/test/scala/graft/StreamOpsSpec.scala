@@ -235,6 +235,46 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!got.contains((2L, Some(100L))), s"cross-user leak: $got")
   }
 
+  test("asofLatest equals batch asofBackward on event-time-ordered batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val lefts = MemoryStream[Event]
+    val rights = MemoryStream[Event]
+    val q = StreamOps.asofLatest(lefts.toDS(), rights.toDS()).toDF()
+      .writeStream.format("memory").queryName("asof_latest")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: u1's right then lefts (one at the SAME timestamp — must
+    // match, right-before-left tie rule), u3's left with no right at all
+    rights.addData(Seq(Event(100L, ts(0), 1L, "quote", 1.0, "{}")))
+    lefts.addData(Seq(
+      Event(1L, ts(0), 1L, "trade", 1.0, "{}"),
+      Event(2L, ts(5), 1L, "trade", 1.0, "{}"),
+      Event(3L, ts(5), 3L, "trade", 1.0, "{}")))
+    q.processAllAvailable()
+    // batch 2: state persists for u1; u2 gets its first right then a left
+    rights.addData(Seq(Event(101L, ts(10), 2L, "quote", 1.0, "{}")))
+    lefts.addData(Seq(
+      Event(4L, ts(30), 1L, "trade", 1.0, "{}"),
+      Event(5L, ts(15), 2L, "trade", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_latest")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val want = Map(1L -> Some(100L), 2L -> Some(100L), 3L -> None,
+      4L -> Some(100L), 5L -> Some(101L))
+    assert(got == want, s"got $got")
+    // the batch twin on the same rows agrees (event-time-ordered arrival)
+    val leftDf = Seq((1L, ts(0), 1L), (1L, ts(5), 2L), (3L, ts(5), 3L),
+      (1L, ts(30), 4L), (2L, ts(15), 5L)).toDF("k", "ts", "lid")
+    val rightDf = Seq((1L, ts(0), 100L), (2L, ts(10), 101L)).toDF("k", "ts", "qid")
+    val batch = graft.operators.AsofJoin
+      .asofBackward(leftDf, rightDf, "k", "ts", Seq("qid"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(batch == want, s"batch twin diverged: $batch")
+  }
+
   test("streaming ANN probe per batch equals the batch ANN result on the same data") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
