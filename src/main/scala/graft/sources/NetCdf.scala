@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Native NetCDF-3 "classic" reader (SURVEY S4) — JDK-only ByteBuffer
+  * parsing of the public CDF-1/CDF-2 format (big-endian header + row-major
+  * array data). Replaces the reference's `xarray.open_dataset` raw-ingest
+  * step for ERA5 downloads (`ERA5_Monthly_Means/Data Preprocessing/
+  * ERA5_preprocessing.ipynb` cells 2-4).
+  *
+  * Supported surface (what CDS-delivered ERA5 classic files use): fixed
+  * and record (unlimited-dimension) variables, all six classic types,
+  * CF packing (`scale_factor`/`add_offset`), `_FillValue`/`missing_value`
+  * masking to NULL, and the xarray convention that a 1-D variable named
+  * like its dimension provides that dimension's coordinate values.
+  * [[readVars]] emits the LONG layout directly — one row per index tuple
+  * with coordinate columns plus one double column per variable — i.e.
+  * exactly the engine's ingest shape (`ClimateEngine` long tables), so
+  * grid → bbox → geocode → city means runs unchanged downstream.
+  *
+  * Scale posture: like [[Xlsx]], this is the driver-side ingest seam for
+  * raw artifacts — parse once, `createDataFrame`, write parquet (the
+  * documented pre-conversion posture). A monthly-means download is tens
+  * of MB; anything bigger should be converted once, not re-parsed per
+  * query. (NetCDF-4/HDF5 containers are out of scope — convert those
+  * upstream; the reference's monthly-means requests return classic.)
+  */
+object NetCdf {
+
+  private val SizeOf = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 4, 6 -> 8)
+
+  case class Dim(name: String, length: Int) { def unlimited: Boolean = length == 0 }
+  case class Variable(name: String, dimIds: Seq[Int], ncType: Int,
+                      attrs: Map[String, Any], begin: Long)
+  case class Header(numRecs: Int, dims: Seq[Dim], gattrs: Map[String, Any],
+                    vars: Seq[Variable], version: Int)
+
+  private def skipPad(bb: ByteBuffer, consumed: Int): Unit = {
+    val rem = consumed % 4
+    if (rem != 0) bb.position(bb.position() + (4 - rem))
+  }
+
+  private def readName(bb: ByteBuffer): String = {
+    val n = bb.getInt
+    val bytes = new Array[Byte](n)
+    bb.get(bytes)
+    skipPad(bb, n)
+    new String(bytes, "UTF-8")
+  }
+
+  /** NC_CHAR attrs decode to String, numeric attrs to Seq[Double]. */
+  private def readAttrValues(bb: ByteBuffer, ncType: Int, n: Int): Any =
+    ncType match {
+      case 2 =>
+        val bytes = new Array[Byte](n)
+        bb.get(bytes)
+        skipPad(bb, n)
+        new String(bytes, "UTF-8")
+      case t =>
+        val vs = (0 until n).map { _ =>
+          t match {
+            case 1 => bb.get.toDouble
+            case 3 => bb.getShort.toDouble
+            case 4 => bb.getInt.toDouble
+            case 5 => bb.getFloat.toDouble
+            case 6 => bb.getDouble
+            case other => sys.error(s"unknown nc_type $other")
+          }
+        }
+        skipPad(bb, n * SizeOf(t))
+        vs
+    }
+
+  private def readAttrList(bb: ByteBuffer): Map[String, Any] = {
+    val tag = bb.getInt
+    val n = bb.getInt
+    require(tag == 12 || (tag == 0 && n == 0), s"bad attribute-list tag $tag")
+    (0 until n).map { _ =>
+      val name = readName(bb)
+      val t = bb.getInt
+      val nelems = bb.getInt
+      name -> readAttrValues(bb, t, nelems)
+    }.toMap
+  }
+
+  private def parseHeader(bb: ByteBuffer): Header = {
+    require(bb.get == 'C'.toByte && bb.get == 'D'.toByte && bb.get == 'F'.toByte,
+      "not a NetCDF classic file (missing CDF magic)")
+    val version = bb.get.toInt
+    require(version == 1 || version == 2,
+      s"unsupported format byte $version — classic (1) and 64-bit-offset (2) only")
+    val numRecs = bb.getInt
+    val dimTag = bb.getInt
+    val nDims = bb.getInt
+    require(dimTag == 10 || (dimTag == 0 && nDims == 0), s"bad dimension-list tag $dimTag")
+    val dims = (0 until nDims).map(_ => Dim(readName(bb), bb.getInt))
+    val gattrs = readAttrList(bb)
+    val varTag = bb.getInt
+    val nVars = bb.getInt
+    require(varTag == 11 || (varTag == 0 && nVars == 0), s"bad variable-list tag $varTag")
+    val vars = (0 until nVars).map { _ =>
+      val name = readName(bb)
+      val nd = bb.getInt
+      val dimIds = (0 until nd).map(_ => bb.getInt)
+      val attrs = readAttrList(bb)
+      val t = bb.getInt
+      bb.getInt // stored vsize — recomputed from shape instead (spec-robust)
+      val begin = if (version == 1) bb.getInt.toLong else bb.getLong
+      Variable(name, dimIds, t, attrs, begin)
+    }
+    Header(numRecs, dims, gattrs, vars, version)
+  }
+
+  /** Header-only introspection (the xarray `ds.dims`/`ds.variables`
+    * probe — S6's analog for raw files). */
+  def readHeader(path: String): Header =
+    parseHeader(ByteBuffer.wrap(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+
+  private def firstNum(a: Any): Double = a match {
+    case s: Seq[_] => s.head.asInstanceOf[Double]
+    case d: Double => d
+    case other => sys.error(s"non-numeric attribute value $other")
+  }
+
+  /** Absolute-offset accessor for one variable: raw read, fill-mask,
+    * unpack. Record variables address as begin + record·stride +
+    * withinRecord·size, where stride is the padded sum of every record
+    * variable's slice (unpadded when there is exactly one — the spec's
+    * special case). */
+  private class Cursor(bb: ByteBuffer, h: Header, v: Variable) {
+    require(v.ncType != 2, s"char variable '${v.name}' has no numeric long-form")
+    private val dims = v.dimIds.map(h.dims)
+    private val isRecord = dims.headOption.exists(_.unlimited)
+    private val sliceElems = (if (isRecord) dims.tail else dims).map(_.length.toLong).product
+    private val tSize = SizeOf(v.ncType)
+    private def padded(x: Long) = (x + 3) / 4 * 4
+    private val stride: Long = {
+      val recordVars = h.vars.filter(_.dimIds.headOption.exists(i => h.dims(i).unlimited))
+      if (!isRecord) 0L
+      else if (recordVars.size == 1) sliceElems * tSize
+      else recordVars.map { rv =>
+        padded(rv.dimIds.tail.map(h.dims(_).length.toLong).product * SizeOf(rv.ncType))
+      }.sum
+    }
+    private val scale = v.attrs.get("scale_factor").map(firstNum).getOrElse(1.0)
+    private val offset = v.attrs.get("add_offset").map(firstNum).getOrElse(0.0)
+    private val fill = v.attrs.get("_FillValue").orElse(v.attrs.get("missing_value"))
+      .map(firstNum)
+
+    /** Decoded value at the row-major linear index; None where filled. */
+    def apply(linearIdx: Long): Option[Double] = {
+      val (rec, rest) =
+        if (isRecord) (linearIdx / sliceElems, linearIdx % sliceElems)
+        else (0L, linearIdx)
+      val off = v.begin + rec * stride + rest * tSize
+      val raw = v.ncType match {
+        case 1 => bb.get(off.toInt).toDouble
+        case 3 => bb.getShort(off.toInt).toDouble
+        case 4 => bb.getInt(off.toInt).toDouble
+        case 5 => bb.getFloat(off.toInt).toDouble
+        case 6 => bb.getDouble(off.toInt)
+      }
+      if (fill.contains(raw)) None else Some(raw * scale + offset)
+    }
+  }
+
+  /** Read variables sharing one dimension tuple into the long layout:
+    * one row per index tuple, a column per dimension (coordinate values
+    * where a same-named 1-D variable exists, bare indices otherwise) and
+    * a nullable double column per variable. */
+  def readVars(spark: SparkSession, path: String, varNames: Seq[String]): DataFrame = {
+    require(varNames.nonEmpty, "select at least one variable")
+    val bb = ByteBuffer.wrap(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val h = parseHeader(bb.duplicate())
+    val vs = varNames.map(n =>
+      h.vars.find(_.name == n).getOrElse(sys.error(s"no variable '$n' in $path")))
+    val dimIds = vs.head.dimIds
+    require(vs.forall(_.dimIds == dimIds),
+      s"variables must share one dimension tuple; got ${vs.map(v => v.name -> v.dimIds)}")
+    val dims = dimIds.map(h.dims)
+    val shape = dims.map(d => if (d.unlimited) h.numRecs.toLong else d.length.toLong)
+    val total = shape.product
+    require(total <= 10000000L,
+      s"$total rows — driver-side ingest is for modest rasters; convert bigger files once")
+    val coords: Seq[Option[Cursor]] = dimIds.map { id =>
+      h.vars.find(cv => cv.name == h.dims(id).name && cv.dimIds == Seq(id) && cv.ncType != 2)
+        .map(new Cursor(bb, h, _))
+    }
+    val cursors = vs.map(new Cursor(bb, h, _))
+    val schema = StructType(
+      dims.zip(coords).map { case (d, c) =>
+        StructField(d.name, if (c.isDefined) DoubleType else LongType, nullable = true)
+      } ++ vs.map(v => StructField(v.name, DoubleType, nullable = true)))
+    val rows = new java.util.ArrayList[Row](total.toInt)
+    val idx = new Array[Long](dims.size)
+    var li = 0L
+    while (li < total) {
+      var rem = li
+      var d = dims.size - 1
+      while (d >= 0) { idx(d) = rem % shape(d); rem /= shape(d); d -= 1 }
+      val dimVals = dims.indices.map { i =>
+        coords(i) match {
+          case Some(c) => c(idx(i)).map(Double.box).orNull
+          case None => Long.box(idx(i))
+        }
+      }
+      rows.add(Row.fromSeq(dimVals ++ cursors.map(c => c(li).map(Double.box).orNull)))
+      li += 1
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -84,6 +84,130 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  /** Minimal-but-valid .xlsx built with the JDK zip writer: shared and
+    * inline strings, sparse row (missing B3), long/double/string columns. */
+  private def writeXlsxFixture(): String = {
+    val dir = Files.createTempDirectory("xlsx_src")
+    val f = dir.resolve("noaa.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="xml" ContentType="application/xml"/></Types>""".stripMargin)
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |<si><t>name</t></si><si><t>Year</t></si><si><t>Cost</t></si>
+        |<si><r><t>Al</t></r><r><t>pha</t></r></si></sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>1980</v></c><c r="C2"><v>3.5</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>Beta</t></is></c><c r="C3"><v>4.25</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    f.toString
+  }
+
+  test("xlsx reader: shared/inline strings, sparse cells, pandas-style inference") {
+    val df = graft.sources.Xlsx.read(spark, writeXlsxFixture())
+    assert(df.schema == StructType(Seq(
+      StructField("name", StringType), StructField("Year", LongType),
+      StructField("Cost", DoubleType))))
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("Alpha").getLong(1) == 1980L, "rich-text shared string must concatenate")
+    assert(rows("Alpha").getDouble(2) == 3.5)
+    assert(rows("Beta").isNullAt(1), "missing cell must surface as NULL")
+    assert(rows("Beta").getDouble(2) == 4.25)
+  }
+
+  test("xlsx column reference arithmetic") {
+    import graft.sources.Xlsx.colIndex
+    assert(colIndex("A1") == 0 && colIndex("Z9") == 25 &&
+      colIndex("AA3") == 26 && colIndex("BC23") == 54)
+  }
+
+  /** NetCDF-3 classic fixture hand-assembled from the public CDF-1 spec:
+    * unlimited time dim with 2 records, lat(2) x lon(3), coordinate
+    * variables, and a CF-packed short t2m (scale 0.1, offset 200,
+    * fill -32767). Two record variables, so the record stride is the
+    * padded sum of slices (4 + 12 = 16). */
+  private def writeNetCdfFixture(): String = {
+    val dir = Files.createTempDirectory("nc_src")
+    val f = dir.resolve("era5.nc")
+    val bb = java.nio.ByteBuffer.allocate(1080)
+    def name(s: String): Unit = {
+      bb.putInt(s.length); bb.put(s.getBytes("UTF-8"))
+      (0 until (4 - s.length % 4) % 4).foreach(_ => bb.put(0.toByte))
+    }
+    bb.put("CDF".getBytes("UTF-8")).put(1.toByte)
+    bb.putInt(2) // numrecs
+    bb.putInt(10); bb.putInt(3) // NC_DIMENSION, 3 dims
+    name("time"); bb.putInt(0) // unlimited
+    name("lat"); bb.putInt(2)
+    name("lon"); bb.putInt(3)
+    bb.putInt(0); bb.putInt(0) // no global attrs
+    bb.putInt(11); bb.putInt(4) // NC_VARIABLE, 4 vars
+    name("time"); bb.putInt(1); bb.putInt(0) // dims: (time)
+    bb.putInt(0); bb.putInt(0) // no attrs
+    bb.putInt(4); bb.putInt(4); bb.putInt(1044) // NC_INT, vsize, begin
+    name("lat"); bb.putInt(1); bb.putInt(1)
+    bb.putInt(0); bb.putInt(0)
+    bb.putInt(5); bb.putInt(8); bb.putInt(1024) // NC_FLOAT
+    name("lon"); bb.putInt(1); bb.putInt(2)
+    bb.putInt(0); bb.putInt(0)
+    bb.putInt(5); bb.putInt(12); bb.putInt(1032)
+    name("t2m"); bb.putInt(3); bb.putInt(0); bb.putInt(1); bb.putInt(2)
+    bb.putInt(12); bb.putInt(3) // NC_ATTRIBUTE, 3 attrs
+    name("scale_factor"); bb.putInt(6); bb.putInt(1); bb.putDouble(0.1)
+    name("add_offset"); bb.putInt(6); bb.putInt(1); bb.putDouble(200.0)
+    name("_FillValue"); bb.putInt(3); bb.putInt(1)
+    bb.putShort((-32767).toShort); bb.putShort(0.toShort) // value + pad
+    bb.putInt(3); bb.putInt(12); bb.putInt(1048) // NC_SHORT, vsize, begin
+    // fixed data
+    bb.position(1024)
+    bb.putFloat(10.0f).putFloat(20.0f) // lat
+    bb.putFloat(0.0f).putFloat(0.5f).putFloat(1.0f) // lon
+    // record section: rec = [time int][t2m 6 shorts], stride 16
+    bb.putInt(100)
+    Seq(1, 2, 3, 4, 5, -32767).foreach(v => bb.putShort(v.toShort))
+    bb.putInt(101)
+    Seq(10, 20, 30, 40, 50, 60).foreach(v => bb.putShort(v.toShort))
+    Files.write(f, java.util.Arrays.copyOf(bb.array(), bb.position()))
+    f.toString
+  }
+
+  test("netcdf reader: header introspection, coordinates, packing, fill masking") {
+    val path = writeNetCdfFixture()
+    val h = graft.sources.NetCdf.readHeader(path)
+    assert(h.numRecs == 2 && h.dims.map(_.name) == Seq("time", "lat", "lon"))
+    assert(h.vars.map(_.name) == Seq("time", "lat", "lon", "t2m"))
+    val df = graft.sources.NetCdf.readVars(spark, path, Seq("t2m"))
+    assert(df.columns.toSeq == Seq("time", "lat", "lon", "t2m"))
+    assert(df.count() == 12)
+    val byKey = df.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // raw 1 * 0.1 + 200 at (time=100, lat=10, lon=0)
+    assert(byKey((100.0, 10.0, 0.0)) == Some(200.1))
+    // second record, last cell: raw 60
+    assert(byKey((101.0, 20.0, 1.0)) == Some(206.0))
+    // filled cell masks to NULL
+    assert(byKey((100.0, 20.0, 1.0)) == None, s"fill must mask: $byKey")
+  }
+
+  test("netcdf long output feeds the engine's grid pipeline shape") {
+    // coordinate columns + value column == the ClimateEngine long ingest
+    // layout: a bbox filter + mean works directly on the frame
+    val df = graft.sources.NetCdf.readVars(spark, writeNetCdfFixture(), Seq("t2m"))
+    val mean = df.filter(org.apache.spark.sql.functions.col("lat") === 10.0)
+      .agg(org.apache.spark.sql.functions.avg("t2m")).collect()(0).getDouble(0)
+    // lat=10 row values: recs (1,2,3)*0.1+200 and (10,20,30)*0.1+200
+    assert(math.abs(mean - (Seq(1, 2, 3, 10, 20, 30).map(_ * 0.1 + 200).sum / 6)) < 1e-9)
+  }
+
   test("catalog introspection mirrors sqlite_master/PRAGMA probes") {
     graft.model.Fixtures.fema(spark).createOrReplaceTempView("fema_cat")
     assert(Sources.listTables(spark).contains("fema_cat"))
