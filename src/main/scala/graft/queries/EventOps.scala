@@ -216,6 +216,66 @@ object EventOps {
       |  ON c.user_id = p.user_id AND p.ts <= c.ts
       |ORDER BY click_event""".stripMargin
 
+  /** r1: global session-concurrency via `operators.RangeJoin` — every
+    * event joined to every session (ANY user's, no equality key) whose
+    * [first-event, last-event] interval contains it, then profiled per
+    * event type. The no-equality-key shape is exactly what Spark plans as
+    * a BroadcastNestedLoopJoin; the bin decomposition (30-min bins, ≈
+    * session length) turns it into a hash equi-join on bin id whose cost
+    * tracks collisions, not |events|×|sessions|. The oracle states the
+    * same join as the naive BETWEEN predicate — independent semantics,
+    * not an algorithm replay. */
+  def r1RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_lo"),
+        max(unix_micros(col("ts"))).as("s_hi"))
+      .select("s_lo", "s_hi")
+    val points = ev.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    graft.operators.RangeJoin
+      .pointInInterval(points, sessions, "ts_us", "s_lo", "s_hi",
+        binWidth = 1800000000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(count(lit(1)).cast("double") /
+          countDistinct(col("event_id")).cast("double"), 4).as("avg_concurrency"))
+      .orderBy("event_type")
+  }
+
+  private val r1Sql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM y),
+      |sess AS (
+      |  SELECT user_id, sess_id, epoch_us(MIN(ts)) AS s_lo, epoch_us(MAX(ts)) AS s_hi
+      |  FROM z GROUP BY user_id, sess_id)
+      |SELECT e.event_type, COUNT(*) AS n_pairs,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT e.event_id) AS DOUBLE), 4)
+      |    AS avg_concurrency
+      |FROM events e JOIN sess s
+      |  ON epoch_us(e.ts) >= s.s_lo AND epoch_us(e.ts) <= s.s_hi
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -224,7 +284,8 @@ object EventOps {
     "e5_type_stats" -> (e5TypeStats _),
     "e6_dedup_first" -> (e6DedupFirst _),
     "e7_interval_join" -> (e7IntervalJoin _),
-    "e8_asof_join" -> (e8AsofJoin _))
+    "e8_asof_join" -> (e8AsofJoin _),
+    "r1_range_join" -> (r1RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "e1_window_hourly" -> e1Sql,
@@ -234,5 +295,6 @@ object EventOps {
     "e5_type_stats" -> e5Sql,
     "e6_dedup_first" -> e6Sql,
     "e7_interval_join" -> e7Sql,
-    "e8_asof_join" -> e8Sql)
+    "e8_asof_join" -> e8Sql,
+    "r1_range_join" -> r1Sql)
 }

@@ -307,6 +307,75 @@ object TextOps {
       | quantile_cont(n_tokens, 0.99) AS p99
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** d13: the full corpus-cleaning pipeline composed end-to-end — quality
+    * filter (d3's score) → language filter (d5's marker score) → exact
+    * dedup among survivors (d1, via one row_number window on the content
+    * hash) → deterministic hash split (d9) → per-split profile. One
+    * oracle-checked query proving the stages compose: the 100 TB shape is
+    * row-local scoring, ONE hash shuffle for dedup, row-local split
+    * assignment, and a 3-group aggregate. */
+  def d13CleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), lower(col("text")).as("lt"))
+    val charLen = length(col("text"))
+    val tokensD = (charLen - length(expr("replace(text, ' ', '')")) + 1).cast("double")
+    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val score = round(
+      least(lit(1.0), tokensD / lit(200.0)) *
+        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+    def hits(word: String): Column =
+      ((length(col("lt")) -
+        length(expr(s"replace(lt, '$word', '')"))) / lit(word.length)).cast("int")
+    val enScore = hits("the") + hits("and") + hits("data")
+    val scored = base.select(col("doc_id"), col("text"),
+        score.as("quality"),
+        (charLen - length(expr("replace(text, ' ', '')")) + 1).cast("long").as("n_tokens"),
+        enScore.as("en_score"))
+      .filter(col("quality") > 0.2 && col("en_score") >= 3)
+    val kept = scored
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("_rk") === 1)
+    kept
+      .withColumn("bucket",
+        pmod(graft.operators.PortableHash.hex60(col("text")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("quality").cast("decimal(38,6)")).cast("double").as("total_quality"))
+      .orderBy("split")
+  }
+
+  private val d13Sql =
+    """WITH q AS (
+      |  SELECT doc_id, text,
+      |    ROUND(least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
+      |      * (1.0 - least(1.0,
+      |          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |          / CAST(length(text) AS DOUBLE) * 10)), 6) AS quality,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      |    (length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+      |      + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3
+      |      + (length(lower(text)) - length(replace(lower(text), 'data', ''))) / 4 AS en_score
+      |  FROM documents),
+      |f AS (SELECT * FROM q WHERE quality > 0.2 AND en_score >= 3),
+      |k AS (SELECT * FROM f
+      |      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      |sp AS (
+      |  SELECT *,
+      |    CASE WHEN CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 100 < 90 THEN 'train'
+      |         WHEN CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM k)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) AS total_quality
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_hash_split" -> (d9HashSplit _),
     "d10_vocab_topk" -> (d10VocabTopK _),
@@ -319,7 +388,8 @@ object TextOps {
     "d3_quality_score" -> (d3QualityScore _),
     "d4_fingerprint" -> (d4Fingerprint _),
     "d5_lang_score" -> (d5LangScore _),
-    "d6_jaccard_neardup" -> (d6JaccardNearDup _))
+    "d6_jaccard_neardup" -> (d6JaccardNearDup _),
+    "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
     "d9_hash_split" -> d9Sql,
@@ -333,5 +403,6 @@ object TextOps {
     "d3_quality_score" -> d3Sql,
     "d4_fingerprint" -> d4Sql,
     "d5_lang_score" -> d5Sql,
-    "d6_jaccard_neardup" -> d6Sql)
+    "d6_jaccard_neardup" -> d6Sql,
+    "d13_clean_pipeline" -> d13Sql)
 }
