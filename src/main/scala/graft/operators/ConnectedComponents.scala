@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list — the
+  * cluster-assignment step that turns near-duplicate PAIRS (MinHash /
+  * SimHash / embedding-cosine output) into dedup CLUSTERS with a
+  * deterministic canonical representative per cluster. Pair detection
+  * alone cannot drive a keep/drop decision at corpus scale: if A~B and
+  * B~C, dropping one side of each pair independently can drop all three
+  * documents or keep two near-dups. The component label (minimum doc id
+  * reachable) gives every document exactly one cluster and one canonical
+  * survivor.
+  *
+  * Algorithm: iterative min-label propagation to a fixed point. Each
+  * round every vertex takes the minimum of its own label and its
+  * neighbors' labels; the fixed point (label = min id in the component)
+  * is unique, so the result is independent of iteration order, partition
+  * layout, and round count — which is what makes it oracle-checkable
+  * against a DuckDB recursive CTE without replaying the schedule.
+  *
+  * Scale design:
+  *   - each round is ONE shuffle (edge⨝label equi-join + min-aggregate) —
+  *     cost O(|E|) per round, never materializing the O(n²) pair space;
+  *   - rounds needed = graph diameter; near-dup graphs are overwhelmingly
+  *     tiny star/chain clusters (diameter ≤ 3-4 — sf0.1 measures ≤ 2), so
+  *     the loop converges in a handful of rounds. For adversarial long
+  *     chains, alternating large-star/small-star (Kiveris et al.,
+  *     "Connected Components in MapReduce and Beyond", SoCC'14) drops the
+  *     bound to O(log² n) rounds; the propagation loop is kept here for
+  *     determinism-by-construction and because diameter, not vertex
+  *     count, is the binding constraint for this workload;
+  *   - per-round results are persisted and the previous round's cache is
+  *     released as soon as its successor is materialized, so peak cache
+  *     is 2 label tables + the symmetric edge list;
+  *   - the convergence probe is `isEmpty` on the changed-label set — a
+  *     driver-side boolean per round, not a collect of data rows.
+  *
+  * The returned label table reads from the final round's cache lazily;
+  * callers that loop over corpora should `spark.catalog.clearCache()`
+  * when done (Bench/Verify do), or release eagerly via [[withComponents]].
+  */
+object ConnectedComponents {
+
+  /** (id, component) for every vertex appearing in `edges` — an edge list
+    * with columns `id_a`, `id_b` (undirected; orientation and duplicate
+    * edges are normalized internally). `component` is the minimum vertex
+    * id reachable from `id`.
+    *
+    * @param maxRounds safety valve for adversarial diameters; the fixed
+    *                  point is reached (and the loop exits) long before
+    *                  this on near-dup graphs.
+    */
+  def components(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    componentsWithCaches(edges, maxRounds)._1
+
+  /** [[components]] plus the list of DataFrames this call left persisted
+    * (the symmetric edge list and the final label table) so callers can
+    * release them deterministically. */
+  private def componentsWithCaches(edges: DataFrame,
+      maxRounds: Int): (DataFrame, Seq[DataFrame]) = {
+    // persist the raw edges before building the symmetric list: the
+    // union's two branches would otherwise each recompute the (often
+    // expensive — e.g. a full MinHash pipeline) edge derivation.
+    val e = edges.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      // neighbor minimum: one equi-join + one min-aggregate (both
+      // hash-partitioned on the join/group key — O(|E|) shuffle bytes)
+      val neighborMin = sym.as("s")
+        .join(labels.as("l"), col("s.dst") === col("l.id"))
+        .groupBy(col("s.src").as("nid"))
+        .agg(min(col("l.component")).as("ncomp"))
+      val next = labels.as("cur")
+        .join(neighborMin, col("cur.id") === col("nid"), "left")
+        .select(col("cur.id").as("id"),
+          least(col("cur.component"), coalesce(col("ncomp"), col("cur.component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // materializes `next` into its cache and answers convergence in the
+      // same pass; every vertex is present in every round, so comparing
+      // labels by id is total
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    e.unpersist()
+    (labels, Seq(sym, labels))
+  }
+
+  /** Runs `f` over the component table and releases every cache this
+    * operator holds before returning — the bounded-lifecycle twin of
+    * [[components]] for callers outside Bench/Verify's clearCache loop. */
+  def withComponents[T](edges: DataFrame, maxRounds: Int = 50)(
+      f: DataFrame => T): T = {
+    val (labels, caches) = componentsWithCaches(edges, maxRounds)
+    try f(labels)
+    finally caches.foreach(_.unpersist())
+  }
+}
