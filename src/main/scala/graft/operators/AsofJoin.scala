@@ -48,6 +48,15 @@ object AsofJoin {
     require(valueCols.nonEmpty, "asof join needs at least one right column to carry")
     require(!left.columns.exists(_.startsWith("asof_")),
       "left columns must not collide with the asof_ output prefix")
+    // internal working columns: withColumn silently REPLACES an existing
+    // column of the same name, so an input column named _side/_m*/_mv or
+    // _r_<valueCol> would corrupt the tagged-union carry instead of erroring
+    val internal = Set("_side", "_m", "_mb", "_mf", "_mv") ++
+      valueCols.map(c => s"_r_$c")
+    val collisions = (left.columns ++ right.columns).toSet.intersect(internal)
+    require(collisions.isEmpty,
+      s"input columns collide with asof-join internal names: " +
+        collisions.toSeq.sorted.mkString(", "))
     val lPayload = left.columns.toSeq.filterNot(c => c == keyCol || c == tsCol)
     def nullAs(df: DataFrame, c: String): Column = lit(null).cast(df.schema(c).dataType)
     val lSide = left.select(

@@ -44,6 +44,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Lineage-truncation cadence: each propagation round's plan stacks on
+    * the previous round's, and while the per-round persist bounds
+    * RECOMPUTATION, the plan object itself grows linearly — 50 adversarial
+    * rounds would pay 50 generations of analysis/optimization. Every
+    * N rounds the label table is `localCheckpoint`ed, cutting the logical
+    * plan back to a leaf over the materialized partitions. */
+  private val CheckpointEvery = 8
+
   /** (id, component) for every vertex appearing in `edges` — an edge list
     * with columns `id_a`, `id_b` (undirected; orientation and duplicate
     * edges are normalized internally). `component` is the minimum vertex
@@ -51,7 +59,10 @@ object ConnectedComponents {
     *
     * @param maxRounds safety valve for adversarial diameters; the fixed
     *                  point is reached (and the loop exits) long before
-    *                  this on near-dup graphs.
+    *                  this on near-dup graphs. Hitting the valve THROWS
+    *                  (`IllegalStateException`) rather than returning
+    *                  partially-propagated labels — a caller must never
+    *                  consume unconverged labels as final clusters.
     */
   def components(edges: DataFrame, maxRounds: Int = 50): DataFrame =
     componentsWithCaches(edges, maxRounds)._1
@@ -85,12 +96,18 @@ object ConnectedComponents {
         .join(labels.as("l"), col("s.dst") === col("l.id"))
         .groupBy(col("s.src").as("nid"))
         .agg(min(col("l.component")).as("ncomp"))
-      val next = labels.as("cur")
+      val next0 = labels.as("cur")
         .join(neighborMin, col("cur.id") === col("nid"), "left")
         .select(col("cur.id").as("id"),
           least(col("cur.component"), coalesce(col("ncomp"), col("cur.component")))
             .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // periodic localCheckpoint (eager) truncates the stacked round
+      // lineage — see CheckpointEvery; the checkpointed partitions live in
+      // executor storage and are released by the ContextCleaner when the
+      // frame goes unreferenced (Dataset.unpersist is a no-op for them)
+      val next =
+        if (round % CheckpointEvery == 0) next0.localCheckpoint()
+        else next0.persist(StorageLevel.MEMORY_AND_DISK)
       // materializes `next` into its cache and answers convergence in the
       // same pass; every vertex is present in every round, so comparing
       // labels by id is total
@@ -102,6 +119,13 @@ object ConnectedComponents {
       labels = next
     }
     e.unpersist()
+    if (!converged) {
+      sym.unpersist(); labels.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds; " +
+          "raise maxRounds (rounds needed = graph diameter) — returning " +
+          "partially-propagated labels would silently merge or split clusters")
+    }
     (labels, Seq(sym, labels))
   }
 

@@ -49,8 +49,12 @@ object DistributedPercentile {
     }.reduce(_ unionAll _)
       .withColumn("_lo", floor(col("_pos")).cast("long") + 1)
       .withColumn("_hi", ceil(col("_pos")).cast("long") + 1)
+    // null-SAFE key equality throughout: a NULL group key is a real group
+    // to percentile()/quantile_cont (both window partitioning and groupBy
+    // already treat NULL as one group), so the bracketing join and the
+    // final re-join must not drop it the way `===` would
     val bracketed = ranked.join(broadcast(targets),
-      col(keyCol) === col("_k") &&
+      col(keyCol) <=> col("_k") &&
         (col("_rk") === col("_lo") || col("_rk") === col("_hi")))
     val perP = bracketed
       .groupBy(col(keyCol), col("_p"), col("_pos"), col("_lo"), col("_hi"))
@@ -68,8 +72,10 @@ object DistributedPercentile {
     // all-NULL groups were dropped by the isNotNull filter above; re-join
     // onto the distinct keys so they surface with NULL percentile columns
     // (the row set percentile()/quantile_cont produce)
+    val pv = pivoted.withColumnRenamed(keyCol, "_pk")
     df.select(col(keyCol)).distinct()
-      .join(pivoted, Seq(keyCol), "left")
+      .join(pv, col(keyCol) <=> col("_pk"), "left")
+      .drop("_pk")
       .orderBy(keyCol)
   }
 }

@@ -75,7 +75,16 @@ object RangeJoin {
         lit(s"interval spans >= $maxBinsPerInterval bins of $binWidth; " +
           "widen binWidth or cap interval length ("), col(loCol),
         lit(".."), col(hiCol), lit(")"))))
-    val guarded = intervals.withColumn("_ibin", explode(sequence(binLo, safeHi)))
+    // An INVERTED interval (lo > hi) is the empty closed set [lo, hi] = ∅:
+    // it must match nothing — and it must not reach `sequence`, whose
+    // default step for start > stop is -1, generating |span| DESCENDING
+    // bins (the exact explosion the cap exists to prevent, and one the
+    // span guard above cannot see because its difference goes negative).
+    // A NULL bin array makes `explode` drop the interval row, which is
+    // the correct join result for an empty interval on both join types.
+    val bins = when(binHi < binLo, lit(null).cast("array<long>"))
+      .otherwise(sequence(binLo, safeHi))
+    val guarded = intervals.withColumn("_ibin", explode(bins))
     val binned = points.withColumn("_pbin", floorDiv(pointCol, binWidth))
 
     val cond = col("_pbin") === col("_ibin") &&

@@ -91,6 +91,7 @@ object Xlsx {
       var cellCol = -1
       var cellType = ""
       var capture = false
+      var hasVal = false
       var nextCol = 0
       val sb = new StringBuilder
       while (r.hasNext) {
@@ -103,20 +104,28 @@ object Xlsx {
               cellCol = Option(r.getAttributeValue(null, "r"))
                 .map(colIndex).getOrElse(nextCol)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              sb.clear(); hasVal = false
             case "v" | "t" if cur != null && cellCol >= 0 =>
-              capture = true; sb.clear()
+              capture = true
             case _ =>
           }
           case XMLStreamConstants.CHARACTERS if capture => sb.append(r.getText)
           case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
-            case "v" | "t" if capture =>
-              capture = false
-              cur(cellCol) = cellType match {
-                case "s" => shared(sb.toString.trim.toInt)
-                case "b" => if (sb.toString.trim == "1") "true" else "false"
-                case _ => sb.toString
+            // text ACCUMULATES across elements and is assigned at cell end:
+            // a rich-text inline string is several <r><t>…</t></r> runs in
+            // one <is>, which concatenate into the cell value (the same
+            // rendering the sharedStrings path gives multi-run <si>s) —
+            // assigning per-<t> would keep only the last run
+            case "v" | "t" if capture => capture = false; hasVal = true
+            case "c" if cur != null =>
+              if (hasVal && cellCol >= 0) {
+                cur(cellCol) = cellType match {
+                  case "s" => shared(sb.toString.trim.toInt)
+                  case "b" => if (sb.toString.trim == "1") "true" else "false"
+                  case _ => sb.toString
+                }
               }
-            case "c" if cur != null => nextCol = cellCol + 1; cellCol = -1
+              nextCol = cellCol + 1; cellCol = -1; hasVal = false
             case "row" if cur != null => rows += cur.toMap; cur = null
             case _ =>
           }

@@ -142,4 +142,24 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == brute,
       s"asof-only=${(got -- brute).take(3)}, brute-only=${(brute -- got).take(3)}")
   }
+
+  test("input columns colliding with internal working names are rejected") {
+    import spark.implicits._
+    val right = Seq((1L, t("2024-01-01 10:00:00"), 1.0)).toDF("k", "ts", "px")
+    // _side on the left would be silently replaced by withColumn and
+    // corrupt the tagged union; same for the _r_<valueCol> carry slots
+    val badLeft = Seq((1L, t("2024-01-01 10:00:05"), 9))
+      .toDF("k", "ts", "_side")
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(badLeft, right, "k", "ts", Seq("px"))
+    }
+    assert(e1.getMessage.contains("_side"))
+    val badRight = Seq((1L, t("2024-01-01 10:00:00"), 1.0, 2.0))
+      .toDF("k", "ts", "px", "_r_px")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofNearest(Seq((1L, t("2024-01-01 10:00:05"))).toDF("k", "ts"),
+        badRight, "k", "ts", Seq("px"))
+    }
+    assert(e2.getMessage.contains("_r_px"))
+  }
 }

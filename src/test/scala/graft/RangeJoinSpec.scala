@@ -77,6 +77,26 @@ class RangeJoinSpec extends AnyFunSuite {
         .contains("spans >= 1000 bins"), s"unexpected error: $ex")
   }
 
+  test("inverted interval (lo > hi) matches nothing — and never explodes") {
+    import spark.implicits._
+    val pts = Seq((1L, 50L), (2L, 500L)).toDF("pid", "v")
+    // iid=8 is inverted with a HUGE |span| (would be ~10^6 descending bins
+    // if it reached sequence(), and its negative span slips past the
+    // max-bins difference check); iid=7 is a normal control interval
+    val ivs = Seq((7L, 0L, 100L), (8L, 100000000L, 0L)).toDF("iid", "lo", "hi")
+    val inner = RangeJoin.pointInInterval(pts, ivs, "v", "lo", "hi", 100L,
+        maxBinsPerInterval = 1000)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inner.toSet == Set((1L, 7L)), s"got ${inner.toSeq}")
+    // left join: the point uncovered once the inverted interval is empty
+    // survives with NULLs, same as any uncontained point
+    val left = RangeJoin.pointInInterval(pts, ivs, "v", "lo", "hi", 100L,
+        joinType = "left", maxBinsPerInterval = 1000)
+      .select("pid", "iid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(left == Map(1L -> Some(7L), 2L -> None))
+  }
+
   test("colliding column names are rejected up front") {
     import spark.implicits._
     val pts = Seq((1L, 5L)).toDF("id", "v")

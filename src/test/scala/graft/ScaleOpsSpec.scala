@@ -155,6 +155,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.contains(("c", None)), "all-NULL group must surface with NULL value")
   }
 
+  test("DistributedPercentile computes a NULL group KEY like percentile()") {
+    import spark.implicits._
+    // a NULL key whose VALUES are non-NULL is a real group to
+    // percentile()/quantile_cont — null-unsafe key joins would silently
+    // null its percentiles out
+    val df = Seq((Some("a"), Some(10.0)), (Some("a"), Some(20.0)),
+      (None, Some(4.0)), (None, Some(8.0)), (None, None))
+      .toDF("k", "v")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (if (r.isNullAt(0)) None else Some(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    val builtin = norm(df.groupBy(col("k"))
+      .agg(expr("percentile(v, 0.5)").as("p50")).collect())
+    val got = norm(graft.operators.DistributedPercentile
+      .groupPercentiles(df, "k", "v", Seq("p50" -> 0.5)).collect())
+    assert(got == builtin, s"got $got vs builtin $builtin")
+    assert(got.contains((None, Some(6.0))), "NULL key group must get real percentiles")
+  }
+
   test("i1IvfTopk releases the IVF index cache (no persisted RDDs leaked)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val res = queries.ScaleOps.i1IvfTopk(spark, sfDir)

@@ -106,7 +106,7 @@ class SourcesSpec extends AnyFunSuite {
       """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
         |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
         |<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>1980</v></c><c r="C2"><v>3.5</v></c></row>
-        |<row r="3"><c r="A3" t="inlineStr"><is><t>Beta</t></is></c><c r="C3"><v>4.25</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><r><t>Be</t></r><r><t>ta</t></r></is></c><c r="C3"><v>4.25</v></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zos.close()
     f.toString
@@ -120,6 +120,8 @@ class SourcesSpec extends AnyFunSuite {
     val rows = df.collect().map(r => r.getString(0) -> r).toMap
     assert(rows("Alpha").getLong(1) == 1980L, "rich-text shared string must concatenate")
     assert(rows("Alpha").getDouble(2) == 3.5)
+    assert(rows.contains("Beta"),
+      "rich-text INLINE string must concatenate runs, not keep the last one")
     assert(rows("Beta").isNullAt(1), "missing cell must surface as NULL")
     assert(rows("Beta").getDouble(2) == 4.25)
   }
