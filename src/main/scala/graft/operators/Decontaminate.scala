@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *   - the overlap itself is a hash equi-join on the gram hash: cost
   *     tracks |corpus grams| + |eval grams| + |collisions|, never the
   *     corpus×eval document cross product. Eval sets are small relative
-  *     to a 100 TB corpus, so the eval side broadcasts and the corpus
-  *     side never shuffles at all.
+  *     to a 100 TB corpus, so the eval side broadcasts and the join
+  *     itself is map-side; only the MATCHED rows (the contamination
+  *     report's inputs — small by assumption) shuffle afterwards, into
+  *     the per-document distinct-count aggregate (whose two DISTINCTs
+  *     plan as an Expand doubling that matched subset).
   */
 object Decontaminate {
 

@@ -24,7 +24,12 @@ object ScaleOps {
   private val hex60Sql: String => String =
     e => s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
 
-  private val m1Sql: String = {
+  /** The m1 MinHash pipeline as a reusable CTE chain ending in `fpairs`
+    * (id_a, id_b, jaccard — threshold-filtered near-dup pairs). Shared
+    * with the CorpusOps oracles (c1/d14), which build the connected-
+    * components recursion on top of the SAME pair derivation so the
+    * whole pair→cluster chain is replayed, not just its last step. */
+  private[queries] val m1PairsCtes: String = {
     val K = MinHashDedup.K
     val R = MinHashDedup.R
     val P = MinHashDedup.P
@@ -36,7 +41,7 @@ object ScaleOps {
         .map(k => s"CAST(mh$k AS VARCHAR)").mkString(" || ',' || ")
       s"  SELECT id, $b AS band, md5($cat) AS sig FROM sigs"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT DISTINCT doc_id AS id,
        |    unnest(CASE WHEN len(string_split(text,' ')) >= 3
        |      THEN list_transform(range(0, len(string_split(text,' ')) - 2),
@@ -60,15 +65,19 @@ object ScaleOps {
        |  FROM pairs
        |  JOIN hashed sa ON id_a = sa.id
        |  JOIN hashed sb ON id_b = sb.id AND sa.hx = sb.hx
-       |  GROUP BY id_a, id_b)
-       |SELECT id_a, id_b,
-       |  ROUND(CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE), 6) AS jaccard
-       |FROM inter
-       |JOIN sizes za ON id_a = za.id
-       |JOIN sizes zb ON id_b = zb.id
-       |WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.3
-       |ORDER BY id_a, id_b""".stripMargin
+       |  GROUP BY id_a, id_b),
+       |fpairs AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON id_a = za.id
+       |  JOIN sizes zb ON id_b = zb.id
+       |  WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.3)""".stripMargin
   }
+
+  private val m1Sql: String =
+    s"""WITH $m1PairsCtes
+       |SELECT id_a, id_b, jaccard FROM fpairs ORDER BY id_a, id_b""".stripMargin
 
   /** m2: SimHash fingerprint pairs within Hamming distance 3. With
     * `NumBands` = 5 disjoint 12-bit bands, banding finds EVERY pair at
