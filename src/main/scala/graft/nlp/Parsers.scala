@@ -100,10 +100,12 @@ object Parsers {
           Some(today.getYear)
         else if (lower.contains("next year")) Some(today.getYear + 1)
         else None
-      // month-granularity phrases resolve to their year too — the
-      // reference's dateparser.parse("last month") yields a full date
-      // whose .year passes the 1900-2100 gate (`client.py:110-115`)
+      // month- and day-granularity phrases resolve to their year too —
+      // the reference's dateparser.parse("last month"/"yesterday") yields
+      // a full date whose .year passes the 1900-2100 gate
+      // (`client.py:110-115`)
       }.orElse(extractYearMonthNlp(q, today).map(_._1))
+        .orElse(extractDayNlp(q, today).map(_.getYear))
     extractYears(q).headOption.orElse(relative).filter(y => y >= 1900 && y <= 2100)
   }
 
@@ -169,13 +171,47 @@ object Parsers {
     }
   }
 
-  /** [[extractDates]] with the relative-month layer: a relative phrase
-    * resolves to its exact (year, month) against the clock and WINS over
-    * the bare-name explicit path — "last march" must not fall through to
-    * explicit month=03 with the default year 2020. Questions with no
-    * relative phrase take the explicit/defaults path unchanged. */
+  // ---- relative days --------------------------------------------------
+
+  private val DaysAgoRx =
+    raw"(?i)\b(\d{1,4}|a|one|two|three|four|five|six|seven|eight|nine|ten)\s+days?\s+ago\b".r
+  private val WeeksAgoRx =
+    raw"(?i)\b(\d{1,3}|a|one|two|three|four|five|six|seven|eight|nine|ten)\s+weeks?\s+ago\b".r
+
+  /** Day-granularity relative dates against the injectable clock —
+    * completes the `dateparser` family below the month level (the
+    * reference's `dateparser.parse` accepts "yesterday"/"3 weeks ago";
+    * no reference query filters finer than month, so these resolve to a
+    * full date that coarsens into the year/month filters). Covered:
+    * "today", "yesterday", "tomorrow", "the day before yesterday",
+    * "N days ago", "N weeks ago", "last week" (digits or number words). */
+  def extractDayNlp(q: String, today: java.time.LocalDate): Option[java.time.LocalDate] = {
+    val lower = q.toLowerCase
+    def n(tok: String): Long = WordNums.getOrElse(tok.toLowerCase, tok.toInt).toLong
+    DaysAgoRx.findFirstMatchIn(q).map(m => today.minusDays(n(m.group(1))))
+      .orElse(WeeksAgoRx.findFirstMatchIn(q).map(m => today.minusWeeks(n(m.group(1)))))
+      .orElse {
+        // longest phrase first: "day before yesterday" contains "yesterday"
+        if (lower.contains("day before yesterday")) Some(today.minusDays(2))
+        else if (lower.contains("yesterday")) Some(today.minusDays(1))
+        else if (lower.contains("tomorrow")) Some(today.plusDays(1))
+        else if (lower.contains("last week")) Some(today.minusWeeks(1))
+        else if (lower.contains("today")) Some(today)
+        else None
+      }
+  }
+
+  /** [[extractDates]] with the relative-month and relative-day layers: a
+    * relative phrase resolves to its exact (year, month) against the
+    * clock and WINS over the bare-name explicit path — "last march" must
+    * not fall through to explicit month=03 with the default year 2020.
+    * Day-level phrases are the most specific, so they win over
+    * month-level ("yesterday" on 2026-08-01 → 2026-07, whatever else the
+    * question mentions). Questions with no relative phrase take the
+    * explicit/defaults path unchanged. */
   def extractDatesNlp(q: String, today: java.time.LocalDate): (List[String], List[String]) =
-    extractYearMonthNlp(q, today) match {
+    extractDayNlp(q, today).map(d => (d.getYear, d.getMonthValue))
+      .orElse(extractYearMonthNlp(q, today)) match {
       case Some((y, m)) => (List(y.toString), List(f"$m%02d"))
       case None => extractDates(q)
     }

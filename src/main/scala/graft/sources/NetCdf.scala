@@ -87,8 +87,13 @@ object NetCdf {
   }
 
   private def parseHeader(bb: ByteBuffer): Header = {
+    // container caveat: this reader speaks CDF-1/CDF-2 ("classic" /
+    // 64-bit-offset) ONLY. A NetCDF-4 file is an HDF5 container (magic
+    // "\x89HDF") and lands on the message below — pre-convert with
+    // `nccopy -k classic` (CDS-downloaded ERA5 is commonly NetCDF-4).
     require(bb.get == 'C'.toByte && bb.get == 'D'.toByte && bb.get == 'F'.toByte,
-      "not a NetCDF classic file (missing CDF magic)")
+      "not a NetCDF classic file (missing CDF magic) — NetCDF-4/HDF5 " +
+        "containers are unsupported; pre-convert with `nccopy -k classic`")
     val version = bb.get.toInt
     require(version == 1 || version == 2,
       s"unsupported format byte $version — classic (1) and 64-bit-offset (2) only")

@@ -144,6 +144,50 @@ class EngineSpec extends AnyFunSuite {
     assert(a.contains("China 2018: 10717.4 kt"), a)
   }
 
+  /** The EDGAR wide fixture serialized as a real .xlsx (inline strings,
+    * sequential cells with no r= attributes) — proves the S3 reader feeds
+    * the actual ingest pipeline, not just its byte-level fixture. */
+  private def writeEdgarXlsx(): String = {
+    val f = java.nio.file.Files.createTempDirectory("xlsx_edgar").resolve("edgar.xlsx")
+    val wide = Fixtures.edgarWideRaw(spark)
+    def cell(v: Any): String = v match {
+      case s: String => s"""<c t="inlineStr"><is><t>$s</t></is></c>"""
+      case other => s"<c><v>$other</v></c>"
+    }
+    val rowsXml = (wide.schema.fieldNames.toSeq +: wide.collect().toSeq.map(_.toSeq))
+      .map(r => "<row>" + r.map(cell).mkString + "</row>").mkString("\n")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="xml" ContentType="application/xml"/></Types>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |$rowsXml
+         |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    f.toString
+  }
+
+  test("EDGAR golden question answered from a raw .xlsx via the S3 reader") {
+    val wide = graft.sources.Xlsx.read(spark, writeEdgarXlsx())
+    assert(wide.schema.fieldNames.toSeq == Seq("IPCC_annex", "Country_code_A3",
+      "Name", "Substance", "Y_2015", "Y_2018", "Y_2020"))
+    val long = Unpivot.edgarToLong(
+      graft.ingest.Clean.stripPrefix(wide, "Y_"),
+      Seq("IPCC_annex", "Country_code_A3", "Name", "Substance"))
+      .withColumn("gas", col("Substance"))
+    val xlsxEngine = new ClimateEngine(spark, Map(
+      "noaa" -> noaaLong, "fema" -> Fixtures.fema(spark),
+      "era5" -> Fixtures.era5(spark), "edgar" -> long))
+    val a = xlsxEngine.edgarAnswer("What were the CO2 emissions in China in 2018?")
+    assert(a.contains("China 2018: 10717.4 kt"), a)
+  }
+
   test("EDGAR: 'Methane emissions in Brazil from 2015 to 2020' covers interior years") {
     val a = engine.edgarAnswer("Methane emissions in Brazil from 2015 to 2020")
     assert(a.contains("Brazil 2015"), a)

@@ -56,6 +56,34 @@ class ParsersSpec extends AnyFunSuite {
       (List("2020"), AllMonths))
   }
 
+  test("extractDayNlp resolves day-level phrases against the clock") {
+    import java.time.LocalDate
+    val aug12 = LocalDate.of(2026, 8, 12)
+    assert(extractDayNlp("rain today", aug12) == Some(aug12))
+    assert(extractDayNlp("rain yesterday", aug12) == Some(LocalDate.of(2026, 8, 11)))
+    assert(extractDayNlp("rain the day before yesterday", aug12) ==
+      Some(LocalDate.of(2026, 8, 10)), "longest phrase must win over 'yesterday'")
+    assert(extractDayNlp("forecast tomorrow", aug12) == Some(LocalDate.of(2026, 8, 13)))
+    assert(extractDayNlp("flooding 3 days ago", aug12) == Some(LocalDate.of(2026, 8, 9)))
+    assert(extractDayNlp("flooding three weeks ago", aug12) == Some(LocalDate.of(2026, 7, 22)))
+    assert(extractDayNlp("storms last week", aug12) == Some(LocalDate.of(2026, 8, 5)))
+    // month boundary: day arithmetic crosses into the prior month/year
+    assert(extractDayNlp("rain yesterday", LocalDate.of(2026, 1, 1)) ==
+      Some(LocalDate.of(2025, 12, 31)))
+    assert(extractDayNlp("no dates here", aug12) == None)
+  }
+
+  test("extractDatesNlp: day-level phrase wins and coarsens to (year, month)") {
+    val aug1 = java.time.LocalDate.of(2026, 8, 1)
+    assert(extractDatesNlp("rainfall yesterday", aug1) == (List("2026"), List("07")))
+    // day-level beats month-level when both appear
+    assert(extractDatesNlp("rainfall yesterday not last march", aug1) ==
+      (List("2026"), List("07")))
+    // extractYearNlp sees through day phrases too
+    assert(extractYearNlp("flooding two weeks ago", java.time.LocalDate.of(2026, 1, 5))
+      == Some(2025))
+  }
+
   test("extractYearNlp resolves month-level phrases to their year (dateparser parity)") {
     assert(extractYearNlp("floods last month", java.time.LocalDate.of(2026, 1, 5)) ==
       Some(2025))
