@@ -35,8 +35,10 @@ import org.apache.spark.storage.StorageLevel
   *   - per-round results are persisted and the previous round's cache is
   *     released as soon as its successor is materialized, so peak cache
   *     is 2 label tables + the symmetric edge list;
-  *   - the convergence probe is `isEmpty` on the changed-label set — a
-  *     driver-side boolean per round, not a collect of data rows.
+  *   - convergence is answered by a `max` over a `_changed` flag carried
+  *     in the label table itself — ONE job per round that also
+  *     materializes the round's cache; a driver-side boolean, never a
+  *     collect of data rows.
   *
   * The returned label table reads from the final round's cache lazily;
   * callers that loop over corpora should `spark.catalog.clearCache()`
@@ -72,11 +74,35 @@ object ConnectedComponents {
     * release them deterministically. */
   private def componentsWithCaches(edges: DataFrame,
       maxRounds: Int): (DataFrame, Seq[DataFrame]) = {
+    // AQE is disabled for the LOOP's jobs (restored before returning):
+    // every round is the same fixed join+agg shape over known
+    // partitioning, and AQE's per-shuffle-stage materialize-and-replan
+    // cycle costs ~1 s per round of pure scheduling at small scale
+    // (measured: the round's join+agg on a cached few-hundred-row label
+    // table runs 0.4 s with AQE off vs 1.6 s with it on). The caller's
+    // setting governs the returned frame's downstream consumption — only
+    // the propagation rounds opt out.
+    val session = edges.sparkSession
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = session.conf.get(AqeKey)
+    session.conf.set(AqeKey, "false")
+    try componentsLoop(edges, maxRounds)
+    finally session.conf.set(AqeKey, prevAqe)
+  }
+
+  private def componentsLoop(edges: DataFrame,
+      maxRounds: Int): (DataFrame, Seq[DataFrame]) = {
     // persist the raw edges before building the symmetric list: the
     // union's two branches would otherwise each recompute the (often
-    // expensive — e.g. a full MinHash pipeline) edge derivation.
+    // expensive — e.g. a full MinHash pipeline) edge derivation. The
+    // persist must be EAGER (count() below): a lazy persist only
+    // populates per-partition at first touch, and the union's two
+    // branches land in ONE stage whose concurrent tasks race-compute
+    // the same partitions — profiled ~2× the whole upstream chain at
+    // sf0.1 before the derivation was forced into its own job.
     val e = edges.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -96,11 +122,20 @@ object ConnectedComponents {
         .join(labels.as("l"), col("s.dst") === col("l.id"))
         .groupBy(col("s.src").as("nid"))
         .agg(min(col("l.component")).as("ncomp"))
+      // `_changed` rides INSIDE the label table so convergence is a ONE-JOB
+      // max() aggregate over the frame being materialized anyway. The
+      // previous probe (`next ⨝ old labels` + isEmpty) cost an extra join
+      // per round AND isEmpty's incremental take(1) escalation (1→4→16→32
+      // partitions = up to 4 jobs per round when the answer is "empty",
+      // which on a converging graph it always eventually is) — profiled
+      // ~1.7 s/round of pure scheduling on a 260-edge graph at sf0.1.
       val next0 = labels.as("cur")
         .join(neighborMin, col("cur.id") === col("nid"), "left")
         .select(col("cur.id").as("id"),
           least(col("cur.component"), coalesce(col("ncomp"), col("cur.component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("ncomp"), col("cur.component")) < col("cur.component"))
+            .as("_changed"))
       // periodic localCheckpoint (eager) truncates the stacked round
       // lineage — see CheckpointEvery; the checkpointed partitions live in
       // executor storage and are released by the ContextCleaner when the
@@ -109,12 +144,10 @@ object ConnectedComponents {
         if (round % CheckpointEvery == 0) next0.localCheckpoint()
         else next0.persist(StorageLevel.MEMORY_AND_DISK)
       // materializes `next` into its cache and answers convergence in the
-      // same pass; every vertex is present in every round, so comparing
-      // labels by id is total
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
+      // same single job (coalesce: an empty vertex set is converged)
+      converged = !next
+        .agg(coalesce(max(col("_changed")), lit(false)).as("c"))
+        .head.getBoolean(0)
       labels.unpersist()
       labels = next
     }
@@ -126,7 +159,7 @@ object ConnectedComponents {
           "raise maxRounds (rounds needed = graph diameter) — returning " +
           "partially-propagated labels would silently merge or split clusters")
     }
-    (labels, Seq(sym, labels))
+    (labels.select(col("id"), col("component")), Seq(sym, labels))
   }
 
   /** Runs `f` over the component table and releases every cache this
