@@ -4,12 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, Decontaminate, MinHashDedup}
+import graft.operators.{ConnectedComponents, CorpusShaping, Decontaminate, MinHashDedup}
 
 /** Corpus-hygiene composition queries — the operators a training-data
   * pipeline runs BETWEEN detection and training: near-dup pairs resolved
   * into dedup clusters (c1), the full pair→cluster→drop pipeline with
-  * corpus stats (d14), and benchmark decontamination (c2).
+  * corpus stats (d14), benchmark decontamination (c2), stratified
+  * sampling / corpus mixing (d15), and fixed-window token chunking (d16).
   *
   * The c1/d14 oracles replay the ENTIRE chain in DuckDB: the same MinHash
   * CTE derivation as m1 (`ScaleOps.m1PairsCtes`) feeding a recursive-CTE
@@ -132,13 +133,75 @@ object CorpusOps {
        |GROUP BY c.id ORDER BY c.id""".stripMargin
   }
 
+  /** d15 mixing rates: the synthetic corpus is ~44% English, so the demo
+    * downsamples en hard and trims es/de lightly; zh/fr ride the 1.0
+    * default. Exact multiples of 1e-4 (the operator's bucket width). */
+  private val MixRates = Map("en" -> 0.3, "es" -> 0.8, "de" -> 0.8)
+
+  /** d15: deterministic stratified sampling (corpus mixing) — keep 30% of
+    * English and 80% of es/de by content hash, then per-language survivor
+    * stats. Row-local filter, no shuffle beyond the stats aggregate. */
+  def d15StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    CorpusShaping.stratifiedByHash(
+        Tables(s, dir, "documents"), "lang", "text", MixRates)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum((length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long")).as("kept_tokens"))
+      .orderBy("lang")
+
+  private val d15Sql: String = {
+    val cases = MixRates.toSeq.sortBy(_._1).map { case (l, r) =>
+      s"WHEN '$l' THEN ${(r * CorpusShaping.RateBuckets).toLong}"
+    }.mkString(" ")
+    s"""WITH kept AS (
+       |  SELECT * FROM documents
+       |  WHERE CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % ${CorpusShaping.RateBuckets} <
+       |    CASE lang $cases ELSE ${CorpusShaping.RateBuckets} END)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS kept_tokens
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** d16 window size: the synthetic docs average ~54 tokens (max 99), so
+    * 32 gives 1-4 chunks per document. */
+  private val ChunkTokens = 32
+
+  /** d16: fixed-window token chunking (context packing) — one row per
+    * 32-token window with its exact token count and portable md5
+    * identity. Pure per-row array arithmetic; the only shuffle is the
+    * output sort. */
+  def d16TokenChunks(s: SparkSession, dir: String): DataFrame =
+    CorpusShaping.tokenChunks(
+        Tables(s, dir, "documents"), "doc_id", "text", ChunkTokens)
+      .orderBy("doc_id", "chunk_id")
+
+  private val d16Sql: String = {
+    val c = ChunkTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, len(ws) AS nt, ws,
+       |    unnest(range(0, ((len(ws) - 1) // $c) + 1)) AS chunk_id
+       |  FROM t)
+       |SELECT doc_id, chunk_id,
+       |  CAST(least($c, nt - chunk_id * $c) AS INTEGER) AS n_tokens,
+       |  md5(array_to_string(
+       |    list_slice(ws, CAST(chunk_id * $c + 1 AS INT), CAST(chunk_id * $c + $c AS INT)),
+       |    ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
-    "d14_neardup_drop" -> (d14NeardupDrop _))
+    "d14_neardup_drop" -> (d14NeardupDrop _),
+    "d15_stratified_sample" -> (d15StratifiedSample _),
+    "d16_token_chunks" -> (d16TokenChunks _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
     "c2_decontaminate" -> c2Sql,
-    "d14_neardup_drop" -> d14Sql)
+    "d14_neardup_drop" -> d14Sql,
+    "d15_stratified_sample" -> d15Sql,
+    "d16_token_chunks" -> d16Sql)
 }

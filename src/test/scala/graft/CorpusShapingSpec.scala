@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusShaping
+
+/** Corpus shaping: deterministic stratified sampling semantics (exact
+  * rates 0 and 1, determinism, content keying, default fallback) and
+  * fixed-window token chunking (window boundaries, partial final chunk,
+  * md5 identity), plus the zero-shuffle plan property both claim. */
+class CorpusShapingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  test("stratified sampling: rate 0 drops the stratum, rate 1 keeps it whole") {
+    val d = docs((1L, "en", "alpha"), (2L, "en", "beta"), (3L, "de", "gamma"),
+      (4L, "fr", "delta"))
+    val kept = CorpusShaping.stratifiedByHash(d, "lang", "text",
+        Map("en" -> 0.0, "de" -> 1.0), defaultRate = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"got $kept")
+  }
+
+  test("stratified sampling is deterministic and content-keyed") {
+    val d = docs((1L, "en", "same text"), (2L, "en", "same text"),
+      (3L, "en", "other words"), (4L, "en", "third body"))
+    def run() = CorpusShaping.stratifiedByHash(d, "lang", "text", Map("en" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = run()
+    assert(run() == first, "same input must sample identically across runs")
+    // exact duplicates share the content hash: both or neither survive
+    assert(first.contains(1L) == first.contains(2L),
+      s"duplicate texts split across the sample boundary: $first")
+  }
+
+  test("stratified sampling approximates its rates on real data") {
+    val d = Tables(spark, sfDir, "documents")
+    val total = d.filter(col("lang") === "en").count().toDouble
+    val kept = CorpusShaping.stratifiedByHash(d, "lang", "text", Map("en" -> 0.3))
+      .filter(col("lang") === "en").count().toDouble
+    val frac = kept / total
+    assert(frac > 0.1 && frac < 0.5, s"en keep fraction $frac far from 0.3")
+  }
+
+  test("token chunks: window boundaries, partial final chunk, md5 identity") {
+    val d = docs((1L, "en", "a b c d e"), (2L, "en", "x y"), (3L, "en", "solo"))
+    val got = CorpusShaping.tokenChunks(d, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2, m("a b")), (1L, 1L, 2, m("c d")), (1L, 2L, 1, m("e")),
+      (2L, 0L, 2, m("x y")),
+      (3L, 0L, 1, m("solo"))), got.mkString(", "))
+  }
+
+  test("both shaping operators plan zero exchanges (row-local)") {
+    val d = Tables(spark, sfDir, "documents")
+    val sampled = CorpusShaping.stratifiedByHash(d, "lang", "text", Map("en" -> 0.3))
+    sampled.collect()
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sampling must not shuffle")
+    val chunked = CorpusShaping.tokenChunks(d, "doc_id", "text", 32)
+    chunked.collect()
+    assert(!chunked.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must not shuffle")
+  }
+
+  test("token chunk counts reconcile with document token counts") {
+    val d = Tables(spark, sfDir, "documents")
+    val fromChunks = CorpusShaping.tokenChunks(d, "doc_id", "text", 32)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    val direct = d.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(fromChunks == direct, s"chunked $fromChunks vs direct $direct tokens")
+  }
+}
