@@ -62,7 +62,11 @@ object Decontaminate {
     */
   def contamination(corpus: DataFrame, evalSet: DataFrame,
                     idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    // register in BOTH inputs' sessions: under foreachBatch the corpus
+    // batch lives in a CLONED session with its own function registry,
+    // while the static eval side is analyzed against the outer session's
     graft.functions.SketchFunctions.register(corpus.sparkSession)
+    graft.functions.SketchFunctions.register(evalSet.sparkSession)
     val corpusGrams = gramHashes(corpus, idCol, textCol, n)
     // eval sets are tiny next to the corpus: broadcast them so the
     // corpus side joins map-side with zero shuffle

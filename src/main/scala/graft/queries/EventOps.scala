@@ -216,6 +216,35 @@ object EventOps {
       |  ON c.user_id = p.user_id AND p.ts <= c.ts
       |ORDER BY click_event""".stripMargin
 
+  /** e9: FORWARD as-of join — each click matched to the same user's
+    * earliest purchase at or after it (conversion attribution). Same
+    * one-shuffle union+window operator as e8 in its forward direction;
+    * the oracle is again DuckDB's native ASOF JOIN with the inequality
+    * flipped — an independent implementation of forward semantics, which
+    * until this query were pinned only by the in-process brute-force
+    * spec. */
+  def e9AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.operators.AsofJoin
+      .asofForward(clicks, purchases, "user_id", "ts", Seq("event_id"))
+      .select(col("user_id"), col("click_event"),
+        col("asof_event_id").as("next_purchase"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("us_until_purchase"))
+      .orderBy("click_event")
+  }
+
+  private val e9Sql =
+    """SELECT c.user_id, c.event_id AS click_event, p.event_id AS next_purchase,
+      | epoch_us(p.ts) - epoch_us(c.ts) AS us_until_purchase
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY click_event""".stripMargin
+
   /** r1: global session-concurrency via `operators.RangeJoin` — every
     * event joined to every session (ANY user's, no equality key) whose
     * [first-event, last-event] interval contains it, then profiled per
@@ -285,6 +314,7 @@ object EventOps {
     "e6_dedup_first" -> (e6DedupFirst _),
     "e7_interval_join" -> (e7IntervalJoin _),
     "e8_asof_join" -> (e8AsofJoin _),
+    "e9_asof_forward" -> (e9AsofForward _),
     "r1_range_join" -> (r1RangeJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +326,6 @@ object EventOps {
     "e6_dedup_first" -> e6Sql,
     "e7_interval_join" -> e7Sql,
     "e8_asof_join" -> e8Sql,
+    "e9_asof_forward" -> e9Sql,
     "r1_range_join" -> r1Sql)
 }

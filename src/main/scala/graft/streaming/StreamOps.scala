@@ -284,6 +284,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming → decontamination composition (foreachBatch): sweep each
+    * arriving micro-batch of documents against a static held-out eval
+    * set — the ingest-time gate that keeps benchmark text from ever
+    * LANDING in a training corpus, instead of sweeping the corpus after
+    * the fact.
+    *
+    * Same seam as [[annPerBatch]]: the batch inside the lambda is a plain
+    * DataFrame, so the UNCHANGED batch operator
+    * (`operators.Decontaminate.contamination`) applies and streaming
+    * inherits its oracle-checked semantics (c2). The eval side is tiny
+    * and broadcast per batch; per-batch cost is one map-side join over
+    * the batch's n-grams. The sink receives the per-batch contamination
+    * report (clean batches produce an empty frame). */
+  def decontaminatePerBatch(docs: DataFrame, evalSet: DataFrame,
+                            idCol: String, textCol: String, n: Int = 5)
+                           (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Decontaminate
+          .contamination(batch, evalSet, idCol, textCol, n), batchId)
+      }
+      .start()
+
   /** Checkpointed parquet sink: exactly-once file output via the commit
     * log in `checkpoint` — restarting the query from the same checkpoint
     * resumes after the last committed batch instead of re-emitting it.

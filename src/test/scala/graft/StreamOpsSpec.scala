@@ -360,4 +360,37 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("streaming decontamination per-batch union equals the batch sweep") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val eval = Seq((1L, "the quick brown fox jumps"),
+      (2L, "a lazy dog sleeps soundly")).toDF("doc_id", "text")
+    val b1 = Seq(StreamDoc(100L, "the quick brown fox and more words here"),
+      StreamDoc(101L, "completely unrelated content in this one"))
+    val b2 = Seq(StreamDoc(102L, "a lazy dog sleeps in the sun"))
+    val ms = MemoryStream[StreamDoc]
+    val reports = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = StreamOps.decontaminatePerBatch(ms.toDF(), eval, "doc_id", "text", n = 3) {
+      (df, id) =>
+        val s = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        if (s.nonEmpty) reports(id) = s
+    }
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    // per-document independence: the union of per-batch reports must equal
+    // the one-shot batch sweep over the same documents — the foreachBatch
+    // seam reuses the oracle-checked batch operator unchanged
+    val want = graft.operators.Decontaminate
+      .contamination((b1 ++ b2).toDF(), eval, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "batch twin found no contamination — weak test data")
+    assert(reports.values.flatten.toSet == want,
+      s"streaming ${reports.values.flatten.toSet} != batch $want")
+  }
 }
+
+/** Top-level so MemoryStream's encoder derivation sees a stable type. */
+case class StreamDoc(doc_id: Long, text: String)
