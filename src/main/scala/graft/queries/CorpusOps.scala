@@ -191,17 +191,55 @@ object CorpusOps {
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** d17: chunk-level boilerplate detection — exact dedup at d16's chunk
+    * granularity instead of whole documents (the repeated-paragraph /
+    * boilerplate sweep: near-dup DOCUMENTS share most chunks, template
+    * corpora share exact chunks across otherwise-distinct documents).
+    * One hash shuffle on the chunk md5; the report lists each repeated
+    * chunk with its occurrence count, distinct-document spread, and
+    * canonical first location. */
+  def d17ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    CorpusShaping.tokenChunks(
+        Tables(s, dir, "documents"), "doc_id", "text", ChunkTokens)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("chunk_md5")
+
+  private val d17Sql: String = {
+    val c = ChunkTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(0, ((len(ws) - 1) // $c) + 1)) AS chunk_id
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(
+       |      list_slice(ws, CAST(chunk_id * $c + 1 AS INT), CAST(chunk_id * $c + $c AS INT)),
+       |      ' ')) AS chunk_md5
+       |  FROM c)
+       |SELECT chunk_md5, COUNT(*) AS n_occurrences,
+       |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM h GROUP BY chunk_md5 HAVING COUNT(*) > 1
+       |ORDER BY chunk_md5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
     "d14_neardup_drop" -> (d14NeardupDrop _),
     "d15_stratified_sample" -> (d15StratifiedSample _),
-    "d16_token_chunks" -> (d16TokenChunks _))
+    "d16_token_chunks" -> (d16TokenChunks _),
+    "d17_chunk_dedup" -> (d17ChunkDedup _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
     "c2_decontaminate" -> c2Sql,
     "d14_neardup_drop" -> d14Sql,
     "d15_stratified_sample" -> d15Sql,
-    "d16_token_chunks" -> d16Sql)
+    "d16_token_chunks" -> d16Sql,
+    "d17_chunk_dedup" -> d17Sql)
 }

@@ -245,6 +245,47 @@ object EventOps {
       |  ON c.user_id = p.user_id AND c.ts <= p.ts
       |ORDER BY click_event""".stripMargin
 
+  /** e10: NEAREST as-of join — each click matched to the same user's
+    * closest purchase in either direction (backward wins exact-distance
+    * ties). Both carries share ONE exchange in the operator; the oracle
+    * computes DuckDB's two native ASOF directions and picks per row by
+    * the same distance rule — the nearest semantics stated independently
+    * of the union+window algorithm. */
+  def e10AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.operators.AsofJoin
+      .asofNearest(clicks, purchases, "user_id", "ts", Seq("event_id"))
+      .select(col("user_id"), col("click_event"),
+        col("asof_event_id").as("near_purchase"),
+        abs(unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("us_distance"))
+      .orderBy("click_event")
+  }
+
+  private val e10Sql =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT c.user_id, c.event_id AS click_event, c.ts,
+      |    p.event_id AS pid, p.ts AS pts
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts),
+      |f AS (
+      |  SELECT c.event_id AS click_event, p.event_id AS pid, p.ts AS pts
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT b.user_id, b.click_event,
+      |  CASE WHEN b.pid IS NOT NULL AND (f.pid IS NULL
+      |         OR epoch_us(b.ts) - epoch_us(b.pts) <= epoch_us(f.pts) - epoch_us(b.ts))
+      |       THEN b.pid ELSE f.pid END AS near_purchase,
+      |  CASE WHEN b.pid IS NOT NULL AND (f.pid IS NULL
+      |         OR epoch_us(b.ts) - epoch_us(b.pts) <= epoch_us(f.pts) - epoch_us(b.ts))
+      |       THEN epoch_us(b.ts) - epoch_us(b.pts)
+      |       ELSE epoch_us(f.pts) - epoch_us(b.ts) END AS us_distance
+      |FROM b JOIN f USING (click_event)
+      |ORDER BY click_event""".stripMargin
+
   /** r1: global session-concurrency via `operators.RangeJoin` — every
     * event joined to every session (ANY user's, no equality key) whose
     * [first-event, last-event] interval contains it, then profiled per
@@ -315,6 +356,7 @@ object EventOps {
     "e7_interval_join" -> (e7IntervalJoin _),
     "e8_asof_join" -> (e8AsofJoin _),
     "e9_asof_forward" -> (e9AsofForward _),
+    "e10_asof_nearest" -> (e10AsofNearest _),
     "r1_range_join" -> (r1RangeJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -327,5 +369,6 @@ object EventOps {
     "e7_interval_join" -> e7Sql,
     "e8_asof_join" -> e8Sql,
     "e9_asof_forward" -> e9Sql,
+    "e10_asof_nearest" -> e10Sql,
     "r1_range_join" -> r1Sql)
 }

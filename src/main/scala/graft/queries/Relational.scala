@@ -356,6 +356,30 @@ object Relational {
         col("n"), col("revenue"))
       .orderBy("o_orderstatus", "o_orderpriority")
 
+  /** q26: explicit GROUPING SETS — two independent one-dimension
+    * summaries computed in ONE pass over the fact table (the general
+    * form q16's ROLLUP and q22's CUBE are sugar for; at scale one
+    * Expand+shuffle replaces N separate scans+aggregates). */
+  def q26GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice"), "revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("revenue"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private val q26Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      | COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   private val q22Sql =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
       | COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -605,7 +629,8 @@ object Relational {
     "q22_cube" -> (q22Cube _),
     "q23_correlated_sub" -> (q23CorrelatedSub _),
     "q24_percentiles" -> (q24Percentiles _),
-    "q25_fact_join" -> (q25FactJoin _))
+    "q25_fact_join" -> (q25FactJoin _),
+    "q26_grouping_sets" -> (q26GroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -632,5 +657,6 @@ object Relational {
     "q22_cube" -> q22Sql,
     "q23_correlated_sub" -> q23Sql,
     "q24_percentiles" -> q24Sql,
-    "q25_fact_join" -> q25Sql)
+    "q25_fact_join" -> q25Sql,
+    "q26_grouping_sets" -> q26Sql)
 }
