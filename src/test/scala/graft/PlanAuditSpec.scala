@@ -141,6 +141,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "Union") >= 1, "tagged union missing")
   }
 
+  test("e10 nearest as-of shares ONE exchange across both direction carries") {
+    val s = formatted(SparkEntry.queries("e10_asof_nearest")(spark, sfDir))
+    val tree = s.split(raw"== Initial Plan ==").head
+    assert(!tree.contains("Join"),
+      "nearest as-of must stay join-free (two window carries, no range join)")
+    assert(nodeCount(s, "Window") >= 2,
+      "backward AND forward carries should appear as two Window operators")
+    // both carries partition by the same key: beyond the scan-side and
+    // final-sort exchanges, the two windows must NOT add one each
+    assert(nodeCount(s, "Exchange") <= 3,
+      s"windows re-exchanged separately:\n" +
+        s.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("e7 interval join plans as a shuffle equi-join on user_id, never cartesian") {
     val s = formatted(SparkEntry.queries("e7_interval_join")(spark, sfDir))
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
