@@ -116,6 +116,36 @@ object IvfSearch {
     } finally e.unpersist()
   }
 
+  /** Persist an index at rest: the centroid table (k·dim doubles — tiny)
+    * and the inverted file, PARTITIONED BY centroid_id so each inverted
+    * list is its own parquet directory. Build once, query many times —
+    * at corpus scale the index outlives the session that trained it, and
+    * the partition layout lets a probe read `nprobe/k` of the corpus
+    * from disk: the probe join broadcasts the (tiny) probed-list side,
+    * so dynamic partition pruning drops the unprobed lists at the SCAN,
+    * which is the at-rest analog of the in-memory inverted file. */
+  def saveIndex(index: Index, path: String): Unit = {
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("centroid_id", "centroid")
+      .repartition(1) // k rows
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    index.assignments
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Reconstitute a saved index. The assignments read lazily from the
+    * partitioned parquet (no cache is taken — callers probing in a tight
+    * loop can persist; one-shot probes rely on partition pruning);
+    * [[Index.close]] on a loaded index is a no-op. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val cs = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    Index(cs, spark.read.parquet(s"$path/assignments")
+      .select(col("id"), col("emb"), col("centroid_id")))
+  }
+
   /** Approximate cosine top-k: probe the `nprobe` nearest inverted lists
     * per query, exact cosine within them. */
   def approxTopK(queries: DataFrame, index: Index, idCol: String, embCol: String,

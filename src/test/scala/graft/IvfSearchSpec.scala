@@ -42,4 +42,23 @@ class IvfSearchSpec extends AnyFunSuite {
     // and the probe actually pruned work: candidates ≪ corpus
     assert(approx.size <= 15)
   }
+
+  test("saved index reloads and answers identically (build once, query many)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfSearch.saveIndex(index, dir)
+    val loaded = IvfSearch.loadIndex(spark, dir)
+    assert(loaded.centroids == index.centroids,
+      "centroids must round-trip bit-exactly")
+    // one inverted list per parquet partition directory — the at-rest
+    // layout that lets a probe's dynamic partition pruning skip lists
+    val listDirs = new java.io.File(s"$dir/assignments")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(listDirs == index.centroids.size, s"got $listDirs list dirs")
+    val q = corpus.filter(col("vec_id") < 3)
+    def run(ix: IvfSearch.Index) =
+      IvfSearch.approxTopK(q, ix, "vec_id", "embedding", k = 5, nprobe = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(run(loaded) == run(index),
+      "loaded index must answer exactly like the in-memory one")
+  }
 }
