@@ -119,7 +119,7 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Candidate pairs with exact shingle-set Jaccard attached, filtered to
+  /** Exact shingle-set Jaccard over candidate `pairs`, filtered to
     * `>= threshold`. Set sizes come straight from the per-row shingle
     * arrays (no aggregation shuffle); only the intersection count needs
     * the exploded join — and that join carries `hex60(shingle)` longs
@@ -127,14 +127,11 @@ object MinHashDedup {
     * verify phase's shuffle bytes ~4× at a 2⁻⁶⁰ per-pair collision risk.
     * The DuckDB oracle joins on the same hashes, so results stay
     * bit-identical by construction. */
-  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     threshold: Double): DataFrame = {
-    graft.functions.SketchFunctions.register(docs.sparkSession)
-    val sets = shingleSets(docs, idCol, textCol)
+  private def verifyJaccard(pairs: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame = {
     val sh = sets.select(col("id"),
       explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh"))
     val sizes = sets.select(col("id"), size(col("shset")).cast("long").as("sz"))
-    val pairs = candidatePairsFromSets(sets)
     val inter = pairs
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
@@ -146,5 +143,52 @@ object MinHashDedup {
         round(col("inter").cast("double") /
           (col("za.sz") + col("zb.sz") - col("inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate pairs with exact Jaccard attached (see [[verifyJaccard]]),
+    * over one corpus. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    val sets = shingleSets(docs, idCol, textCol)
+    verifyJaccard(candidatePairsFromSets(sets), sets, threshold)
+  }
+
+  /** INCREMENTAL near-dup detection: every pair touching `newDocs` —
+    * new-vs-corpus plus within-new — exactly the pairs
+    * `nearDuplicates(corpus ∪ newDocs)` emits minus the corpus-internal
+    * ones, WITHOUT generating a single corpus×corpus candidate. This is
+    * the continuous-ingest shape: when 0.1% of a 100 TB corpus arrives,
+    * re-pairing the whole corpus is 10⁶× the work actually needed; here
+    * the corpus contributes one pass to (re)build its band table — which
+    * a production deployment precomputes and keeps bucketed by
+    * (band, sig) — and the batch probes it with a hash equi-join.
+    *
+    * Doc ids must be disjoint between the two inputs. Pair orientation
+    * follows the batch convention (id_a < id_b), so results compare
+    * directly against the one-shot run (spec-pinned equal). */
+  def nearDuplicatesAgainst(corpus: DataFrame, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double): DataFrame = {
+    graft.functions.SketchFunctions.register(corpus.sparkSession)
+    val setsC = shingleSets(corpus, idCol, textCol)
+    val setsN = shingleSets(newDocs, idCol, textCol)
+    // both band tables persist for the same reason candidatePairsFromSets
+    // persists: each is read by two joins below (lifecycle: caller
+    // clearCache, per the band-table convention)
+    val bandsC = bandSignatures(signatureFromSets(setsC))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsN = bandSignatures(signatureFromSets(setsN))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = bandsN.as("n").join(bandsC.as("c"),
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+      .select(least(col("n.id"), col("c.id")).as("id_a"),
+        greatest(col("n.id"), col("c.id")).as("id_b"))
+    val within = bandsN.as("a").join(bandsN.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    verifyJaccard(cross.union(within).distinct(),
+      setsC.unionByName(setsN), threshold)
   }
 }

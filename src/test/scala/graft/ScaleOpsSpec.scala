@@ -117,6 +117,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("incremental MinHash dedup equals the one-shot pair set restricted to new docs") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    val got = graft.operators.MinHashDedup
+      .nearDuplicatesAgainst(corpus, fresh, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val newIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = graft.operators.MinHashDedup
+      .nearDuplicates(docs, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(t => newIds(t._1) || newIds(t._2)).toSet
+    assert(want.nonEmpty, "split produced no pairs touching the new batch — weak fixture")
+    assert(got == want,
+      s"incremental-only=${(got -- want).take(5)}, batch-only=${(want -- got).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("DistributedPercentile equals the built-in percentile() bit-for-bit") {
     val li = graft.Tables(spark, sfDir, "lineitem")
     val builtin = li.groupBy(col("l_returnflag"))
