@@ -169,13 +169,25 @@ object MinHashDedup {
     * directly against the one-shot run (spec-pinned equal). */
   def nearDuplicatesAgainst(corpus: DataFrame, newDocs: DataFrame,
                             idCol: String, textCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double): DataFrame =
+    nearDuplicatesAgainstWithCaches(corpus, newDocs, idCol, textCol, threshold)._1
+
+  /** [[nearDuplicatesAgainst]] plus the band-table caches it left
+    * persisted, so looping callers (the per-batch streaming gate) can
+    * release them after consuming the result instead of clearing the
+    * whole shared cache. */
+  private[graft] def nearDuplicatesAgainstWithCaches(
+      corpus: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    // both sessions: under foreachBatch the new-docs batch lives in a
+    // cloned session with its own function registry (see Decontaminate)
     graft.functions.SketchFunctions.register(corpus.sparkSession)
+    graft.functions.SketchFunctions.register(newDocs.sparkSession)
     val setsC = shingleSets(corpus, idCol, textCol)
     val setsN = shingleSets(newDocs, idCol, textCol)
     // both band tables persist for the same reason candidatePairsFromSets
     // persists: each is read by two joins below (lifecycle: caller
-    // clearCache, per the band-table convention)
+    // clearCache or unpersist the returned caches)
     val bandsC = bandSignatures(signatureFromSets(setsC))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsN = bandSignatures(signatureFromSets(setsN))
@@ -188,7 +200,7 @@ object MinHashDedup {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    verifyJaccard(cross.union(within).distinct(),
-      setsC.unionByName(setsN), threshold)
+    (verifyJaccard(cross.union(within).distinct(),
+      setsC.unionByName(setsN), threshold), Seq(bandsC, bandsN))
   }
 }

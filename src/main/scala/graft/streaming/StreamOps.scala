@@ -308,6 +308,37 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming → near-dup composition (foreachBatch): sweep each arriving
+    * micro-batch of documents against the existing corpus with the
+    * INCREMENTAL MinHash operator — the ingest-time dedup gate (reject or
+    * flag near-dups before they land) that complements the offline
+    * c1/d14 cluster sweep.
+    *
+    * Per batch: the batch's band signatures probe the corpus band table
+    * (which a production deployment precomputes, bucketed by (band,
+    * sig)) plus a within-batch self-join — never a corpus-internal
+    * candidate. The sink receives (id_a, id_b, jaccard) pairs touching
+    * the batch. NOTE: batches are swept against the STATIC corpus and
+    * within themselves; near-dups BETWEEN two different batches are the
+    * compaction pass's job (run nearDuplicatesAgainst over the
+    * accumulated deltas offline). */
+  def nearDupPerBatch(docs: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String, threshold: Double)
+                     (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // release the per-call band-table caches after the sink consumes
+        // the result — a long-running stream must not accumulate a pair
+        // of caches per batch (and clearing the WHOLE shared cache would
+        // nuke caller-owned tables)
+        val (pairs, caches) = graft.operators.MinHashDedup
+          .nearDuplicatesAgainstWithCaches(corpus, batch, idCol, textCol, threshold)
+        try sink(pairs, batchId)
+        finally caches.foreach(_.unpersist())
+      }
+      .start()
+
   /** Checkpointed parquet sink: exactly-once file output via the commit
     * log in `checkpoint` — restarting the query from the same checkpoint
     * resumes after the last committed batch instead of re-emitting it.

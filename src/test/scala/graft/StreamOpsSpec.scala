@@ -390,6 +390,44 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(reports.values.flatten.toSet == want,
       s"streaming ${reports.values.flatten.toSet} != batch $want")
   }
+
+  test("streaming near-dup gate matches per-batch incremental sweeps, releases caches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      StreamDoc(100L, "the quick brown fox jumps over the lazy dog tonight"), // ~corpus 1
+      StreamDoc(101L, "completely different text with no shared shingles at all"))
+    val b2 = Seq( // a within-batch near-dup pair, unrelated to the corpus
+      StreamDoc(103L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      StreamDoc(104L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ms = MemoryStream[StreamDoc]
+    val reports = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val q = StreamOps.nearDupPerBatch(ms.toDF(), corpus, "doc_id", "text", 0.3) {
+      (df, id) =>
+        val s = df.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (s.nonEmpty) reports(id) = s
+    }
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    // the gate's per-batch band-table caches must be gone once each batch
+    // is consumed — a long-running stream cannot accumulate them
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"streaming gate leaked caches: $leaked")
+    def sweep(b: Seq[StreamDoc]) = graft.operators.MinHashDedup
+      .nearDuplicatesAgainst(corpus, b.toDF(), "doc_id", "text", 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = sweep(b1) ++ sweep(b2)
+    assert(want == Set((1L, 100L), (103L, 104L)), s"unexpected batch sweeps: $want")
+    assert(reports.values.flatten.toSet == want,
+      s"streaming ${reports.values.flatten.toSet} != per-batch $want")
+    spark.catalog.clearCache()
+  }
 }
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
