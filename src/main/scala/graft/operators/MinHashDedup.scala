@@ -128,10 +128,18 @@ object MinHashDedup {
     * The DuckDB oracle joins on the same hashes, so results stay
     * bit-identical by construction. */
   private def verifyJaccard(pairs: DataFrame, sets: DataFrame,
-                            threshold: Double): DataFrame = {
-    val sh = sets.select(col("id"),
-      explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh"))
-    val sizes = sets.select(col("id"), size(col("shset")).cast("long").as("sz"))
+                            threshold: Double): DataFrame =
+    verifyJaccardFrom(pairs,
+      sets.select(col("id"),
+        explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh")),
+      sets.select(col("id"), size(col("shset")).cast("long").as("sz")),
+      threshold)
+
+  /** Verify form over pre-materialized (id, sh) hashes and (id, sz)
+    * sizes — the index-backed sweep reads these from tables instead of
+    * re-deriving them from corpus text. */
+  private def verifyJaccardFrom(pairs: DataFrame, sh: DataFrame,
+                                sizes: DataFrame, threshold: Double): DataFrame = {
     val inter = pairs
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
@@ -202,5 +210,75 @@ object MinHashDedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     (verifyJaccard(cross.union(within).distinct(),
       setsC.unionByName(setsN), threshold), Seq(bandsC, bandsN))
+  }
+
+  /** The corpus side of the incremental sweep at rest: the band table
+    * (candidate generation), the shingle-hash table (exact-Jaccard
+    * verification), and the per-document set sizes. Everything a batch
+    * probe needs WITHOUT touching corpus text again. */
+  case class DedupIndex(bands: DataFrame, shingleHashes: DataFrame, sizes: DataFrame)
+
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String): DedupIndex = {
+    graft.functions.SketchFunctions.register(corpus.sparkSession)
+    val sets = shingleSets(corpus, idCol, textCol)
+    DedupIndex(
+      bandSignatures(signatureFromSets(sets)),
+      sets.select(col("id"),
+        explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh")),
+      sets.select(col("id"), size(col("shset")).cast("long").as("sz")))
+  }
+
+  /** Persist a dedup index as three BUCKETED tables
+    * (`<prefix>_bands/_shingles/_sizes`): bands bucketed+sorted by its
+    * probe key (band, sig), shingles and sizes by the verify key (id).
+    * Bucketing is the at-rest point: a per-batch probe joined on the
+    * bucket key reads the corpus side IN PLACE — only the (tiny) batch
+    * side shuffles into bucket layout — so sweeping a 0.1% delta never
+    * re-shuffles the 99.9%. Rebuild cadence: the index is append-only
+    * per ingested batch (new rows land in the same bucket scheme);
+    * compaction re-runs [[saveDedupIndex]]. */
+  def saveDedupIndex(index: DedupIndex, prefix: String, buckets: Int = 64): Unit = {
+    index.bands.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .saveAsTable(s"${prefix}_bands")
+    index.shingleHashes.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_shingles")
+    index.sizes.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_sizes")
+  }
+
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String): DedupIndex =
+    DedupIndex(spark.table(s"${prefix}_bands"),
+      spark.table(s"${prefix}_shingles"), spark.table(s"${prefix}_sizes"))
+
+  /** [[nearDuplicatesAgainst]] with the corpus side served ENTIRELY from
+    * a prebuilt [[DedupIndex]] — the production shape of the streaming
+    * ingest gate: corpus text is never read, the batch probes the
+    * bucketed band table and verifies against the bucketed shingle
+    * hashes. Emits the same pairs as the from-text sweep (spec-pinned). */
+  def nearDuplicatesAgainstIndex(index: DedupIndex, newDocs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 threshold: Double): DataFrame = {
+    graft.functions.SketchFunctions.register(newDocs.sparkSession)
+    val setsN = shingleSets(newDocs, idCol, textCol)
+    val bandsN = bandSignatures(signatureFromSets(setsN))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cross = bandsN.as("n").join(index.bands.as("c"),
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+      .select(least(col("n.id"), col("c.id")).as("id_a"),
+        greatest(col("n.id"), col("c.id")).as("id_b"))
+    val within = bandsN.as("a").join(bandsN.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val shN = setsN.select(col("id"),
+      explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh"))
+    val sizesN = setsN.select(col("id"), size(col("shset")).cast("long").as("sz"))
+    verifyJaccardFrom(cross.union(within).distinct(),
+      index.shingleHashes.unionByName(shN), index.sizes.unionByName(sizesN),
+      threshold)
   }
 }

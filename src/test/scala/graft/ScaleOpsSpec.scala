@@ -135,6 +135,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("index-backed incremental sweep equals the from-text sweep; bands co-locate") {
+    import graft.operators.MinHashDedup
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    MinHashDedup.saveDedupIndex(
+      MinHashDedup.buildDedupIndex(corpus, "doc_id", "text"), "dedup_idx", buckets = 8)
+    try {
+      val loaded = MinHashDedup.loadDedupIndex(spark, "dedup_idx")
+      val got = MinHashDedup
+        .nearDuplicatesAgainstIndex(loaded, fresh, "doc_id", "text", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = MinHashDedup
+        .nearDuplicatesAgainst(corpus, fresh, "doc_id", "text", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.nonEmpty && got == want,
+        s"index-only=${(got -- want).take(5)}, text-only=${(want -- got).take(5)}")
+      // the at-rest point: the bands table is bucketed on its probe key,
+      // so a join on (band, sig) reads it in place — zero exchanges when
+      // both sides share the layout (same property as the S5 bucketed sink)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val b = spark.table("dedup_idx_bands")
+        val j = b.as("x").join(b.as("y"), Seq("band", "sig"))
+        j.collect()
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+          "bucketed band table must join on (band, sig) without a shuffle")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      Seq("dedup_idx_bands", "dedup_idx_shingles", "dedup_idx_sizes")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("DistributedPercentile equals the built-in percentile() bit-for-bit") {
     val li = graft.Tables(spark, sfDir, "lineitem")
     val builtin = li.groupBy(col("l_returnflag"))
