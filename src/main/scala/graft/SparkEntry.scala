@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusOps, EventOps, Relational, ScaleOps, TextOps, VectorOps}
+import graft.queries.{CorpusOps, EventOps, Relational, ScaleOps, SearchOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
-      VectorOps.queries ++ ScaleOps.queries ++ CorpusOps.queries
+      VectorOps.queries ++ ScaleOps.queries ++ CorpusOps.queries ++
+      SearchOps.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
-      VectorOps.oracles ++ ScaleOps.oracles ++ CorpusOps.oracles
+      VectorOps.oracles ++ ScaleOps.oracles ++ CorpusOps.oracles ++
+      SearchOps.oracles
 }

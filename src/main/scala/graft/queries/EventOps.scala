@@ -346,6 +346,28 @@ object EventOps {
       |  ON epoch_us(e.ts) >= s.s_lo AND epoch_us(e.ts) <= s.s_hi
       |GROUP BY e.event_type ORDER BY event_type""".stripMargin
 
+  /** e11: fixed-width value histogram per event type — the profiling /
+    * drift-detection sweep (bin counts compared across time slices flag
+    * distribution shift). Bin id is `floor(value / width)`: one correctly-
+    * rounded division + an exact floor, engine-identical; bin mass uses the
+    * shared decimal-sum convention. Map-side partial agg collapses each
+    * input partition to |types × bins| rows before the one small shuffle —
+    * the 100 TB shape (histogram cardinality is data-independent). */
+  def e11ValueHist(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(
+        col("event_type"),
+        floor(col("value") / lit(5.0)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), decSum(col("value"), "bin_mass"))
+      .orderBy("event_type", "bin")
+
+  private val e11Sql =
+    """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS bin_mass
+      |FROM events GROUP BY event_type, bin
+      |ORDER BY event_type, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -357,6 +379,7 @@ object EventOps {
     "e8_asof_join" -> (e8AsofJoin _),
     "e9_asof_forward" -> (e9AsofForward _),
     "e10_asof_nearest" -> (e10AsofNearest _),
+    "e11_value_hist" -> (e11ValueHist _),
     "r1_range_join" -> (r1RangeJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +393,6 @@ object EventOps {
     "e8_asof_join" -> e8Sql,
     "e9_asof_forward" -> e9Sql,
     "e10_asof_nearest" -> e10Sql,
+    "e11_value_hist" -> e11Sql,
     "r1_range_join" -> r1Sql)
 }

@@ -604,6 +604,34 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** q27: analytic rank family — ntile quartiles, percent_rank, cume_dist
+    * over account balance within market segment (ref `Disaster dollar/
+    * client.py` ranks disaster spend client-side; this is the in-engine
+    * form). percent_rank and cume_dist are single correctly-rounded IEEE
+    * divisions of integer counts, so the doubles are engine-exact. One
+    * shuffle on the partition key; the per-partition sort is the window's
+    * price and spills rather than buffering whole groups. */
+  def q27RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(s, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
+  private val q27Sql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      | ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      | ROUND(cume_dist() OVER w, 6) AS cum_dist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_topn" -> (q2TopN _),
@@ -630,7 +658,8 @@ object Relational {
     "q23_correlated_sub" -> (q23CorrelatedSub _),
     "q24_percentiles" -> (q24Percentiles _),
     "q25_fact_join" -> (q25FactJoin _),
-    "q26_grouping_sets" -> (q26GroupingSets _))
+    "q26_grouping_sets" -> (q26GroupingSets _),
+    "q27_rank_family" -> (q27RankFamily _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -658,5 +687,6 @@ object Relational {
     "q23_correlated_sub" -> q23Sql,
     "q24_percentiles" -> q24Sql,
     "q25_fact_join" -> q25Sql,
-    "q26_grouping_sets" -> q26Sql)
+    "q26_grouping_sets" -> q26Sql,
+    "q27_rank_family" -> q27Sql)
 }

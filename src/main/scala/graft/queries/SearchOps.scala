@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{KeywordSearch, Redact}
+
+/** Retrieval + scrubbing queries over the `documents` table: BM25 keyword
+  * search (k1), TF-IDF distinctive terms (k2), and PII redaction (k3).
+  *
+  * The k1/k2 oracles replay the exact double arithmetic in DuckDB (every
+  * FP step correctly rounded on identical operands — see
+  * [[graft.operators.KeywordSearch]]); k3's oracle replays the regex
+  * redaction byte-for-byte over deterministic synthesized contact lines
+  * (the corpus itself carries no PII, so the query grafts addresses and
+  * phone numbers onto each document from its own key — a genuine
+  * cross-engine regex-parity check, not a vacuous empty diff).
+  */
+object SearchOps {
+
+  /** Query terms spanning the corpus's df spectrum: `dup` is rare (~5% of
+    * docs) so its odds-ratio idf dominates; `spark`/`vector` are common
+    * (~77%) and contribute mostly through tf and length normalization. */
+  private val QueryTerms = Seq("dup", "spark", "vector")
+
+  private val TopK = 20
+
+  /** k1: BM25 top-k keyword search — scan + 1-row broadcast stats +
+    * row-local scoring, then a TakeOrdered top-k (no full sort at scale).
+    * Ties broken by doc id for a total order. */
+  def k1Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    KeywordSearch.bm25(Tables(s, dir, "documents"), "doc_id", "text", QueryTerms)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(TopK)
+      .select(col("id").as("doc_id"), col("score"))
+
+  private val k1Sql: String =
+    s"""WITH ${KeywordSearch.bm25Ctes(QueryTerms)}
+       |SELECT id AS doc_id, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, id LIMIT $TopK""".stripMargin
+
+  /** k2: per-document most-distinctive term (TF-IDF argmax) — the
+    * inverted-index plan: postings explode, (id, term) partial agg, df
+    * window on term, per-doc row_number. */
+  def k2TfidfTerm(s: SparkSession, dir: String): DataFrame =
+    KeywordSearch.tfidfTopTerm(Tables(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("top_term"), col("tfidf"))
+      .orderBy("doc_id")
+
+  private val k2Sql: String =
+    s"""WITH ${KeywordSearch.tfidfCtes}
+       |SELECT id AS doc_id, top_term, tfidf FROM top ORDER BY doc_id""".stripMargin
+
+  /** k3: PII redaction audit — each document gets deterministic contact
+    * lines synthesized from its own key (one source-derived email, a
+    * second cc address on even ids, one +1 phone number), then the
+    * redactor scrubs them and reports match counts plus the md5 of the
+    * scrubbed text. Row-local regexp work, zero shuffle. */
+  def k3PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(
+      col("text"), lit(" contact "), col("source"), col("doc_id").cast("string"),
+      lit("@example.com"),
+      when(col("doc_id") % 2 === 0, lit(" cc admin@corp.example.org")).otherwise(lit("")),
+      lit(" tel +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Redact.redactDocs(
+        Tables(s, dir, "documents").select(col("doc_id"), pii.as("text")),
+        "text")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("text")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val k3Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |    text || ' contact ' || source || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      || CASE WHEN doc_id % 2 = 0 THEN ' cc admin@corp.example.org' ELSE '' END
+       |      || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'),
+       |      '$phone', '[PHONE]', 'g')) AS redacted_md5
+       |FROM pii ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k1_bm25_topk" -> (k1Bm25TopK _),
+    "k2_tfidf_term" -> (k2TfidfTerm _),
+    "k3_pii_redact" -> (k3PiiRedact _))
+
+  val oracles: Map[String, String] = Map(
+    "k1_bm25_topk" -> k1Sql,
+    "k2_tfidf_term" -> k2Sql,
+    "k3_pii_redact" -> k3Sql)
+}
