@@ -83,15 +83,6 @@ object ConnectedComponents {
     // setting governs the returned frame's downstream consumption — only
     // the propagation rounds opt out.
     val session = edges.sparkSession
-    val AqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = session.conf.get(AqeKey)
-    session.conf.set(AqeKey, "false")
-    try componentsLoop(edges, maxRounds)
-    finally session.conf.set(AqeKey, prevAqe)
-  }
-
-  private def componentsLoop(edges: DataFrame,
-      maxRounds: Int): (DataFrame, Seq[DataFrame]) = {
     // persist the raw edges before building the symmetric list: the
     // union's two branches would otherwise each recompute the (often
     // expensive — e.g. a full MinHash pipeline) edge derivation. The
@@ -102,7 +93,30 @@ object ConnectedComponents {
     // sf0.1 before the derivation was forced into its own job.
     val e = edges.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val nEdges = e.count()
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val PartsKey = "spark.sql.shuffle.partitions"
+    val prevAqe = session.conf.get(AqeKey)
+    val prevParts = session.conf.get(PartsKey)
+    session.conf.set(AqeKey, "false")
+    // With AQE opted out, the loop also sizes its own shuffle width from
+    // the edge count the eager persist just measured (~500k edges per
+    // partition, capped at the session width): a near-dup graph is tiny
+    // relative to its corpus, and running every round as session-width
+    // stages of near-empty tasks is pure scheduler overhead — measured
+    // 3.5 s of the 4.5 s c1 total at sf0.1 under 32-partition rounds.
+    // A 100 TB-scale edge list keeps the session width unchanged.
+    session.conf.set(PartsKey,
+      math.max(1L, math.min(prevParts.toLong, nEdges / 500000 + 1)).toString)
+    try componentsLoop(e, maxRounds)
+    finally {
+      session.conf.set(AqeKey, prevAqe)
+      session.conf.set(PartsKey, prevParts)
+    }
+  }
+
+  private def componentsLoop(e: DataFrame,
+      maxRounds: Int): (DataFrame, Seq[DataFrame]) = {
     val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
