@@ -368,6 +368,32 @@ object EventOps {
       |FROM events GROUP BY event_type, bin
       |ORDER BY event_type, bin""".stripMargin
 
+  /** z1: z-order address arithmetic — per-z-prefix-cell stats over the
+    * (user, value) plane. The z-address is [[graft.operators.ZOrder]]'s
+    * Morton interleave (pure shift/mask/or — engine-exact); bucketing by
+    * the address's high bits groups rows into the 2-D cells a z-ordered
+    * layout would co-locate, so the oracle pins exactly the arithmetic
+    * `ZOrder.writeZOrdered` clusters files by. Row-local address + one
+    * |cells|-group aggregate. */
+  def z1ZorderStats(s: SparkSession, dir: String): DataFrame = {
+    val a = col("user_id").bitwiseAND(lit(255L))
+    val b = floor(col("value")).cast("long").bitwiseAND(lit(255L))
+    Tables(s, dir, "events")
+      .select(graft.operators.ZOrder.zAddress(a, b, 8).as("z"), col("value"))
+      .groupBy(shiftright(col("z"), 6).as("z_bucket"))
+      .agg(count(lit(1)).as("n"), decSum(col("value"), "mass"))
+      .orderBy("z_bucket")
+  }
+
+  private val z1Sql: String = {
+    val z = graft.operators.ZOrder.zAddressSql(
+      "(user_id & 255)", "(CAST(floor(value) AS BIGINT) & 255)", 8)
+    s"""WITH z AS (SELECT $z AS z, value FROM events)
+       |SELECT z >> 6 AS z_bucket, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS mass
+       |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -380,7 +406,8 @@ object EventOps {
     "e9_asof_forward" -> (e9AsofForward _),
     "e10_asof_nearest" -> (e10AsofNearest _),
     "e11_value_hist" -> (e11ValueHist _),
-    "r1_range_join" -> (r1RangeJoin _))
+    "r1_range_join" -> (r1RangeJoin _),
+    "z1_zorder_stats" -> (z1ZorderStats _))
 
   val oracles: Map[String, String] = Map(
     "e1_window_hourly" -> e1Sql,
@@ -394,5 +421,6 @@ object EventOps {
     "e9_asof_forward" -> e9Sql,
     "e10_asof_nearest" -> e10Sql,
     "e11_value_hist" -> e11Sql,
-    "r1_range_join" -> r1Sql)
+    "r1_range_join" -> r1Sql,
+    "z1_zorder_stats" -> z1Sql)
 }
