@@ -1,17 +1,23 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus-shaping operators — the steps between a cleaned corpus and a
-  * training run: stratified downsampling (data mixing) and fixed-window
-  * token chunking (context packing).
+  * training run: stratified downsampling (data mixing), fixed-window
+  * token chunking (context packing), per-stratum cap sampling (class
+  * balancing), and cross-document sequence packing.
   *
-  * Both are pure row-local arithmetic — zero shuffles, reproducible
-  * across runs, engines, and partitionings — because at 100 TB the
-  * shaping pass runs as a map over the corpus scan and anything keyed on
-  * run-time randomness (rand(), monotonically_increasing_id) would make
-  * the dataset unrebuildable and splits unauditable.
+  * The sampling/chunking ops are pure row-local arithmetic — zero
+  * shuffles, reproducible across runs, engines, and partitionings —
+  * because at 100 TB the shaping pass runs as a map over the corpus scan
+  * and anything keyed on run-time randomness (rand(),
+  * monotonically_increasing_id) would make the dataset unrebuildable and
+  * splits unauditable. The cap/pack ops need real shuffles (a cap is a
+  * per-group statement, a pack a global prefix) and are built so no
+  * single task ever holds more than a bounded slice.
   */
 object CorpusShaping {
 
@@ -69,5 +75,90 @@ object CorpusShaping {
         col("pos").cast("long").as("chunk_id"),
         least(lit(C), col("nt") - col("pos") * C).cast("int").as("n_tokens"),
         md5(col("col")).as("chunk_md5"))
+  }
+
+  /** Salt width for [[capPerStratum]]'s pre-cap phase. */
+  private val CapSalts = 16
+
+  /** Deterministic per-stratum cap — keep at most `k` documents per
+    * stratum (class balancing / majority-class downsampling), picked by
+    * content-hash order so the selection is a reproducible pseudo-random
+    * sample (same rationale as [[stratifiedByHash]]) with doc id as the
+    * total-order tiebreak.
+    *
+    * Two-phase for skew (the q9 salted top-k shape): phase 1 caps within
+    * (stratum, salt-of-id) — each window partition sorts ≤ 1/16 of a
+    * stratum and emits ≤ k rows; phase 2 re-caps the ≤ 16k survivors per
+    * stratum. The global top-k by (hash, id) per stratum is exactly the
+    * top-k of the union of per-salt top-ks, so the result is identical to
+    * the single-window form while no task ever sorts a whole hot stratum.
+    */
+  def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    val order = Seq(PortableHash.hex60(col(textCol)), col(idCol))
+    val pre = Window.partitionBy(col(stratumCol),
+        pmod(col(idCol), lit(CapSalts.toLong))).orderBy(order: _*)
+    val fin = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+    df.withColumn("_rk", row_number().over(pre)).filter(col("_rk") <= k)
+      .withColumn("_rk", row_number().over(fin)).filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Cross-document sequence packing — the "concatenate and chunk"
+    * assignment LLM pre-training uses: documents are laid end-to-end in
+    * ascending id order and cut into `budget`-token packs; each document
+    * is labeled with the pack its first token lands in. Output:
+    * (id, n_tokens, pack_id).
+    *
+    * A pack label is a GLOBAL prefix sum, which a naive window
+    * (`Window.orderBy(id)` with no partition) would compute on a single
+    * task. This runs it as the classic two-phase distributed prefix sum:
+    *   1. ids are binned into `nParts` contiguous ranges by pure
+    *      arithmetic on the (min, max) id span — no sampling, so the
+    *      binning is deterministic and needs no pinned materialization;
+    *   2. per-bin token totals (≤ nParts rows — bounded, like a
+    *      centroid collect) come to the driver and become each bin's
+    *      exclusive offset, re-joined by a broadcast;
+    *   3. a within-bin cumulative sum (one window shuffle on the bin id,
+    *      per-bin sort spills) plus the offset is the global prefix.
+    * The result is independent of nParts (offsets absorb the bin
+    * boundaries), which the spec pins. Integer arithmetic throughout —
+    * engine-exact, DuckDB replays it as one window cumsum.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int, nParts: Int = 0): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = docs.sparkSession
+    val parts = if (nParts > 0) nParts
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = docs.select(col(idCol).as("id"),
+        (length(col(textCol)) - length(expr(s"replace($textCol, ' ', '')"))
+          + 1).cast("long").as("nt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val span = toks.agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
+      count(lit(1)).as("n")).head
+    if (span.getLong(2) == 0L) {
+      toks.unpersist()
+      return toks.select(col("id"), col("nt"), lit(0L).as("pack_id")).limit(0)
+    }
+    val lo = span.getLong(0)
+    val width = math.max(1L, (span.getLong(1) - lo) / parts + 1L)
+    // `div` (integer division) rather than `/`: the latter is a DOUBLE
+    // divide, which silently loses exactness once operands pass 2^53 —
+    // a realistic corpus-wide token count
+    val binned = toks.withColumn("bin", expr(s"(id - ${lo}L) div ${width}L"))
+    val binTotals = binned.groupBy(col("bin")).agg(sum(col("nt")).as("btot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = binTotals.map(_._1).zip(
+      binTotals.map(_._2).scanLeft(0L)(_ + _))
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("bin", "offset")
+    val w = Window.partitionBy(col("bin")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.join(broadcast(offsetDf), Seq("bin"))
+      .withColumn("cum", sum(col("nt")).over(w) + col("offset"))
+      .select(col("id"), col("nt"),
+        expr(s"(cum - nt) div ${budget}L").as("pack_id"))
   }
 }

@@ -227,13 +227,66 @@ object CorpusOps {
        |ORDER BY chunk_md5""".stripMargin
   }
 
+  /** d18 pack budget: 512 tokens ≈ 8-10 of the synthetic ~54-token docs
+    * per pack — enough packs (≈60 at sf0.01) to exercise boundaries. */
+  private val PackBudget = 512
+
+  /** d18: cross-document sequence packing — documents laid end-to-end in
+    * id order, cut into 512-token packs ([[CorpusShaping.packSequences]]'s
+    * two-phase distributed prefix sum), then per-pack occupancy stats.
+    * The oracle replays the global prefix as a single DuckDB window
+    * cumsum — same integer arithmetic, schedule-independent. */
+  def d18SeqPack(s: SparkSession, dir: String): DataFrame =
+    CorpusShaping.packSequences(
+        Tables(s, dir, "documents"), "doc_id", "text", PackBudget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("pack_tokens"))
+      .orderBy("pack_id")
+
+  private val d18Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id AS id,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
+       |  FROM documents),
+       |c AS (
+       |  SELECT id, nt, SUM(nt) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT CAST((cum - nt) // $PackBudget AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS pack_tokens
+       |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
+  /** d19 cap: below the majority language's count (~220 en docs at
+    * sf0.01) so the cap actually bites, above the minority counts so
+    * they pass through whole. */
+  private val LangCap = 40
+
+  /** d19: per-language cap sampling (class balancing) — keep at most 40
+    * documents per language by content-hash order
+    * ([[CorpusShaping.capPerStratum]], the salted two-phase form). The
+    * oracle is the SINGLE-window statement of the same cap — the
+    * equivalence of the two-phase plan to it is exactly what the check
+    * pins. */
+  def d19LangCap(s: SparkSession, dir: String): DataFrame =
+    CorpusShaping.capPerStratum(
+        Tables(s, dir, "documents"), "lang", "doc_id", "text", LangCap)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val d19Sql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY CAST(('0x' || substr(md5(text),1,15)) AS BIGINT), doc_id) AS rk
+       |  FROM documents) WHERE rk <= $LangCap ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
     "d14_neardup_drop" -> (d14NeardupDrop _),
     "d15_stratified_sample" -> (d15StratifiedSample _),
     "d16_token_chunks" -> (d16TokenChunks _),
-    "d17_chunk_dedup" -> (d17ChunkDedup _))
+    "d17_chunk_dedup" -> (d17ChunkDedup _),
+    "d18_seq_pack" -> (d18SeqPack _),
+    "d19_lang_cap" -> (d19LangCap _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
@@ -241,5 +294,7 @@ object CorpusOps {
     "d14_neardup_drop" -> d14Sql,
     "d15_stratified_sample" -> d15Sql,
     "d16_token_chunks" -> d16Sql,
-    "d17_chunk_dedup" -> d17Sql)
+    "d17_chunk_dedup" -> d17Sql,
+    "d18_seq_pack" -> d18Sql,
+    "d19_lang_cap" -> d19Sql)
 }

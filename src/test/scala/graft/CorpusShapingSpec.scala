@@ -80,4 +80,51 @@ class CorpusShapingSpec extends AnyFunSuite {
       .agg(sum(col("n"))).head.getLong(0)
     assert(fromChunks == direct, s"chunked $fromChunks vs direct $direct tokens")
   }
+
+  test("capPerStratum keeps exactly k per stratum and equals the single-window cap") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs((1L to 60L).map(i =>
+      (i, if (i <= 45) "en" else "de", s"doc body number $i")): _*)
+    val got = CorpusShaping.capPerStratum(d, "lang", "doc_id", "text", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val counts = CorpusShaping.capPerStratum(d, "lang", "doc_id", "text", 10)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 10L, "de" -> 10L), counts.toString)
+    // the salted two-phase must equal the plain single-window statement
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(graft.operators.PortableHash.hex60(col("text")), col("doc_id"))
+    val want = d.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"two-phase $got vs single-window $want")
+  }
+
+  test("capPerStratum passes small strata through whole") {
+    val d = docs((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"))
+    val n = CorpusShaping.capPerStratum(d, "lang", "doc_id", "text", 10).count()
+    assert(n == 3L)
+  }
+
+  test("packSequences matches a sequential reference and is invariant to nParts") {
+    val d = docs((1L to 50L).map(i =>
+      (i * 3L, "en", Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))): _*)
+    def run(p: Int) = CorpusShaping.packSequences(d, "doc_id", "text", 10, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val got = run(4)
+    // sequential reference: concatenate in id order, label by starting pack
+    var cum = 0L
+    val want = (1L to 50L).map { i =>
+      val nt = (i % 7 + 1)
+      val start = cum; cum += nt
+      (i * 3L, nt, start / 10L)
+    }
+    assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
+    assert(run(1) == got && run(7) == got,
+      "pack assignment must not depend on the bin count")
+    spark.catalog.clearCache()
+  }
+
+  test("packSequences on an empty corpus returns an empty frame") {
+    val d = docs().select(col("doc_id"), col("lang"), col("text"))
+    assert(CorpusShaping.packSequences(d, "doc_id", "text", 10).count() == 0L)
+  }
 }
