@@ -301,4 +301,36 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = tree.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(nodeCount(s, "Exchange") <= 2, s"unexpected exchanges:\n$exchanges")
   }
+
+  test("k1 bm25: corpus stats broadcast, scoring row-local — no shuffle before top-k") {
+    val s = formatted(SparkEntry.queries("k1_bm25_topk")(spark, sfDir))
+    assert(s.contains("BroadcastExchange"), s.take(800))
+    // the only allowed non-broadcast movement is the TakeOrdered top-k
+    // (which is not an Exchange node at all)
+    assert(nodeCount(s, "Exchange hashpartitioning") == 0, s.take(1500))
+    assert(s.contains("TakeOrderedAndProject"), s.take(800))
+  }
+
+  test("k3 redaction and z1 z-address are row-local: one exchange beyond partial agg") {
+    val k3 = formatted(SparkEntry.queries("k3_pii_redact")(spark, sfDir))
+    // regexp work happens in the scan projection; the output sort is the
+    // only data movement
+    assert(nodeCount(k3, "Exchange") <= 1, k3.take(1500))
+    val z1 = formatted(SparkEntry.queries("z1_zorder_stats")(spark, sfDir))
+    // partial agg shuffle on the z-bucket + final sort
+    assert(nodeCount(z1, "Exchange") <= 2, z1.take(1500))
+    assert(z1.contains("partial"), z1.take(800))
+  }
+
+  test("d18 sequence packing: offsets broadcast back, one window shuffle on the bin") {
+    val s = formatted(SparkEntry.queries("d18_seq_pack")(spark, sfDir))
+    try {
+      assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+        s.take(1200))
+      // bin window + pack_id agg + final sort; the prefix sum must NOT
+      // appear as a single global-order window (no empty-key
+      // Exchange SinglePartition before a Window node)
+      assert(!s.contains("Exchange SinglePartition"), s.take(1500))
+    } finally spark.catalog.clearCache() // packSequences persists its token table
+  }
 }
