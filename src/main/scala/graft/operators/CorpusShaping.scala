@@ -40,13 +40,60 @@ object CorpusShaping {
                        defaultRate: Double = 1.0): DataFrame = {
     require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0, 1]")
+    keepByBucket(df, stratumCol, textCol,
+      rates.map { case (s, r) => s -> (r * RateBuckets).toLong },
+      (defaultRate * RateBuckets).toLong)
+  }
+
+  /** Shared survival filter: row kept iff hex60(text) mod 10000 is below
+    * its stratum's bucket threshold. Integer thresholds only — callers
+    * that derive thresholds arithmetically ([[mixToTokenTargets]]) must
+    * not round-trip them through doubles. */
+  private def keepByBucket(df: DataFrame, stratumCol: String, textCol: String,
+                           buckets: Map[String, Long],
+                           defaultBucket: Long): DataFrame = {
     val bucket = pmod(PortableHash.hex60(col(textCol)), lit(RateBuckets))
-    val threshold = rates.foldLeft(lit((defaultRate * RateBuckets).toLong): Column) {
-      case (acc, (stratum, rate)) =>
-        when(col(stratumCol) === stratum, lit((rate * RateBuckets).toLong))
-          .otherwise(acc)
+    val threshold = buckets.foldLeft(lit(defaultBucket): Column) {
+      case (acc, (stratum, b)) =>
+        when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
     }
     df.filter(bucket < threshold)
+  }
+
+  /** Corpus mixing to TARGET token shares — "give every language an equal
+    * token budget", "mix code:web:books at 2:5:1" — rather than d15-style
+    * hand-picked per-stratum rates. Downsampling only (no stratum is
+    * upsampled): the achievable mix is limited by its scarcest stratum,
+    * so the operator finds the largest total K with w_s·K tokens available
+    * in every stratum s and keeps each stratum at rate (w_s·K)/tokens_s.
+    *
+    * ALL-INTEGER derivation (engine-exact, oracle-replayable — no
+    * float rates anywhere):
+    *   kmin      = min_s (tokens_s div w_s)   — tokens per weight unit
+    *   bucket_s  = (w_s · kmin · 10000) div tokens_s   — in [0, 10000]
+    * then the usual content-hash bucket filter. Per-stratum token totals
+    * are a bounded driver collect (|strata| rows, like a centroid fetch);
+    * the filter itself is row-local, zero shuffle. Strata without a
+    * weight are dropped (bucket 0) — a mix definition is exhaustive.
+    */
+  def mixToTokenTargets(df: DataFrame, stratumCol: String, textCol: String,
+                        weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mix weights must be positive")
+    val totals = df
+      .groupBy(col(stratumCol))
+      .agg(sum((length(col(textCol)) -
+        length(expr(s"replace($textCol, ' ', '')")) + 1).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => totals.contains(s) }
+    require(present.nonEmpty, "no weighted stratum present in the data")
+    val kmin = present.map { case (s, w) => totals(s) / w }.min
+    val buckets = present.map { case (s, w) =>
+      require(w * kmin <= Long.MaxValue / RateBuckets,
+        s"token scale overflows the integer rate derivation for stratum $s")
+      s -> (w * kmin * RateBuckets) / totals(s)
+    }
+    keepByBucket(df, stratumCol, textCol, buckets, defaultBucket = 0L)
   }
 
   /** Fixed-window token chunking — split each document's token sequence

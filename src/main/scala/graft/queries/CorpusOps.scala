@@ -278,6 +278,49 @@ object CorpusOps {
        |    ORDER BY CAST(('0x' || substr(md5(text),1,15)) AS BIGINT), doc_id) AS rk
        |  FROM documents) WHERE rk <= $LangCap ORDER BY doc_id""".stripMargin
 
+  /** d20 mix: equal token budget per language — the corpus is ~44%
+    * English, so equalizing is a genuine rebalance (en keeps ~36% of its
+    * tokens at sf0.01, the scarcest language keeps ~100%). */
+  private val MixWeights = Map("en" -> 1L, "es" -> 1L, "de" -> 1L,
+    "fr" -> 1L, "zh" -> 1L)
+
+  /** d20: token-budget corpus mixing — downsample every language to the
+    * largest equal token budget the scarcest language can fill
+    * ([[CorpusShaping.mixToTokenTargets]]'s all-integer rate derivation),
+    * then per-language survivor stats. The oracle recomputes kmin and the
+    * bucket thresholds from the data with the same integer division
+    * chain — any drift in the derivation (not just the filter) fails the
+    * hash compare. */
+  def d20TokenMix(s: SparkSession, dir: String): DataFrame =
+    CorpusShaping.mixToTokenTargets(
+        Tables(s, dir, "documents"), "lang", "text", MixWeights)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum((length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long")).as("kept_tokens"))
+      .orderBy("lang")
+
+  private val d20Sql: String = {
+    val langs = MixWeights.keys.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+    val wCase = MixWeights.toSeq.sortBy(_._1)
+      .map { case (l, w) => s"WHEN '$l' THEN ${w}" }.mkString(" ")
+    s"""WITH tot AS (
+       |  SELECT lang, CAST(CASE lang $wCase END AS BIGINT) AS w,
+       |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS t
+       |  FROM documents WHERE lang IN ($langs) GROUP BY lang),
+       |k AS (SELECT MIN(t // w) AS kmin FROM tot),
+       |r AS (SELECT lang, (w * kmin * ${CorpusShaping.RateBuckets}) // t AS bucket
+       |      FROM tot, k),
+       |kept AS (
+       |  SELECT d.lang, d.text FROM documents d JOIN r ON d.lang = r.lang
+       |  WHERE CAST(('0x' || substr(md5(d.text),1,15)) AS BIGINT)
+       |          % ${CorpusShaping.RateBuckets} < r.bucket)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+       |    AS kept_tokens
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
@@ -286,7 +329,8 @@ object CorpusOps {
     "d16_token_chunks" -> (d16TokenChunks _),
     "d17_chunk_dedup" -> (d17ChunkDedup _),
     "d18_seq_pack" -> (d18SeqPack _),
-    "d19_lang_cap" -> (d19LangCap _))
+    "d19_lang_cap" -> (d19LangCap _),
+    "d20_token_mix" -> (d20TokenMix _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
@@ -296,5 +340,6 @@ object CorpusOps {
     "d16_token_chunks" -> d16Sql,
     "d17_chunk_dedup" -> d17Sql,
     "d18_seq_pack" -> d18Sql,
-    "d19_lang_cap" -> d19Sql)
+    "d19_lang_cap" -> d19Sql,
+    "d20_token_mix" -> d20Sql)
 }

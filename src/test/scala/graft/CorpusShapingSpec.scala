@@ -123,6 +123,33 @@ class CorpusShapingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("mixToTokenTargets derives exact integer buckets and rebalances toward the weights") {
+    // en: 40 docs x 10 tokens = 400; de: 10 docs x 10 tokens = 100.
+    // equal weights -> kmin = 100, en bucket = 100*10000/400 = 2500 (25%),
+    // de bucket = 10000 (keep all)
+    val d = docs(
+      ((1L to 40L).map(i => (i, "en", Seq.fill(10)(s"w$i").mkString(" "))) ++
+       (41L to 50L).map(i => (i, "de", Seq.fill(10)(s"w$i").mkString(" ")))): _*)
+    val kept = CorpusShaping.mixToTokenTargets(d, "lang", "text",
+      Map("en" -> 1L, "de" -> 1L))
+    val byLang = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // de keeps everything (its bucket is exactly 10000)
+    assert(byLang.getOrElse("de", 0L) == 10L, byLang.toString)
+    // en keeps ~25% by content hash — sampling variance, but strictly a
+    // real downsample and no more than half
+    val en = byLang.getOrElse("en", 0L)
+    assert(en >= 1L && en <= 20L, s"en kept $en of 40 at a 25% rate")
+    // deterministic
+    val again = CorpusShaping.mixToTokenTargets(d, "lang", "text",
+      Map("en" -> 1L, "de" -> 1L)).count()
+    assert(again == kept.count())
+    // unweighted strata are dropped
+    val partial = CorpusShaping.mixToTokenTargets(d, "lang", "text",
+      Map("de" -> 1L))
+    assert(partial.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("de"))
+  }
+
   test("packSequences on an empty corpus returns an empty frame") {
     val d = docs().select(col("doc_id"), col("lang"), col("text"))
     assert(CorpusShaping.packSequences(d, "doc_id", "text", 10).count() == 0L)
