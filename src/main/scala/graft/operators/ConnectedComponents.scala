@@ -98,7 +98,6 @@ object ConnectedComponents {
     val PartsKey = "spark.sql.shuffle.partitions"
     val prevAqe = session.conf.get(AqeKey)
     val prevParts = session.conf.get(PartsKey)
-    session.conf.set(AqeKey, "false")
     // With AQE opted out, the loop also sizes its own shuffle width from
     // the edge count the eager persist just measured (~500k edges per
     // partition, capped at the session width): a near-dup graph is tiny
@@ -106,10 +105,17 @@ object ConnectedComponents {
     // stages of near-empty tasks is pure scheduler overhead — measured
     // 3.5 s of the 4.5 s c1 total at sf0.1 under 32-partition rounds.
     // A 100 TB-scale edge list keeps the session width unchanged.
-    session.conf.set(PartsKey,
-      math.max(1L, math.min(prevParts.toLong, nEdges / 500000 + 1)).toString)
-    try componentsLoop(e, maxRounds)
-    finally {
+    // Everything fallible (the width parse included: some deployments set
+    // a non-numeric value like "auto") runs BEFORE the first conf.set, and
+    // both sets sit inside the try, so no failure path can leave the
+    // session with AQE off or a width-1 shuffle default.
+    val loopParts = scala.util.Try(prevParts.toLong).toOption
+      .map(p => math.max(1L, math.min(p, nEdges / 500000 + 1)).toString)
+    try {
+      session.conf.set(AqeKey, "false")
+      loopParts.foreach(session.conf.set(PartsKey, _))
+      componentsLoop(e, maxRounds)
+    } finally {
       session.conf.set(AqeKey, prevAqe)
       session.conf.set(PartsKey, prevParts)
     }

@@ -84,7 +84,11 @@ object CorpusShaping {
       .groupBy(col(stratumCol))
       .agg(sum((length(col(textCol)) -
         length(expr(s"replace($textCol, ' ', '')")) + 1).cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      // a stratum whose texts are all NULL sums to NULL — no tokens to
+      // mix, treat as absent rather than NPE on the driver
+      .collect { case r if !r.isNullAt(1) && r.getLong(1) > 0 =>
+        r.getString(0) -> r.getLong(1) }.toMap
     val present = weights.filter { case (s, _) => totals.contains(s) }
     require(present.nonEmpty, "no weighted stratum present in the data")
     val kmin = present.map { case (s, w) => totals(s) / w }.min
@@ -143,6 +147,9 @@ object CorpusShaping {
   def capPerStratum(df: DataFrame, stratumCol: String, idCol: String,
                     textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"cap must be >= 1, got $k")
+    require(!df.columns.contains("_rk"),
+      "input already has a _rk column — it would be silently consumed by " +
+        "the cap's internal rank (rename it first)")
     val order = Seq(PortableHash.hex60(col(textCol)), col(idCol))
     val pre = Window.partitionBy(col(stratumCol),
         pmod(col(idCol), lit(CapSalts.toLong))).orderBy(order: _*)
@@ -172,6 +179,12 @@ object CorpusShaping {
     * The result is independent of nParts (offsets absorb the bin
     * boundaries), which the spec pins. Integer arithmetic throughout —
     * engine-exact, DuckDB replays it as one window cumsum.
+    *
+    * The input frame must be DETERMINISTIC (a table/scan or pure
+    * transforms of one): per-bin offsets are collected in one job and the
+    * labeled output computed in another, so a nondeterministic input
+    * (sample(), limit() over unordered data) could present different rows
+    * to the two passes. No cache is left behind.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, nParts: Int = 0): DataFrame = {
@@ -197,6 +210,11 @@ object CorpusShaping {
     val binned = toks.withColumn("bin", expr(s"(id - ${lo}L) div ${width}L"))
     val binTotals = binned.groupBy(col("bin")).agg(sum(col("nt")).as("btot"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // the persist existed to serve the two bounded aggregates above; the
+    // final plan recomputes the row-local token projection from the scan
+    // (bin assignment is pure arithmetic of id, so the re-read is
+    // bit-identical) — releasing here means callers hold no cache
+    toks.unpersist()
     val offsets = binTotals.map(_._1).zip(
       binTotals.map(_._2).scanLeft(0L)(_ + _))
     import spark.implicits._

@@ -79,8 +79,12 @@ object KeywordSearch {
   /** DuckDB replay of [[bm25]] ending in a `sc(id, score)` CTE — one SQL
     * fragment per Column expression above, same operand order. */
   def bm25Ctes(terms: Seq[String]): String = {
+    // SQL-literal escaping: the Spark side takes terms via lit() which is
+    // injection-safe by construction; the replay string must double any
+    // single quote to stay parseable (and equivalent)
+    def q(t: String) = t.replace("'", "''")
     val tfDefs = terms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(toks, w -> w = '$t')) AS tf_$i"
+      s"len(list_filter(toks, w -> w = '${q(t)}')) AS tf_$i"
     }.mkString(",\n    ")
     val dfDefs = terms.indices.map(i =>
       s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")

@@ -184,13 +184,36 @@ object MinHashDedup {
     * persisted, so looping callers (the per-batch streaming gate) can
     * release them after consuming the result instead of clearing the
     * whole shared cache. */
+  /** Both incremental sweeps assume corpus and batch doc ids are
+    * DISJOINT — a replayed micro-batch (checkpoint restart) whose ids
+    * already sit in the corpus would otherwise double every shared id in
+    * the verification tables and silently fabricate pairs with
+    * over-counted Jaccard. This probe turns that into an error: one
+    * column-pruned pass over the corpus id column against the broadcast
+    * batch ids, short-circuited at the first hit. Production gates that
+    * have established id discipline upstream can opt out per call
+    * (`validateDisjoint = false`) to skip the per-batch pass. */
+  private def requireDisjointIds(corpusIds: DataFrame, newDocs: DataFrame,
+                                 idCol: String): Unit = {
+    val clash = corpusIds.toDF("id")
+      .join(broadcast(newDocs.select(col(idCol).as("id"))), Seq("id"))
+      .limit(1).count()
+    require(clash == 0L,
+      "incremental near-dup sweep: batch contains doc ids already present " +
+        "in the corpus/index (replayed batch?) — shared ids would silently " +
+        "corrupt the Jaccard verification; dedup ids upstream or pass " +
+        "validateDisjoint = false after establishing id discipline")
+  }
+
   private[graft] def nearDuplicatesAgainstWithCaches(
       corpus: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+      threshold: Double,
+      validateDisjoint: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     // both sessions: under foreachBatch the new-docs batch lives in a
     // cloned session with its own function registry (see Decontaminate)
     graft.functions.SketchFunctions.register(corpus.sparkSession)
     graft.functions.SketchFunctions.register(newDocs.sparkSession)
+    if (validateDisjoint) requireDisjointIds(corpus.select(col(idCol)), newDocs, idCol)
     val setsC = shingleSets(corpus, idCol, textCol)
     val setsN = shingleSets(newDocs, idCol, textCol)
     // both band tables persist for the same reason candidatePairsFromSets
@@ -261,8 +284,21 @@ object MinHashDedup {
     * hashes. Emits the same pairs as the from-text sweep (spec-pinned). */
   def nearDuplicatesAgainstIndex(index: DedupIndex, newDocs: DataFrame,
                                  idCol: String, textCol: String,
-                                 threshold: Double): DataFrame = {
+                                 threshold: Double,
+                                 validateDisjoint: Boolean = true): DataFrame =
+    nearDuplicatesAgainstIndexWithCaches(
+      index, newDocs, idCol, textCol, threshold, validateDisjoint)._1
+
+  /** [[nearDuplicatesAgainstIndex]] plus the batch band-table cache it
+    * left persisted — same contract as [[nearDuplicatesAgainstWithCaches]]
+    * so a foreachBatch loop releases one cache per micro-batch instead of
+    * accumulating them (or nuking caller-owned tables via clearCache). */
+  private[graft] def nearDuplicatesAgainstIndexWithCaches(
+      index: DedupIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      validateDisjoint: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     graft.functions.SketchFunctions.register(newDocs.sparkSession)
+    if (validateDisjoint) requireDisjointIds(index.sizes.select(col("id")), newDocs, idCol)
     val setsN = shingleSets(newDocs, idCol, textCol)
     val bandsN = bandSignatures(signatureFromSets(setsN))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -277,8 +313,8 @@ object MinHashDedup {
     val shN = setsN.select(col("id"),
       explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh"))
     val sizesN = setsN.select(col("id"), size(col("shset")).cast("long").as("sz"))
-    verifyJaccardFrom(cross.union(within).distinct(),
+    (verifyJaccardFrom(cross.union(within).distinct(),
       index.shingleHashes.unionByName(shN), index.sizes.unionByName(sizesN),
-      threshold)
+      threshold), Seq(bandsN))
   }
 }

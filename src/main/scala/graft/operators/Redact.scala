@@ -42,9 +42,17 @@ object Redact {
     size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
 
   /** df with `textCol` redacted in place plus audit columns `n_emails` /
-    * `n_phones` (match counts BEFORE redaction). */
-  def redactDocs(df: DataFrame, textCol: String): DataFrame =
+    * `n_phones` (match counts BEFORE redaction). Rejects inputs already
+    * carrying the audit columns — withColumn would silently overwrite a
+    * previous pass's audit trail (same guard class as AsofJoin's
+    * internal-name collision check). */
+  def redactDocs(df: DataFrame, textCol: String): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("n_emails", "n_phones"))
+    require(clash.isEmpty,
+      s"input already has audit column(s) ${clash.mkString(", ")} — " +
+        "rename or drop them before re-redacting")
     df.withColumn("n_emails", emailCount(col(textCol)))
       .withColumn("n_phones", phoneCount(col(textCol)))
       .withColumn(textCol, redact(col(textCol)))
+  }
 }

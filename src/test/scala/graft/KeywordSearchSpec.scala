@@ -109,4 +109,17 @@ class KeywordSearchSpec extends AnyFunSuite {
       .agg(sum("n_emails"), sum("n_phones")).collect()(0)
     assert(again.getLong(0) == 0 && again.getLong(1) == 0, again.toString)
   }
+
+  test("redactDocs rejects inputs that already carry audit columns") {
+    import spark.implicits._
+    val df = Seq((1L, "x@y.io", 9)).toDF("doc_id", "text", "n_emails")
+    val e = intercept[IllegalArgumentException](Redact.redactDocs(df, "text"))
+    assert(e.getMessage.contains("n_emails"), e.getMessage)
+  }
+
+  test("bm25Ctes escapes single quotes in query terms") {
+    val sql = KeywordSearch.bm25Ctes(Seq("it's"))
+    assert(sql.contains("w = 'it''s'"), sql)
+    assert(!sql.contains("= 'it's'"), sql)
+  }
 }

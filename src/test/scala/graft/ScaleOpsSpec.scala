@@ -117,6 +117,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("incremental MinHash dedup rejects a batch whose ids already exist in the corpus") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val replayed = docs.filter(col("doc_id") >= 240 && col("doc_id") < 260)
+    val e = intercept[IllegalArgumentException](graft.operators.MinHashDedup
+      .nearDuplicatesAgainst(corpus, replayed, "doc_id", "text", 0.3).count())
+    assert(e.getMessage.contains("already present"), e.getMessage)
+  }
+
   test("incremental MinHash dedup equals the one-shot pair set restricted to new docs") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
     val corpus = docs.filter(col("doc_id") < 250)
