@@ -428,6 +428,29 @@ class StreamOpsSpec extends AnyFunSuite {
       s"streaming ${reports.values.flatten.toSet} != per-batch $want")
     spark.catalog.clearCache()
   }
+
+  test("PII redaction runs unchanged on a stream and equals the batch result") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // row-local ops (redaction, quality scoring, chunking) need no
+    // foreachBatch adapter: the same DataFrame transform is legal on a
+    // streaming frame — this pins that the redactor stays in that class
+    // (no accidental agg/sort/collect creeping into it)
+    val rows = Seq(
+      StreamDoc(1L, "reach a.b@mail.example.com or +1-555-0134 now"),
+      StreamDoc(2L, "clean body, nothing to scrub"))
+    val ms = MemoryStream[StreamDoc]
+    val q = graft.operators.Redact.redactDocs(ms.toDF(), "text")
+      .writeStream.format("memory").queryName("redacted_stream")
+      .outputMode("append").start()
+    ms.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("redacted_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val batch = graft.operators.Redact.redactDocs(rows.toDF(), "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
