@@ -394,6 +394,89 @@ object EventOps {
        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
   }
 
+  private val MicrosPerHour = 3600000000L
+
+  /** e12: time-series gap filling — the climate-series completion step
+    * (ERA5-style monthly/hourly grids must be dense before resampling or
+    * model input): build the full hour × type skeleton from the observed
+    * span, left-join the hourly aggregate onto it, zero-fill counts, and
+    * carry the last observed mass forward (LOCF) per type. Hours before
+    * a type's first observation stay NULL (nothing to carry).
+    *
+    * Scale shape: the skeleton is |hours × types| rows generated from a
+    * 1-row span aggregate — data-independent cardinality, never a scan
+    * product; the join is a hash equi-join on (hour, type); LOCF is one
+    * window per type over the skeleton (spillable sort, bounded by the
+    * series length, not the event count). */
+  def e12GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val hoursOf = expr(s"unix_micros(ts) div $MicrosPerHour")
+    val span = ev.agg(min(hoursOf).as("lo"), max(hoursOf).as("hi"))
+    val hours = span.select(explode(expr("sequence(lo, hi)")).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    val agg = ev.groupBy(hoursOf.as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_raw"), decSum(col("value"), "mass_raw"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hours.crossJoin(types)
+      .join(agg, Seq("h", "event_type"), "left")
+      .select(
+        date_format(timestamp_micros(col("h") * MicrosPerHour),
+          "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"),
+        coalesce(col("n_raw"), lit(0L)).as("n"),
+        coalesce(col("mass_raw"), lit(0.0)).as("hour_mass"),
+        last(col("mass_raw"), ignoreNulls = true).over(w).as("locf_mass"))
+      .orderBy("event_type", "bucket")
+  }
+
+  private val e12Sql =
+    s"""WITH h AS (
+       |  SELECT epoch_us(ts) // $MicrosPerHour AS h, event_type, value FROM events),
+       |span AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM h),
+       |hours AS (SELECT unnest(range(lo, hi + 1)) AS h FROM span),
+       |types AS (SELECT DISTINCT event_type FROM h),
+       |agg AS (
+       |  SELECT h, event_type, COUNT(*) AS n_raw,
+       |    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS mass_raw
+       |  FROM h GROUP BY h, event_type),
+       |j AS (
+       |  SELECT hours.h, types.event_type, n_raw, mass_raw
+       |  FROM hours CROSS JOIN types
+       |  LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type)
+       |SELECT strftime(make_timestamp(h * $MicrosPerHour), '%Y-%m-%d %H:%M:%S') AS bucket,
+       |  event_type, COALESCE(n_raw, 0) AS n, COALESCE(mass_raw, 0.0) AS hour_mass,
+       |  last_value(mass_raw IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+       |    ROWS UNBOUNDED PRECEDING) AS locf_mass
+       |FROM j ORDER BY event_type, bucket""".stripMargin
+
+  /** e13: rolling 3-hour aggregate per event — a RANGE-frame window over
+    * epoch micros (time-based, not row-based: sparse stretches shrink the
+    * frame, bursts widen it). Interior sums stay DECIMAL inside the frame
+    * so accumulation order is irrelevant; one shuffle on the type key,
+    * per-type sort spills. */
+  def e13RollingRange(s: SparkSession, dir: String): DataFrame = {
+    val threeHours = 3L * MicrosPerHour
+    val w = Window.partitionBy(col("event_type")).orderBy(col("es"))
+      .rangeBetween(-threeHours, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("es"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_3h"),
+        sum(col("value").cast(Conventions.Dec)).over(w).cast("double").as("mass_3h"))
+      .orderBy("event_id")
+  }
+
+  private val e13Sql =
+    s"""SELECT event_id, event_type,
+       |  COUNT(*) OVER w AS n_3h,
+       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS mass_3h
+       |FROM events
+       |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+       |  RANGE BETWEEN ${3L * MicrosPerHour} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -406,6 +489,8 @@ object EventOps {
     "e9_asof_forward" -> (e9AsofForward _),
     "e10_asof_nearest" -> (e10AsofNearest _),
     "e11_value_hist" -> (e11ValueHist _),
+    "e12_gap_fill" -> (e12GapFill _),
+    "e13_rolling_range" -> (e13RollingRange _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -421,6 +506,8 @@ object EventOps {
     "e9_asof_forward" -> e9Sql,
     "e10_asof_nearest" -> e10Sql,
     "e11_value_hist" -> e11Sql,
+    "e12_gap_fill" -> e12Sql,
+    "e13_rolling_range" -> e13Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }
