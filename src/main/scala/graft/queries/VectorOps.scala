@@ -141,15 +141,59 @@ object VectorOps {
        |    abs(emb[CAST(j AS INTEGER) + 1] - codes[CAST(j AS INTEGER) + 1] * scale))) AS max_abs_err
        |FROM q ORDER BY vec_id""".stripMargin
 
+  /** v5: label-centroid cosine similarity matrix — which classes look
+    * alike in embedding space (the prototype-confusability report used to
+    * spot mislabeled or collapsible classes). Centroids are v3's rounded
+    * per-dimension means — the rounding pins them bit-identical across
+    * engines, so the downstream cosine (sequential-fold dots, sqrt,
+    * divide: all correctly-rounded ops in fixed order) is engine-exact.
+    * The corpus is touched once in the centroid aggregate; the pairwise
+    * step is a broadcast self-join of the |labels|-row centroid table,
+    * never a corpus product. */
+  def v5CentroidSim(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val cent = Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("c"))
+    val vecs = cent.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("v"))
+    val a = vecs.select(col("label").as("label_a"), col("v").as("va"))
+    val b = vecs.select(col("label").as("label_b"), col("v").as("vb"))
+    broadcast(a).join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))), 6)
+          .as("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
+  private val v5Sql: String =
+    s"""WITH cent AS (
+       |  SELECT label, CAST(j AS INTEGER) AS pos,
+       |    ROUND(AVG(emb[CAST(j AS INTEGER) + 1]), 6) AS c
+       |  FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings) e
+       |  CROSS JOIN range(${graft.operators.AnnSearch.Dim}) t(j)
+       |  GROUP BY label, j),
+       |vecs AS (SELECT label, list(c ORDER BY pos) AS v FROM cent GROUP BY label)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  ROUND(list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       |    AS cos_sim
+       |FROM vecs a JOIN vecs b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_brute" -> (v1KnnBrute _),
     "v2_label_stats" -> (v2LabelStats _),
     "v3_label_centroid" -> (v3LabelCentroid _),
-    "v4_quantize_int8" -> (v4QuantizeInt8 _))
+    "v4_quantize_int8" -> (v4QuantizeInt8 _),
+    "v5_centroid_sim" -> (v5CentroidSim _))
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1Sql,
     "v2_label_stats" -> v2Sql,
     "v3_label_centroid" -> v3Sql,
-    "v4_quantize_int8" -> v4Sql)
+    "v4_quantize_int8" -> v4Sql,
+    "v5_centroid_sim" -> v5Sql)
 }
