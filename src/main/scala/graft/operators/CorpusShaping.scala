@@ -92,10 +92,20 @@ object CorpusShaping {
     val present = weights.filter { case (s, _) => totals.contains(s) }
     require(present.nonEmpty, "no weighted stratum present in the data")
     val kmin = present.map { case (s, w) => totals(s) / w }.min
+    require(kmin > 0,
+      "mix weights are too skewed for the data: the scarcest weighted " +
+        "stratum holds fewer tokens than its weight, so every derived " +
+        "rate floors to zero — rescale the weights or drop the stratum")
     val buckets = present.map { case (s, w) =>
       require(w * kmin <= Long.MaxValue / RateBuckets,
         s"token scale overflows the integer rate derivation for stratum $s")
-      s -> (w * kmin * RateBuckets) / totals(s)
+      val b = (w * kmin * RateBuckets) / totals(s)
+      require(b > 0,
+        s"stratum $s is more than ${RateBuckets}x over its weighted share " +
+          "— its sampling rate floors below the 1e-4 bucket resolution and " +
+          "the stratum would be silently dropped; raise its weight or " +
+          "pre-split the corpus")
+      s -> b
     }
     keepByBucket(df, stratumCol, textCol, buckets, defaultBucket = 0L)
   }

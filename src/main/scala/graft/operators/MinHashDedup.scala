@@ -195,8 +195,11 @@ object MinHashDedup {
     * (`validateDisjoint = false`) to skip the per-batch pass. */
   private def requireDisjointIds(corpusIds: DataFrame, newDocs: DataFrame,
                                  idCol: String): Unit = {
+    // no broadcast hint: a typical micro-batch broadcasts anyway (AQE),
+    // but a bulk backfill batch must degrade to a shuffle join rather
+    // than hit the broadcast size ceiling inside a validation probe
     val clash = corpusIds.toDF("id")
-      .join(broadcast(newDocs.select(col(idCol).as("id"))), Seq("id"))
+      .join(newDocs.select(col(idCol).as("id")), Seq("id"))
       .limit(1).count()
     require(clash == 0L,
       "incremental near-dup sweep: batch contains doc ids already present " +

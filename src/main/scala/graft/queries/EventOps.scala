@@ -411,11 +411,19 @@ object EventOps {
   def e12GapFill(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
     val hoursOf = expr(s"unix_micros(ts) div $MicrosPerHour")
-    val span = ev.agg(min(hoursOf).as("lo"), max(hoursOf).as("hi"))
-    val hours = span.select(explode(expr("sequence(lo, hi)")).as("h"))
-    val types = ev.select(col("event_type")).distinct()
+    // ONE corpus scan: the span and the type set both derive from the
+    // |hours × types|-bounded hourly aggregate, not from fresh event
+    // scans. The aggregate is persisted eagerly (count()) because three
+    // plan branches read it — left lazy, their tasks would race-compute
+    // it (see the CC edge-derivation note); released by the caller's
+    // clearCache like every query-held cache.
     val agg = ev.groupBy(hoursOf.as("h"), col("event_type"))
       .agg(count(lit(1)).as("n_raw"), decSum(col("value"), "mass_raw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    agg.count()
+    val span = agg.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val hours = span.select(explode(expr("sequence(lo, hi)")).as("h"))
+    val types = agg.select(col("event_type")).distinct()
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hours.crossJoin(types)

@@ -93,20 +93,33 @@ object VectorOps {
     * aggregates map-side, so the shuffle carries ≤ |labels|·dim rows per
     * partition — never the corpus. Means round to 6 (the engine-
     * portability convention for cross-row double averages). */
-  def v3LabelCentroid(s: SparkSession, dir: String): DataFrame =
+  /** Shared centroid convention for v3/v5: per-(label, dimension) mean
+    * rounded to 6 dp — the rounding is what pins the doubles bit-identical
+    * across engines, so BOTH queries (and both oracle CTEs, see
+    * [[centroidCte]]) must move together if it ever changes. */
+  private def centroidAgg(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding").cast("array<double>")))
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("col")), 6).as("centroid"), count(lit(1)).as("n_vecs"))
-      .orderBy("label", "pos")
 
-  private val v3Sql: String =
+  /** DuckDB replay of [[centroidAgg]] as a CTE body (label, pos,
+    * centroid, n_vecs). */
+  private val centroidCte: String =
     s"""SELECT label, CAST(j AS INTEGER) AS pos,
        | ROUND(AVG(emb[CAST(j AS INTEGER) + 1]), 6) AS centroid,
        | COUNT(*) AS n_vecs
        |FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings) e
        |CROSS JOIN range(${graft.operators.AnnSearch.Dim}) t(j)
-       |GROUP BY label, j ORDER BY label, pos""".stripMargin
+       |GROUP BY label, j""".stripMargin
+
+  def v3LabelCentroid(s: SparkSession, dir: String): DataFrame =
+    centroidAgg(s, dir).orderBy("label", "pos")
+
+  private val v3Sql: String =
+    s"""WITH cent AS ($centroidCte)
+       |SELECT label, pos, centroid, n_vecs FROM cent
+       |ORDER BY label, pos""".stripMargin
 
   /** v4: int8 scalar quantization of the embedding column
     * (`operators.VectorQuant` — the SQ8 storage tier). Per-row only,
@@ -152,11 +165,9 @@ object VectorOps {
     * never a corpus product. */
   def v5CentroidSim(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(s)
-    val cent = Tables(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("col")), 6).as("c"))
-    val vecs = cent.groupBy(col("label"))
+    val vecs = centroidAgg(s, dir)
+      .select(col("label"), col("pos"), col("centroid").as("c"))
+      .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("v"))
     val a = vecs.select(col("label").as("label_a"), col("v").as("va"))
     val b = vecs.select(col("label").as("label_b"), col("v").as("vb"))
@@ -169,13 +180,8 @@ object VectorOps {
   }
 
   private val v5Sql: String =
-    s"""WITH cent AS (
-       |  SELECT label, CAST(j AS INTEGER) AS pos,
-       |    ROUND(AVG(emb[CAST(j AS INTEGER) + 1]), 6) AS c
-       |  FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings) e
-       |  CROSS JOIN range(${graft.operators.AnnSearch.Dim}) t(j)
-       |  GROUP BY label, j),
-       |vecs AS (SELECT label, list(c ORDER BY pos) AS v FROM cent GROUP BY label)
+    s"""WITH cent AS ($centroidCte),
+       |vecs AS (SELECT label, list(centroid ORDER BY pos) AS v FROM cent GROUP BY label)
        |SELECT a.label AS label_a, b.label AS label_b,
        |  ROUND(list_dot_product(a.v, b.v) /
        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)

@@ -321,9 +321,15 @@ object StreamOps {
     * the batch. NOTE: batches are swept against the STATIC corpus and
     * within themselves; near-dups BETWEEN two different batches are the
     * compaction pass's job (run nearDuplicatesAgainst over the
-    * accumulated deltas offline). */
+    * accumulated deltas offline).
+    *
+    * `validateDisjoint` (default true) runs the operator's replayed-batch
+    * id probe each micro-batch — one pass over the corpus id column.
+    * Gates with id discipline established upstream (e.g. ids minted by
+    * the stream itself) pass false to drop that per-batch corpus pass. */
   def nearDupPerBatch(docs: DataFrame, corpus: DataFrame,
-                      idCol: String, textCol: String, threshold: Double)
+                      idCol: String, textCol: String, threshold: Double,
+                      validateDisjoint: Boolean = true)
                      (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -333,7 +339,8 @@ object StreamOps {
         // of caches per batch (and clearing the WHOLE shared cache would
         // nuke caller-owned tables)
         val (pairs, caches) = graft.operators.MinHashDedup
-          .nearDuplicatesAgainstWithCaches(corpus, batch, idCol, textCol, threshold)
+          .nearDuplicatesAgainstWithCaches(corpus, batch, idCol, textCol,
+            threshold, validateDisjoint)
         try sink(pairs, batchId)
         finally caches.foreach(_.unpersist())
       }
