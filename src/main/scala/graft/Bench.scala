@@ -45,6 +45,14 @@ object Bench {
     val l = spark.range(100000).selectExpr("id AS k", "id * 2 AS v")
     val r = spark.range(100).selectExpr("id AS k", "id AS w")
     l.join(org.apache.spark.sql.functions.broadcast(r), "k").count()
+    // minhash family: the sketch expressions codegen once per JVM; without
+    // this the alphabetically-first minhash query (c1) absorbs that
+    // one-time cost into its reported time
+    graft.operators.MinHashDedup.nearDuplicates(
+      spark.range(50).selectExpr("id AS doc_id",
+        "concat('warm doc body number ', id, ' shared shingle text tail') AS text"),
+      "doc_id", "text", 0.3).count()
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink fully materializes every output column (count() lets
       // Spark skip projections the count doesn't need); report the best

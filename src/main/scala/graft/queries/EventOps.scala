@@ -485,6 +485,79 @@ object EventOps {
        |  RANGE BETWEEN ${3L * MicrosPerHour} PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  /** e14: view→click conversion funnel — per user: earliest view, then
+    * the earliest click within 30 minutes of it; conversion reported per
+    * hour-of-first-view (the "when do users convert" slice). Conversion
+    * rate is integer basis points (`div`) — no FP anywhere. Two
+    * per-user aggregates + one hash join on user_id; every row group is
+    * per-user bounded. */
+  def e14Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("v_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val perUser = views.join(clicks, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("v_us"))
+      .agg(min(when(col("c_us") >= col("v_us") &&
+          col("c_us") <= col("v_us") + lit(1800000000L), col("c_us"))).as("first_c"))
+    perUser
+      .groupBy(expr(s"(v_us div $MicrosPerHour) % 24").as("view_hour"))
+      .agg(count(lit(1)).as("n_viewers"), count(col("first_c")).as("n_converted"))
+      .select(col("view_hour"), col("n_viewers"), col("n_converted"),
+        expr("(n_converted * 10000) div n_viewers").as("conv_bp"))
+      .orderBy("view_hour")
+  }
+
+  private val e14Sql =
+    s"""WITH v AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (
+       |  SELECT user_id, epoch_us(ts) AS c_us FROM events
+       |  WHERE event_type = 'click'),
+       |f AS (
+       |  SELECT v.user_id, v.v_us,
+       |    MIN(CASE WHEN c.c_us >= v.v_us AND c.c_us <= v.v_us + 1800000000
+       |        THEN c.c_us END) AS first_c
+       |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+       |  GROUP BY v.user_id, v.v_us)
+       |SELECT (v_us // $MicrosPerHour) % 24 AS view_hour,
+       |  COUNT(*) AS n_viewers, COUNT(first_c) AS n_converted,
+       |  (COUNT(first_c) * 10000) // COUNT(*) AS conv_bp
+       |FROM f GROUP BY view_hour ORDER BY view_hour""".stripMargin
+
+  private val MicrosPerDay = 86400000000L
+
+  /** e15: day-cohort retention triangle — users grouped by first-active
+    * day, counted again on each of the following 6 days (the standard
+    * activation/retention report). Distinct (user, day) first, so a
+    * user's burst of events collapses before any join; cohort join is a
+    * hash equi-join on user_id; output cardinality is |days × 7|. */
+  def e15Retention(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables(s, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $MicrosPerDay").as("d"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    first.join(act, Seq("user_id"))
+      .select(col("user_id"), col("cohort"), (col("d") - col("cohort")).as("offset"))
+      .filter(col("offset") <= 6)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort", "offset")
+  }
+
+  private val e15Sql =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $MicrosPerDay AS d FROM events),
+       |f AS (SELECT user_id, MIN(d) AS cohort FROM act GROUP BY user_id)
+       |SELECT f.cohort, act.d - f.cohort AS "offset",
+       |  COUNT(DISTINCT act.user_id) AS n_active
+       |FROM f JOIN act ON f.user_id = act.user_id
+       |WHERE act.d - f.cohort <= 6
+       |GROUP BY f.cohort, act.d - f.cohort
+       |ORDER BY cohort, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -499,6 +572,8 @@ object EventOps {
     "e11_value_hist" -> (e11ValueHist _),
     "e12_gap_fill" -> (e12GapFill _),
     "e13_rolling_range" -> (e13RollingRange _),
+    "e14_funnel" -> (e14Funnel _),
+    "e15_retention" -> (e15Retention _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -516,6 +591,8 @@ object EventOps {
     "e11_value_hist" -> e11Sql,
     "e12_gap_fill" -> e12Sql,
     "e13_rolling_range" -> e13Sql,
+    "e14_funnel" -> e14Sql,
+    "e15_retention" -> e15Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }
