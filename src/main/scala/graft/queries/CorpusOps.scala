@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, CorpusShaping, Decontaminate, MinHashDedup}
+import graft.operators.{ConnectedComponents, CorpusShaping, DataChecks, Decontaminate, MinHashDedup}
 
 /** Corpus-hygiene composition queries — the operators a training-data
   * pipeline runs BETWEEN detection and training: near-dup pairs resolved
@@ -321,6 +321,80 @@ object CorpusOps {
        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** d21 constraint set: the promotion-gate checks a pipeline would run
+    * on the events feed — nullability, id uniqueness, accepted types, a
+    * value envelope (deliberately tight so the report shows a FAILING
+    * check with a real violation count), and a row predicate. */
+  private val EventChecks: Seq[DataChecks.Check] = Seq(
+    DataChecks.NotNull("event_type"),
+    DataChecks.NotNull("ts"),
+    DataChecks.Unique("event_id"),
+    DataChecks.InSet("event_type",
+      Seq("click", "error", "purchase", "signup", "view")),
+    DataChecks.InRange("value", 0.0, 250.0),
+    DataChecks.Satisfies("props", "length(props) >= 2", "props_shape"))
+
+  /** d21: declarative data-quality report ([[DataChecks.report]]) — all
+    * row-level checks in ONE aggregating scan, uniqueness as its own
+    * count-distinct; one row per check. The oracle replays each check's
+    * violation expression over the same table. */
+  def d21DataChecks(s: SparkSession, dir: String): DataFrame =
+    DataChecks.report(Tables(s, dir, "events"), EventChecks)
+
+  private val d21Sql: String =
+    EventChecks.map { c =>
+      val v = DataChecks.violationsSql(c)
+      s"""SELECT '${c.name}' AS "check", '${c.column}' AS "column",
+         |  CAST(COALESCE($v, 0) AS BIGINT) AS n_violations,
+         |  COALESCE($v, 0) = 0 AS passed FROM events""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"check\", \"column\"")
+
+  /** d22: snapshot diff — the incremental-ingest audit: two corpus
+    * snapshots compared by content hash in one full-outer join on the
+    * document key, each id classified added / removed / changed /
+    * unchanged. The two snapshots are carved deterministically from the
+    * one documents table (ids ≡5 mod 11 arrive only in the new snapshot,
+    * ids ≡2 mod 13 were deleted from it, ids ≡0 mod 7 had their text
+    * edited), so the oracle rebuilds both sides exactly. Scale shape:
+    * hash equi-join on the id, row-local md5 — the diff never compares
+    * text bodies, only fixed-width hashes. */
+  def d22SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val neu = docs.filter(col("doc_id") % 13 =!= 2)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("doc_id"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"))
+      .orderBy("status")
+  }
+
+  private val d22Sql: String =
+    """WITH old AS (
+      |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 11 <> 5),
+      |neu AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END) AS h_new
+      |  FROM documents WHERE doc_id % 13 <> 2),
+      |j AS (
+      |  SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+      |    CASE WHEN old.h_old IS NULL THEN 'added'
+      |         WHEN neu.h_new IS NULL THEN 'removed'
+      |         WHEN old.h_old <> neu.h_new THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id)
+      |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS first_id
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
@@ -330,7 +404,9 @@ object CorpusOps {
     "d17_chunk_dedup" -> (d17ChunkDedup _),
     "d18_seq_pack" -> (d18SeqPack _),
     "d19_lang_cap" -> (d19LangCap _),
-    "d20_token_mix" -> (d20TokenMix _))
+    "d20_token_mix" -> (d20TokenMix _),
+    "d21_data_checks" -> (d21DataChecks _),
+    "d22_snapshot_diff" -> (d22SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
@@ -341,5 +417,7 @@ object CorpusOps {
     "d17_chunk_dedup" -> d17Sql,
     "d18_seq_pack" -> d18Sql,
     "d19_lang_cap" -> d19Sql,
-    "d20_token_mix" -> d20Sql)
+    "d20_token_mix" -> d20Sql,
+    "d21_data_checks" -> d21Sql,
+    "d22_snapshot_diff" -> d22Sql)
 }
