@@ -189,17 +189,89 @@ object VectorOps {
        |FROM vecs a JOIN vecs b ON a.label < b.label
        |ORDER BY label_a, label_b""".stripMargin
 
+  /** v6: label-noise detection — for each probe vector (bounded eval
+    * subset, broadcast), its 5 nearest corpus neighbors vote; a majority
+    * label disagreeing with the probe's own label flags a suspected
+    * mislabel (the classic kNN-disagreement sweep over annotation
+    * batches). Same cosine convention as v1 (rounded 6dp, vec_id
+    * tiebreak); majority ties break to the smallest label. The probe
+    * side is the bounded one — at corpus scale the exact scan is the
+    * eval-subset path, with a1/i1 as the approximate full-corpus path. */
+  def v6LabelNoise(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val top5 = scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 5)
+    val cnt = top5.groupBy(col("q_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val agree = cnt.groupBy(col("q_id"))
+      .agg(sum(when(col("label") === col("q_label"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val wWin = Window.partitionBy(col("q_id")).orderBy(col("n").desc, col("label"))
+    val win = cnt.withColumn("wrk", row_number().over(wWin)).filter(col("wrk") === 1)
+      .select(col("q_id"), col("q_label"), col("label").as("majority_label"),
+        col("n").as("n_major"))
+    win.join(agree, Seq("q_id"))
+      .select(col("q_id"), col("q_label"), col("majority_label"),
+        col("n_major"), col("n_agree"),
+        (col("majority_label") =!= col("q_label")).as("flagged"))
+      .orderBy("q_id")
+  }
+
+  private val v6Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+      |      FROM e WHERE vec_id < 50),
+      |sc AS (
+      |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+      |    ROUND(list_dot_product(q.q_emb, e.emb) /
+      |      (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+      |       sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+      |  FROM q JOIN e ON e.vec_id <> q.q_id),
+      |top AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER
+      |      (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+      |  WHERE rk <= 5),
+      |cnt AS (SELECT q_id, q_label, label, COUNT(*) AS n
+      |        FROM top GROUP BY q_id, q_label, label),
+      |agree AS (
+      |  SELECT q_id,
+      |    CAST(COALESCE(SUM(CASE WHEN label = q_label THEN n END), 0) AS BIGINT)
+      |      AS n_agree
+      |  FROM cnt GROUP BY q_id),
+      |win AS (
+      |  SELECT q_id, q_label, label AS majority_label, n AS n_major FROM
+      |    (SELECT *, row_number() OVER
+      |       (PARTITION BY q_id ORDER BY n DESC, label) AS wrk FROM cnt)
+      |  WHERE wrk = 1)
+      |SELECT win.q_id, q_label, majority_label, n_major, n_agree,
+      |  majority_label <> q_label AS flagged
+      |FROM win JOIN agree ON win.q_id = agree.q_id
+      |ORDER BY win.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_brute" -> (v1KnnBrute _),
     "v2_label_stats" -> (v2LabelStats _),
     "v3_label_centroid" -> (v3LabelCentroid _),
     "v4_quantize_int8" -> (v4QuantizeInt8 _),
-    "v5_centroid_sim" -> (v5CentroidSim _))
+    "v5_centroid_sim" -> (v5CentroidSim _),
+    "v6_label_noise" -> (v6LabelNoise _))
 
   val oracles: Map[String, String] = Map(
     "v1_knn_brute" -> v1Sql,
     "v2_label_stats" -> v2Sql,
     "v3_label_centroid" -> v3Sql,
     "v4_quantize_int8" -> v4Sql,
-    "v5_centroid_sim" -> v5Sql)
+    "v5_centroid_sim" -> v5Sql,
+    "v6_label_noise" -> v6Sql)
 }
