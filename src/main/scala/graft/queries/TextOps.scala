@@ -260,6 +260,45 @@ object TextOps {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
       |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
 
+  /** d23: out-of-vocabulary rate — the tokenizer-coverage report closing
+    * the d7/d10 loop: a 20-term vocabulary is derived from the corpus
+    * itself (top by frequency, token tiebreak — a deterministic total
+    * order), broadcast, and every language's token stream is scored
+    * against it. Rates are integer basis points (`div`) — no FP. Scale
+    * shape: explode is in-partition, the vocab is a broadcast left join,
+    * and the aggregate is |langs| rows with map-side partials. */
+  def d23OovRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .select(col("token"), lit(1).as("_in"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("lang"), col("total_tokens"), col("oov_tokens"),
+        expr("(oov_tokens * 10000) div total_tokens").as("oov_bp"))
+      .orderBy("lang")
+  }
+
+  private val d23Sql =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |    ORDER BY n DESC, token LIMIT 20)),
+      |j AS (
+      |  SELECT lang, vocab.token AS v FROM tok
+      |  LEFT JOIN vocab ON tok.token = vocab.token)
+      |SELECT lang, COUNT(*) AS total_tokens,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |  (CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+      |    // COUNT(*) AS oov_bp
+      |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   /** d11: token-repetition ratio — the classic LLM-data quality signal
     * (heavily repeated documents are boilerplate/spam): fraction of
     * tokens that are repeats of an earlier token in the same document.
@@ -379,6 +418,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_hash_split" -> (d9HashSplit _),
     "d10_vocab_topk" -> (d10VocabTopK _),
+    "d23_oov_rate" -> (d23OovRate _),
     "d11_repetition" -> (d11Repetition _),
     "d12_len_profile" -> (d12LenProfile _),
     "d7_bpe_tokens" -> (d7BpeTokens _),
@@ -394,6 +434,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "d9_hash_split" -> d9Sql,
     "d10_vocab_topk" -> d10Sql,
+    "d23_oov_rate" -> d23Sql,
     "d11_repetition" -> d11Sql,
     "d12_len_profile" -> d12Sql,
     "d7_bpe_tokens" -> d7Sql,
