@@ -47,12 +47,17 @@ object Bench {
     l.join(org.apache.spark.sql.functions.broadcast(r), "k").count()
     // minhash family: the sketch expressions codegen once per JVM; without
     // this the alphabetically-first minhash query (c1) absorbs that
-    // one-time cost into its reported time
-    graft.operators.MinHashDedup.nearDuplicates(
-      spark.range(50).selectExpr("id AS doc_id",
-        "concat('warm doc body number ', id, ' shared shingle text tail') AS text"),
-      "doc_id", "text", 0.3).count()
-    spark.catalog.clearCache()
+    // one-time cost into its reported time. Guarded: a warm-up failure
+    // must cost only timings, never the metric line itself (the per-query
+    // loop already records a broken minhash query as -1)
+    try {
+      graft.operators.MinHashDedup.nearDuplicates(
+        spark.range(50).selectExpr("id AS doc_id",
+          "concat('warm doc body number ', id, ' shared shingle text tail') AS text"),
+        "doc_id", "text", 0.3).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] minhash warm-up failed (continuing): ${e.getMessage}")
+    } finally spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink fully materializes every output column (count() lets
       // Spark skip projections the count doesn't need); report the best

@@ -28,8 +28,12 @@ object DataChecks {
   case class InRange(column: String, lo: Double, hi: Double) extends Check {
     val name = "in_range"
   }
-  /** Values belong to the accepted set (NULLs don't violate). */
+  /** Values belong to the accepted set (NULLs don't violate). The set
+    * must be non-empty: an empty set would flag every non-null row on
+    * the Spark side while generating unparseable `NOT IN ()` SQL on the
+    * oracle side — reject the ambiguity at construction. */
   case class InSet(column: String, values: Seq[String]) extends Check {
+    require(values.nonEmpty, s"InSet($column) needs at least one accepted value")
     val name = "in_set"
   }
   /** An arbitrary row-level predicate that must hold (engine-portable SQL

@@ -543,7 +543,11 @@ object EventOps {
       .select(col("user_id"), col("cohort"), (col("d") - col("cohort")).as("offset"))
       .filter(col("offset") <= 6)
       .groupBy(col("cohort"), col("offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
+      // plain count, not countDistinct: act is distinct on (user, day) and
+      // offset is a function of day given the cohort, so each user appears
+      // at most once per group — a distinct-aggregate phase would be
+      // redundant work for identical results
+      .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort", "offset")
   }
 
