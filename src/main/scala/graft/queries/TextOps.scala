@@ -299,6 +299,46 @@ object TextOps {
       |    // COUNT(*) AS oov_bp
       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** d24: token-concentration (Gini) report — how evenly tokens spread
+    * across a language's documents (a skewed corpus trains on few long
+    * documents; the mixing/cap operators d15/d19/d20 exist to fix what
+    * this measures). Gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over ascending
+    * xᵢ — numerator and denominator are EXACT integers (rank window +
+    * integer sums), emitted in basis points via `div`, so no FP enters
+    * the compare. One window per language (spillable sort), |langs|
+    * output rows. */
+  def d24TokenGini(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("lang"), col("doc_id"),
+      (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+        .cast("long").as("nt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("nt"), col("doc_id"))
+    d.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        sum((lit(2L) * col("i") - lit(1L)) * col("nt")).as("wsum"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        expr("((wsum - n_docs * total_tokens) * 10000) div (n_docs * total_tokens)")
+          .as("gini_bp"))
+      .orderBy("lang")
+  }
+
+  private val d24Sql =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, nt,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS BIGINT) AS i
+      |  FROM t)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+      |  ((CAST(SUM((2 * i - 1) * nt) AS BIGINT)
+      |      - COUNT(*) * CAST(SUM(nt) AS BIGINT)) * 10000)
+      |    // (COUNT(*) * CAST(SUM(nt) AS BIGINT)) AS gini_bp
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   /** d11: token-repetition ratio — the classic LLM-data quality signal
     * (heavily repeated documents are boilerplate/spam): fraction of
     * tokens that are repeats of an earlier token in the same document.
@@ -419,6 +459,7 @@ object TextOps {
     "d9_hash_split" -> (d9HashSplit _),
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d23_oov_rate" -> (d23OovRate _),
+    "d24_token_gini" -> (d24TokenGini _),
     "d11_repetition" -> (d11Repetition _),
     "d12_len_profile" -> (d12LenProfile _),
     "d7_bpe_tokens" -> (d7BpeTokens _),
@@ -435,6 +476,7 @@ object TextOps {
     "d9_hash_split" -> d9Sql,
     "d10_vocab_topk" -> d10Sql,
     "d23_oov_rate" -> d23Sql,
+    "d24_token_gini" -> d24Sql,
     "d11_repetition" -> d11Sql,
     "d12_len_profile" -> d12Sql,
     "d7_bpe_tokens" -> d7Sql,
