@@ -562,6 +562,55 @@ object EventOps {
        |GROUP BY f.cohort, act.d - f.cohort
        |ORDER BY cohort, "offset"""".stripMargin
 
+  /** e16: z-score outlier sweep — values beyond 3σ of their event type
+    * (drift/anomaly profiling, the alarm side of the e11 histogram).
+    * Moments accumulate through DECIMAL(38,4) (order-independent), and
+    * every downstream FP step (mean, variance, ±3σ thresholds) is a
+    * correctly-rounded op on identical operands in identical order, so
+    * the flag decisions are engine-exact; variance is clamped at 0 on
+    * BOTH sides (cancellation can produce a tiny negative, and engines
+    * disagree on sqrt(-ε)). Per-type stats broadcast back — the corpus
+    * is scanned for moments and once more for flagging, nothing else. */
+  def e16Outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(Conventions.Dec)).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast(Conventions.Dec)).cast("double").as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1") / nD
+    val varr = greatest(col("s2") / nD - mean * mean, lit(0.0))
+    val dev = lit(3.0) * sqrt(varr)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("value") > mean + dev || col("value") < mean - dev)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        min(col("event_id")).as("first_outlier"),
+        decSum(col("value"), "outlier_mass"))
+      .orderBy("event_type")
+  }
+
+  private val e16Sql =
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY event_type),
+      |j AS (
+      |  SELECT e.event_type, e.event_id, e.value,
+      |    (st.s1 / CAST(st.n AS DOUBLE)) AS mean,
+      |    3.0 * sqrt(greatest(
+      |      st.s2 / CAST(st.n AS DOUBLE)
+      |        - (st.s1 / CAST(st.n AS DOUBLE)) * (st.s1 / CAST(st.n AS DOUBLE)),
+      |      0.0)) AS dev
+      |  FROM events e JOIN st ON e.event_type = st.event_type)
+      |SELECT event_type, COUNT(*) AS n_outliers,
+      |  MIN(event_id) AS first_outlier,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS outlier_mass
+      |FROM j WHERE value > mean + dev OR value < mean - dev
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -578,6 +627,7 @@ object EventOps {
     "e13_rolling_range" -> (e13RollingRange _),
     "e14_funnel" -> (e14Funnel _),
     "e15_retention" -> (e15Retention _),
+    "e16_outliers" -> (e16Outliers _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -597,6 +647,7 @@ object EventOps {
     "e13_rolling_range" -> e13Sql,
     "e14_funnel" -> e14Sql,
     "e15_retention" -> e15Sql,
+    "e16_outliers" -> e16Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }
