@@ -49,13 +49,15 @@ object Bench {
     // this the alphabetically-first minhash query (c1) absorbs that
     // one-time cost into its reported time. Guarded: a warm-up failure
     // must cost only timings, never the metric line itself (the per-query
-    // loop already records a broken minhash query as -1)
+    // loop already records a broken minhash query as -1). NonFatal only:
+    // an OOM/LinkageError here means the JVM is corrupt and continuing
+    // would produce garbage timings — let it die
     try {
       graft.operators.MinHashDedup.nearDuplicates(
         spark.range(50).selectExpr("id AS doc_id",
           "concat('warm doc body number ', id, ' shared shingle text tail') AS text"),
         "doc_id", "text", 0.3).count()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] minhash warm-up failed (continuing): ${e.getMessage}")
     } finally spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -161,8 +161,14 @@ object CorpusShaping {
       "input already has a _rk column — it would be silently consumed by " +
         "the cap's internal rank (rename it first)")
     val order = Seq(PortableHash.hex60(col(textCol)), col(idCol))
+    // salt by a hash of the id's STRING form, not pmod(id, 16): pmod on a
+    // non-numeric id yields NULL, which would silently collapse every
+    // stratum into one unsalted window partition — the result would still
+    // be correct (phase 2 re-caps globally) but the "no task sorts a whole
+    // hot stratum" guarantee would vanish without any error
     val pre = Window.partitionBy(col(stratumCol),
-        pmod(col(idCol), lit(CapSalts.toLong))).orderBy(order: _*)
+        pmod(PortableHash.hex60(col(idCol).cast("string")),
+          lit(CapSalts.toLong))).orderBy(order: _*)
     val fin = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
     df.withColumn("_rk", row_number().over(pre)).filter(col("_rk") <= k)
       .withColumn("_rk", row_number().over(fin)).filter(col("_rk") <= k)
@@ -194,7 +200,11 @@ object CorpusShaping {
     * transforms of one): per-bin offsets are collected in one job and the
     * labeled output computed in another, so a nondeterministic input
     * (sample(), limit() over unordered data) could present different rows
-    * to the two passes. No cache is left behind.
+    * to the two passes. `idCol` must also be UNIQUE: the within-bin
+    * cumulative sum orders by id with a ROWS frame, so duplicate ids make
+    * the running sum's tie order undefined and the pack labels can
+    * diverge from the oracle's single-window cumsum. No cache is left
+    * behind.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     budget: Int, nParts: Int = 0): DataFrame = {

@@ -24,8 +24,14 @@ object DataChecks {
   }
   /** `column IS NOT NULL` for every row. */
   case class NotNull(column: String) extends Check { val name = "not_null" }
-  /** Values fall in [lo, hi] (NULLs don't violate — pair with NotNull). */
+  /** Values fall in [lo, hi] (NULLs don't violate — pair with NotNull).
+    * Bounds must be finite: Infinity/NaN stringify into SQL the oracle
+    * can't parse while the Spark side evaluates fine, so the mismatch
+    * would only surface at replay time — reject it at construction
+    * (one-sided ranges: use a Satisfies check instead). */
   case class InRange(column: String, lo: Double, hi: Double) extends Check {
+    require(!lo.isNaN && !lo.isInfinite && !hi.isNaN && !hi.isInfinite,
+      s"InRange($column) bounds must be finite, got [$lo, $hi]")
     val name = "in_range"
   }
   /** Values belong to the accepted set (NULLs don't violate). The set
