@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SketchFunctions.minhashInfo)
     ext.injectFunction(SketchFunctions.hex60Info)
     ext.injectFunction(NearestEntry.info)
+    ext.injectFunction(BloomFunctions.info)
   }
 }

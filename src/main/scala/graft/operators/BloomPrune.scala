@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomFunctions
+
+/** Bloom-pruned semi-join — "keep the fact rows whose key appears in a dim
+  * set that is too big to broadcast". A plain left-semi join shuffles the
+  * ENTIRE fact side on the key even when almost nothing matches; at 100 TB
+  * the shuffle of non-matching rows is the whole cost. This operator
+  * builds a bloom filter over the dim keys (~1.2 bytes/key at 1% fpp —
+  * broadcastable when the dim itself is not), filters the fact scan
+  * through a codegen'd `bloom_might_contain` probe so non-matching rows
+  * die INSIDE the scan's whole-stage-codegen pipeline, and only then runs
+  * the exact semi-join on the survivors: matched rows plus the ~fpp sliver
+  * of false positives are all that ever reach the shuffle.
+  *
+  * The result is EXACTLY the plain semi-join (the bloom admits every true
+  * match — no false negatives — and the exact join removes the false
+  * positives), so the oracle replays it as `WHERE key IN (SELECT ...)`.
+  * This is Spark's own runtime row-level-filter strategy
+  * (`spark.sql.optimizer.runtime.bloomFilter.*`) made explicit and
+  * planner-independent: deterministic pruning you can compose, not a
+  * runtime heuristic.
+  *
+  * Cost model: one dim pass to build the filter (driver holds ~1.2 B/key),
+  * one fact scan with a per-row hash probe, then a semi-join whose build
+  * side is the dim keys and whose probe side is |matches| + fpp·|fact|.
+  */
+object BloomPrune {
+
+  /** Rows of `fact` whose `factKey` appears in `dim`'s `dimKey` set.
+    * `expectedItems`/`fpp` size the filter (standard bloom trade-off;
+    * overshooting `expectedItems` bloats the literal that rides the plan
+    * to every task, undershooting costs fpp); pass `expectedItems <= 0`
+    * to self-size from a count of the dim side (one cheap extra job —
+    * the right default when the dim is a filtered scan whose cardinality
+    * the caller can't know ahead). Key columns must be integral and
+    * distinctly named. */
+  def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+               dimKey: String, expectedItems: Long = -1L,
+               fpp: Double = 0.01): DataFrame = {
+    require(factKey != dimKey,
+      s"fact and dim key share the name '$factKey' — rename one side first")
+    require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
+    BloomFunctions.register(fact.sparkSession)
+    // cast to long on BOTH sides so stat.bloomFilter's putLong and the
+    // probe's mightContainLong agree on the hashed representation
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey))
+    val sized = if (expectedItems > 0) expectedItems
+      else math.max(1L, keys.count())
+    val bloom = keys.stat.bloomFilter(dimKey, sized, fpp)
+    val bytes = BloomFunctions.serialize(bloom)
+    fact
+      .filter(BloomFunctions.bloomMightContain(col(factKey).cast("long"), bytes))
+      .join(keys.distinct().hint("shuffle_hash"),
+        col(factKey).cast("long") === col(dimKey), "left_semi")
+  }
+}

@@ -611,6 +611,88 @@ object EventOps {
       |FROM j WHERE value > mean + dev OR value < mean - dev
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** e17: SCD Type-2 history build — collapse the per-user event stream
+    * into state-change validity intervals (the changelog→dimension-history
+    * transform a warehouse MERGE pipeline runs): keep only rows where the
+    * state differs from the previous row, stamp each surviving row's
+    * interval as [its ts, next change's ts), leave the current state
+    * open-ended. Two windows over the SAME (user, ts, event_id) order —
+    * one shuffle, one sort, the lag-filter and lead run in the same
+    * partition pass; per-user state is bounded by that user's change
+    * count, never the event count. */
+  def e17Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(timestamp_micros(col("valid_to_us")),
+          "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
+  private val e17Sql =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_id, ts, event_type FROM x
+      |  WHERE prev_state IS NULL OR prev_state <> event_type),
+      |v AS (
+      |  SELECT user_id, event_type AS state, ts,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+      |  FROM c)
+      |SELECT user_id, state,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  CASE WHEN valid_to_us IS NOT NULL
+      |       THEN strftime(make_timestamp(valid_to_us), '%Y-%m-%d %H:%M:%S') END AS valid_to,
+      |  valid_to_us IS NULL AS is_current
+      |FROM v ORDER BY user_id, valid_from, state""".stripMargin
+
+  /** e18: time-weighted average value per user (TWAP — the irregular-
+    * series summary where each observation holds until the next one, so a
+    * value's weight is its holding time, not its row count). Interval
+    * weights come from a lead() over the per-user order; the weighted sum
+    * runs as DECIMAL(18,4) × micros — exact integer arithmetic in both
+    * engines — and only the final ratio goes through FP (identical
+    * operands, identical order, round 6). Zero-length intervals carry
+    * zero weight and are dropped on both sides (also keeps an all-
+    * duplicate-timestamp user from producing a 0/0). One window shuffle +
+    * one per-user aggregate. */
+  def e18Twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt") > 0L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("observed_us"),
+        round(
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
+            col("dt")).cast("double") /
+            sum(col("dt")).cast("double"), 6).as("twap"))
+      .orderBy("user_id")
+  }
+
+  private val e18Sql =
+    """WITH x AS (
+      |  SELECT user_id, value, epoch_us(ts) AS us,
+      |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - epoch_us(ts) AS dt
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(SUM(dt) AS BIGINT) AS observed_us,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * dt) AS DOUBLE)
+      |    / CAST(SUM(dt) AS DOUBLE), 6) AS twap
+      |FROM x WHERE dt > 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -628,6 +710,8 @@ object EventOps {
     "e14_funnel" -> (e14Funnel _),
     "e15_retention" -> (e15Retention _),
     "e16_outliers" -> (e16Outliers _),
+    "e17_scd2_intervals" -> (e17Scd2 _),
+    "e18_twap" -> (e18Twap _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -648,6 +732,8 @@ object EventOps {
     "e14_funnel" -> e14Sql,
     "e15_retention" -> e15Sql,
     "e16_outliers" -> e16Sql,
+    "e17_scd2_intervals" -> e17Sql,
+    "e18_twap" -> e18Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnSearch, IvfSearch, MinHashDedup, SimHash, SkewAgg}
+import graft.operators.{AnnSearch, BloomPrune, IvfSearch, MinHashDedup, SimHash, SkewAgg, SkewJoin}
 
 /** Oracle-checked entry points for the scale operators (MinHash/LSH,
   * SimHash, hyperplane-LSH ANN). The operator logic lives in
@@ -298,6 +298,57 @@ object ScaleOps {
       | COUNT(*) AS n_rows
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** s2: salted fact-dim join (the hot-key lever for JOINS, completing s1's
+    * aggregate side) pinned against a PLAIN join oracle: the salt spreads
+    * each supplier key over 8 reducers on the fact side and replicates the
+    * dim side 8×, and because each fact row meets exactly the one dim copy
+    * carrying its salt, the (key, salt) join must produce row-for-row the
+    * unsalted join — the oracle verifies the skew machinery changes the
+    * plan, never the answer. Downstream aggregate uses the shared decimal
+    * convention so the comparison is bit-exact. */
+  def s2SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+    val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    SkewJoin.saltedInnerJoin(li, sup, "l_suppkey", "s_suppkey",
+        saltBy = "l_orderkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Conventions.decSum(col("l_extendedprice"), "total_price"))
+      .orderBy("s_nationkey")
+  }
+
+  private val s2Sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** b1: bloom-pruned semi-join — lineitems of URGENT orders, where the
+    * order-key set rides to the fact scan as a ~1.2 B/key bloom filter and
+    * non-matching rows die inside the scan's codegen before any shuffle;
+    * the exact semi-join then strips the fpp sliver. The oracle is the
+    * plain `IN (SELECT ...)` form — the bloom must change scan-side
+    * traffic, never the answer. */
+  def b1BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    BloomPrune.semiJoin(Tables(s, dir, "lineitem"), urgent,
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Conventions.decSum(col("l_quantity"), "total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val b1Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** p2: sort-based exact percentiles — value-identical to q24's
     * `percentile()` per the shared interpolation formula, but computed
     * with a spillable window sort + 2-row-per-(group,p) fetch instead of
@@ -321,6 +372,8 @@ object ScaleOps {
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
     "s1_skew_agg" -> (s1SkewAgg _),
+    "s2_skew_join" -> (s2SkewJoin _),
+    "b1_bloom_join" -> (b1BloomJoin _),
     "p2_percentile_dist" -> (p2PercentileDist _))
 
   val oracles: Map[String, String] = Map(
@@ -330,5 +383,7 @@ object ScaleOps {
     "a2_embedding_neardup" -> a2Sql,
     "i1_ivf_topk" -> i1Sql,
     "s1_skew_agg" -> s1Sql,
+    "s2_skew_join" -> s2Sql,
+    "b1_bloom_join" -> b1Sql,
     "p2_percentile_dist" -> p2Sql)
 }

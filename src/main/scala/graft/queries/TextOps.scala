@@ -455,7 +455,60 @@ object TextOps {
       |  CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) AS total_quality
       |FROM sp GROUP BY split ORDER BY split""".stripMargin
 
+  /** d25: duplicated-passage profile — the fixed-length slice of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, the fraction of its
+    * distinct word 8-grams that also appear in at least one OTHER
+    * document. Exact dedup (d1) misses documents that share boilerplate
+    * without being identical; this surfaces them with a per-doc score a
+    * cleaning pipeline can threshold on.
+    *
+    * Scale shape: grams are built per-row with the slice+zip_with form and
+    * deduped per-row before exploding (`Decontaminate.wordNgrams` — the
+    * shuffle carries distinct grams only), travel as hex60 longs (8 bytes,
+    * not ~50-byte strings), and the whole profile is gram-count → join →
+    * per-doc aggregate: three hash shuffles whose cost tracks |grams|,
+    * never documents². The gram table is persisted eagerly because both
+    * the count side and the join side read it (the minhash band-table
+    * pattern); released by the caller's clearCache.
+    */
+  def d25DupPassages(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val grams = graft.operators.Decontaminate
+      .gramHashes(Tables(s, dir, "documents"), "doc_id", "text", n = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count()
+    val byGram = grams.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+    grams.join(byGram, "gh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val d25Sql: String = {
+    val idx = (1 to 8).map(j => s"string_split(text,' ')[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    unnest(CASE WHEN len(string_split(text,' ')) >= 8
+       |      THEN list_transform(range(0, len(string_split(text,' ')) - 7), i -> $idx)
+       |      ELSE [text] END) AS gram
+       |  FROM documents),
+       |h AS (SELECT id, CAST(('0x' || substr(md5(gram),1,15)) AS BIGINT) AS gh FROM g),
+       |c AS (SELECT gh, COUNT(*) AS n_docs FROM h GROUP BY gh)
+       |SELECT h.id AS doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  ROUND(CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+       |FROM h JOIN c USING (gh)
+       |GROUP BY h.id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_dup_passages" -> (d25DupPassages _),
     "d9_hash_split" -> (d9HashSplit _),
     "d10_vocab_topk" -> (d10VocabTopK _),
     "d23_oov_rate" -> (d23OovRate _),
@@ -473,6 +526,7 @@ object TextOps {
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "d25_dup_passages" -> d25Sql,
     "d9_hash_split" -> d9Sql,
     "d10_vocab_topk" -> d10Sql,
     "d23_oov_rate" -> d23Sql,

@@ -333,4 +333,43 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!s.contains("Exchange SinglePartition"), s.take(1500))
     } finally spark.catalog.clearCache() // packSequences persists its token table
   }
+
+  test("s2 salted join: shuffled hash join on (key, salt), dim never broadcast") {
+    val s = formatted(SparkEntry.queries("s2_skew_join")(spark, sfDir))
+    assert(s.contains("ShuffledHashJoin"), s.take(1200))
+    assert(!s.contains("BroadcastHashJoin"),
+      "the salted join must exercise the shuffle path — a broadcast would " +
+        "bypass the salt entirely: " + s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+  }
+
+  test("b1 bloom join: probe filters the fact scan before the semi-join shuffle") {
+    val s = formatted(SparkEntry.queries("b1_bloom_join")(spark, sfDir))
+    assert(s.contains("bloom_might_contain"), s.take(1500))
+    // the probe must run codegen'd in the scan stage: formatted explain
+    // marks WSCG membership with a star on the node line
+    assert(s.contains("* Filter"), s.take(1500))
+    assert(s.contains("LeftSemi"), s.take(1500))
+  }
+
+  test("e17 SCD2 and e18 TWAP: one user-key shuffle, windows share the exchange") {
+    val e17 = formatted(SparkEntry.queries("e17_scd2_intervals")(spark, sfDir))
+    // both windows partition by user_id: one hash exchange + final sort
+    assert(nodeCount(e17, "Exchange") <= 2, e17.take(1500))
+    val e18 = formatted(SparkEntry.queries("e18_twap")(spark, sfDir))
+    // window shuffle on user_id; the groupBy reuses the same partitioning,
+    // leaving only the final sort as a second movement
+    assert(nodeCount(e18, "Exchange") <= 2, e18.take(1500))
+  }
+
+  test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
+    val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
+    finally spark.catalog.clearCache() // d25 persists its gram table
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+    assert(s.contains("InMemoryTableScan") || s.contains("TableCacheQueryStage"),
+      "both branches must read the persisted gram table, not re-derive it: " +
+        s.take(1200))
+  }
 }
