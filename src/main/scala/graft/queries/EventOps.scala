@@ -693,6 +693,64 @@ object EventOps {
       |FROM x WHERE dt > 0
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** e19: per-type OLS trend (value vs hours-since-corpus-start) — the
+    * drift-TREND detector next to e16's point outliers: a metric whose
+    * hourly slope moves is shifting even while every point stays inside
+    * 3σ. Engine-exact recipe: x is an hour index offset to the corpus
+    * minimum (keeps every integer moment inside BIGINT — absolute epoch
+    * hours squared would overflow), x-moments accumulate as exact longs,
+    * y-moments through the shared decimal convention, and the closed-form
+    * slope/intercept then run in DOUBLE on identical operands in
+    * identical order on both sides (multiply, multiply, subtract — no
+    * fused ops), so round(…,6) agrees bit-for-bit. One partial-agg
+    * shuffle of |types| rows plus the 1-row min-hour scalar. */
+  def e19TrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val hourCol = expr(s"unix_micros(ts) div $MicrosPerHour")
+    val minH = ev.agg(min(hourCol)).head.getLong(0)
+    val dec18 = org.apache.spark.sql.types.DecimalType(18, 4)
+    val m = ev
+      .select(col("event_type"), (hourCol - lit(minH)).as("x"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("value").cast(dec18)).cast("double").as("sy"),
+        sum(col("value").cast(dec18) * col("x")).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val slope = round(
+      (nD * col("sxy") - sxD * col("sy")) /
+        (nD * col("sxx").cast("double") - sxD * sxD), 6)
+    m.select(col("event_type"), col("n"),
+        slope.as("slope_per_hour"),
+        round((col("sy") - slope * sxD) / nD, 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  private val e19Sql =
+    s"""WITH x AS (
+       |  SELECT event_type, value,
+       |    epoch_us(ts) // $MicrosPerHour
+       |      - (SELECT MIN(epoch_us(ts) // $MicrosPerHour) FROM events) AS x
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * x) AS DOUBLE) AS sxy
+       |  FROM x GROUP BY event_type)
+       |SELECT event_type, n,
+       |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_per_hour,
+       |  ROUND((sy - ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) * CAST(sx AS DOUBLE))
+       |    / CAST(n AS DOUBLE), 6) AS intercept
+       |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -712,6 +770,7 @@ object EventOps {
     "e16_outliers" -> (e16Outliers _),
     "e17_scd2_intervals" -> (e17Scd2 _),
     "e18_twap" -> (e18Twap _),
+    "e19_trend_slope" -> (e19TrendSlope _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -734,6 +793,7 @@ object EventOps {
     "e16_outliers" -> e16Sql,
     "e17_scd2_intervals" -> e17Sql,
     "e18_twap" -> e18Sql,
+    "e19_trend_slope" -> e19Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }

@@ -259,7 +259,89 @@ object VectorOps {
       |FROM win JOIN agree ON win.q_id = agree.q_id
       |ORDER BY win.q_id""".stripMargin
 
+  // v7 constants shared by the Spark query and its SQL replay
+  private val MmrPool = 20
+  private val MmrK = 5
+  private val MmrLambdaNum = 7
+  private val MmrLambdaDen = 10
+
+  /** v7: MMR-diversified top-5 (`operators.MmrRerank`) for the same 3
+    * query vectors as v1 — relevance discounted by similarity to the
+    * already-selected set, λ = 7/10 over a 20-candidate pool. The oracle
+    * unrolls all five greedy steps into CTEs over the SAME integer-lifted
+    * relevance/similarity tables, so the selection chain itself is
+    * hash-verified against an independent statement of the recurrence
+    * (`7·rel_ppm − 3·max sim_ppm-to-selected`, ties to the smaller id),
+    * not just the final ids. */
+  def v7MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    graft.operators.MmrRerank.diversifiedTopK(
+        e.filter(col("vec_id") < 3), e, "vec_id", "emb",
+        poolSize = MmrPool, k = MmrK,
+        lambdaNum = MmrLambdaNum, lambdaDen = MmrLambdaDen)
+      .orderBy("q_id", "rk")
+  }
+
+  private val v7Sql: String = {
+    // integer scoring: λ = 7/10 as a rational, cosines lifted to exact
+    // micro-units — `score = 7·relppm − 3·max(simppm)` is pure BIGINT
+    // arithmetic, no FP rounding boundary can diverge between engines
+    val num = MmrLambdaNum
+    val rest = MmrLambdaDen - MmrLambdaNum
+    val steps = (2 to MmrK).map { i =>
+      s"""prev$i AS (${(1 until i).map(j => s"SELECT q_id, nid FROM sel$j")
+            .mkString(" UNION ALL ")}),
+         |sel$i AS (
+         |  SELECT q_id, nid, CAST($i AS BIGINT) AS rk, score AS mmr_e7 FROM (
+         |    SELECT m.*, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nid) AS rn
+         |    FROM (
+         |      SELECT p.q_id, p.nid,
+         |        $num * p.relppm - $rest * MAX(s.simppm) AS score
+         |      FROM pool p
+         |      JOIN prev$i t ON t.q_id = p.q_id
+         |      JOIN sims s ON s.q_id = p.q_id AND s.id_a = p.nid AND s.id_b = t.nid
+         |      WHERE NOT EXISTS (SELECT 1 FROM prev$i x
+         |                        WHERE x.q_id = p.q_id AND x.nid = p.nid)
+         |      GROUP BY p.q_id, p.nid, p.relppm) m) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+       |sc AS (
+       |  SELECT q.q_id, e.vec_id, e.emb,
+       |    ROUND(list_dot_product(q.q_emb, e.emb) /
+       |      (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+       |       sqrt(list_dot_product(e.emb, e.emb))), 6) AS rel
+       |  FROM q JOIN e ON e.vec_id <> q.q_id),
+       |pool AS (
+       |  SELECT q_id, nid, emb,
+       |    CAST(ROUND(rel * 1000000.0) AS BIGINT) AS relppm FROM (
+       |    SELECT q_id, vec_id AS nid, emb, rel,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rk
+       |    FROM sc) z
+       |  WHERE rk <= $MmrPool),
+       |sims AS (
+       |  SELECT a.q_id, a.nid AS id_a, b.nid AS id_b,
+       |    CAST(ROUND(ROUND(list_dot_product(a.emb, b.emb) /
+       |      (sqrt(list_dot_product(a.emb, a.emb)) *
+       |       sqrt(list_dot_product(b.emb, b.emb))), 6) * 1000000.0) AS BIGINT) AS simppm
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.nid <> b.nid),
+       |sel1 AS (
+       |  SELECT q_id, nid, CAST(1 AS BIGINT) AS rk,
+       |    $num * relppm AS mmr_e7 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY relppm DESC, nid) AS rn
+       |    FROM pool) z
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT q_id, rk, nid AS neighbor, CAST(mmr_e7 AS BIGINT) AS mmr_e7
+       |FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_mmr_rerank" -> (v7MmrRerank _),
     "v1_knn_brute" -> (v1KnnBrute _),
     "v2_label_stats" -> (v2LabelStats _),
     "v3_label_centroid" -> (v3LabelCentroid _),
@@ -268,6 +350,7 @@ object VectorOps {
     "v6_label_noise" -> (v6LabelNoise _))
 
   val oracles: Map[String, String] = Map(
+    "v7_mmr_rerank" -> v7Sql,
     "v1_knn_brute" -> v1Sql,
     "v2_label_stats" -> v2Sql,
     "v3_label_centroid" -> v3Sql,
