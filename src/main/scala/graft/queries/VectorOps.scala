@@ -340,7 +340,81 @@ object VectorOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // v8 constants shared by the Spark query and its SQL replay
+  private val Sq8Pool = 20
+  private val Sq8K = 5
+
+  /** v8: two-stage retrieval over the SQ8 storage tier (the FAISS-style
+    * production shape): a COARSE scan ranks the whole corpus by the
+    * integer dot product of int8 codes — pure 64-bit-exact arithmetic
+    * over the ~3.5×-smaller quantized column, the scan a 100 TB corpus
+    * would actually run — then the top-20 pool is re-ranked EXACTLY with
+    * full-precision cosine. Each stage is deterministic (integer coarse
+    * scores, 6dp-rounded rerank, id tie-breaks), so the oracle replays
+    * the full quantize→coarse→rerank chain rather than comparing to
+    * brute force; recall vs v1 is spec territory (see IvfSearchSpec for
+    * the a1/i1 precedent). */
+  def v8Sq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    import graft.operators.VectorQuant._
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val coded = e
+      .withColumn("scale", sq8Scale(col("emb")))
+      // codes ride as double arrays so the coarse dot reuses the codegen'd
+      // sequential-fold expression; products of ints ≤ 127 stay exact
+      .select(col("vec_id"), col("emb"),
+        sq8Codes(col("emb"), col("scale")).cast("array<double>").as("dc"))
+    val q = coded.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("dc").as("q_dc"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("idot").desc, col("vec_id"))
+    val pool = broadcast(q).join(coded, col("vec_id") =!= col("q_id"))
+      .withColumn("idot", dot(col("q_dc"), col("dc")).cast("long"))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= Sq8Pool)
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    pool
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= Sq8K)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("idot"),
+        col("cos"), col("rk").cast("long").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val v8Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |s AS (SELECT vec_id, emb,
+       |  list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e),
+       |qz AS (SELECT vec_id, emb,
+       |  CASE WHEN scale = 0 THEN list_transform(emb, x -> CAST(0 AS DOUBLE))
+       |       ELSE list_transform(emb, x -> CAST(CAST(GREATEST(-127, LEAST(127,
+       |         FLOOR(x / scale + 0.5))) AS INTEGER) AS DOUBLE)) END AS dc
+       |  FROM s),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, dc AS q_dc FROM qz WHERE vec_id < 3),
+       |co AS (
+       |  SELECT q.q_id, q.q_emb, z.vec_id, z.emb,
+       |    CAST(list_dot_product(q.q_dc, z.dc) AS BIGINT) AS idot
+       |  FROM q JOIN qz z ON z.vec_id <> q.q_id),
+       |pool AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER
+       |      (PARTITION BY q_id ORDER BY idot DESC, vec_id) AS crk FROM co) z
+       |  WHERE crk <= $Sq8Pool),
+       |r AS (
+       |  SELECT q_id, vec_id, idot,
+       |    ROUND(list_dot_product(q_emb, emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) *
+       |       sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM pool)
+       |SELECT q_id, vec_id AS neighbor, idot, cos, CAST(rk AS BIGINT) AS rk FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+       |   FROM r) z
+       |WHERE rk <= $Sq8K ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v8_sq8_rerank" -> (v8Sq8Rerank _),
     "v7_mmr_rerank" -> (v7MmrRerank _),
     "v1_knn_brute" -> (v1KnnBrute _),
     "v2_label_stats" -> (v2LabelStats _),
@@ -350,6 +424,7 @@ object VectorOps {
     "v6_label_noise" -> (v6LabelNoise _))
 
   val oracles: Map[String, String] = Map(
+    "v8_sq8_rerank" -> v8Sql,
     "v7_mmr_rerank" -> v7Sql,
     "v1_knn_brute" -> v1Sql,
     "v2_label_stats" -> v2Sql,

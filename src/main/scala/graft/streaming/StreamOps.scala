@@ -172,6 +172,48 @@ object StreamOps {
       }
   }
 
+  /** Per-user open interval for [[scd2Intervals]]. */
+  case class ScdState(state: String, validFrom: Timestamp)
+
+  /** A closed SCD2 validity interval emitted by [[scd2Intervals]]. */
+  case class ScdOut(user_id: Long, state: String,
+                    valid_from: Timestamp, valid_to: Timestamp)
+
+  /** Streaming twin of `EventOps.e17Scd2`'s CLOSED intervals — the
+    * changelog→dimension-history transform as it happens: per-user state
+    * rides in flatMapGroupsWithState; each state CHANGE closes the
+    * previous interval and emits it immediately. The open (current)
+    * interval stays in state — an append-mode stream can't retract, so
+    * the open row is batch territory (e17's `is_current` rows). State is
+    * one (string, timestamp) per user — bounded by |users|, not events.
+    * Within a micro-batch events sort by (ts, event_id) like every
+    * keyed-state op here; across batches the operator assumes per-user
+    * event-time monotonicity (pair with a watermark upstream, or run the
+    * batch e17 for out-of-order replays). */
+  def scd2Intervals(events: Dataset[Event]): Dataset[ScdOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[ScdState]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[ScdOut]
+          var cur = state.getOption
+          evs.foreach { e =>
+            cur match {
+              case Some(s) if s.state != e.event_type =>
+                out += ScdOut(uid, s.state, s.validFrom, e.ts)
+                cur = Some(ScdState(e.event_type, e.ts))
+              case Some(_) => // same state: the open interval continues
+              case None => cur = Some(ScdState(e.event_type, e.ts))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: correlate two event streams on a key
     * within a bounded event-time window (right event lands in
     * [left.ts, left.ts + maxGap]). Both sides carry watermarks, so each

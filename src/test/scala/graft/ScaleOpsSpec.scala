@@ -30,6 +30,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall $recall below 0.8 (got ${approx.size} pairs)")
   }
 
+  test("SQ8 coarse+rerank top-5 has recall >= 0.8 vs exact brute-force kNN") {
+    val exact = VectorOps.v1KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = VectorOps.v8Sq8Rerank(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 rerank recall $recall below 0.8")
+  }
+
   test("MinHash candidates recover exact 3-shingle Jaccard>=0.7 pairs (recall >= 0.9)") {
     val docs = Tables(spark, sfDir, "documents").filter(col("doc_id") < 100)
     // exact pairwise 3-shingle Jaccard on the small block, computed directly

@@ -181,6 +181,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((ts(0), 3L, 7.0)), s"got $got")
   }
 
+  test("scd2Intervals emits each state change and agrees with the batch e17 shape") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      Event(1L, ts(0), 1L, "view", 1.0, "{}"),
+      Event(2L, ts(5), 1L, "click", 1.0, "{}"),
+      Event(5L, ts(2), 2L, "view", 1.0, "{}"))
+    val rows2 = Seq(
+      Event(3L, ts(10), 1L, "click", 1.0, "{}"),     // same state: no emission
+      Event(4L, ts(20), 1L, "purchase", 1.0, "{}"))  // closes click
+    val ms = MemoryStream[Event]
+    ms.addData(rows); ms.addData(rows2)
+    StreamOps.runToMemory(StreamOps.scd2Intervals(ms.toDS()).toDF(), "scd2",
+      OutputMode.Append())
+    val got = spark.table("scd2")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == Set(
+      (1L, "view", ts(0), ts(5)),
+      (1L, "click", ts(5), ts(20))))
+    // batch twin over the same rows: e17's window recipe, closed rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batchClosed = (rows ++ rows2).toDF()
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("valid_to"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(got == batchClosed, "stream must equal the batch twin's closed rows")
+  }
+
   test("stream-stream interval join correlates events within the gap only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
