@@ -133,6 +133,64 @@ object CorpusOps {
        |GROUP BY c.id ORDER BY c.id""".stripMargin
   }
 
+  /** c3: decontamination composed INTO the cleaning pipeline — the order a
+    * production corpus build actually runs: drop training documents that
+    * overlap the held-out split (anti-join against the c2 report), exact-
+    * dedup the survivors keeping the smallest id, and profile docs/tokens
+    * per language. Every stage is the operator already pinned alone (c2
+    * contamination, d1-style dedup, d2 token convention) — this query
+    * pins that they COMPOSE in one plan: the contamination join feeds the
+    * dedup window feeds the profile aggregate with no driver round-trip
+    * between stages. */
+  def c3CleanDecontaminated(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") >= EvalSplit)
+    val evalSet = docs.filter(col("doc_id") < EvalSplit)
+    val contaminated = Decontaminate
+      .contamination(corpus, evalSet, "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"))
+    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val kept = clean
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("_rk") === 1)
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  private val c3Sql: String = {
+    val n = 5
+    val gram = (1 to n).map(j => s"string_split(text,' ')[i+$j]").mkString(" || ' ' || ")
+    s"""WITH gr AS (
+       |  SELECT doc_id AS id,
+       |    unnest(list_distinct(
+       |      CASE WHEN len(string_split(text,' ')) >= $n
+       |        THEN list_transform(range(0, len(string_split(text,' ')) - ${n - 1}),
+       |          i -> $gram)
+       |        ELSE [text] END)) AS g
+       |  FROM documents),
+       |ch AS (SELECT id, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
+       |       FROM gr WHERE id >= $EvalSplit),
+       |eh AS (SELECT id AS eval_id, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
+       |       FROM gr WHERE id < $EvalSplit),
+       |bad AS (SELECT DISTINCT c.id FROM ch c JOIN eh e ON c.gh = e.gh),
+       |clean AS (
+       |  SELECT * FROM documents d
+       |  WHERE d.doc_id >= $EvalSplit
+       |    AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.id = d.doc_id)),
+       |kept AS (
+       |  SELECT * FROM clean
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+       |    AS total_tokens
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** d15 mixing rates: the synthetic corpus is ~44% English, so the demo
     * downsamples en hard and trims es/de lightly; zh/fr ride the 1.0
     * default. Exact multiples of 1e-4 (the operator's bucket width). */
@@ -398,6 +456,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
+    "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "d14_neardup_drop" -> (d14NeardupDrop _),
     "d15_stratified_sample" -> (d15StratifiedSample _),
     "d16_token_chunks" -> (d16TokenChunks _),
@@ -411,6 +470,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
     "c2_decontaminate" -> c2Sql,
+    "c3_clean_decontaminated" -> c3Sql,
     "d14_neardup_drop" -> d14Sql,
     "d15_stratified_sample" -> d15Sql,
     "d16_token_chunks" -> d16Sql,

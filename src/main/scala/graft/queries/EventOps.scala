@@ -751,6 +751,51 @@ object EventOps {
        |    / CAST(n AS DOUBLE), 6) AS intercept
        |FROM m ORDER BY event_type""".stripMargin
 
+  /** e20: MAD-robust outlier sweep — flags values whose absolute deviation
+    * from the per-type MEDIAN exceeds 5× the median absolute deviation.
+    * e16's 3σ rule breaks down exactly when outliers matter most (the
+    * outliers inflate σ and mask themselves); median/MAD have a 50%
+    * breakdown point. Composes `DistributedPercentile` TWICE (median, then
+    * median of deviations) — each pass the spillable window sort, never
+    * whole-group buffers — with |types|-row broadcast joins carrying the
+    * stats back. The integer threshold factor (5) avoids the 1.4826
+    * normal-consistency constant: deviation comparisons stay IEEE ops on
+    * identical operands. */
+  def e20MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val med = graft.operators.DistributedPercentile
+      .groupPercentiles(ev, "event_type", "value", Seq("med" -> 0.5))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = graft.operators.DistributedPercentile
+      .groupPercentiles(dev, "event_type", "ad", Seq("mad" -> 0.5))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("ad") > lit(5.0) * col("mad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        min(col("event_id")).as("first_outlier"),
+        decSum(col("value"), "outlier_mass"))
+      .orderBy("event_type")
+  }
+
+  private val e20Sql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.event_id, e.value, abs(e.value - m.med) AS ad
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*) AS n_outliers,
+      |  MIN(d.event_id) AS first_outlier,
+      |  CAST(SUM(CAST(d.value AS DECIMAL(38,4))) AS DOUBLE) AS outlier_mass
+      |FROM dev d JOIN mad USING (event_type)
+      |WHERE d.ad > 5.0 * mad.mad
+      |GROUP BY d.event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -771,6 +816,7 @@ object EventOps {
     "e17_scd2_intervals" -> (e17Scd2 _),
     "e18_twap" -> (e18Twap _),
     "e19_trend_slope" -> (e19TrendSlope _),
+    "e20_mad_outliers" -> (e20MadOutliers _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -794,6 +840,7 @@ object EventOps {
     "e17_scd2_intervals" -> e17Sql,
     "e18_twap" -> e18Sql,
     "e19_trend_slope" -> e19Sql,
+    "e20_mad_outliers" -> e20Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }
