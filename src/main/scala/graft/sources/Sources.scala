@@ -42,6 +42,18 @@ object Sources {
     spark.read.schema(schema)
       .option("multiLine", multiLine.toString).json(path)
 
+  /** ORC scan (columnar alternative to S1's parquet — same pushdown and
+    * pruning behavior via the built-in datasource; the format a
+    * Hive-heritage warehouse hands over). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink, optionally partitioned (mirror of [[saveParquet]]). */
+  def saveOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** JDBC scan (S1 parity-ingest form, e.g. `jdbc:sqlite:` for reading
     * the reference's own DB files). `partitionColumn` options enable
     * parallel reads; predicates still push to the remote engine. */

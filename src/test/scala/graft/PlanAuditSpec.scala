@@ -363,6 +363,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(e18, "Exchange") <= 2, e18.take(1500))
   }
 
+  test("e20 MAD outliers: stat tables broadcast back, no cartesian") {
+    val s = formatted(SparkEntry.queries("e20_mad_outliers")(spark, sfDir))
+    assert(s.contains("BroadcastHashJoin"), s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+  }
+
+  test("c3 decontaminated clean: contamination drop plans as an anti-join in one plan") {
+    val s = formatted(SparkEntry.queries("c3_clean_decontaminated")(spark, sfDir))
+    assert(s.contains("LeftAnti"), s.take(1500))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+  }
+
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
     val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
     finally spark.catalog.clearCache() // d25 persists its gram table

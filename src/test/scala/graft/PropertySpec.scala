@@ -133,6 +133,47 @@ class PropertySpec extends AnyFunSuite {
     }, (pp: SCTest.Parameters) => pp.withMinSuccessfulTests(15))
   }
 
+  test("SkewJoin.saltedInnerJoin equals the plain inner join on random frames") {
+    import spark.implicits._
+    val factGen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n,
+      for { k <- Gen.choose(0L, 6L); v <- Gen.choose(-50, 50) } yield (k, v)))
+    val dimGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0L, 9L)))
+    val saltsGen = Gen.oneOf(2, 3, 8)
+    check(Prop.forAllNoShrink(factGen, dimGen, saltsGen) { (fs, ds, salts) =>
+      val fact = fs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("fk", "v", "rid")
+      val dim = ds.distinct.map(k => (k, s"d$k")).toDF("dk", "dv")
+      val plain = fact.join(dim, org.apache.spark.sql.functions.col("fk") ===
+          org.apache.spark.sql.functions.col("dk"))
+        .select("fk", "v", "rid", "dv").collect().map(_.toSeq).toSet
+      val salted = graft.operators.SkewJoin
+        .saltedInnerJoin(fact, dim, "fk", "dk", saltBy = "rid", salts = salts)
+        .select("fk", "v", "rid", "dv").collect().map(_.toSeq).toSet
+      salted == plain
+    }, _.withMinSuccessfulTests(15))
+  }
+
+  test("BloomPrune.semiJoin equals the plain left-semi join on random frames") {
+    import spark.implicits._
+    val factGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 40L)))
+    val dimGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 40L)))
+    // tiny expectedItems + coarse fpp force false positives through the
+    // probe; the trailing exact join must always strip them
+    val fppGen = Gen.oneOf(0.01, 0.2, 0.4)
+    check(Prop.forAllNoShrink(factGen, dimGen, fppGen) { (fs, ds, fpp) =>
+      val fact = fs.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("fk", "rid")
+      val dim = ds.toDF("dk")
+      val plain = fact.join(dim.distinct(), org.apache.spark.sql.functions.col("fk") ===
+          org.apache.spark.sql.functions.col("dk"), "left_semi")
+        .collect().map(_.toSeq).toSet
+      val pruned = graft.operators.BloomPrune
+        .semiJoin(fact, dim, "fk", "dk", expectedItems = 2L, fpp = fpp)
+        .collect().map(_.toSeq).toSet
+      pruned == plain
+    }, _.withMinSuccessfulTests(15))
+  }
+
   test("AsofJoin agrees with an in-memory reference evaluator on random frames") {
     import spark.implicits._
     val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime

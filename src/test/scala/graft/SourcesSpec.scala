@@ -63,6 +63,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.filter(org.apache.spark.sql.functions.col("country") === "india").count() == 5)
   }
 
+  test("orc sink round-trips with partitioning and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("orc_sink").resolve("era5")
+    Sources.saveOrc(graft.model.Fixtures.era5(spark), dir.toString,
+      partitionBy = Seq("country"))
+    assert(Files.exists(dir.resolve("country=india")))
+    val back = Sources.orc(spark, dir.toString)
+    assert(back.count() == 10)
+    val filtered = back.filter(org.apache.spark.sql.functions.col("value") > 1.0)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,1.0)]"),
+      "ORC scan must receive the pushed predicate: " + plan.take(1200))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     import org.apache.spark.sql.functions._
     val o = Tables(spark, sfDir, "orders")
