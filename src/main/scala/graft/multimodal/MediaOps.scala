@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * the JDK's `javax.imageio` (no external dependency), reads actual
   * width/height/band-count, and extracts a deterministic 64-dim
   * grid-luminance embedding from the decoded pixels; real resize +
-  * PNG re-encode runs through an offscreen `Graphics2D`. Payloads no
-  * registered ImageIO reader claims (e.g. the text-bytes fixture media)
-  * fall back to [[FakeCodec]]'s digest-derived stand-in, as do VIDEO
-  * frames (this container ships no video codec; the ffmpeg-binding call
-  * site stays a single clearly-marked function).
+  * PNG re-encode runs through an offscreen `Graphics2D`. The AUDIO path
+  * is real too: [[AudioCodec]] decodes WAV/AIFF/AU via the JDK's
+  * `javax.sound.sampled`, converts to 16-bit PCM, and extracts a 64-bin
+  * RMS energy envelope. Payloads no registered reader claims (e.g. the
+  * text-bytes fixture media) fall back to [[FakeCodec]]'s digest-derived
+  * stand-in, as do VIDEO frames (this container ships no video codec;
+  * the ffmpeg-binding call site stays a single clearly-marked function).
   *
   * Scale notes: decode is the CPU hot spot, so [[decodeImages]]
   * repartitions by media_id to spread work across executors regardless
@@ -106,6 +108,96 @@ object MediaOps {
     }
   }
 
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                           n_frames: Long, embedding: Array[Float])
+
+  /** Real in-JDK audio codec (javax.sound.sampled): decode WAV/AIFF/AU
+    * payloads, convert to 16-bit signed PCM, and extract a 64-bin RMS
+    * energy envelope — the audio analog of [[ImageCodec.gridFeatures]]
+    * (same 64-dim shape, so the ANN path applies unchanged). Everything
+    * is a deterministic function of the payload bytes. */
+  object AudioCodec {
+
+    /** Decoded PCM: (sampleRate, channels, 16-bit signed little-endian
+      * frames); None when no installed provider claims the payload. */
+    def decode(content: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcmIn = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+          try Some((src.getSampleRate.toInt, src.getChannels,
+            pcmIn.readAllBytes()))
+          finally pcmIn.close()
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+        case _: IllegalArgumentException => None // no conversion provider
+      }
+
+    /** 64-bin RMS energy envelope over the 16-bit mono-mixed samples,
+      * normalized to [0,1] — the coarse loudness contour (silence → 0,
+      * full-scale → 1). */
+    def rmsEnvelope(pcm: Array[Byte], channels: Int, bins: Int = 64): Array[Float] = {
+      val frameBytes = channels * 2
+      val nFrames = pcm.length / frameBytes
+      val out = new Array[Float](bins)
+      if (nFrames == 0) return out
+      var b = 0
+      while (b < bins) {
+        val f0 = b.toLong * nFrames / bins
+        val f1 = math.max(f0 + 1, (b + 1).toLong * nFrames / bins)
+        var sum = 0.0; var n = 0
+        var f = f0
+        while (f < nFrames && f < f1) {
+          // mix channels to mono before the energy sum
+          var c = 0; var acc = 0.0
+          while (c < channels) {
+            val i = (f * frameBytes + c * 2).toInt
+            val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+            acc += s / 32768.0
+            c += 1
+          }
+          val m = acc / channels
+          sum += m * m; n += 1; f += 1
+        }
+        out(b) = if (n == 0) 0.0f else math.sqrt(sum / n).toFloat
+        b += 1
+      }
+      out
+    }
+  }
+
+  /** Batched audio decode + feature extraction: real javax.sound decode
+    * (actual sample rate/channels/frame count + RMS envelope), digest
+    * fallback for payloads no provider claims — same per-partition batch
+    * shape as [[decodeImages]]. */
+  def decodeAudio(media: Dataset[MediaFile], parallelism: Int): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions { batch =>
+        batch.map { m =>
+          AudioCodec.decode(m.content) match {
+            case Some((rate, ch, pcm)) =>
+              AudioFeatures(m.media_id, rate, ch, pcm.length / (ch * 2L),
+                AudioCodec.rmsEnvelope(pcm, ch))
+            case None =>
+              val (w, h, c) = FakeCodec.imageDims(m.content)
+              AudioFeatures(m.media_id, 8000, 1, (w * h).toLong,
+                FakeCodec.features(m.content))
+          }
+        }
+      }
+  }
+
   /** ======== STUB CODEC (video + undecodable-payload fallback) ========
     * Deterministic fake standing in for a video decoder (and for image
     * payloads no ImageIO reader claims); replace these three functions
@@ -138,7 +230,9 @@ object MediaOps {
     graft.Tables(spark, dir, "documents")
       .select(
         col("doc_id").as("media_id"),
-        when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
+        when(col("doc_id") % 3 === 0, "video")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("image").as("kind"),
         col("text").cast("binary").as("content"),
         lit("application/octet-stream").as("mime"),
         col("source"))

@@ -64,7 +64,7 @@ class MediaOpsSpec extends AnyFunSuite {
   test("media table partitions kinds deterministically") {
     import spark.implicits._
     val kinds = media.groupByKey(_.kind).count().collect().toMap
-    assert(kinds.keySet == Set("image", "video"))
+    assert(kinds.keySet == Set("image", "audio", "video"))
     assert(kinds.values.sum == 500)
   }
 
@@ -72,12 +72,12 @@ class MediaOpsSpec extends AnyFunSuite {
     val feats = MediaOps.decodeImages(media, parallelism = 4)
     val n = media.filter(_.kind == "image").count()
     assert(feats.count() == n)
-    val f = feats.filter(_.media_id == 1L).collect()(0)
+    val f = feats.filter(_.media_id == 2L).collect()(0)
     assert(f.embedding.length == 64)
     assert(f.width >= 64 && f.width < 192 && f.channels >= 1 && f.channels <= 4)
     // deterministic across runs
     val again = MediaOps.decodeImages(media, parallelism = 2)
-      .filter(_.media_id == 1L).collect()(0)
+      .filter(_.media_id == 2L).collect()(0)
     assert(again.width == f.width && again.embedding.toSeq == f.embedding.toSeq)
   }
 
@@ -98,6 +98,41 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeAudio reads real WAV rate/channels/frames and an RMS envelope") {
+    import javax.sound.sampled.{AudioFormat, AudioFileFormat, AudioInputStream, AudioSystem}
+    def wavBytes(nFrames: Int, amp: Double): Array[Byte] = {
+      // 16-bit mono 8 kHz sine at `amp` full-scale, WAV-encoded by the JDK
+      val pcm = new Array[Byte](nFrames * 2)
+      (0 until nFrames).foreach { i =>
+        val s = (math.sin(2 * math.Pi * 440 * i / 8000.0) * amp * 32767).toInt
+        pcm(i * 2) = (s & 0xff).toByte; pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    import spark.implicits._
+    val rows = Seq(
+      MediaOps.MediaFile(1L, "audio", wavBytes(4000, 0.5), "audio/wav", "fx"),
+      MediaOps.MediaFile(2L, "audio", wavBytes(800, 0.0), "audio/wav", "fx"),
+      MediaOps.MediaFile(3L, "audio", "not audio".getBytes("UTF-8"),
+        "application/octet-stream", "fx")).toDS()
+    val feats = MediaOps.decodeAudio(rows, parallelism = 2)
+      .collect().sortBy(_.media_id)
+    val sine = feats(0)
+    assert(sine.sample_rate == 8000 && sine.channels == 1 && sine.n_frames == 4000)
+    assert(sine.embedding.length == 64)
+    // a half-scale sine's RMS is ~0.5/sqrt(2) ≈ 0.35 in every bin
+    assert(sine.embedding.forall(v => v > 0.2f && v < 0.5f), sine.embedding.take(4).toSeq)
+    val silent = feats(1)
+    assert(silent.n_frames == 800 && silent.embedding.forall(_ == 0.0f))
+    // unclaimed payload falls back to the digest stand-in, still 64-dim
+    assert(feats(2).embedding.length == 64 && feats(2).sample_rate == 8000)
+  }
+
   test("resize preserves row count and tags metadata") {
     val resized = MediaOps.resizeImages(media, 224, 224)
     assert(resized.count() == media.count())
@@ -110,7 +145,8 @@ class MediaOpsSpec extends AnyFunSuite {
     val emb = MediaOps.toEmbeddingTable(feats)
     assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
     // brute-force cosine over the fake 8-dim features runs end-to-end
-    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+    // (vec_id 2 is the first image id under the image/audio/video split)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
     val topk = graft.operators.AnnSearch.approxTopK(q, emb, "vec_id", "embedding", 3)
     assert(topk.count() > 0)
   }
