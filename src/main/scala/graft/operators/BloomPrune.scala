@@ -46,10 +46,14 @@ object BloomPrune {
     require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
     BloomFunctions.register(fact.sparkSession)
     // cast to long on BOTH sides so stat.bloomFilter's putLong and the
-    // probe's mightContainLong agree on the hashed representation
+    // probe's mightContainLong agree on the hashed representation.
+    // Persisted because the dim subtree (often an expensive filtered scan)
+    // is read three times — sizing count, filter build, join build side;
+    // released by the caller's clearCache like every query-held cache.
     val keys = dim.select(col(dimKey).cast("long").as(dimKey))
-    val sized = if (expectedItems > 0) expectedItems
-      else math.max(1L, keys.count())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = keys.count() // materializes the cache; also the self-size
+    val sized = if (expectedItems > 0) expectedItems else math.max(1L, n)
     val bloom = keys.stat.bloomFilter(dimKey, sized, fpp)
     val bytes = BloomFunctions.serialize(bloom)
     fact

@@ -50,8 +50,13 @@ object MmrRerank {
     graft.functions.DotProduct.register(spark)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.DotProduct.dotProduct(a, b)
+    // zero-norm vectors have no cosine: their rel would be NaN, which
+    // sorts FIRST under rel DESC (guaranteed into the pool) and then
+    // crashes the integer lift — exclude them on both sides up front
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
+      .filter(dot(col("q_emb"), col("q_emb")) > 0.0)
     val e = corpus.select(col(idCol).as("nid"), col(vecCol).as("emb"))
+      .filter(dot(col("emb"), col("emb")) > 0.0)
     val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("nid"))
     val pool = broadcast(q).join(e, col("nid") =!= col("q_id"))
       .withColumn("rel",

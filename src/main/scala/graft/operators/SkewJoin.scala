@@ -42,7 +42,11 @@ object SkewJoin {
     require(factKey != dimKey,
       s"fact and dim key share the name '$factKey' — rename one side so the " +
         "join condition is unambiguous")
-    require(!fact.columns.contains("_salt") && !dim.columns.contains("_dim_salt"),
+    // BOTH names on BOTH inputs: a dim-side `_salt` (or fact-side
+    // `_dim_salt`) would otherwise surface later as an ambiguous-column
+    // AnalysisException — or be silently dropped on the success path
+    require(Seq("_salt", "_dim_salt").forall(c =>
+        !fact.columns.contains(c) && !dim.columns.contains(c)),
       "input already carries a _salt/_dim_salt column — it would collide " +
         "with the join's internal salt (rename it first)")
     // NULL saltBy falls back to salt 0 rather than NULL: a NULL salt would

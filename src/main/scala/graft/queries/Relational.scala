@@ -632,7 +632,37 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
 
+  /** q28: conditional (FILTER-clause) aggregation — several differently-
+    * filtered measures off ONE scan (the "count matching X, sum matching
+    * Y, all per group" report that would otherwise take N scans or a
+    * pivot). Spark's `sum(when(...))`/`count(when(...))` compile to the
+    * same partial-aggregating single pass as SQL's `FILTER (WHERE ...)`;
+    * all measures ride the one |groups|-row shuffle. */
+  def q28ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+        Conventions.decSum(when(col("l_discount") > 0.05, col("l_extendedprice")),
+          "discounted_price"),
+        count(when(col("l_tax") === 0.0, 1)).as("n_taxfree"),
+        Conventions.decSum(when(col("l_quantity") >= 25.0, col("l_quantity")),
+          "bulk_qty"))
+      .orderBy("l_returnflag")
+
+  private val q28Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      | COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))
+      |   FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_price,
+      | COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(38,4)))
+      |   FILTER (WHERE l_quantity >= 25.0) AS DOUBLE) AS bulk_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_conditional_agg" -> (q28ConditionalAgg _),
     "q1_agg" -> (q1Agg _),
     "q2_topn" -> (q2TopN _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -662,6 +692,7 @@ object Relational {
     "q27_rank_family" -> (q27RankFamily _))
 
   val oracles: Map[String, String] = Map(
+    "q28_conditional_agg" -> q28Sql,
     "q1_agg" -> q1Sql,
     "q2_topn" -> q2Sql,
     "q3_join_agg" -> q3Sql,

@@ -141,8 +141,12 @@ object StreamOps {
             state.remove()
             Iterator(SessionOut(uid, s.start, s.n_events, s.total_value))
           } else {
-            // micro-batch delivery is unordered within a group
-            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // micro-batch delivery is unordered within a group; compareTo
+            // keeps sub-millisecond order (getTime truncates to millis)
+            val evs = batch.toSeq.sortWith { (a, b) =>
+              val c = a.ts.compareTo(b.ts)
+              c < 0 || (c == 0 && a.event_id < b.event_id)
+            }
             val closed = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             evs.foreach { e =>
@@ -197,7 +201,13 @@ object StreamOps {
       .flatMapGroupsWithState[ScdState, ScdOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[ScdState]) =>
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full-precision order: getTime truncates to millis, and two
+          // sub-millisecond-apart events sorted by (millis, id) can invert
+          // relative to the batch twin's ORDER BY ts
+          val evs = batch.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
           val out = Seq.newBuilder[ScdOut]
           var cur = state.getOption
           evs.foreach { e =>

@@ -48,6 +48,22 @@ class MmrRerankSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("zero-norm vectors are excluded instead of poisoning the pool") {
+    try {
+      // a NaN cosine would sort FIRST under rel DESC and crash the
+      // integer lift — the all-zero vector must simply be absent
+      val corpus = df(Seq(
+        0L -> Seq(1.0, 0.0),
+        30L -> Seq(0.0, 0.0),
+        31L -> Seq(0.6, 0.8)))
+      val q = corpus.filter(col("vec_id") === 0L)
+      val out = MmrRerank.diversifiedTopK(q, corpus, "vec_id", "emb",
+          poolSize = 2, k = 2)
+        .collect().map(_.getLong(2))
+      assert(out.toSeq == Seq(31L))
+    } finally spark.catalog.clearCache()
+  }
+
   test("a pool smaller than k yields pool-many rows, not a crash") {
     try {
       val corpus = df(Seq(0L -> Seq(1.0, 0.0), 5L -> Seq(0.6, 0.8)))

@@ -161,7 +161,7 @@ class PropertySpec extends AnyFunSuite {
     // tiny expectedItems + coarse fpp force false positives through the
     // probe; the trailing exact join must always strip them
     val fppGen = Gen.oneOf(0.01, 0.2, 0.4)
-    check(Prop.forAllNoShrink(factGen, dimGen, fppGen) { (fs, ds, fpp) =>
+    try check(Prop.forAllNoShrink(factGen, dimGen, fppGen) { (fs, ds, fpp) =>
       val fact = fs.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("fk", "rid")
       val dim = ds.toDF("dk")
       val plain = fact.join(dim.distinct(), org.apache.spark.sql.functions.col("fk") ===
@@ -172,6 +172,7 @@ class PropertySpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet
       pruned == plain
     }, _.withMinSuccessfulTests(15))
+    finally spark.catalog.clearCache() // semiJoin persists its key table per call
   }
 
   test("AsofJoin agrees with an in-memory reference evaluator on random frames") {
