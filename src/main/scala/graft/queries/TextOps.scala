@@ -507,7 +507,45 @@ object TextOps {
        |GROUP BY h.id ORDER BY doc_id""".stripMargin
   }
 
+  /** d26: bigram collocations — the top-30 adjacent word pairs by corpus
+    * occurrence count, with document frequency alongside (tokenizer /
+    * vocab prep: frequent collocations are merge candidates, and a pair
+    * frequent in few docs flags boilerplate). Occurrences keep duplicates
+    * (unlike the dedup operators' distinct grams), so the explode carries
+    * |tokens| rows into one count+countDistinct aggregate; ties at the
+    * top-30 boundary break on the bigram text, so the cut is total-
+    * ordered on both engines. */
+  def d26BigramTopK(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val cnt = size(ws) - 1
+    val grams = when(cnt >= 1,
+      zip_with(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(grams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(30)
+  }
+
+  private val d26Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(ws) >= 2
+      |      THEN list_transform(range(0, len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])
+      |      ELSE []::VARCHAR[] END) AS bigram
+      |  FROM t)
+      |SELECT bigram, COUNT(*) AS n_occurrences,
+      |  COUNT(DISTINCT doc_id) AS n_docs
+      |FROM g GROUP BY bigram
+      |ORDER BY n_occurrences DESC, bigram LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_bigram_topk" -> (d26BigramTopK _),
     "d25_dup_passages" -> (d25DupPassages _),
     "d9_hash_split" -> (d9HashSplit _),
     "d10_vocab_topk" -> (d10VocabTopK _),
@@ -526,6 +564,7 @@ object TextOps {
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "d26_bigram_topk" -> d26Sql,
     "d25_dup_passages" -> d25Sql,
     "d9_hash_split" -> d9Sql,
     "d10_vocab_topk" -> d10Sql,
