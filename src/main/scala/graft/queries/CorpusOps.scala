@@ -191,6 +191,86 @@ object CorpusOps {
        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** c4: triangle census of the near-dup graph — edges are d6's exact
+    * token-Jaccard ≥ 0.5 pairs (doc_id < 100 block), triangles counted by
+    * the ordered 3-way equi-join (a<b<c — each triangle exactly once),
+    * wedges by Σ C(deg, 2), and the global clustering coefficient
+    * 3·T/W closes the report. Cluster DENSITY is the dedup-quality signal
+    * components can't give: a chain A~B~C with no A~C edge (cc → 0)
+    * merges transitively on weak pairwise evidence, while a
+    * triangle-closed cluster (cc → 1) is a true duplicate family. Join
+    * cost tracks the wedge count — the standard distributed triangle
+    * shape — never |V|³; all integer arithmetic except the final rounded
+    * ratio. */
+  def c4Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = tok.as("a")
+      .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val edges = pairs
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double") >= 0.5)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nEdges.crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0L,
+          round(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
+  private val c4Sql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM docs),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |edges AS (
+      |  SELECT a, b FROM pairs
+      |  JOIN sizes sa ON a = sa.doc_id
+      |  JOIN sizes sb ON b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+      |tri AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM edges e1
+      |  JOIN edges e2 ON e1.b = e2.a
+      |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |deg AS (
+      |  SELECT id, COUNT(*) AS d FROM (
+      |    SELECT a AS id FROM edges UNION ALL SELECT b AS id FROM edges) z
+      |  GROUP BY id),
+      |w AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges FROM deg),
+      |ne AS (SELECT COUNT(*) AS n_edges FROM edges)
+      |SELECT ne.n_edges, w.n_wedges, tri.n_triangles,
+      |  CASE WHEN w.n_wedges > 0
+      |       THEN ROUND(3.0 * CAST(tri.n_triangles AS DOUBLE)
+      |                  / CAST(w.n_wedges AS DOUBLE), 6)
+      |       ELSE 0.0 END AS clustering_coeff
+      |FROM ne, w, tri""".stripMargin
+
   /** d15 mixing rates: the synthetic corpus is ~44% English, so the demo
     * downsamples en hard and trims es/de lightly; zh/fr ride the 1.0
     * default. Exact multiples of 1e-4 (the operator's bucket width). */
@@ -457,6 +537,7 @@ object CorpusOps {
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
+    "c4_triangles" -> (c4Triangles _),
     "d14_neardup_drop" -> (d14NeardupDrop _),
     "d15_stratified_sample" -> (d15StratifiedSample _),
     "d16_token_chunks" -> (d16TokenChunks _),
@@ -471,6 +552,7 @@ object CorpusOps {
     "c1_dedup_clusters" -> c1Sql,
     "c2_decontaminate" -> c2Sql,
     "c3_clean_decontaminated" -> c3Sql,
+    "c4_triangles" -> c4Sql,
     "d14_neardup_drop" -> d14Sql,
     "d15_stratified_sample" -> d15Sql,
     "d16_token_chunks" -> d16Sql,
