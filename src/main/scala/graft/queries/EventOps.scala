@@ -796,6 +796,148 @@ object EventOps {
       |WHERE d.ad > 5.0 * mad.mad
       |GROUP BY d.event_type ORDER BY event_type""".stripMargin
 
+  /** e21: CUSUM changepoint detection — per event type, the timestamp
+    * where the cumulative sum of deviations from the series mean peaks in
+    * magnitude (the classic offline CUSUM statistic; Page 1954 is the
+    * published root of the technique). All arithmetic is exact: values are
+    * lifted to the 1e-4 integer grid, and the statistic is multiplied out
+    * as T_k = n·S_k − k·S_n (S = running grid sum) so no division or FP
+    * addition happens until the final cast — running DOUBLE sums would be
+    * association-order-dependent and diverge between engines (DuckDB's
+    * windowed SUM uses a segment tree). One window sort per type plus a
+    * |types|-row broadcast back — the 100 TB shape is one shuffle by
+    * event_type and a per-partition scan. */
+  def e21CusumChange(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+          .cast("long").as("w"))
+    val tot = ev.groupBy(col("event_type"))
+      .agg(sum(col("w").cast(d38)).as("sv"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val scanned = ev
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("sk",
+        sum(col("w").cast(d38)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val stat = scanned.join(broadcast(tot), Seq("event_type"))
+      .withColumn("t_stat",
+        col("n").cast(d38) * col("sk") - col("k").cast(d38) * col("sv"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("t_stat")).desc, col("ts"), col("event_id"))
+    stat.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("change_ts"),
+        col("k").as("k_at_max"),
+        (col("t_stat").cast("double") / col("n").cast("double") / lit(10000.0))
+          .as("cusum_stat"))
+      .orderBy("event_type")
+  }
+
+  private val e21Sql =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS w
+      |  FROM events),
+      |tot AS (
+      |  SELECT event_type, SUM(w) AS sv, COUNT(*) AS n
+      |  FROM ev GROUP BY event_type),
+      |scanned AS (
+      |  SELECT event_type, event_id, ts,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS k,
+      |    SUM(w) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS sk
+      |  FROM ev),
+      |stat AS (
+      |  SELECT s.event_type, s.event_id, s.ts, s.k,
+      |    t.n * s.sk - s.k * t.sv AS t_stat, t.n
+      |  FROM scanned s JOIN tot t USING (event_type)),
+      |best AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY abs(t_stat) DESC, ts, event_id) AS rk
+      |  FROM stat)
+      |SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_ts,
+      |  k AS k_at_max,
+      |  CAST(t_stat AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS cusum_stat
+      |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** e22: event-type transition matrix — per (src, dst) pair the count of
+    * consecutive occurrences within a user's timeline plus the row-
+    * normalized transition probability (a first-order Markov chain over
+    * the event stream). One shuffle by user_id for the `lead`, one
+    * |types²|-row aggregate; the probability is a single correctly-rounded
+    * division so the oracle replays it bit-for-bit. */
+  def e22Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables(s, dir, "events")
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    val counts = tr.groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p_next",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
+      .orderBy("src", "dst")
+  }
+
+  private val e22Sql =
+    """WITH tr AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |counts AS (
+      |  SELECT src, dst, COUNT(*) AS n
+      |  FROM tr WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, n,
+      |  CAST(n AS DOUBLE)
+      |    / CAST(CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS DOUBLE) AS p_next
+      |FROM counts ORDER BY src, dst""".stripMargin
+
+  /** e23: seasonal-baseline anomaly census — per (event_type, hour-of-day)
+    * bucket, how many values sit more than 2 population-σ from their
+    * bucket's mean. The 2σ test is algebraically cleared of all division
+    * and sqrt: |v − μ| > 2σ  ⇔  (n·w − Sw)² > 4·(n·Sww − Sw²) on the 1e-4
+    * integer grid, so the entire query is exact integer arithmetic in both
+    * engines (Spark DECIMAL(38,0) ↔ DuckDB HUGEINT) — no FP comparison at
+    * the flag boundary. Shape: one partial-agg shuffle to |types×24| stat
+    * rows, broadcast back over the scan. */
+  def e23SeasonalAnom(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div $MicrosPerHour) % 24").as("hr"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+          .cast("long").as("w"))
+    val stats = ev.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast(d38)).as("sw"),
+        sum(col("w").cast(d38) * col("w")).as("sww"))
+    val dev = col("n").cast(d38) * col("w") - col("sw")
+    val varNum = col("n").cast(d38) * col("sww") - col("sw") * col("sw")
+    ev.join(broadcast(stats), Seq("event_type", "hr"))
+      .withColumn("is_anom", (dev * dev > lit(4).cast(d38) * varNum).cast("int"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(col("n")).as("n"), sum(col("is_anom")).as("n_anom"))
+      .orderBy("event_type", "hr")
+  }
+
+  private val e23Sql =
+    """WITH ev AS (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS w
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type, hr, COUNT(*) AS n, SUM(w) AS sw, SUM(w * w) AS sww
+      |  FROM ev GROUP BY event_type, hr)
+      |SELECT e.event_type, e.hr, CAST(MAX(s.n) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN (s.n * e.w - s.sw) * (s.n * e.w - s.sw)
+      |                     > 4 * (s.n * s.sww - s.sw * s.sw)
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+      |FROM ev e JOIN stats s USING (event_type, hr)
+      |GROUP BY e.event_type, e.hr ORDER BY event_type, hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -817,6 +959,9 @@ object EventOps {
     "e18_twap" -> (e18Twap _),
     "e19_trend_slope" -> (e19TrendSlope _),
     "e20_mad_outliers" -> (e20MadOutliers _),
+    "e21_cusum_change" -> (e21CusumChange _),
+    "e22_transitions" -> (e22Transitions _),
+    "e23_seasonal_anom" -> (e23SeasonalAnom _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -841,6 +986,9 @@ object EventOps {
     "e18_twap" -> e18Sql,
     "e19_trend_slope" -> e19Sql,
     "e20_mad_outliers" -> e20Sql,
+    "e21_cusum_change" -> e21Sql,
+    "e22_transitions" -> e22Sql,
+    "e23_seasonal_anom" -> e23Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }

@@ -661,7 +661,57 @@ object Relational {
       |   FILTER (WHERE l_quantity >= 25.0) AS DOUBLE) AS bulk_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q29: Pearson correlation per group, oracle-exact. The trick: sqrt is
+    * one of the five correctly-rounded IEEE-754 operations (+, −, ×, ÷,
+    * sqrt), so a correlation composed of exact integer moments and a fixed
+    * double expression hash-matches across engines with no decimal detour
+    * and no rounding. Inputs are lifted to integer grids (quantity is
+    * integral; price × 100), the six moments accumulate exactly
+    * (DECIMAL(38,0) ↔ DuckDB HUGEINT), and
+    * r = (n·Sqp − Sq·Sp) / (√(n·Sqq − Sq²) · √(n·Spp − Sp²))
+    * is five correctly-rounded double ops on identical operands. One
+    * partial-agg shuffle to |groups| rows — the textbook 100 TB shape. */
+  def q29Correlation(s: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val li = Tables(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      round(col("l_quantity"), 0).cast("long").as("q"),
+      round(col("l_extendedprice") * lit(100.0), 0).cast("long").as("p"))
+    val m = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q").cast(d38)).as("sq"),
+      sum(col("q").cast(d38) * col("q")).as("sqq"),
+      sum(col("p").cast(d38)).as("sp"),
+      sum(col("p").cast(d38) * col("p")).as("spp"),
+      sum(col("q").cast(d38) * col("p")).as("sqp"))
+    val n38 = col("n").cast(d38)
+    val cov = (n38 * col("sqp") - col("sq") * col("sp")).cast("double")
+    val varQ = (n38 * col("sqq") - col("sq") * col("sq")).cast("double")
+    val varP = (n38 * col("spp") - col("sp") * col("sp")).cast("double")
+    m.select(col("l_returnflag"), col("n"),
+        (cov / (sqrt(varQ) * sqrt(varP))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q29Sql =
+    """WITH g AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity) AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS p
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(q) AS sq, SUM(q * q) AS sqq,
+      |    SUM(p) AS sp, SUM(p * p) AS spp, SUM(q * p) AS sqp
+      |  FROM g GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(n * sqp - sq * sp AS DOUBLE)
+      |    / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+      |       * sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_correlation" -> (q29Correlation _),
     "q28_conditional_agg" -> (q28ConditionalAgg _),
     "q1_agg" -> (q1Agg _),
     "q2_topn" -> (q2TopN _),
@@ -692,6 +742,7 @@ object Relational {
     "q27_rank_family" -> (q27RankFamily _))
 
   val oracles: Map[String, String] = Map(
+    "q29_correlation" -> q29Sql,
     "q28_conditional_agg" -> q28Sql,
     "q1_agg" -> q1Sql,
     "q2_topn" -> q2Sql,

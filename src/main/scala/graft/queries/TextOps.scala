@@ -166,6 +166,53 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d27: asymmetric containment — Jaccard (d6) misses the "small doc
+    * swallowed by a big doc" case, where the intersection is most of the
+    * SMALL set but a sliver of the union. Containment = |A∩B| / min(|A|,|B|)
+    * is the standard fix (Broder's containment measure). Same blocked
+    * word-set machinery as d6; the score is a single correctly-rounded
+    * division so the 0.8 gate compares identical doubles in both engines.
+    * The raw intersection size is emitted alongside so downstream keep/drop
+    * rules can re-threshold without a rescan. */
+  def d27Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+    val tok = docs.select(
+      col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = tok.as("a")
+      .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(col("sa.sz"), col("sb.sz")).cast("double"))
+      .filter(col("containment") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val d27Sql =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM docs),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, inter,
+      |  CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -561,6 +608,7 @@ object TextOps {
     "d4_fingerprint" -> (d4Fingerprint _),
     "d5_lang_score" -> (d5LangScore _),
     "d6_jaccard_neardup" -> (d6JaccardNearDup _),
+    "d27_containment" -> (d27Containment _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -580,5 +628,6 @@ object TextOps {
     "d4_fingerprint" -> d4Sql,
     "d5_lang_score" -> d5Sql,
     "d6_jaccard_neardup" -> d6Sql,
+    "d27_containment" -> d27Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, FileInputStream}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container source/sink (source-family completeness next to
+  * parquet/ORC/CSV/JSON-lines — the schema'd row format Kafka pipelines
+  * and log shippers hand over). Built directly on the `org.apache.avro`
+  * jars that ship with Spark — no connector dependency.
+  *
+  * Scale posture: Avro containers are block-splittable, but the split
+  * unit used here is the FILE — `binaryFiles` hands each container to one
+  * task and the decoder streams records off it. Log-shipper output is
+  * many medium files, so file-granular parallelism is the honest scale
+  * shape without re-implementing sync-marker splitting; one giant
+  * container should be pre-split upstream (same posture note as the
+  * XLSX/NetCDF readers, which are driver-side for formats that cannot
+  * split at all).
+  *
+  * Supported surface: records of boolean / int / long / float / double /
+  * string / bytes / enum (→ string) fields, nullable via `[null, T]`
+  * unions, and arrays of those primitives. Nested records, maps, and
+  * logical types are out of scope — pre-flatten upstream.
+  */
+object Avro {
+
+  /** Avro schema → Spark schema (supported surface only; anything else
+    * fails fast with the offending field named). */
+  def toSparkSchema(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"top-level Avro type must be record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (tpe, nullable) = fieldType(f.schema(), f.name())
+      StructField(f.name(), tpe, nullable)
+    })
+  }
+
+  private def fieldType(s: Schema, name: String): (DataType, Boolean) =
+    s.getType match {
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala.toSeq
+        val nonNull = branches.filterNot(_.getType == Schema.Type.NULL)
+        require(nonNull.size == 1 && branches.size <= 2,
+          s"field $name: only [null, T] unions are supported, got $s")
+        (primitive(nonNull.head, name), true)
+      case _ => (primitive(s, name), false)
+    }
+
+  private def primitive(s: Schema, name: String): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.ENUM    => StringType
+    case Schema.Type.BYTES   => BinaryType
+    case Schema.Type.ARRAY   =>
+      ArrayType(primitive(s.getElementType, name), containsNull = false)
+    case other => throw new IllegalArgumentException(
+      s"field $name: unsupported Avro type $other (pre-flatten upstream)")
+  }
+
+  private def toSparkValue(v: Any): Any = v match {
+    case null          => null
+    case u: Utf8       => u.toString
+    case e: GenericData.EnumSymbol => e.toString
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case a: java.util.Collection[_] => a.asScala.toSeq.map(toSparkValue)
+    case other => other
+  }
+
+  private def toRow(rec: GenericRecord, n: Int): Row =
+    Row.fromSeq((0 until n).map(i => toSparkValue(rec.get(i))))
+
+  /** Schema of a container file, read from its header (driver-side peek —
+    * the header is a few KB regardless of file size). */
+  def schemaOf(file: String): Schema = {
+    val in = new DataFileStream(
+      new BufferedInputStream(new FileInputStream(file)),
+      new GenericDatumReader[GenericRecord]())
+    try in.getSchema finally in.close()
+  }
+
+  /** Distributed Avro read: one task per container file, records streamed
+    * off the block decoder (never materialized per-file). `path` is a
+    * directory or glob; `schemaFile` pins the expected schema (defaults
+    * to the first file found — same one-header peek Spark's own format
+    * inference does). */
+  def read(spark: SparkSession, path: String,
+           schemaFile: Option[String] = None): DataFrame = {
+    val probe = schemaFile.getOrElse {
+      val dir = new java.io.File(path)
+      val fs =
+        if (dir.isDirectory)
+          dir.listFiles().filter(_.getName.endsWith(".avro")).map(_.getPath).sorted
+        else Array(path)
+      require(fs.nonEmpty, s"no .avro files under $path")
+      fs.head
+    }
+    val sparkSchema = toSparkSchema(schemaOf(probe))
+    val n = sparkSchema.size
+    val rows = spark.sparkContext
+      .binaryFiles(if (new java.io.File(path).isDirectory) s"$path/*.avro" else path)
+      .flatMap { case (_, pds) =>
+        val in = new DataFileStream(pds.open(), new GenericDatumReader[GenericRecord]())
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = in.hasNext; if (!h) in.close(); h }
+          def next(): Row = toRow(in.next(), n)
+        }
+      }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+
+  /** Spark schema → Avro record schema (nullable → [null, T] union). */
+  def toAvroSchema(schema: StructType, recordName: String = "row"): Schema = {
+    def prim(dt: DataType, name: String): Schema = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case ArrayType(et, _) => Schema.createArray(prim(et, name))
+      case other => throw new IllegalArgumentException(
+        s"field $name: unsupported Spark type $other for Avro sink")
+    }
+    val fields = schema.fields.map { f =>
+      val base = prim(f.dataType, f.name)
+      val s = if (f.nullable)
+        Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
+      else base
+      new Schema.Field(f.name, s, null, null)
+    }
+    Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def toAvroValue(v: Any, s: Schema): Any = v match {
+    case null => null
+    case bytes: Array[Byte] => java.nio.ByteBuffer.wrap(bytes)
+    case seq: scala.collection.Seq[_] =>
+      val elem = resolve(s).getElementType
+      seq.map(toAvroValue(_, elem)).asJava
+    case other => other
+  }
+
+  private def resolve(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Distributed Avro sink: each partition writes one container via the
+    * Hadoop `AvroKeyOutputFormat` (avro-mapred ships with Spark). The
+    * Schema is shipped as its JSON string — `Schema` itself is not
+    * serializable. */
+  def write(df: DataFrame, path: String): Unit = {
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+
+    val avroSchema = toAvroSchema(df.schema)
+    val schemaJson = avroSchema.toString
+    val sparkSchema = df.schema
+    val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, avroSchema)
+    df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val fields = schema.getFields.asScala.toIndexedSeq
+      val colIdx = fields.map(f => sparkSchema.fieldIndex(f.name()))
+      rows.map { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < fields.length) {
+          rec.put(i, toAvroValue(row.get(colIdx(i)), fields(i).schema()))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(
+      path,
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+}

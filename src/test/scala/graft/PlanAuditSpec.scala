@@ -377,6 +377,36 @@ class PlanAuditSpec extends AnyFunSuite {
       nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
   }
 
+  test("q29 correlation: one partial+final aggregate pass, 3-column scan") {
+    val s = formatted(SparkEntry.queries("q29_correlation")(spark, sfDir))
+    assert(s.contains("partial_"), "moments must combine map-side")
+    assert(nodeCount(s, "HashAggregate") >= 2, "expected partial+final hash aggregates")
+    assert(s.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>"),
+      "scan should read only quantity, price, returnflag: " +
+        s.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("e21 cusum and e23 seasonal: stats broadcast back over the scan, no cartesian") {
+    val s21 = formatted(SparkEntry.queries("e21_cusum_change")(spark, sfDir))
+    assert(s21.contains("BroadcastHashJoin"), "per-type totals must broadcast")
+    assert(nodeCount(s21, "CartesianProduct") == 0 &&
+      nodeCount(s21, "BroadcastNestedLoopJoin") == 0, s21.take(1200))
+    val s23 = formatted(SparkEntry.queries("e23_seasonal_anom")(spark, sfDir))
+    assert(s23.contains("BroadcastHashJoin"), "bucket stats must broadcast")
+    assert(nodeCount(s23, "SortMergeJoin") == 0 &&
+      nodeCount(s23, "CartesianProduct") == 0,
+      "the |types*24|-row stat table must never shuffle the fact side: " + s23.take(1200))
+  }
+
+  test("e22 transitions: lead and the src-total window share one user shuffle each, no join") {
+    val s = formatted(SparkEntry.queries("e22_transitions")(spark, sfDir))
+    assert(nodeCount(s, "SortMergeJoin") == 0 && nodeCount(s, "BroadcastHashJoin") == 0,
+      "transition matrix should be windows+agg, not a join: " + s.take(1200))
+    assert(s.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
+      "scan should read only id/ts/user/type: " +
+        s.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
     val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
     finally spark.catalog.clearCache() // d25 persists its gram table

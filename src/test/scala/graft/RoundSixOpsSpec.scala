@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force semantic checks for the round-6 statistical/event operators:
+  * each query's distributed plan is re-derived driver-side from collected
+  * rows with naive Scala (the "obviously correct" form), then compared
+  * exactly. These complement the DuckDB oracle: the oracle pins
+  * engine-vs-engine agreement, these pin agreement with the textbook
+  * definition.
+  */
+class RoundSixOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q29_correlation matches Spark's built-in corr to 1e-12") {
+    val got = SparkEntry.queries("q29_correlation")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    import org.apache.spark.sql.functions._
+    // Built-in corr over the same grid-lifted columns: same statistic,
+    // different summation order — agreement to FP noise validates the
+    // moment algebra without assuming the implementation.
+    val ref = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity"), 0).as("q"),
+        round(col("l_extendedprice") * lit(100.0), 0).as("p"))
+      .groupBy("l_returnflag").agg(corr(col("q"), col("p")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val mine = r.getDouble(2)
+      assert(math.abs(mine - ref(flag)) < 1e-12,
+        s"$flag: $mine vs builtin ${ref(flag)}")
+    }
+    // Pearson r is always in [-1, 1]; the grid lift must not break that.
+    got.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("e21_cusum_change matches a driver-side CUSUM replay") {
+    val got = SparkEntry.queries("e21_cusum_change")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rows = Tables(spark, sfDir, "events")
+      .selectExpr("event_type", "event_id",
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss') as t",
+        "unix_micros(ts) as us",
+        "cast(cast(value as decimal(18,4)) * 10000 as long) as w")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val ordered = rs.sortBy(r => (r._4, r._2))
+      val n = BigInt(ordered.length)
+      val sv = ordered.map(r => BigInt(r._5)).sum
+      var sk = BigInt(0)
+      var bestAbs = BigInt(-1); var bestTs = ""; var bestK = 0L
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        sk += BigInt(r._5)
+        val t = n * sk - BigInt(i + 1) * sv
+        if (t.abs > bestAbs) { bestAbs = t.abs; bestTs = r._3; bestK = i + 1 }
+      }
+      assert(got(tpe) === ((bestTs, bestK)), s"type $tpe")
+    }
+  }
+
+  test("e22_transitions: counts replay and probabilities sum to 1 per source") {
+    val got = SparkEntry.queries("e22_transitions")(spark, sfDir).collect()
+    val counts = got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3)).toList
+      ordered.zip(ordered.drop(1)).map { case (a, b) => (a._4, b._4) }
+    }.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    assert(counts === expect)
+    got.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"source $src sums to $total")
+    }
+  }
+
+  test("e23_seasonal_anom: integer flag agrees with the naive 2-sigma double test") {
+    val got = SparkEntry.queries("e23_seasonal_anom")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val rows = Tables(spark, sfDir, "events")
+      .selectExpr("event_type", "(unix_micros(ts) div 3600000000) % 24 as hr",
+        "cast(cast(value as decimal(18,4)) * 10000 as long) as w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, rs) =>
+      val n = rs.length.toLong
+      val ws = rs.map(_._3)
+      val mean = ws.map(BigDecimal(_)).sum / n
+      val varPop = ws.map(w => (BigDecimal(w) - mean).pow(2)).sum / n
+      val sigma = math.sqrt(varPop.toDouble)
+      val nAnom = ws.count(w => math.abs(w.toDouble - mean.toDouble) > 2 * sigma)
+      val (gotN, gotAnom) = got(key)
+      assert(gotN === n, s"bucket $key n")
+      // The distributed test is exact integer arithmetic; the naive double
+      // replay can disagree only when a value sits within FP noise of the
+      // boundary. Assert equality with a 1-count slack per bucket.
+      assert(math.abs(gotAnom - nAnom) <= 1, s"bucket $key: $gotAnom vs $nAnom")
+    }
+  }
+
+  test("d27_containment: a strict subset document scores 1.0") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, base),                                     // superset
+      (2L, "alpha bravo charlie delta echo"),         // strict subset -> 1.0
+      (3L, "kilo lima mike november oscar papa")      // disjoint
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("d27").toString
+    docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // Reuse the other tables from sfDir is unnecessary: d27 reads documents only.
+    val out = SparkEntry.queries("d27_containment")(spark, tmp).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getLong(2) === 5L)
+    assert(r.getDouble(3) === 1.0)
+  }
+}

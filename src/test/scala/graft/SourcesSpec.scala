@@ -77,6 +77,82 @@ class SourcesSpec extends AnyFunSuite {
       "ORC scan must receive the pushed predicate: " + plan.take(1200))
   }
 
+  test("avro: distributed sink/source round-trip preserves schema, nulls, arrays, binary") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("avro_rt").resolve("events").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flags", ArrayType(IntegerType, containsNull = false), nullable = true),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, Seq(1, 2, 3), Array[Byte](1, 2)),
+      Row(2L, null, null, null, null),
+      Row(3L, "gamma", -0.25, Seq.empty[Int], Array.empty[Byte]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    graft.sources.Avro.write(df, dir)
+    val back = graft.sources.Avro.read(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      schema.map(f => (f.name, f.dataType)))
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got.length === 3)
+    assert(got(0).getString(1) === "alpha")
+    assert(got(0).getSeq[Int](3) === Seq(1, 2, 3))
+    assert(got(0).getAs[Array[Byte]](4).toSeq === Seq[Byte](1, 2))
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2) && got(1).isNullAt(3))
+    assert(got(2).getDouble(2) === -0.25)
+  }
+
+  test("avro: reads a container written by the raw Avro API (foreign fixture)") {
+    import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("avro_fix")
+    val s: ASchema = SchemaBuilder.record("evt").namespace("t").fields()
+      .requiredLong("event_id")
+      .optionalString("kind")
+      .requiredDouble("v")
+      .endRecord()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+    w.create(s, dir.resolve("part-0.avro").toFile)
+    (1 to 5).foreach { i =>
+      val r = new GenericData.Record(s)
+      r.put("event_id", i.toLong)
+      r.put("kind", if (i % 2 == 0) null else s"k$i")
+      r.put("v", i * 0.5)
+      w.append(r)
+    }
+    w.close()
+    val back = graft.sources.Avro.read(spark, dir.toString)
+    assert(back.schema("event_id").dataType === LongType)
+    assert(!back.schema("event_id").nullable)
+    assert(back.schema("kind").nullable)
+    assert(back.count() === 5)
+    assert(back.where("kind is null").count() === 2)
+    import org.apache.spark.sql.functions._
+    assert(back.agg(sum(col("v"))).head.getDouble(0) === 7.5)
+  }
+
+  test("avro: unsupported shapes fail fast with the field named") {
+    import org.apache.avro.SchemaBuilder
+    val nested = SchemaBuilder.record("outer").fields()
+      .name("inner").`type`(SchemaBuilder.record("inner_r").fields()
+        .requiredInt("x").endRecord()).noDefault()
+      .endRecord()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Avro.toSparkSchema(nested)
+    }
+    assert(e.getMessage.contains("inner"))
+    val badSpark = StructType(Seq(StructField("m",
+      MapType(StringType, StringType), nullable = true)))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Avro.toAvroSchema(badSpark)
+    }
+    assert(e2.getMessage.contains("m"))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     import org.apache.spark.sql.functions._
     val o = Tables(spark, sfDir, "orders")
