@@ -271,6 +271,167 @@ object CorpusOps {
       |       ELSE 0.0 END AS clustering_coeff
       |FROM ne, w, tri""".stripMargin
 
+  /** c5: PageRank over the near-dup graph (same d6 Jaccard ≥ 0.5 edge set
+    * as c4) — centrality ranks the documents other documents copy from:
+    * the natural "canonical source" pick when a dedup cluster must keep
+    * one representative and min-id (c1) is arbitrary. The whole
+    * computation is 64-bit integer arithmetic so three damped iterations
+    * replay bit-for-bit in any engine: ranks live on a 1e12 grid,
+    * damping 0.85 is the rational 85/100 applied as
+    * `(85 * r) div (100 * deg)` with truncating integer division, and the
+    * uniform base term is precomputed the same way. Per iteration the
+    * shape is one equi-join of the symmetric edge list against the
+    * |V|-row rank table plus one groupBy(dst) — the standard distributed
+    * PageRank step; 3 fixed iterations, no convergence loop (the oracle
+    * unrolls the same three). */
+  def c5Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = tok.as("a")
+      .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val und = pairs
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double") >= 0.5)
+      .select(col("a"), col("b"))
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count() // materializes both persists (deg derives from sym)
+    if (n == 0L)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("degree",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pagerank",
+            org.apache.spark.sql.types.LongType))))
+    val Scale = 1000000000000L
+    // driver-side Long division truncates toward zero exactly like the
+    // engines' integer div on these positive operands
+    val init = Scale / n
+    val base = (15L * Scale) / (100L * n)
+    var ranks = deg.select(col("src").as("id"), lit(init).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = sym.join(ranks, col("src") === col("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("(85 * r) div (100 * d)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((sum(col("contrib")) + lit(base)).as("r"))
+        .select(col("dst").as("id"), col("r"))
+    }
+    ranks.join(deg, col("id") === col("src"))
+      .select(col("id").as("doc_id"), col("d").as("degree"),
+        col("r").as("pagerank"))
+      .orderBy(col("pagerank").desc, col("doc_id")).limit(10)
+  }
+
+  private val c5Sql: String = {
+    // one damped iteration: rPrev -> next rank table (id, r)
+    def iter(rPrev: String): String =
+      s"""SELECT s.dst AS id,
+         |    (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+         |      + SUM((85 * $rPrev.r) // (100 * deg.d)) AS r
+         |  FROM sym s JOIN $rPrev ON s.src = $rPrev.id
+         |  JOIN deg ON s.src = deg.src
+         |  GROUP BY s.dst""".stripMargin
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM docs),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+       |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |edges AS (
+       |  SELECT a, b FROM pairs
+       |  JOIN sizes sa ON a = sa.doc_id
+       |  JOIN sizes sb ON b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+       |sym AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT b, a FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT src AS id, 1000000000000 // (SELECT n FROM nn) AS r
+       |  FROM deg),
+       |r1 AS (${iter("r0")}),
+       |r2 AS (${iter("r1")}),
+       |r3 AS (${iter("r2")})
+       |SELECT r3.id AS doc_id, deg.d AS degree, CAST(r3.r AS BIGINT) AS pagerank
+       |FROM r3 JOIN deg ON r3.id = deg.src
+       |ORDER BY pagerank DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** d28: systematic PPS (probability-proportional-to-size) sampling —
+    * pick ~m documents with inclusion probability proportional to token
+    * mass, the unbiased way to subsample a corpus for eval without
+    * over-representing short docs (d15's per-stratum rates are uniform
+    * WITHIN a stratum; this weights every row). Selection is the textbook
+    * systematic rule: doc i is taken iff the running weight sum crosses a
+    * new 1/m-quantile of the total, i.e.
+    * `(cw·m) div W > ((cw−w)·m) div W` — all 64-bit integer arithmetic,
+    * so both engines agree exactly. The global cumulative sum uses the
+    * d18 two-phase shape (per-bin partial sums → bounded driver collect of
+    * |bins| offsets → within-bin window), never a single-partition window. */
+  def d28PpsSample(s: SparkSession, dir: String): DataFrame = {
+    val m = 20L
+    val binSize = 64L
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"),
+        expr(s"doc_id div $binSize").as("bin"))
+    val binTotals = docs.groupBy(col("bin"))
+      .agg(sum(col("w")).as("bw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = binTotals.map(_._2).sum
+    if (total == 0L)
+      return docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("slot",
+            org.apache.spark.sql.types.LongType))))
+    val offsets = binTotals.toList.scanLeft((0L, 0L)) { case ((_, acc), (bin, bw)) =>
+      (bin, acc + bw)
+    }.sliding(2).collect { case List((_, prev), (bin, _)) => (bin, prev) }.toSeq
+    val offDf = s.createDataFrame(offsets).toDF("bin", "off")
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.join(broadcast(offDf), Seq("bin"))
+      .withColumn("cw", col("off") + sum(col("w")).over(wnd))
+      .filter(expr(s"(cw * $m) div $total > ((cw - w) * $m) div $total"))
+      .select(col("doc_id"), col("w"),
+        expr(s"(cw * $m) div $total").as("slot"))
+      .orderBy("doc_id")
+  }
+
+  private val d28Sql: String =
+    """WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw
+      |  FROM d),
+      |t AS (SELECT SUM(w) AS tw FROM d)
+      |SELECT doc_id, w, CAST((cw * 20) // t.tw AS BIGINT) AS slot
+      |FROM c, t
+      |WHERE (cw * 20) // t.tw > ((cw - w) * 20) // t.tw
+      |ORDER BY doc_id""".stripMargin
+
   /** d15 mixing rates: the synthetic corpus is ~44% English, so the demo
     * downsamples en hard and trims es/de lightly; zh/fr ride the 1.0
     * default. Exact multiples of 1e-4 (the operator's bucket width). */
@@ -538,6 +699,8 @@ object CorpusOps {
     "c2_decontaminate" -> (c2Decontaminate _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "c4_triangles" -> (c4Triangles _),
+    "c5_pagerank" -> (c5Pagerank _),
+    "d28_pps_sample" -> (d28PpsSample _),
     "d14_neardup_drop" -> (d14NeardupDrop _),
     "d15_stratified_sample" -> (d15StratifiedSample _),
     "d16_token_chunks" -> (d16TokenChunks _),
@@ -553,6 +716,8 @@ object CorpusOps {
     "c2_decontaminate" -> c2Sql,
     "c3_clean_decontaminated" -> c3Sql,
     "c4_triangles" -> c4Sql,
+    "c5_pagerank" -> c5Sql,
+    "d28_pps_sample" -> d28Sql,
     "d14_neardup_drop" -> d14Sql,
     "d15_stratified_sample" -> d15Sql,
     "d16_token_chunks" -> d16Sql,

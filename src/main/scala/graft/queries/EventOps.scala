@@ -938,6 +938,43 @@ object EventOps {
       |FROM ev e JOIN stats s USING (event_type, hr)
       |GROUP BY e.event_type, e.hr ORDER BY event_type, hr""".stripMargin
 
+  /** e24: per-user behavioral diversity via the Simpson index
+    * 1 − Σ(n_i²)/N² — the no-logarithm diversity measure (Shannon entropy
+    * needs ln, which is NOT correctly rounded and never oracle-safe; see
+    * d24's Gini for the same dodge on token concentration). Integer
+    * numerators, then two multiplies, one divide, one subtract — all
+    * correctly rounded on identical operands. Two partial-agg shuffles:
+    * |users×types| then |users|. */
+  def e24SimpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("user_id"))
+      .agg(sum(col("n") * col("n")).as("ssq"),
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (lit(1.0) - col("ssq").cast("double") /
+          (col("n_events").cast("double") * col("n_events").cast("double")))
+          .as("simpson"))
+      .orderBy("user_id")
+  }
+
+  private val e24Sql =
+    """WITH counts AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY user_id, event_type),
+      |agg AS (
+      |  SELECT user_id,
+      |    CAST(SUM(n * n) AS BIGINT) AS ssq,
+      |    CAST(SUM(n) AS BIGINT) AS n_events,
+      |    COUNT(*) AS n_types
+      |  FROM counts GROUP BY user_id)
+      |SELECT user_id, n_events, n_types,
+      |  1.0 - CAST(ssq AS DOUBLE)
+      |      / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS simpson
+      |FROM agg ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -962,6 +999,7 @@ object EventOps {
     "e21_cusum_change" -> (e21CusumChange _),
     "e22_transitions" -> (e22Transitions _),
     "e23_seasonal_anom" -> (e23SeasonalAnom _),
+    "e24_simpson_diversity" -> (e24SimpsonDiversity _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -989,6 +1027,7 @@ object EventOps {
     "e21_cusum_change" -> e21Sql,
     "e22_transitions" -> e22Sql,
     "e23_seasonal_anom" -> e23Sql,
+    "e24_simpson_diversity" -> e24Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }

@@ -710,7 +710,92 @@ object Relational {
       |       * sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** q30: Benford first-digit profile of the price column — the classic
+    * fabricated-data screen (Benford 1938; naturally occurring multi-
+    * magnitude amounts put ~30.1% of first digits at 1). Prices lift to
+    * the exact cent grid, the first significant digit is the first
+    * character of the integer's decimal rendering (identical across
+    * engines — no float formatting involved), and the share is one
+    * correctly-rounded division. One partial-agg shuffle to ≤9 rows. */
+  def q30Benford(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "lineitem")
+      .select(expr(
+        "cast(substr(cast(cast(round(l_extendedprice * 100.0) as bigint) as string), 1, 1) as int)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share",
+        col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double"))
+      .orderBy("digit")
+  }
+
+  private val q30Sql =
+    """WITH counts AS (
+      |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1)
+      |SELECT digit, n,
+      |  CAST(n AS DOUBLE)
+      |    / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE) AS share
+      |FROM counts ORDER BY digit""".stripMargin
+
+  /** q31: sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * record-linkage candidate generator that complements LSH blocking
+    * (m1/m2): sort by the match key, compare each record only to its w
+    * nearest neighbors in sort order. Here w = 2 via `lead(1)`/`lead(2)`
+    * windows partitioned by first letter — the partition bound makes the
+    * windows parallel (the standard composite-key form of the technique;
+    * a pure global sort would serialize). Candidates within Levenshtein
+    * distance 1–3 survive (0 = exact dup, d1's job). Levenshtein is
+    * integer DP — engine-exact. */
+  def q31SortedBlocking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("p_name"), col("p_partkey"))
+    val parts = Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        substring(col("p_name"), 1, 1).as("blk"))
+    val led = parts
+      .withColumn("n1", lead(col("p_name"), 1).over(w))
+      .withColumn("k1", lead(col("p_partkey"), 1).over(w))
+      .withColumn("n2", lead(col("p_name"), 2).over(w))
+      .withColumn("k2", lead(col("p_partkey"), 2).over(w))
+    val cand = led.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+        col("k1").as("key_b"), col("n1").as("name_b"))
+      .union(led.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+        col("k2").as("key_b"), col("n2").as("name_b")))
+      .filter(col("name_b").isNotNull)
+    cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist").between(1, 3))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"), col("dist"))
+      .orderBy("key_a", "key_b")
+  }
+
+  private val q31Sql =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, substr(p_name, 1, 1) AS blk FROM part),
+      |led AS (
+      |  SELECT p_partkey, p_name,
+      |    LEAD(p_name, 1) OVER w AS n1, LEAD(p_partkey, 1) OVER w AS k1,
+      |    LEAD(p_name, 2) OVER w AS n2, LEAD(p_partkey, 2) OVER w AS k2
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+      |cand AS (
+      |  SELECT p_partkey AS key_a, p_name AS name_a, k1 AS key_b, n1 AS name_b
+      |  FROM led WHERE n1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT p_partkey, p_name, k2, n2 FROM led WHERE n2 IS NOT NULL)
+      |SELECT key_a, key_b, name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+      |FROM cand
+      |WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 3
+      |ORDER BY key_a, key_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_benford" -> (q30Benford _),
+    "q31_sorted_blocking" -> (q31SortedBlocking _),
     "q29_correlation" -> (q29Correlation _),
     "q28_conditional_agg" -> (q28ConditionalAgg _),
     "q1_agg" -> (q1Agg _),
@@ -742,6 +827,8 @@ object Relational {
     "q27_rank_family" -> (q27RankFamily _))
 
   val oracles: Map[String, String] = Map(
+    "q30_benford" -> q30Sql,
+    "q31_sorted_blocking" -> q31Sql,
     "q29_correlation" -> q29Sql,
     "q28_conditional_agg" -> q28Sql,
     "q1_agg" -> q1Sql,

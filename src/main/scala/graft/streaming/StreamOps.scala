@@ -224,6 +224,40 @@ object StreamOps {
       }
   }
 
+  case class LastType(state: String)
+  case class TransitionOut(user_id: Long, src: String, dst: String)
+
+  /** Streaming twin of `EventOps.e22Transitions`'s transition RECORDS:
+    * per-user last-event-type rides in flatMapGroupsWithState; each
+    * arriving event emits its (src, dst) pair immediately, including
+    * across micro-batch boundaries (the state carries the bridge). The
+    * |types²| count/probability aggregation is the consumer's streaming
+    * groupBy — emitting raw pairs keeps this operator append-mode and its
+    * state one string per user. Same in-batch (ts, event_id) full-
+    * precision sort and per-user event-time-monotonicity assumption as
+    * the other keyed-state ops here. */
+  def transitions(events: Dataset[Event]): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastType, TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LastType]) =>
+          val evs = batch.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
+          val out = Seq.newBuilder[TransitionOut]
+          var prev = state.getOption.map(_.state)
+          evs.foreach { e =>
+            prev.foreach(p => out += TransitionOut(uid, p, e.event_type))
+            prev = Some(e.event_type)
+          }
+          prev.foreach(p => state.update(LastType(p)))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: correlate two event streams on a key
     * within a bounded event-time window (right event lands in
     * [left.ts, left.ts + maxGap]). Both sides carry watermarks, so each

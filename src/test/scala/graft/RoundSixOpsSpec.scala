@@ -101,6 +101,105 @@ class RoundSixOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("c5_pagerank matches a driver-side integer PageRank replay") {
+    val got = SparkEntry.queries("c5_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Rebuild the same d6 edge set naively, then run the identical
+    // integer recurrence in plain Scala.
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents").filter(col("doc_id") < 100)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    val edges = for {
+      (a, wa) <- docs; (b, wb) <- docs if a < b
+      inter = (wa & wb).size
+      if inter > 0 && inter.toDouble / (wa.size + wb.size - inter) >= 0.5
+    } yield (a, b)
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val n = deg.size.toLong
+    assert(n > 0, "fixture graph must be non-empty for this spec to bite")
+    val init = 1000000000000L / n
+    val base = (15L * 1000000000000L) / (100L * n)
+    var ranks = deg.keys.map(_ -> init).toMap
+    (1 to 3).foreach { _ =>
+      ranks = sym.groupBy(_._2).map { case (dst, ins) =>
+        dst -> (base + ins.map { case (src, _) =>
+          (85L * ranks(src)) / (100L * deg(src))
+        }.sum)
+      }
+    }
+    val expect = ranks.toSeq.map { case (id, r) => (id, deg(id), r) }
+      .sortBy { case (id, _, r) => (-r, id) }.take(10)
+    assert(got.toSeq === expect)
+  }
+
+  test("e24_simpson_diversity matches the naive per-user index and stays in [0, 1)") {
+    val got = SparkEntry.queries("e24_simpson_diversity")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val rows = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    rows.groupBy(_._1).foreach { case (uid, rs) =>
+      val counts = rs.groupBy(_._2).map(_._2.size.toLong)
+      val n = counts.sum
+      val expect = 1.0 - counts.map(c => c.toDouble * c.toDouble).sum / (n.toDouble * n.toDouble)
+      val (gotN, gotTypes, gotS) = got(uid)
+      assert(gotN === n && gotTypes === counts.size.toLong)
+      assert(math.abs(gotS - expect) < 1e-12, s"user $uid")
+      assert(gotS >= 0.0 && gotS < 1.0)
+    }
+  }
+
+  test("q30_benford covers every row once and shares sum to 1") {
+    val got = SparkEntry.queries("q30_benford")(spark, sfDir).collect()
+    val total = Tables(spark, sfDir, "lineitem").count()
+    assert(got.map(_.getLong(1)).sum === total)
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    assert(got.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9))
+  }
+
+  test("q31_sorted_blocking equals a driver-side sorted-neighborhood replay") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = SparkEntry.queries("q31_sorted_blocking")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val parts = Tables(spark, sfDir, "part").selectExpr("p_partkey", "p_name")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = parts.groupBy(_._2.take(1)).toSeq.flatMap { case (_, blk) =>
+      val sorted = blk.sortBy(p => (p._2, p._1)).toVector
+      for {
+        i <- sorted.indices; off <- 1 to 2 if i + off < sorted.length
+        d = lev(sorted(i)._2, sorted(i + off)._2) if d >= 1 && d <= 3
+      } yield (sorted(i)._1, sorted(i + off)._1, d)
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("d28_pps_sample: systematic selection replays exactly and respects the quantile rule") {
+    val got = SparkEntry.queries("d28_pps_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables(spark, sfDir, "documents").selectExpr("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = docs.map(_._2).sum
+    var cw = 0L
+    val expect = docs.flatMap { case (id, w) =>
+      val before = cw; cw += w
+      if (cw * 20L / total > before * 20L / total)
+        Some((id, w, cw * 20L / total)) else None
+    }
+    assert(got.toSeq === expect.toSeq)
+    // slots are strictly increasing — each 1/m quantile crossed once
+    assert(got.map(_._3).toSeq === got.map(_._3).distinct.toSeq)
+  }
+
   test("d27_containment: a strict subset document scores 1.0") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"

@@ -215,6 +215,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == batchClosed, "stream must equal the batch twin's closed rows")
   }
 
+  test("transitions emits cross-batch pairs and totals equal the batch e22 counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows1 = Seq(
+      Event(1L, ts(0), 1L, "view", 1.0, "{}"),
+      Event(2L, ts(5), 1L, "click", 1.0, "{}"),
+      Event(5L, ts(2), 2L, "view", 1.0, "{}"))
+    val rows2 = Seq(
+      Event(3L, ts(10), 1L, "purchase", 1.0, "{}"), // bridges batch 1's click
+      Event(6L, ts(12), 2L, "view", 1.0, "{}"))
+    val ms = MemoryStream[Event]
+    ms.addData(rows1); ms.addData(rows2)
+    StreamOps.runToMemory(StreamOps.transitions(ms.toDS()).toDF(), "trans",
+      OutputMode.Append())
+    val got = spark.table("trans").groupBy("src", "dst").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch twin: e22's lead-window recipe over the union of both batches
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = (rows1 ++ rows2).toDF()
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch, "stream transition counts must equal the batch twin")
+    assert(got(("click", "purchase")) === 1L, "cross-batch bridge pair must be emitted")
+  }
+
   test("stream-stream interval join correlates events within the gap only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
