@@ -39,4 +39,62 @@ object ApproxOps {
     df.groupBy(keyCols.map(col): _*)
       .agg(percentile_approx(col(valueCol),
         array(ps.map(lit): _*), lit(accuracy)).as("approx_ps"))
+
+  /** Heavy hitters via Count-Min Sketch (Cormode & Muthukrishnan 2005):
+    * items whose frequency is at least `minShare` of the stream, found
+    * with O(1/eps · ln(1/δ)) sketch state instead of the exact
+    * groupBy-count whose shuffle carries every distinct item — the
+    * hot-key detector that feeds [[SkewAgg]]/[[SkewJoin]] salting
+    * decisions without a full pre-aggregation pass.
+    *
+    * Two bounded passes over the column: the built-in `count_min_sketch`
+    * aggregate (mergeable map-side partial state, one tiny binary to the
+    * driver) plus a deterministic hash-sample whose per-item counts
+    * nominate candidates (any true `minShare` hitter appears in a 5%
+    * sample with overwhelming probability for the stream sizes where a
+    * sketch matters; the candidate cap bounds driver memory). Candidate
+    * counts are then read from the sketch, which never underestimates —
+    * so the result can contain false positives near the threshold but no
+    * false negatives among sampled candidates (CMS one-sided error).
+    *
+    * String-typed column only (the common hot-key case); `eps` bounds the
+    * overestimate at eps·N with confidence `confidence`. */
+  def heavyHitters(df: DataFrame, valueCol: String, minShare: Double = 0.01,
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   sampleRate: Int = 20, maxCandidates: Int = 10000): DataFrame = {
+    require(minShare > 0 && minShare <= 1, s"minShare out of (0,1]: $minShare")
+    val spark = df.sparkSession
+    import org.apache.spark.util.sketch.CountMinSketch
+    val agg = df.agg(
+      count(col(valueCol)).as("n"),
+      count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(42)).as("cms"))
+      .head()
+    val total = agg.getLong(0)
+    if (total == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("item",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("est_count",
+            org.apache.spark.sql.types.LongType))))
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](1)))
+    // seeded 1/sampleRate ROW sample -> candidate list (sampling by value
+    // hash would drop entire items deterministically; a true hitter spans
+    // many rows, so row sampling nominates it w.h.p.), capped so the
+    // driver collect stays bounded even on adversarial data
+    val candidates = df
+      .sample(withReplacement = false, 1.0 / sampleRate, seed = 42)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col(valueCol))
+      .limit(maxCandidates)
+      .collect().map(_.getString(0))
+    val thresh = (minShare * total).toLong
+    val hits = candidates
+      .map(v => (v, cms.estimateCount(v)))
+      .filter(_._2 >= thresh)
+      .sortBy { case (v, c) => (-c, v) }
+    spark.createDataFrame(hits.toSeq).toDF("item", "est_count")
+  }
 }

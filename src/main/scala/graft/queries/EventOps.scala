@@ -975,6 +975,54 @@ object EventOps {
       |      / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) AS simpson
       |FROM agg ORDER BY user_id""".stripMargin
 
+  /** e25: event-type co-occurrence lift — for each unordered type pair,
+    * how many users exhibit both and the association-rule lift
+    * n_both·N / (n_a·n_b) (Agrawal et al.'s market-basket measure; lift
+    * > 1 means the types co-occur more than independence predicts). The
+    * user×type incidence deduplicates first (|users×types| rows), the
+    * pair join explodes per-user type SETS (≤ |types| each, never raw
+    * events), and the lift is integer multiplies + one correctly-rounded
+    * division. Shuffles: one dedup, one self-join keyed by user, one
+    * |types²| aggregate. */
+  def e25CooccurrenceLift(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUsers = ut.select(col("user_id")).distinct().count()
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val both = ut.as("x")
+      .join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(perType.as("pa")), col("type_a") === col("pa.event_type"))
+      .join(broadcast(perType.as("pb")), col("type_b") === col("pb.event_type"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        ((col("n_both") * lit(nUsers)).cast("double") /
+          (col("pa.n_t") * col("pb.n_t")).cast("double")).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val e25Sql =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM ut),
+      |per_type AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+      |co AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS n_both
+      |  FROM ut x JOIN ut y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |  CAST(n_both * nu.n AS DOUBLE)
+      |    / CAST(pa.n_t * pb.n_t AS DOUBLE) AS lift
+      |FROM co
+      |JOIN per_type pa ON type_a = pa.event_type
+      |JOIN per_type pb ON type_b = pb.event_type
+      |CROSS JOIN nu
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -1000,6 +1048,7 @@ object EventOps {
     "e22_transitions" -> (e22Transitions _),
     "e23_seasonal_anom" -> (e23SeasonalAnom _),
     "e24_simpson_diversity" -> (e24SimpsonDiversity _),
+    "e25_cooccurrence_lift" -> (e25CooccurrenceLift _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -1028,6 +1077,7 @@ object EventOps {
     "e22_transitions" -> e22Sql,
     "e23_seasonal_anom" -> e23Sql,
     "e24_simpson_diversity" -> e24Sql,
+    "e25_cooccurrence_lift" -> e25Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }

@@ -793,7 +793,44 @@ object Relational {
       |WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 3
       |ORDER BY key_a, key_b""".stripMargin
 
+  /** q32: ANALYZE-style column statistics profiler — per numeric column
+    * the null count, exact distinct count, and min/max off ONE scan (the
+    * stats block a cost-based optimizer or a data-catalog crawler
+    * collects). The four exact `countDistinct`s compile to one Expand
+    * (×4 row amplification) feeding a single shuffle — the deliberate
+    * exact-tier price; `ApproxOps.approxDistinct` is the O(1)-state scale
+    * tier of the same report. The wide 1-row aggregate unpivots to long
+    * rows via `stack`, which is projection-only. */
+  def q32ColumnStats(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ")
+    Tables(s, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackExpr) " +
+        "as (col_name, n_nulls, ndv, min_val, max_val)")
+      .orderBy("col_name")
+  }
+
+  private val q32Sql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS ndv,
+         |  MIN($c) AS min_val, MAX($c) AS max_val
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_column_stats" -> (q32ColumnStats _),
     "q30_benford" -> (q30Benford _),
     "q31_sorted_blocking" -> (q31SortedBlocking _),
     "q29_correlation" -> (q29Correlation _),
@@ -827,6 +864,7 @@ object Relational {
     "q27_rank_family" -> (q27RankFamily _))
 
   val oracles: Map[String, String] = Map(
+    "q32_column_stats" -> q32Sql,
     "q30_benford" -> q30Sql,
     "q31_sorted_blocking" -> q31Sql,
     "q29_correlation" -> q29Sql,

@@ -25,6 +25,36 @@ class ApproxOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters finds every true hitter, never underestimates, bounds overestimate") {
+    import spark.implicits._
+    // 80% "hot", 10% "warm", 10% long tail of uniques: hot and warm are
+    // the only true 5%-share hitters
+    val n = 20000
+    val df = spark.range(n).select(
+      when(col("id") % 10 < 8, lit("hot"))
+        .when(col("id") % 10 === 8, lit("warm"))
+        .otherwise(concat(lit("tail_"), col("id"))).as("v"))
+    val exact = df.groupBy("v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = ApproxOps.heavyHitters(df, "v", minShare = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("hot", "warm"),
+      s"expected exactly the two true hitters, got ${got.keySet}")
+    got.foreach { case (v, est) =>
+      assert(est >= exact(v), s"$v: CMS must never underestimate")
+      // eps=0.001 -> overestimate bounded by eps*N = 20; allow 3x slack
+      assert(est <= exact(v) + 3 * (0.001 * n).toLong, s"$v: est $est exact ${exact(v)}")
+    }
+  }
+
+  test("heavyHitters on an empty column returns an empty typed frame") {
+    import spark.implicits._
+    val empty = spark.range(0).select(concat(lit("x"), col("id")).as("v"))
+    val got = ApproxOps.heavyHitters(empty, "v")
+    assert(got.schema.fieldNames.toSeq === Seq("item", "est_count"))
+    assert(got.count() === 0)
+  }
+
   test("approx_percentile brackets the exact percentiles") {
     val li = Tables(spark, sfDir, "lineitem")
     val exact = li.groupBy(col("l_returnflag"))

@@ -200,6 +200,43 @@ class RoundSixOpsSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq === got.map(_._3).distinct.toSeq)
   }
 
+  test("q32_column_stats: one row per column, stats agree with direct aggregates") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q32_column_stats")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val li = Tables(spark, sfDir, "lineitem")
+    got.foreach { case (c, (nulls, ndv, mn, mx)) =>
+      val ref = li.agg(
+        count(when(col(c).isNull, 1)), countDistinct(col(c)),
+        min(col(c)), max(col(c))).head
+      assert((nulls, ndv, mn, mx) ===
+        ((ref.getLong(0), ref.getLong(1), ref.getDouble(2), ref.getDouble(3))), c)
+    }
+  }
+
+  test("e25_cooccurrence_lift replays from the user-type incidence sets") {
+    val got = SparkEntry.queries("e25_cooccurrence_lift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ut = Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val users = ut.map(_._1).distinct.length.toLong
+    val perType = ut.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val pairs = ut.groupBy(_._1).values.flatMap { rs =>
+      val ts = rs.map(_._2).sorted
+      for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j))
+    }.groupBy(identity(_)).map { case (k, v) => k -> v.size.toLong }
+    assert(got.keySet === pairs.keySet)
+    pairs.foreach { case ((a, b), nBoth) =>
+      val (gotN, gotLift) = got((a, b))
+      assert(gotN === nBoth)
+      val expect = (nBoth * users).toDouble / (perType(a) * perType(b)).toDouble
+      assert(gotLift === expect, s"($a,$b)")
+    }
+  }
+
   test("d27_containment: a strict subset document scores 1.0") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
