@@ -1023,6 +1023,103 @@ object EventOps {
       |CROSS JOIN nu
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** e26: longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands technique: over each user's DISTINCT active days,
+    * `day − row_number()` is constant exactly within a consecutive run,
+    * so grouping by that difference materializes the islands without any
+    * self-join. All integer arithmetic (epoch-day indices). Two shuffles,
+    * both keyed by user: the distinct and the island window; the
+    * per-user argmax is a second window on the same key. The engagement
+    * metric behind retention products' "streak" feature. */
+  def e26Streaks(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val best = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("start_day"))
+    islands
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("len").as("best_streak"),
+        col("start_day").as("streak_start_day"))
+      .orderBy("user_id")
+  }
+
+  private val e26Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island,
+      |    day
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+      |  FROM islands GROUP BY user_id, island),
+      |best AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY len DESC, start_day) AS rk
+      |  FROM runs)
+      |SELECT user_id, len AS best_streak, start_day AS streak_start_day
+      |FROM best WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  /** e27: time-to-convert distribution — p50/p90 of the click→purchase
+    * delay, per hour-of-day of the click, composing the e7 interval-join
+    * shape (equi-join on user, range residual, 30-min cap, FIRST
+    * conversion per click via min) with [[graft.operators.DistributedPercentile]]
+    * (spillable window sort, no whole-group buffers). Deltas are exact
+    * epoch-microsecond integers; the percentile lerp matches DuckDB's
+    * `quantile_cont` bit-for-bit (the p2-pinned convention). The
+    * conversion-latency SLO report, computed the 100 TB-safe way. */
+  def e27ConvertTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val firstConv = clicks.join(purchases, Seq("user_id"))
+      .filter(col("p_us") > col("c_us") &&
+        col("p_us") <= col("c_us") + lit(1800000000L))
+      .groupBy(col("click_id"), col("c_us"))
+      .agg(min(col("p_us")).as("first_p_us"))
+      .select(expr(s"(c_us div $MicrosPerHour) % 24").as("click_hour"),
+        (col("first_p_us") - col("c_us")).as("delta_us"))
+    val stats = graft.operators.DistributedPercentile
+      .groupPercentiles(firstConv, "click_hour", "delta_us",
+        Seq("p50_us" -> 0.5, "p90_us" -> 0.9))
+    firstConv.groupBy(col("click_hour")).agg(count(lit(1)).as("n"))
+      .join(broadcast(stats), Seq("click_hour"))
+      .orderBy("click_hour")
+  }
+
+  private val e27Sql =
+    s"""WITH clicks AS (
+       |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+       |  FROM events WHERE event_type = 'click'),
+       |purchases AS (
+       |  SELECT user_id, epoch_us(ts) AS p_us
+       |  FROM events WHERE event_type = 'purchase'),
+       |conv AS (
+       |  SELECT c.click_id, c.c_us, MIN(p.p_us) AS first_p_us
+       |  FROM clicks c JOIN purchases p ON c.user_id = p.user_id
+       |  WHERE p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000
+       |  GROUP BY c.click_id, c.c_us),
+       |d AS (
+       |  SELECT (c_us // $MicrosPerHour) % 24 AS click_hour,
+       |    first_p_us - c_us AS delta_us
+       |  FROM conv)
+       |SELECT click_hour, COUNT(*) AS n,
+       |  quantile_cont(CAST(delta_us AS DOUBLE), 0.5) AS p50_us,
+       |  quantile_cont(CAST(delta_us AS DOUBLE), 0.9) AS p90_us
+       |FROM d GROUP BY click_hour ORDER BY click_hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -1049,6 +1146,8 @@ object EventOps {
     "e23_seasonal_anom" -> (e23SeasonalAnom _),
     "e24_simpson_diversity" -> (e24SimpsonDiversity _),
     "e25_cooccurrence_lift" -> (e25CooccurrenceLift _),
+    "e26_streaks" -> (e26Streaks _),
+    "e27_convert_time" -> (e27ConvertTime _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -1078,6 +1177,8 @@ object EventOps {
     "e23_seasonal_anom" -> e23Sql,
     "e24_simpson_diversity" -> e24Sql,
     "e25_cooccurrence_lift" -> e25Sql,
+    "e26_streaks" -> e26Sql,
+    "e27_convert_time" -> e27Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }
