@@ -63,21 +63,20 @@ object ApproxOps {
                    eps: Double = 0.001, confidence: Double = 0.99,
                    sampleRate: Int = 20, maxCandidates: Int = 10000): DataFrame = {
     require(minShare > 0 && minShare <= 1, s"minShare out of (0,1]: $minShare")
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"heavyHitters supports string columns only; $valueCol is " +
+        df.schema(valueCol).dataType.simpleString)
     val spark = df.sparkSession
     import org.apache.spark.util.sketch.CountMinSketch
     val agg = df.agg(
       count(col(valueCol)).as("n"),
       count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(42)).as("cms"))
       .head()
+    import spark.implicits._
     val total = agg.getLong(0)
     if (total == 0L)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("item",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("est_count",
-            org.apache.spark.sql.types.LongType))))
+      return Seq.empty[(String, Long)].toDF("item", "est_count")
     val cms = CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](1)))
     // seeded 1/sampleRate ROW sample -> candidate list (sampling by value
@@ -85,7 +84,8 @@ object ApproxOps {
     // many rows, so row sampling nominates it w.h.p.), capped so the
     // driver collect stays bounded even on adversarial data
     val candidates = df
-      .sample(withReplacement = false, 1.0 / sampleRate, seed = 42)
+      .filter(col(valueCol).isNotNull) // sketch + count skip nulls; a null
+      .sample(withReplacement = false, 1.0 / sampleRate, seed = 42) // candidate would crash estimateCount
       .groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col(valueCol))
       .limit(maxCandidates)

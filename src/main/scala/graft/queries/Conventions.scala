@@ -12,6 +12,12 @@ private[queries] object Conventions {
 
   val Dec: DecimalType = DecimalType(38, 4)
 
+  /** Integer-grid accumulator type: Spark DECIMAL(38,0) sums/products are
+    * exact where DuckDB transparently widens BIGINT to HUGEINT — the pair
+    * that makes the "multiply everything out, divide once at the end"
+    * oracle-exactness pattern (q29/e21/e23) hold on both engines. */
+  val Dec38: DecimalType = DecimalType(38, 0)
+
   /** Exact decimal accumulation, double output: the interior SUM runs over
     * DECIMAL(38,4) (order-independent, engine-exact), and only the final
     * result is cast to DOUBLE. Identical decimals convert to identical

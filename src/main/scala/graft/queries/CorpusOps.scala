@@ -203,20 +203,8 @@ object CorpusOps {
     * shape — never |V|³; all integer arithmetic except the final rounded
     * ratio. */
   def c4Triangles(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("w"))
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = tok.as("a")
-      .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    val edges = pairs
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-      .filter(col("inter").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double") >= 0.5)
-      .select(col("a"), col("b"))
+    val edges = TextOps
+      .jaccardEdges(Tables(s, dir, "documents").filter(col("doc_id") < 100), 0.5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
     val tri = edges.as("e1")
@@ -285,35 +273,18 @@ object CorpusOps {
     * PageRank step; 3 fixed iterations, no convergence loop (the oracle
     * unrolls the same three). */
   def c5Pagerank(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("w"))
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = tok.as("a")
-      .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    val und = pairs
-      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-      .filter(col("inter").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double") >= 0.5)
-      .select(col("a"), col("b"))
+    val und = TextOps
+      .jaccardEdges(Tables(s, dir, "documents").filter(col("doc_id") < 100), 0.5)
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count() // materializes both persists (deg derives from sym)
-    if (n == 0L)
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("degree",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("pagerank",
-            org.apache.spark.sql.types.LongType))))
+    if (n == 0L) {
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("doc_id", "degree", "pagerank")
+    }
     val Scale = 1000000000000L
     // driver-side Long division truncates toward zero exactly like the
     // engines' integer div on these positive operands
@@ -395,16 +366,10 @@ object CorpusOps {
       .agg(sum(col("w")).as("bw"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val total = binTotals.map(_._2).sum
-    if (total == 0L)
-      return docs.sparkSession.createDataFrame(
-        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("w",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("slot",
-            org.apache.spark.sql.types.LongType))))
+    if (total == 0L) {
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("doc_id", "w", "slot")
+    }
     val offsets = binTotals.toList.scanLeft((0L, 0L)) { case ((_, acc), (bin, bw)) =>
       (bin, acc + bw)
     }.sliding(2).collect { case List((_, prev), (bin, _)) => (bin, prev) }.toSeq

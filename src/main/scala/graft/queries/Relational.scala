@@ -672,7 +672,7 @@ object Relational {
     * is five correctly-rounded double ops on identical operands. One
     * partial-agg shuffle to |groups| rows — the textbook 100 TB shape. */
   def q29Correlation(s: SparkSession, dir: String): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d38 = Conventions.Dec38
     val li = Tables(s, dir, "lineitem").select(
       col("l_returnflag"),
       round(col("l_quantity"), 0).cast("long").as("q"),

@@ -145,8 +145,14 @@ object TextOps {
     * MinHash/LSH approximates at scale. The doc_id<100 block bounds the
     * candidate pair explosion; at 100 TB the block becomes LSH bucket ids
     * (see `graft.operators.MinHashDedup`). */
-  def d6JaccardNearDup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
+  /** Shared word-set pair machinery for the exact-token-overlap family
+    * (d6 Jaccard, d27 containment, and via [[jaccardEdges]] the c4/c5
+    * graph queries): per-doc distinct-word sets, per-doc sizes, and the
+    * intersection count of every co-occurring doc pair (equi-join on the
+    * word, doc_a < doc_b so each unordered pair appears once). One edit
+    * here — tokenization, blocking — changes all four consumers together;
+    * each paired oracle repeats the same CTE text. */
+  private[queries] def wordPairStats(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = docs.select(
       col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
@@ -155,6 +161,24 @@ object TextOps {
       .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    (pairs, sizes)
+  }
+
+  /** Thresholded Jaccard edge list (a, b) over [[wordPairStats]] — the
+    * near-dup graph c4 (triangles) and c5 (PageRank) analyze. */
+  private[queries] def jaccardEdges(docs: DataFrame, threshold: Double): DataFrame = {
+    val (pairs, sizes) = wordPairStats(docs)
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter")).cast("double") >= threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+  }
+
+  def d6JaccardNearDup(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, sizes) =
+      wordPairStats(Tables(s, dir, "documents").filter(col("doc_id") < 100))
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -175,15 +199,8 @@ object TextOps {
     * The raw intersection size is emitted alongside so downstream keep/drop
     * rules can re-threshold without a rescan. */
   def d27Containment(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 100)
-    val tok = docs.select(
-      col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("w"))
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = tok.as("a")
-      .join(tok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val (pairs, sizes) =
+      wordPairStats(Tables(s, dir, "documents").filter(col("doc_id") < 100))
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, FileInputStream}
+import java.io.BufferedInputStream
 
 import scala.jdk.CollectionConverters._
 
@@ -83,38 +83,53 @@ object Avro {
     Row.fromSeq((0 until n).map(i => toSparkValue(rec.get(i))))
 
   /** Schema of a container file, read from its header (driver-side peek —
-    * the header is a few KB regardless of file size). */
-  def schemaOf(file: String): Schema = {
+    * the header is a few KB regardless of file size). Goes through the
+    * Hadoop FS API so any filesystem Spark can read works here too. */
+  def schemaOf(spark: SparkSession, file: String): Schema = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new DataFileStream(
-      new BufferedInputStream(new FileInputStream(file)),
+      new BufferedInputStream(fs.open(p)),
       new GenericDatumReader[GenericRecord]())
     try in.getSchema finally in.close()
   }
 
   /** Distributed Avro read: one task per container file, records streamed
     * off the block decoder (never materialized per-file). `path` is a
-    * directory or glob; `schemaFile` pins the expected schema (defaults
-    * to the first file found — same one-header peek Spark's own format
-    * inference does). */
+    * directory, glob, or single file on any Hadoop-visible filesystem;
+    * `schemaFile` pins the expected schema (defaults to the first file
+    * matched — same one-header peek Spark's own format inference does). */
   def read(spark: SparkSession, path: String,
            schemaFile: Option[String] = None): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = hpath.getFileSystem(hconf)
+    // a directory means "its .avro children"; a glob or file passes through
+    val globPath =
+      if (fs.isDirectory(hpath)) new org.apache.hadoop.fs.Path(path, "*.avro")
+      else hpath
     val probe = schemaFile.getOrElse {
-      val dir = new java.io.File(path)
-      val fs =
-        if (dir.isDirectory)
-          dir.listFiles().filter(_.getName.endsWith(".avro")).map(_.getPath).sorted
-        else Array(path)
-      require(fs.nonEmpty, s"no .avro files under $path")
-      fs.head
+      val matched = fs.globStatus(globPath)
+      require(matched != null && matched.nonEmpty, s"no files match $globPath")
+      matched.map(_.getPath.toString).min
     }
-    val sparkSchema = toSparkSchema(schemaOf(probe))
+    val sparkSchema = toSparkSchema(schemaOf(spark, probe))
     val n = sparkSchema.size
     val rows = spark.sparkContext
-      .binaryFiles(if (new java.io.File(path).isDirectory) s"$path/*.avro" else path)
+      .binaryFiles(globPath.toString)
       .flatMap { case (_, pds) =>
         val in = new DataFileStream(pds.open(), new GenericDatumReader[GenericRecord]())
+        // close on task end, not just on exhaustion — a limit()/take()
+        // that abandons the iterator mid-file must not leak the handle
+        var closed = false
+        def close(): Unit = if (!closed) { closed = true; in.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
         new Iterator[Row] {
-          def hasNext: Boolean = { val h = in.hasNext; if (!h) in.close(); h }
+          def hasNext: Boolean = {
+            if (closed) false
+            else { val h = in.hasNext; if (!h) close(); h }
+          }
           def next(): Row = toRow(in.next(), n)
         }
       }
