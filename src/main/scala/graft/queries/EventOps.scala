@@ -1125,6 +1125,76 @@ object EventOps {
        |  quantile_cont(CAST(delta_us AS DOUBLE), 0.9) AS p90_us
        |FROM d GROUP BY click_hour ORDER BY click_hour""".stripMargin
 
+  /** e28: target encoding with additive smoothing — the categorical
+    * feature-engineering staple (Micci-Barreca 2001): replace a category
+    * by its smoothed target mean (n·μ_cat + a·μ_global)/(n + a), which
+    * shrinks rare categories toward the prior. Everything is cleared to
+    * one division: on the 1e-4 grid the smoothed mean equals
+    * (Sw_cat·N + a·Sw_all) / (N·(n_cat + a)) with integer numerator and
+    * denominator, so both engines compute the identical double. Shape:
+    * one |types|-row aggregate plus a 1-row global broadcast — at 100 TB
+    * the encoder table is still broadcast-joined back onto the corpus. */
+  def e28TargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val a = 10L // smoothing pseudo-count
+    val d38 = Conventions.Dec38
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (col("value").cast(Conventions.Dec) * 10000).cast("long").as("w"))
+    val per = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("w").cast(d38)).as("sw"))
+    val glob = ev.agg(count(lit(1)).as("gn"), sum(col("w").cast(d38)).as("gsw"))
+    per.crossJoin(broadcast(glob))
+      .select(col("event_type"), col("n"),
+        ((col("sw") * col("gn") + lit(a).cast(d38) * col("gsw")).cast("double") /
+          (col("gn").cast(d38) * (col("n") + lit(a)).cast(d38)).cast("double") /
+          lit(10000.0)).as("encoded"))
+      .orderBy("event_type")
+  }
+
+  private val e28Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT) AS w
+      |  FROM events),
+      |per AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(w) AS sw
+      |  FROM ev GROUP BY event_type),
+      |tot AS (SELECT COUNT(*) AS gn, SUM(w) AS gsw FROM ev)
+      |SELECT event_type, n,
+      |  CAST(sw * gn + 10 * gsw AS DOUBLE)
+      |    / CAST(gn * (n + 10) AS DOUBLE) / 10000.0 AS encoded
+      |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin
+
+  /** e29: week-over-week growth — epoch-week totals per event type with
+    * the lag-ratio growth rate (t − prev)/prev. Totals are exact via the
+    * DECIMAL interior sum; the growth is two correctly-rounded double ops
+    * on identical operands, NULL on each type's first week (no fake 0%).
+    * One |weeks×types| aggregate and one lag window over those few rows. */
+  def e29WowGrowth(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables(s, dir, "events")
+      .groupBy(expr("unix_micros(ts) div 604800000000").as("week"),
+        col("event_type"))
+      .agg(decSum(col("value"), "total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev", lag(col("total"), 1).over(w))
+      .withColumn("wow_growth", (col("total") - col("prev")) / col("prev"))
+      .select(col("week"), col("event_type"), col("total"), col("wow_growth"))
+      .orderBy("week", "event_type")
+  }
+
+  private val e29Sql =
+    """WITH weekly AS (
+      |  SELECT epoch_us(ts) // 604800000000 AS week, event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
+      |  FROM events GROUP BY 1, 2),
+      |lagd AS (
+      |  SELECT week, event_type, total,
+      |    LAG(total) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      |  FROM weekly)
+      |SELECT week, event_type, total, (total - prev) / prev AS wow_growth
+      |FROM lagd ORDER BY week, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -1153,6 +1223,8 @@ object EventOps {
     "e25_cooccurrence_lift" -> (e25CooccurrenceLift _),
     "e26_streaks" -> (e26Streaks _),
     "e27_convert_time" -> (e27ConvertTime _),
+    "e28_target_encode" -> (e28TargetEncode _),
+    "e29_wow_growth" -> (e29WowGrowth _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -1184,6 +1256,8 @@ object EventOps {
     "e25_cooccurrence_lift" -> e25Sql,
     "e26_streaks" -> e26Sql,
     "e27_convert_time" -> e27Sql,
+    "e28_target_encode" -> e28Sql,
+    "e29_wow_growth" -> e29Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }

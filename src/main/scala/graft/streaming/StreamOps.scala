@@ -258,6 +258,45 @@ object StreamOps {
       }
   }
 
+  case class CusumState(s: Double)
+  case class CusumAlarm(event_type: String, event_id: Long, ts: Timestamp,
+                        cusum: Double)
+
+  /** Online CUSUM drift monitor — Page's recursive one-sided statistic
+    * S_t = max(0, S_{t−1} + (x_t − k)), the streaming face of the batch
+    * e21 offline changepoint query: e21 finds WHERE the shift was after
+    * the fact; this raises the alarm AS the shift happens, with one
+    * double of state per key. `k` is the reference (allowed) level,
+    * `h` the alarm threshold; an alarm row is emitted each time S
+    * crosses h, and S resets on alarm (the standard restart rule) so
+    * sustained drift re-alarms instead of saturating. In-batch
+    * (ts, event_id) full-precision sort, per-key event-time monotonicity
+    * across batches — same contract as the other keyed-state ops. */
+  def onlineCusum(events: Dataset[Event], k: Double, h: Double): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[Event], state: GroupState[CusumState]) =>
+          val evs = batch.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
+          val out = Seq.newBuilder[CusumAlarm]
+          var s = state.getOption.map(_.s).getOrElse(0.0)
+          evs.foreach { e =>
+            s = math.max(0.0, s + (e.value - k))
+            if (s > h) {
+              out += CusumAlarm(tpe, e.event_id, e.ts, s)
+              s = 0.0
+            }
+          }
+          state.update(CusumState(s))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: correlate two event streams on a key
     * within a bounded event-time window (right event lands in
     * [left.ts, left.ts + maxGap]). Both sides carry watermarks, so each

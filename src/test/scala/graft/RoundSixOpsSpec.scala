@@ -237,6 +237,47 @@ class RoundSixOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e28_target_encode shrinks toward the prior and replays naively") {
+    val got = SparkEntry.queries("e28_target_encode")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = Tables(spark, sfDir, "events")
+      .selectExpr("event_type",
+        "cast(cast(value as decimal(38,4)) * 10000 as long) as w")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gN = rows.length.toLong
+    val gSw = rows.map(r => BigInt(r._2)).sum
+    val prior = (gSw.toDouble / gN) / 10000.0
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val n = rs.length.toLong
+      val sw = rs.map(r => BigInt(r._2)).sum
+      val expect =
+        ((sw * gN + 10 * gSw).toDouble / (BigInt(gN) * BigInt(n + 10)).toDouble) / 10000.0
+      val (gotN, gotE) = got(t)
+      assert(gotN === n)
+      assert(math.abs(gotE - expect) < 1e-9, s"type $t")
+      // smoothing pulls the encoding strictly between raw mean and prior
+      val raw = (sw.toDouble / n) / 10000.0
+      val lo = math.min(raw, prior) - 1e-9
+      val hi = math.max(raw, prior) + 1e-9
+      assert(gotE >= lo && gotE <= hi, s"type $t: $gotE outside [$lo, $hi]")
+    }
+  }
+
+  test("e29_wow_growth: first week per type is NULL, ratios replay from totals") {
+    val got = SparkEntry.queries("e29_wow_growth")(spark, sfDir).collect()
+    val byType = got.groupBy(_.getString(1))
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      assert(sorted.head.isNullAt(3), s"type $t first week must have NULL growth")
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          val expect = (cur.getDouble(2) - prev.getDouble(2)) / prev.getDouble(2)
+          assert(cur.getDouble(3) === expect, s"type $t week ${cur.getLong(0)}")
+        case _ =>
+      }
+    }
+  }
+
   test("d27_containment: a strict subset document scores 1.0") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"

@@ -243,6 +243,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(("click", "purchase")) === 1L, "cross-batch bridge pair must be emitted")
   }
 
+  test("onlineCusum alarms on a level shift, carries state across batches, resets") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // k=2, h=5: values at the reference level accumulate nothing; the
+    // shift to 5 adds +3 per event -> alarm on the 2nd shifted event,
+    // even though the shift spans the batch boundary
+    val batchA = Seq(
+      Event(1L, ts(0), 1L, "m", 2.0, "{}"),
+      Event(2L, ts(1), 1L, "m", 2.0, "{}"),
+      Event(3L, ts(2), 1L, "m", 5.0, "{}"))   // S = 3
+    val batchB = Seq(
+      Event(4L, ts(3), 1L, "m", 5.0, "{}"),   // S = 6 > 5 -> alarm, reset
+      Event(5L, ts(4), 1L, "m", 5.0, "{}"),   // S = 3
+      Event(6L, ts(5), 1L, "m", 5.0, "{}"))   // S = 6 -> alarm again
+    val ms = MemoryStream[Event]
+    ms.addData(batchA); ms.addData(batchB)
+    StreamOps.runToMemory(
+      StreamOps.onlineCusum(ms.toDS(), k = 2.0, h = 5.0).toDF(), "cusum_alarms",
+      OutputMode.Append())
+    val got = spark.table("cusum_alarms")
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((4L, 6.0), (6L, 6.0)),
+      s"expected alarms at events 4 and 6, got ${got.toList}")
+    // offline replay over the concatenated stream agrees
+    var s = 0.0
+    val replay = (batchA ++ batchB).sortBy(_.event_id).flatMap { e =>
+      s = math.max(0.0, s + (e.value - 2.0))
+      if (s > 5.0) { val a = (e.event_id, s); s = 0.0; Some(a) } else None
+    }
+    assert(got.toSeq === replay)
+  }
+
   test("stream-stream interval join correlates events within the gap only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
