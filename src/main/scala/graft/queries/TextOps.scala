@@ -230,6 +230,95 @@ object TextOps {
       |WHERE CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d29: Flesch reading-ease score per document (Flesch 1948) — the
+    * quality-filter signal complementing d3's ratio score with an actual
+    * readability model. Counts are deterministic surrogates: words =
+    * whitespace gaps + 1, sentences = runs of [.!?] (min 1), syllables =
+    * vowel-group runs per document (the standard approximation). The
+    * score 206.835 − 1.015·(W/S) − 84.6·(Syl/W) is five correctly-rounded
+    * double ops on identical operands — the decimal literals parse to the
+    * identical doubles in both engines, so no rounding is needed. Fully
+    * row-local: zero shuffles beyond the final sort. */
+  def d29Readability(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+    // '#' as run sentinel: strip pre-existing '#' first so counts never
+    // collide with document content
+    val clean = regexp_replace(col("text"), "#", "")
+    def runs(marked: org.apache.spark.sql.Column) =
+      (length(marked) - length(regexp_replace(marked, "#", ""))).cast("long")
+    val words = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+    val sentences = greatest(runs(regexp_replace(clean, "[.!?]+", "#")), lit(1L))
+    val syllables = greatest(runs(regexp_replace(lower(clean), "[aeiouy]+", "#")), lit(1L))
+    docs.select(col("doc_id"), words.as("words"), sentences.as("sentences"),
+        syllables.as("syllables"))
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("words").cast("double") / col("sentences").cast("double")) -
+          lit(84.6) * (col("syllables").cast("double") / col("words").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  private val d29Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, regexp_replace(text, '#', '', 'g') AS clean
+      |  FROM documents WHERE doc_id < 200),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS BIGINT) AS words,
+      |    greatest(CAST(length(regexp_replace(clean, '[.!?]+', '#', 'g'))
+      |      - length(regexp_replace(regexp_replace(clean, '[.!?]+', '#', 'g'), '#', '', 'g')) AS BIGINT), 1) AS sentences,
+      |    greatest(CAST(length(regexp_replace(lower(clean), '[aeiouy]+', '#', 'g'))
+      |      - length(regexp_replace(regexp_replace(lower(clean), '[aeiouy]+', '#', 'g'), '#', '', 'g')) AS BIGINT), 1) AS syllables
+      |  FROM d)
+      |SELECT doc_id, words, sentences, syllables,
+      |  206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+      |          - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) AS flesch
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** d30: n-gram novelty curve — per document in doc_id (arrival) order,
+    * the fraction of its distinct word 3-grams never seen in ANY earlier
+    * document. The curation signal behind "is new data still adding
+    * anything": a corpus whose novelty curve collapses is recycling
+    * itself (the aggregate view of what d25 flags pairwise). First
+    * occurrence is a |grams|-row min-aggregate on the hex60 gram hash
+    * (PortableHash — engine-portable by construction), joined back onto
+    * the exploded grams: two shuffles keyed by gram, one by doc. */
+  def d30NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val grams = graft.operators.Decontaminate
+      .gramHashes(Tables(s, dir, "documents"), "doc_id", "text", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count()
+    val firstSeen = grams.groupBy(col("gh")).agg(min(col("id")).as("first_id"))
+    grams.join(firstSeen, "gh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val d30Sql: String = {
+    val idx = (1 to 3).map(j => s"string_split(text,' ')[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    unnest(CASE WHEN len(string_split(text,' ')) >= 3
+       |      THEN list_transform(range(0, len(string_split(text,' ')) - 2), i -> $idx)
+       |      ELSE [text] END) AS gram
+       |  FROM documents),
+       |h AS (SELECT id, CAST(('0x' || substr(md5(gram),1,15)) AS BIGINT) AS gh FROM g),
+       |f AS (SELECT gh, MIN(id) AS first_id FROM h GROUP BY gh)
+       |SELECT h.id AS doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN f.first_id = h.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  ROUND(CAST(SUM(CASE WHEN f.first_id = h.id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+       |FROM h JOIN f USING (gh)
+       |GROUP BY h.id ORDER BY doc_id""".stripMargin
+  }
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -626,6 +715,8 @@ object TextOps {
     "d5_lang_score" -> (d5LangScore _),
     "d6_jaccard_neardup" -> (d6JaccardNearDup _),
     "d27_containment" -> (d27Containment _),
+    "d29_readability" -> (d29Readability _),
+    "d30_ngram_novelty" -> (d30NgramNovelty _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -646,5 +737,7 @@ object TextOps {
     "d5_lang_score" -> d5Sql,
     "d6_jaccard_neardup" -> d6Sql,
     "d27_containment" -> d27Sql,
+    "d29_readability" -> d29Sql,
+    "d30_ngram_novelty" -> d30Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

@@ -278,6 +278,47 @@ class RoundSixOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d29_readability replays the Flesch surrogate counts on raw text") {
+    val got = SparkEntry.queries("d29_readability")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val clean = text.replace("#", "")
+      val words = (text.length - text.replace(" ", "").length + 1).toLong
+      val sentences = math.max("[.!?]+".r.findAllIn(clean).size.toLong, 1L)
+      val syllables = math.max("[aeiouy]+".r.findAllIn(clean.toLowerCase).size.toLong, 1L)
+      val flesch = 206.835 - 1.015 * (words.toDouble / sentences.toDouble) -
+        84.6 * (syllables.toDouble / words.toDouble)
+      assert(got(id) === ((words, sentences, syllables, flesch)), s"doc $id")
+    }
+  }
+
+  test("d30_ngram_novelty: doc 0 is fully novel, exact duplicates score 0") {
+    val rows = SparkEntry.queries("d30_ngram_novelty")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache() // d30 persists its gram table
+    val byId = rows.map(r => r._1 -> r).toMap
+    val firstId = rows.map(_._1).min
+    assert(byId(firstId)._4 === 1.0, "the first document has nothing to repeat")
+    rows.foreach { case (_, nGrams, nNovel, novelty) =>
+      assert(nNovel >= 0 && nNovel <= nGrams)
+      assert(novelty >= 0.0 && novelty <= 1.0)
+    }
+    // any doc whose text equals an earlier doc's text must be 0% novel
+    val texts = Tables(spark, sfDir, "documents").selectExpr("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    texts.foreach { case (id, t) =>
+      if (seen.contains(t)) assert(byId(id)._4 === 0.0, s"duplicate doc $id")
+      seen += t
+    }
+  }
+
   test("d27_containment: a strict subset document scores 1.0") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
