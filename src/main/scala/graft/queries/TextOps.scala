@@ -319,6 +319,35 @@ object TextOps {
        |GROUP BY h.id ORDER BY doc_id""".stripMargin
   }
 
+  /** d31: hapax legomena rate per language — the share of the vocabulary
+    * occurring exactly once (Zipf's long tail). A high hapax rate means
+    * unexploited lexical diversity; a collapsing one means the corpus
+    * repeats itself (the vocabulary-level cousin of d30's novelty curve).
+    * Two aggregates: token counts per (lang, token), then the per-lang
+    * rollup; the rate is one correctly-rounded division. */
+  def d31HapaxRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("n"))
+    tok.groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_rate",
+        col("n_hapax").cast("double") / col("vocab").cast("double"))
+      .orderBy("lang")
+  }
+
+  private val d31Sql =
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      |counts AS (
+      |  SELECT lang, t, COUNT(*) AS n FROM tok GROUP BY lang, t)
+      |SELECT lang, COUNT(*) AS vocab,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS hapax_rate
+      |FROM counts GROUP BY lang ORDER BY lang""".stripMargin
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -717,6 +746,7 @@ object TextOps {
     "d27_containment" -> (d27Containment _),
     "d29_readability" -> (d29Readability _),
     "d30_ngram_novelty" -> (d30NgramNovelty _),
+    "d31_hapax_rate" -> (d31HapaxRate _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -739,5 +769,6 @@ object TextOps {
     "d27_containment" -> d27Sql,
     "d29_readability" -> d29Sql,
     "d30_ngram_novelty" -> d30Sql,
+    "d31_hapax_rate" -> d31Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

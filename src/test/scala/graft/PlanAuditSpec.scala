@@ -407,6 +407,34 @@ class PlanAuditSpec extends AnyFunSuite {
         s.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
 
+  test("q32 column stats: ONE scan feeds all four columns' stats (Expand, no re-reads)") {
+    val s = formatted(SparkEntry.queries("q32_column_stats")(spark, sfDir))
+    assert(nodeCount(s, "Scan parquet") <= 1,
+      "the profiler must not rescan the table per column: " +
+        s.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(s.contains("Expand"), "exact multi-countDistinct should compile to Expand")
+  }
+
+  test("e28 target encode: global stats broadcast, single fact scan family, no BNLJ blowup") {
+    val s = formatted(SparkEntry.queries("e28_target_encode")(spark, sfDir))
+    assert(nodeCount(s, "CartesianProduct") == 0, s.take(1200))
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      "the 1-row global aggregate must broadcast: " + s.take(1200))
+  }
+
+  test("d30 novelty and d31 hapax: hash aggregates on gram/token keys, no pairwise join") {
+    val s30 = try formatted(SparkEntry.queries("d30_ngram_novelty")(spark, sfDir))
+    finally spark.catalog.clearCache() // d30 persists its gram table
+    assert(nodeCount(s30, "CartesianProduct") == 0 &&
+      nodeCount(s30, "BroadcastNestedLoopJoin") == 0, s30.take(1200))
+    assert(s30.contains("InMemoryTableScan") || s30.contains("TableCacheQueryStage"),
+      "both branches must read the persisted gram table: " + s30.take(1200))
+    val s31 = formatted(SparkEntry.queries("d31_hapax_rate")(spark, sfDir))
+    assert(s31.contains("partial_count") || s31.contains("partial_"),
+      "token counts must partial-aggregate map-side: " + s31.take(1200))
+    assert(nodeCount(s31, "SortMergeJoin") == 0 && nodeCount(s31, "CartesianProduct") == 0)
+  }
+
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
     val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
     finally spark.catalog.clearCache() // d25 persists its gram table
