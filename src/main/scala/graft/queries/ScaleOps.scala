@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnSearch, BloomPrune, IvfSearch, MinHashDedup, SimHash, SkewAgg, SkewJoin}
+import graft.operators.{AnnSearch, BloomPrune, IvfSearch, MinHashDedup, PqSearch, SimHash, SkewAgg, SkewJoin}
 
 /** Oracle-checked entry points for the scale operators (MinHash/LSH,
   * SimHash, hyperplane-LSH ANN). The operator logic lives in
@@ -275,6 +275,90 @@ object ScaleOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // i2 constants shared by the Spark query and its SQL replay
+  private val PqM = 4       // subspaces
+  private val PqK = 16      // codewords per subspace (codes are 4 bits)
+  private val PqIters = 2   // Lloyd iterations per subspace (unrolled)
+  private val PqRound = 6   // centroid-mean rounding (engine portability)
+  private val PqTopK = 5
+
+  /** i2: product-quantization ADC top-5 for the same 3 query vectors as
+    * v1/a1/i1 — the memory-bound companion to i1's IVF routing. The
+    * oracle replays the ENTIRE chain: four independent deterministic
+    * Lloyd fits (one per 16-dim subspace, each unrolled like i1), the
+    * per-vector code assignment, the per-query distance tables, and the
+    * fixed-order ADC sum — so the quantizer itself is hash-verified, not
+    * just the final ranks. */
+  def i2PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cb = PqSearch.train(e, "vec_id", "embedding",
+      m = PqM, k = PqK, iters = PqIters, roundDecimals = PqRound)
+    val enc = PqSearch.encode(e, "vec_id", "embedding", cb)
+    PqSearch.adcTopK(e.filter(col("vec_id") < 3), enc, cb,
+        "vec_id", "embedding", topK = PqTopK)
+      .orderBy("q_id", "rk")
+  }
+
+  private val i2Sql: String = {
+    val sub = AnnSearch.Dim / PqM
+    def dist2(a: String, b: String) =
+      s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+    val subBlocks = (0 until PqM).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val iters = (1 to PqIters).map { i =>
+        s"""s${s}a$i AS (
+           |  SELECT id, emb, cid FROM (
+           |    SELECT e.id, e.emb, cc.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.id
+           |        ORDER BY ${dist2(s"e.emb[$lo:$hi]", "cc.c")}, cc.cid) AS rn
+           |    FROM e CROSS JOIN s${s}c${i - 1} cc) z WHERE rn = 1),
+           |s${s}n$i AS (
+           |  SELECT cid, list(m ORDER BY j) AS c FROM (
+           |    SELECT cid, j, ROUND(AVG(emb[CAST(j AS INTEGER) + $lo]), $PqRound) AS m
+           |    FROM s${s}a$i CROSS JOIN range($sub) t(j) GROUP BY cid, j) z GROUP BY cid),
+           |s${s}c$i AS (
+           |  SELECT p.cid, COALESCE(n.c, p.c) AS c
+           |  FROM s${s}c${i - 1} p LEFT JOIN s${s}n$i n ON p.cid = n.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""s${s}c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INTEGER) - 1 AS cid,
+         |    emb[$lo:$hi] AS c
+         |  FROM (SELECT id, emb FROM e ORDER BY id LIMIT $PqK) z),
+         |$iters,
+         |s${s}code AS (
+         |  SELECT id, cid AS c$s FROM (
+         |    SELECT e.id, cc.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.id
+         |        ORDER BY ${dist2(s"e.emb[$lo:$hi]", "cc.c")}, cc.cid) AS rn
+         |    FROM e CROSS JOIN s${s}c$PqIters cc) z WHERE rn = 1),
+         |s${s}t AS (
+         |  SELECT q.q_id, cc.cid, ${dist2(s"q.q_emb[$lo:$hi]", "cc.c")} AS d
+         |  FROM q CROSS JOIN s${s}c$PqIters cc)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$subBlocks,
+       |codes AS (
+       |  SELECT s0code.id, c0, c1, c2, c3
+       |  FROM s0code
+       |  JOIN s1code USING (id) JOIN s2code USING (id) JOIN s3code USING (id)),
+       |scored AS (
+       |  SELECT q.q_id, k.id AS neighbor, t0.d + t1.d + t2.d + t3.d AS adc
+       |  FROM codes k CROSS JOIN q
+       |  JOIN s0t t0 ON t0.q_id = q.q_id AND t0.cid = k.c0
+       |  JOIN s1t t1 ON t1.q_id = q.q_id AND t1.cid = k.c1
+       |  JOIN s2t t2 ON t2.q_id = q.q_id AND t2.cid = k.c2
+       |  JOIN s3t t3 ON t3.q_id = q.q_id AND t3.cid = k.c3
+       |  WHERE k.id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, neighbor) AS rk
+       |  FROM scored)
+       |SELECT q_id, neighbor, adc, rk FROM ranked WHERE rk <= $PqTopK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   /** s1: salted two-phase aggregation (the hot-key lever) pinned against a
     * PLAIN `GROUP BY` oracle: because the summed column goes through
     * DECIMAL(38,4), the aggregation is order-independent, so the salted
@@ -371,6 +455,7 @@ object ScaleOps {
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
+    "i2_pq_topk" -> (i2PqTopk _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "b1_bloom_join" -> (b1BloomJoin _),
@@ -382,6 +467,7 @@ object ScaleOps {
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
     "i1_ivf_topk" -> i1Sql,
+    "i2_pq_topk" -> i2Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "b1_bloom_join" -> b1Sql,
