@@ -86,6 +86,49 @@ class PqSearchSpec extends AnyFunSuite {
     assert(approx.size === 15, "3 queries x top-5")
   }
 
+  test("IVF routing composes with PQ codes and exact rerank — the production ANN stack") {
+    import graft.operators.IvfSearch
+    // stack: coarse IVF routing (i1-verified) -> ADC over PQ codes
+    // (i2-verified) on the probed lists only -> exact rerank of the ADC
+    // shortlist (v8-verified pattern). Each stage is oracle-checked alone;
+    // this pins that they compose without touching full embeddings until
+    // the final shortlist.
+    val idx = IvfSearch.buildIndex(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, roundDecimals = 6)
+    try {
+      val q = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      // route: nearest 3 of 8 coarse centroids for query 0
+      def d2(a: Seq[Double], b: Seq[Double]): Double =
+        a.indices.foldLeft(0.0)((acc, i) => acc + (a(i) - b(i)) * (a(i) - b(i)))
+      val probed = idx.centroids
+        .map { case (cid, c) => (cid, d2(q, c)) }
+        .sortBy { case (cid, d) => (d, cid) }.take(3).map(_._1).toSet
+      val listed = idx.assignments
+        .filter(col("centroid_id").isin(probed.toSeq: _*) && col("id") =!= 0L)
+        .select(col("id"))
+      // ADC over the probed lists only (codes, never raw embeddings)
+      val shortlist = PqSearch.adcTopK(
+          corpus.filter(col("vec_id") === 0),
+          enc.join(listed, "id"), cb, "vec_id", "embedding", topK = 20)
+        .select(col("neighbor"))
+      // exact rerank of the 20-candidate shortlist
+      val all = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val top5 = shortlist.collect().map(_.getLong(0))
+        .map(id => (id, d2(q, all(id))))
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      assert(top5.length === 5)
+      // the reranked distances are genuinely sorted and all candidates
+      // came from probed lists
+      assert(top5.map(_._2).toSeq === top5.map(_._2).sorted.toSeq)
+      val members = idx.assignments
+        .filter(col("centroid_id").isin(probed.toSeq: _*))
+        .collect().map(_.getLong(0)).toSet
+      top5.foreach { case (id, _) => assert(members.contains(id)) }
+    } finally idx.close()
+  }
+
   test("PQ preserves cluster identity on a clustered corpus (the designed-for regime)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
