@@ -87,4 +87,14 @@ object DotProduct {
 
   /** Column surface; callers must have registered on the session. */
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Squared L2 distance via the codegen'd dot: |a−b|² = |a|² − 2a·b + |b|².
+    * The LEFT-ASSOC expansion order is load-bearing: the DuckDB oracles
+    * replay it as `ldp(a,a) - 2.0 * ldp(a,b) + ldp(b,b)` and bit-exact
+    * parity (i1/i2) depends on both engines associating identically —
+    * keep the ONE definition here (IvfSearch and PqSearch both use it). */
+  def dist2(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    dotProduct(a, a) - lit(2.0) * dotProduct(a, b) + dotProduct(b, b)
+  }
 }

@@ -25,10 +25,9 @@ object IvfSearch {
 
   private def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
 
-  /** Squared L2 distance via codegen'd dots:
-    * |a-b|² = |a|² − 2a·b + |b|². */
-  private def dist2(a: Column, b: Column): Column =
-    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+  /** Squared L2 distance — the shared left-assoc expansion the oracles
+    * replay; single definition lives next to the expression. */
+  private def dist2(a: Column, b: Column): Column = DotProduct.dist2(a, b)
 
   /** Deterministic Lloyd's k-means over the embedding column. Returns
     * (centroid_id, centroid) rows collected to the driver (k·dim values).

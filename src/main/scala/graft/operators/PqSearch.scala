@@ -30,9 +30,7 @@ import graft.functions.DotProduct
   */
 object PqSearch {
 
-  private def dot(a: Column, b: Column): Column = DotProduct.dotProduct(a, b)
-  private def dist2(a: Column, b: Column): Column =
-    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+  private def dist2(a: Column, b: Column): Column = DotProduct.dist2(a, b)
 
   /** Per-subspace codebooks: `books(s)` is the (cid, centroid) list for
     * subspace s over dims [s·subDim, (s+1)·subDim). */
@@ -100,9 +98,14 @@ object PqSearch {
       .select(col("q_id"), col("s"), col("cid"), col("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tables.count()
-    var scored = encoded
-      .crossJoin(broadcast(tables.select(col("q_id")).distinct()))
-    (0 until cb.m).foreach { s =>
+    // the first subspace join supplies the q_id expansion itself (every
+    // candidate matches one t0 row per query) — no separate cross join
+    // pass over the candidate set
+    var scored = encoded.join(
+      broadcast(tables.filter(col("s") === 0)
+        .select(col("q_id"), col("cid").as("tc0"), col("d").as("d0"))),
+      col("c0") === col("tc0"))
+    (1 until cb.m).foreach { s =>
       val t = broadcast(tables.filter(col("s") === s)
         .select(col("q_id").as(s"tq$s"), col("cid").as(s"tc$s"), col("d").as(s"d$s")))
       scored = scored.join(t,

@@ -1178,7 +1178,10 @@ object EventOps {
     val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
     weekly
       .withColumn("prev", lag(col("total"), 1).over(w))
-      .withColumn("wow_growth", (col("total") - col("prev")) / col("prev"))
+      // zero-prev guard: a 0-total base week must yield NULL, not
+      // Infinity/NaN (which would diverge from the oracle's CASE NULL)
+      .withColumn("wow_growth",
+        when(col("prev") =!= 0.0, (col("total") - col("prev")) / col("prev")))
       .select(col("week"), col("event_type"), col("total"), col("wow_growth"))
       .orderBy("week", "event_type")
   }
@@ -1192,7 +1195,8 @@ object EventOps {
       |  SELECT week, event_type, total,
       |    LAG(total) OVER (PARTITION BY event_type ORDER BY week) AS prev
       |  FROM weekly)
-      |SELECT week, event_type, total, (total - prev) / prev AS wow_growth
+      |SELECT week, event_type, total,
+      |  CASE WHEN prev <> 0 THEN (total - prev) / prev END AS wow_growth
       |FROM lagd ORDER BY week, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -115,17 +115,25 @@ class PqSearchSpec extends AnyFunSuite {
       // exact rerank of the 20-candidate shortlist
       val all = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-      val top5 = shortlist.collect().map(_.getLong(0))
-        .map(id => (id, d2(q, all(id))))
+      val shortIds = shortlist.collect().map(_.getLong(0))
+      assert(shortIds.length === 20, "ADC stage must deliver the full shortlist")
+      val top5 = shortIds.map(id => (id, d2(q, all(id))))
         .sortBy { case (id, d) => (d, id) }.take(5)
-      assert(top5.length === 5)
-      // the reranked distances are genuinely sorted and all candidates
-      // came from probed lists
-      assert(top5.map(_._2).toSeq === top5.map(_._2).sorted.toSeq)
+      // every ADC candidate stayed inside the probed lists (the stack
+      // never scanned unrouted vectors)
       val members = idx.assignments
         .filter(col("centroid_id").isin(probed.toSeq: _*))
         .collect().map(_.getLong(0)).toSet
-      top5.foreach { case (id, _) => assert(members.contains(id)) }
+      shortIds.foreach(id => assert(members.contains(id), s"candidate $id unrouted"))
+      // and the ADC shortlist is genuinely informative: it captures at
+      // least one of the 5 exact-nearest IN-LIST vectors (a broken ADC
+      // returning arbitrary members would miss all of them w.h.p.)
+      val exactInList = members.filter(_ != 0L).toSeq
+        .map(id => (id, d2(q, all(id))))
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+      assert((exactInList & shortIds.toSet).nonEmpty,
+        s"ADC shortlist $shortIds misses all of the exact in-list top-5 $exactInList")
+      assert(top5.length === 5)
     } finally idx.close()
   }
 

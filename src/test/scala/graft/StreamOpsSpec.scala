@@ -258,10 +258,18 @@ class StreamOpsSpec extends AnyFunSuite {
       Event(5L, ts(4), 1L, "m", 5.0, "{}"),   // S = 3
       Event(6L, ts(5), 1L, "m", 5.0, "{}"))   // S = 6 -> alarm again
     val ms = MemoryStream[Event]
-    ms.addData(batchA); ms.addData(batchB)
-    StreamOps.runToMemory(
-      StreamOps.onlineCusum(ms.toDS(), k = 2.0, h = 5.0).toDF(), "cusum_alarms",
-      OutputMode.Append())
+    // two REAL micro-batches (addData between processAllAvailable calls),
+    // so the S=3 carried out of batch A must survive in state — a
+    // state-dropping regression cannot pass
+    ms.addData(batchA)
+    val q = StreamOps.onlineCusum(ms.toDS(), k = 2.0, h = 5.0).toDF()
+      .writeStream.format("memory").queryName("cusum_alarms")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    assert(spark.table("cusum_alarms").count() === 0, "no alarm inside batch A")
+    ms.addData(batchB)
+    q.processAllAvailable()
+    q.stop()
     val got = spark.table("cusum_alarms")
       .collect().map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1)
     assert(got.toSeq === Seq((4L, 6.0), (6L, 6.0)),
