@@ -71,7 +71,10 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
+          // NonFatal mirrors the warm-up policy: an OOM/LinkageError means
+          // the JVM is corrupt and later timings would be garbage — die
+          // rather than record a -1 and keep benching
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         } finally {

@@ -49,7 +49,7 @@ object ApproxOps {
     *
     * Two bounded passes over the column: the built-in `count_min_sketch`
     * aggregate (mergeable map-side partial state, one tiny binary to the
-    * driver) plus a deterministic hash-sample whose per-item counts
+    * driver) plus a content-hash row sample whose per-item counts
     * nominate candidates (any true `minShare` hitter appears in a 5%
     * sample with overwhelming probability for the stream sizes where a
     * sketch matters; the candidate cap bounds driver memory). Candidate
@@ -57,11 +57,23 @@ object ApproxOps {
     * so the result can contain false positives near the threshold but no
     * false negatives among sampled candidates (CMS one-sided error).
     *
+    * Nomination is DETERMINISTIC in row CONTENT, not partition layout:
+    * rows are kept when `xxhash64(idCol | whole row) % sampleRate == 0`,
+    * so the same multiset of rows nominates the same candidates however
+    * the data is partitioned (DataFrame.sample is seeded per-partition
+    * and would not). Pass `idCol` (a unique row id) when available — with
+    * it the sample is a true independent row sample. Without it the hash
+    * falls back to the full row struct, so rows that are byte-identical
+    * across EVERY column sample as a block (all kept or all dropped); a
+    * hot value whose rows are fully identical can then be missed, which
+    * is the price of layout-independence on id-less data.
+    *
     * String-typed column only (the common hot-key case); `eps` bounds the
     * overestimate at eps·N with confidence `confidence`. */
   def heavyHitters(df: DataFrame, valueCol: String, minShare: Double = 0.01,
                    eps: Double = 0.001, confidence: Double = 0.99,
-                   sampleRate: Int = 20, maxCandidates: Int = 10000): DataFrame = {
+                   sampleRate: Int = 20, maxCandidates: Int = 10000,
+                   idCol: Option[String] = None): DataFrame = {
     require(minShare > 0 && minShare <= 1, s"minShare out of (0,1]: $minShare")
     require(df.schema(valueCol).dataType ==
       org.apache.spark.sql.types.StringType,
@@ -79,13 +91,15 @@ object ApproxOps {
       return Seq.empty[(String, Long)].toDF("item", "est_count")
     val cms = CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](1)))
-    // seeded 1/sampleRate ROW sample -> candidate list (sampling by value
-    // hash would drop entire items deterministically; a true hitter spans
-    // many rows, so row sampling nominates it w.h.p.), capped so the
+    // content-hash 1/sampleRate ROW sample -> candidate list (sampling by
+    // value hash alone would drop entire items; hashing the row id — or
+    // the whole row when no id exists — keeps the sample a ROW sample
+    // while staying independent of partition layout), capped so the
     // driver collect stays bounded even on adversarial data
+    val rowKey = idCol.map(col).getOrElse(struct(df.columns.map(col): _*))
     val candidates = df
       .filter(col(valueCol).isNotNull) // sketch + count skip nulls; a null
-      .sample(withReplacement = false, 1.0 / sampleRate, seed = 42) // candidate would crash estimateCount
+      .filter(pmod(xxhash64(rowKey, lit(42)), lit(sampleRate)) === 0) // candidate would crash estimateCount
       .groupBy(col(valueCol)).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col(valueCol))
       .limit(maxCandidates)

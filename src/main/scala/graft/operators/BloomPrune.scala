@@ -47,10 +47,14 @@ object BloomPrune {
     BloomFunctions.register(fact.sparkSession)
     // cast to long on BOTH sides so stat.bloomFilter's putLong and the
     // probe's mightContainLong agree on the hashed representation.
+    // Distinct BEFORE persisting: the bloom only cares about the key SET,
+    // and self-sizing from total rows on a duplicate-heavy dim would
+    // allocate a filter (and the serialized literal every task receives)
+    // proportional to row count, not key count.
     // Persisted because the dim subtree (often an expensive filtered scan)
     // is read three times — sizing count, filter build, join build side;
     // released by the caller's clearCache like every query-held cache.
-    val keys = dim.select(col(dimKey).cast("long").as(dimKey))
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = keys.count() // materializes the cache; also the self-size
     val sized = if (expectedItems > 0) expectedItems else math.max(1L, n)
@@ -58,7 +62,7 @@ object BloomPrune {
     val bytes = BloomFunctions.serialize(bloom)
     fact
       .filter(BloomFunctions.bloomMightContain(col(factKey).cast("long"), bytes))
-      .join(keys.distinct().hint("shuffle_hash"),
+      .join(keys.hint("shuffle_hash"),
         col(factKey).cast("long") === col(dimKey), "left_semi")
   }
 }

@@ -64,7 +64,14 @@ object Avro {
     case Schema.Type.ENUM    => StringType
     case Schema.Type.BYTES   => BinaryType
     case Schema.Type.ARRAY   =>
-      ArrayType(primitive(s.getElementType, name), containsNull = false)
+      val et = s.getElementType
+      if (et.getType == Schema.Type.UNION) {
+        val branches = et.getTypes.asScala.toSeq
+        val nonNull = branches.filterNot(_.getType == Schema.Type.NULL)
+        require(nonNull.size == 1 && branches.size <= 2,
+          s"field $name: only [null, T] union array elements are supported, got $et")
+        ArrayType(primitive(nonNull.head, name), containsNull = true)
+      } else ArrayType(primitive(et, name), containsNull = false)
     case other => throw new IllegalArgumentException(
       s"field $name: unsupported Avro type $other (pre-flatten upstream)")
   }
@@ -113,12 +120,20 @@ object Avro {
       require(matched != null && matched.nonEmpty, s"no files match $globPath")
       matched.map(_.getPath.toString).min
     }
-    val sparkSchema = toSparkSchema(schemaOf(spark, probe))
+    val probeAvro = schemaOf(spark, probe)
+    val sparkSchema = toSparkSchema(probeAvro)
     val n = sparkSchema.size
+    // Ship the probe schema as the READER schema so Avro does name-based
+    // resolution per file: schema-evolved containers (reordered fields,
+    // added fields with defaults) align by field name instead of silently
+    // misbinding by position; incompatible files fail fast in the decoder.
+    val readerJson = probeAvro.toString
     val rows = spark.sparkContext
       .binaryFiles(globPath.toString)
       .flatMap { case (_, pds) =>
-        val in = new DataFileStream(pds.open(), new GenericDatumReader[GenericRecord]())
+        val reader = new Schema.Parser().parse(readerJson)
+        val in = new DataFileStream(pds.open(),
+          new GenericDatumReader[GenericRecord](null, reader))
         // close on task end, not just on exhaustion — a limit()/take()
         // that abandons the iterator mid-file must not leak the handle
         var closed = false
@@ -146,7 +161,14 @@ object Avro {
       case DoubleType  => Schema.create(Schema.Type.DOUBLE)
       case StringType  => Schema.create(Schema.Type.STRING)
       case BinaryType  => Schema.create(Schema.Type.BYTES)
-      case ArrayType(et, _) => Schema.createArray(prim(et, name))
+      case ArrayType(et, containsNull) =>
+        val elem = prim(et, name)
+        // null-tolerant elements ride as a [null, T] union so a null
+        // element fails here (supported) rather than deep in the writer
+        Schema.createArray(
+          if (containsNull)
+            Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), elem))
+          else elem)
       case other => throw new IllegalArgumentException(
         s"field $name: unsupported Spark type $other for Avro sink")
     }

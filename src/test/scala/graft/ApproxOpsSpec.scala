@@ -31,12 +31,13 @@ class ApproxOpsSpec extends AnyFunSuite {
     // the only true 5%-share hitters
     val n = 20000
     val df = spark.range(n).select(
+      col("id"),
       when(col("id") % 10 < 8, lit("hot"))
         .when(col("id") % 10 === 8, lit("warm"))
         .otherwise(concat(lit("tail_"), col("id"))).as("v"))
     val exact = df.groupBy("v").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val got = ApproxOps.heavyHitters(df, "v", minShare = 0.05)
+    val got = ApproxOps.heavyHitters(df, "v", minShare = 0.05, idCol = Some("id"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.keySet === Set("hot", "warm"),
       s"expected exactly the two true hitters, got ${got.keySet}")
@@ -45,6 +46,25 @@ class ApproxOpsSpec extends AnyFunSuite {
       // eps=0.001 -> overestimate bounded by eps*N = 20; allow 3x slack
       assert(est <= exact(v) + 3 * (0.001 * n).toLong, s"$v: est $est exact ${exact(v)}")
     }
+  }
+
+  test("heavyHitters nomination is independent of partition layout") {
+    val n = 20000
+    val df = spark.range(n).select(
+      col("id"),
+      when(col("id") % 10 < 8, lit("hot"))
+        .when(col("id") % 10 === 8, lit("warm"))
+        .otherwise(concat(lit("tail_"), col("id"))).as("v"))
+    // same multiset of rows, three very different layouts: the content-hash
+    // nomination must return identical hitters (DataFrame.sample would not —
+    // its seed is applied per-partition)
+    val layouts = Seq(df.repartition(3), df.repartition(17, col("v")), df.coalesce(1))
+    val results = layouts.map { d =>
+      ApproxOps.heavyHitters(d, "v", minShare = 0.05, idCol = Some("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    assert(results.distinct.size === 1,
+      s"layout-dependent heavy hitters: ${results.mkString(" vs ")}")
   }
 
   test("heavyHitters on an empty column returns an empty typed frame") {

@@ -135,6 +135,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.agg(sum(col("v"))).head.getDouble(0) === 7.5)
   }
 
+  test("avro: schema-evolved files resolve by field NAME, not position") {
+    import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("avro_evo")
+    def writeOne(file: String, s: ASchema, puts: GenericData.Record => Unit): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+      w.create(s, dir.resolve(file).toFile)
+      val r = new GenericData.Record(s); puts(r); w.append(r); w.close()
+    }
+    // probe file (alphabetically first): (id long, label string)
+    val v1: ASchema = SchemaBuilder.record("evt").namespace("t").fields()
+      .requiredLong("id").requiredString("label").endRecord()
+    // evolved file: same fields REORDERED — positional decode would bind
+    // label bytes into id; name-based resolution must realign
+    val v2: ASchema = SchemaBuilder.record("evt").namespace("t").fields()
+      .requiredString("label").requiredLong("id").endRecord()
+    writeOne("a_first.avro", v1, r => { r.put("id", 1L); r.put("label", "one") })
+    writeOne("b_evolved.avro", v2, r => { r.put("label", "two"); r.put("id", 2L) })
+    val back = graft.sources.Avro.read(spark, dir.toString)
+      .collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("label")))).sortBy(_._1)
+    assert(back.toSeq === Seq((1L, "one"), (2L, "two")))
+  }
+
+  test("avro: null-tolerant array elements ride a [null, T] union both ways") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("avro_nul").resolve("t").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("xs", ArrayType(StringType, containsNull = true), nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq("a", null, "c")), Row(2L, null)), 1), schema)
+    graft.sources.Avro.write(df, dir)
+    val back = graft.sources.Avro.read(spark, dir)
+    assert(back.schema("xs").dataType ===
+      ArrayType(StringType, containsNull = true))
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got(0).getSeq[String](1) === Seq("a", null, "c"))
+    assert(got(1).isNullAt(1))
+  }
+
   test("avro: unsupported shapes fail fast with the field named") {
     import org.apache.avro.SchemaBuilder
     val nested = SchemaBuilder.record("outer").fields()
