@@ -145,21 +145,31 @@ object IvfSearch {
       .select(col("id"), col("emb"), col("centroid_id")))
   }
 
+  /** Routing stage alone: (q_id, q_emb, centroid_id) — the `nprobe`
+    * nearest inverted lists per query. Centroid count is tiny, so this is
+    * a per-row sort over a literal array (no join, no shuffle). Exposed
+    * separately so compositions can score the routed lists with something
+    * other than exact cosine — the production stack routes here and then
+    * scores PQ codes ([[PqSearch.adcTopKWithin]]) before an exact rerank. */
+  def route(queries: DataFrame, index: Index, idCol: String, embCol: String,
+            nprobe: Int): DataFrame = {
+    DotProduct.register(queries.sparkSession)
+    val q = queries
+      .select(col(idCol).as("q_id"), col(embCol).cast("array<double>").as("q_emb"))
+    val probes = index.centroids.map { case (cid, c) =>
+      struct(dist2(col("q_emb"), typedLit(c)).as("d"), lit(cid).as("cid"))
+    }
+    q.withColumn("probe",
+        explode(slice(array_sort(array(probes: _*)), 1, nprobe)))
+      .select(col("q_id"), col("q_emb"), col("probe.cid").as("centroid_id"))
+  }
+
   /** Approximate cosine top-k: probe the `nprobe` nearest inverted lists
     * per query, exact cosine within them. */
   def approxTopK(queries: DataFrame, index: Index, idCol: String, embCol: String,
                  k: Int, nprobe: Int): DataFrame = {
     DotProduct.register(queries.sparkSession)
-    val q = queries
-      .select(col(idCol).as("q_id"), col(embCol).cast("array<double>").as("q_emb"))
-    // nearest nprobe centroids per query — centroid count is tiny, so
-    // this is a per-row sort over a literal array
-    val probes = index.centroids.map { case (cid, c) =>
-      struct(dist2(col("q_emb"), typedLit(c)).as("d"), lit(cid).as("cid"))
-    }
-    val probed = q.withColumn("probe",
-        explode(slice(array_sort(array(probes: _*)), 1, nprobe)))
-      .select(col("q_id"), col("q_emb"), col("probe.cid").as("centroid_id"))
+    val probed = route(queries, index, idCol, embCol, nprobe)
     val cands = broadcast(probed)
       .join(index.assignments, Seq("centroid_id"))
       .filter(col("id") =!= col("q_id"))

@@ -81,6 +81,57 @@ object PqSearch {
     * original embeddings. */
   def adcTopK(queries: DataFrame, encoded: DataFrame, cb: Codebooks,
               idCol: String, embCol: String, topK: Int): DataFrame = {
+    val tables = distanceTables(queries, cb, idCol, embCol)
+    // the first subspace join supplies the q_id expansion itself (every
+    // candidate matches one t0 row per query) — no separate cross join
+    // pass over the candidate set
+    var scored = encoded.join(
+      broadcast(tables.filter(col("s") === 0)
+        .select(col("q_id"), col("cid").as("tc0"), col("d").as("d0"))),
+      col("c0") === col("tc0"))
+    (1 until cb.m).foreach { s =>
+      val t = broadcast(tables.filter(col("s") === s)
+        .select(col("q_id").as(s"tq$s"), col("cid").as(s"tc$s"), col("d").as(s"d$s")))
+      scored = scored.join(t,
+        col("q_id") === col(s"tq$s") && col(s"c$s") === col(s"tc$s"))
+    }
+    finishAdc(scored, cb, topK, tables)
+  }
+
+  /** ADC top-k restricted to per-query candidate lists — the IVF-routed
+    * composition. `candidates` is a (q_id, id) pair frame (e.g. the
+    * members of each query's probed inverted lists, from
+    * [[IvfSearch.route]] joined to the inverted file); pairs must be
+    * distinct. Scoring touches only those pairs' code columns — the
+    * routed stack never reads an unrouted vector's codes, let alone its
+    * embedding. Same fixed-order ADC arithmetic and (adc, id) tie-break
+    * as [[adcTopK]]. */
+  def adcTopKWithin(queries: DataFrame, candidates: DataFrame,
+                    encoded: DataFrame, cb: Codebooks,
+                    idCol: String, embCol: String, topK: Int): DataFrame = {
+    val tables = distanceTables(queries, cb, idCol, embCol)
+    // candidates supply the (q_id, id) expansion; every subspace join —
+    // including s=0 — is keyed on q_id AND the code column
+    var scored = candidates
+      .select(col("q_id").cast("long").as("q_id"), col("id"))
+      .join(encoded, "id")
+    (0 until cb.m).foreach { s =>
+      val t = broadcast(tables.filter(col("s") === s)
+        .select(col("q_id").as(s"tq$s"), col("cid").as(s"tc$s"), col("d").as(s"d$s")))
+      scored = scored.join(t,
+        col("q_id") === col(s"tq$s") && col(s"c$s") === col(s"tc$s"))
+    }
+    finishAdc(scored, cb, topK, tables)
+  }
+
+  /** Per-(query, subspace, codeword) distance table: |queries|·m·k rows,
+    * built ENGINE-side from driver-collected query slices and literal
+    * centroids (so each entry is the same sequential-fold dot arithmetic
+    * the oracle's `list_dot_product` computes), persisted for the m
+    * broadcast joins that consume it. Caller releases via the frame
+    * handed to [[finishAdc]]. */
+  private def distanceTables(queries: DataFrame, cb: Codebooks,
+                             idCol: String, embCol: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     DotProduct.register(spark)
@@ -98,19 +149,14 @@ object PqSearch {
       .select(col("q_id"), col("s"), col("cid"), col("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tables.count()
-    // the first subspace join supplies the q_id expansion itself (every
-    // candidate matches one t0 row per query) — no separate cross join
-    // pass over the candidate set
-    var scored = encoded.join(
-      broadcast(tables.filter(col("s") === 0)
-        .select(col("q_id"), col("cid").as("tc0"), col("d").as("d0"))),
-      col("c0") === col("tc0"))
-    (1 until cb.m).foreach { s =>
-      val t = broadcast(tables.filter(col("s") === s)
-        .select(col("q_id").as(s"tq$s"), col("cid").as(s"tc$s"), col("d").as(s"d$s")))
-      scored = scored.join(t,
-        col("q_id") === col(s"tq$s") && col(s"c$s") === col(s"tc$s"))
-    }
+    tables
+  }
+
+  /** Shared ADC tail: fixed left-assoc subspace sum, (adc, id) ranked
+    * top-k, bounded materialize, table release. */
+  private def finishAdc(scored: DataFrame, cb: Codebooks, topK: Int,
+                        tables: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
     val adc = (1 until cb.m).foldLeft(col("d0"))((acc, s) => acc + col(s"d$s"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adc"), col("id"))

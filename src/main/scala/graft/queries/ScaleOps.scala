@@ -222,16 +222,25 @@ object ScaleOps {
     } finally idx.close()
   }
 
-  private val i1Sql: String = {
+  /** Sequential-fold squared-L2 expansion both engines compute
+    * identically (shared by the i1/i2/i3 oracle fragments). */
+  private def sqlDist2(a: String, b: String) =
+    s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+
+  /** Shared IVF coarse-quantizer CTE chain: `c0` (lowest-id init), the
+    * unrolled deterministic Lloyd iterations, `af` = final (id, emb, cid)
+    * assignment, and `pr` = per-query routing to the $IvfNprobe nearest
+    * lists. Expects `e(id, emb)` and `q(q_id, q_emb)` CTEs upstream;
+    * consumed by the i1 oracle and re-consumed verbatim by i3 so the
+    * composed stack replays the SAME clustering text. */
+  private val ivfCtes: String = {
     val D = AnnSearch.Dim
-    def dist2(a: String, b: String) =
-      s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b)"
     val iterCtes = (1 to IvfIters).map { i =>
       s"""a$i AS (
          |  SELECT id, emb, cid FROM (
          |    SELECT e.id, e.emb, cc.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.id
-         |        ORDER BY ${dist2("e.emb", "cc.c")}, cc.cid) AS rn
+         |        ORDER BY ${sqlDist2("e.emb", "cc.c")}, cc.cid) AS rn
          |    FROM e CROSS JOIN c${i - 1} cc) z WHERE rn = 1),
          |n$i AS (
          |  SELECT cid, list(m ORDER BY j) AS c FROM (
@@ -241,8 +250,7 @@ object ScaleOps {
          |  SELECT p.cid, COALESCE(n.c, p.c) AS c
          |  FROM c${i - 1} p LEFT JOIN n$i n ON p.cid = n.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |c0 AS (
+    s"""c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INTEGER) - 1 AS cid, emb AS c
        |  FROM (SELECT id, emb FROM e ORDER BY id LIMIT $IvfK) s),
        |$iterCtes,
@@ -250,15 +258,20 @@ object ScaleOps {
        |  SELECT id, emb, cid FROM (
        |    SELECT e.id, e.emb, cc.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.id
-       |        ORDER BY ${dist2("e.emb", "cc.c")}, cc.cid) AS rn
+       |        ORDER BY ${sqlDist2("e.emb", "cc.c")}, cc.cid) AS rn
        |    FROM e CROSS JOIN c$IvfIters cc) z WHERE rn = 1),
-       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
        |pr AS (
        |  SELECT q_id, q_emb, cid FROM (
        |    SELECT q.q_id, q.q_emb, cc.cid,
        |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-       |        ORDER BY ${dist2("q.q_emb", "cc.c")}, cc.cid) AS rn
-       |    FROM q CROSS JOIN c$IvfIters cc) z WHERE rn <= $IvfNprobe),
+       |        ORDER BY ${sqlDist2("q.q_emb", "cc.c")}, cc.cid) AS rn
+       |    FROM q CROSS JOIN c$IvfIters cc) z WHERE rn <= $IvfNprobe)""".stripMargin
+  }
+
+  private val i1Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$ivfCtes,
        |cands AS (
        |  SELECT pr.q_id, pr.q_emb, a.id AS neighbor, a.emb
        |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id),
@@ -273,7 +286,6 @@ object ScaleOps {
        |  FROM scored)
        |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= $IvfTopK
        |ORDER BY q_id, rk""".stripMargin
-  }
 
   // i2 constants shared by the Spark query and its SQL replay
   private val PqM = 4       // subspaces
@@ -299,10 +311,13 @@ object ScaleOps {
       .orderBy("q_id", "rk")
   }
 
-  private val i2Sql: String = {
+  /** Shared PQ CTE chain: per-subspace codebook fits (each an unrolled
+    * deterministic Lloyd over its dim slice), `codes` = per-vector code
+    * tuple, and `s{s}t` = per-query ADC distance tables. Expects
+    * `e(id, emb)` and `q(q_id, q_emb)` upstream; consumed by the i2
+    * oracle and re-consumed verbatim by i3. */
+  private val pqCtes: String = {
     val sub = AnnSearch.Dim / PqM
-    def dist2(a: String, b: String) =
-      s"list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b) + list_dot_product($b, $b)"
     val subBlocks = (0 until PqM).map { s =>
       val lo = s * sub + 1
       val hi = (s + 1) * sub
@@ -311,7 +326,7 @@ object ScaleOps {
            |  SELECT id, emb, cid FROM (
            |    SELECT e.id, e.emb, cc.cid,
            |      ROW_NUMBER() OVER (PARTITION BY e.id
-           |        ORDER BY ${dist2(s"e.emb[$lo:$hi]", "cc.c")}, cc.cid) AS rn
+           |        ORDER BY ${sqlDist2(s"e.emb[$lo:$hi]", "cc.c")}, cc.cid) AS rn
            |    FROM e CROSS JOIN s${s}c${i - 1} cc) z WHERE rn = 1),
            |s${s}n$i AS (
            |  SELECT cid, list(m ORDER BY j) AS c FROM (
@@ -330,19 +345,23 @@ object ScaleOps {
          |  SELECT id, cid AS c$s FROM (
          |    SELECT e.id, cc.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.id
-         |        ORDER BY ${dist2(s"e.emb[$lo:$hi]", "cc.c")}, cc.cid) AS rn
+         |        ORDER BY ${sqlDist2(s"e.emb[$lo:$hi]", "cc.c")}, cc.cid) AS rn
          |    FROM e CROSS JOIN s${s}c$PqIters cc) z WHERE rn = 1),
          |s${s}t AS (
-         |  SELECT q.q_id, cc.cid, ${dist2(s"q.q_emb[$lo:$hi]", "cc.c")} AS d
+         |  SELECT q.q_id, cc.cid, ${sqlDist2(s"q.q_emb[$lo:$hi]", "cc.c")} AS d
          |  FROM q CROSS JOIN s${s}c$PqIters cc)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
-       |$subBlocks,
+    s"""$subBlocks,
        |codes AS (
        |  SELECT s0code.id, c0, c1, c2, c3
        |  FROM s0code
-       |  JOIN s1code USING (id) JOIN s2code USING (id) JOIN s3code USING (id)),
+       |  JOIN s1code USING (id) JOIN s2code USING (id) JOIN s3code USING (id))""".stripMargin
+  }
+
+  private val i2Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$pqCtes,
        |scored AS (
        |  SELECT q.q_id, k.id AS neighbor, t0.d + t1.d + t2.d + t3.d AS adc
        |  FROM codes k CROSS JOIN q
@@ -357,7 +376,98 @@ object ScaleOps {
        |  FROM scored)
        |SELECT q_id, neighbor, adc, rk FROM ranked WHERE rk <= $PqTopK
        |ORDER BY q_id, rk""".stripMargin
+
+  // i3 constants: ADC shortlist size feeding the exact rerank
+  private val I3Pool = 20
+
+  /** i3: the PRODUCTION ANN stack — IVF routing (i1's coarse quantizer)
+    * over PQ codes (i2's codebooks) with exact re-ranking (v8's pattern):
+    * route each query to its $IvfNprobe nearest inverted lists, ADC-score
+    * ONLY the routed vectors' 4-byte codes into a top-$I3Pool shortlist,
+    * then re-rank just the shortlist with full-precision squared L2 (the
+    * metric ADC approximates). At corpus scale each stage touches
+    * strictly less data than the last: nprobe/k of the corpus routed,
+    * codes-not-embeddings scored, |queries|·$I3Pool vectors re-read.
+    *
+    * The oracle replays the ENTIRE composition — the same unrolled Lloyd
+    * CTEs as i1 (routing) and i2 (codebooks, tables, ADC sum) plus the
+    * rerank join — so the composed stack, previously only spec-pinned
+    * (PqSearchSpec "production ANN stack"), is hash-verified end to end. */
+  def i3IvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val e = Tables(s, dir, "embeddings")
+    val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      val cb = PqSearch.train(e, "vec_id", "embedding",
+        m = PqM, k = PqK, iters = PqIters, roundDecimals = PqRound)
+      val enc = PqSearch.encode(e, "vec_id", "embedding", cb)
+      val queries = e.filter(col("vec_id") < 3)
+      // route: (q_id, centroid_id) probes — broadcast against the
+      // inverted file so only the probed lists' members become candidates
+      val cands = broadcast(
+          IvfSearch.route(queries, idx, "vec_id", "embedding", IvfNprobe)
+            .select(col("q_id"), col("centroid_id")))
+        .join(idx.assignments, Seq("centroid_id"))
+        .filter(col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id"))
+      // ADC over the routed candidates only (codes, never raw embeddings)
+      val shortlist = PqSearch.adcTopKWithin(queries, cands, enc, cb,
+        "vec_id", "embedding", topK = I3Pool)
+      // exact rerank of the bounded shortlist: re-read full embeddings
+      // for |queries|·I3Pool rows only
+      val emb = e.select(col("vec_id").as("neighbor"),
+        col("embedding").cast("array<double>").as("emb"))
+      val qe = queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("d2"), col("neighbor"))
+      shortlist.select(col("q_id"), col("neighbor"))
+        .join(broadcast(qe), "q_id")
+        .join(emb, "neighbor")
+        .withColumn("d2",
+          round(graft.functions.DotProduct.dist2(col("q_emb"), col("emb")), 6))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= IvfTopK)
+        .select(col("q_id"), col("neighbor"), col("d2"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("q_id", "rk")
+    } finally idx.close()
   }
+
+  private val i3Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$ivfCtes,
+       |cands AS (
+       |  SELECT pr.q_id, a.id
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id),
+       |$pqCtes,
+       |scored AS (
+       |  SELECT cd.q_id, k.id AS neighbor, t0.d + t1.d + t2.d + t3.d AS adc
+       |  FROM cands cd
+       |  JOIN codes k ON k.id = cd.id
+       |  JOIN s0t t0 ON t0.q_id = cd.q_id AND t0.cid = k.c0
+       |  JOIN s1t t1 ON t1.q_id = cd.q_id AND t1.cid = k.c1
+       |  JOIN s2t t2 ON t2.q_id = cd.q_id AND t2.cid = k.c2
+       |  JOIN s3t t3 ON t3.q_id = cd.q_id AND t3.cid = k.c3),
+       |short AS (
+       |  SELECT q_id, neighbor,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, neighbor) AS srk
+       |  FROM scored),
+       |rr AS (
+       |  SELECT s.q_id, s.neighbor,
+       |    ROUND(${sqlDist2("q.q_emb", "n.emb")}, 6) AS d2
+       |  FROM short s
+       |  JOIN q ON q.q_id = s.q_id
+       |  JOIN e n ON n.id = s.neighbor
+       |  WHERE s.srk <= $I3Pool),
+       |ranked AS (
+       |  SELECT q_id, neighbor, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, neighbor) AS rk
+       |  FROM rr)
+       |SELECT q_id, neighbor, d2, rk FROM ranked WHERE rk <= $IvfTopK
+       |ORDER BY q_id, rk""".stripMargin
 
   /** s1: salted two-phase aggregation (the hot-key lever) pinned against a
     * PLAIN `GROUP BY` oracle: because the summed column goes through
@@ -456,6 +566,7 @@ object ScaleOps {
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
     "i2_pq_topk" -> (i2PqTopk _),
+    "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "b1_bloom_join" -> (b1BloomJoin _),
@@ -468,6 +579,7 @@ object ScaleOps {
     "a2_embedding_neardup" -> a2Sql,
     "i1_ivf_topk" -> i1Sql,
     "i2_pq_topk" -> i2Sql,
+    "i3_ivf_pq_rerank" -> i3Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "b1_bloom_join" -> b1Sql,

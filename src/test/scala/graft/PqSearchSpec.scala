@@ -86,6 +86,18 @@ class PqSearchSpec extends AnyFunSuite {
     assert(approx.size === 15, "3 queries x top-5")
   }
 
+  test("adcTopKWithin over the all-pairs candidate set equals unrestricted adcTopK") {
+    val qs = corpus.filter(col("vec_id") < 2)
+    val allPairs = qs.select(col("vec_id").as("q_id"))
+      .crossJoin(corpus.select(col("vec_id").as("id")))
+      .filter(col("q_id") =!= col("id"))
+    val a = PqSearch.adcTopK(qs, enc, cb, "vec_id", "embedding", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = PqSearch.adcTopKWithin(qs, allPairs, enc, cb, "vec_id", "embedding", topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a === b, "restricting to the full candidate set must change nothing")
+  }
+
   test("IVF routing composes with PQ codes and exact rerank — the production ANN stack") {
     import graft.operators.IvfSearch
     // stack: coarse IVF routing (i1-verified) -> ADC over PQ codes
