@@ -458,21 +458,67 @@ object EventOps {
        |    ROWS UNBOUNDED PRECEDING) AS locf_mass
        |FROM j ORDER BY event_type, bucket""".stripMargin
 
-  /** e13: rolling 3-hour aggregate per event — a RANGE-frame window over
-    * epoch micros (time-based, not row-based: sparse stretches shrink the
-    * frame, bursts widen it). Interior sums stay DECIMAL inside the frame
-    * so accumulation order is irrelevant; one shuffle on the type key,
-    * per-type sort spills. */
+  /** e13: rolling 3-hour aggregate per event — time-based, not row-based
+    * (sparse stretches shrink the frame, bursts widen it), computed as a
+    * TWO-PHASE BUCKETED rolling aggregate rather than one RANGE window
+    * partitioned by `event_type` alone (5 distinct values — at corpus
+    * scale one task would sort 1/5 of all events). Because the frame
+    * length equals the bucket width (3 h), a row's frame spans at most
+    * its own bucket and the previous one:
+    *
+    *   - phase 1: within-(type, bucket) cumulative count/sum, RANGE frame
+    *     so `es` ties stay peers — exactly the frame's own-bucket half
+    *     (every own-bucket row with es <= t is inside [t-3h, t]);
+    *   - phase 2: the previous bucket's contribution (rows with
+    *     es >= t − 3 h) via a probe/data union: each event posts a probe
+    *     row at its cutoff into the PREVIOUS bucket, one descending ROWS
+    *     window accumulates data-row sums (probes carry nulls, so they
+    *     never perturb the sums), and each probe reads the suffix at its
+    *     cutoff — the same union-window shape as d18's two-phase global
+    *     prefix sum.
+    *
+    * Every window (and the union sort) partitions on (event_type, bucket)
+    * — ~3 h of one type per task — and the recombining join shuffles on
+    * unique event_id; no stage sorts a whole event_type. Bucket ids use
+    * integer `div` (epoch micros ~1.7e18 overflow double's 2^53 exact
+    * range — `floor(es / width)` would misbucket). Interior sums stay
+    * DECIMAL, so partial + partial is bit-identical to the oracle's
+    * single-window SUM. */
   def e13RollingRange(s: SparkSession, dir: String): DataFrame = {
     val threeHours = 3L * MicrosPerHour
-    val w = Window.partitionBy(col("event_type")).orderBy(col("es"))
-      .rangeBetween(-threeHours, Window.currentRow)
-    Tables(s, dir, "events")
+    val ev = Tables(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("es"))
+      .withColumn("bkt", expr(s"es div ${threeHours}L"))
+    val wf = Window.partitionBy(col("event_type"), col("bkt")).orderBy(col("es"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ev.select(col("event_id"), col("event_type"),
+      count(lit(1)).over(wf).as("n_fwd"),
+      sum(col("value").cast(Conventions.Dec)).over(wf).as("m_fwd"))
+    val data = ev.select(col("event_type"), col("bkt"), col("es"),
+      col("value").cast(Conventions.Dec).as("v"), lit(1L).as("one"),
+      lit(null).cast("long").as("probe_id"), lit(0).as("is_probe"))
+    val probes = ev.select(col("event_type"), (col("bkt") - 1).as("bkt"),
+      (col("es") - threeHours).as("es"),
+      lit(null).cast(Conventions.Dec).as("v"), lit(null).cast("long").as("one"),
+      col("event_id").as("probe_id"), lit(1).as("is_probe"))
+    // descending suffix accumulation; at equal es, data sorts before its
+    // probes (the 3 h frame is closed on both ends, so a data row exactly
+    // at a probe's cutoff belongs in that probe's frame)
+    val wb = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("es").desc, col("is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = data.unionByName(probes)
+      .select(col("probe_id"), col("is_probe"),
+        sum(col("v")).over(wb).as("m_sfx"), sum(col("one")).over(wb).as("n_sfx"))
+      .filter(col("is_probe") === 1)
+      .select(col("probe_id").as("event_id"),
+        coalesce(col("m_sfx"), lit(0).cast(Conventions.Dec)).as("m_prev"),
+        coalesce(col("n_sfx"), lit(0L)).as("n_prev"))
+    fwd.join(prev, "event_id")
       .select(col("event_id"), col("event_type"),
-        count(lit(1)).over(w).as("n_3h"),
-        sum(col("value").cast(Conventions.Dec)).over(w).cast("double").as("mass_3h"))
+        (col("n_fwd") + col("n_prev")).as("n_3h"),
+        (col("m_fwd") + col("m_prev")).cast("double").as("mass_3h"))
       .orderBy("event_id")
   }
 

@@ -363,6 +363,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(e18, "Exchange") <= 2, e18.take(1500))
   }
 
+  test("e13 rolling range: every exchange co-partitions on (event_type, bucket), never type alone") {
+    val s = formatted(SparkEntry.queries("e13_rolling_range")(spark, sfDir))
+    // the 100×-scale property: no window stage may sort a whole
+    // event_type (5 distinct values); both rolling phases must hash on
+    // the composite (event_type, bkt) key so a task holds ~3h of one
+    // type. The tree names nodes; partitioning keys live in the details
+    // section — read the Arguments of each FINAL-tree Exchange node.
+    val tree = s.split(raw"== Initial Plan ==").head
+    val finalIds = raw"\((\d+)\)".r.findAllMatchIn(tree).map(_.group(1)).toSet
+    val parts = s.split("\n\n").toSeq
+      .filter(b => raw"^\((\d+)\) Exchange".r.findFirstMatchIn(b)
+        .exists(m => finalIds.contains(m.group(1))))
+      .flatMap(b => raw"hashpartitioning\(([^)]*)\)".r
+        .findFirstMatchIn(b).map(_.group(1)))
+    val typed = parts.filter(_.contains("event_type"))
+    assert(typed.nonEmpty, s"expected (event_type, bkt) exchanges:\n${parts.mkString("\n")}")
+    typed.foreach { p =>
+      assert(p.contains("bkt"),
+        s"exchange partitions on event_type WITHOUT the bucket key: $p")
+    }
+    assert(nodeCount(s, "Window") >= 2, "two-phase shape: fwd + suffix windows")
+  }
+
   test("e20 MAD outliers: stat tables broadcast back, no cartesian") {
     val s = formatted(SparkEntry.queries("e20_mad_outliers")(spark, sfDir))
     assert(s.contains("BroadcastHashJoin"), s.take(1200))
