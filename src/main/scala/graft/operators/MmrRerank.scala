@@ -15,13 +15,14 @@ import org.apache.spark.storage.StorageLevel
   * of the dedup operators: dedup cleans the corpus once, MMR diversifies
   * each result list.
   *
-  * Scale split: the DISTRIBUTED part is pool extraction (broadcast query
-  * batch against the full corpus, exactly the v1/a1/i1 shape — swap in
-  * the LSH/IVF variants for a 100 TB corpus) and the pairwise similarity
-  * of pool members (|q|·pool² rows, bounded by construction). The greedy
-  * selection itself is O(k·pool) per query over an already-bounded pool —
-  * driver work of the same class as a final-answer collect, NOT a
-  * per-corpus-row loop.
+  * Scale split: pool extraction is distributed (broadcast query batch
+  * against the full corpus, exactly the v1/a1/i1 shape — swap in the
+  * LSH/IVF variants for a 100 TB corpus), pairwise pool similarity is
+  * distributed (|q|·pool² rows, bounded by construction), and the greedy
+  * selection runs ON EXECUTORS as a `flatMapGroups` per q_id over the
+  * pooled candidates — queries are independent, each group is a bounded
+  * pool² of integers, and the driver never touches the data path, so a
+  * large query batch scales out with the cluster.
   *
   * Exactness: λ is a RATIONAL (num/den) and the greedy recurrence runs in
   * integers — cosines land on the 6dp grid (the repo's rounding
@@ -43,6 +44,69 @@ object MmrRerank {
   def diversifiedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, poolSize: Int, k: Int,
                       lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (pool, sims) = poolAndSims(queries, corpus, idCol, vecCol,
+      poolSize, k, lambdaNum, lambdaDen)
+    // one shuffle on q_id gathers a query's relevances (is_sim = false)
+    // and pairwise similarities (is_sim = true) into one group; the
+    // greedy recurrence then runs where the group lives. A group is
+    // pool + pool² integer rows — bounded by construction.
+    val tagged = pool
+      .select(col("q_id"), col("nid").as("a"), lit(-1L).as("b"),
+        col("relppm").as("v"), lit(false).as("is_sim"))
+      .unionByName(sims.select(col("q_id"), col("id_a").as("a"),
+        col("id_b").as("b"), col("simppm").as("v"), lit(true).as("is_sim")))
+      .as[(Long, Long, Long, Long, Boolean)]
+    val out = tagged.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rows = it.toSeq
+      val rels = rows.collect { case (_, a, _, v, false) => a -> v }.toMap
+      val simMap = rows.collect { case (_, a, b, v, true) => (a, b) -> v }.toMap
+      greedy(qid, rels, simMap, k, lambdaNum, lambdaDen)
+    }.toDF("q_id", "rk", "neighbor", "mmr_e7")
+    out
+  }
+
+  /** Driver-side reference implementation — identical pool, sims, and
+    * greedy recurrence, but the selection loop runs over collected maps
+    * on the driver. Retained as the equivalence baseline for the
+    * executor-side path (MmrRerankSpec pins byte-identical output);
+    * fine for small query batches, not the scale path. */
+  private[graft] def diversifiedTopKDriver(
+      queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, poolSize: Int, k: Int,
+      lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    val (pool, sims) = poolAndSims(queries, corpus, idCol, vecCol,
+      poolSize, k, lambdaNum, lambdaDen)
+    // bounded collects: |q|·pool and |q|·pool² rows — final-answer scale
+    val rels = pool.select("q_id", "nid", "relppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val simMap = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val byQuery = rels.keys.groupBy(_._1).view
+      .mapValues(ks => ks.map(_._2).toSeq).toMap
+    val out = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, cands) =>
+      val qRels = cands.map(c => c -> rels((qid, c))).toMap
+      val qSims = simMap.collect { case ((q, a, b), v) if q == qid => (a, b) -> v }
+      greedy(qid, qRels, qSims.toMap, k, lambdaNum, lambdaDen)
+        .map { case (q, rk, n, sc) => Row(q, rk, n, sc) }
+    }
+    val schema = StructType(Seq(
+      StructField("q_id", LongType, nullable = false),
+      StructField("rk", LongType, nullable = false),
+      StructField("neighbor", LongType, nullable = false),
+      StructField("mmr_e7", LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /** Shared distributed front half: bounded candidate pool (persisted;
+    * released by the caller's clearCache) and its pairwise 6dp-grid
+    * cosine similarities, both in exact ppm integers. */
+  private def poolAndSims(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, poolSize: Int,
+                          k: Int, lambdaNum: Int, lambdaDen: Int)
+      : (DataFrame, DataFrame) = {
     require(poolSize >= k && k >= 1, s"need poolSize >= k >= 1, got $poolSize/$k")
     require(lambdaNum > 0 && lambdaNum <= lambdaDen,
       s"need 0 < lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
@@ -77,33 +141,30 @@ object MmrRerank {
         round(round(dot(col("ea"), col("eb")) /
           (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
           * 1e6).cast("long").as("simppm"))
-    // bounded collects: |q|·pool and |q|·pool² rows — final-answer scale
-    val rels = pool.select("q_id", "nid", "relppm").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val simMap = sims.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
-    val byQuery = rels.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
-    val out = byQuery.toSeq.sortBy(_._1).flatMap { case (qid, cands) =>
-      var selected = Vector.empty[Long]
-      val picks = collection.mutable.ArrayBuffer.empty[Row]
-      while (selected.size < k && selected.size < cands.size) {
-        val remaining = cands.filterNot(selected.contains)
-        val scored = remaining.map { c =>
-          val ms = if (selected.isEmpty) 0L
-            else selected.map(s => simMap((qid, c, s))).max
-          c -> (lambdaNum * rels((qid, c)) - (lambdaDen - lambdaNum) * ms)
-        }
-        val best = scored.minBy { case (id, sc) => (-sc, id) }
-        selected :+= best._1
-        picks += Row(qid, selected.size.toLong, best._1, best._2)
+    (pool, sims)
+  }
+
+  /** The integer greedy recurrence, shared verbatim by the executor and
+    * driver paths: pick argmax of `num·rel − (den−num)·max_sim`, ties on
+    * the lower candidate id; emits (q_id, rk, neighbor, mmr_e7). */
+  private def greedy(qid: Long, rels: Map[Long, Long],
+                     simMap: Map[(Long, Long), Long], k: Int,
+                     lambdaNum: Int, lambdaDen: Int)
+      : Seq[(Long, Long, Long, Long)] = {
+    val cands = rels.keys.toSeq.sorted
+    var selected = Vector.empty[Long]
+    val picks = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    while (selected.size < k && selected.size < cands.size) {
+      val remaining = cands.filterNot(selected.contains)
+      val scored = remaining.map { c =>
+        val ms = if (selected.isEmpty) 0L
+          else selected.map(s => simMap((c, s))).max
+        c -> (lambdaNum * rels(c) - (lambdaDen - lambdaNum) * ms)
       }
-      picks
+      val best = scored.minBy { case (id, sc) => (-sc, id) }
+      selected :+= best._1
+      picks += ((qid, selected.size.toLong, best._1, best._2))
     }
-    val schema = StructType(Seq(
-      StructField("q_id", LongType, nullable = false),
-      StructField("rk", LongType, nullable = false),
-      StructField("neighbor", LongType, nullable = false),
-      StructField("mmr_e7", LongType, nullable = false)))
-    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+    picks.toSeq
   }
 }

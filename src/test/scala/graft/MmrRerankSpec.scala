@@ -64,6 +64,24 @@ class MmrRerankSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("executor-side greedy is identical to the driver-side reference") {
+    try {
+      // the flatMapGroups path (production) and the collect-and-loop path
+      // (reference) share pool, sims, and the integer recurrence — their
+      // outputs must match row for row on real embeddings
+      val e = Tables(spark, sfDir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val exec = rows(MmrRerank.diversifiedTopK(
+        q, e, "vec_id", "embedding", poolSize = 15, k = 5))
+      val drv = rows(MmrRerank.diversifiedTopKDriver(
+        q, e, "vec_id", "embedding", poolSize = 15, k = 5))
+      assert(exec === drv)
+      assert(exec.size === 15, "3 queries x top-5")
+    } finally spark.catalog.clearCache()
+  }
+
   test("a pool smaller than k yields pool-many rows, not a crash") {
     try {
       val corpus = df(Seq(0L -> Seq(1.0, 0.0), 5L -> Seq(0.6, 0.8)))
