@@ -53,6 +53,39 @@ object PqSearch {
     Codebooks(m, sub, books)
   }
 
+  /** Persist codebooks at rest: (s, cid, centroid) rows — m·k rows of
+    * subDim doubles, tiny next to any corpus. Parity with
+    * [[IvfSearch.saveIndex]]: at deployment scale you train ONCE, store
+    * the codebooks (and the encoded corpus, via any table sink), and
+    * every later session encodes/scores from the loaded artifact — the
+    * m training passes never rerun. */
+  def saveCodebooks(cb: Codebooks, spark: org.apache.spark.sql.SparkSession,
+                    path: String): Unit = {
+    import spark.implicits._
+    val rows = for { s <- 0 until cb.m; (cid, c) <- cb.books(s) } yield (s, cid, c)
+    rows.toDF("s", "cid", "centroid")
+      .repartition(1) // m·k rows
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reconstitute saved codebooks; exact inverse of [[saveCodebooks]]
+    * (doubles ride parquet bit-exactly, so a loaded book encodes and
+    * ADC-scores identically to the in-memory original — pinned by
+    * PqSearchSpec's round-trip). */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .select(col("s"), col("cid"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(rows.nonEmpty, s"no codebook rows at $path")
+    val m = rows.map(_._1).max + 1
+    val books = (0 until m).map { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(t => t._2 -> t._3).toSeq
+    }
+    val subDim = books.head.head._2.size
+    Codebooks(m, subDim, books)
+  }
+
   /** (id, c0..c{m-1}): per-subspace nearest-codeword ids. ONE corpus scan —
     * all m·k literal-centroid comparisons fuse into the projection (no
     * joins, no shuffle); ties break toward the lower code id via the

@@ -86,6 +86,20 @@ class PqSearchSpec extends AnyFunSuite {
     assert(approx.size === 15, "3 queries x top-5")
   }
 
+  test("codebooks round-trip through parquet: load -> encode -> ADC equals in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_cb").resolve("books").toString
+    PqSearch.saveCodebooks(cb, spark, dir)
+    val cb2 = PqSearch.loadCodebooks(spark, dir)
+    assert(cb2 === cb, "loaded codebooks must be bit-identical (m, subDim, every centroid)")
+    val qs = corpus.filter(col("vec_id") < 2)
+    def rows(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    val inMem = rows(PqSearch.adcTopK(qs, enc, cb, "vec_id", "embedding", topK = 5))
+    val enc2 = PqSearch.encode(corpus, "vec_id", "embedding", cb2)
+    val loaded = rows(PqSearch.adcTopK(qs, enc2, cb2, "vec_id", "embedding", topK = 5))
+    assert(inMem === loaded, "the at-rest chain must replay the in-memory chain")
+  }
+
   test("adcTopKWithin over the all-pairs candidate set equals unrestricted adcTopK") {
     val qs = corpus.filter(col("vec_id") < 2)
     val allPairs = qs.select(col("vec_id").as("q_id"))
