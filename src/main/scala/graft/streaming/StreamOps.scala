@@ -471,6 +471,73 @@ object StreamOps {
       }
       .start()
 
+  /** End-to-end streaming ingest gate — the BASELINE "Structured
+    * Streaming for integration" composition as ONE checkpointed query:
+    * each arriving micro-batch of documents is
+    *
+    *   1. near-dup-gated: MinHash-swept against the static corpus AND
+    *      within itself (the [[nearDupPerBatch]] operator); a batch doc
+    *      paired as the larger id (within-batch: the min-id
+    *      representative survives, d14's policy) or paired with a corpus
+    *      doc (the corpus always wins) is dropped;
+    *   2. decontaminated: survivors sharing any word `n`-gram with the
+    *      eval set are dropped (the c2 operator);
+    *   3. landed: survivors append to `outPath` as a parquet delta
+    *      partitioned by batch_id, written with DYNAMIC partition
+    *      overwrite — a batch replayed after a checkpoint restart
+    *      rewrites its own partition instead of duplicating it.
+    *
+    * Exactly-once: the checkpoint makes per-batchId delivery
+    * at-least-once, and the partition overwrite makes each delivery
+    * idempotent — together exactly-once landed rows, pinned by
+    * StreamOpsSpec across a forced restart AND a forced replay. */
+  def ingestPipeline(docs: DataFrame, corpus: DataFrame, evalSet: DataFrame,
+                     idCol: String, textCol: String, threshold: Double,
+                     outPath: String, checkpoint: String, n: Int = 5,
+                     validateDisjoint: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, corpus, evalSet, idCol, textCol, threshold,
+          n, outPath, batchId, validateDisjoint)
+      }
+      .start()
+
+  /** One micro-batch of [[ingestPipeline]] — package-visible so the spec
+    * can force a REPLAY of an already-committed batchId and assert the
+    * landing is idempotent. */
+  private[graft] def ingestBatch(batch: DataFrame, corpus: DataFrame,
+      evalSet: DataFrame, idCol: String, textCol: String, threshold: Double,
+      n: Int, outPath: String, batchId: Long,
+      validateDisjoint: Boolean): Unit = {
+    val (pairs, caches) = graft.operators.MinHashDedup
+      .nearDuplicatesAgainstWithCaches(corpus, batch, idCol, textCol,
+        threshold, validateDisjoint)
+    try {
+      // drop x iff x pairs as the LARGER id (covers within-batch pairs —
+      // min-id representative survives — and corpus-vs-batch pairs where
+      // the corpus doc holds the smaller id) or as the smaller id against
+      // a corpus doc (the corpus wins regardless of id order)
+      val corpusIds = corpus.select(col(idCol).as("cid"))
+      val drops = pairs.select(col("id_b").as("id"))
+        .unionByName(pairs.join(corpusIds, col("id_b") === col("cid"))
+          .select(col("id_a").as("id")))
+        .distinct()
+      val deduped = batch.join(drops, batch(idCol) === drops("id"), "left_anti")
+      val contaminated = graft.operators.Decontaminate
+        .contamination(deduped, evalSet, idCol, textCol, n)
+        .select(col("id"))
+      val clean = deduped.join(contaminated,
+        deduped(idCol) === contaminated("id"), "left_anti")
+      clean.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
+    } finally caches.foreach(_.unpersist())
+  }
+
   /** Checkpointed parquet sink: exactly-once file output via the commit
     * log in `checkpoint` — restarting the query from the same checkpoint
     * resumes after the last committed batch instead of re-emitting it.

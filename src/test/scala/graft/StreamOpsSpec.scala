@@ -553,6 +553,63 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
+
+  test("ingestPipeline: dedup+decontaminate+land is exactly-once across restart AND replay") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("ingest")
+    val inDir = root.resolve("in"); Files.createDirectories(inDir)
+    val outDir = root.resolve("out").toString
+    val ck = root.resolve("ck").toString
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the riverbank every morning",
+      2L -> "completely unrelated corpus document about distributed query planning internals")
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      900L -> "held out benchmark question about climate adaptation policy outcomes")
+      .toDF("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    def writeFile(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(inDir.resolve(name), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}""" }.mkString("", "\n", "\n"))
+    def start() = StreamOps.ingestPipeline(
+      spark.readStream.schema(schema).json(inDir.toString),
+      corpus, evalSet, "doc_id", "text", threshold = 0.5, outDir, ck)
+    def landed(): Map[Long, Long] = spark.read.parquet(outDir)
+      .groupBy(col("doc_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // file A (batch 0): 100 clean; 101 near-dups corpus doc 1; 102 carries
+    // an eval 5-gram verbatim
+    val fileA = Seq(
+      100L -> "a genuinely fresh training document with novel content throughout the body",
+      101L -> "the quick brown fox jumps over the lazy dog near the riverbank every evening",
+      102L -> "students debated the benchmark question about climate adaptation policy at length")
+    writeFile("a.json", fileA)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(landed() === Map(100L -> 1L),
+      "batch 0 must land ONLY the clean doc (near-dup and contaminated dropped)")
+    // file B (batch 1, after restart from the same checkpoint): 200 and
+    // 201 near-dup each other (min-id 200 survives); 202 clean
+    val fileB = Seq(
+      200L -> "an entirely different second wave document describing streaming ingest gates",
+      201L -> "an entirely different second wave document describing streaming ingest dikes",
+      202L -> "another independent clean document closing out the second ingest wave")
+    writeFile("b.json", fileB)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(landed() === Map(100L -> 1L, 200L -> 1L, 202L -> 1L),
+      "restart must process ONLY the new file: no batch-0 dupes, no losses")
+    // forced replay of committed batch 0 (at-least-once delivery): the
+    // dynamic partition overwrite must rewrite batch_id=0, not append
+    StreamOps.ingestBatch(fileA.toDF("doc_id", "text"), corpus, evalSet,
+      "doc_id", "text", threshold = 0.5, n = 5, outDir, batchId = 0L,
+      validateDisjoint = true)
+    assert(landed() === Map(100L -> 1L, 200L -> 1L, 202L -> 1L),
+      "replaying a committed batch must be a no-op on landed rows")
+  }
 }
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
