@@ -61,4 +61,43 @@ object SkewJoin {
         col(factKey) === col(dimKey) && col("_salt") === col("_dim_salt"))
       .drop("_salt", "_dim_salt")
   }
+
+  /** ADAPTIVE salting: salt only `hotKeys` (the detected skew — feed
+    * [[ApproxOps.heavyHitters]]' items in), join everything else plain.
+    * The production composition of the skew toolkit: blanket salting
+    * replicates the WHOLE dim `salts`× and forces every fact row through
+    * the salt arithmetic even when one key in a million is hot; here the
+    * dim replicates only for hot keys (cold dim rows ride once, salt 0),
+    * cold fact rows take salt 0, and hot fact rows spread across
+    * `salts` reducers — one fact scan, one dim pass, one (key, salt)
+    * shuffle, and the result is row-for-row the plain inner join
+    * (spec-pinned, and oracle-pinned by s3 against the unsalted SQL).
+    *
+    * `hotKeys` values must be of the join key's type; an empty list
+    * degrades to the plain join (correct and cheapest). */
+  def adaptiveSaltedInnerJoin(fact: DataFrame, dim: DataFrame,
+                              factKey: String, dimKey: String, saltBy: String,
+                              hotKeys: Seq[Any], salts: Int = 16): DataFrame = {
+    require(salts >= 2, s"salts must be >= 2, got $salts (1 is a plain join)")
+    require(factKey != dimKey,
+      s"fact and dim key share the name '$factKey' — rename one side so the " +
+        "join condition is unambiguous")
+    require(Seq("_salt", "_dim_salt").forall(c =>
+        !fact.columns.contains(c) && !dim.columns.contains(c)),
+      "input already carries a _salt/_dim_salt column — it would collide " +
+        "with the join's internal salt (rename it first)")
+    if (hotKeys.isEmpty)
+      return fact.join(dim.hint("shuffle_hash"), col(factKey) === col(dimKey))
+    val fs = fact.withColumn("_salt",
+      when(col(factKey).isin(hotKeys: _*),
+        coalesce(pmod(PortableHash.hex60(col(saltBy).cast("string")),
+          lit(salts.toLong)), lit(0L)))
+        .otherwise(lit(0L)))
+    val ds = dim.withColumn("_dim_salt",
+      explode(when(col(dimKey).isin(hotKeys: _*),
+        expr(s"sequence(0L, ${salts - 1}L)")).otherwise(array(lit(0L)))))
+    fs.join(ds.hint("shuffle_hash"),
+        col(factKey) === col(dimKey) && col("_salt") === col("_dim_salt"))
+      .drop("_salt", "_dim_salt")
+  }
 }

@@ -518,6 +518,40 @@ object ScaleOps {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** s3: ADAPTIVE salted join — the production composition of the skew
+    * toolkit: the CMS hot-key detector ([[graft.operators.ApproxOps.heavyHitters]],
+    * bounded sketch state + a layout-independent content-hash nomination)
+    * feeds [[SkewJoin.adaptiveSaltedInnerJoin]], which salts ONLY the
+    * detected keys — cold dim rows ride once, cold fact rows take salt 0,
+    * hot keys spread over 8 reducers. The oracle is the PLAIN join: like
+    * s1/s2, the machinery may change the plan, never the answer (and the
+    * answer is invariant to WHICH keys the detector flags — detection
+    * tunes performance, not semantics). */
+  def s3AdaptiveSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+    val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    // detect hot suppliers on the fact side; l_orderkey distinguishes
+    // rows for the content-hash sample (uniqueness not required)
+    val hot = graft.operators.ApproxOps.heavyHitters(
+        li.select(col("l_orderkey").as("oid"),
+          col("l_suppkey").cast("string").as("k")),
+        "k", minShare = 0.01, idCol = Some("oid"))
+      .collect().map(_.getString(0).toLong).toSeq
+    SkewJoin.adaptiveSaltedInnerJoin(li, sup, "l_suppkey", "s_suppkey",
+        saltBy = "l_orderkey", hotKeys = hot, salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        Conventions.decSum(col("l_extendedprice"), "total_price"))
+      .orderBy("s_nationkey")
+  }
+
+  private val s3Sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** b1: bloom-pruned semi-join — lineitems of URGENT orders, where the
     * order-key set rides to the fact scan as a ~1.2 B/key bloom filter and
     * non-matching rows die inside the scan's codegen before any shuffle;
@@ -569,6 +603,7 @@ object ScaleOps {
     "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
+    "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
     "b1_bloom_join" -> (b1BloomJoin _),
     "p2_percentile_dist" -> (p2PercentileDist _))
 
@@ -582,6 +617,7 @@ object ScaleOps {
     "i3_ivf_pq_rerank" -> i3Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
+    "s3_adaptive_skew_join" -> s3Sql,
     "b1_bloom_join" -> b1Sql,
     "p2_percentile_dist" -> p2Sql)
 }

@@ -50,6 +50,49 @@ class SkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive salting: identical to plain join, only hot keys replicated") {
+    import spark.implicits._
+    val fact = ((1 to 8000).map(i => (7L, i.toLong, i * 1.5)) ++
+      (1 to 2000).map(i => ((i % 37).toLong, (10000 + i).toLong, i * 0.5)))
+      .toDF("fk", "row_id", "v").repartition(8)
+    val dim = (0L to 40L).map(k => (k, s"name$k")).toDF("dk", "dname")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "row_id", "v", "dname")
+      .collect().map(_.toSeq).toSet
+    // detect the hot key with the CMS detector and feed it in — the
+    // production composition (heavyHitters -> adaptiveSaltedInnerJoin)
+    val hot = graft.operators.ApproxOps.heavyHitters(
+        fact.select(col("row_id"), col("fk").cast("string").as("k")),
+        "k", minShare = 0.5, idCol = Some("row_id"))
+      .collect().map(_.getString(0).toLong).toSeq
+    assert(hot === Seq(7L), s"the 80% key must be detected, got $hot")
+    val out = SkewJoin.adaptiveSaltedInnerJoin(fact, dim, "fk", "dk",
+      saltBy = "row_id", hotKeys = hot, salts = 8)
+    assert(out.select("fk", "row_id", "v", "dname")
+      .collect().map(_.toSeq).toSet == plain)
+    // only the hot key replicates: the plan's dim-side Generate must be
+    // the CONDITIONAL explode (sequence for hot keys, 1-element array
+    // otherwise), never a blanket sequence
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("CASE WHEN"), "dim replication must be conditional on the hot keys")
+    // and the replicated dim row count is |dim| + (salts-1)*|hot|
+    val dimSide = dim.withColumn("_dim_salt",
+      explode(when(col("dk").isin(hot: _*), expr("sequence(0L, 7L)"))
+        .otherwise(array(lit(0L)))))
+    assert(dimSide.count() === 41L + 7L * hot.size)
+  }
+
+  test("adaptive salting with no hot keys degrades to the plain join") {
+    import spark.implicits._
+    val fact = Seq((1L, 10L), (2L, 20L)).toDF("fk", "rid")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dk", "dname")
+    val out = SkewJoin.adaptiveSaltedInnerJoin(fact, dim, "fk", "dk",
+      saltBy = "rid", hotKeys = Seq.empty, salts = 8)
+    assert(out.count() === 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("Generate"),
+      "no hot keys -> no replication machinery at all")
+  }
+
   test("string keys and non-numeric saltBy columns salt without degradation") {
     import spark.implicits._
     // the ADVICE r5 failure mode for capPerStratum was pmod on a
