@@ -98,6 +98,83 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Solid-color frame fixture for the MJPEG AVI tests. */
+  private def solidFrame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("VideoCodec round-trips an MJPEG AVI: header dims, frame count, frame pixels") {
+    val frames = Seq(
+      solidFrame(16, 8, 0x000000), // black
+      solidFrame(16, 8, 0xffffff), // white
+      solidFrame(16, 8, 0x808080), // mid grey
+      solidFrame(16, 8, 0x000000)) // black again
+    val avi = MediaOps.VideoCodec.encodeAvi(frames, microSecPerFrame = 50000)
+    val v = MediaOps.VideoCodec.decode(avi)
+      .getOrElse(fail("writer output must parse"))
+    assert(v.width === 16 && v.height === 8)
+    assert(v.microSecPerFrame === 50000)
+    assert(v.frames.size === 4)
+    // every frame payload is a standalone JPEG with the clip dimensions
+    // and (JPEG being lossy but tame on solid fills) the right luminance
+    val lums = v.frames.map { f =>
+      val img = MediaOps.ImageCodec.decode(f).getOrElse(fail("frame must be a JPEG"))
+      assert(img.getWidth === 16 && img.getHeight === 8)
+      val rgb = img.getRGB(8, 4)
+      (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)) / 255.0
+    }
+    assert(lums(0) < 0.1 && lums(3) < 0.1, s"black frames, got $lums")
+    assert(lums(1) > 0.9, s"white frame, got $lums")
+    assert(math.abs(lums(2) - 0.5) < 0.1, s"grey frame, got $lums")
+  }
+
+  test("decodeVideos extracts real per-clip features from MJPEG AVIs, stub otherwise") {
+    import spark.implicits._
+    val avi = MediaOps.VideoCodec.encodeAvi(Seq(
+      solidFrame(16, 8, 0x000000), solidFrame(16, 8, 0xffffff)))
+    val fixture = Seq(
+      MediaOps.MediaFile(1L, "video", avi, "video/x-msvideo", "fixture"),
+      MediaOps.MediaFile(2L, "video", "not a video".getBytes("UTF-8"),
+        "text/plain", "fixture")).toDS()
+    val feats = MediaOps.decodeVideos(fixture, parallelism = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    val real = feats(1L)
+    assert(real.width === 16 && real.height === 8 && real.n_frames === 2L)
+    assert(real.embedding.length === 64)
+    // clip embedding = mean of frame grids: black (~0) and white (~1)
+    // average to ~0.5 in every cell
+    real.embedding.foreach(v => assert(math.abs(v - 0.5) < 0.1,
+      s"expected ~0.5 mean luminance, got $v"))
+    val stub = feats(2L)
+    val (w, h, _) = MediaOps.FakeCodec.imageDims("not a video".getBytes("UTF-8"))
+    assert(stub.width === w && stub.height === h,
+      "non-AVI payloads keep the deterministic stub behavior")
+  }
+
+  test("sampleFrames on an MJPEG AVI yields the actual JPEG frame payloads") {
+    import spark.implicits._
+    val frames = Seq(
+      solidFrame(16, 8, 0x000000), solidFrame(16, 8, 0xffffff),
+      solidFrame(16, 8, 0x808080), solidFrame(16, 8, 0x404040))
+    val avi = MediaOps.VideoCodec.encodeAvi(frames)
+    val ds = Seq(MediaOps.MediaFile(9L, "video", avi, "video/x-msvideo", "fx")).toDS()
+    val out = MediaOps.sampleFrames(ds, everyN = 2).collect().sortBy(_.frame_no)
+    assert(out.map(_.frame_no).toSeq === Seq(0, 2), "every 2nd of 4 frames")
+    // payloads are the container's own JPEGs: decodable, right luminance
+    val lums = out.map { fr =>
+      val img = MediaOps.ImageCodec.decode(fr.frame_bytes)
+        .getOrElse(fail("sampled frame must be a standalone JPEG"))
+      val rgb = img.getRGB(8, 4)
+      (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)) / 255.0
+    }
+    assert(lums(0) < 0.1 && math.abs(lums(1) - 0.5) < 0.1, s"got ${lums.toSeq}")
+  }
+
   test("decodeAudio reads real WAV rate/channels/frames and an RMS envelope") {
     import javax.sound.sampled.{AudioFormat, AudioFileFormat, AudioInputStream, AudioSystem}
     def wavBytes(nFrames: Int, amp: Double): Array[Byte] = {
