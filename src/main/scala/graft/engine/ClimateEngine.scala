@@ -32,7 +32,12 @@ class ClimateEngine(spark: SparkSession, tables: Map[String, DataFrame],
   def noaaAnswer(question: String): String = {
     val types = Parsers.noaaDisasterTypes(question)
     val yearFilter = Parsers.extractYearFilter(question)
-    val wantCost = question.toLowerCase.contains("cost")
+    // "economic impact" is the README's phrasing for the cost metric
+    // (reference README.md:210 "What was the economic impact of
+    // hurricanes in Florida?" — the NOAA table is national, so the state
+    // mention is ignored there exactly as it is here)
+    val lower = question.toLowerCase
+    val wantCost = lower.contains("cost") || lower.contains("economic impact")
     val metricCol = if (wantCost) "cost" else "count"
     val preds = Seq.newBuilder[Predicate]
     if (types.nonEmpty) preds += Predicate.In("disaster_type", types)

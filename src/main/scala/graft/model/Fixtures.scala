@@ -17,6 +17,7 @@ object Fixtures {
       // (Year, Drought C/C, Flooding, Freeze, Severe Storm, Tropical Cyclone, Wildfire, Winter Storm, totals)
       (1980, 1, 177.1, 1, 11.7, 0, 0.0, 0, 0.0, 1, 9.6, 0, 0.0, 0, 0.0, 3, 198.4),
       (1983, 1, 10.6, 1, 14.0, 1, 7.0, 0, 0.0, 1, 6.6, 0, 0.0, 0, 0.0, 4, 38.2),
+      (2010, 0, 0.0, 2, 8.1, 0, 0.0, 2, 4.3, 1, 5.0, 0, 0.0, 0, 0.0, 5, 17.4),
       (2016, 1, 6.4, 4, 19.8, 0, 0.0, 8, 14.8, 1, 11.2, 1, 2.7, 0, 0.0, 15, 54.9),
       (2017, 1, 2.7, 2, 3.2, 1, 1.1, 9, 24.9, 3, 312.1, 1, 21.8, 1, 1.1, 18, 366.9))
       .toDF("Year",
@@ -45,7 +46,11 @@ object Fixtures {
       (2019, "California Earthquakes", 4453, "7/4/2019", "7/12/2019",
         "CA", "Earthquake", 2342.0, 712.0, 2.9e6, 4.6e7, 0.0, 118.0),
       (2012, "California Earthquake", 4158, "3/10/2012", "3/12/2012",
-        "CA", "Earthquake", 510.0, 200.0, 8.0e5, 3.1e6, 0.0, 23.0))
+        "CA", "Earthquake", 510.0, 200.0, 8.0e5, 3.1e6, 0.0, 23.0),
+      (2012, "Texas Hurricane", 4062, "6/12/2012", "6/19/2012",
+        "TX", "Hurricane", 3120.0, 1411.0, 4.2e6, 1.9e7, 0.0, 77.0),
+      (2007, "Florida Tornado", 1679, "2/2/2007", "2/3/2007",
+        "FL", "Tornado", 950.0, 410.0, 1.6e6, 5.2e6, 0.0, 29.0))
       .toDF("year", "event", "incident_number", "incident_start", "incident_end",
         "state", "incident_type", "valid_ihp_applications", "eligible_ihp_applications",
         "ihp_total", "pa_total", "cdbg_dr_allocation", "pa_projects_count")
@@ -65,7 +70,14 @@ object Fixtures {
       ("bangladesh", "Dhaka", "2020-07-01", 23.81, 90.41, "total_precipitation", 0.55),
       ("srilanka", "Colombo", "2020-06-01", 6.93, 79.85, "total_precipitation", 0.31),
       ("srilanka", "Colombo", "2020-07-01", 6.93, 79.85, "total_precipitation", 0.18),
-      ("pakistan", "Karachi", "2022-04-01", 24.86, 67.0, "wind_speed", 4.9))
+      ("pakistan", "Karachi", "2022-04-01", 24.86, 67.0, "wind_speed", 4.9),
+      ("india", "Delhi", "2022-04-01", 28.61, 77.21, "skin_temperature", 308.9),
+      ("india", "Mumbai", "2020-04-01", 19.08, 72.88, "wind_speed", 5.1),
+      ("india", "Mumbai", "2020-04-01", 19.08, 72.88, "total_ozone", 0.276),
+      ("pakistan", "Karachi", "2020-04-01", 24.86, 67.0, "wind_speed", 5.5),
+      ("pakistan", "Karachi", "2020-04-01", 24.86, 67.0, "total_ozone", 0.268),
+      ("nepal", "Kathmandu", "2020-06-01", 27.72, 85.32, "total_precipitation", 0.61),
+      ("nepal", "Kathmandu", "2020-07-01", 27.72, 85.32, "total_precipitation", 0.73))
       .toDF("country", "City", "date", "latitude", "longitude", "metric", "value")
   }
 
@@ -91,7 +103,8 @@ object Fixtures {
       ("Delhi", "india", 28.614, 77.209),
       ("Dhaka", "bangladesh", 23.810, 90.412),
       ("Colombo", "srilanka", 6.927, 79.861),
-      ("Karachi", "pakistan", 24.861, 67.010))
+      ("Karachi", "pakistan", 24.861, 67.010),
+      ("Kathmandu", "nepal", 27.717, 85.324))
       .toDF("city", "country", "lat", "lon")
   }
 }

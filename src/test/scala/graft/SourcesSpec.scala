@@ -59,8 +59,8 @@ class SourcesSpec extends AnyFunSuite {
     // partitioned directories exist → reads prune by country
     assert(Files.exists(dir.resolve("country=india")))
     val back = Sources.parquet(spark, dir.toString)
-    assert(back.count() == 10)
-    assert(back.filter(org.apache.spark.sql.functions.col("country") === "india").count() == 5)
+    assert(back.count() == 17)
+    assert(back.filter(org.apache.spark.sql.functions.col("country") === "india").count() == 8)
   }
 
   test("orc sink round-trips with partitioning and pushes filters to the scan") {
@@ -69,7 +69,7 @@ class SourcesSpec extends AnyFunSuite {
       partitionBy = Seq("country"))
     assert(Files.exists(dir.resolve("country=india")))
     val back = Sources.orc(spark, dir.toString)
-    assert(back.count() == 10)
+    assert(back.count() == 17)
     val filtered = back.filter(org.apache.spark.sql.functions.col("value") > 1.0)
     filtered.collect()
     val plan = filtered.queryExecution.executedPlan.toString
