@@ -89,9 +89,16 @@ object NetCdf {
   private def parseHeader(bb: ByteBuffer): Header = {
     // container caveat: this reader speaks CDF-1/CDF-2 ("classic" /
     // 64-bit-offset) ONLY. A NetCDF-4 file is an HDF5 container (magic
-    // "\x89HDF") and lands on the message below — pre-convert with
-    // `nccopy -k classic` (CDS-downloaded ERA5 is commonly NetCDF-4).
-    require(bb.get == 'C'.toByte && bb.get == 'D'.toByte && bb.get == 'F'.toByte,
+    // "\x89HDF") — CDS-downloaded ERA5 is commonly NetCDF-4, so that
+    // case gets its own targeted message pointing at the bundled
+    // conversion script (the day-one ERA5 user path).
+    val b0 = bb.get; val b1 = bb.get; val b2 = bb.get
+    require(!(b0 == 0x89.toByte && b1 == 'H'.toByte && b2 == 'D'.toByte),
+      "NetCDF-4/HDF5 container detected (\\x89HDF magic) — this reader " +
+        "speaks CDF-1/2 (classic) only; convert first with " +
+        "`tools/convert_netcdf4.sh in.nc out.nc` (wraps `nccopy -k classic`, " +
+        "with ncks and python fallbacks)")
+    require(b0 == 'C'.toByte && b1 == 'D'.toByte && b2 == 'F'.toByte,
       "not a NetCDF classic file (missing CDF magic) — NetCDF-4/HDF5 " +
         "containers are unsupported; pre-convert with `nccopy -k classic`")
     val version = bb.get.toInt

@@ -333,6 +333,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(byKey((100.0, 20.0, 1.0)) == None, s"fill must mask: $byKey")
   }
 
+  test("netcdf: an HDF5/NetCDF-4 payload fails fast naming the conversion script") {
+    // CDS-downloaded ERA5 is commonly NetCDF-4 (an HDF5 container); the
+    // day-one user path is the targeted error + tools/convert_netcdf4.sh
+    val dir = Files.createTempDirectory("nc4")
+    val f = dir.resolve("era5_nc4.nc")
+    Files.write(f, Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
+      '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte) ++ new Array[Byte](64))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.NetCdf.readHeader(f.toString)
+    }
+    assert(e.getMessage.contains("NetCDF-4/HDF5 container detected"), e.getMessage)
+    assert(e.getMessage.contains("tools/convert_netcdf4.sh"), e.getMessage)
+    assert(e.getMessage.contains("nccopy -k classic"), e.getMessage)
+    // and the script the message names actually exists and is executable
+    val script = java.nio.file.Paths.get("tools/convert_netcdf4.sh")
+    assert(Files.isExecutable(script), s"$script must exist and be executable")
+  }
+
   test("netcdf long output feeds the engine's grid pipeline shape") {
     // coordinate columns + value column == the ClimateEngine long ingest
     // layout: a bbox filter + mean works directly on the frame
