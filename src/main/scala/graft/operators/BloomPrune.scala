@@ -65,4 +65,41 @@ object BloomPrune {
       .join(keys.hint("shuffle_hash"),
         col(factKey).cast("long") === col(dimKey), "left_semi")
   }
+
+  /** Bloom-partitioned ANTI join — "keep the fact rows whose key does NOT
+    * appear in the dim set" (the decontamination / blocklist shape at
+    * scale). The bloom's one-sided error flips roles here: a key the
+    * filter reports ABSENT is definitely absent, so that row's anti-join
+    * membership is already decided INSIDE the scan and it bypasses the
+    * join entirely; only the maybe-present sliver (true matches plus
+    * ~fpp of the rest) runs the exact anti-join that clears the false
+    * positives. At a selective blocklist the shuffle carries a few
+    * percent of the fact side instead of all of it.
+    *
+    * Result is EXACTLY the plain left-anti join, so the oracle replays
+    * it as `WHERE key NOT IN (SELECT ...)` (null-free keys). Same key
+    * contract as [[semiJoin]]. */
+  def antiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+               dimKey: String, expectedItems: Long = -1L,
+               fpp: Double = 0.01): DataFrame = {
+    require(factKey != dimKey,
+      s"fact and dim key share the name '$factKey' — rename one side first")
+    require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
+    BloomFunctions.register(fact.sparkSession)
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = keys.count()
+    val sized = if (expectedItems > 0) expectedItems else math.max(1L, n)
+    val bloom = keys.stat.bloomFilter(dimKey, sized, fpp)
+    val bytes = BloomFunctions.serialize(bloom)
+    val mightContain =
+      BloomFunctions.bloomMightContain(col(factKey).cast("long"), bytes)
+    // definitely-absent rows are decided at the scan; the sliver the
+    // bloom flags runs the exact anti-join to clear false positives
+    fact.filter(!mightContain)
+      .unionByName(
+        fact.filter(mightContain)
+          .join(keys.hint("shuffle_hash"),
+            col(factKey).cast("long") === col(dimKey), "left_anti"))
+  }
 }

@@ -133,6 +133,73 @@ object CorpusOps {
        |GROUP BY c.id ORDER BY c.id""".stripMargin
   }
 
+  /** c6: CROSS-SPLIT leakage audit — d9's content-hash split composed
+    * with the c2 gram-overlap machinery, run INTERNALLY: how many val
+    * and test documents share any word 5-gram with any train document?
+    * This is the audit a corpus build runs after splitting (c2 sweeps
+    * against an EXTERNAL eval set; this guards the split itself — d9's
+    * content-keyed split stops exact-duplicate leakage, and this query
+    * measures what near-duplicate text still leaks through).
+    *
+    * Scale shape: split assignment is row-local hash arithmetic, the
+    * overlap is one hash equi-join on gram hashes (train side distinct
+    * grams only), and the report is a 2-row aggregate — no pairwise doc
+    * comparison anywhere. */
+  def c6SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s) // gramHashes' hex60_array
+    val split = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        pmod(graft.operators.PortableHash.hex60(col("text")), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+    val grams = Decontaminate.gramHashes(split, "doc_id", "text", n = 5)
+      .join(split.select(col("doc_id").as("id"), col("split")), "id")
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("gh")).distinct()
+    val leaky = grams.filter(col("split") =!= "train")
+      .join(trainGrams, "gh")
+      .select(col("split"), col("id")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaky"))
+    split.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaky, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaky"), lit(0L)).as("n_leaky"))
+      .orderBy("split")
+  }
+
+  private val c6Sql: String = {
+    val n = 5
+    val gram = (1 to n).map(j => s"string_split(text,' ')[i+$j]").mkString(" || ' ' || ")
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 100 < 90 THEN 'train'
+       |         WHEN CAST(('0x' || substr(md5(text),1,15)) AS BIGINT) % 100 < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id AS id, split,
+       |    unnest(list_distinct(
+       |      CASE WHEN len(string_split(text,' ')) >= $n
+       |        THEN list_transform(range(0, len(string_split(text,' ')) - ${n - 1}),
+       |          i -> $gram)
+       |        ELSE [text] END)) AS g
+       |  FROM sp),
+       |gh AS (SELECT id, split, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh FROM gr),
+       |tg AS (SELECT DISTINCT gh FROM gh WHERE split = 'train'),
+       |leaky AS (
+       |  SELECT split, COUNT(*) AS n_leaky FROM (
+       |    SELECT DISTINCT e.split, e.id
+       |    FROM gh e JOIN tg ON e.gh = tg.gh
+       |    WHERE e.split <> 'train') z
+       |  GROUP BY split)
+       |SELECT sp.split, COUNT(*) AS n_docs, COALESCE(MAX(leaky.n_leaky), 0) AS n_leaky
+       |FROM sp LEFT JOIN leaky ON sp.split = leaky.split
+       |WHERE sp.split <> 'train'
+       |GROUP BY sp.split ORDER BY sp.split""".stripMargin
+  }
+
   /** c3: decontamination composed INTO the cleaning pipeline — the order a
     * production corpus build actually runs: drop training documents that
     * overlap the held-out split (anti-join against the c2 report), exact-
@@ -662,6 +729,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
+    "c6_split_leakage" -> (c6SplitLeakage _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "c4_triangles" -> (c4Triangles _),
     "c5_pagerank" -> (c5Pagerank _),
@@ -679,6 +747,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
     "c2_decontaminate" -> c2Sql,
+    "c6_split_leakage" -> c6Sql,
     "c3_clean_decontaminated" -> c3Sql,
     "c4_triangles" -> c4Sql,
     "c5_pagerank" -> c5Sql,

@@ -518,6 +518,54 @@ object ScaleOps {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** i4: PQ reconstruction-distortion report — the top-20 WORST-quantized
+    * vectors (highest total squared reconstruction error across the m
+    * subspace codewords). The codec-fidelity diagnostic a vector tier
+    * runs after (re)training codebooks: outliers here are exactly the
+    * vectors ADC ranks worst, i.e. the rerank stage's workload. Scale
+    * shape: one corpus scan, row-local map-literal codeword lookups
+    * (k·subDim doubles per subspace ride the plan, no join), fixed
+    * left-assoc error sum, distributed top-k (TakeOrderedAndProject) —
+    * no global window, no shuffle beyond the top-k. The oracle replays
+    * training, encoding, AND the per-vector error arithmetic. */
+  def i4PqDistortion(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val e = Tables(s, dir, "embeddings")
+    val cb = PqSearch.train(e, "vec_id", "embedding",
+      m = PqM, k = PqK, iters = PqIters, roundDecimals = PqRound)
+    val enc = PqSearch.encode(e, "vec_id", "embedding", cb)
+    val base = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .join(enc, "id")
+    val err = (0 until PqM).map { sx =>
+      val sl = slice(col("emb"), sx * cb.subDim + 1, cb.subDim)
+      val book = typedLit(cb.books(sx).toMap)
+      graft.functions.DotProduct.dist2(sl, element_at(book, col(s"c$sx")))
+    }.reduceLeft(_ + _)
+    base.select(col("id"), round(err, 6).as("err"))
+      .orderBy(col("err").desc, col("id"))
+      .limit(20)
+  }
+
+  private val i4Sql: String = {
+    val sub = AnnSearch.Dim / PqM
+    val errExpr = (0 until PqM)
+      .map(sx => sqlDist2(s"e.emb[${sx * sub + 1}:${(sx + 1) * sub}]", s"b$sx.c"))
+      .mkString(" + ")
+    val bookJoins = (0 until PqM)
+      .map(sx => s"JOIN s${sx}c$PqIters b$sx ON b$sx.cid = k.c$sx")
+      .mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$pqCtes,
+       |rec AS (
+       |  SELECT e.id, ROUND($errExpr, 6) AS err
+       |  FROM e
+       |  JOIN codes k ON k.id = e.id
+       |  $bookJoins)
+       |SELECT id, err FROM rec ORDER BY err DESC, id LIMIT 20""".stripMargin
+  }
+
   /** s3: ADAPTIVE salted join — the production composition of the skew
     * toolkit: the CMS hot-key detector ([[graft.operators.ApproxOps.heavyHitters]],
     * bounded sketch state + a layout-independent content-hash nomination)
@@ -577,6 +625,31 @@ object ScaleOps {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** b2: bloom-partitioned ANTI join — lineitems of non-URGENT orders
+    * (b1's complement, the blocklist shape): rows whose key the bloom
+    * proves ABSENT bypass the join inside the scan's codegen; only the
+    * maybe-present sliver runs the exact anti-join that clears the fpp
+    * false positives. Oracle is the plain `NOT IN` — the bloom must
+    * change shuffle traffic, never the answer. */
+  def b2BloomAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    BloomPrune.antiJoin(Tables(s, dir, "lineitem"), urgent,
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Conventions.decSum(col("l_quantity"), "total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val b2Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** p2: sort-based exact percentiles — value-identical to q24's
     * `percentile()` per the shared interpolation formula, but computed
     * with a spillable window sort + 2-row-per-(group,p) fetch instead of
@@ -601,10 +674,12 @@ object ScaleOps {
     "i1_ivf_topk" -> (i1IvfTopk _),
     "i2_pq_topk" -> (i2PqTopk _),
     "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
+    "i4_pq_distortion" -> (i4PqDistortion _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
     "b1_bloom_join" -> (b1BloomJoin _),
+    "b2_bloom_anti_join" -> (b2BloomAntiJoin _),
     "p2_percentile_dist" -> (p2PercentileDist _))
 
   val oracles: Map[String, String] = Map(
@@ -615,9 +690,11 @@ object ScaleOps {
     "i1_ivf_topk" -> i1Sql,
     "i2_pq_topk" -> i2Sql,
     "i3_ivf_pq_rerank" -> i3Sql,
+    "i4_pq_distortion" -> i4Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "s3_adaptive_skew_join" -> s3Sql,
     "b1_bloom_join" -> b1Sql,
+    "b2_bloom_anti_join" -> b2Sql,
     "p2_percentile_dist" -> p2Sql)
 }

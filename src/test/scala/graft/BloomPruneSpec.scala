@@ -33,6 +33,29 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(out.select("fk").collect().map(_.getLong(0)).toSet == (1L to 50L).toSet)
   }
 
+  test("bloom-partitioned anti-join equals the plain left-anti join") {
+    import spark.implicits._
+    val fact = (1 to 5000).map(i => (i.toLong % 1000, i)).toDF("fk", "payload")
+      .repartition(8)
+    val dim = (0 to 300).filter(_ % 3 == 0).map(_.toLong).toDF("dk")
+    val plain = fact.join(dim, col("fk") === col("dk"), "left_anti")
+      .select("fk", "payload").collect().map(_.toSeq).toSet
+    val pruned = BloomPrune.antiJoin(fact, dim, "fk", "dk")
+      .select("fk", "payload").collect().map(_.toSeq).toSet
+    assert(pruned == plain)
+  }
+
+  test("anti-join: an undersized filter (many false positives) still exact") {
+    import spark.implicits._
+    val fact = (1 to 4000).map(i => (i.toLong, i)).toDF("fk", "payload")
+    val dim = (1L to 50L).toDF("dk")
+    // expectedItems=2 at fpp 0.4 pushes a large false-positive sliver
+    // into the exact anti-join branch — every FP row must come back out
+    val out = BloomPrune.antiJoin(fact, dim, "fk", "dk",
+      expectedItems = 2L, fpp = 0.4)
+    assert(out.select("fk").collect().map(_.getLong(0)).toSet == (51L to 4000L).toSet)
+  }
+
   test("bloom_might_contain admits every inserted key (no false negatives)") {
     import spark.implicits._
     val keys = spark.range(1, 2001).toDF("k")
