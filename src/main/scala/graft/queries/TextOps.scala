@@ -348,6 +348,60 @@ object TextOps {
       |    / CAST(COUNT(*) AS DOUBLE) AS hapax_rate
       |FROM counts GROUP BY lang ORDER BY lang""".stripMargin
 
+  // d33 constants shared by the Spark query and its SQL replay
+  private val BpeMerges = 4
+
+  /** d32: BPE tokenizer TRAINING — the first 4 learned merges over the
+    * corpus ([[graft.operators.BpeTrain]]): word-type counts, per-round
+    * weighted adjacent-pair argmax, corpus-wide literal-replace merge.
+    * The oracle unrolls all 4 rounds (the Lloyd-unroll pattern applied
+    * to tokenizer training), so the learned merge table itself is
+    * hash-verified — counts, tie-breaks, and the rewrite cascade. */
+  def d32BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.BpeTrain
+      .learnMerges(Tables(s, dir, "documents"), "text", BpeMerges)
+      .map(m => (m.rank, m.left, m.right, m.weight))
+      .toDF("merge_rank", "lhs", "rhs", "weight")
+  }
+
+  private val d32Sql: String = {
+    def iter(i: Int): String = {
+      val prev = s"s${i - 1}"
+      val pat = "' ' || b.lhs || ' ' || b.rhs || ' '"
+      val rep = "' ' || b.lhs || b.rhs || ' '"
+      s"""p$i AS (
+         |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(SUM(wc) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(toks)),
+         |      i -> struct_pack(l := toks[i], r := toks[i + 1]))) AS pr
+         |    FROM (SELECT wc, string_split(trim(s), ' ') AS toks FROM $prev) z) zz
+         |  GROUP BY pr.l, pr.r),
+         |b$i AS (
+         |  SELECT lhs, rhs, n FROM p$i WHERE lhs <> rhs
+         |  ORDER BY n DESC, lhs || ' ' || rhs LIMIT 1),
+         |s$i AS (
+         |  SELECT wc, replace(replace(replace(s, $pat, $rep), $pat, $rep), $pat, $rep) AS s
+         |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+    }
+    val iters = (1 to BpeMerges).map(iter).mkString(",\n")
+    val unions = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS merge_rank, lhs, rhs, n AS weight FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT w, COUNT(*) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+       |  WHERE length(w) > 0 GROUP BY w),
+       |s0 AS (
+       |  SELECT wc, ' ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1), i -> substring(w, CAST(i AS INTEGER), 1)),
+       |    ' ') || ' ' AS s
+       |  FROM w),
+       |$iters
+       |$unions
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -747,6 +801,7 @@ object TextOps {
     "d29_readability" -> (d29Readability _),
     "d30_ngram_novelty" -> (d30NgramNovelty _),
     "d31_hapax_rate" -> (d31HapaxRate _),
+    "d32_bpe_merges" -> (d32BpeMerges _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -770,5 +825,6 @@ object TextOps {
     "d29_readability" -> d29Sql,
     "d30_ngram_novelty" -> d30Sql,
     "d31_hapax_rate" -> d31Sql,
+    "d32_bpe_merges" -> d32Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
