@@ -36,10 +36,21 @@ object BpeTrain {
 
   /** Per-character space-joined symbol string with sentinel spaces:
     * "low" → " l o w ". */
-  private def symbolize(word: Column): Column =
+  def symbolize(word: Column): Column =
     concat(lit(" "), concat_ws(" ",
       transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))),
       lit(" "))
+
+  /** Apply a learned merge table to a symbol string, in rank order —
+    * the ENCODE side of the tokenizer: the same 3-pass literal-replace
+    * cascade training used, so applying the merges training just learned
+    * reproduces training's final symbol strings exactly. */
+  def applyMerges(sym: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(sym) { (c, m) =>
+      val pat = s" ${m.left} ${m.right} "
+      val rep = s" ${m.left}${m.right} "
+      (1 to 3).foldLeft(c)((cc, _) => call_function("replace", cc, lit(pat), lit(rep)))
+    }
 
   /** Learn the first `k` merges over the text column's whitespace words.
     * Returns them in rank order; may return fewer than `k` if the

@@ -365,7 +365,13 @@ object TextOps {
       .toDF("merge_rank", "lhs", "rhs", "weight")
   }
 
-  private val d32Sql: String = {
+  /** The BPE training loop as a CTE chain (word-type counts, s0
+    * symbolization, BpeMerges unrolled rounds of pair-count → argmax →
+    * 3-pass replace). `carryWord` keeps the raw word through the chain
+    * so consumers can map word → final symbol string (d33's encode
+    * join); d32 drops it. */
+  private def bpeCtes(carryWord: Boolean): String = {
+    val cw = if (carryWord) "w, " else ""
     def iter(i: Int): String = {
       val prev = s"s${i - 1}"
       val pat = "' ' || b.lhs || ' ' || b.rhs || ' '"
@@ -381,26 +387,67 @@ object TextOps {
          |  SELECT lhs, rhs, n FROM p$i WHERE lhs <> rhs
          |  ORDER BY n DESC, lhs || ' ' || rhs LIMIT 1),
          |s$i AS (
-         |  SELECT wc, replace(replace(replace(s, $pat, $rep), $pat, $rep), $pat, $rep) AS s
+         |  SELECT ${cw}wc, replace(replace(replace(s, $pat, $rep), $pat, $rep), $pat, $rep) AS s
          |  FROM $prev CROSS JOIN b$i b)""".stripMargin
     }
     val iters = (1 to BpeMerges).map(iter).mkString(",\n")
-    val unions = (1 to BpeMerges)
-      .map(i => s"SELECT $i AS merge_rank, lhs, rhs, n AS weight FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT w, COUNT(*) AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
        |  WHERE length(w) > 0 GROUP BY w),
        |s0 AS (
-       |  SELECT wc, ' ' || array_to_string(
+       |  SELECT ${cw}wc, ' ' || array_to_string(
        |    list_transform(range(1, length(w) + 1), i -> substring(w, CAST(i AS INTEGER), 1)),
        |    ' ') || ' ' AS s
        |  FROM w),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private val d32Sql: String = {
+    val unions = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS merge_rank, lhs, rhs, n AS weight FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(carryWord = false)}
        |$unions
        |ORDER BY merge_rank""".stripMargin
   }
+
+  /** d33: BPE ENCODE — the learned d32 merge table applied back to the
+    * corpus, reported as per-document word and subword counts. Spark
+    * applies the merges row-locally to each word occurrence (literal
+    * replace cascade, no join); the oracle maps word types through the
+    * same training chain (carrying the word) and joins per-doc words to
+    * their final symbol strings — two routes to the same counts, both
+    * hash-verified. The train→encode pair completes the tokenizer
+    * lifecycle the way i2's train→encode→ADC does for PQ. */
+  def d33BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val merges = graft.operators.BpeTrain.learnMerges(docs, "text", BpeMerges)
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val encoded = graft.operators.BpeTrain.applyMerges(
+      graft.operators.BpeTrain.symbolize(col("w")), merges)
+    words
+      .withColumn("n_sym", size(split(trim(encoded), " ")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  private val d33Sql: String =
+    s"""WITH ${bpeCtes(carryWord = true)},
+       |wt AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+       |  FROM s$BpeMerges),
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) z
+       |  WHERE length(w) > 0)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_subwords
+       |FROM dw JOIN wt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
@@ -802,6 +849,7 @@ object TextOps {
     "d30_ngram_novelty" -> (d30NgramNovelty _),
     "d31_hapax_rate" -> (d31HapaxRate _),
     "d32_bpe_merges" -> (d32BpeMerges _),
+    "d33_bpe_encode" -> (d33BpeEncode _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -826,5 +874,6 @@ object TextOps {
     "d30_ngram_novelty" -> d30Sql,
     "d31_hapax_rate" -> d31Sql,
     "d32_bpe_merges" -> d32Sql,
+    "d33_bpe_encode" -> d33Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

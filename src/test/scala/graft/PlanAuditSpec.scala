@@ -386,6 +386,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "Window") >= 2, "two-phase shape: fwd + suffix windows")
   }
 
+  test("c6 split leakage: one gram hash-join family, no pairwise doc join") {
+    val s = formatted(SparkEntry.queries("c6_split_leakage")(spark, sfDir))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+      s.contains("BroadcastHashJoin"), "gram overlap must be a hash/merge equi-join")
+  }
+
+  test("i4 PQ distortion: distributed top-k, no global-window sort") {
+    val s = formatted(SparkEntry.queries("i4_pq_distortion")(spark, sfDir))
+    // the error expression is row-local (map-literal codeword lookups) and
+    // the 20-row cut must be a per-partition heap, not a single-partition
+    // global window over the whole corpus
+    assert(s.contains("TakeOrderedAndProject"), s.take(1500))
+    assert(nodeCount(s, "Window") == 0, "no window machinery expected")
+  }
+
+  test("b2 bloom anti-join: absent rows bypass the join, sliver runs exact anti") {
+    val s = formatted(SparkEntry.queries("b2_bloom_anti_join")(spark, sfDir))
+    assert(s.contains("bloom_might_contain"), "bloom probe must reach the scan side")
+    assert(s.contains("LeftAnti"), "exact anti-join must clear the fpp sliver")
+    assert(s.contains("Union"), "definitely-absent branch must union around the join")
+    assert(nodeCount(s, "CartesianProduct") == 0, s.take(1200))
+  }
+
   test("e20 MAD outliers: stat tables broadcast back, no cartesian") {
     val s = formatted(SparkEntry.queries("e20_mad_outliers")(spark, sfDir))
     assert(s.contains("BroadcastHashJoin"), s.take(1200))
