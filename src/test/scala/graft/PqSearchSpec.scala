@@ -163,6 +163,54 @@ class PqSearchSpec extends AnyFunSuite {
     } finally idx.close()
   }
 
+  test("composed stack runs from AT-REST artifacts and equals the from-scratch i3 answer") {
+    import graft.operators.IvfSearch
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, round => sround, row_number}
+    // the deployment shape: train once, persist index + codebooks, and a
+    // LATER session loads both and serves the full route -> ADC -> rerank
+    // stack — its answer must equal the oracle-checked i3 query, which
+    // trains from scratch (same constants: k=8/iters=2/round=6 IVF,
+    // m=4/k=16/iters=2/round=6 PQ, nprobe=3, pool=20, top-5)
+    val root = java.nio.file.Files.createTempDirectory("atrest").toString
+    val idx = IvfSearch.buildIndex(corpus, "vec_id", "embedding",
+      k = 8, iters = 2, roundDecimals = 6)
+    val cbT = PqSearch.train(corpus, "vec_id", "embedding",
+      m = 4, k = 16, iters = 2, roundDecimals = 6)
+    IvfSearch.saveIndex(idx, s"$root/ivf")
+    PqSearch.saveCodebooks(cbT, spark, s"$root/pq")
+    idx.close()
+    val idx2 = IvfSearch.loadIndex(spark, s"$root/ivf")
+    val cb2 = PqSearch.loadCodebooks(spark, s"$root/pq")
+    val enc2 = PqSearch.encode(corpus, "vec_id", "embedding", cb2)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val cands = broadcast(
+        IvfSearch.route(queries, idx2, "vec_id", "embedding", nprobe = 3)
+          .select(col("q_id"), col("centroid_id")))
+      .join(idx2.assignments, Seq("centroid_id"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"))
+    val shortlist = PqSearch.adcTopKWithin(queries, cands, enc2, cb2,
+      "vec_id", "embedding", topK = 20)
+    val emb = corpus.select(col("vec_id").as("neighbor"),
+      col("embedding").cast("array<double>").as("emb"))
+    val qe = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("neighbor"))
+    val atRest = shortlist.select(col("q_id"), col("neighbor"))
+      .join(broadcast(qe), "q_id").join(emb, "neighbor")
+      .withColumn("d2",
+        sround(graft.functions.DotProduct.dist2(col("q_emb"), col("emb")), 6))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("neighbor"), col("d2"), col("rk").cast("long").as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val fromScratch = SparkEntry.queries("i3_ivf_pq_rerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(atRest === fromScratch,
+      "the loaded-artifact stack must answer exactly like the from-scratch stack")
+  }
+
   test("PQ preserves cluster identity on a clustered corpus (the designed-for regime)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
