@@ -449,6 +449,42 @@ object TextOps {
        |FROM dw JOIN wt USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d34: length-bucketed batch shaping — assign each document to the
+    * smallest power-of-two token bucket that holds it and report bucket
+    * occupancy plus PADDING WASTE (tokens burned if every member pads to
+    * the bucket max) — the sorted-batching diagnostic that decides
+    * whether a training pipeline pads, packs (d18), or re-buckets. Pure
+    * integer arithmetic off the d2 token convention; one hash aggregate. */
+  def d34LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text")) - length(expr("replace(text, ' ', '')")) + 1
+    val bucket = when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+      .when(n <= 128, 128).when(n <= 256, 256).when(n <= 512, 512)
+      .otherwise(1024)
+    Tables(s, dir, "documents")
+      .select(bucket.cast("int").as("bucket_max"), n.cast("long").as("nt"))
+      .groupBy(col("bucket_max"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("bucket_max").cast("long") - col("sum_tokens"))
+      .orderBy("bucket_max")
+  }
+
+  private val d34Sql =
+    """WITH t AS (
+      |  SELECT length(text) - length(replace(text, ' ', '')) + 1 AS nt
+      |  FROM documents),
+      |b AS (
+      |  SELECT CAST(CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+      |    WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+      |    WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+      |    ELSE 1024 END AS INTEGER) AS bucket_max,
+      |    CAST(nt AS BIGINT) AS nt
+      |  FROM t)
+      |SELECT bucket_max, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+      |  COUNT(*) * CAST(bucket_max AS BIGINT) - CAST(SUM(nt) AS BIGINT) AS padding_waste
+      |FROM b GROUP BY bucket_max ORDER BY bucket_max""".stripMargin
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -850,6 +886,7 @@ object TextOps {
     "d31_hapax_rate" -> (d31HapaxRate _),
     "d32_bpe_merges" -> (d32BpeMerges _),
     "d33_bpe_encode" -> (d33BpeEncode _),
+    "d34_length_buckets" -> (d34LengthBuckets _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -875,5 +912,6 @@ object TextOps {
     "d31_hapax_rate" -> d31Sql,
     "d32_bpe_merges" -> d32Sql,
     "d33_bpe_encode" -> d33Sql,
+    "d34_length_buckets" -> d34Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

@@ -413,8 +413,41 @@ object VectorOps {
        |   FROM r) z
        |WHERE rk <= $Sq8K ORDER BY q_id, rk""".stripMargin
 
+  /** v10: embedding-column health audit — vector count, zero-norm count
+    * (the rows that poison cosine math and get filtered by v7/a1; here
+    * they are COUNTED so the pipeline can alarm), and the p50/p90 norm.
+    * Norms are the sequential-fold dot + correctly-rounded sqrt, rounded
+    * to the 6dp grid BEFORE the percentiles, so both engines interpolate
+    * over identical operands (the p2 quantile_cont parity). The audit a
+    * vector tier runs before building any index. */
+  def v10NormAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val norms = Tables(s, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("emb"))
+      .select(round(sqrt(dot(col("emb"), col("emb"))), 6).as("norm"),
+        lit("all").as("g"))
+    val counts = norms.agg(count(lit(1)).as("n_vectors"),
+      sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+    val ps = graft.operators.DistributedPercentile
+      .groupPercentiles(norms, "g", "norm",
+        Seq("p50_norm" -> 0.5, "p90_norm" -> 0.9))
+      .drop("g")
+    counts.crossJoin(ps) // 1-row × 1-row
+  }
+
+  private val v10Sql: String =
+    """WITH n AS (
+      |  SELECT ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+      |  FROM embeddings)
+      |SELECT COUNT(*) AS n_vectors,
+      |  CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  quantile_cont(norm, 0.5) AS p50_norm,
+      |  quantile_cont(norm, 0.9) AS p90_norm
+      |FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v8_sq8_rerank" -> (v8Sq8Rerank _),
+    "v10_norm_audit" -> (v10NormAudit _),
     "v7_mmr_rerank" -> (v7MmrRerank _),
     "v1_knn_brute" -> (v1KnnBrute _),
     "v2_label_stats" -> (v2LabelStats _),
@@ -425,6 +458,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "v8_sq8_rerank" -> v8Sql,
+    "v10_norm_audit" -> v10Sql,
     "v7_mmr_rerank" -> v7Sql,
     "v1_knn_brute" -> v1Sql,
     "v2_label_stats" -> v2Sql,
