@@ -200,6 +200,40 @@ object CorpusOps {
        |GROUP BY sp.split ORDER BY sp.split""".stripMargin
   }
 
+  /** c7: source-overlap provenance matrix — m1's near-dup pairs rolled
+    * up to (source_a, source_b): which sources copy from which (diagonal
+    * = within-source duplication, off-diagonal = cross-source
+    * contamination/mirroring — the signal that decides whether to drop a
+    * whole source rather than dedup document-by-document). The doc→source
+    * dimension is a broadcast join onto the pair list; the oracle replays
+    * the ENTIRE MinHash chain (the shared m1 CTEs) plus the rollup, so
+    * the provenance numbers are hash-verified end to end. Source pair
+    * order is normalized (least, greatest) so each unordered source pair
+    * appears once. */
+  def c7SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text", NearDupThreshold)
+    pairs
+      .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))), "id_a")
+      .join(broadcast(src.select(col("doc_id").as("id_b"), col("source").as("sb"))), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val c7Sql: String =
+    s"""WITH ${graft.queries.ScaleOps.m1PairsCtes}
+       |SELECT LEAST(da.source, db.source) AS source_a,
+       |  GREATEST(da.source, db.source) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM fpairs
+       |JOIN documents da ON fpairs.id_a = da.doc_id
+       |JOIN documents db ON fpairs.id_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** c3: decontamination composed INTO the cleaning pipeline — the order a
     * production corpus build actually runs: drop training documents that
     * overlap the held-out split (anti-join against the c2 report), exact-
@@ -730,6 +764,7 @@ object CorpusOps {
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "c2_decontaminate" -> (c2Decontaminate _),
     "c6_split_leakage" -> (c6SplitLeakage _),
+    "c7_source_overlap" -> (c7SourceOverlap _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "c4_triangles" -> (c4Triangles _),
     "c5_pagerank" -> (c5Pagerank _),
@@ -748,6 +783,7 @@ object CorpusOps {
     "c1_dedup_clusters" -> c1Sql,
     "c2_decontaminate" -> c2Sql,
     "c6_split_leakage" -> c6Sql,
+    "c7_source_overlap" -> c7Sql,
     "c3_clean_decontaminated" -> c3Sql,
     "c4_triangles" -> c4Sql,
     "c5_pagerank" -> c5Sql,
