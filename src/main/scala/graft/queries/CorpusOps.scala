@@ -234,6 +234,33 @@ object CorpusOps {
        |JOIN documents db ON fpairs.id_b = db.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** c8: dedup aggressiveness sweep — near-dup pair counts at escalating
+    * Jaccard thresholds (0.3 / 0.5 / 0.7) off ONE MinHash pass: the
+    * tuning curve a corpus build reads before committing to a dedup
+    * threshold (how many pairs — i.e. how much of the corpus — each
+    * setting would implicate). The banding is run once at the loosest
+    * threshold; tighter thresholds are a row-local filter over the same
+    * verified pairs, so the sweep costs one extra aggregate, not three
+    * passes. Thresholds ride as an explode (no join); a threshold that
+    * implicates zero pairs is absent on both engines identically. */
+  def c8ThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.nearDuplicates(
+        Tables(s, dir, "documents"), "doc_id", "text", NearDupThreshold)
+      .select(col("jaccard"),
+        explode(typedLit(Seq(0.3, 0.5, 0.7))).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("threshold")
+
+  private val c8Sql: String =
+    s"""WITH ${ScaleOps.m1PairsCtes},
+       |th AS (SELECT unnest([0.3, 0.5, 0.7]) AS threshold)
+       |SELECT threshold, COUNT(*) AS n_pairs
+       |FROM fpairs CROSS JOIN th
+       |WHERE jaccard >= threshold
+       |GROUP BY threshold ORDER BY threshold""".stripMargin
+
   /** c3: decontamination composed INTO the cleaning pipeline — the order a
     * production corpus build actually runs: drop training documents that
     * overlap the held-out split (anti-join against the c2 report), exact-
@@ -765,6 +792,7 @@ object CorpusOps {
     "c2_decontaminate" -> (c2Decontaminate _),
     "c6_split_leakage" -> (c6SplitLeakage _),
     "c7_source_overlap" -> (c7SourceOverlap _),
+    "c8_threshold_sweep" -> (c8ThresholdSweep _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "c4_triangles" -> (c4Triangles _),
     "c5_pagerank" -> (c5Pagerank _),
@@ -784,6 +812,7 @@ object CorpusOps {
     "c2_decontaminate" -> c2Sql,
     "c6_split_leakage" -> c6Sql,
     "c7_source_overlap" -> c7Sql,
+    "c8_threshold_sweep" -> c8Sql,
     "c3_clean_decontaminated" -> c3Sql,
     "c4_triangles" -> c4Sql,
     "c5_pagerank" -> c5Sql,

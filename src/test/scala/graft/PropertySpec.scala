@@ -154,6 +154,29 @@ class PropertySpec extends AnyFunSuite {
     }, _.withMinSuccessfulTests(15))
   }
 
+  test("SkewJoin.adaptiveSaltedInnerJoin equals the plain join for ANY hot-key set") {
+    import spark.implicits._
+    // the hot set is ARBITRARY (detected, mis-detected, empty, or keys
+    // absent from either side) — the result must be invariant to it
+    val factGen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n,
+      for { k <- Gen.choose(0L, 6L); v <- Gen.choose(-50, 50) } yield (k, v)))
+    val dimGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 9L)))
+    val hotGen = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 12L)))
+    check(Prop.forAllNoShrink(factGen, dimGen, hotGen) { (fs, ds, hot) =>
+      val fact = fs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("fk", "v", "rid")
+      val dim = ds.distinct.map(k => (k, s"d$k")).toDF("dk", "dv")
+      val plain = fact.join(dim, org.apache.spark.sql.functions.col("fk") ===
+          org.apache.spark.sql.functions.col("dk"))
+        .select("fk", "v", "rid", "dv").collect().map(_.toSeq).toSet
+      val adaptive = graft.operators.SkewJoin
+        .adaptiveSaltedInnerJoin(fact, dim, "fk", "dk", saltBy = "rid",
+          hotKeys = hot.distinct, salts = 4)
+        .select("fk", "v", "rid", "dv").collect().map(_.toSeq).toSet
+      adaptive == plain
+    }, _.withMinSuccessfulTests(15))
+  }
+
   test("BloomPrune.semiJoin equals the plain left-semi join on random frames") {
     import spark.implicits._
     val factGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 40L)))
