@@ -30,6 +30,28 @@ import graft.functions.BloomFunctions
   */
 object BloomPrune {
 
+  /** Shared preamble: distinct long-cast dim keys (persisted — the dim
+    * subtree is read three times: sizing count, filter build, join build
+    * side; released by the caller's clearCache like every query-held
+    * cache) and the serialized bloom over them. Distinct BEFORE
+    * persisting: the bloom only cares about the key SET, and self-sizing
+    * from total rows on a duplicate-heavy dim would allocate a filter
+    * (and the serialized literal every task receives) proportional to
+    * row count, not key count. Cast to long on BOTH sides so
+    * stat.bloomFilter's putLong and the probe's mightContainLong agree
+    * on the hashed representation. */
+  private def keysAndBloom(dim: DataFrame, dimKey: String,
+                           expectedItems: Long, fpp: Double)
+      : (DataFrame, Array[Byte]) = {
+    require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = keys.count() // materializes the cache; also the self-size
+    val sized = if (expectedItems > 0) expectedItems else math.max(1L, n)
+    val bloom = keys.stat.bloomFilter(dimKey, sized, fpp)
+    (keys, BloomFunctions.serialize(bloom))
+  }
+
   /** Rows of `fact` whose `factKey` appears in `dim`'s `dimKey` set.
     * `expectedItems`/`fpp` size the filter (standard bloom trade-off;
     * overshooting `expectedItems` bloats the literal that rides the plan
@@ -43,23 +65,8 @@ object BloomPrune {
                fpp: Double = 0.01): DataFrame = {
     require(factKey != dimKey,
       s"fact and dim key share the name '$factKey' — rename one side first")
-    require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
     BloomFunctions.register(fact.sparkSession)
-    // cast to long on BOTH sides so stat.bloomFilter's putLong and the
-    // probe's mightContainLong agree on the hashed representation.
-    // Distinct BEFORE persisting: the bloom only cares about the key SET,
-    // and self-sizing from total rows on a duplicate-heavy dim would
-    // allocate a filter (and the serialized literal every task receives)
-    // proportional to row count, not key count.
-    // Persisted because the dim subtree (often an expensive filtered scan)
-    // is read three times — sizing count, filter build, join build side;
-    // released by the caller's clearCache like every query-held cache.
-    val keys = dim.select(col(dimKey).cast("long").as(dimKey)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = keys.count() // materializes the cache; also the self-size
-    val sized = if (expectedItems > 0) expectedItems else math.max(1L, n)
-    val bloom = keys.stat.bloomFilter(dimKey, sized, fpp)
-    val bytes = BloomFunctions.serialize(bloom)
+    val (keys, bytes) = keysAndBloom(dim, dimKey, expectedItems, fpp)
     fact
       .filter(BloomFunctions.bloomMightContain(col(factKey).cast("long"), bytes))
       .join(keys.hint("shuffle_hash"),
@@ -76,29 +83,28 @@ object BloomPrune {
     * positives. At a selective blocklist the shuffle carries a few
     * percent of the fact side instead of all of it.
     *
-    * Result is EXACTLY the plain left-anti join, so the oracle replays
-    * it as `WHERE key NOT IN (SELECT ...)` (null-free keys). Same key
-    * contract as [[semiJoin]]. */
+    * Result is EXACTLY the plain left-anti join — including NULL keys:
+    * a NULL (or uncastable) fact key never equals any dim key, so the
+    * plain anti-join KEEPS the row, and the probe's NULL verdict is
+    * coalesced into the bypass branch rather than silently failing both
+    * filters. The oracle replays it as `WHERE key NOT IN (SELECT ...)`
+    * over null-free keys. Same key contract as [[semiJoin]]. */
   def antiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                dimKey: String, expectedItems: Long = -1L,
                fpp: Double = 0.01): DataFrame = {
     require(factKey != dimKey,
       s"fact and dim key share the name '$factKey' — rename one side first")
-    require(fpp > 0 && fpp < 1, s"need fpp in (0,1), got $fpp")
     BloomFunctions.register(fact.sparkSession)
-    val keys = dim.select(col(dimKey).cast("long").as(dimKey)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = keys.count()
-    val sized = if (expectedItems > 0) expectedItems else math.max(1L, n)
-    val bloom = keys.stat.bloomFilter(dimKey, sized, fpp)
-    val bytes = BloomFunctions.serialize(bloom)
+    val (keys, bytes) = keysAndBloom(dim, dimKey, expectedItems, fpp)
     val mightContain =
       BloomFunctions.bloomMightContain(col(factKey).cast("long"), bytes)
     // definitely-absent rows are decided at the scan; the sliver the
-    // bloom flags runs the exact anti-join to clear false positives
-    fact.filter(!mightContain)
+    // bloom flags runs the exact anti-join to clear false positives.
+    // NULL probe verdicts (NULL/uncastable keys) take the bypass branch:
+    // an anti-join keeps unmatched rows, and NULL matches nothing.
+    fact.filter(coalesce(!mightContain, lit(true)))
       .unionByName(
-        fact.filter(mightContain)
+        fact.filter(coalesce(mightContain, lit(false)))
           .join(keys.hint("shuffle_hash"),
             col(factKey).cast("long") === col(dimKey), "left_anti"))
   }

@@ -87,16 +87,20 @@ object BpeTrain {
         val row = best(0)
         val (l, rr, n) = (row.getString(2), row.getString(3), row.getLong(1))
         out += Merge(r, l, rr, n)
-        val pat = s" $l $rr "
-        val rep = s" $l$rr "
-        val merged = (1 to 3).foldLeft(col("s")) { (c, _) =>
-          call_function("replace", c, lit(pat), lit(rep))
+        // the final round's merge would feed nothing — skip the rewrite
+        // pass (select + persist + count) once the k-th merge is chosen
+        if (r < k) {
+          val pat = s" $l $rr "
+          val rep = s" $l$rr "
+          val merged = (1 to 3).foldLeft(col("s")) { (c, _) =>
+            call_function("replace", c, lit(pat), lit(rep))
+          }
+          val next = syms.select(col("wc"), merged.as("s"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          syms.unpersist()
+          syms = next
         }
-        val next = syms.select(col("wc"), merged.as("s"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        syms.unpersist()
-        syms = next
         r += 1
       }
     }

@@ -479,17 +479,21 @@ object EventOps {
     *
     * Every window (and the union sort) partitions on (event_type, bucket)
     * — ~3 h of one type per task — and the recombining join shuffles on
-    * unique event_id; no stage sorts a whole event_type. Bucket ids use
-    * integer `div` (epoch micros ~1.7e18 overflow double's 2^53 exact
-    * range — `floor(es / width)` would misbucket). Interior sums stay
-    * DECIMAL, so partial + partial is bit-identical to the oracle's
-    * single-window SUM. */
+    * unique event_id; no stage sorts a whole event_type. Bucket ids are
+    * exact integer FLOOR division — `(es - pmod(es, width)) div width`,
+    * not `floor(es / width)` (epoch micros ~1.7e18 overflow double's
+    * 2^53 exact range) and not bare `div` (which truncates toward zero,
+    * misbucketing pre-epoch negative micros so a frame near t=0 would
+    * pull in rows older than t−3h). Interior sums stay DECIMAL, so
+    * partial + partial is bit-identical to the oracle's single-window
+    * SUM. */
   def e13RollingRange(s: SparkSession, dir: String): DataFrame = {
     val threeHours = 3L * MicrosPerHour
     val ev = Tables(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("es"))
-      .withColumn("bkt", expr(s"es div ${threeHours}L"))
+      .withColumn("bkt",
+        expr(s"(es - pmod(es, ${threeHours}L)) div ${threeHours}L"))
     val wf = Window.partitionBy(col("event_type"), col("bkt")).orderBy(col("es"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ev.select(col("event_id"), col("event_type"),

@@ -594,11 +594,9 @@ object ScaleOps {
       .orderBy("s_nationkey")
   }
 
-  private val s3Sql: String =
-    """SELECT s_nationkey, COUNT(*) AS n_items,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
-      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+  // identical by construction: the adaptive machinery must never change
+  // the answer, so s3's oracle IS s2's plain-join oracle
+  private val s3Sql: String = s2Sql
 
   /** b1: bloom-pruned semi-join — lineitems of URGENT orders, where the
     * order-key set rides to the fact scan as a ~1.2 B/key bloom filter and

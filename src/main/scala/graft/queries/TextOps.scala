@@ -369,7 +369,11 @@ object TextOps {
     * symbolization, BpeMerges unrolled rounds of pair-count → argmax →
     * 3-pass replace). `carryWord` keeps the raw word through the chain
     * so consumers can map word → final symbol string (d33's encode
-    * join); d32 drops it. */
+    * join); d32 drops it. An EXHAUSTED round (no non-self pair left —
+    * b$i empty) must leave the symbol table unchanged, exactly like the
+    * Spark loop stopping early: the merge rides a LEFT JOIN ON TRUE
+    * whose NULL row keeps `s` as-is, never a CROSS JOIN that would wipe
+    * the table. */
   private def bpeCtes(carryWord: Boolean): String = {
     val cw = if (carryWord) "w, " else ""
     def iter(i: Int): String = {
@@ -387,8 +391,10 @@ object TextOps {
          |  SELECT lhs, rhs, n FROM p$i WHERE lhs <> rhs
          |  ORDER BY n DESC, lhs || ' ' || rhs LIMIT 1),
          |s$i AS (
-         |  SELECT ${cw}wc, replace(replace(replace(s, $pat, $rep), $pat, $rep), $pat, $rep) AS s
-         |  FROM $prev CROSS JOIN b$i b)""".stripMargin
+         |  SELECT ${cw}wc,
+         |    CASE WHEN b.lhs IS NULL THEN s
+         |         ELSE replace(replace(replace(s, $pat, $rep), $pat, $rep), $pat, $rep) END AS s
+         |  FROM $prev LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
     val iters = (1 to BpeMerges).map(iter).mkString(",\n")
     s"""w AS (

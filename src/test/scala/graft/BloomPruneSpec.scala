@@ -56,6 +56,22 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(out.select("fk").collect().map(_.getLong(0)).toSet == (51L to 4000L).toSet)
   }
 
+  test("anti-join keeps NULL-keyed fact rows, exactly like the plain left-anti") {
+    import spark.implicits._
+    // a NULL key never equals any dim key, so the plain anti-join KEEPS
+    // the row; the probe's NULL verdict must route it down the bypass
+    // branch instead of failing both filters and vanishing
+    val fact = Seq((Some(1L), "match"), (Some(99L), "nomatch"), (None, "nullkey"))
+      .toDF("fk", "tag")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val plain = fact.join(dim, col("fk") === col("dk"), "left_anti")
+      .collect().map(_.getString(1)).toSet
+    val pruned = BloomPrune.antiJoin(fact, dim, "fk", "dk")
+      .collect().map(_.getString(1)).toSet
+    assert(plain === Set("nomatch", "nullkey"))
+    assert(pruned === plain)
+  }
+
   test("bloom_might_contain admits every inserted key (no false negatives)") {
     import spark.implicits._
     val keys = spark.range(1, 2001).toDF("k")
