@@ -1215,6 +1215,49 @@ object EventOps {
       |    / CAST(gn * (n + 10) AS DOUBLE) / 10000.0 AS encoded
       |FROM per CROSS JOIN tot ORDER BY event_type""".stripMargin
 
+  /** e30: inter-arrival time distribution — p50/p90 of the gap between a
+    * user's consecutive events of each type (lag over (user, type)
+    * streams, tie-broken on event_id so the lag is total-ordered), fed
+    * into [[graft.operators.DistributedPercentile]]. The burstiness /
+    * session-cadence profile that sizes watermarks and session gaps
+    * (e3's 30-min gap is exactly a quantile of this distribution).
+    * Gaps are exact epoch-microsecond integers; the lerp is the
+    * p2-pinned quantile_cont parity. Fine-grained (user, type) window
+    * partitions — no task ever sorts a whole type. */
+  def e30InterArrival(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("es"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("es"), col("event_id"))
+    // persisted: the count aggregate reads it once, the percentile
+    // operator twice (the e27 convention; released by clearCache)
+    val gaps = ev.withColumn("prev", lag(col("es"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("es") - col("prev")).as("gap_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = graft.operators.DistributedPercentile
+      .groupPercentiles(gaps, "event_type", "gap_us",
+        Seq("p50_us" -> 0.5, "p90_us" -> 0.9))
+    gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n_gaps"))
+      .join(broadcast(stats), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
+  private val e30Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS es FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    es - LAG(es) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY es, event_id) AS gap_us
+      |  FROM e),
+      |f AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      |  quantile_cont(gap_us, 0.5) AS p50_us,
+      |  quantile_cont(gap_us, 0.9) AS p90_us
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** e29: week-over-week growth — epoch-week totals per event type with
     * the lag-ratio growth rate (t − prev)/prev. Totals are exact via the
     * DECIMAL interior sum; the growth is two correctly-rounded double ops
@@ -1279,6 +1322,7 @@ object EventOps {
     "e27_convert_time" -> (e27ConvertTime _),
     "e28_target_encode" -> (e28TargetEncode _),
     "e29_wow_growth" -> (e29WowGrowth _),
+    "e30_inter_arrival" -> (e30InterArrival _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -1312,6 +1356,7 @@ object EventOps {
     "e27_convert_time" -> e27Sql,
     "e28_target_encode" -> e28Sql,
     "e29_wow_growth" -> e29Sql,
+    "e30_inter_arrival" -> e30Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }
