@@ -261,6 +261,69 @@ object CorpusOps {
        |WHERE jaccard >= threshold
        |GROUP BY threshold ORDER BY threshold""".stripMargin
 
+  /** d35: per-source quality SCORECARD — the one-page report a corpus
+    * curator reads per ingest source: document count, total tokens (d2
+    * convention), mean quality score, and within-source near-dup pair
+    * count (c7's diagonal). The mean dodges FP order-dependence by
+    * lifting d3's 6dp-grid score to exact integer micro-units and
+    * dividing with integer `div` — a BIGINT mean on the 1e-6 grid, not
+    * an order-sensitive AVG of doubles. One corpus scan for the
+    * row-local stats, the shared MinHash chain for the pair counts,
+    * broadcast-joined per source. */
+  def d35SourceScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val charLen = length(col("text"))
+    val tokens = charLen - length(expr("replace(text, ' ', '')")) + 1
+    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val score = round(
+      least(lit(1.0), tokens.cast("double") / lit(200.0)) *
+        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+    val stats = docs.select(col("source"), tokens.cast("long").as("nt"),
+        round(score * 1e6).cast("long").as("q_e6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        sum(col("q_e6")).as("q_sum"))
+      .withColumn("mean_quality_e6", expr("q_sum div n_docs"))
+      .drop("q_sum")
+    val src = docs.select(col("doc_id"), col("source"))
+    val dupPairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text", NearDupThreshold)
+      .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))), "id_a")
+      .join(broadcast(src.select(col("doc_id").as("id_b"), col("source").as("sb"))), "id_b")
+      .filter(col("sa") === col("sb"))
+      .groupBy(col("sa").as("source"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    stats.join(dupPairs, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("mean_quality_e6"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
+      .orderBy("source")
+  }
+
+  private val d35Sql: String =
+    s"""WITH ${ScaleOps.m1PairsCtes},
+       |st AS (
+       |  SELECT source,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CAST(ROUND(ROUND(
+       |      least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
+       |        * (1.0 - least(1.0,
+       |            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |            / CAST(length(text) AS DOUBLE) * 10)), 6) * 1e6, 0) AS BIGINT)) AS BIGINT) AS q_sum
+       |  FROM documents GROUP BY source),
+       |dp AS (
+       |  SELECT da.source, COUNT(*) AS n_dup_pairs
+       |  FROM fpairs
+       |  JOIN documents da ON fpairs.id_a = da.doc_id
+       |  JOIN documents db ON fpairs.id_b = db.doc_id
+       |  WHERE da.source = db.source
+       |  GROUP BY da.source)
+       |SELECT st.source, st.n_docs, st.total_tokens,
+       |  q_sum // n_docs AS mean_quality_e6,
+       |  COALESCE(dp.n_dup_pairs, 0) AS n_dup_pairs
+       |FROM st LEFT JOIN dp ON st.source = dp.source
+       |ORDER BY st.source""".stripMargin
+
   /** c3: decontamination composed INTO the cleaning pipeline — the order a
     * production corpus build actually runs: drop training documents that
     * overlap the held-out split (anti-join against the c2 report), exact-
@@ -793,6 +856,7 @@ object CorpusOps {
     "c6_split_leakage" -> (c6SplitLeakage _),
     "c7_source_overlap" -> (c7SourceOverlap _),
     "c8_threshold_sweep" -> (c8ThresholdSweep _),
+    "d35_source_scorecard" -> (d35SourceScorecard _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "c4_triangles" -> (c4Triangles _),
     "c5_pagerank" -> (c5Pagerank _),
@@ -813,6 +877,7 @@ object CorpusOps {
     "c6_split_leakage" -> c6Sql,
     "c7_source_overlap" -> c7Sql,
     "c8_threshold_sweep" -> c8Sql,
+    "d35_source_scorecard" -> d35Sql,
     "c3_clean_decontaminated" -> c3Sql,
     "c4_triangles" -> c4Sql,
     "c5_pagerank" -> c5Sql,
