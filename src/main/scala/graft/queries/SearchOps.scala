@@ -53,6 +53,32 @@ object SearchOps {
     s"""WITH ${KeywordSearch.tfidfCtes}
        |SELECT id AS doc_id, top_term, tfidf FROM top ORDER BY doc_id""".stripMargin
 
+  /** Adjacent-pair phrases spanning the corpus's frequency spectrum. */
+  private val Phrases = Seq("fast sort", "query key", "table table")
+
+  /** k4: exact-phrase search — token-boundary containment of multi-word
+    * phrases, the retrieval primitive BM25's bag-of-words misses (term
+    * ADJACENCY). Both engines test `' '||text||' '` containing
+    * `' phrase '`, so word boundaries at the string edges need no regex.
+    * Row-local scan work; the per-phrase explode makes one pass serve
+    * every phrase (|phrases| is a literal list, not a join). */
+  def k4PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit(" "), col("text"), lit(" ")).as("pt"))
+      .select(col("doc_id"), explode(typedLit(Phrases)).as("phrase"), col("pt"))
+      .filter(col("pt").contains(concat(lit(" "), col("phrase"), lit(" "))))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("phrase")
+
+  private val k4Sql: String =
+    s"""WITH ph AS (SELECT unnest([${Phrases.map(p => s"'$p'").mkString(", ")}]) AS phrase)
+       |SELECT phrase, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM documents CROSS JOIN ph
+       |WHERE ' ' || text || ' ' LIKE '% ' || phrase || ' %'
+       |GROUP BY phrase ORDER BY phrase""".stripMargin
+
   /** k3: PII redaction audit — each document gets deterministic contact
     * lines synthesized from its own key (one source-derived email, a
     * second cc address on even ids, one +1 phone number), then the
@@ -91,11 +117,13 @@ object SearchOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_bm25_topk" -> (k1Bm25TopK _),
+    "k4_phrase_search" -> (k4PhraseSearch _),
     "k2_tfidf_term" -> (k2TfidfTerm _),
     "k3_pii_redact" -> (k3PiiRedact _))
 
   val oracles: Map[String, String] = Map(
     "k1_bm25_topk" -> k1Sql,
+    "k4_phrase_search" -> k4Sql,
     "k2_tfidf_term" -> k2Sql,
     "k3_pii_redact" -> k3Sql)
 }

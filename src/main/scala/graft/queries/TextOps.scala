@@ -491,6 +491,79 @@ object TextOps {
       |  COUNT(*) * CAST(bucket_max AS BIGINT) - CAST(SUM(nt) AS BIGINT) AS padding_waste
       |FROM b GROUP BY bucket_max ORDER BY bucket_max""".stripMargin
 
+  /** d36: vocabulary coverage curve — how many of the top-frequency
+    * token TYPES cover 50% / 90% / 99% of all token OCCURRENCES (the
+    * Zipf curve read as a tokenizer-budget question: "how big a vocab
+    * before coverage flattens").
+    *
+    * Scale shape: a per-token ranked cumsum would be a single-partition
+    * window over the whole vocabulary (the e13 smell). Tokens tied at
+    * the same frequency are interchangeable for coverage, so the curve
+    * collapses to the frequency-GROUP table — |distinct count values|
+    * rows, O(√corpus) even at 100 TB — with the within-group crossing
+    * recovered arithmetically: vocab_size = types_before +
+    * ceil((pct·total − 100·tokens_before) / (100·n)), all in exact
+    * integers (identical to the per-token (n DESC, token) ranking).
+    * The only window runs over that tiny group table. */
+  def d36CoverageCurve(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val groups = vocab.groupBy(col("n"))
+      .agg(count(lit(1)).as("g"))
+      .withColumn("tk", col("n") * col("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = groups
+      .withColumn("cum_tk", sum(col("tk")).over(w))
+      .withColumn("cum_ty", sum(col("g")).over(w))
+    val total = vocab.agg(sum(col("n")).as("total"))
+    cum.crossJoin(broadcast(total))
+      .select(explode(typedLit(Seq(50, 90, 99))).as("coverage_pct"),
+        col("n"), col("g"), col("tk"), col("cum_tk"), col("cum_ty"), col("total"))
+      .filter(col("cum_tk") * 100 >= col("coverage_pct") * col("total"))
+      // the FIRST crossing group in n-descending order has the largest n
+      .groupBy(col("coverage_pct"))
+      .agg(max(col("n")).as("xn"), max(col("total")).as("total"))
+      .join(cum.withColumnRenamed("n", "xn"), Seq("xn"))
+      // integer ceil((pct·total − 100·tokens_before) / (100·n)) — `div`,
+      // never `/` (double division)
+      .select(col("coverage_pct"),
+        (col("cum_ty") - col("g") +
+          expr("(coverage_pct * total - 100L * (cum_tk - tk) + 100L * xn - 1L) div (100L * xn)"))
+          .cast("long").as("vocab_size"))
+      .orderBy("coverage_pct")
+  }
+
+  private val d36Sql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |vocab AS (
+      |  SELECT t, COUNT(*) AS n FROM tok WHERE length(t) > 0 GROUP BY t),
+      |grp AS (
+      |  SELECT n, COUNT(*) AS g, n * COUNT(*) AS tk FROM vocab GROUP BY n),
+      |cum AS (
+      |  SELECT n, g, tk,
+      |    SUM(tk) OVER (ORDER BY n DESC ROWS UNBOUNDED PRECEDING) AS cum_tk,
+      |    SUM(g) OVER (ORDER BY n DESC ROWS UNBOUNDED PRECEDING) AS cum_ty
+      |  FROM grp),
+      |tot AS (SELECT SUM(n) AS total FROM vocab),
+      |th AS (SELECT unnest([50, 90, 99]) AS coverage_pct),
+      |xg AS (
+      |  SELECT coverage_pct, MAX(n) AS xn, MAX(total) AS total
+      |  FROM cum CROSS JOIN tot CROSS JOIN th
+      |  WHERE cum_tk * 100 >= coverage_pct * total
+      |  GROUP BY coverage_pct)
+      |SELECT coverage_pct,
+      |  CAST(cum.cum_ty - cum.g
+      |    + (coverage_pct * xg.total - 100 * (cum.cum_tk - cum.tk)
+      |       + 100 * xg.xn - 1) // (100 * xg.xn) AS BIGINT) AS vocab_size
+      |FROM xg JOIN cum ON cum.n = xg.xn
+      |ORDER BY coverage_pct""".stripMargin
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -893,6 +966,7 @@ object TextOps {
     "d32_bpe_merges" -> (d32BpeMerges _),
     "d33_bpe_encode" -> (d33BpeEncode _),
     "d34_length_buckets" -> (d34LengthBuckets _),
+    "d36_coverage_curve" -> (d36CoverageCurve _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -919,5 +993,6 @@ object TextOps {
     "d32_bpe_merges" -> d32Sql,
     "d33_bpe_encode" -> d33Sql,
     "d34_length_buckets" -> d34Sql,
+    "d36_coverage_curve" -> d36Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

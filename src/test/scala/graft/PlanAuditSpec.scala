@@ -411,6 +411,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0, s.take(1200))
   }
 
+  test("e30 inter-arrival: lag window partitions on (user, type), never type alone") {
+    val s = formatted(SparkEntry.queries("e30_inter_arrival")(spark, sfDir))
+    val tree = s.split(raw"== Initial Plan ==").head
+    val finalIds = raw"\((\d+)\)".r.findAllMatchIn(tree).map(_.group(1)).toSet
+    val parts = s.split("\n\n").toSeq
+      .filter(b => raw"^\((\d+)\) Exchange".r.findFirstMatchIn(b)
+        .exists(m => finalIds.contains(m.group(1))))
+      .flatMap(b => raw"hashpartitioning\(([^)]*)\)".r
+        .findFirstMatchIn(b).map(_.group(1)))
+    // the corpus-sized LAG window must hash on the composite
+    // (user_id, event_type) key; the later type-only exchanges carry the
+    // percentile stage, which is the deliberately spillable p2 shape
+    assert(parts.exists(p => p.contains("user_id") && p.contains("event_type")),
+      s"no composite (user, type) exchange for the lag window:\n${parts.mkString("\n")}")
+  }
+
   test("e20 MAD outliers: stat tables broadcast back, no cartesian") {
     val s = formatted(SparkEntry.queries("e20_mad_outliers")(spark, sfDir))
     assert(s.contains("BroadcastHashJoin"), s.take(1200))
