@@ -29,7 +29,11 @@ object ScaleOps {
     * with the CorpusOps oracles (c1/d14), which build the connected-
     * components recursion on top of the SAME pair derivation so the
     * whole pair→cluster chain is replayed, not just its last step. */
-  private[queries] val m1PairsCtes: String = {
+  private[queries] val m1PairsCtes: String = m1PairsCtesAt(0.3)
+
+  /** The same chain with a caller-chosen verification threshold (m3's
+    * calibration sweep uses 0.0 — every banded candidate, unthresholded). */
+  private[queries] def m1PairsCtesAt(threshold: Double): String = {
     val K = MinHashDedup.K
     val R = MinHashDedup.R
     val P = MinHashDedup.P
@@ -72,12 +76,58 @@ object ScaleOps {
        |  FROM inter
        |  JOIN sizes za ON id_a = za.id
        |  JOIN sizes zb ON id_b = zb.id
-       |  WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= 0.3)""".stripMargin
+       |  WHERE CAST(inter AS DOUBLE) / CAST(za.sz + zb.sz - inter AS DOUBLE) >= $threshold)""".stripMargin
   }
 
   private val m1Sql: String =
     s"""WITH $m1PairsCtes
        |SELECT id_a, id_b, jaccard FROM fpairs ORDER BY id_a, id_b""".stripMargin
+
+  /** m3: sketch-calibration report — for EVERY banded candidate pair
+    * (threshold 0: no verification cut), the count of agreeing minhash
+    * components vs the mean TRUE Jaccard at that agreement level. This
+    * is the estimator-quality audit behind the whole MinHash tier: the
+    * expected component-agreement fraction IS the Jaccard (the classic
+    * minwise-hashing identity), and this table shows how tightly the
+    * 16-component sketch tracks it on the actual corpus — the evidence
+    * for choosing K/R/B. The mean is an exact
+    * integer (Jaccard on the 6dp grid, lifted to ppm, integer `div`),
+    * so the whole calibration replays in the oracle. */
+  def m3SketchCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    graft.functions.SketchFunctions.register(s)
+    val pairs = MinHashDedup.nearDuplicates(docs, "doc_id", "text", 0.0)
+    val sigs = MinHashDedup.signatureFromSets(
+      MinHashDedup.shingleSets(docs, "doc_id", "text"))
+    val matches = (0 until MinHashDedup.K).map(k =>
+      when(element_at(col("ma"), k + 1) === element_at(col("mb"), k + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("mh").as("ma")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("mh").as("mb")), "id_b")
+      .withColumn("n_match", matches)
+      .withColumn("j_e6", round(col("jaccard") * 1e6).cast("long"))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j_e6")).as("jsum"))
+      .withColumn("mean_jaccard_e6", expr("jsum div n_pairs"))
+      .drop("jsum")
+      .orderBy("n_match")
+  }
+
+  private val m3Sql: String = {
+    val matchExpr = (0 until MinHashDedup.K)
+      .map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${m1PairsCtesAt(0.0)},
+       |mm AS (
+       |  SELECT f.jaccard, ($matchExpr) AS n_match
+       |  FROM fpairs f
+       |  JOIN sigs sa ON f.id_a = sa.id
+       |  JOIN sigs sb ON f.id_b = sb.id)
+       |SELECT n_match, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CAST(ROUND(jaccard * 1e6, 0) AS BIGINT)) AS BIGINT) // COUNT(*) AS mean_jaccard_e6
+       |FROM mm GROUP BY n_match ORDER BY n_match""".stripMargin
+  }
 
   /** m2: SimHash fingerprint pairs within Hamming distance 3. With
     * `NumBands` = 5 disjoint 12-bit bands, banding finds EVERY pair at
@@ -667,6 +717,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_minhash_neardup" -> (m1MinhashNeardup _),
     "m2_simhash_neardup" -> (m2SimhashNeardup _),
+    "m3_sketch_calibration" -> (m3SketchCalibration _),
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
@@ -683,6 +734,7 @@ object ScaleOps {
   val oracles: Map[String, String] = Map(
     "m1_minhash_neardup" -> m1Sql,
     "m2_simhash_neardup" -> m2Sql,
+    "m3_sketch_calibration" -> m3Sql,
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
     "i1_ivf_topk" -> i1Sql,
