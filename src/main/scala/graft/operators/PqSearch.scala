@@ -36,21 +36,29 @@ object PqSearch {
     * subspace s over dims [s·subDim, (s+1)·subDim). */
   case class Codebooks(m: Int, subDim: Int, books: Seq[Seq[(Int, Seq[Double])]])
 
-  /** Fit m independent codebooks. m training passes over the corpus (one
-    * deterministic Lloyd per subspace); at cluster scale persist the
-    * projected corpus once outside and pass a cached frame in. */
+  /** Fit m independent codebooks — ONE persisted corpus projection
+    * shared by all m subspace Lloyd fits: each fit's jobs re-slice the
+    * cached (id, emb) base (a row-local projection off cache) instead of
+    * re-reading and re-casting the source m times and holding m sliced
+    * caches. The fits themselves are [[IvfSearch]]'s deterministic Lloyd,
+    * unchanged. */
   def train(corpus: DataFrame, idCol: String, embCol: String,
             m: Int, k: Int, iters: Int, roundDecimals: Int): Codebooks = {
-    val dim = corpus.select(size(col(embCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val sub = dim / m
-    val books = (0 until m).map { s =>
-      IvfSearch.kmeansFit(
-        corpus.select(col(idCol),
-          slice(col(embCol).cast("array<double>"), s * sub + 1, sub).as("sub")),
-        idCol, "sub", k, iters, roundDecimals)
-    }
-    Codebooks(m, sub, books)
+    DotProduct.register(corpus.sparkSession) // fitPrepared's dist2 probes
+    val base = corpus
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = base.select(size(col("emb"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+      val sub = dim / m
+      val books = (0 until m).map { s =>
+        IvfSearch.fitPrepared(
+          base.select(col("id"), slice(col("emb"), s * sub + 1, sub).as("emb")),
+          k, iters, roundDecimals)
+      }
+      Codebooks(m, sub, books)
+    } finally base.unpersist()
   }
 
   /** Persist codebooks at rest: (s, cid, centroid) rows — m·k rows of
