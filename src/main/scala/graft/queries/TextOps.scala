@@ -564,6 +564,63 @@ object TextOps {
       |FROM xg JOIN cum ON cum.n = xg.xn
       |ORDER BY coverage_pct""".stripMargin
 
+  /** d37: length↔quality correlation per language — q29's exact
+    * integer-moment Pearson applied to the corpus-quality domain: does
+    * the d3 quality score just measure length (r → 1 below the 200-token
+    * cap) or is punctuation doing real work? Both variables live on
+    * exact integer grids (token count; the 6dp score lifted to ppm), the
+    * five moments accumulate in DECIMAL(38,0) (order-free), and r is the
+    * same five correctly-rounded double ops as q29 — oracle-exact with
+    * no decimal detour. Same-valued groups yield NaN identically on both
+    * engines (0/0), never a fake 0. */
+  def d37LenQualityCorr(s: SparkSession, dir: String): DataFrame = {
+    val d38 = Conventions.Dec38
+    val charLen = length(col("text"))
+    val tokens = (charLen - length(expr("replace(text, ' ', '')")) + 1).cast("long")
+    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val score = round(
+      least(lit(1.0), tokens.cast("double") / lit(200.0)) *
+        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+    val g = Tables(s, dir, "documents")
+      .select(col("lang"), tokens.as("x"),
+        round(score * 1e6).cast("long").as("y"))
+    val m = g.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum(col("y").cast(d38) * col("y")).as("syy"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"))
+    val n38 = col("n").cast(d38)
+    val cov = (n38 * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (n38 * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (n38 * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("lang"), col("n"),
+        (cov / (sqrt(vx) * sqrt(vy))).as("corr_len_quality"))
+      .orderBy("lang")
+  }
+
+  private val d37Sql =
+    """WITH g AS (
+      |  SELECT lang,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS x,
+      |    CAST(ROUND(ROUND(
+      |      least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
+      |        * (1.0 - least(1.0,
+      |            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |            / CAST(length(text) AS DOUBLE) * 10)), 6) * 1e6, 0) AS BIGINT) AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(x * x) AS sxx,
+      |    SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM g GROUP BY lang)
+      |SELECT lang, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_len_quality
+      |FROM m ORDER BY lang""".stripMargin
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -967,6 +1024,7 @@ object TextOps {
     "d33_bpe_encode" -> (d33BpeEncode _),
     "d34_length_buckets" -> (d34LengthBuckets _),
     "d36_coverage_curve" -> (d36CoverageCurve _),
+    "d37_len_quality_corr" -> (d37LenQualityCorr _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -994,5 +1052,6 @@ object TextOps {
     "d33_bpe_encode" -> d33Sql,
     "d34_length_buckets" -> d34Sql,
     "d36_coverage_curve" -> d36Sql,
+    "d37_len_quality_corr" -> d37Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
