@@ -24,6 +24,15 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is recorded as -1 (failure sentinel) and listed in
   * the `failed` array — a failed run's wall time must never masquerade as
   * a fast success. Failed queries contribute 0 to `value`.
+  *
+  * `SPARK_GRAFT_BENCH_REPS` (default 1) sets the number of MEASURED runs
+  * per query; every query additionally gets one untimed warm run first so
+  * plan/codegen cost is never charged to a measurement. The reported time
+  * is the median of the measured runs — with reps >= 3 a single
+  * contention-polluted run (another build or bench sharing the machine)
+  * cannot distort the round's official per-query number, which a best-of
+  * or single-shot policy cannot guarantee. Any run failing makes the
+  * query -1.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -60,12 +69,14 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] minhash warm-up failed (continuing): ${e.getMessage}")
     } finally spark.catalog.clearCache()
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1")
+      .trim.toIntOption.getOrElse(1))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink fully materializes every output column (count() lets
-      // Spark skip projections the count doesn't need); report the best
-      // of two runs — the second is free of one-time plan/codegen cost,
-      // so min measures the query rather than JVM noise. A run that
-      // throws yields None, and any None makes the query's time -1.
+      // Spark skip projections the count doesn't need). Each query gets
+      // one untimed warm run (absorbs one-time plan/codegen cost), then
+      // `reps` measured runs; the reported time is their median. A run
+      // that throws yields None, and any None makes the query's time -1.
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
@@ -81,15 +92,22 @@ object Bench {
           // operators that persist derived tables (minhash/simhash bands)
           // must not leak cache across the suite: eviction pressure and
           // re-cache warnings distort later timings, and clearing between
-          // runs keeps each measurement honest (full recompute both runs)
+          // runs keeps each measurement honest (full recompute every run)
           spark.catalog.clearCache()
         }
       }
-      val best = (once(), once()) match {
-        case (Some(a), Some(b)) => math.min(a, b)
-        case _ => -1.0
-      }
-      name -> best
+      val runs = (0 to reps).map(_ => once()) // index 0 = warm, untimed
+      val measured = runs.drop(1)
+      val med =
+        if (runs.exists(_.isEmpty)) -1.0
+        else {
+          val sorted = measured.flatten.sorted
+          val n = sorted.length
+          // even n: mean of the middle pair (standard median)
+          if (n % 2 == 1) sorted(n / 2)
+          else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+        }
+      name -> med
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
