@@ -25,14 +25,15 @@ import org.apache.spark.sql.SparkSession
   * the `failed` array — a failed run's wall time must never masquerade as
   * a fast success. Failed queries contribute 0 to `value`.
   *
-  * `SPARK_GRAFT_BENCH_REPS` (default 1) sets the number of MEASURED runs
-  * per query; every query additionally gets one untimed warm run first so
-  * plan/codegen cost is never charged to a measurement. The reported time
-  * is the median of the measured runs — with reps >= 3 a single
-  * contention-polluted run (another build or bench sharing the machine)
-  * cannot distort the round's official per-query number, which a best-of
-  * or single-shot policy cannot guarantee. Any run failing makes the
-  * query -1.
+  * `SPARK_GRAFT_BENCH_REPS` (default 3, round 9 on; rounds <= 8 ran 1)
+  * sets the number of MEASURED runs per query; every query additionally
+  * gets one untimed warm run first so plan/codegen cost is never charged
+  * to a measurement. The reported time is the median of the measured
+  * runs — with reps >= 3 a single contention-polluted run (another build
+  * or bench sharing the machine) cannot distort the round's official
+  * per-query number, which a best-of or single-shot policy cannot
+  * guarantee. Any run failing makes the query -1 and short-circuits its
+  * remaining runs (the result is already determined).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,8 +70,8 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] minhash warm-up failed (continuing): ${e.getMessage}")
     } finally spark.catalog.clearCache()
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1")
-      .trim.toIntOption.getOrElse(1))
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+      .trim.toIntOption.getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink fully materializes every output column (count() lets
       // Spark skip projections the count doesn't need). Each query gets
@@ -96,10 +97,14 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
-      val runs = (0 to reps).map(_ => once()) // index 0 = warm, untimed
+      // index 0 = warm, untimed; stop at the first failed run — the
+      // query's result is already -1, so further runs only burn wall time
+      val runs = Iterator.continually(once()).take(reps + 1)
+        .takeWhile(_.isDefined) // a None (failure) ends the sequence
+        .toVector
       val measured = runs.drop(1)
       val med =
-        if (runs.exists(_.isEmpty)) -1.0
+        if (runs.length < reps + 1) -1.0 // some run failed and stopped us
         else {
           val sorted = measured.flatten.sorted
           val n = sorted.length
