@@ -54,7 +54,19 @@ object BpeTrain {
 
   /** Learn the first `k` merges over the text column's whitespace words.
     * Returns them in rank order; may return fewer than `k` if the
-    * corpus runs out of non-self adjacent pairs. */
+    * corpus runs out of non-self adjacent pairs.
+    *
+    * Each round's symbol table is `localCheckpoint`ed (eager), not
+    * persisted: every round stacks a 3-deep replace projection AND a
+    * pair-explode whose slice/zip_with expressions reference the symbol
+    * column several times, so an un-truncated lineage re-inlines the
+    * whole chain into each round's analysis — measured ~2× per round
+    * past round 10 (exponential; k=18 exhausted an 8 GB driver at
+    * sf0.001). Checkpointing cuts the plan back to a leaf over the
+    * materialized partitions each round: flat ~0.2 s/round, the same
+    * trap and fix as [[ConnectedComponents.CheckpointEvery]]. The
+    * checkpointed partitions are released by the ContextCleaner when
+    * the previous frame goes unreferenced. */
   def learnMerges(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
     require(k >= 1, s"need k >= 1 merges, got $k")
     val words = docs
@@ -62,8 +74,7 @@ object BpeTrain {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
     var syms = words.select(col("wc"), symbolize(col("w")).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    syms.count()
+      .localCheckpoint(true)
     val out = Seq.newBuilder[Merge]
     var r = 1
     var exhausted = false
@@ -88,7 +99,7 @@ object BpeTrain {
         val (l, rr, n) = (row.getString(2), row.getString(3), row.getLong(1))
         out += Merge(r, l, rr, n)
         // the final round's merge would feed nothing — skip the rewrite
-        // pass (select + persist + count) once the k-th merge is chosen
+        // pass (select + checkpoint) once the k-th merge is chosen
         if (r < k) {
           val pat = s" $l $rr "
           val rep = s" $l$rr "
@@ -96,8 +107,7 @@ object BpeTrain {
             call_function("replace", c, lit(pat), lit(rep))
           }
           val next = syms.select(col("wc"), merged.as("s"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
+            .localCheckpoint(true)
           syms.unpersist()
           syms = next
         }

@@ -348,14 +348,17 @@ object TextOps {
       |    / CAST(COUNT(*) AS DOUBLE) AS hapax_rate
       |FROM counts GROUP BY lang ORDER BY lang""".stripMargin
 
-  // d33 constants shared by the Spark query and its SQL replay
-  private val BpeMerges = 4
+  // d32/d33 constants shared by the Spark queries and their SQL replays.
+  // 32 merges (round 9, was 4): enough rounds that the loop's shape —
+  // per-round cost pinned to the word-TYPE table, no corpus rescan — is
+  // demonstrated, not asserted; real budgets (30k+) just run it longer.
+  private val BpeMerges = 32
 
-  /** d32: BPE tokenizer TRAINING — the first 4 learned merges over the
-    * corpus ([[graft.operators.BpeTrain]]): word-type counts, per-round
-    * weighted adjacent-pair argmax, corpus-wide literal-replace merge.
-    * The oracle unrolls all 4 rounds (the Lloyd-unroll pattern applied
-    * to tokenizer training), so the learned merge table itself is
+  /** d32: BPE tokenizer TRAINING — the first $BpeMerges learned merges
+    * over the corpus ([[graft.operators.BpeTrain]]): word-type counts,
+    * per-round weighted adjacent-pair argmax, corpus-wide literal-replace
+    * merge. The oracle unrolls every round (the Lloyd-unroll pattern
+    * applied to tokenizer training), so the learned merge table itself is
     * hash-verified — counts, tie-breaks, and the rewrite cascade. */
   def d32BpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -373,7 +376,10 @@ object TextOps {
     * b$i empty) must leave the symbol table unchanged, exactly like the
     * Spark loop stopping early: the merge rides a LEFT JOIN ON TRUE
     * whose NULL row keeps `s` as-is, never a CROSS JOIN that would wipe
-    * the table. */
+    * the table. The multiply-referenced CTEs (each s$i feeds both the
+    * next round's pair count and its rewrite join) are MATERIALIZED:
+    * DuckDB inlines plain CTEs per reference, which doubles the chain
+    * every round — fine at 4 rounds, 2³² plan copies at 32. */
   private def bpeCtes(carryWord: Boolean): String = {
     val cw = if (carryWord) "w, " else ""
     def iter(i: Int): String = {
@@ -387,10 +393,10 @@ object TextOps {
          |      i -> struct_pack(l := toks[i], r := toks[i + 1]))) AS pr
          |    FROM (SELECT wc, string_split(trim(s), ' ') AS toks FROM $prev) z) zz
          |  GROUP BY pr.l, pr.r),
-         |b$i AS (
+         |b$i AS MATERIALIZED (
          |  SELECT lhs, rhs, n FROM p$i WHERE lhs <> rhs
          |  ORDER BY n DESC, lhs || ' ' || rhs LIMIT 1),
-         |s$i AS (
+         |s$i AS MATERIALIZED (
          |  SELECT ${cw}wc,
          |    CASE WHEN b.lhs IS NULL THEN s
          |         ELSE replace(replace(replace(s, $pat, $rep), $pat, $rep), $pat, $rep) END AS s
@@ -401,7 +407,7 @@ object TextOps {
        |  SELECT w, COUNT(*) AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
        |  WHERE length(w) > 0 GROUP BY w),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT ${cw}wc, ' ' || array_to_string(
        |    list_transform(range(1, length(w) + 1), i -> substring(w, CAST(i AS INTEGER), 1)),
        |    ' ') || ' ' AS s
