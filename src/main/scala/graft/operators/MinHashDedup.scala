@@ -300,6 +300,26 @@ object MinHashDedup {
       index: DedupIndex, newDocs: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       validateDisjoint: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    val s = sweepAgainstIndex(index, newDocs, idCol, textCol, threshold,
+      validateDisjoint)
+    (s.pairs, s.caches)
+  }
+
+  /** One batch sweep against a prebuilt index, with the batch's OWN
+    * index rows exposed as `delta` — the accumulating-ingest contract:
+    * the caller lands `delta` at rest (appended to the corpus index) so
+    * the NEXT batch's sweep covers this batch's docs without ever
+    * re-reading their text. `delta` includes every batch doc — kept,
+    * dropped, or contaminated — because the drop policy needs pairs
+    * against docs that themselves lost an earlier gate (a near-dup of a
+    * dropped doc is still a near-dup of the corpus). */
+  private[graft] case class BatchSweep(pairs: DataFrame, delta: DedupIndex,
+                                       caches: Seq[DataFrame])
+
+  private[graft] def sweepAgainstIndex(
+      index: DedupIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      validateDisjoint: Boolean = true): BatchSweep = {
     graft.functions.SketchFunctions.register(newDocs.sparkSession)
     if (validateDisjoint) requireDisjointIds(index.sizes.select(col("id")), newDocs, idCol)
     val setsN = shingleSets(newDocs, idCol, textCol)
@@ -316,8 +336,10 @@ object MinHashDedup {
     val shN = setsN.select(col("id"),
       explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh"))
     val sizesN = setsN.select(col("id"), size(col("shset")).cast("long").as("sz"))
-    (verifyJaccardFrom(cross.union(within).distinct(),
-      index.shingleHashes.unionByName(shN), index.sizes.unionByName(sizesN),
-      threshold), Seq(bandsN))
+    BatchSweep(
+      verifyJaccardFrom(cross.union(within).distinct(),
+        index.shingleHashes.unionByName(shN), index.sizes.unionByName(sizesN),
+        threshold),
+      DedupIndex(bandsN, shN, sizesN), Seq(bandsN))
   }
 }

@@ -133,6 +133,110 @@ object CorpusOps {
        |GROUP BY c.id ORDER BY c.id""".stripMargin
   }
 
+  // c9 scenario split: eval [0, EvalSplit), static corpus
+  // [EvalSplit, C9CorpusEnd), stream ≥ C9CorpusEnd in C9Batches
+  // micro-batches by doc_id mod C9Batches (so near-dup partners land in
+  // different batches and in BOTH arrival orders — the retro-drop case
+  // compaction exists for). Corpus ids all precede stream ids, so the
+  // gate's corpus-always-wins branch coincides with min-id-wins here.
+  private val C9CorpusEnd = 100L
+  private val C9Batches = 3
+
+  /** c9: the CONTINUOUS-INGEST dedup compaction composition, end to end
+    * in batch form — the same `StreamOps.ingestBatchCompact` code path
+    * the streaming pipeline runs per micro-batch, driven sequentially
+    * over `C9Batches` arrival waves, then compacted:
+    *
+    *   1. each wave sweeps against the static corpus index ∪ the landed
+    *      index deltas of earlier waves (corpus/earlier text never
+    *      re-shingled — the per-batch cost tracks the batch);
+    *   2. gate drops (larger-id pair member; corpus partner wins),
+    *      decontamination against the eval split, idempotent
+    *      batch_id-partitioned landing;
+    *   3. [[graft.streaming.StreamOps.compactLanded]] replays the drop
+    *      policy over the accumulated pair log, retro-dropping landed
+    *      docs a later smaller-id arrival outranked.
+    *
+    * The oracle is the ONE-SHOT sweep over the whole corpus ∪ stream
+    * union (m1's replayed MinHash chain + the drop policy + c2's
+    * replayed n-gram decontamination): the sequential gate + compaction
+    * must equal processing everything in a single batch — the property
+    * that keeps a rolling 100 TB ingest's dedup index honest. Output is
+    * d14's per-language corpus-stat shape over the compacted landing. */
+  def c9IngestCompaction(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") < EvalSplit)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"), col("text"))
+    val stream = docs.filter(col("doc_id") >= C9CorpusEnd)
+    // in-session static index (50 docs); a deployment loads the bucketed
+    // at-rest form (MinHashDedup.saveDedupIndex/loadDedupIndex) instead
+    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    val corpusIds = corpus.select(col("doc_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_c9_").toString
+    try {
+      (0 until C9Batches).foreach { b =>
+        val batch = stream
+          .filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong)
+        StreamOps.ingestBatchCompact(batch, staticIndex, corpusIds, evalSet,
+          "doc_id", "text", NearDupThreshold, n = 5,
+          outPath = s"$root/landed", statePath = s"$root/state",
+          batchId = b.toLong)
+      }
+      val res = StreamOps
+        .compactLanded(s, s"$root/landed", s"$root/state", corpusIds, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+            .cast("long")).as("total_tokens"))
+        .orderBy("lang")
+      // bounded (|langs| rows): materialize before the temp state is
+      // deleted — the returned frame must not lazily re-read it
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  private val c9Sql: String = {
+    val n = 5
+    val gram = (1 to n).map(j => s"string_split(text,' ')[i+$j]").mkString(" || ' ' || ")
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold, s"WHERE doc_id >= $EvalSplit")},
+       |drops AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT id_b AS id FROM fpairs
+       |    UNION ALL
+       |    SELECT id_a AS id FROM fpairs WHERE id_b < $C9CorpusEnd) z
+       |  WHERE id >= $C9CorpusEnd),
+       |gr AS (
+       |  SELECT doc_id AS id,
+       |    unnest(list_distinct(
+       |      CASE WHEN len(string_split(text,' ')) >= $n
+       |        THEN list_transform(range(0, len(string_split(text,' ')) - ${n - 1}),
+       |          i -> $gram)
+       |        ELSE [text] END)) AS g
+       |  FROM documents WHERE doc_id < $EvalSplit OR doc_id >= $C9CorpusEnd),
+       |contaminated AS (
+       |  SELECT DISTINCT c.id
+       |  FROM (SELECT id, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
+       |        FROM gr WHERE id >= $C9CorpusEnd) c
+       |  JOIN (SELECT CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
+       |        FROM gr WHERE id < $EvalSplit) e ON c.gh = e.gh)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
+       |FROM documents
+       |WHERE doc_id >= $C9CorpusEnd
+       |  AND doc_id NOT IN (SELECT id FROM drops)
+       |  AND doc_id NOT IN (SELECT id FROM contaminated)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** c6: CROSS-SPLIT leakage audit — d9's content-hash split composed
     * with the c2 gram-overlap machinery, run INTERNALLY: how many val
     * and test documents share any word 5-gram with any train document?
@@ -856,6 +960,7 @@ object CorpusOps {
     "c6_split_leakage" -> (c6SplitLeakage _),
     "c7_source_overlap" -> (c7SourceOverlap _),
     "c8_threshold_sweep" -> (c8ThresholdSweep _),
+    "c9_ingest_compaction" -> (c9IngestCompaction _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "c4_triangles" -> (c4Triangles _),
@@ -877,6 +982,7 @@ object CorpusOps {
     "c6_split_leakage" -> c6Sql,
     "c7_source_overlap" -> c7Sql,
     "c8_threshold_sweep" -> c8Sql,
+    "c9_ingest_compaction" -> c9Sql,
     "d35_source_scorecard" -> d35Sql,
     "c3_clean_decontaminated" -> c3Sql,
     "c4_triangles" -> c4Sql,

@@ -32,8 +32,10 @@ object ScaleOps {
   private[queries] val m1PairsCtes: String = m1PairsCtesAt(0.3)
 
   /** The same chain with a caller-chosen verification threshold (m3's
-    * calibration sweep uses 0.0 — every banded candidate, unthresholded). */
-  private[queries] def m1PairsCtesAt(threshold: Double): String = {
+    * calibration sweep uses 0.0 — every banded candidate, unthresholded)
+    * and an optional WHERE restricting the document universe (c9 pairs
+    * only the corpus ∪ stream split, excluding the eval docs). */
+  private[queries] def m1PairsCtesAt(threshold: Double, where: String = ""): String = {
     val K = MinHashDedup.K
     val R = MinHashDedup.R
     val P = MinHashDedup.P
@@ -51,7 +53,7 @@ object ScaleOps {
        |      THEN list_transform(range(0, len(string_split(text,' ')) - 2),
        |        i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])
        |      ELSE [text] END) AS shingle
-       |  FROM documents),
+       |  FROM documents $where),
        |hashed AS (SELECT id, ${hex60Sql("shingle")} AS hx FROM sh),
        |sigs AS (
        |  SELECT id,
@@ -452,37 +454,101 @@ object ScaleOps {
       val cb = PqSearch.train(e, "vec_id", "embedding",
         m = PqM, k = PqK, iters = PqIters, roundDecimals = PqRound)
       val enc = PqSearch.encode(e, "vec_id", "embedding", cb)
-      val queries = e.filter(col("vec_id") < 3)
-      // route: (q_id, centroid_id) probes — broadcast against the
-      // inverted file so only the probed lists' members become candidates
-      val cands = broadcast(
-          IvfSearch.route(queries, idx, "vec_id", "embedding", IvfNprobe)
-            .select(col("q_id"), col("centroid_id")))
-        .join(idx.assignments, Seq("centroid_id"))
-        .filter(col("id") =!= col("q_id"))
-        .select(col("q_id"), col("id"))
-      // ADC over the routed candidates only (codes, never raw embeddings)
-      val shortlist = PqSearch.adcTopKWithin(queries, cands, enc, cb,
-        "vec_id", "embedding", topK = I3Pool)
-      // exact rerank of the bounded shortlist: re-read full embeddings
-      // for |queries|·I3Pool rows only
-      val emb = e.select(col("vec_id").as("neighbor"),
-        col("embedding").cast("array<double>").as("emb"))
-      val qe = queries.select(col("vec_id").as("q_id"),
-        col("embedding").cast("array<double>").as("q_emb"))
-      val wr = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("d2"), col("neighbor"))
-      shortlist.select(col("q_id"), col("neighbor"))
-        .join(broadcast(qe), "q_id")
-        .join(emb, "neighbor")
-        .withColumn("d2",
-          round(graft.functions.DotProduct.dist2(col("q_emb"), col("emb")), 6))
-        .withColumn("rk", row_number().over(wr))
-        .filter(col("rk") <= IvfTopK)
-        .select(col("q_id"), col("neighbor"), col("d2"),
-          col("rk").cast("long").as("rk"))
-        .orderBy("q_id", "rk")
+      ivfPqServe(e, idx, cb, enc)
     } finally idx.close()
+  }
+
+  /** The serve stage shared by i3 (freshly trained) and i5 (loaded from
+    * at-rest artifacts): route → ADC over routed candidates only → exact
+    * rerank of the bounded shortlist. */
+  private def ivfPqServe(e: DataFrame, idx: IvfSearch.Index,
+                         cb: PqSearch.Codebooks, enc: DataFrame): DataFrame = {
+    val queries = e.filter(col("vec_id") < 3)
+    // route: (q_id, centroid_id) probes — broadcast against the
+    // inverted file so only the probed lists' members become candidates
+    val cands = broadcast(
+        IvfSearch.route(queries, idx, "vec_id", "embedding", IvfNprobe)
+          .select(col("q_id"), col("centroid_id")))
+      .join(idx.assignments, Seq("centroid_id"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"))
+    // ADC over the routed candidates only (codes, never raw embeddings)
+    val shortlist = PqSearch.adcTopKWithin(queries, cands, enc, cb,
+      "vec_id", "embedding", topK = I3Pool)
+    // exact rerank of the bounded shortlist: re-read full embeddings
+    // for |queries|·I3Pool rows only
+    val emb = e.select(col("vec_id").as("neighbor"),
+      col("embedding").cast("array<double>").as("emb"))
+    val qe = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("neighbor"))
+    shortlist.select(col("q_id"), col("neighbor"))
+      .join(broadcast(qe), "q_id")
+      .join(emb, "neighbor")
+      .withColumn("d2",
+        round(graft.functions.DotProduct.dist2(col("q_emb"), col("emb")), 6))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("q_id"), col("neighbor"), col("d2"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** Artifact root for i5, keyed by a fingerprint of the embeddings
+    * parquet (path + file names/sizes/mtimes): a changed corpus gets a
+    * fresh train; an unchanged one reuses the artifacts across sessions
+    * AND processes — the deployment posture i5 exists to prove. */
+  private def i5ArtifactRoot(dir: String): java.nio.file.Path = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val listing = Option(src.listFiles).map(_.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|"))
+      .getOrElse(s"${src.length}:${src.lastModified}")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$listing".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_artifacts", s"i5_$fp")
+  }
+
+  /** i5: the at-rest DEPLOYMENT path of i3 — the same route → ADC →
+    * rerank answer served entirely from persisted artifacts
+    * ([[IvfSearch.saveIndex]]'s centroid table + centroid_id-partitioned
+    * inverted file, [[PqSearch.saveCodebooks]]'s codebook rows, and the
+    * encoded-codes table), with NO retraining in the serving session.
+    *
+    * Training runs at most once per corpus fingerprint, in a SIBLING
+    * session (`newSession()`: own SQL conf/registry/state over the shared
+    * context) — so nothing reaches the serve side except through the
+    * files, which is exactly what a separate training job guarantees at
+    * deployment scale. The oracle is i3's full replay: the artifacts
+    * must carry the trained state bit-for-bit (doubles ride parquet
+    * losslessly) for the loaded-path answer to hash-match it. */
+  def i5AnnAtRest(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val root = i5ArtifactRoot(dir)
+    val done = root.resolve("_ARTIFACTS_OK")
+    if (!java.nio.file.Files.exists(done)) {
+      val t = s.newSession()
+      graft.functions.DotProduct.register(t)
+      val te = Tables(t, dir, "embeddings")
+      val idx = IvfSearch.buildIndex(te, "vec_id", "embedding",
+        k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+      try {
+        IvfSearch.saveIndex(idx, root.resolve("ivf").toString)
+        val cb = PqSearch.train(te, "vec_id", "embedding",
+          m = PqM, k = PqK, iters = PqIters, roundDecimals = PqRound)
+        PqSearch.saveCodebooks(cb, t, root.resolve("codebooks").toString)
+        PqSearch.encode(te, "vec_id", "embedding", cb)
+          .write.mode("overwrite").parquet(root.resolve("codes").toString)
+        // marker LAST: a crash mid-write leaves no marker and the next
+        // call retrains over the partial artifacts (all writes overwrite)
+        java.nio.file.Files.write(done, Array.emptyByteArray)
+      } finally idx.close()
+    }
+    val idx = IvfSearch.loadIndex(s, root.resolve("ivf").toString)
+    val cb = PqSearch.loadCodebooks(s, root.resolve("codebooks").toString)
+    val enc = s.read.parquet(root.resolve("codes").toString)
+    ivfPqServe(Tables(s, dir, "embeddings"), idx, cb, enc)
   }
 
   private val i3Sql: String =
@@ -724,6 +790,7 @@ object ScaleOps {
     "i2_pq_topk" -> (i2PqTopk _),
     "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
     "i4_pq_distortion" -> (i4PqDistortion _),
+    "i5_ann_at_rest" -> (i5AnnAtRest _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
@@ -741,6 +808,7 @@ object ScaleOps {
     "i2_pq_topk" -> i2Sql,
     "i3_ivf_pq_rerank" -> i3Sql,
     "i4_pq_distortion" -> i4Sql,
+    "i5_ann_at_rest" -> i3Sql, // same answer, served from artifacts
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "s3_adaptive_skew_join" -> s3Sql,

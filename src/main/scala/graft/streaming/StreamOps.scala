@@ -38,9 +38,16 @@ object StreamOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // same layout adaptivity as graft.Tables: INT64-nanos (pre-round-9
+    // testdata), TIMESTAMP_NTZ micros (round-9 on), or native timestamps
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          expr("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming twin of `EventOps.e1WindowHourly`: tumbling 1-hour counts
@@ -536,6 +543,259 @@ object StreamOps {
         .partitionBy("batch_id")
         .parquet(outPath)
     } finally caches.foreach(_.unpersist())
+  }
+
+  /** CROSS-BATCH accumulating ingest gate — closes the gap
+    * [[ingestPipeline]] leaves open: that pipeline gates each batch
+    * against a STATIC corpus plus within itself, so two near-dups
+    * arriving in DIFFERENT batches both land. Here every batch also
+    * sweeps against the accumulated index of ALL earlier batches' docs,
+    * and the sweep's pairs are logged at rest so [[compactLanded]] can
+    * retro-drop the one case the arrival order hides (see below).
+    *
+    * Per batch:
+    *   1. build the batch's band/shingle-hash/size rows ONCE
+    *      ([[graft.operators.MinHashDedup.sweepAgainstIndex]]);
+    *   2. sweep against `staticIndex` ∪ the landed index deltas of
+    *      batches `< batchId` — corpus and earlier-batch TEXT is never
+    *      re-read or re-shingled; per-batch cost tracks the batch and
+    *      the candidate count, not the corpus (the 100 TB requirement);
+    *   3. drop a batch doc iff it pairs as the LARGER id (the min-id
+    *      representative wins, uniformly across within-batch, corpus,
+    *      and earlier-batch partners) or pairs against a STATIC-corpus
+    *      doc (the curated corpus always wins, either orientation);
+    *   4. decontaminate survivors against `evalSet` (c2's n-gram gate);
+    *   5. land survivors, the pair log, and the batch's index delta
+    *      (bands/shingles/sizes — for EVERY batch doc, kept or dropped,
+    *      because a near-dup of a dropped doc is still a near-dup), each
+    *      partitioned by batch_id with dynamic partition overwrite so a
+    *      checkpoint replay rewrites its own partitions (idempotent; the
+    *      `< batchId` index filter keeps a replayed batch from seeing
+    *      its own earlier delta as corpus).
+    *
+    * The one duplicate class the gate CANNOT catch at arrival time: a
+    * later batch delivers the SMALLER id of a near-dup pair whose larger
+    * id already landed (min-id policy says the landed doc must go, but
+    * it is already at rest). The gate logs that pair; [[compactLanded]]
+    * replays the drop policy over the full accumulated log — an anti-join
+    * of the landed docs against the (tiny) pair-derived drop list, no
+    * re-shingling, no corpus rescan — restoring exactly the one-shot
+    * result (spec-pinned; oracle-checked as c9). */
+  def ingestPipelineCompact(docs: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      staticCorpusIds: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      outPath: String, statePath: String, checkpoint: String, n: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchCompact(batch, staticIndex, staticCorpusIds, evalSet,
+          idCol, textCol, threshold, n, outPath, statePath, batchId)
+      }
+      .start()
+
+  /** Read a batch_id-partitioned parquet delta that may not exist yet
+    * (first batch) — the explicit schema makes an absent or empty
+    * directory an empty frame instead of a schema-inference error. */
+  private def readDelta(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val full = schema.add("batch_id", org.apache.spark.sql.types.LongType)
+    if (new java.io.File(path).exists()) spark.read.schema(full).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+  }
+
+  /** Land a batch-scoped delta: batch_id-partitioned with dynamic
+    * partition overwrite, so a checkpoint replay rewrites its own
+    * partition instead of appending a duplicate. */
+  private def landDelta(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** The shared ACCUMULATION step behind [[ingestBatchCompact]] and the
+    * per-batch audit gates ([[sourceOverlapPerBatch]]): sweep one
+    * arriving batch against `staticIndex` ∪ the accumulated index deltas
+    * of batches `< batchId`, append the batch's own pair log and index
+    * delta to `statePath` (replay-idempotent), and return the
+    * MATERIALIZED pair frame (persisted; caller unpersists after use). */
+  private[graft] def sweepBatchAccum(batch: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      idCol: String, textCol: String, threshold: Double,
+      statePath: String, batchId: Long): DataFrame = {
+    import graft.operators.MinHashDedup
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+    val spark = batch.sparkSession
+    // delta schemas mirror sweepAgainstIndex's delta frames exactly;
+    // the id column keeps the batch's own id type
+    val idType = batch.schema(idCol).dataType
+    val bandsSchema = new StructType()
+      .add("id", idType).add("band", IntegerType).add("sig", StringType)
+    val shSchema = new StructType().add("id", idType).add("sh", LongType)
+    val sizesSchema = new StructType().add("id", idType).add("sz", LongType)
+    val seenBands = readDelta(spark, s"$statePath/bands", bandsSchema)
+      .filter(col("batch_id") < batchId).drop("batch_id")
+    val seenSh = readDelta(spark, s"$statePath/shingles", shSchema)
+      .filter(col("batch_id") < batchId).drop("batch_id")
+    val seenSizes = readDelta(spark, s"$statePath/sizes", sizesSchema)
+      .filter(col("batch_id") < batchId).drop("batch_id")
+    val corpusIndex = MinHashDedup.DedupIndex(
+      staticIndex.bands.unionByName(seenBands),
+      staticIndex.shingleHashes.unionByName(seenSh),
+      staticIndex.sizes.unionByName(seenSizes))
+    val sweep = MinHashDedup.sweepAgainstIndex(corpusIndex, batch,
+      idCol, textCol, threshold)
+    // pairs feed the caller's use AND the at-rest log: persist so the
+    // sweep (band probe + Jaccard verify) runs once, not twice
+    val pairs = sweep.pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pairs.count()
+      landDelta(pairs, s"$statePath/pairs", batchId)
+      landDelta(sweep.delta.bands, s"$statePath/bands", batchId)
+      landDelta(sweep.delta.shingleHashes, s"$statePath/shingles", batchId)
+      landDelta(sweep.delta.sizes, s"$statePath/sizes", batchId)
+    } finally sweep.caches.foreach(_.unpersist())
+    pairs
+  }
+
+  /** One micro-batch of [[ingestPipelineCompact]] — package-visible so
+    * the spec can force a replay and the c9 oracle query can drive the
+    * same code path in batch mode. */
+  private[graft] def ingestBatchCompact(batch: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      staticCorpusIds: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, threshold: Double, n: Int,
+      outPath: String, statePath: String, batchId: Long): Unit = {
+    val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
+      threshold, statePath, batchId)
+    try {
+      val staticIds = staticCorpusIds.select(col(idCol).as("cid"))
+      val drops = pairs.select(col("id_b").as("id"))
+        .unionByName(pairs.join(staticIds, col("id_b") === col("cid"))
+          .select(col("id_a").as("id")))
+        .distinct()
+      val deduped = batch.join(drops, batch(idCol) === drops("id"), "left_anti")
+      val contaminated = graft.operators.Decontaminate
+        .contamination(deduped, evalSet, idCol, textCol, n)
+        .select(col("id"))
+      val clean = deduped.join(contaminated,
+        deduped(idCol) === contaminated("id"), "left_anti")
+      landDelta(clean, outPath, batchId)
+    } finally pairs.unpersist()
+  }
+
+  /** Streaming twin of c7's source-overlap provenance matrix: per
+    * micro-batch, the near-dup pairs touching the batch (swept against
+    * static corpus ∪ accumulated earlier batches, via the same
+    * [[sweepBatchAccum]] state the ingest gate uses) rolled up to
+    * normalized (source_a, source_b) counts. Because the accumulated
+    * sweep surfaces every pair touching stream docs exactly once — at
+    * the later endpoint's batch — the per-batch matrices SUM to the
+    * one-shot `nearDuplicatesAgainst(corpus, union)` rollup
+    * (spec-pinned). `sources` is the (id, source) provenance dimension
+    * covering corpus and stream docs; tiny, so it broadcasts. */
+  def sourceOverlapPerBatch(docs: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      sources: DataFrame, idCol: String, textCol: String,
+      threshold: Double, statePath: String, checkpoint: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
+          threshold, statePath, batchId)
+        try sink(rollupSourcePairs(pairs, sources, idCol), batchId)
+        finally pairs.unpersist()
+      }
+      .start()
+
+  /** c7's rollup shape over an arbitrary pair frame. */
+  private[graft] def rollupSourcePairs(pairs: DataFrame, sources: DataFrame,
+                                       idCol: String): DataFrame =
+    pairs
+      .join(broadcast(sources.select(col(idCol).as("id_a"),
+        col("source").as("sa"))), "id_a")
+      .join(broadcast(sources.select(col(idCol).as("id_b"),
+        col("source").as("sb"))), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** Streaming twin of c6's split-leakage audit, in its DEPLOYMENT
+    * orientation: c6 audits a finished corpus's own split internally;
+    * this gate audits ARRIVING documents against the FROZEN train-gram
+    * set of an already-released corpus — each batch doc gets its
+    * content-hash split assignment (d9's arithmetic, so an arriving doc
+    * lands in the same split a batch rebuild would give it), and val /
+    * test arrivals that share any word n-gram with the released train
+    * set are counted as leaky. Per-doc and against a static gram set,
+    * so the per-batch reports SUM to the one-shot audit of the union
+    * (spec-pinned). `trainGrams` is the distinct (gh) train-gram table —
+    * at scale the persisted output of [[graft.operators.Decontaminate
+    * .gramHashes]] over the released train split. */
+  def splitLeakagePerBatch(docs: DataFrame, trainGrams: DataFrame,
+      idCol: String, textCol: String, n: Int, checkpoint: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(splitLeakageBatch(batch, trainGrams, idCol, textCol, n), batchId)
+      }
+      .start()
+
+  /** One batch of [[splitLeakagePerBatch]]: (split, n_docs, n_leaky)
+    * over the batch's val/test docs. */
+  private[graft] def splitLeakageBatch(batch: DataFrame, trainGrams: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.functions.SketchFunctions.register(batch.sparkSession)
+    val split = batch
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        pmod(graft.operators.PortableHash.hex60(col(textCol)), lit(100L))
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+    val grams = graft.operators.Decontaminate
+      .gramHashes(split, "doc_id", "text", n)
+      .join(split.select(col("doc_id").as("id"), col("split")), "id")
+    val leaky = grams.filter(col("split") =!= "train")
+      .join(trainGrams.select(col("gh")).distinct(), "gh")
+      .select(col("split"), col("id")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaky"))
+    split.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaky, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaky"), lit(0L)).as("n_leaky"))
+  }
+
+  /** The compaction pass: replay the gate's drop policy over the FULL
+    * accumulated pair log and anti-join the landed docs against it. The
+    * only rows this removes beyond the per-batch gates are retro-drops —
+    * landed docs outranked by a smaller-id near-dup that arrived later.
+    * Cost: |pairs| (near-dup pairs only — tiny) + one anti-join over the
+    * landed delta; corpus text, batch text, and shingles are never
+    * touched, so the pass is schedulable at any cadence at 100 TB.
+    * Returns the compacted landed frame; callers persist it (or rewrite
+    * `outPath`) as the corpus promotion step. */
+  def compactLanded(spark: SparkSession, outPath: String, statePath: String,
+                    staticCorpusIds: DataFrame, idCol: String): DataFrame = {
+    val landed = spark.read.parquet(outPath)
+    val pairsDir = new java.io.File(s"$statePath/pairs")
+    if (!pairsDir.exists()) return landed
+    val pairs = spark.read.parquet(s"$statePath/pairs")
+    val staticIds = staticCorpusIds.select(col(idCol).as("cid"))
+    val drops = pairs.select(col("id_b").as("id"))
+      .unionByName(pairs.join(staticIds, col("id_b") === col("cid"))
+        .select(col("id_a").as("id")))
+      .distinct()
+    landed.join(drops, landed(idCol) === drops("id"), "left_anti")
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

@@ -610,6 +610,183 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(landed() === Map(100L -> 1L, 200L -> 1L, 202L -> 1L),
       "replaying a committed batch must be a no-op on landed rows")
   }
+
+  test("ingestPipelineCompact + compactLanded equals the one-shot gate across batches, restart, and replay") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("ingestc")
+    val inDir = root.resolve("in"); Files.createDirectories(inDir)
+    val outDir = root.resolve("out").toString
+    val stDir = root.resolve("state").toString
+    val ck = root.resolve("ck").toString
+    val corpus = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog near the riverbank every morning",
+      11L -> "completely unrelated corpus document about distributed query planning internals")
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      900L -> "held out benchmark question about climate adaptation policy outcomes")
+      .toDF("doc_id", "text")
+    val staticIndex = graft.operators.MinHashDedup
+      .buildDedupIndex(corpus, "doc_id", "text")
+    val corpusIds = corpus.select(col("doc_id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    def writeFile(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(inDir.resolve(name), docs.map { case (id, t) =>
+        s"""{"doc_id": $id, "text": "$t"}""" }.mkString("", "\n", "\n"))
+    def start() = StreamOps.ingestPipelineCompact(
+      spark.readStream.schema(schema).json(inDir.toString),
+      staticIndex, corpusIds, evalSet, "doc_id", "text", threshold = 0.5,
+      outDir, stDir, ck)
+    def landedIds(): Set[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def compactedIds(): Set[Long] = StreamOps
+      .compactLanded(spark, outDir, stDir, corpusIds, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 0: 300 clean; 301 near-dups CORPUS doc 10 (gate drops it —
+    // and its signatures must still enter the accumulated index, because
+    // 320 below near-dups 301, not any survivor); 302 carries an eval
+    // 5-gram (decontaminated)
+    val fileA = Seq(
+      300L -> "a genuinely fresh training document with novel content throughout the body",
+      301L -> "the quick brown fox jumps over the lazy dog near the riverbank every evening",
+      302L -> "students debated the benchmark question about climate adaptation policy at length")
+    // batch 1: 310 near-dups EARLIER-BATCH doc 300 (the cross-batch case
+    // ingestPipeline misses; the accumulated index must catch it at the
+    // gate); 311 clean
+    val fileB = Seq(
+      310L -> "a genuinely fresh training document with novel content throughout the corpus",
+      311L -> "an entirely different second wave document describing streaming ingest gates")
+    writeFile("a.json", fileA)
+    val q1 = start(); q1.processAllAvailable()
+    writeFile("b.json", fileB)
+    q1.processAllAvailable(); q1.stop()
+    assert(landedIds() === Set(300L, 311L),
+      "gates must drop corpus dups, contaminated docs, AND cross-batch dups")
+    // batch 2 (after restart): 250 near-dups landed doc 311 with a
+    // SMALLER id — the one case no arrival-time gate can fix (311 already
+    // landed); 250 lands, the pair is logged, compaction retro-drops 311.
+    // 320 near-dups DROPPED doc 301 — one-shot policy still drops 320
+    val fileC = Seq(
+      250L -> "an entirely different second wave document describing streaming ingest dikes",
+      320L -> "the quick brown fox jumps over the lazy dog near the riverbank every midnight")
+    writeFile("c.json", fileC)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(landedIds() === Set(300L, 311L, 250L),
+      "the smaller-id late arrival must land; its landed partner stays until compaction")
+    assert(compactedIds() === Set(300L, 250L),
+      "compaction must retro-drop the landed doc its later smaller-id near-dup outranks")
+    // one-shot equivalence: the whole stream as a SINGLE batch through
+    // the same gate + compaction must land exactly the compacted set
+    val oneRoot = Files.createTempDirectory("ingestc1")
+    StreamOps.ingestBatchCompact((fileA ++ fileB ++ fileC).toDF("doc_id", "text"),
+      staticIndex, corpusIds, evalSet, "doc_id", "text", threshold = 0.5,
+      n = 5, oneRoot.resolve("out").toString, oneRoot.resolve("state").toString,
+      batchId = 0L)
+    val oneShot = StreamOps.compactLanded(spark, oneRoot.resolve("out").toString,
+        oneRoot.resolve("state").toString, corpusIds, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(compactedIds() === oneShot,
+      "sequential gate + compaction must equal the one-shot single-batch gate")
+    // forced replay of committed batch 0: the < batchId index filter and
+    // dynamic partition overwrite make it a no-op on landed AND compacted
+    StreamOps.ingestBatchCompact(fileA.toDF("doc_id", "text"), staticIndex,
+      corpusIds, evalSet, "doc_id", "text", threshold = 0.5, n = 5,
+      outDir, stDir, batchId = 0L)
+    assert(landedIds() === Set(300L, 311L, 250L) && compactedIds() === Set(300L, 250L),
+      "replaying a committed batch must be a no-op on landed and compacted rows")
+  }
+
+  test("sourceOverlapPerBatch matrices sum to the one-shot c7 rollup over the union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("srcov")
+    val corpus = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog near the riverbank every morning",
+      11L -> "completely unrelated corpus document about distributed query planning internals")
+      .toDF("doc_id", "text")
+    val staticIndex = graft.operators.MinHashDedup
+      .buildDedupIndex(corpus, "doc_id", "text")
+    // batch 0: 100 near-dups corpus 10 (wiki↔web pair); 101 clean.
+    // batch 1: 102 near-dups EARLIER-BATCH 101 (web↔web, the cross-batch
+    // pair a static-corpus gate would miss); 103 clean
+    val b0 = Seq(
+      StreamDoc(100L, "the quick brown fox jumps over the lazy dog near the riverbank every evening"),
+      StreamDoc(101L, "an entirely different second wave document describing streaming ingest gates"))
+    val b1 = Seq(
+      StreamDoc(102L, "an entirely different second wave document describing streaming ingest dikes"),
+      StreamDoc(103L, "another independent clean document closing out the second ingest wave"))
+    val sources = Seq(10L -> "wiki", 11L -> "books", 100L -> "web",
+      101L -> "web", 102L -> "web", 103L -> "forum").toDF("doc_id", "source")
+    val reports = scala.collection.mutable.Map[Long, Seq[(String, String, Long)]]()
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamOps.sourceOverlapPerBatch(ms.toDF(), staticIndex, sources,
+      "doc_id", "text", threshold = 0.5, root.resolve("state").toString,
+      root.resolve("ck").toString) { (m, id) =>
+      reports(id) = m.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    ms.addData(b0: _*); q.processAllAvailable()
+    ms.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val summed = reports.values.flatten
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val oneShot = StreamOps.rollupSourcePairs(
+        graft.operators.MinHashDedup.nearDuplicatesAgainst(
+          corpus, (b0 ++ b1).toDF(), "doc_id", "text", 0.5),
+        sources, "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(summed == oneShot, s"summed $summed != one-shot $oneShot")
+    assert(summed == Map(("web", "wiki") -> 1L, ("web", "web") -> 1L),
+      s"expected one cross-source and one cross-batch within-source pair: $summed")
+    spark.catalog.clearCache()
+  }
+
+  test("splitLeakagePerBatch reports sum to the one-shot audit against the frozen train grams") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("splitleak")
+    // frozen released-corpus train grams (the at-rest probe side)
+    val released = Seq(
+      1L -> "the benchmark question about climate adaptation policy outcomes was discussed",
+      2L -> "distributed query planning internals remain a separate unshared subject entirely")
+      .toDF("doc_id", "text")
+    val trainGrams = graft.operators.Decontaminate
+      .gramHashes(released, "doc_id", "text", 5).select("gh").distinct()
+    // enough arrivals that the content-hash split deterministically
+    // yields non-train docs; two of them carry a released 5-gram
+    val arrivals = (0 until 30).map { i =>
+      StreamDoc(100L + i, s"wholly original arrival number $i with its own text body variant $i")
+    } ++ Seq(
+      StreamDoc(200L, "students repeated the benchmark question about climate adaptation policy verbatim"),
+      StreamDoc(201L, "a second echo of the benchmark question about climate adaptation policy appeared"),
+      StreamDoc(202L, "clean closing arrival with no shared grams at all in its body"))
+    val (b0, b1) = arrivals.splitAt(17)
+    val reports = scala.collection.mutable.Map[Long, Seq[(String, Long, Long)]]()
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamOps.splitLeakagePerBatch(ms.toDF(), trainGrams,
+      "doc_id", "text", n = 5, root.resolve("ck").toString) { (m, id) =>
+      reports(id) = m.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    ms.addData(b0: _*); q.processAllAvailable()
+    ms.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val summed = reports.values.flatten.groupBy(_._1)
+      .view.mapValues(v => (v.map(_._2).sum, v.map(_._3).sum)).toMap
+    val oneShot = StreamOps.splitLeakageBatch(arrivals.toDF(), trainGrams,
+        "doc_id", "text", 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(summed == oneShot, s"summed $summed != one-shot $oneShot")
+    assert(summed.nonEmpty, "split must deterministically yield non-train arrivals")
+    assert(summed.values.map(_._2).sum >= 1L,
+      "at least one leaky val/test arrival expected")
+  }
 }
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
