@@ -134,12 +134,18 @@ object CorpusOps {
   }
 
   // c9 scenario split: eval [0, EvalSplit), static corpus
-  // [EvalSplit, C9CorpusEnd), stream ≥ C9CorpusEnd in C9Batches
-  // micro-batches by doc_id mod C9Batches (so near-dup partners land in
-  // different batches and in BOTH arrival orders — the retro-drop case
-  // compaction exists for). Corpus ids all precede stream ids, so the
-  // gate's corpus-always-wins branch coincides with min-id-wins here.
+  // [EvalSplit, C9CorpusEnd), stream [C9CorpusEnd, C9StreamEnd) in
+  // C9Batches micro-batches by doc_id mod C9Batches (so near-dup
+  // partners land in different batches and in BOTH arrival orders — the
+  // retro-drop case compaction exists for). Corpus ids all precede
+  // stream ids, so the gate's corpus-always-wins branch coincides with
+  // min-id-wins here. The stream window is CAPPED: what c9 verifies is
+  // the batch-sequencing composition (per-batch cost ∝ batch — the 100 TB
+  // property), not corpus-scale sweep throughput, which m1/d14 already
+  // price; an uncapped window just re-runs a 3-wave pipeline over the
+  // whole table each bench rep (23.8 s at sf0.1 for zero extra coverage).
   private val C9CorpusEnd = 100L
+  private val C9StreamEnd = 600L
   private val C9Batches = 3
 
   /** c9: the CONTINUOUS-INGEST dedup compaction composition, end to end
@@ -171,7 +177,8 @@ object CorpusOps {
     val corpus = docs
       .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
       .select(col("doc_id"), col("text"))
-    val stream = docs.filter(col("doc_id") >= C9CorpusEnd)
+    val stream = docs
+      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
     // in-session static index (50 docs); a deployment loads the bucketed
     // at-rest form (MinHashDedup.saveDedupIndex/loadDedupIndex) instead
     val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
@@ -207,7 +214,8 @@ object CorpusOps {
   private val c9Sql: String = {
     val n = 5
     val gram = (1 to n).map(j => s"string_split(text,' ')[i+$j]").mkString(" || ' ' || ")
-    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold, s"WHERE doc_id >= $EvalSplit")},
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
        |drops AS (
        |  SELECT DISTINCT id FROM (
        |    SELECT id_b AS id FROM fpairs
@@ -221,7 +229,8 @@ object CorpusOps {
        |        THEN list_transform(range(0, len(string_split(text,' ')) - ${n - 1}),
        |          i -> $gram)
        |        ELSE [text] END)) AS g
-       |  FROM documents WHERE doc_id < $EvalSplit OR doc_id >= $C9CorpusEnd),
+       |  FROM documents WHERE doc_id < $EvalSplit
+       |    OR (doc_id >= $C9CorpusEnd AND doc_id < $C9StreamEnd)),
        |contaminated AS (
        |  SELECT DISTINCT c.id
        |  FROM (SELECT id, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
@@ -231,7 +240,7 @@ object CorpusOps {
        |SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
        |FROM documents
-       |WHERE doc_id >= $C9CorpusEnd
+       |WHERE doc_id >= $C9CorpusEnd AND doc_id < $C9StreamEnd
        |  AND doc_id NOT IN (SELECT id FROM drops)
        |  AND doc_id NOT IN (SELECT id FROM contaminated)
        |GROUP BY lang ORDER BY lang""".stripMargin
