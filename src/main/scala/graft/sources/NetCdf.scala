@@ -25,8 +25,9 @@ import org.apache.spark.sql.types._
   * raw artifacts — parse once, `createDataFrame`, write parquet (the
   * documented pre-conversion posture). A monthly-means download is tens
   * of MB; anything bigger should be converted once, not re-parsed per
-  * query. (NetCDF-4/HDF5 containers are out of scope — convert those
-  * upstream; the reference's monthly-means requests return classic.)
+  * query. NetCDF-4/HDF5 containers dispatch to the native [[Hdf5]]
+  * subset reader (round 9); `tools/convert_netcdf4.sh` remains the
+  * escape hatch for HDF5 features outside that subset.
   */
 object NetCdf {
 
@@ -87,15 +88,16 @@ object NetCdf {
   }
 
   private def parseHeader(bb: ByteBuffer): Header = {
-    // container caveat: this reader speaks CDF-1/CDF-2 ("classic" /
-    // 64-bit-offset) ONLY. A NetCDF-4 file is an HDF5 container (magic
-    // "\x89HDF") — CDS-downloaded ERA5 is commonly NetCDF-4, so that
-    // case gets its own targeted message pointing at the bundled
-    // conversion script (the day-one ERA5 user path).
+    // container caveat: this CDF header parser speaks CDF-1/CDF-2
+    // ("classic" / 64-bit-offset) ONLY. A NetCDF-4 file is an HDF5
+    // container (magic "\x89HDF") — readVars dispatches those to the
+    // native Hdf5 reader; the CDF-shaped readHeader introspection has no
+    // HDF5 twin, so it keeps the targeted convert-first message.
     val b0 = bb.get; val b1 = bb.get; val b2 = bb.get
     require(!(b0 == 0x89.toByte && b1 == 'H'.toByte && b2 == 'D'.toByte),
-      "NetCDF-4/HDF5 container detected (\\x89HDF magic) — this reader " +
-        "speaks CDF-1/2 (classic) only; convert first with " +
+      "NetCDF-4/HDF5 container detected (\\x89HDF magic) — readVars reads " +
+        "these natively (graft.sources.Hdf5); the CDF readHeader probe does " +
+        "not. For HDF5 features outside the native subset convert first with " +
         "`tools/convert_netcdf4.sh in.nc out.nc` (wraps `nccopy -k classic`, " +
         "with ncks and python fallbacks)")
     require(b0 == 'C'.toByte && b1 == 'D'.toByte && b2 == 'F'.toByte,
@@ -186,8 +188,11 @@ object NetCdf {
     * a nullable double column per variable. */
   def readVars(spark: SparkSession, path: String, varNames: Seq[String]): DataFrame = {
     require(varNames.nonEmpty, "select at least one variable")
-    val bb = ByteBuffer.wrap(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // NetCDF-4 arrives as an HDF5 container — dispatch to the native
+    // HDF5 subset reader (round 9; previously a convert-first fail-fast)
+    if (Hdf5.isHdf5(bytes)) return Hdf5.readVars(spark, path, varNames)
+    val bb = ByteBuffer.wrap(bytes)
     val h = parseHeader(bb.duplicate())
     val vs = varNames.map(n =>
       h.vars.find(_.name == n).getOrElse(sys.error(s"no variable '$n' in $path")))

@@ -1,0 +1,503 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+/** Byte-level HDF5 fixture writers for [[graft.sources.Hdf5]] — the same
+  * testing posture as the Xlsx fixture: no HDF5 library exists in this
+  * container, so spec-conformant bytes are emitted directly from the
+  * public HDF5 File Format Specification. Fixture 1 is the libhdf5-1.8
+  * netCDF-4 shape (superblock v0, v1 object headers with a continuation
+  * block, symbol-table root group, chunked+shuffle+deflate packed
+  * variable, DIMENSION_LIST via global-heap object references).
+  * Fixture 2 is the new-style shape (superblock v2, OHDR v2 headers,
+  * compact Link-message group) plus a phony (coordinate-less) dimension.
+  */
+object Hdf5Fixture {
+
+  /** Growable little-endian buffer with label-based backpatching. */
+  final class Buf {
+    private val out = new ByteArrayOutputStream()
+    private var patches = List.empty[(Int, String)]
+    private var labels = Map.empty[String, Long]
+
+    def pos: Int = out.size()
+    def mark(label: String): Unit = labels += (label -> pos.toLong)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u16(v.toInt); u16((v >> 16).toInt) }
+    def u64(v: Long): Unit = { u32(v); u32(v >> 32) }
+    def f32(v: Float): Unit = u32(java.lang.Float.floatToIntBits(v) & 0xffffffffL)
+    def f64(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def bytes(b: Array[Byte]): Unit = out.write(b)
+    def ascii(s: String): Unit = bytes(s.getBytes("US-ASCII"))
+    def zeros(n: Int): Unit = (0 until n).foreach(_ => u8(0))
+    def padTo8(): Unit = if (pos % 8 != 0) zeros(8 - pos % 8)
+    /** 8-byte placeholder resolved to `label`'s address at the end. */
+    def ref(label: String): Unit = { patches ::= (pos, label); u64(0L) }
+
+    def result(): Array[Byte] = {
+      val arr = out.toByteArray
+      patches.foreach { case (p, label) =>
+        val v = labels.getOrElse(label, sys.error(s"unresolved label $label"))
+        var i = 0
+        while (i < 8) { arr(p + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+      }
+      arr
+    }
+  }
+
+  private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+  /** One header message: declared body size, writer that must emit
+    * exactly that many bytes (padding added here). */
+  case class Msg(tpe: Int, bodySize: Int, write: Buf => Unit) {
+    def paddedSize: Int = pad8(bodySize)
+    def totalV1: Int = 8 + paddedSize
+    def emitV1(b: Buf): Unit = {
+      b.u16(tpe); b.u16(paddedSize); b.u8(0); b.zeros(3)
+      val start = b.pos
+      write(b)
+      require(b.pos - start == bodySize,
+        s"msg type $tpe wrote ${b.pos - start}, declared $bodySize")
+      b.zeros(paddedSize - bodySize)
+    }
+    def totalV2: Int = 4 + bodySize
+    def emitV2(b: Buf): Unit = {
+      b.u8(tpe); b.u16(bodySize); b.u8(0)
+      val start = b.pos
+      write(b)
+      require(b.pos - start == bodySize,
+        s"msg type $tpe wrote ${b.pos - start}, declared $bodySize")
+    }
+  }
+
+  /** v1 object header: 12-byte prefix + 4 pad + message block(s). The
+    * optional second message list lands in a continuation block at
+    * `contLabel`. */
+  private def headerV1(b: Buf, label: String, block1: Seq[Msg],
+                       cont: Seq[Msg] = Nil, contLabel: String = ""): Unit = {
+    b.padTo8(); b.mark(label)
+    val contMsg = if (cont.isEmpty) Nil
+      else Seq(Msg(0x0010, 16, bb => { bb.ref(contLabel)
+        bb.u64(cont.map(_.totalV1).sum.toLong) }))
+    val all = block1 ++ contMsg
+    b.u8(1); b.u8(0); b.u16(all.size + cont.size); b.u32(1L)
+    b.u32(all.map(_.totalV1).sum.toLong); b.zeros(4)
+    all.foreach(_.emitV1(b))
+  }
+
+  private def contBlockV1(b: Buf, label: String, msgs: Seq[Msg]): Unit = {
+    b.padTo8(); b.mark(label)
+    msgs.foreach(_.emitV1(b))
+  }
+
+  // ---- datatype / dataspace encodings ---------------------------------
+
+  private def dataspace(dims: Seq[Long]): Array[Byte] = {
+    val t = new Buf
+    t.u8(1); t.u8(dims.size); t.u8(0); t.u8(0); t.zeros(4)
+    dims.foreach(t.u64)
+    t.result()
+  }
+
+  private val dataspaceScalar: Array[Byte] = dataspace(Nil)
+
+  private def dtFixed(size: Int, signed: Boolean): Array[Byte] = {
+    val t = new Buf
+    t.u8(0x10); t.u8(if (signed) 0x08 else 0x00); t.u8(0); t.u8(0)
+    t.u32(size.toLong)
+    t.u16(0); t.u16(size * 8)
+    t.result()
+  }
+
+  private def dtFloat(size: Int): Array[Byte] = {
+    val t = new Buf
+    t.u8(0x11); t.u8(0x20) // LE, IEEE normalization
+    t.u8(if (size == 4) 31 else 63); t.u8(0)
+    t.u32(size.toLong)
+    t.u16(0); t.u16(size * 8)
+    if (size == 4) { t.u8(23); t.u8(8); t.u8(0); t.u8(23); t.u32(127L) }
+    else { t.u8(52); t.u8(11); t.u8(0); t.u8(52); t.u32(1023L) }
+    t.result()
+  }
+
+  private def dtString(size: Int): Array[Byte] = {
+    val t = new Buf
+    t.u8(0x13); t.u8(0); t.u8(0); t.u8(0); t.u32(size.toLong)
+    t.result()
+  }
+
+  private def dtReference(): Array[Byte] = {
+    val t = new Buf
+    t.u8(0x17); t.u8(0); t.u8(0); t.u8(0); t.u32(8L)
+    t.result()
+  }
+
+  private def dtVlenRef(): Array[Byte] = {
+    val t = new Buf
+    t.u8(0x19); t.u8(0); t.u8(0); t.u8(0); t.u32(16L)
+    t.bytes(dtReference())
+    t.result()
+  }
+
+  // ---- message builders ------------------------------------------------
+
+  private def dataspaceMsg(dims: Seq[Long]): Msg = {
+    val body = dataspace(dims)
+    Msg(0x0001, body.length, _.bytes(body))
+  }
+
+  private def datatypeMsg(dt: Array[Byte]): Msg =
+    Msg(0x0003, dt.length, _.bytes(dt))
+
+  private def contiguousMsg(dataLabel: String, size: Long): Msg =
+    Msg(0x0008, 18, b => { b.u8(3); b.u8(1); b.ref(dataLabel); b.u64(size) })
+
+  private def chunkedMsg(btreeLabel: String, chunkDims: Seq[Int],
+                         elemSize: Int): Msg =
+    Msg(0x0008, 3 + 8 + 4 * (chunkDims.size + 1), b => {
+      b.u8(3); b.u8(2); b.u8(chunkDims.size + 1)
+      b.ref(btreeLabel)
+      chunkDims.foreach(d => b.u32(d.toLong))
+      b.u32(elemSize.toLong)
+    })
+
+  /** shuffle(elemSize) then deflate(level) — the netCDF-4 default. */
+  private def filtersMsg(elemSize: Int): Msg =
+    Msg(0x000B, 8 + 16 + 16, b => {
+      b.u8(1); b.u8(2); b.zeros(6)
+      b.u16(2); b.u16(0); b.u16(0); b.u16(1); b.u32(elemSize.toLong); b.u32(0L)
+      b.u16(1); b.u16(0); b.u16(0); b.u16(1); b.u32(6L); b.u32(0L)
+    })
+
+  /** v1 attribute with plain (ref-free) data. */
+  private def attrMsg(name: String, dt: Array[Byte], ds: Array[Byte],
+                      dataSize: Int)(data: Buf => Unit): Msg = {
+    val nb = name.length + 1
+    val body = 8 + pad8(nb) + pad8(dt.length) + pad8(ds.length) + dataSize
+    Msg(0x000C, body, b => {
+      b.u8(1); b.u8(0)
+      b.u16(nb); b.u16(dt.length); b.u16(ds.length)
+      b.ascii(name); b.u8(0); b.zeros(pad8(nb) - nb)
+      b.bytes(dt); b.zeros(pad8(dt.length) - dt.length)
+      b.bytes(ds); b.zeros(pad8(ds.length) - ds.length)
+      val s = b.pos
+      data(b)
+      require(b.pos - s == dataSize, s"attr $name data mismatch")
+    })
+  }
+
+  private def strAttr(name: String, value: String): Msg =
+    attrMsg(name, dtString(value.length + 1), dataspaceScalar, value.length + 1) {
+      b => b.ascii(value); b.u8(0)
+    }
+
+  private def dblAttr(name: String, value: Double): Msg =
+    attrMsg(name, dtFloat(8), dataspaceScalar, 8)(_.f64(value))
+
+  private def shortAttr(name: String, value: Short): Msg =
+    attrMsg(name, dtFixed(2, signed = true), dataspaceScalar, 2)(_.u16(value & 0xffff))
+
+  /** DIMENSION_LIST: one single-ref vlen per axis, resolved through the
+    * global heap collection at `gcolLabel` (object indexes 1-based). */
+  private def dimListAttr(gcolLabel: String, gcolIndexes: Seq[Int]): Msg =
+    attrMsg("DIMENSION_LIST", dtVlenRef(),
+      dataspace(Seq(gcolIndexes.size.toLong)), 16 * gcolIndexes.size) { b =>
+      gcolIndexes.foreach { gi =>
+        b.u32(1L); b.ref(gcolLabel); b.u32(gi.toLong)
+      }
+    }
+
+  // ---- shared data content --------------------------------------------
+
+  val TimeVals: Seq[Double] = Seq(0.0, 1.0, 2.0)
+  val LatVals: Seq[Double] = Seq(50.0, 49.75)
+  val LonVals: Seq[Double] = Seq(10.0, 10.25, 10.5, 10.75)
+  val T2mFill: Short = -32767
+  val T2mScale = 0.01
+  val T2mOffset = 250.0
+
+  /** Raw packed shorts for t2m, row-major over (3,2,4); index 14 holds
+    * the fill value. */
+  val T2mRaw: Array[Short] = Array.tabulate(24) { i =>
+    if (i == 14) T2mFill else (i * 10).toShort
+  }
+
+  val TpVals: Array[Float] = Array.tabulate(24)(i => i * 0.5f)
+
+  private def shuffleDeflate(vals: Array[Short]): Array[Byte] = {
+    val raw = new Array[Byte](vals.length * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      raw(i * 2) = (v & 0xff).toByte; raw(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val n = vals.length
+    val shuf = new Array[Byte](raw.length)
+    var j = 0
+    while (j < 2) {
+      var k = 0
+      while (k < n) { shuf(j * n + k) = raw(k * 2 + j); k += 1 }
+      j += 1
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(shuf); d.finish()
+    val outB = new ByteArrayOutputStream()
+    val tmp = new Array[Byte](256)
+    while (!d.finished()) outB.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    outB.toByteArray
+  }
+
+  // ---- fixture 1: classic netCDF-4 shape -------------------------------
+
+  /** time(3) × latitude(2) × longitude(4); t2m short chunked (2,2,3) +
+    * shuffle + deflate with CF packing and one fill hole; tp float32
+    * contiguous. Both carry DIMENSION_LIST; dims are coordinate-bearing
+    * dimension scales. */
+  def fixture1(): Array[Byte] = {
+    val b = new Buf
+
+    // superblock v0
+    b.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.u8(0); b.u8(0); b.u8(0); b.u8(0)
+    b.u8(0); b.u8(8); b.u8(8); b.u8(0)
+    b.u16(4); b.u16(16)
+    b.u32(0L)
+    b.u64(0L); b.u64(-1L); b.ref("eof"); b.u64(-1L)
+    b.u64(0L); b.ref("rootHeader"); b.u32(0L); b.u32(0L); b.zeros(16)
+
+    // root group header: symbol table message
+    headerV1(b, "rootHeader", Seq(
+      Msg(0x0011, 16, bb => { bb.ref("rootBtree"); bb.ref("rootHeap") })))
+
+    // local heap with link names
+    b.padTo8(); b.mark("rootHeap")
+    val names = Seq("latitude", "longitude", "t2m", "time", "tp")
+    val nameOffsets = scala.collection.mutable.Map[String, Long]()
+    val heapData = {
+      val t = new Buf
+      t.u64(0L)
+      names.foreach { n =>
+        nameOffsets(n) = t.pos.toLong
+        t.ascii(n); t.u8(0); t.padTo8()
+      }
+      t.result()
+    }
+    b.ascii("HEAP"); b.u8(0); b.zeros(3)
+    b.u64(heapData.length.toLong); b.u64(-1L); b.ref("rootHeapData")
+    b.padTo8(); b.mark("rootHeapData"); b.bytes(heapData)
+
+    // group B-tree: one leaf → one SNOD
+    b.padTo8(); b.mark("rootBtree")
+    b.ascii("TREE"); b.u8(0); b.u8(0); b.u16(1)
+    b.u64(-1L); b.u64(-1L)
+    b.u64(0L); b.ref("snod"); b.u64(nameOffsets("tp"))
+
+    b.padTo8(); b.mark("snod")
+    b.ascii("SNOD"); b.u8(1); b.u8(0); b.u16(names.size)
+    names.foreach { n =>
+      b.u64(nameOffsets(n)); b.ref(s"hdr:$n")
+      b.u32(0L); b.u32(0L); b.zeros(16)
+    }
+
+    // raw data blocks
+    b.padTo8(); b.mark("data:time"); TimeVals.foreach(b.f64)
+    b.padTo8(); b.mark("data:latitude"); LatVals.foreach(b.f64)
+    b.padTo8(); b.mark("data:longitude"); LonVals.foreach(b.f64)
+    b.padTo8(); b.mark("data:tp"); TpVals.foreach(b.f32)
+
+    // t2m chunks: (2,2,3) over (3,2,4) → origins at time {0,2} × lon {0,3}
+    def chunkShorts(o0: Int, o1: Int, o2: Int): Array[Short] = {
+      val c = new Array[Short](12)
+      var k = 0
+      for (i0 <- 0 until 2; i1 <- 0 until 2; i2 <- 0 until 3) {
+        val (g0, g1, g2) = (o0 + i0, o1 + i1, o2 + i2)
+        c(k) = if (g0 < 3 && g1 < 2 && g2 < 4) T2mRaw(g0 * 8 + g1 * 4 + g2)
+               else 0
+        k += 1
+      }
+      c
+    }
+    val chunkOrigins = Seq((0, 0, 0), (0, 0, 3), (2, 0, 0), (2, 0, 3))
+    val chunks = chunkOrigins.map { case (o0, o1, o2) =>
+      (o0, o1, o2, shuffleDeflate(chunkShorts(o0, o1, o2)))
+    }
+    chunks.zipWithIndex.foreach { case ((_, _, _, data), i) =>
+      b.padTo8(); b.mark(s"chunk:$i"); b.bytes(data)
+    }
+    b.padTo8(); b.mark("t2mBtree")
+    b.ascii("TREE"); b.u8(1); b.u8(0); b.u16(chunks.size)
+    b.u64(-1L); b.u64(-1L)
+    chunks.zipWithIndex.foreach { case ((o0, o1, o2, data), i) =>
+      b.u32(data.length.toLong); b.u32(0L)
+      b.u64(o0.toLong); b.u64(o1.toLong); b.u64(o2.toLong); b.u64(0L)
+      b.ref(s"chunk:$i")
+    }
+    b.u32(0L); b.u32(0L); b.u64(3L); b.u64(2L); b.u64(4L); b.u64(0L)
+
+    // global heap: object refs 1..3 = time/latitude/longitude headers
+    b.padTo8(); b.mark("gcol")
+    val gcolObjs = Seq("hdr:time", "hdr:latitude", "hdr:longitude")
+    b.ascii("GCOL"); b.u8(1); b.zeros(3)
+    b.u64((16 + gcolObjs.size * 24).toLong)
+    gcolObjs.zipWithIndex.foreach { case (label, i) =>
+      b.u16(i + 1); b.u16(1); b.zeros(4); b.u64(8L); b.ref(label)
+    }
+
+    // dimension-scale headers (coordinate-bearing)
+    def dimScale(name: String, len: Int): Unit =
+      headerV1(b, s"hdr:$name", Seq(
+        dataspaceMsg(Seq(len.toLong)),
+        datatypeMsg(dtFloat(8)),
+        contiguousMsg(s"data:$name", len * 8L),
+        strAttr("CLASS", "DIMENSION_SCALE"),
+        strAttr("NAME", name)))
+    dimScale("time", 3)
+    dimScale("latitude", 2)
+    dimScale("longitude", 4)
+
+    // t2m: header split across a continuation block (attrs in block 2)
+    headerV1(b, "hdr:t2m",
+      Seq(
+        dataspaceMsg(Seq(3L, 2L, 4L)),
+        datatypeMsg(dtFixed(2, signed = true)),
+        chunkedMsg("t2mBtree", Seq(2, 2, 3), elemSize = 2),
+        filtersMsg(elemSize = 2)),
+      cont = Seq(
+        dblAttr("scale_factor", T2mScale),
+        dblAttr("add_offset", T2mOffset),
+        shortAttr("_FillValue", T2mFill),
+        strAttr("units", "K"),
+        dimListAttr("gcol", Seq(1, 2, 3))),
+      contLabel = "cont:t2m")
+    contBlockV1(b, "cont:t2m", Seq(
+      dblAttr("scale_factor", T2mScale),
+      dblAttr("add_offset", T2mOffset),
+      shortAttr("_FillValue", T2mFill),
+      strAttr("units", "K"),
+      dimListAttr("gcol", Seq(1, 2, 3))))
+
+    // tp: contiguous float32, same dims; REFERENCE_LIST stands in for the
+    // compound-typed auxiliary attributes real netCDF-4 files carry — the
+    // reader must skip it without failing the dataset parse
+    val dtCompound: Array[Byte] = {
+      val t = new Buf
+      t.u8(0x16); t.u8(1); t.u8(0); t.u8(0); t.u32(12L)
+      t.result()
+    }
+    headerV1(b, "hdr:tp", Seq(
+      dataspaceMsg(Seq(3L, 2L, 4L)),
+      datatypeMsg(dtFloat(4)),
+      contiguousMsg("data:tp", 24 * 4L),
+      strAttr("units", "m"),
+      attrMsg("REFERENCE_LIST", dtCompound, dataspace(Seq(1L)), 12)(_.zeros(12)),
+      dimListAttr("gcol", Seq(1, 2, 3))))
+
+    b.mark("eof")
+    b.result()
+  }
+
+  // ---- fixture 2: new-style (superblock v2, OHDR, link messages) -------
+
+  /** level(2, phony — no coordinate variable) × obs(3): one int32
+    * contiguous variable `count` with DIMENSION_LIST, dims as pure
+    * dimension scales (sentinel NAME). Exercises superblock v2, OHDR v2
+    * headers, and compact link-message groups. */
+  def fixture2(): Array[Byte] = {
+    val b = new Buf
+
+    // superblock v2: sig, version, sizeof off/len, flags, base, ext, eof,
+    // root header, checksum
+    b.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.u8(2); b.u8(8); b.u8(8); b.u8(0)
+    b.u64(0L); b.u64(-1L); b.ref("eof"); b.ref("rootHeader")
+    b.u32(0L) // checksum (unchecked by the reader)
+
+    def linkMsg(name: String, target: String): Msg = {
+      val nb = name.getBytes("US-ASCII")
+      Msg(0x0006, 2 + 1 + nb.length + 8, bb => {
+        bb.u8(1); bb.u8(0) // version, flags: 1-byte name length, hard link
+        bb.u8(nb.length)
+        bb.bytes(nb)
+        bb.ref(s"hdr2:$target")
+      })
+    }
+
+    def headerV2(label: String, msgs: Seq[Msg]): Unit = {
+      b.padTo8(); b.mark(label)
+      val size = msgs.map(_.totalV2).sum // message bytes only, no checksum
+      b.ascii("OHDR"); b.u8(2); b.u8(1) // flags: 2-byte chunk0-size field
+      b.u16(size)
+      msgs.foreach(_.emitV2(b))
+      b.u32(0L) // trailing gateway checksum (unchecked by the reader)
+    }
+
+    // raw data first (marks consumed by refs inside headers)
+    b.padTo8(); b.mark("data2:count")
+    Seq(7L, 8L, 9L, 10L, 11L, 12L).foreach(v => b.u32(v))
+
+    // global heap for DIMENSION_LIST refs
+    b.padTo8(); b.mark("gcol2")
+    val objs = Seq("hdr2:level", "hdr2:obs")
+    b.ascii("GCOL"); b.u8(1); b.zeros(3)
+    b.u64((16 + objs.size * 24).toLong)
+    objs.zipWithIndex.foreach { case (label, i) =>
+      b.u16(i + 1); b.u16(1); b.zeros(4); b.u64(8L); b.ref(label)
+    }
+
+    // phony dims: dimension scales with the sentinel NAME, no real data
+    def phonyDim(name: String, len: Int): Unit =
+      headerV2(s"hdr2:$name", Seq(
+        dataspaceMsg(Seq(len.toLong)),
+        datatypeMsg(dtFloat(4)),
+        Msg(0x0008, 18, bb => { bb.u8(3); bb.u8(1); bb.u64(-1L); bb.u64(0L) }),
+        strAttr2("CLASS", "DIMENSION_SCALE"),
+        strAttr2("NAME",
+          s"This is a netCDF dimension but not a netCDF variable.  $len")))
+    phonyDim("level", 2)
+    phonyDim("obs", 3)
+
+    headerV2("hdr2:count", Seq(
+      dataspaceMsg(Seq(2L, 3L)),
+      datatypeMsg(dtFixed(4, signed = true)),
+      Msg(0x0008, 18, bb => { bb.u8(3); bb.u8(1); bb.ref("data2:count")
+        bb.u64(24L) }),
+      dimListAttr2("gcol2", Seq(1, 2))))
+
+    headerV2("rootHeader", Seq(
+      linkMsg("level", "level"),
+      linkMsg("obs", "obs"),
+      linkMsg("count", "count")))
+
+    b.mark("eof")
+    b.result()
+  }
+
+  /** v3 attribute (unpadded name/dt/ds) for the OHDR fixture. */
+  private def attr2(name: String, dt: Array[Byte], ds: Array[Byte],
+                    dataSize: Int)(data: Buf => Unit): Msg = {
+    val nb = name.length + 1
+    Msg(0x000C, 9 + nb + dt.length + ds.length + dataSize, b => {
+      b.u8(3); b.u8(0)
+      b.u16(nb); b.u16(dt.length); b.u16(ds.length)
+      b.u8(0) // name charset: ASCII
+      b.ascii(name); b.u8(0)
+      b.bytes(dt); b.bytes(ds)
+      val s = b.pos
+      data(b)
+      require(b.pos - s == dataSize, s"attr $name data mismatch")
+    })
+  }
+
+  private def strAttr2(name: String, value: String): Msg =
+    attr2(name, dtString(value.length + 1), dataspaceScalar, value.length + 1) {
+      b => b.ascii(value); b.u8(0)
+    }
+
+  private def dimListAttr2(gcolLabel: String, gcolIndexes: Seq[Int]): Msg =
+    attr2("DIMENSION_LIST", dtVlenRef(),
+      dataspace(Seq(gcolIndexes.size.toLong)), 16 * gcolIndexes.size) { b =>
+      gcolIndexes.foreach { gi =>
+        b.u32(1L); b.ref(gcolLabel); b.u32(gi.toLong)
+      }
+    }
+}

@@ -333,9 +333,10 @@ class SourcesSpec extends AnyFunSuite {
     assert(byKey((100.0, 20.0, 1.0)) == None, s"fill must mask: $byKey")
   }
 
-  test("netcdf: an HDF5/NetCDF-4 payload fails fast naming the conversion script") {
-    // CDS-downloaded ERA5 is commonly NetCDF-4 (an HDF5 container); the
-    // day-one user path is the targeted error + tools/convert_netcdf4.sh
+  test("netcdf: readHeader on an HDF5/NetCDF-4 payload still names the conversion script") {
+    // readVars dispatches HDF5 containers to the native Hdf5 reader
+    // (Hdf5Spec pins that); the CDF-shaped readHeader introspection has
+    // no HDF5 twin, so its targeted message must keep naming the script
     val dir = Files.createTempDirectory("nc4")
     val f = dir.resolve("era5_nc4.nc")
     Files.write(f, Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte,
