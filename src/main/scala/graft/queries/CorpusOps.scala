@@ -211,6 +211,45 @@ object CorpusOps {
     }
   }
 
+  /** c10: per-source duplication factor — c1's dedup clusters rolled up
+    * to the provenance dimension: for each source, how many docs sit in
+    * ANY near-dup cluster, how many are redundant (non-representative,
+    * d14's drop policy), and the redundancy rate on the exact ppm grid.
+    * This is the table that decides whether a source gets document-level
+    * dedup or wholesale exclusion (c7 shows who copies whom; this shows
+    * how much of each source survives). The oracle replays the ENTIRE
+    * chain — m1 pairs → recursive-CTE components → rollup. Scale shape:
+    * the cluster table is |paired docs| rows (tiny next to the corpus),
+    * LEFT-joined onto the corpus's own partitioning; the report is a
+    * |sources|-row aggregate. */
+  def c10SourceDupFactor(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val comps = ConnectedComponents.components(nearDupEdges(s, dir))
+      .withColumnRenamed("id", "doc_id")
+    docs.join(comps, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L))
+          .as("n_in_clusters"),
+        sum(when(col("component").isNotNull && col("component") =!= col("doc_id"),
+          1L).otherwise(0L)).as("n_redundant"))
+      .withColumn("redundancy_ppm",
+        expr("(1000000 * n_redundant) div n_docs"))
+      .orderBy("source")
+  }
+
+  private val c10Sql: String =
+    s"""WITH RECURSIVE $clustersCtes
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_in_clusters,
+       |  CAST(SUM(CASE WHEN c.id IS NOT NULL AND c.component <> d.doc_id
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+       |  CAST((1000000 * SUM(CASE WHEN c.id IS NOT NULL AND c.component <> d.doc_id
+       |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS redundancy_ppm
+       |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+       |GROUP BY source ORDER BY source""".stripMargin
+
   private val c9Sql: String = {
     val n = 5
     val gram = (1 to n).map(j => s"string_split(text,' ')[i+$j]").mkString(" || ' ' || ")
@@ -970,6 +1009,7 @@ object CorpusOps {
     "c7_source_overlap" -> (c7SourceOverlap _),
     "c8_threshold_sweep" -> (c8ThresholdSweep _),
     "c9_ingest_compaction" -> (c9IngestCompaction _),
+    "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "c4_triangles" -> (c4Triangles _),
@@ -992,6 +1032,7 @@ object CorpusOps {
     "c7_source_overlap" -> c7Sql,
     "c8_threshold_sweep" -> c8Sql,
     "c9_ingest_compaction" -> c9Sql,
+    "c10_source_dup_factor" -> c10Sql,
     "d35_source_scorecard" -> d35Sql,
     "c3_clean_decontaminated" -> c3Sql,
     "c4_triangles" -> c4Sql,

@@ -79,6 +79,61 @@ object SearchOps {
        |WHERE ' ' || text || ' ' LIKE '% ' || phrase || ' %'
        |GROUP BY phrase ORDER BY phrase""".stripMargin
 
+  /** Term pairs from across the corpus frequency spectrum, probed at
+    * word distance ≤ [[Slop]]. */
+  private val NearPairs = Seq(("join", "hash"), ("scan", "filter"),
+    ("vector", "column"))
+  private val Slop = 3
+
+  /** k5: proximity (NEAR/k) search — the positional-index retrieval
+    * primitive between k4's exact adjacency and k1's bag-of-words: two
+    * terms co-occurring within `Slop` words. Scale shape: the postings
+    * explode is filtered to the query vocabulary BEFORE the self-join,
+    * so the join input is |query-term postings|, not the corpus; the
+    * pair table is a 3-row broadcast; the one shuffle is the doc_id
+    * equi-join. Reports per pair: distinct matching docs, total
+    * position-pair hits, first matching doc. */
+  def k5ProximitySearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = NearPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val pos = Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "term")
+      .filter(col("term").isin(terms: _*))
+    val pd = NearPairs.toDF("ta", "tb")
+    pos.as("a")
+      .join(broadcast(pd), col("a.term") === col("ta"))
+      .join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.term") === col("tb") &&
+          abs(col("a.pos") - col("b.pos")) <= Slop)
+      .select(concat(col("ta"), lit(" "), col("tb")).as("pair"),
+        col("a.doc_id").as("doc_id"))
+      .groupBy(col("pair"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("pair")
+  }
+
+  private val k5Sql: String = {
+    val vals = NearPairs.map(p => s"('${p._1}', '${p._2}')").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |pos AS (
+       |  SELECT doc_id, u.p AS pos, u.t AS term FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+       |      i -> struct_pack(p := i, t := tk[CAST(i AS INTEGER)]))) AS u
+       |    FROM toks) z),
+       |pr AS (SELECT * FROM (VALUES $vals) v(ta, tb))
+       |SELECT ta || ' ' || tb AS pair,
+       |  COUNT(DISTINCT a.doc_id) AS n_docs,
+       |  COUNT(*) AS n_hits,
+       |  MIN(a.doc_id) AS first_doc
+       |FROM pos a JOIN pr ON a.term = pr.ta
+       |JOIN pos b ON b.doc_id = a.doc_id AND b.term = pr.tb
+       |  AND abs(a.pos - b.pos) <= $Slop
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** k3: PII redaction audit — each document gets deterministic contact
     * lines synthesized from its own key (one source-derived email, a
     * second cc address on even ids, one +1 phone number), then the
@@ -118,12 +173,14 @@ object SearchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_bm25_topk" -> (k1Bm25TopK _),
     "k4_phrase_search" -> (k4PhraseSearch _),
+    "k5_proximity_search" -> (k5ProximitySearch _),
     "k2_tfidf_term" -> (k2TfidfTerm _),
     "k3_pii_redact" -> (k3PiiRedact _))
 
   val oracles: Map[String, String] = Map(
     "k1_bm25_topk" -> k1Sql,
     "k4_phrase_search" -> k4Sql,
+    "k5_proximity_search" -> k5Sql,
     "k2_tfidf_term" -> k2Sql,
     "k3_pii_redact" -> k3Sql)
 }

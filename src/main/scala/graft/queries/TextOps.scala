@@ -627,6 +627,63 @@ object TextOps {
       |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_len_quality
       |FROM m ORDER BY lang""".stripMargin
 
+  private val D38K = 20
+
+  /** d38: bigram language-model quality filter — the KenLM-style
+    * LM-likelihood drop list every large corpus build runs: train bigram
+    * conditional probabilities ON the corpus itself (counts over the
+    * corpus's bigrams; P(w2|w1) = c(w1 w2)/c(w1 ·) on the exact ppm
+    * integer grid via integer division), score each document by the
+    * integer mean ppm over its bigram OCCURRENCES, and report the
+    * [[D38K]] least-likely documents (the gibberish/outlier candidates).
+    *
+    * Scale shape: one corpus pass explodes bigrams (slice+zip_with —
+    * NOTES fact #2), the model is a hash aggregate over bigram TYPES,
+    * the start totals a second aggregate over the model (not the
+    * corpus), scoring is one shuffle join on the bigram key, and the
+    * drop list is a distributed TakeOrdered — no window over the corpus,
+    * no driver loop. Everything is integer arithmetic, so the oracle
+    * replays it bit-for-bit. */
+  def d38LmQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bi = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bg"), " ")(0))
+    val starts = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val scored = bi
+      .join(model, "bg")
+      .join(starts, "w1")
+      .select(col("doc_id"), expr("(1000000 * c2) div c1").as("ppm"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(ppm) div count(1)").cast("long").as("mean_ppm"))
+      .orderBy(col("mean_ppm"), col("doc_id"))
+      .limit(D38K)
+  }
+
+  private val d38Sql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1])) AS bg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) z),
+       |m AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+       |st AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1 FROM m GROUP BY 1),
+       |sc AS (
+       |  SELECT b.doc_id, (1000000 * m.c2) // st.c1 AS ppm
+       |  FROM bg b JOIN m USING (bg)
+       |  JOIN st ON string_split(b.bg, ' ')[1] = st.w1),
+       |d AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_ppm
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, mean_ppm FROM d
+       |ORDER BY mean_ppm, doc_id LIMIT $D38K""".stripMargin
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -1031,6 +1088,7 @@ object TextOps {
     "d34_length_buckets" -> (d34LengthBuckets _),
     "d36_coverage_curve" -> (d36CoverageCurve _),
     "d37_len_quality_corr" -> (d37LenQualityCorr _),
+    "d38_lm_quality" -> (d38LmQuality _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1059,5 +1117,6 @@ object TextOps {
     "d34_length_buckets" -> d34Sql,
     "d36_coverage_curve" -> d36Sql,
     "d37_len_quality_corr" -> d37Sql,
+    "d38_lm_quality" -> d38Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
