@@ -475,6 +475,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "scan should read only id/ts/user/type: " + rs)
   }
 
+  test("k5 proximity: pair table broadcasts, postings join hash-based, no cartesian") {
+    val s = formatted(SparkEntry.queries("k5_proximity_search")(spark, sfDir))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0,
+      "proximity must be equi-joins (doc_id + term), never a pair blowup: " +
+        s.take(1200))
+    assert(nodeCount(s, "BroadcastHashJoin") >= 1,
+      "the 3-row pair table must broadcast: " + s.take(1200))
+  }
+
+  test("d38 LM filter: model aggregates + one scoring join, TakeOrdered drop list") {
+    val s = formatted(SparkEntry.queries("d38_lm_quality")(spark, sfDir))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+    assert(s.contains("TakeOrderedAndProject"),
+      "the lowest-K drop list must be a distributed top-k, not a full sort: " +
+        s.take(1200))
+    assert(nodeCount(s, "Window") == 0,
+      "no global window anywhere in the scoring path: " + s.take(1200))
+  }
+
+  test("c10 dup factor: cluster table joins the corpus without any pair blowup") {
+    val s = try formatted(SparkEntry.queries("c10_source_dup_factor")(spark, sfDir))
+    finally spark.catalog.clearCache() // minhash band tables persist
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+  }
+
   test("q32 column stats: ONE scan feeds all four columns' stats (Expand, no re-reads)") {
     val s = formatted(SparkEntry.queries("q32_column_stats")(spark, sfDir))
     assert(nodeCount(s, "Scan parquet") <= 1,
