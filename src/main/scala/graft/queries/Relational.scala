@@ -632,6 +632,52 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
 
+  /** q33: the VALUE-window family (§2.5's remaining corner next to
+    * q27's rank family): first_value / last_value / nth_value over an
+    * explicit unbounded ROWS frame, reported once per supplier (the
+    * row_number()=1 representative, so the output is |suppliers| rows,
+    * not |lineitem|). last_value needs the UNBOUNDED FOLLOWING frame on
+    * BOTH engines — the default frame stops at CURRENT ROW and would
+    * return each row's own value; nth_value(_, 3) is NULL for 2-row
+    * partitions identically on both. Values are selections (no FP
+    * arithmetic), so doubles compare bit-exactly. The order key carries
+    * l_extendedprice as a tiebreaker: the synthetic lineitem is NOT
+    * (orderkey, linenumber)-unique (sf0.1 has a supplier with two rows
+    * at the same key), and value windows need a TOTAL order to be
+    * engine-portable. */
+  def q33ValueWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        first(col("l_extendedprice")).over(wf).as("first_price"),
+        last(col("l_extendedprice")).over(wf).as("last_price"),
+        nth_value(col("l_extendedprice"), 3).over(wf).as("third_price"),
+        count(lit(1)).over(wf).as("n_items"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey"), col("first_price"), col("last_price"),
+        col("third_price"), col("n_items"))
+      .orderBy("l_suppkey")
+  }
+
+  private val q33Sql =
+    """SELECT l_suppkey, first_price, last_price, third_price, n_items
+      |FROM (
+      |  SELECT l_suppkey,
+      |    FIRST_VALUE(l_extendedprice) OVER wf AS first_price,
+      |    LAST_VALUE(l_extendedprice) OVER wf AS last_price,
+      |    NTH_VALUE(l_extendedprice, 3) OVER wf AS third_price,
+      |    COUNT(*) OVER wf AS n_items,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS rn
+      |  FROM lineitem
+      |  WINDOW wf AS (PARTITION BY l_suppkey
+      |    ORDER BY l_orderkey, l_linenumber, l_extendedprice
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) z
+      |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin
+
   /** q28: conditional (FILTER-clause) aggregation — several differently-
     * filtered measures off ONE scan (the "count matching X, sum matching
     * Y, all per group" report that would otherwise take N scans or a
@@ -861,7 +907,8 @@ object Relational {
     "q24_percentiles" -> (q24Percentiles _),
     "q25_fact_join" -> (q25FactJoin _),
     "q26_grouping_sets" -> (q26GroupingSets _),
-    "q27_rank_family" -> (q27RankFamily _))
+    "q27_rank_family" -> (q27RankFamily _),
+    "q33_value_windows" -> (q33ValueWindows _))
 
   val oracles: Map[String, String] = Map(
     "q32_column_stats" -> q32Sql,
@@ -895,5 +942,6 @@ object Relational {
     "q24_percentiles" -> q24Sql,
     "q25_fact_join" -> q25Sql,
     "q26_grouping_sets" -> q26Sql,
-    "q27_rank_family" -> q27Sql)
+    "q27_rank_family" -> q27Sql,
+    "q33_value_windows" -> q33Sql)
 }

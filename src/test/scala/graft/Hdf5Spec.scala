@@ -114,6 +114,22 @@ class Hdf5Spec extends AnyFunSuite {
     assert(df.count() == 24)
   }
 
+  test("HDF5 long output feeds the engine's grid pipeline shape") {
+    // same composition check the CDF reader has: coordinate columns +
+    // value column == the ClimateEngine long ingest layout, so a bbox
+    // filter + mean runs directly on the frame
+    import org.apache.spark.sql.functions.{avg, col}
+    val df = graft.sources.NetCdf.readVars(spark,
+      writeTmp(Hdf5Fixture.fixture1()), Seq("t2m"))
+    val mean = df.filter(col("latitude") === 50.0 && !col("t2m").isNull)
+      .agg(avg("t2m")).collect()(0).getDouble(0)
+    // lat=50 rows are linear indexes with i1=0: i = t*8 + lon; raw = i*10
+    val raws = for (t <- 0 until 3; lon <- 0 until 4) yield (t * 8 + lon) * 10
+    val want = raws.map(_ * Hdf5Fixture.T2mScale + Hdf5Fixture.T2mOffset)
+      .sum / raws.size
+    assert(math.abs(mean - want) < 1e-9, s"$mean != $want")
+  }
+
   test("unsupported features fail fast with the spec feature named") {
     // flip the layout version byte of a known message to v4
     val bytes = Hdf5Fixture.fixture1()
