@@ -648,11 +648,12 @@ object StreamOps {
     val sweep = MinHashDedup.sweepAgainstIndex(corpusIndex, batch,
       idCol, textCol, threshold)
     // pairs feed the caller's use AND the at-rest log: persist so the
-    // sweep (band probe + Jaccard verify) runs once, not twice
+    // sweep (band probe + Jaccard verify) runs once, not twice — the
+    // pair-log write below is the materializing action (no separate
+    // count() job; later readers hit the cache)
     val pairs = sweep.pairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      pairs.count()
       landDelta(pairs, s"$statePath/pairs", batchId)
       landDelta(sweep.delta.bands, s"$statePath/bands", batchId)
       landDelta(sweep.delta.shingleHashes, s"$statePath/shingles", batchId)
