@@ -67,5 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SketchFunctions.hex60Info)
     ext.injectFunction(NearestEntry.info)
     ext.injectFunction(BloomFunctions.info)
+    // optimizer depth: naive band joins (abs(a-b) <= k, no equi key)
+    // rewrite to the bucketed equi-join RangeJoin builds by hand
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }

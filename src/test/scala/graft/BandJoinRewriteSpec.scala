@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.BandJoinRewrite
+
+/** [[graft.plans.BandJoinRewrite]]: the injected optimizer rule that
+  * turns naive `abs(a - b) <= k` band joins (nested-loop plans) into
+  * bucketed equi-joins — plan-shape, row-for-row equality, negatives,
+  * the cost guard, and idempotence. */
+class BandJoinRewriteSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def withRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.experimental.extraOptimizations = prev :+ BandJoinRewrite
+    // disable broadcast so the cost guard always allows the rewrite (and
+    // the un-rewritten baseline would be a cartesian-style loop join)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  private def bandJoin(): DataFrame = {
+    val l = (0L until 400L).map(i => i * 7 - 300).toDF("x")
+    val r = (0L until 300L).map(i => i * 11 - 500).toDF("y")
+    l.join(r, org.apache.spark.sql.functions.expr("abs(x - y) <= 13"))
+  }
+
+  test("band join rewrites to a bucketed equi-join (no nested loop) with identical rows") {
+    val naive = bandJoin().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture must produce matches")
+    withRule {
+      val df = bandJoin()
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_graft_pbin") && opt.contains("_graft_bbin"),
+        s"rule did not fire:\n$opt")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"),
+        s"rewritten plan must hash-join on the bucket:\n${phys.take(1500)}")
+      val rewritten = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rewritten == naive, "rewrite changed the answer")
+      assert(df.count() == bandJoin().count(), "no dup pairs across buckets")
+    }
+  }
+
+  test("negative values bucket correctly (floor, not truncate-toward-zero)") {
+    withRule {
+      val l = Seq(-25L, -13L, -1L, 0L, 1L, 12L).toDF("x")
+      val r = Seq(-26L, -12L, -2L, 3L, 14L).toDF("y")
+      val df = l.join(r, org.apache.spark.sql.functions.expr("abs(x - y) < 4"))
+      val got = df.collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      val want = (for {
+        x <- Seq(-25L, -13L, -1L, 0L, 1L, 12L)
+        y <- Seq(-26L, -12L, -2L, 3L, 14L)
+        if math.abs(x - y) < 4
+      } yield (x, y)).toSet
+      assert(got == want, s"got $got want $want")
+      assert(df.queryExecution.optimizedPlan.toString.contains("_graft_pbin"))
+    }
+  }
+
+  test("joins with a cross-side equality key are left alone") {
+    withRule {
+      val l = Seq((1L, 10L), (2L, 20L)).toDF("k", "x")
+      val r = Seq((1L, 12L), (2L, 90L)).toDF("k2", "y")
+      val df = l.join(r, org.apache.spark.sql.functions
+        .expr("k = k2 AND abs(x - y) <= 5"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("_graft_pbin"),
+        "equi-keyed joins already hash-join; the rule must not touch them")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    }
+  }
+
+  test("cost guard: a broadcastable side keeps the nested-loop plan") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ BandJoinRewrite
+    try {
+      // default broadcast threshold (10 MB) >> these frames
+      val df = bandJoin()
+      assert(!df.queryExecution.optimizedPlan.toString.contains("_graft_pbin"),
+        "tiny sides should broadcast-loop, not pay a shuffle")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("idempotent: re-applying the rule leaves the rewritten plan unchanged") {
+    withRule {
+      val once = bandJoin().queryExecution.optimizedPlan
+      val twice = BandJoinRewrite(once)
+      assert(twice.toString == once.toString,
+        "the bucket equality must block a second rewrite")
+    }
+  }
+}
