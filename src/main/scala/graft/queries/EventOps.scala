@@ -1224,6 +1224,59 @@ object EventOps {
     * Gaps are exact epoch-microsecond integers; the lerp is the
     * p2-pinned quantile_cont parity. Fine-grained (user, type) window
     * partitions — no task ever sorts a whole type. */
+  /** e31: ordered funnel conversion — how many users performed
+    * view → click → purchase IN TIMESTAMP ORDER (each stage strictly
+    * after the user's earliest previous-stage event). The classic
+    * product-analytics computation that neither plain aggregation nor
+    * sessionization covers: stage N's earliest qualifying time depends
+    * on stage N-1's.
+    *
+    * Scale shape: one filtered aggregate per stage (map-side combined
+    * min per user) and one user_id equi-join per stage transition — all
+    * three stages co-partition on user_id, no window over the event
+    * stream, no per-user event sorting. Strict `>` at every transition:
+    * a click at exactly the view's timestamp is not "after" it, on
+    * either engine. */
+  def e31Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(no: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_users"))
+    stage(1, "view", v)
+      .unionByName(stage(2, "view>click", c))
+      .unionByName(stage(3, "view>click>purchase", p))
+      .orderBy("stage_no")
+  }
+
+  private val e31Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_no, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+      |  UNION ALL
+      |  SELECT 2, 'view>click', (SELECT COUNT(*) FROM c)
+      |  UNION ALL
+      |  SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p)) z
+      |ORDER BY stage_no""".stripMargin
+
   def e30InterArrival(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("event_id"),
@@ -1323,6 +1376,7 @@ object EventOps {
     "e28_target_encode" -> (e28TargetEncode _),
     "e29_wow_growth" -> (e29WowGrowth _),
     "e30_inter_arrival" -> (e30InterArrival _),
+    "e31_funnel" -> (e31Funnel _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -1357,6 +1411,7 @@ object EventOps {
     "e28_target_encode" -> e28Sql,
     "e29_wow_growth" -> e29Sql,
     "e30_inter_arrival" -> e30Sql,
+    "e31_funnel" -> e31Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }

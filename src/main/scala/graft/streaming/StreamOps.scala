@@ -118,6 +118,55 @@ object StreamOps {
       }
   }
 
+  /** Per-user funnel progress for [[funnelStages]]: the earliest view,
+    * the earliest click strictly after it, the earliest purchase
+    * strictly after that. */
+  case class FunnelState(t1: Option[Timestamp], t2: Option[Timestamp],
+                         t3: Option[Timestamp])
+
+  /** Deepest funnel stage reached (0 = none, 3 = full conversion). */
+  case class FunnelOut(user_id: Long, stage: Int)
+
+  /** Streaming twin of e31's ordered funnel (view → click → purchase,
+    * each stage strictly after the previous stage's earliest event):
+    * a per-user state machine over `mapGroupsWithState`, emitting the
+    * user's deepest stage after every batch (Update mode).
+    *
+    * Each micro-batch's per-user slice is folded in EVENT-TIME order
+    * (sorted here; batch boundaries must be time-ordered too), which
+    * makes the greedy transitions equal e31's min-based definition:
+    * processing in ts order makes "first view" the min view, "first
+    * click after t1" the min click > t1, and so on — spec-pinned
+    * against the batch query on testdata. The in-order assumption is
+    * the standard funnel-tracker posture; late arrivals would need
+    * retraction, which Update-mode state cannot express. */
+  def funnelStages(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1.isEmpty =>
+                st = st.copy(t1 = Some(e.ts))
+              case "click" if st.t2.isEmpty && st.t1.exists(e.ts.after) =>
+                st = st.copy(t2 = Some(e.ts))
+              case "purchase" if st.t3.isEmpty && st.t2.exists(e.ts.after) =>
+                st = st.copy(t3 = Some(e.ts))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          FunnelOut(uid,
+            if (st.t3.isDefined) 3
+            else if (st.t2.isDefined) 2
+            else if (st.t1.isDefined) 1
+            else 0)
+      }
+  }
+
   /** Per-user session state for [[completedSessions]]. */
   case class SessionState(start: Timestamp, lastTs: Timestamp,
                           n_events: Long, total_value: Double)

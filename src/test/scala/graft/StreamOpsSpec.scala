@@ -700,6 +700,30 @@ class StreamOpsSpec extends AnyFunSuite {
       "replaying a committed batch must be a no-op on landed and compacted rows")
   }
 
+  test("funnelStages over time-ordered batches equals the e31 batch funnel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val all = graft.Tables(spark, sfDir, "events").as[StreamOps.Event]
+      .collect().sortBy(_.ts.getTime)
+    val chunks = all.grouped(math.max(1, all.length / 3 + 1)).toSeq
+    val finalStage = scala.collection.mutable.Map[Long, Int]()
+    val ms = MemoryStream[StreamOps.Event]
+    val q = StreamOps.funnelStages(ms.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.FunnelOut], _: Long) =>
+        df.collect().foreach(o => finalStage(o.user_id) = o.stage)
+      }
+      .start()
+    chunks.foreach { c => ms.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = (1 to 3).map(st => finalStage.values.count(_ >= st).toLong)
+    val batch = queries.EventOps.e31Funnel(spark, sfDir)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(2)).toSeq
+    assert(streamed == batch,
+      s"stream cumulative stage counts $streamed != batch e31 $batch")
+    assert(batch.head > 0, "fixture must have at least one view user")
+  }
+
   test("sourceOverlapPerBatch matrices sum to the one-shot c7 rollup over the union") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
