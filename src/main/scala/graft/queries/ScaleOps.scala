@@ -313,7 +313,7 @@ object ScaleOps {
        |        ORDER BY ${sqlDist2("e.emb", "cc.c")}, cc.cid) AS rn
        |    FROM e CROSS JOIN c$IvfIters cc) z WHERE rn = 1),
        |pr AS (
-       |  SELECT q_id, q_emb, cid FROM (
+       |  SELECT q_id, q_emb, cid, rn FROM (
        |    SELECT q.q_id, q.q_emb, cc.cid,
        |      ROW_NUMBER() OVER (PARTITION BY q.q_id
        |        ORDER BY ${sqlDist2("q.q_emb", "cc.c")}, cc.cid) AS rn
@@ -338,6 +338,84 @@ object ScaleOps {
        |  FROM scored)
        |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= $IvfTopK
        |ORDER BY q_id, rk""".stripMargin
+
+  /** i6: IVF recall audit — recall@$IvfTopK vs the exact brute-force
+    * answer at every nprobe in 1..$IvfNprobe, the table that justifies
+    * (or indicts) the routing budget the way m3/c8 calibrate the
+    * MinHash tier. Both the approximate and exact sides reuse their
+    * oracle-pinned derivations (the shared ivfCtes routing — `pr` keeps
+    * the probe rank so one chain serves every nprobe — and v1's
+    * cosine-top-k shape), so the recall numbers themselves replay
+    * bit-for-bit on the exact ppm grid. Scale shape: the brute side is
+    * the |q|·|corpus| broadcast scoring pass (ground truth is priced
+    * once, not per nprobe); each approximate side scans only the probed
+    * lists; the report is 3 rows. */
+  def i6IvfRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val e = Tables(s, dir, "embeddings")
+    val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      val eb = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val q = eb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val scored = broadcast(q).join(eb, col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          round(dot(col("q_emb"), col("emb")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) *
+              sqrt(dot(col("emb"), col("emb")))), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      val brute = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= IvfTopK)
+        .select(col("q_id"), col("vec_id").as("neighbor"))
+      val apx = (1 to IvfNprobe).map { np =>
+        IvfSearch.approxTopK(e.filter(col("vec_id") < 3), idx,
+            "vec_id", "embedding", k = IvfTopK, nprobe = np)
+          .select(lit(np).as("nprobe"), col("q_id"), col("neighbor"))
+      }.reduce(_ unionByName _)
+      val res = apx.join(brute, Seq("q_id", "neighbor"))
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("recall_ppm",
+          expr(s"(1000000 * n_hits) div ${3 * IvfTopK}"))
+        .orderBy("nprobe")
+      // bounded (IvfNprobe rows): materialize before closing the index
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
+  private val i6Sql: String = {
+    val cos = (a: String, b: String) =>
+      s"ROUND(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$ivfCtes,
+       |bf AS (
+       |  SELECT q_id, neighbor FROM (
+       |    SELECT q.q_id, e2.id AS neighbor,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("q.q_emb", "e2.emb")} DESC, e2.id) AS rk
+       |    FROM q CROSS JOIN e e2 WHERE e2.id <> q.q_id) z
+       |  WHERE rk <= $IvfTopK),
+       |npv AS (SELECT unnest([${(1 to IvfNprobe).mkString(", ")}]) AS nprobe),
+       |apx AS (
+       |  SELECT nprobe, q_id, neighbor FROM (
+       |    SELECT n.nprobe, pr.q_id, a.id AS neighbor,
+       |      ROW_NUMBER() OVER (PARTITION BY n.nprobe, pr.q_id
+       |        ORDER BY ${cos("pr.q_emb", "a.emb")} DESC, a.id) AS rk
+       |    FROM npv n
+       |    JOIN pr ON pr.rn <= n.nprobe
+       |    JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id) z
+       |  WHERE rk <= $IvfTopK)
+       |SELECT nprobe, COUNT(*) AS n_hits,
+       |  CAST((1000000 * COUNT(*)) // ${3 * IvfTopK} AS BIGINT) AS recall_ppm
+       |FROM apx JOIN bf USING (q_id, neighbor)
+       |GROUP BY nprobe ORDER BY nprobe""".stripMargin
+  }
 
   // i2 constants shared by the Spark query and its SQL replay
   private val PqM = 4       // subspaces
@@ -791,6 +869,7 @@ object ScaleOps {
     "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
     "i4_pq_distortion" -> (i4PqDistortion _),
     "i5_ann_at_rest" -> (i5AnnAtRest _),
+    "i6_ivf_recall" -> (i6IvfRecall _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
@@ -809,6 +888,7 @@ object ScaleOps {
     "i3_ivf_pq_rerank" -> i3Sql,
     "i4_pq_distortion" -> i4Sql,
     "i5_ann_at_rest" -> i3Sql, // same answer, served from artifacts
+    "i6_ivf_recall" -> i6Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "s3_adaptive_skew_join" -> s3Sql,
