@@ -445,9 +445,96 @@ object VectorOps {
       |  quantile_cont(norm, 0.9) AS p90_norm
       |FROM n""".stripMargin
 
+  /** a3: CROSS-MODAL quality↔typicality audit — per-language Pearson
+    * correlation between the d3 text-quality score and the document
+    * embedding's TYPICALITY (cosine to its label's centroid, v3's
+    * derivation; the raw norm is useless here — the corpus is
+    * unit-normalized, v10's audit shows every norm is exactly 1.0).
+    * This is the alignment check a multimodal corpus build runs before
+    * trusting either signal as a filter: strong correlation means one
+    * is redundant, negative means they disagree about what "good" is.
+    * Exactness follows d37's recipe — both variables live on 1e-6
+    * integer grids (quality ppm; the 6dp cosine lifted to ppm), five
+    * DECIMAL(38,0) moments, one correctly-rounded double division at
+    * the end. Scale shape: the |labels|·dim centroid table broadcasts
+    * onto the embeddings scan, one equi-join on the 1:1
+    * doc_id↔vec_id key, then a |langs|-row aggregate. */
+  def a3QualityTypicalityCorr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val d38 = Conventions.Dec38
+    val charLen = length(col("text"))
+    val tokens = charLen - length(expr("replace(text, ' ', '')")) + 1
+    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .cast("double")
+    val quality = round(
+      least(lit(1.0), tokens.cast("double") / lit(200.0)) *
+        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        round(quality * 1e6).cast("long").as("y"))
+    val cents = centroidAgg(s, dir)
+      .select(col("label"), col("pos"), col("centroid").as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("cv"))
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .join(broadcast(cents), "label")
+      .select(col("doc_id"),
+        round(round(dot(col("emb"), col("cv")) /
+          (sqrt(dot(col("emb"), col("emb"))) * sqrt(dot(col("cv"), col("cv")))),
+          6) * 1e6).cast("long").as("x"))
+    val g = docs.join(emb, "doc_id")
+    val m = g.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("x").cast(d38) * col("x")).as("sxx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum(col("y").cast(d38) * col("y")).as("syy"),
+      sum(col("x").cast(d38) * col("y")).as("sxy"))
+    val n38 = col("n").cast(d38)
+    val cov = (n38 * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (n38 * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (n38 * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("lang"), col("n"),
+        (cov / (sqrt(vx) * sqrt(vy))).as("corr_quality_typicality"))
+      .orderBy("lang")
+  }
+
+  private val a3Sql: String =
+    s"""WITH cent AS ($centroidCte),
+      |vecs AS (SELECT label, list(centroid ORDER BY pos) AS cv FROM cent GROUP BY label),
+      |dx AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    CAST(ROUND(ROUND(list_dot_product(e.emb, v.cv) /
+      |      (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(v.cv, v.cv))),
+      |      6) * 1e6, 0) AS BIGINT) AS x
+      |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) e
+      |  JOIN vecs v USING (label)),
+      |dy AS (
+      |  SELECT doc_id, lang,
+      |    CAST(ROUND(ROUND(
+      |      least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
+      |        * (1.0 - least(1.0,
+      |            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |            / CAST(length(text) AS DOUBLE) * 10)), 6) * 1e6, 0) AS BIGINT) AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(x * x) AS sxx,
+      |    SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM dy JOIN dx USING (doc_id) GROUP BY lang)
+      |SELECT lang, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_quality_typicality
+      |FROM m ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v8_sq8_rerank" -> (v8Sq8Rerank _),
     "v10_norm_audit" -> (v10NormAudit _),
+    "a3_quality_typicality_corr" -> (a3QualityTypicalityCorr _),
     "v7_mmr_rerank" -> (v7MmrRerank _),
     "v1_knn_brute" -> (v1KnnBrute _),
     "v2_label_stats" -> (v2LabelStats _),
@@ -459,6 +546,7 @@ object VectorOps {
   val oracles: Map[String, String] = Map(
     "v8_sq8_rerank" -> v8Sql,
     "v10_norm_audit" -> v10Sql,
+    "a3_quality_typicality_corr" -> a3Sql,
     "v7_mmr_rerank" -> v7Sql,
     "v1_knn_brute" -> v1Sql,
     "v2_label_stats" -> v2Sql,

@@ -502,7 +502,12 @@ object Hdf5 {
 
     /** Dense row-major decode of a dataset's elements as doubles. */
     def readDoubles(ds: Dataset): Array[Double] = {
-      val n = ds.shape.product.toInt
+      val total = ds.shape.product
+      require(total <= 50000000L,
+        s"dataset '${ds.name}' has $total elements — this is a driver-side " +
+          "ingest seam for modest rasters; convert bigger files once " +
+          "(tools/convert_netcdf4.sh) and land parquet")
+      val n = total.toInt
       val out = new Array[Double](math.max(n, if (ds.shape.isEmpty) 1 else n))
       ds.layout match {
         case Compact(data) =>
