@@ -175,6 +175,190 @@ object MediaOps {
       }
       out
     }
+
+    /** Mono-mixed samples in [-1, 1] from 16-bit signed LE PCM. */
+    def monoSamples(pcm: Array[Byte], channels: Int): Array[Double] = {
+      val frameBytes = channels * 2
+      val nFrames = pcm.length / frameBytes
+      val out = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0; var acc = 0.0
+        while (c < channels) {
+          val i = f * frameBytes + c * 2
+          acc += ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort / 32768.0
+          c += 1
+        }
+        out(f) = acc / channels
+        f += 1
+      }
+      out
+    }
+
+    /** In-place iterative radix-2 Cooley–Tukey FFT (decimation in time,
+      * bit-reversal permutation first). Pure JDK, deterministic; length
+      * must be a power of two. O(n log n), zero allocation beyond the
+      * caller's two arrays — this runs per spectrogram frame inside a
+      * mapPartitions batch, so allocation discipline matters. */
+    def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      require(n > 0 && (n & (n - 1)) == 0, s"FFT size must be a power of two, got $n")
+      var i = 1; var j = 0
+      while (i < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val half = len >> 1
+        val ang = -2 * math.Pi / len
+        val wr = math.cos(ang); val wi = math.sin(ang)
+        var base = 0
+        while (base < n) {
+          var cr = 1.0; var ci = 0.0
+          var k = 0
+          while (k < half) {
+            val ur = re(base + k); val ui = im(base + k)
+            val xr = re(base + k + half); val xi = im(base + k + half)
+            val vr = xr * cr - xi * ci
+            val vi = xr * ci + xi * cr
+            re(base + k) = ur + vr; im(base + k) = ui + vi
+            re(base + k + half) = ur - vr; im(base + k + half) = ui - vi
+            val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+            k += 1
+          }
+          base += len
+        }
+        len <<= 1
+      }
+    }
+
+    /** Hann-windowed magnitude spectrogram over the mono mix: one row per
+      * analysis frame, `frameSize/2 + 1` bins per row (DC..Nyquist).
+      * Clips shorter than one frame are zero-padded to a single frame. */
+    def spectrogram(samples: Array[Double], frameSize: Int = 512,
+                    hop: Int = 256): Array[Array[Double]] = {
+      require(frameSize > 0 && (frameSize & (frameSize - 1)) == 0,
+        s"frame size must be a power of two, got $frameSize")
+      val nFrames = math.max(1, (samples.length - frameSize) / hop + 1)
+      val nBins = frameSize / 2 + 1
+      val window = Array.tabulate(frameSize)(i =>
+        0.5 * (1 - math.cos(2 * math.Pi * i / (frameSize - 1))))
+      val out = new Array[Array[Double]](nFrames)
+      val re = new Array[Double](frameSize)
+      val im = new Array[Double](frameSize)
+      var f = 0
+      while (f < nFrames) {
+        val off = f * hop
+        var i = 0
+        while (i < frameSize) {
+          re(i) = if (off + i < samples.length) samples(off + i) * window(i) else 0.0
+          im(i) = 0.0
+          i += 1
+        }
+        fft(re, im)
+        val mags = new Array[Double](nBins)
+        var b = 0
+        while (b < nBins) {
+          mags(b) = math.sqrt(re(b) * re(b) + im(b) * im(b))
+          b += 1
+        }
+        out(f) = mags
+        f += 1
+      }
+      out
+    }
+
+    /** Mean magnitude spectrum across frames (the clip's long-term
+      * average spectrum). */
+    def meanSpectrum(spec: Array[Array[Double]]): Array[Double] = {
+      val nBins = spec(0).length
+      val out = new Array[Double](nBins)
+      spec.foreach { row =>
+        var b = 0
+        while (b < nBins) { out(b) += row(b); b += 1 }
+      }
+      var b = 0
+      while (b < nBins) { out(b) /= spec.length; b += 1 }
+      out
+    }
+
+    /** Dominant frequency in Hz: argmax bin of the mean spectrum,
+      * DC excluded (ties break to the lowest bin). 0.0 for silence. */
+    def dominantHz(mean: Array[Double], sampleRate: Int, frameSize: Int): Double = {
+      var best = 1; var b = 2
+      while (b < mean.length) {
+        if (mean(b) > mean(best)) best = b
+        b += 1
+      }
+      if (mean(best) <= 0.0) 0.0 else best.toDouble * sampleRate / frameSize
+    }
+
+    /** Spectral centroid in Hz (magnitude-weighted mean frequency);
+      * 0.0 for silence. */
+    def centroidHz(mean: Array[Double], sampleRate: Int, frameSize: Int): Double = {
+      var num = 0.0; var den = 0.0
+      var b = 0
+      while (b < mean.length) {
+        num += b.toDouble * sampleRate / frameSize * mean(b)
+        den += mean(b)
+        b += 1
+      }
+      if (den <= 0.0) 0.0 else num / den
+    }
+
+    private def hzToMel(f: Double): Double = 2595.0 * math.log10(1 + f / 700.0)
+    private def melToHz(m: Double): Double = 700.0 * (math.pow(10, m / 2595.0) - 1)
+
+    /** MFCC-lite clip embedding: triangular mel filterbank (HTK-style
+      * mel scale) over the mean magnitude spectrum → log energies →
+      * DCT-II → first `nCoeffs` cepstral coefficients. One vector per
+      * clip (computed on the long-term average spectrum rather than
+      * per-frame, which is the right cost shape for corpus-scale audio
+      * fingerprinting: O(frames · n log n) decode, O(1) output). */
+    def mfccLite(mean: Array[Double], sampleRate: Int, frameSize: Int,
+                 nMels: Int = 26, nCoeffs: Int = 13): Array[Float] = {
+      val nBins = mean.length
+      val melMax = hzToMel(sampleRate / 2.0)
+      // nMels + 2 mel-spaced edge points → nMels triangular filters
+      val edges = Array.tabulate(nMels + 2)(i =>
+        melToHz(melMax * i / (nMels + 1)) * frameSize / sampleRate)
+      val energies = new Array[Double](nMels)
+      var m = 0
+      while (m < nMels) {
+        val lo = edges(m); val mid = edges(m + 1); val hi = edges(m + 2)
+        var e = 0.0
+        var b = math.max(1, math.ceil(lo).toInt)
+        while (b < nBins && b < hi) {
+          val w =
+            if (b <= mid) (b - lo) / math.max(mid - lo, 1e-12)
+            else (hi - b) / math.max(hi - mid, 1e-12)
+          if (w > 0) e += w * mean(b)
+          b += 1
+        }
+        energies(m) = math.log(math.max(e, 1e-12))
+        m += 1
+      }
+      val out = new Array[Float](nCoeffs)
+      var k = 0
+      while (k < nCoeffs) {
+        var s = 0.0
+        var i = 0
+        while (i < nMels) {
+          s += energies(i) * math.cos(math.Pi * k * (i + 0.5) / nMels)
+          i += 1
+        }
+        out(k) = s.toFloat
+        k += 1
+      }
+      out
+    }
   }
 
   /** Batched audio decode + feature extraction: real javax.sound decode
@@ -195,6 +379,41 @@ object MediaOps {
               val (w, h, c) = FakeCodec.imageDims(m.content)
               AudioFeatures(m.media_id, 8000, 1, (w * h).toLong,
                 FakeCodec.features(m.content))
+          }
+        }
+      }
+  }
+
+  case class AudioSpectral(media_id: Long, sample_rate: Int, n_frames: Long,
+                           dominant_hz: Double, centroid_hz: Double,
+                           mfcc: Array[Float])
+
+  /** Batched audio spectral analysis: decode → mono mix → Hann/FFT
+    * spectrogram → mean spectrum → (dominant Hz, spectral centroid,
+    * MFCC-lite coefficients). Same per-partition batch shape as
+    * [[decodeAudio]]; payloads no provider claims fall back to the
+    * digest stand-in (13-dim slice of [[FakeCodec.features]], 0.0 Hz
+    * markers) so the pipeline stays total. */
+  def decodeAudioSpectral(media: Dataset[MediaFile], parallelism: Int,
+                          frameSize: Int = 512, hop: Int = 256): Dataset[AudioSpectral] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .repartition(parallelism, col("media_id"))
+      .mapPartitions { batch =>
+        batch.map { m =>
+          AudioCodec.decode(m.content) match {
+            case Some((rate, ch, pcm)) =>
+              val mono = AudioCodec.monoSamples(pcm, ch)
+              val spec = AudioCodec.spectrogram(mono, frameSize, hop)
+              val mean = AudioCodec.meanSpectrum(spec)
+              AudioSpectral(m.media_id, rate, mono.length.toLong,
+                AudioCodec.dominantHz(mean, rate, frameSize),
+                AudioCodec.centroidHz(mean, rate, frameSize),
+                AudioCodec.mfccLite(mean, rate, frameSize))
+            case None =>
+              val (w, h, _) = FakeCodec.imageDims(m.content)
+              AudioSpectral(m.media_id, 8000, (w * h).toLong, 0.0, 0.0,
+                FakeCodec.features(m.content).take(13))
           }
         }
       }

@@ -1345,6 +1345,103 @@ object EventOps {
       |  CASE WHEN prev <> 0 THEN (total - prev) / prev END AS wow_growth
       |FROM lagd ORDER BY week, event_type""".stripMargin
 
+  /** e33: OHLC candle resample — per (event_type, hour): first/max/min/
+    * last value, the classic time-series downsampling shape (TSDB
+    * `resample` / financial candlesticks). Deliberately built as a PURE
+    * HASH AGGREGATE via min_by/max_by over a composite total-order key
+    * (epoch-µs ⋅ 10¹⁰ + event_id, exact in DECIMAL(38,0) — no window, no
+    * per-group sort: at 100 TB the naive row_number-per-frame
+    * formulation sorts every partition, while this shape map-side
+    * combines and shuffles only one partial row per (type, hour, task).
+    * The oracle replays the same argmin/argmax over the same key in
+    * HUGEINT. */
+  def e33Ohlc(s: SparkSession, dir: String): DataFrame = {
+    val ord = unix_micros(col("ts")).cast(Conventions.Dec38) * lit(10000000000L) +
+      col("event_id")
+    Tables(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+      .orderBy("event_type", "bucket")
+  }
+
+  private val e33Sql =
+    """SELECT event_type,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id) AS close,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
+  /** e34: incremental aggregate maintenance — the MATERIALIZED-VIEW
+    * pattern every 100 TB pipeline runs on arrival: per-key sufficient
+    * statistics (n, Σv, Σv², min, max) are computed separately over the
+    * already-landed base (ts < cutoff) and the newly-arrived delta
+    * (ts ≥ cutoff), then MERGED key-by-key (counts/sums add, extrema
+    * combine) without ever re-reading base rows — and the merged mean /
+    * variance derived from the merged statistics must equal the
+    * full-recompute answer, which is exactly what the oracle computes
+    * over the whole table. Interior sums ride DECIMAL (order-independent,
+    * engine-exact: Σv at (38,4), Σv² at value² exact in (37,8)), so the
+    * merge is bit-identical to the recompute, not approximately so. */
+  def e34IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val v4 = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(Conventions.Dec)).as("s"),
+        sum(v4 * v4).as("s2"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+    val ev = Tables(s, dir, "events").select(col("event_type"), col("ts"), col("value"))
+    val base = partials(ev.filter(col("ts") < cutoff))
+    val delta = partials(ev.filter(col("ts") >= cutoff))
+    val b = base.select(col("event_type"), col("n").as("bn"), col("s").as("bs"),
+      col("s2").as("bs2"), col("mn").as("bmn"), col("mx").as("bmx"))
+    val d = delta.select(col("event_type"), col("n").as("dn"), col("s").as("ds"),
+      col("s2").as("ds2"), col("mn").as("dmn"), col("mx").as("dmx"))
+    val zero = lit(java.math.BigDecimal.ZERO)
+    val merged = b.join(d, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("bs"), zero.cast(Conventions.Dec)) +
+          coalesce(col("ds"), zero.cast(Conventions.Dec))).as("s"),
+        (coalesce(col("bs2"), zero) + coalesce(col("ds2"), zero)).as("s2"),
+        least(col("bmn"), col("dmn")).as("min_value"),   // least/greatest skip NULLs
+        greatest(col("bmx"), col("dmx")).as("max_value"))
+    merged.select(col("event_type"), col("n_rows"),
+        col("s").cast("double").as("total_value"),
+        col("min_value"), col("max_value"),
+        round((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n_rows").cast("double")) /
+          col("n_rows").cast("double"), 6).as("var_value"))
+      .orderBy("event_type")
+  }
+
+  private val e34Sql =
+    """WITH p AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(38,4))) AS s,
+      |    SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS s2,
+      |    MIN(value) AS min_value, MAX(value) AS max_value
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n AS n_rows,
+      |  CAST(s AS DOUBLE) AS total_value, min_value, max_value,
+      |  ROUND((CAST(s2 AS DOUBLE)
+      |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / CAST(n AS DOUBLE), 6) AS var_value
+      |FROM p ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
@@ -1377,6 +1474,8 @@ object EventOps {
     "e29_wow_growth" -> (e29WowGrowth _),
     "e30_inter_arrival" -> (e30InterArrival _),
     "e31_funnel" -> (e31Funnel _),
+    "e33_ohlc" -> (e33Ohlc _),
+    "e34_incremental_agg" -> (e34IncrementalAgg _),
     "r1_range_join" -> (r1RangeJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
@@ -1412,6 +1511,8 @@ object EventOps {
     "e29_wow_growth" -> e29Sql,
     "e30_inter_arrival" -> e30Sql,
     "e31_funnel" -> e31Sql,
+    "e33_ohlc" -> e33Sql,
+    "e34_incremental_agg" -> e34Sql,
     "r1_range_join" -> r1Sql,
     "z1_zorder_stats" -> z1Sql)
 }

@@ -210,6 +210,64 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(feats(2).embedding.length == 64 && feats(2).sample_rate == 8000)
   }
 
+  test("fft matches a naive DFT on a fixed signal") {
+    val n = 64
+    // deterministic non-trivial signal: two tones + a linear ramp
+    val sig = Array.tabulate(n)(i =>
+      math.sin(2 * math.Pi * 5 * i / n) + 0.5 * math.cos(2 * math.Pi * 13 * i / n) + i / 100.0)
+    val re = sig.clone(); val im = new Array[Double](n)
+    MediaOps.AudioCodec.fft(re, im)
+    (0 until n).foreach { k =>
+      var dr = 0.0; var di = 0.0
+      (0 until n).foreach { t =>
+        val ang = -2 * math.Pi * k * t / n
+        dr += sig(t) * math.cos(ang); di += sig(t) * math.sin(ang)
+      }
+      assert(math.abs(re(k) - dr) < 1e-9 && math.abs(im(k) - di) < 1e-9,
+        s"bin $k: fft (${re(k)}, ${im(k)}) vs dft ($dr, $di)")
+    }
+  }
+
+  test("spectral features find a pure tone's frequency") {
+    import javax.sound.sampled.{AudioFormat, AudioFileFormat, AudioInputStream, AudioSystem}
+    def toneWav(hz: Double, nFrames: Int, amp: Double): Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * 2)
+      (0 until nFrames).foreach { i =>
+        val s = (math.sin(2 * math.Pi * hz * i / 8000.0) * amp * 32767).toInt
+        pcm(i * 2) = (s & 0xff).toByte; pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    import spark.implicits._
+    val rows = Seq(
+      MediaOps.MediaFile(1L, "audio", toneWav(1000.0, 4096, 0.5), "audio/wav", "fx"),
+      MediaOps.MediaFile(2L, "audio", toneWav(250.0, 4096, 0.5), "audio/wav", "fx"),
+      MediaOps.MediaFile(3L, "audio", toneWav(1000.0, 800, 0.0), "audio/wav", "fx"),
+      MediaOps.MediaFile(4L, "audio", "not audio".getBytes("UTF-8"),
+        "application/octet-stream", "fx")).toDS()
+    val feats = MediaOps.decodeAudioSpectral(rows, parallelism = 2)
+      .collect().sortBy(_.media_id)
+    // 8 kHz / 512-point frames → 15.625 Hz bins; a pure tone's peak lands
+    // on the nearest bin and the Hann-smeared centroid stays within ~2 bins
+    val binHz = 8000.0 / 512
+    assert(math.abs(feats(0).dominant_hz - 1000.0) <= binHz / 2, feats(0).dominant_hz)
+    assert(math.abs(feats(0).centroid_hz - 1000.0) <= 2 * binHz, feats(0).centroid_hz)
+    assert(math.abs(feats(1).dominant_hz - 250.0) <= binHz / 2, feats(1).dominant_hz)
+    // different tones → different cepstra; same clip shape (13 coeffs)
+    assert(feats(0).mfcc.length == 13 && feats(1).mfcc.length == 13)
+    assert(feats(0).mfcc.toSeq != feats(1).mfcc.toSeq)
+    assert(feats(0).mfcc.forall(v => java.lang.Float.isFinite(v)))
+    // silence → 0 Hz markers (no division blow-ups)
+    assert(feats(2).dominant_hz == 0.0 && feats(2).centroid_hz == 0.0)
+    // unclaimed payload → deterministic stand-in, still 13-dim
+    assert(feats(3).mfcc.length == 13 && feats(3).sample_rate == 8000)
+  }
+
   test("resize preserves row count and tags metadata") {
     val resized = MediaOps.resizeImages(media, 224, 224)
     assert(resized.count() == media.count())

@@ -103,6 +103,23 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache() // i1/m1/m2 construction persists
   }
 
+  test("s4 bucketed join: no exchange at or below the sort-merge join") {
+    val s = formatted(SparkEntry.queries("s4_bucketed_join")(spark, sfDir))
+    val tree = s.split(raw"== Initial Plan ==").head
+    // the layout lever: per-order aggregate + fact-fact join run in place
+    // on the bucketed scans; only the tiny priority rollup and the output
+    // sort may exchange
+    assert(nodeCount(s, "SortMergeJoin") == 1, "merge hint must hold at every SF")
+    assert(nodeCount(s, "Exchange") <= 2,
+      s"expected <=2 exchanges:\n${tree.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
+    assert(!tree.contains("hashpartitioning(l_orderkey") &&
+      !tree.contains("hashpartitioning(o_orderkey"),
+      "join-key shuffle found — bucketed layout not used:\n" +
+        tree.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    // node details (after the tree) carry the scan's bucket marker
+    assert(s.contains("Bucketed: true"), "scan did not read bucket layout")
+  }
+
   test("s1 salted agg: both phases partial-aggregate, no cartesian anywhere") {
     val s = formatted(SparkEntry.queries("s1_skew_agg")(spark, sfDir))
     // phase 1 (key,salt) and phase 2 (key) each split into partial+final
