@@ -678,6 +678,47 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) z
       |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin
 
+  /** The q34 recursive-CTE body, shared verbatim by both engines (only
+    * the lineitem view name differs): BFS hop profile over the
+    * co-purchase graph (parts sharing an order), seeds = parts 0-4,
+    * bounded at 2 hops. The hop guard (`r.hop < 2`) is what makes
+    * UNION ALL recursion cycle-safe — Spark 4's recursive CTEs
+    * (UnionLoop) don't support UNION-distinct recursion yet, and an
+    * unguarded UNION ALL walk diverges on any cycle. The per-(seed, id)
+    * MIN(hop) collapse turns enumerated walks into BFS distance. */
+  private def q34Body(lineitem: String): String =
+    s"""WITH RECURSIVE
+       |pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM $lineitem a JOIN $lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |edges AS (SELECT p1 AS a, p2 AS b FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+       |seeds AS (SELECT DISTINCT l_partkey AS seed FROM $lineitem WHERE l_partkey < 5),
+       |reach(seed, id, hop) AS (
+       |  SELECT seed, seed AS id, 0 AS hop FROM seeds
+       |  UNION ALL
+       |  SELECT r.seed, e.b AS id, r.hop + 1 AS hop
+       |  FROM reach r JOIN edges e ON e.a = r.id WHERE r.hop < 2)
+       |SELECT seed, hop, COUNT(*) AS n_parts FROM (
+       |  SELECT seed, id, MIN(hop) AS hop FROM reach GROUP BY seed, id) z
+       |WHERE hop > 0 GROUP BY seed, hop ORDER BY seed, hop""".stripMargin
+
+  /** q34: recursive CTE (WITH RECURSIVE → UnionLoop, new SQL surface in
+    * Spark 4) — bounded k-hop reachability over the co-purchase graph,
+    * reported as a BFS frontier profile per seed part. The declarative
+    * twin of the iterative graph queries (c1/c4/c5 drive their loops
+    * from Scala with localCheckpoint; q34 lets the engine drive). Scale
+    * note: hop-bounded walk enumeration is the right recursive-CTE
+    * shape (each level is one distributed join), but UNBOUNDED closure
+    * at 100 TB still belongs to c1's checkpointed iteration — this is
+    * the neighborhood-query surface, not the components algorithm. */
+  def q34RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("q34_lineitem")
+    s.sql(q34Body("q34_lineitem"))
+  }
+
+  private val q34Sql = q34Body("lineitem")
+
   /** q28: conditional (FILTER-clause) aggregation — several differently-
     * filtered measures off ONE scan (the "count matching X, sum matching
     * Y, all per group" report that would otherwise take N scans or a
@@ -908,7 +949,8 @@ object Relational {
     "q25_fact_join" -> (q25FactJoin _),
     "q26_grouping_sets" -> (q26GroupingSets _),
     "q27_rank_family" -> (q27RankFamily _),
-    "q33_value_windows" -> (q33ValueWindows _))
+    "q33_value_windows" -> (q33ValueWindows _),
+    "q34_recursive_cte" -> (q34RecursiveCte _))
 
   val oracles: Map[String, String] = Map(
     "q32_column_stats" -> q32Sql,
@@ -943,5 +985,6 @@ object Relational {
     "q25_fact_join" -> q25Sql,
     "q26_grouping_sets" -> q26Sql,
     "q27_rank_family" -> q27Sql,
-    "q33_value_windows" -> q33Sql)
+    "q33_value_windows" -> q33Sql,
+    "q34_recursive_cte" -> q34Sql)
 }
