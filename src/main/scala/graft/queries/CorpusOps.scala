@@ -648,6 +648,83 @@ object CorpusOps {
       .orderBy(col("pagerank").desc, col("doc_id")).limit(10)
   }
 
+  /** The c5/c11 graph derivation as shared CTE text: exact-Jaccard
+    * edges (threshold 0.5) over docs 0-99, symmetrized, with degrees —
+    * both graph oracles replay the SAME edge chain, so a drift in the
+    * similarity derivation breaks both, loudly. */
+  private val graphCtes: String =
+    """docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM docs),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |edges AS (
+      |  SELECT a, b FROM pairs
+      |  JOIN sizes sa ON a = sa.doc_id
+      |  JOIN sizes sb ON b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM edges
+      |  UNION ALL
+      |  SELECT b, a FROM edges),
+      |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src)""".stripMargin
+
+  /** c11: label-propagation communities (sync LPA, 3 rounds) over the
+    * same doc-similarity graph as c5 — the cheap community detector a
+    * corpus pipeline runs when connected components (c1) merge too
+    * aggressively: labels move only to the MAJORITY neighbor label
+    * (ties → smallest), so bridges between dense near-dup blocks don't
+    * fuse them. Deterministic by construction (synchronous update,
+    * count-desc/label-asc tie-break) and fully replayed by the oracle's
+    * three unrolled rounds. Scale shape: each round is one
+    * neighbor-label join + majority agg — same per-round cost as c5's
+    * rank iteration; unbounded-round convergence at 100 TB would reuse
+    * c1's localCheckpoint loop discipline. */
+  def c11LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val und = TextOps
+      .jaccardEdges(Tables(s, dir, "documents").filter(col("doc_id") < 100), 0.5)
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lab = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+      for (_ <- 1 to 3) {
+        lab = sym.join(lab, col("dst") === col("id"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("id"), col("lbl"))
+      }
+      val res = lab.select(col("id").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
+      // bounded (<100 nodes): materialize before releasing the persist
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally { sym.unpersist(); () }
+  }
+
+  private val c11Sql: String = {
+    def iter(prev: String): String =
+      s"""SELECT src AS id, lbl FROM (
+         |    SELECT s.src, l.lbl, COUNT(*) AS c,
+         |      ROW_NUMBER() OVER (PARTITION BY s.src
+         |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+         |    FROM sym s JOIN $prev l ON s.dst = l.id
+         |    GROUP BY s.src, l.lbl) z WHERE rn = 1""".stripMargin
+    s"""WITH $graphCtes,
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM sym),
+       |l1 AS (${iter("l0")}),
+       |l2 AS (${iter("l1")}),
+       |l3 AS (${iter("l2")})
+       |SELECT id AS doc_id, lbl AS community FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
   private val c5Sql: String = {
     // one damped iteration: rPrev -> next rank table (id, r)
     def iter(rPrev: String): String =
@@ -657,25 +734,7 @@ object CorpusOps {
          |  FROM sym s JOIN $rPrev ON s.src = $rPrev.id
          |  JOIN deg ON s.src = deg.src
          |  GROUP BY s.dst""".stripMargin
-    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
-       |tok AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-       |  FROM docs),
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
-       |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
-       |edges AS (
-       |  SELECT a, b FROM pairs
-       |  JOIN sizes sa ON a = sa.doc_id
-       |  JOIN sizes sb ON b = sb.doc_id
-       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5),
-       |sym AS (
-       |  SELECT a AS src, b AS dst FROM edges
-       |  UNION ALL
-       |  SELECT b, a FROM edges),
-       |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+    s"""WITH $graphCtes,
        |nn AS (SELECT COUNT(*) AS n FROM deg),
        |r0 AS (
        |  SELECT src AS id, 1000000000000 // (SELECT n FROM nn) AS r
@@ -1010,6 +1069,7 @@ object CorpusOps {
     "c8_threshold_sweep" -> (c8ThresholdSweep _),
     "c9_ingest_compaction" -> (c9IngestCompaction _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
+    "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
     "c3_clean_decontaminated" -> (c3CleanDecontaminated _),
     "c4_triangles" -> (c4Triangles _),
@@ -1033,6 +1093,7 @@ object CorpusOps {
     "c8_threshold_sweep" -> c8Sql,
     "c9_ingest_compaction" -> c9Sql,
     "c10_source_dup_factor" -> c10Sql,
+    "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,
     "c3_clean_decontaminated" -> c3Sql,
     "c4_triangles" -> c4Sql,
