@@ -1345,6 +1345,38 @@ object EventOps {
       |  CASE WHEN prev <> 0 THEN (total - prev) / prev END AS wow_growth
       |FROM lagd ORDER BY week, event_type""".stripMargin
 
+  /** e32: windowed heavy hitters — per-hour top-3 event types by count
+    * (deterministic count-desc/type-asc rank). The exact batch face of
+    * the bounded-state streaming space-saving summary
+    * ([[graft.streaming.StreamOps.heavyHittersPerWindow]], spec-pinned
+    * equal when its capacity covers the per-window type universe). Pure
+    * two-level shape: hash aggregate, then a rank window over the
+    * (|hours|·|types|) AGGREGATED rows — the window input is already
+    * reduced, never the raw stream. */
+  def e32HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("n").desc, col("event_type"))
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("rk").cast("long").as("rk"))
+      .orderBy("bucket", "rk")
+  }
+
+  private val e32Sql =
+    """WITH c AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, n,
+      |  CAST(rk AS BIGINT) AS rk
+      |FROM (
+      |  SELECT h, event_type, n,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY n DESC, event_type) AS rk
+      |  FROM c) z
+      |WHERE rk <= 3 ORDER BY bucket, rk""".stripMargin
+
   /** e33: OHLC candle resample — per (event_type, hour): first/max/min/
     * last value, the classic time-series downsampling shape (TSDB
     * `resample` / financial candlesticks). Deliberately built as a PURE
@@ -1474,6 +1506,7 @@ object EventOps {
     "e29_wow_growth" -> (e29WowGrowth _),
     "e30_inter_arrival" -> (e30InterArrival _),
     "e31_funnel" -> (e31Funnel _),
+    "e32_heavy_hitters" -> (e32HeavyHitters _),
     "e33_ohlc" -> (e33Ohlc _),
     "e34_incremental_agg" -> (e34IncrementalAgg _),
     "r1_range_join" -> (r1RangeJoin _),
@@ -1511,6 +1544,7 @@ object EventOps {
     "e29_wow_growth" -> e29Sql,
     "e30_inter_arrival" -> e30Sql,
     "e31_funnel" -> e31Sql,
+    "e32_heavy_hitters" -> e32Sql,
     "e33_ohlc" -> e33Sql,
     "e34_incremental_agg" -> e34Sql,
     "r1_range_join" -> r1Sql,

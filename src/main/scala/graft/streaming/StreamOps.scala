@@ -314,6 +314,77 @@ object StreamOps {
       }
   }
 
+  /** Space-saving counter table for one window: type → (estimated
+    * count, max overestimate error). */
+  case class HhState(counters: Map[String, (Long, Long)])
+  case class HhOut(window_start: Timestamp, event_type: String,
+                   est_count: Long, max_err: Long, rk: Int)
+
+  /** BOUNDED-STATE heavy hitters per event-time window — the streaming
+    * twin of e32's per-hour top-k, via the space-saving algorithm
+    * (Metwally et al., the classic top-k summary): at most `capacity`
+    * counters per open window, regardless of type cardinality. An
+    * arriving type not in the table evicts the MINIMUM counter and
+    * inherits its count (+1) with that count recorded as the row's max
+    * overestimate — the standard guarantees follow (est ≥ true ≥ est −
+    * max_err; any type with true count > N/capacity is present). The
+    * window's top-k (count desc, type asc) is emitted ONCE, when the
+    * event-time timeout fires as the watermark passes window end —
+    * append-mode, state evicted. With capacity ≥ per-window distinct
+    * types the table is exact and the emission equals the batch e32
+    * answer (spec-pinned); undersized tables degrade to the documented
+    * overestimate, never silent wrongness. At 100 TB the point is the
+    * state bound: exact per-type windowed counts carry |types| state
+    * per window, this carries `capacity` — the knob survives
+    * unbounded-vocabulary streams (URLs, user-agents, raw tokens). */
+  def heavyHittersPerWindow(events: Dataset[Event], capacity: Int,
+                            k: Int): Dataset[HhOut] = {
+    import events.sparkSession.implicits._
+    val windowMs = 3600000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => new Timestamp(
+        e.ts.getTime - Math.floorMod(e.ts.getTime, windowMs)))
+      .flatMapGroupsWithState[HhState, HhOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (w: Timestamp, batch: Iterator[Event], state: GroupState[HhState]) =>
+          if (state.hasTimedOut) {
+            val counters = state.get.counters
+            state.remove()
+            counters.toSeq
+              .map { case (t, (c, err)) => (t, c, err) }
+              .sortBy { case (t, c, _) => (-c, t) }
+              .take(k).zipWithIndex
+              .map { case ((t, c, err), i) => HhOut(w, t, c, err, i + 1) }
+              .iterator
+          } else {
+            // same in-batch full-precision sort as the other keyed-state
+            // ops: eviction choices depend on arrival order
+            val evs = batch.toSeq.sortWith { (a, b) =>
+              val c = a.ts.compareTo(b.ts)
+              c < 0 || (c == 0 && a.event_id < b.event_id)
+            }
+            var m = state.getOption.getOrElse(HhState(Map.empty)).counters
+            evs.foreach { e =>
+              val t = e.event_type
+              m.get(t) match {
+                case Some((c, err)) => m = m.updated(t, (c + 1L, err))
+                case None if m.size < capacity => m = m.updated(t, (1L, 0L))
+                case None =>
+                  // evict the minimum counter (ties → smallest type, so
+                  // replays are deterministic); inherit its count
+                  val (mt, (mc, _)) = m.minBy { case (ty, (c, _)) => (c, ty) }
+                  m = (m - mt).updated(t, (mc + 1L, mc))
+              }
+            }
+            state.update(HhState(m))
+            // emit when the watermark passes this window's close
+            state.setTimeoutTimestamp(w.getTime + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   case class CusumState(s: Double)
   case class CusumAlarm(event_type: String, event_id: Long, ts: Timestamp,
                         cusum: Double)

@@ -156,6 +156,75 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L, 8.0)), s"timeout-closed session C missing: $got")
   }
 
+  test("heavyHittersPerWindow equals the batch per-hour top-k when capacity covers the types") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.heavyHittersPerWindow(ms.toDS(), capacity = 8, k = 3)
+      .toDF().writeStream.format("memory").queryName("hh_exact")
+      .outputMode(OutputMode.Append()).start()
+    // hour 10: click x3, view x2, buy x1; hour 11: view x2, click x1
+    ms.addData(Seq(
+      Event(1L, ts(0), 1L, "click", 0, "{}"),
+      Event(2L, ts(5), 1L, "view", 0, "{}"),
+      Event(3L, ts(10), 2L, "click", 0, "{}")))
+    ms.addData(Seq(
+      Event(4L, ts(15), 2L, "buy", 0, "{}"),
+      Event(5L, ts(20), 1L, "click", 0, "{}"),
+      Event(6L, ts(25), 2L, "view", 0, "{}"),
+      Event(7L, ts(65), 1L, "view", 0, "{}"),
+      Event(8L, ts(70), 2L, "view", 0, "{}"),
+      Event(9L, ts(75), 1L, "click", 0, "{}")))
+    q.processAllAvailable()
+    // far-future row pushes the watermark past both windows' close
+    ms.addData(Seq(Event(99L, Timestamp.valueOf("2024-01-02 09:00:00"), 9L, "x", 0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hh_exact")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("est_count"), col("max_err"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    // capacity 8 > 3 distinct types: exact counts, zero error — the
+    // batch e32 ranking over the same rows
+    assert(got == Set(
+      ("10:00", "click", 3L, 0L, 1), ("10:00", "view", 2L, 0L, 2),
+      ("10:00", "buy", 1L, 0L, 3),
+      ("11:00", "view", 2L, 0L, 1), ("11:00", "click", 1L, 0L, 2)), got)
+  }
+
+  test("heavyHittersPerWindow under capacity: deterministic eviction, bounded overestimate") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.heavyHittersPerWindow(ms.toDS(), capacity = 2, k = 2)
+      .toDF().writeStream.format("memory").queryName("hh_tight")
+      .outputMode(OutputMode.Append()).start()
+    // arrival order a,a,b,a,c,b: c evicts b(1) -> c:(2,1); the late b
+    // evicts c(2) -> b:(3,2). True counts: a=3, b=2, c=1.
+    ms.addData(Seq(
+      Event(1L, ts(0), 1L, "a", 0, "{}"),
+      Event(2L, ts(1), 1L, "a", 0, "{}"),
+      Event(3L, ts(2), 1L, "b", 0, "{}"),
+      Event(4L, ts(3), 1L, "a", 0, "{}"),
+      Event(5L, ts(4), 1L, "c", 0, "{}"),
+      Event(6L, ts(5), 1L, "b", 0, "{}")))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(99L, Timestamp.valueOf("2024-01-02 09:00:00"), 9L, "x", 0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hh_tight")
+      .select(col("event_type"), col("est_count"), col("max_err"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set(("a", 3L, 0L, 1), ("b", 3L, 2L, 2)), got)
+    // space-saving guarantee holds for the surviving counters:
+    // est >= true >= est - max_err
+    val truth = Map("a" -> 3L, "b" -> 2L)
+    got.foreach { case (t, est, err, _) =>
+      assert(est >= truth(t) && truth(t) >= est - err, s"$t: est=$est err=$err")
+    }
+  }
+
   test("completedSessions extends, never rewinds, on late-but-valid events") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
