@@ -34,6 +34,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * over a small table — cheap and often better than adding a shuffle —
   * so the rewrite only fires when BOTH sides exceed the threshold
   * (always fires when broadcasting is disabled, threshold <= 0).
+  * `spark.graft.bandJoinRewrite.force=true` overrides the guard and
+  * rewrites every qualifying band join regardless of size estimates —
+  * the deployment-posture pin for queries (r2) whose test-scale inputs
+  * sit under the broadcast threshold but whose production inputs are
+  * fact-fact; the rewrite stays correct at any size, the guard is only
+  * a cost heuristic.
   *
   * Fires once per join: the rewritten join HAS a cross-side equality
   * (the bucket ids), which the applicability check excludes — the rule
@@ -104,7 +110,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val threshold = SQLConf.get.autoBroadcastJoinThreshold
-      val bothLarge = threshold <= 0 ||
+      val forced = SQLConf.get
+        .getConfString("spark.graft.bandJoinRewrite.force", "false").toBoolean
+      val bothLarge = forced || threshold <= 0 ||
         (left.stats.sizeInBytes > threshold && right.stats.sizeInBytes > threshold)
       if (hasCrossEquality(conjuncts, left, right) || !bothLarge) j
       else conjuncts.view.flatMap(bandConjunct(_, left, right)).headOption match {
@@ -117,11 +125,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val one = Literal(1L)
           val candidates = CreateArray(Seq(
             Subtract(rbin, one), rbin, Add(rbin, one)))
+          // bbin is declared non-nullable, so a nullable band column must
+          // be filtered first or the declaration is a lie Catalyst may
+          // compile into elided null checks. The filter is semantics-
+          // preserving: a null band value can never satisfy abs(a-b) <= k
+          // (the predicate evaluates to null → row dropped by the join).
+          val prunedRight =
+            if (rx.nullable) Filter(IsNotNull(rx), right) else right
           val bbin = AttributeReference("_graft_bbin", LongType,
             nullable = false)()
           val newRight = Generate(Explode(candidates),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(bbin), child = right)
+            generatorOutput = Seq(bbin), child = prunedRight)
           val newCond = And(EqualTo(pbin.toAttribute, bbin), cond)
           Project(j.output,
             Join(newLeft, newRight, Inner, Some(newCond), hint))

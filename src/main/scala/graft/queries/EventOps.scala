@@ -346,6 +346,52 @@ object EventOps {
       |  ON epoch_us(e.ts) >= s.s_lo AND epoch_us(e.ts) <= s.s_hi
       |GROUP BY e.event_type ORDER BY event_type""".stripMargin
 
+  /** r2: error pressure around clicks — every click paired with every
+    * error (ANY user's) within ±2 minutes, profiled per day. Written as
+    * the NAIVE band join `abs(cm - em) <= 2` with no equality key — the
+    * shape Catalyst can only plan as a nested-loop/cartesian join — and
+    * rescued by the injected [[graft.plans.BandJoinRewrite]] optimizer
+    * rule into a bucketed hash equi-join (left tagged with its bucket,
+    * right exploded to 3 candidate buckets, band kept as the residual).
+    * PlanAuditSpec pins zero BNLJ/CartesianProduct in the final plan.
+    * `spark.graft.bandJoinRewrite.force` pins the rewrite at test scale,
+    * where the ~2 MB events scans sit under the broadcast threshold and
+    * the cost guard would (correctly, for that size) keep the broadcast
+    * loop; at fact-fact scale the guard fires on its own. The oracle
+    * states the same naive band join in DuckDB — independent semantics,
+    * not an algorithm replay. Contrast with r1, which buckets by hand
+    * via `operators.RangeJoin`: r2 is the user who writes the naive
+    * predicate and gets the same plan automatically. */
+  def r2BandJoin(s: SparkSession, dir: String): DataFrame = {
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+    s.conf.set("spark.graft.bandJoinRewrite.force", "true")
+    val ev = Tables(s, dir, "events")
+    // `div` (integral divide), not `/`: exact minute ids on longs
+    val clicks = ev.filter(col("event_type") === "click")
+      .selectExpr("ts AS cts", "unix_micros(ts) div 60000000 AS cm")
+    val errors = ev.filter(col("event_type") === "error")
+      .selectExpr("event_id AS err_id", "unix_micros(ts) div 60000000 AS em")
+    clicks.join(errors, abs(col("cm") - col("em")) <= lit(2L))
+      .groupBy(date_format(col("cts"), "yyyy-MM-dd").as("click_date"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("err_id")).as("n_errors"))
+      .orderBy("click_date")
+  }
+
+  private val r2Sql =
+    """WITH c AS (
+      |  SELECT ts AS cts, epoch_us(ts) // 60000000 AS cm
+      |  FROM events WHERE event_type = 'click'),
+      |e AS (
+      |  SELECT event_id AS err_id, epoch_us(ts) // 60000000 AS em
+      |  FROM events WHERE event_type = 'error')
+      |SELECT strftime(c.cts, '%Y-%m-%d') AS click_date, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT e.err_id) AS n_errors
+      |FROM c JOIN e ON abs(c.cm - e.em) <= 2
+      |GROUP BY 1 ORDER BY click_date""".stripMargin
+
   /** e11: fixed-width value histogram per event type — the profiling /
     * drift-detection sweep (bin counts compared across time slices flag
     * distribution shift). Bin id is `floor(value / width)`: one correctly-
@@ -1510,6 +1556,7 @@ object EventOps {
     "e33_ohlc" -> (e33Ohlc _),
     "e34_incremental_agg" -> (e34IncrementalAgg _),
     "r1_range_join" -> (r1RangeJoin _),
+    "r2_band_join" -> (r2BandJoin _),
     "z1_zorder_stats" -> (z1ZorderStats _))
 
   val oracles: Map[String, String] = Map(
@@ -1548,5 +1595,6 @@ object EventOps {
     "e33_ohlc" -> e33Sql,
     "e34_incremental_agg" -> e34Sql,
     "r1_range_join" -> r1Sql,
+    "r2_band_join" -> r2Sql,
     "z1_zorder_stats" -> z1Sql)
 }

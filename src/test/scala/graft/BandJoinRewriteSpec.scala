@@ -82,12 +82,51 @@ class BandJoinRewriteSpec extends AnyFunSuite {
   test("cost guard: a broadcastable side keeps the nested-loop plan") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ BandJoinRewrite
+    // the r2 query pins `force=true` in its session; neutralize it here so
+    // this test exercises the guard regardless of suite ordering
+    spark.conf.set("spark.graft.bandJoinRewrite.force", "false")
     try {
       // default broadcast threshold (10 MB) >> these frames
       val df = bandJoin()
       assert(!df.queryExecution.optimizedPlan.toString.contains("_graft_pbin"),
         "tiny sides should broadcast-loop, not pay a shuffle")
-    } finally spark.experimental.extraOptimizations = prev
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.bandJoinRewrite.force")
+    }
+  }
+
+  test("force flag overrides the cost guard for broadcast-sized sides") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ BandJoinRewrite
+    spark.conf.set("spark.graft.bandJoinRewrite.force", "true")
+    try {
+      val naive = bandJoin().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val df = bandJoin()
+      assert(df.queryExecution.optimizedPlan.toString.contains("_graft_pbin"),
+        "force=true must rewrite even under the broadcast threshold")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == naive)
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset("spark.graft.bandJoinRewrite.force")
+    }
+  }
+
+  test("nullable band column: right side null-filtered, rows identical, bbin honest") {
+    withRule {
+      val l = Seq(0L, 10L, 25L).toDF("x")
+      val r = Seq(Some(2L), None, Some(11L), Some(40L), None).toDF("y")
+      val df = l.join(r, org.apache.spark.sql.functions.expr("abs(x - y) <= 3"))
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.toString.contains("_graft_pbin"), s"rule did not fire:\n$opt")
+      // the declared non-nullable bucket attribute must be backed by an
+      // IsNotNull filter on the band column (a null band value can never
+      // satisfy the predicate, so the filter is semantics-preserving)
+      assert(opt.toString.contains("isnotnull"),
+        s"nullable band column must be filtered before explode:\n$opt")
+      val got = df.collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      assert(got == Set((0L, 2L), (10L, 11L)), s"got $got")
+    }
   }
 
   test("idempotent: re-applying the rule leaves the rewritten plan unchanged") {

@@ -120,6 +120,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("Bucketed: true"), "scan did not read bucket layout")
   }
 
+  test("r2 band join: BandJoinRewrite fires — bucketed equi-join, no nested loop") {
+    val s = formatted(SparkEntry.queries("r2_band_join")(spark, sfDir))
+    // the naive abs(cm - em) <= 2 predicate has no equality key; the
+    // injected rule must turn it into a hash join on the bucket id
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"rewrite did not fire:\n${s.linesIterator.filter(_.contains("Join")).mkString("\n")}")
+    assert(s.contains("_graft_pbin") && s.contains("_graft_bbin"),
+      "bucket columns missing — band join not rewritten")
+    assert(nodeCount(s, "BroadcastHashJoin") + nodeCount(s, "SortMergeJoin") +
+      nodeCount(s, "ShuffledHashJoin") >= 1, s"no equi-join found:\n${s.take(1200)}")
+  }
+
   test("s1 salted agg: both phases partial-aggregate, no cartesian anywhere") {
     val s = formatted(SparkEntry.queries("s1_skew_agg")(spark, sfDir))
     // phase 1 (key,salt) and phase 2 (key) each split into partial+final
