@@ -80,6 +80,54 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("n_events"), col("sess_value"))
 
+  /** Streaming twin of `EventOps.e33Ohlc`: per-type hourly OHLC bars.
+    * Open/close ride the same composite total-order key (micros ×
+    * 10^10 + event_id in DECIMAL(38,0) — exact, collision-free) through
+    * `min_by`/`max_by`, which Spark maintains incrementally per window;
+    * the watermark bounds bar state to the allowed lateness. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val ord = unix_micros(col("ts")).cast(DecimalType(38, 0)) *
+      lit(10000000000L) + col("event_id")
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
+
+  /** Streaming twin of `EventOps.e34IncrementalAgg`: the engine itself
+    * maintains the per-key sufficient statistics (n, Σv, Σv², min, max)
+    * incrementally across micro-batches — an unwindowed complete-mode
+    * aggregate IS the materialized-view maintenance pattern e34 replays
+    * by hand, with the state store holding exactly the merge state e34
+    * materializes as its base partials. Same DECIMAL interior sums, so
+    * after any batch the emitted stats are bit-identical to a full
+    * recompute over everything arrived (spec-pinned). */
+  def incrementalTypeStats(events: DataFrame): DataFrame = {
+    val v4 = col("value").cast(DecimalType(18, 4))
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast(Dec)).as("s"),
+        sum(v4 * v4).as("s2"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("event_type"), col("n_rows"),
+        col("s").cast("double").as("total_value"),
+        col("min_value"), col("max_value"),
+        round((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n_rows").cast("double")) /
+          col("n_rows").cast("double"), 6).as("var_value"))
+  }
+
   /** Streaming exact dedup on event_id: watermark-bounded state (SURVEY
     * A5/A6's streaming form). Late duplicates beyond the watermark are
     * dropped with their window, so state size is bounded by the delay,
@@ -715,13 +763,25 @@ object StreamOps {
       }
       .start()
 
+  /** State-path existence via the Hadoop FileSystem API — resolves the
+    * path's own scheme (file://, hdfs://, s3a://, …). A bare
+    * `java.io.File` probe is ALWAYS false for non-local URIs, which
+    * would silently read the accumulated index as empty: cross-batch
+    * near-dups would pass the gate and compaction would no-op — silent
+    * wrongness at exactly the 100 TB deployment posture this module
+    * documents. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Read a batch_id-partitioned parquet delta that may not exist yet
     * (first batch) — the explicit schema makes an absent or empty
     * directory an empty frame instead of a schema-inference error. */
   private def readDelta(spark: SparkSession, path: String,
                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val full = schema.add("batch_id", org.apache.spark.sql.types.LongType)
-    if (new java.io.File(path).exists()) spark.read.schema(full).parquet(path)
+    if (pathExists(spark, path)) spark.read.schema(full).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
   }
 
@@ -908,8 +968,7 @@ object StreamOps {
   def compactLanded(spark: SparkSession, outPath: String, statePath: String,
                     staticCorpusIds: DataFrame, idCol: String): DataFrame = {
     val landed = spark.read.parquet(outPath)
-    val pairsDir = new java.io.File(s"$statePath/pairs")
-    if (!pairsDir.exists()) return landed
+    if (!pathExists(spark, s"$statePath/pairs")) return landed
     val pairs = spark.read.parquet(s"$statePath/pairs")
     val staticIds = staticCorpusIds.select(col(idCol).as("cid"))
     val drops = pairs.select(col("id_b").as("id"))

@@ -64,6 +64,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${ids.toSeq}")
   }
 
+  test("ohlcBars (e33 twin) maintains open/close through the composite order key") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    ms.addData(batch1); ms.addData(batch2)
+    StreamOps.runToMemory(StreamOps.ohlcBars(ms.toDF()), "ohlc", OutputMode.Complete())
+    val got = spark.table("ohlc")
+      .select(date_format(col("bucket"), "HH:mm").as("b"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    // batch2 re-delivers event_id 2 (2.0 @10:05): n=3 for hour-10 clicks,
+    // open/close unchanged (same composite key, same value); close follows
+    // the LAST key, not the largest value
+    assert(got == Set(
+      ("10:00", "click", 1.0, 2.0, 1.0, 2.0, 3L),
+      ("10:00", "view", 3.0, 3.0, 3.0, 3.0, 1L),
+      ("11:00", "click", 4.0, 4.0, 4.0, 4.0, 1L),
+      ("11:00", "view", 5.0, 5.0, 5.0, 5.0, 1L)))
+  }
+
+  test("incrementalTypeStats (e34 twin): state after EACH batch equals a full recompute") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.incrementalTypeStats(ms.toDF())
+      .writeStream.format("memory").queryName("e34stats")
+      .outputMode(OutputMode.Complete()).start()
+    def rows(t: org.apache.spark.sql.DataFrame) = t.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    // the same declarative aggregate over a STATIC frame is the one-shot
+    // recompute; the streaming side must merge its way to the same bits
+    ms.addData(batch1); q.processAllAvailable()
+    assert(rows(spark.table("e34stats")) ==
+      rows(StreamOps.incrementalTypeStats(batch1.toDF())))
+    ms.addData(batch2); q.processAllAvailable()
+    assert(rows(spark.table("e34stats")) ==
+      rows(StreamOps.incrementalTypeStats((batch1 ++ batch2).toDF())))
+    q.stop()
+  }
+
   test("runningUserTotals accumulates state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
