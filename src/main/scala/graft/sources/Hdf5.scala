@@ -297,10 +297,13 @@ object Hdf5 {
       require(u8(p) == 'H' && u8(p + 1) == 'E' && u8(p + 2) == 'A' && u8(p + 3) == 'P',
         s"expected local heap (HEAP) at $heapAddr")
       val dataAddr = i64(p + 24)
-      var q = dataAddr.toInt + off.toInt
-      val sb = new StringBuilder
-      while (bytes(q) != 0) { sb.append(bytes(q).toChar); q += 1 }
-      sb.result()
+      val start = dataAddr.toInt + off.toInt
+      var q = start
+      while (bytes(q) != 0) q += 1
+      // decode the byte slice as UTF-8, matching the v2 link-message and
+      // attribute name paths — byte-by-byte toChar is Latin-1 and would
+      // mojibake non-ASCII names in old-style groups, then fail lookup
+      new String(bytes, start, q - start, java.nio.charset.StandardCharsets.UTF_8)
     }
 
     // ---- datasets ----
