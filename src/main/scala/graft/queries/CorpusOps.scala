@@ -170,19 +170,30 @@ object CorpusOps {
     * that keeps a rolling 100 TB ingest's dedup index honest. Output is
     * d14's per-language corpus-stat shape over the compacted landing. */
   def c9IngestCompaction(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"), col("text"))
+    // in-session static index (50 docs); c12 runs the SAME composition
+    // from the bucketed at-rest form instead
+    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    ingestCompactionRun(s, dir, staticIndex)
+  }
+
+  /** The c9/c12 shared driver: `C9Batches` sequential arrival waves
+    * through `StreamOps.ingestBatchCompact` against `staticIndex`, then
+    * the compaction replay and the d14-shaped per-language rollup. */
+  private def ingestCompactionRun(s: SparkSession, dir: String,
+      staticIndex: MinHashDedup.DedupIndex): DataFrame = {
     import graft.streaming.StreamOps
     val docs = Tables(s, dir, "documents")
     val evalSet = docs.filter(col("doc_id") < EvalSplit)
       .select(col("doc_id"), col("text"))
-    val corpus = docs
-      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
-      .select(col("doc_id"), col("text"))
     val stream = docs
       .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
-    // in-session static index (50 docs); a deployment loads the bucketed
-    // at-rest form (MinHashDedup.saveDedupIndex/loadDedupIndex) instead
-    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-    val corpusIds = corpus.select(col("doc_id"))
+    val corpusIds = docs
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"))
     val root = java.nio.file.Files.createTempDirectory("graft_c9_").toString
     try {
       (0 until C9Batches).foreach { b =>
@@ -209,6 +220,61 @@ object CorpusOps {
       }
       rm(new java.io.File(root))
     }
+  }
+
+  /** c12: c9's continuous-ingest composition served from the AT-REST
+    * static index — the deployment boundary c9 leaves open. The three
+    * [[MinHashDedup.DedupIndex]] tables (bands bucketed by (band, sig),
+    * shingle hashes and sizes bucketed by id) are trained AT MOST ONCE
+    * per corpus fingerprint in a SIBLING session (`newSession()`) and
+    * landed as EXTERNAL bucketed tables (marker written last — crash-safe
+    * like i5); later sessions or PROCESSES re-attach the files with a
+    * `CLUSTERED BY` DDL instead of rebuilding (the s4 pattern — the
+    * index bytes live once on disk, bucket metadata in the catalog).
+    * Every wave's sweep then probes the loaded tables; corpus text is
+    * never read in the serving session. Oracle = c9's one-shot SQL: the
+    * at-rest round-trip must not change a single answer bit. */
+  def c12IngestAtRest(s: SparkSession, dir: String): DataFrame =
+    ingestCompactionRun(s, dir, c12StaticIndex(s, dir))
+
+  private def c12StaticIndex(s: SparkSession, dir: String): MinHashDedup.DedupIndex = {
+    val fp = ScaleOps.dataFingerprint(dir, Seq("documents"))
+    val root = ScaleOps.artifactRoot("c12", fp)
+    val prefix = s"graft_c12_$fp"
+    val bucketCols = Map("bands" -> Seq("band", "sig"),
+      "shingles" -> Seq("id"), "sizes" -> Seq("id"))
+    if (!bucketCols.keys.forall(t => s.catalog.tableExists(s"${prefix}_$t"))) {
+      val marker = root.resolve("_INDEX_OK")
+      if (java.nio.file.Files.exists(marker)) {
+        // files landed by an earlier process: re-attach by DDL, no rewrite
+        bucketCols.foreach { case (t, cols) =>
+          val p = root.resolve(t)
+          val cl = cols.mkString(", ")
+          s.sql(s"CREATE TABLE ${prefix}_$t " +
+            s"(${s.read.parquet(p.toString).schema.toDDL}) USING PARQUET " +
+            s"CLUSTERED BY ($cl) SORTED BY ($cl) INTO 8 BUCKETS LOCATION '$p'")
+        }
+      } else {
+        // train in a sibling session: nothing reaches the serving side
+        // except through the landed files + their catalog registrations
+        val t = s.newSession()
+        val corpus = Tables(t, dir, "documents")
+          .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+          .select(col("doc_id"), col("text"))
+        val idx = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+        Seq("bands" -> idx.bands, "shingles" -> idx.shingleHashes,
+          "sizes" -> idx.sizes).foreach { case (tn, df) =>
+          val cols = bucketCols(tn)
+          df.write.mode("overwrite").format("parquet")
+            .bucketBy(8, cols.head, cols.tail: _*)
+            .sortBy(cols.head, cols.tail: _*)
+            .option("path", root.resolve(tn).toString)
+            .saveAsTable(s"${prefix}_$tn")
+        }
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+    }
+    MinHashDedup.loadDedupIndex(s, prefix)
   }
 
   /** c10: per-source duplication factor — c1's dedup clusters rolled up
@@ -1068,6 +1134,7 @@ object CorpusOps {
     "c7_source_overlap" -> (c7SourceOverlap _),
     "c8_threshold_sweep" -> (c8ThresholdSweep _),
     "c9_ingest_compaction" -> (c9IngestCompaction _),
+    "c12_ingest_at_rest" -> (c12IngestAtRest _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1092,6 +1159,8 @@ object CorpusOps {
     "c7_source_overlap" -> c7Sql,
     "c8_threshold_sweep" -> c8Sql,
     "c9_ingest_compaction" -> c9Sql,
+    // the at-rest round-trip must reproduce c9's one-shot answer exactly
+    "c12_ingest_at_rest" -> c9Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,

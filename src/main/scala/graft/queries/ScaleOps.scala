@@ -573,20 +573,47 @@ object ScaleOps {
       .orderBy("q_id", "rk")
   }
 
-  /** Artifact root for i5, keyed by a fingerprint of the embeddings
-    * parquet (path + file names/sizes/mtimes): a changed corpus gets a
-    * fresh train; an unchanged one reuses the artifacts across sessions
-    * AND processes — the deployment posture i5 exists to prove. */
-  private def i5ArtifactRoot(dir: String): java.nio.file.Path = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val listing = Option(src.listFiles).map(_.sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|"))
-      .getOrElse(s"${src.length}:${src.lastModified}")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$listing".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_artifacts", s"i5_$fp")
+  /** Per-user artifact base (default `~/.cache/graft_artifacts`,
+    * override with `GRAFT_ARTIFACT_DIR`). The previous shared
+    * `java.io.tmpdir` root was predictable and world-writable: on a
+    * multi-user machine another user could pre-create or poison the
+    * directory. The user's home is per-user by construction; deployments
+    * point `GRAFT_ARTIFACT_DIR` at job-scoped storage. */
+  private[graft] def artifactBase: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_ARTIFACT_DIR",
+      sys.props("user.home") + java.io.File.separator + ".cache" +
+        java.io.File.separator + "graft_artifacts"))
+
+  /** Artifact root for one (family, corpus-fingerprint) pair, e.g.
+    * `i5_3fa9…`. Creating a root PRUNES stale sibling fingerprints of
+    * the same family (best-effort): the driver regenerates testdata
+    * mid-round, and without the sweep every regeneration strands the
+    * old fingerprint's trained artifacts forever. A pruned-but-live
+    * fingerprint is only ever a re-train on next touch — the `_OK`
+    * markers are written last, so partial state never serves. */
+  private[graft] def artifactRoot(family: String, fp: String): java.nio.file.Path = {
+    val dir = artifactBase.resolve(s"${family}_$fp")
+    Option(artifactBase.toFile.listFiles).foreach(_.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(s"${family}_") &&
+          f.getName != s"${family}_$fp") {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(f)
+      }
+    })
+    dir
   }
+
+  /** Artifact root for i5, keyed by a fingerprint of the embeddings
+    * parquet (path + file names/sizes/mtimes — a listing fingerprint,
+    * not a content hash: hashing corpus bytes is off the table at 100 TB,
+    * and the driver's regenerations always move mtimes): a changed
+    * corpus gets a fresh train; an unchanged one reuses the artifacts
+    * across sessions AND processes — the deployment posture i5 exists
+    * to prove. */
+  private def i5ArtifactRoot(dir: String): java.nio.file.Path =
+    artifactRoot("i5", dataFingerprint(dir, Seq("embeddings")))
 
   /** i5: the at-rest DEPLOYMENT path of i3 — the same route → ADC →
     * rerank answer served entirely from persisted artifacts
@@ -796,7 +823,7 @@ object ScaleOps {
     * name/size/mtime): bucketed-layout table names embed it so a
     * regenerated testdata dir can never serve stale buckets (the driver
     * DOES regenerate mid-round — NOTES hard-won fact #1). */
-  private def dataFingerprint(dir: String, tables: Seq[String]): String = {
+  private[graft] def dataFingerprint(dir: String, tables: Seq[String]): String = {
     val listing = tables.map { t =>
       val src = new java.io.File(s"$dir/$t.parquet")
       Option(src.listFiles).map(_.sortBy(_.getName)
@@ -853,8 +880,7 @@ object ScaleOps {
 
   def s4BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val fp = dataFingerprint(dir, Seq("lineitem", "orders"))
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_artifacts", s"s4_$fp")
+    val root = artifactRoot("s4", fp)
     val liTab = s"graft_s4_li_$fp"
     val ordTab = s"graft_s4_ord_$fp"
     ensureBucketedTable(s, liTab, root.resolve("li"),
