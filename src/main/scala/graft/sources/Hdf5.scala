@@ -18,9 +18,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     object header);
   *   - object headers v1 (with continuation blocks) and v2 ("OHDR",
   *     with "OCHK" continuations);
-  *   - old-style groups (v1 B-tree + SNOD symbol nodes + local heap)
-  *     and compact new-style groups (Link messages); dense (fractal
-  *     heap) links/attributes are out of scope;
+  *   - old-style groups (v1 B-tree + SNOD symbol nodes + local heap),
+  *     compact new-style groups (Link messages), AND dense new-style
+  *     groups/attributes (fractal heap + v2 B-tree — the layout libhdf5
+  *     switches to past ~8 links or attributes, i.e. the many-variable
+  *     netCDF-4 file): unfiltered managed heap objects, root direct
+  *     block or one indirect level of direct children, depth-0 name
+  *     index (several hundred entries at the default node size); huge/
+  *     tiny/filtered heap objects and deeper B-trees fail-fast;
   *   - dataspaces v1/v2; datatypes: fixed-point (1/2/4/8, both
   *     signs/orders), IEEE float32/64, fixed strings, object
   *     references, vlen sequences (for DIMENSION_LIST) and vlen
@@ -223,13 +228,20 @@ object Hdf5 {
           linkTarget(body).foreach { case (name, addr) =>
             walkGroup(addr, s"$prefix$name/", out, seen + headerAddr)
           }
-        case (0x0002, body, sz) => // link info: dense storage check
+        case (0x0002, body, sz) => // link info: dense (fractal-heap) links
           // version(1), flags(1), [max creation index(8)], fractal heap
           // addr (O), name index btree addr (O)
           val f = u8(body + 1)
           var q = body + 2
           if ((f & 1) != 0) q += 8
-          if (i64(q) != Undef) fail("dense (fractal-heap) group links")
+          val fheap = i64(q)
+          if (fheap != Undef) {
+            val nameBtree = i64(q + 8)
+            if (nameBtree == Undef) fail("dense links without a name index")
+            denseLinks(fheap, nameBtree).foreach { case (name, addr) =>
+              walkGroup(addr, s"$prefix$name/", out, seen + headerAddr)
+            }
+          }
           val _ = sz
         case _ => ()
       }
@@ -306,6 +318,136 @@ object Hdf5 {
       new String(bytes, start, q - start, java.nio.charset.StandardCharsets.UTF_8)
     }
 
+    // ---- fractal heap + v2 B-tree (dense groups & attributes) ----
+    //
+    // libhdf5 switches a group from compact link messages to DENSE
+    // storage past ~8 links (and attributes past ~8 per object): links/
+    // attributes move into a fractal heap, indexed by a v2 B-tree on
+    // name hash. This is exactly the "many-variable netCDF-4 file"
+    // layout. Supported subset: unfiltered managed objects, root direct
+    // block or one level of indirect block with direct children, and a
+    // depth-0 (root-is-leaf) B-tree — at libhdf5's default node size
+    // that covers several hundred links per group; everything beyond
+    // fail-fasts with the feature name.
+
+    private def checkSig(addr: Long, sig: String, what: String): Int = {
+      val p = addr.toInt
+      require(sig.indices.forall(i => u8(p + i) == sig.charAt(i)),
+        s"expected $what ($sig) at $addr")
+      p
+    }
+
+    /** Fractal heap header fields the reader needs. */
+    private case class Frhp(heapIdLen: Int, flags: Int, tableWidth: Int,
+                            startBlockSize: Long, maxDirectBlockSize: Long,
+                            maxHeapSizeBits: Int, rootBlockAddr: Long,
+                            curRows: Int) {
+      def offsetBytes: Int = (maxHeapSizeBits + 7) / 8
+    }
+
+    private def parseFrhp(addr: Long): Frhp = {
+      val p = checkSig(addr, "FRHP", "fractal heap header")
+      if (u16(p + 7) != 0) fail("filtered fractal heap blocks")
+      Frhp(heapIdLen = u16(p + 5), flags = u8(p + 9),
+        tableWidth = u16(p + 110), startBlockSize = i64(p + 112),
+        maxDirectBlockSize = i64(p + 120), maxHeapSizeBits = u16(p + 128),
+        rootBlockAddr = i64(p + 132), curRows = u16(p + 140))
+    }
+
+    /** File position of a MANAGED object's first byte, from its heap ID
+      * (1 flag byte, then the offset in heap space — heap space includes
+      * each direct block's own header bytes, so translation is file
+      * address of the covering block + offset within it). */
+    private def heapObjectPos(fh: Frhp, id: Array[Byte]): Int = {
+      if (((id(0) >> 4) & 0x3) != 0) fail("huge/tiny fractal heap objects")
+      var off = 0L
+      (0 until fh.offsetBytes).foreach { i =>
+        off |= (id(1 + i) & 0xffL) << (8 * i)
+      }
+      resolveHeapOffset(fh, off)
+    }
+
+    private def resolveHeapOffset(fh: Frhp, off: Long): Int = {
+      if (fh.curRows == 0) {
+        // root block IS a direct block covering heap space [0, startSize)
+        require(off < fh.startBlockSize,
+          s"heap offset $off beyond the root direct block")
+        checkSig(fh.rootBlockAddr, "FHDB", "fractal heap direct block")
+        (fh.rootBlockAddr + off).toInt
+      } else {
+        // root indirect block: doubling table of direct children — row 0
+        // and 1 hold width blocks of the starting size, row k >= 2 blocks
+        // of startSize * 2^(k-1); children listed row-major
+        val p = checkSig(fh.rootBlockAddr, "FHIB", "fractal heap indirect block")
+        var q = p + 4 + 1 + 8 + fh.offsetBytes
+        val log2 = (v: Long) => 63 - java.lang.Long.numberOfLeadingZeros(v)
+        val maxDirectRows = log2(fh.maxDirectBlockSize) - log2(fh.startBlockSize) + 2
+        var cum = 0L
+        var row = 0
+        while (row < fh.curRows) {
+          if (row >= maxDirectRows) fail("nested indirect fractal heap blocks")
+          val size = if (row < 2) fh.startBlockSize
+                     else fh.startBlockSize << (row - 1)
+          var c = 0
+          while (c < fh.tableWidth) {
+            val child = i64(q); q += 8
+            if (off < cum + size) {
+              require(child != Undef,
+                s"heap offset $off falls in an unallocated block")
+              checkSig(child, "FHDB", "fractal heap direct block")
+              return (child + (off - cum)).toInt
+            }
+            cum += size
+            c += 1
+          }
+          row += 1
+        }
+        sys.error(s"heap offset $off beyond the allocated fractal heap rows")
+      }
+    }
+
+    /** Record positions of a v2 B-tree whose root is a leaf (depth 0 —
+      * several hundred records at the default node size; deeper trees
+      * fail-fast). Records are fixed-size; layout depends on the type. */
+    private def btree2RecordPositions(addr: Long, expectType: Int): Seq[Int] = {
+      val p = checkSig(addr, "BTHD", "v2 B-tree header")
+      require(u8(p + 5) == expectType,
+        s"v2 B-tree record type ${u8(p + 5)} — expected $expectType")
+      val recSize = u16(p + 10)
+      if (u16(p + 12) != 0) fail("v2 B-tree depth >= 1 (very large dense group)")
+      val rootAddr = i64(p + 16)
+      val nrec = u16(p + 24)
+      val lp = checkSig(rootAddr, "BTLF", "v2 B-tree leaf")
+      (0 until nrec).map(i => lp + 6 + i * recSize)
+    }
+
+    /** Dense group links: every type-5 (link name) record's heap ID
+      * resolves to a serialized Link message in the fractal heap. */
+    private def denseLinks(fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+      val fh = parseFrhp(fheapAddr)
+      btree2RecordPositions(btreeAddr, expectType = 5).flatMap { r =>
+        // record: hash of name (4), then the heap ID
+        val id = java.util.Arrays.copyOfRange(bytes, r + 4, r + 4 + fh.heapIdLen)
+        linkTarget(heapObjectPos(fh, id))
+      }
+    }
+
+    /** Dense attributes: every type-8 (attribute name) record's heap ID
+      * resolves to a serialized Attribute message. Same tolerance as the
+      * compact path: an attribute outside the decoded subset is skipped,
+      * never fatal. */
+    private def denseAttributes(fheapAddr: Long, btreeAddr: Long): Seq[(String, Any)] = {
+      val fh = parseFrhp(fheapAddr)
+      btree2RecordPositions(btreeAddr, expectType = 8).flatMap { r =>
+        // record: heap ID, message flags (1), creation order (4), hash (4)
+        val id = java.util.Arrays.copyOfRange(bytes, r, r + fh.heapIdLen)
+        val mflags = u8(r + fh.heapIdLen)
+        if ((mflags & 0x02) != 0) fail("shared dense attribute messages")
+        try Some(parseAttribute(heapObjectPos(fh, id)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+
     // ---- datasets ----
 
     private def parseDataset(addr: Long, name: String,
@@ -329,11 +471,18 @@ object Hdf5 {
             val (n, v) = parseAttribute(body)
             attrs += (n -> v)
           } catch { case scala.util.control.NonFatal(_) => () }
-        case (0x0015, body, _) => // attribute info: dense attribute check
+        case (0x0015, body, _) => // attribute info: dense attributes
+          // version(1), flags(1), [max creation index(2)], fractal heap
+          // addr (O), name index btree addr (O)
           val f = u8(body + 1)
           var q = body + 2
           if ((f & 1) != 0) q += 2
-          if (i64(q) != Undef) fail("dense (fractal-heap) attributes")
+          val fheap = i64(q)
+          if (fheap != Undef) {
+            val nameBtree = i64(q + 8)
+            if (nameBtree == Undef) fail("dense attributes without a name index")
+            denseAttributes(fheap, nameBtree).foreach(attrs += _)
+          }
         case _ => ()
       }
       Dataset(name, addr, shape,

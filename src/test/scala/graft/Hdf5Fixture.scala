@@ -472,6 +472,318 @@ object Hdf5Fixture {
     b.result()
   }
 
+  // ---- fixture 3: dense (fractal heap) links and attributes -----------
+
+  /** The many-variable layout: libhdf5 switches a group to DENSE link
+    * storage past ~8 links, so this fixture's root group carries 12
+    * links (v0..v9, a non-ASCII name, and `va`) in a fractal heap (one
+    * root direct block) indexed by a depth-0 v2 B-tree; `va`
+    * additionally stores its attributes densely through a second
+    * heap+B-tree pair (Attribute Info message). All numbers below follow
+    * the public format spec: heap IDs are 1 flag byte + 4-byte offset
+    * (max heap size 32 bits) + 3-byte length (max direct block 64 KiB). */
+  def fixture3(): Array[Byte] = {
+    val b = new Buf
+    val offsetBytes = 4 // ceil(32 bits / 8)
+    val lengthBytes = 3 // min bytes for max direct block size 65536
+    val heapIdLen = 1 + offsetBytes + lengthBytes
+
+    // superblock v2
+    b.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.u8(2); b.u8(8); b.u8(8); b.u8(0)
+    b.u64(0L); b.u64(-1L); b.ref("eof"); b.ref("rootHeader3")
+    b.u32(0L)
+
+    def headerV2(label: String, msgs: Seq[Msg]): Unit = {
+      b.padTo8(); b.mark(label)
+      val size = msgs.map(_.totalV2).sum
+      b.ascii("OHDR"); b.u8(2); b.u8(1) // flags: 2-byte chunk0-size field
+      b.u16(size)
+      msgs.foreach(_.emitV2(b))
+      b.u32(0L) // trailing gateway checksum (unchecked by the reader)
+    }
+
+    // 10 ASCII-named vars + one UTF-8 name + the dense-attr var
+    val varNames = (0 until 10).map(i => s"v$i") :+ "tempé" :+ "va"
+    def varVals(n: String): Seq[Double] = n match {
+      case "tempé" => Seq(250.5, 251.5)
+      case "va" => Seq(7.0, 8.0)
+      case v => val i = v.drop(1).toInt; Seq(i.toDouble, i + 0.5)
+    }
+    varNames.foreach { n =>
+      b.padTo8(); b.mark(s"data3:$n"); varVals(n).foreach(b.f64)
+    }
+
+    // dense-attribute heap for `va`: one root direct block holding two
+    // serialized v3 Attribute messages
+    b.padTo8(); b.mark("ablock")
+    val ablockStart = b.pos
+    b.ascii("FHDB"); b.u8(0); b.ref("afrhp"); b.u32(0L) // block offset 0
+    def attrBody(name: String, dt: Array[Byte], ds: Array[Byte],
+                 data: Buf => Unit): Long = {
+      val off = (b.pos - ablockStart).toLong
+      b.u8(3); b.u8(0)
+      b.u16(name.length + 1); b.u16(dt.length); b.u16(ds.length)
+      b.u8(0) // name charset
+      b.ascii(name); b.u8(0)
+      b.bytes(dt); b.bytes(ds)
+      data(b)
+      off
+    }
+    val unitsOff = attrBody("units", dtString(2), dataspaceScalar,
+      bb => { bb.ascii("K"); bb.u8(0) })
+    val scaleOff = attrBody("scale_factor", dtFloat(8), dataspaceScalar,
+      _.f64(0.01))
+    val aBlockSize = 512L
+    b.zeros((ablockStart + aBlockSize.toInt) - b.pos)
+
+    def frhpHeader(label: String, blockLabel: String, nObj: Long,
+                   blockSize: Long): Unit = {
+      b.padTo8(); b.mark(label)
+      b.ascii("FRHP"); b.u8(0)
+      b.u16(heapIdLen); b.u16(0) // no I/O filters
+      b.u8(0) // flags: no checksummed blocks
+      b.u32(4096L) // max managed object size
+      b.u64(0L); b.u64(-1L) // next huge id, huge btree
+      b.u64(0L); b.u64(-1L) // free space, free-space manager
+      b.u64(blockSize); b.u64(blockSize); b.u64(blockSize) // managed/alloc/iter
+      b.u64(nObj)
+      b.u64(0L); b.u64(0L); b.u64(0L); b.u64(0L) // huge/tiny sizes+counts
+      b.u16(4) // table width
+      b.u64(blockSize) // starting block size
+      b.u64(65536L) // max direct block size
+      b.u16(32) // max heap size (bits)
+      b.u16(1) // starting rows in root indirect block
+      b.ref(blockLabel)
+      b.u16(0) // current rows: 0 → root IS a direct block
+      b.u32(0L) // checksum (unchecked)
+    }
+    frhpHeader("afrhp", "ablock", nObj = 2L, blockSize = aBlockSize)
+
+    def heapId(bb: Buf, off: Long): Unit = {
+      bb.u8(0) // version 0, type 0 (managed)
+      bb.u32(off)
+      bb.u8(0); bb.u8(0); bb.u8(0) // length (unread)
+    }
+
+    // attribute-name B-tree: type 8, record = heapId + flags + corder + hash
+    b.padTo8(); b.mark("abthd")
+    b.ascii("BTHD"); b.u8(0); b.u8(8)
+    b.u32(2048L); b.u16(heapIdLen + 1 + 4 + 4); b.u16(0) // node, record, depth
+    b.u8(100); b.u8(40)
+    b.ref("abtlf"); b.u16(2); b.u64(2L); b.u32(0L)
+    b.padTo8(); b.mark("abtlf")
+    b.ascii("BTLF"); b.u8(0); b.u8(8)
+    Seq(unitsOff, scaleOff).foreach { off =>
+      heapId(b, off); b.u8(0); b.u32(0L); b.u32(0L)
+    }
+    b.u32(0L) // checksum
+
+    // per-var object headers (va carries the Attribute Info message)
+    varNames.foreach { n =>
+      val base = Seq(
+        dataspaceMsg(Seq(2L)),
+        datatypeMsg(dtFloat(8)),
+        Msg(0x0008, 18, bb => { bb.u8(3); bb.u8(1); bb.ref(s"data3:$n")
+          bb.u64(16L) }))
+      val extra = if (n == "va")
+        Seq(Msg(0x0015, 18, bb => { bb.u8(0); bb.u8(0)
+          bb.ref("afrhp"); bb.ref("abthd") }))
+      else Nil
+      headerV2(s"hdr3:$n", base ++ extra)
+    }
+
+    // dense-link heap: one root direct block of serialized Link messages
+    b.padTo8(); b.mark("lblock")
+    val lblockStart = b.pos
+    b.ascii("FHDB"); b.u8(0); b.ref("lfrhp"); b.u32(0L)
+    val linkOffsets = varNames.map { n =>
+      val off = (b.pos - lblockStart).toLong
+      val nb = n.getBytes("UTF-8")
+      b.u8(1); b.u8(0) // version, flags: 1-byte name length, hard link
+      b.u8(nb.length); b.bytes(nb)
+      b.ref(s"hdr3:$n")
+      off
+    }
+    val lBlockSize = 512L
+    b.zeros((lblockStart + lBlockSize.toInt) - b.pos)
+    frhpHeader("lfrhp", "lblock", nObj = varNames.size.toLong,
+      blockSize = lBlockSize)
+
+    // link-name B-tree: type 5, record = hash + heapId
+    b.padTo8(); b.mark("lbthd")
+    b.ascii("BTHD"); b.u8(0); b.u8(5)
+    b.u32(2048L); b.u16(4 + heapIdLen); b.u16(0)
+    b.u8(100); b.u8(40)
+    b.ref("lbtlf"); b.u16(varNames.size); b.u64(varNames.size.toLong); b.u32(0L)
+    b.padTo8(); b.mark("lbtlf")
+    b.ascii("BTLF"); b.u8(0); b.u8(5)
+    linkOffsets.foreach { off => b.u32(0L); heapId(b, off) }
+    b.u32(0L) // checksum
+
+    // root group: Link Info message pointing at the dense storage
+    headerV2("rootHeader3", Seq(
+      Msg(0x0002, 18, bb => { bb.u8(0); bb.u8(0)
+        bb.ref("lfrhp"); bb.ref("lbthd") })))
+
+    b.mark("eof")
+    b.result()
+  }
+
+  // ---- parameterized fixture: the property-fuzz surface ----------------
+
+  /** One 2-D variable `x`, emitted across the reader's layout grid:
+    * `groupStyle` 0 = old symbol-table group under a v0 superblock
+    * (v1 object headers), 1 = compact link-message group under a v2
+    * superblock (OHDR), 2 = dense fractal-heap links under a v2
+    * superblock; `chunk` None = contiguous, Some = chunked over that
+    * grid (overhang clipped); `filtered` shuffle+deflate (int16 chunked
+    * only — the netCDF pairing); `useShort` int16 vs float64 elements.
+    * Values land row-major; PropertySpec asserts the parse-decode
+    * round-trip returns them bit-exactly for every combination. */
+  def fixtureCustom(groupStyle: Int, shape: (Int, Int),
+                    chunk: Option[(Int, Int)], filtered: Boolean,
+                    useShort: Boolean, vals: Seq[Double]): Array[Byte] = {
+    require(vals.size == shape._1 * shape._2, "vals must fill the shape")
+    require(!filtered || (useShort && chunk.isDefined),
+      "filters are emitted only for chunked int16 (the netCDF pairing)")
+    val b = new Buf
+    val elemSize = if (useShort) 2 else 8
+
+    // superblock (must be the first bytes)
+    if (groupStyle == 0) {
+      b.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.u8(0); b.u8(0); b.u8(0); b.u8(0)
+      b.u8(0); b.u8(8); b.u8(8); b.u8(0)
+      b.u16(4); b.u16(16)
+      b.u32(0L)
+      b.u64(0L); b.u64(-1L); b.ref("eof"); b.u64(-1L)
+      b.u64(0L); b.ref("rootHeader"); b.u32(0L); b.u32(0L); b.zeros(16)
+    } else {
+      b.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.u8(2); b.u8(8); b.u8(8); b.u8(0)
+      b.u64(0L); b.u64(-1L); b.ref("eof"); b.ref("rootHeader")
+      b.u32(0L)
+    }
+
+    def writeElems(t: Buf, elems: Seq[Double]): Unit =
+      elems.foreach(v => if (useShort) t.u16(v.toInt & 0xffff) else t.f64(v))
+
+    // raw data: contiguous block or chunk blocks + v1 chunk B-tree
+    chunk match {
+      case None =>
+        b.padTo8(); b.mark("data"); writeElems(b, vals)
+      case Some((c0, c1)) =>
+        val origins = for {
+          o0 <- 0 until shape._1 by c0
+          o1 <- 0 until shape._2 by c1
+        } yield (o0, o1)
+        val payloads = origins.zipWithIndex.map { case ((o0, o1), i) =>
+          val elems = for (i0 <- 0 until c0; i1 <- 0 until c1) yield {
+            val (g0, g1) = (o0 + i0, o1 + i1)
+            if (g0 < shape._1 && g1 < shape._2) vals(g0 * shape._2 + g1)
+            else 0.0
+          }
+          val raw =
+            if (filtered) shuffleDeflate(elems.map(_.toInt.toShort).toArray)
+            else { val t = new Buf; writeElems(t, elems); t.result() }
+          b.padTo8(); b.mark(s"chunk:$i"); b.bytes(raw)
+          (o0, o1, raw.length)
+        }
+        b.padTo8(); b.mark("chunkBtree")
+        b.ascii("TREE"); b.u8(1); b.u8(0); b.u16(payloads.size)
+        b.u64(-1L); b.u64(-1L)
+        payloads.zipWithIndex.foreach { case ((o0, o1, len), i) =>
+          b.u32(len.toLong); b.u32(0L)
+          b.u64(o0.toLong); b.u64(o1.toLong); b.u64(0L)
+          b.ref(s"chunk:$i")
+        }
+        b.u32(0L); b.u32(0L)
+        b.u64(shape._1.toLong); b.u64(shape._2.toLong); b.u64(0L)
+    }
+
+    val dt = if (useShort) dtFixed(2, signed = true) else dtFloat(8)
+    val layoutMsg = chunk match {
+      case None => contiguousMsg("data", vals.size.toLong * elemSize)
+      case Some((c0, c1)) => chunkedMsg("chunkBtree", Seq(c0, c1), elemSize)
+    }
+    val msgs = Seq(
+      dataspaceMsg(Seq(shape._1.toLong, shape._2.toLong)),
+      datatypeMsg(dt), layoutMsg) ++
+      (if (filtered) Seq(filtersMsg(elemSize = 2)) else Nil)
+
+    def headerV2(label: String, hm: Seq[Msg]): Unit = {
+      b.padTo8(); b.mark(label)
+      b.ascii("OHDR"); b.u8(2); b.u8(1)
+      b.u16(hm.map(_.totalV2).sum)
+      hm.foreach(_.emitV2(b))
+      b.u32(0L)
+    }
+
+    groupStyle match {
+      case 0 =>
+        headerV1(b, "hdr:x", msgs)
+        // root: symbol-table message → local heap + v1 B-tree + SNOD
+        headerV1(b, "rootHeader", Seq(
+          Msg(0x0011, 16, bb => { bb.ref("rootBtree"); bb.ref("rootHeap") })))
+        val heapData = { val t = new Buf; t.u64(0L); t.ascii("x"); t.u8(0)
+          t.padTo8(); t.result() }
+        val nameOff = 8L
+        b.padTo8(); b.mark("rootHeap")
+        b.ascii("HEAP"); b.u8(0); b.zeros(3)
+        b.u64(heapData.length.toLong); b.u64(-1L); b.ref("rootHeapData")
+        b.padTo8(); b.mark("rootHeapData"); b.bytes(heapData)
+        b.padTo8(); b.mark("rootBtree")
+        b.ascii("TREE"); b.u8(0); b.u8(0); b.u16(1)
+        b.u64(-1L); b.u64(-1L)
+        b.u64(0L); b.ref("snod"); b.u64(nameOff)
+        b.padTo8(); b.mark("snod")
+        b.ascii("SNOD"); b.u8(1); b.u8(0); b.u16(1)
+        b.u64(nameOff); b.ref("hdr:x"); b.u32(0L); b.u32(0L); b.zeros(16)
+      case 1 =>
+        headerV2("hdr:x", msgs)
+        headerV2("rootHeader", Seq(
+          Msg(0x0006, 2 + 1 + 1 + 8, bb => { bb.u8(1); bb.u8(0); bb.u8(1)
+            bb.ascii("x"); bb.ref("hdr:x") })))
+      case 2 =>
+        headerV2("hdr:x", msgs)
+        // dense storage: 1 link message in a root direct block + a
+        // depth-0 type-5 B-tree (same parameters as fixture3)
+        b.padTo8(); b.mark("lblock")
+        val lblockStart = b.pos
+        b.ascii("FHDB"); b.u8(0); b.ref("lfrhp"); b.u32(0L)
+        val linkOff = (b.pos - lblockStart).toLong
+        b.u8(1); b.u8(0); b.u8(1); b.ascii("x"); b.ref("hdr:x")
+        b.zeros((lblockStart + 256) - b.pos)
+        b.padTo8(); b.mark("lfrhp")
+        b.ascii("FRHP"); b.u8(0)
+        b.u16(8); b.u16(0); b.u8(0)
+        b.u32(4096L)
+        b.u64(0L); b.u64(-1L); b.u64(0L); b.u64(-1L)
+        b.u64(256L); b.u64(256L); b.u64(256L); b.u64(1L)
+        b.u64(0L); b.u64(0L); b.u64(0L); b.u64(0L)
+        b.u16(4); b.u64(256L); b.u64(65536L)
+        b.u16(32); b.u16(1); b.ref("lblock"); b.u16(0)
+        b.u32(0L)
+        b.padTo8(); b.mark("lbthd")
+        b.ascii("BTHD"); b.u8(0); b.u8(5)
+        b.u32(2048L); b.u16(4 + 8); b.u16(0)
+        b.u8(100); b.u8(40)
+        b.ref("lbtlf"); b.u16(1); b.u64(1L); b.u32(0L)
+        b.padTo8(); b.mark("lbtlf")
+        b.ascii("BTLF"); b.u8(0); b.u8(5)
+        b.u32(0L); b.u8(0); b.u32(linkOff); b.u8(0); b.u8(0); b.u8(0)
+        b.u32(0L)
+        headerV2("rootHeader", Seq(
+          Msg(0x0002, 18, bb => { bb.u8(0); bb.u8(0)
+            bb.ref("lfrhp"); bb.ref("lbthd") })))
+      case s => sys.error(s"unknown group style $s")
+    }
+
+    b.mark("eof")
+    b.result()
+  }
+
   /** v3 attribute (unpadded name/dt/ds) for the OHDR fixture. */
   private def attr2(name: String, dt: Array[Byte], ds: Array[Byte],
                     dataSize: Int)(data: Buf => Unit): Msg = {

@@ -130,6 +130,38 @@ class Hdf5Spec extends AnyFunSuite {
     assert(math.abs(mean - want) < 1e-9, s"$mean != $want")
   }
 
+  private lazy val f3 = Hdf5.parse(Hdf5Fixture.fixture3())
+
+  test("fixture3: dense-link group walk finds all 12 variables (incl. a UTF-8 name)") {
+    assert(f3.datasets.map(_.name).toSet ==
+      (0 until 10).map(i => s"v$i").toSet + "tempé" + "va")
+  }
+
+  test("fixture3: values decode through fractal-heap link targets") {
+    val p = new Hdf5.TestReader(Hdf5Fixture.fixture3())
+    assert(p.readDoubles("v0").toSeq == Seq(0.0, 0.5))
+    assert(p.readDoubles("v9").toSeq == Seq(9.0, 9.5))
+    assert(p.readDoubles("tempé").toSeq == Seq(250.5, 251.5))
+  }
+
+  test("fixture3: dense attributes decode via the type-8 name index") {
+    val a = f3("va").attrs
+    assert(a("units") == "K")
+    assert(a("scale_factor") == Seq(0.01))
+    // the other 11 variables carry no Attribute Info message
+    assert(f3("v0").attrs.isEmpty)
+  }
+
+  test("fixture3: readVars flattens dense-group variables, CF-unpacks dense attrs") {
+    val df = Hdf5.readVars(spark, writeTmp(Hdf5Fixture.fixture3()),
+      Seq("v1", "va"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    // va's scale_factor=0.01 arrives through the DENSE attribute path and
+    // must still drive the CF unpacking: raw 7.0/8.0 → 0.07/0.08
+    assert(rows.toSeq == Seq((0L, 1.0, 0.07), (1L, 1.5, 0.08)))
+  }
+
   test("unsupported features fail fast with the spec feature named") {
     // flip the layout version byte of a known message to v4
     val bytes = Hdf5Fixture.fixture1()

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.nlp.{Parsers, Similarity}
 import graft.operators.PortableHash
+import graft.sources.Hdf5
 
 /** Property tests (SURVEY §5 strategy item 4) for the pure layers —
   * similarity, hashing, parsers — plus Spark round-trip laws on small
@@ -277,5 +278,32 @@ class PropertySpec extends AnyFunSuite {
         wide.select(back.columns.map(org.apache.spark.sql.functions.col): _*)
           .orderBy("Year").collect().toSeq
     }, (p: org.scalacheck.Test.Parameters) => p.withMinSuccessfulTests(5))
+  }
+
+  test("Hdf5: parse-decode round-trip across the swept layout grid") {
+    // sweeps what the 13 hand-picked Hdf5Spec cases sample: group style
+    // (old symbol-table / compact links / dense fractal-heap) × storage
+    // (contiguous / chunked with arbitrary grids, incl. overhang) ×
+    // filters (shuffle+deflate on int16 chunks) × element type. The
+    // fixture emits the bytes from the format spec; the reader must give
+    // back the exact row-major values for EVERY combination.
+    val gen = for {
+      style <- Gen.oneOf(0, 1, 2)
+      n0 <- Gen.choose(1, 4)
+      n1 <- Gen.choose(1, 5)
+      chunk <- Gen.option(Gen.zip(Gen.choose(1, 5), Gen.choose(1, 6)))
+      useShort <- Gen.oneOf(true, false)
+      filtered <- if (useShort && chunk.isDefined) Gen.oneOf(true, false)
+                  else Gen.const(false)
+      vals <- Gen.listOfN(n0 * n1,
+        if (useShort) Gen.choose(-32768, 32767).map(_.toDouble)
+        else Gen.choose(-1e6, 1e6))
+    } yield (style, (n0, n1), chunk, filtered, useShort, vals)
+    check(Prop.forAllNoShrink(gen) {
+      case (style, shape, chunk, filtered, useShort, vals) =>
+        val bytes = Hdf5Fixture.fixtureCustom(style, shape, chunk, filtered,
+          useShort, vals)
+        new Hdf5.TestReader(bytes).readDoubles("x").toSeq == vals
+    }, (p: org.scalacheck.Test.Parameters) => p.withMinSuccessfulTests(80))
   }
 }
