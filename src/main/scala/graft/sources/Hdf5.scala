@@ -406,19 +406,52 @@ object Hdf5 {
       }
     }
 
-    /** Record positions of a v2 B-tree whose root is a leaf (depth 0 —
-      * several hundred records at the default node size; deeper trees
-      * fail-fast). Records are fixed-size; layout depends on the type. */
+    /** Record positions of a v2 B-tree, depth 0 (root is a leaf) or
+      * depth 1 (root is an internal node over leaf children) — at the
+      * default 2 KiB node size that is ~185 and ~32k dense links
+      * respectively; deeper trees fail-fast. Records are fixed-size;
+      * layout depends on the record type. */
     private def btree2RecordPositions(addr: Long, expectType: Int): Seq[Int] = {
       val p = checkSig(addr, "BTHD", "v2 B-tree header")
       require(u8(p + 5) == expectType,
         s"v2 B-tree record type ${u8(p + 5)} — expected $expectType")
+      val nodeSize = u32(p + 6)
       val recSize = u16(p + 10)
-      if (u16(p + 12) != 0) fail("v2 B-tree depth >= 1 (very large dense group)")
+      val depth = u16(p + 12)
       val rootAddr = i64(p + 16)
-      val nrec = u16(p + 24)
-      val lp = checkSig(rootAddr, "BTLF", "v2 B-tree leaf")
-      (0 until nrec).map(i => lp + 6 + i * recSize)
+      val rootNrec = u16(p + 24)
+      def leafRecords(leafAddr: Long, nrec: Int): Seq[Int] = {
+        val lp = checkSig(leafAddr, "BTLF", "v2 B-tree leaf")
+        (0 until nrec).map(i => lp + 6 + i * recSize)
+      }
+      depth match {
+        case 0 => leafRecords(rootAddr, rootNrec)
+        case 1 =>
+          // internal node: all records first, then nrec+1 child pointers
+          // of (address, child record count). The count field's width is
+          // the minimum bytes holding the max records ANY node can store
+          // — the leaf bound, since internal nodes also carry pointers.
+          val ip = checkSig(rootAddr, "BTIN", "v2 B-tree internal node")
+          val leafMaxNrec = (nodeSize - 10) / recSize // sig+ver+type+checksum
+          val nrecBytes = {
+            var n = leafMaxNrec; var b = 0
+            while (n > 0) { n >>= 8; b += 1 }
+            math.max(b, 1)
+          }
+          val recs = (0 until rootNrec).map(i => ip + 6 + i * recSize)
+          var q = ip + 6 + rootNrec * recSize
+          val fromLeaves = (0 to rootNrec).flatMap { _ =>
+            val childAddr = i64(q); q += 8
+            var childNrec = 0L
+            (0 until nrecBytes).foreach { i =>
+              childNrec |= (bytes(q + i) & 0xffL) << (8 * i)
+            }
+            q += nrecBytes
+            leafRecords(childAddr, childNrec.toInt)
+          }
+          recs ++ fromLeaves
+        case d => fail(s"v2 B-tree depth $d (beyond one internal level)")
+      }
     }
 
     /** Dense group links: every type-5 (link name) record's heap ID

@@ -630,6 +630,194 @@ object Hdf5Fixture {
     b.result()
   }
 
+  // ---- fixture 4: dense links through a root INDIRECT heap block --------
+
+  /** The larger-heap variant of fixture3: the fractal heap has outgrown
+    * a single direct block, so the root is an INDIRECT block (FHIB)
+    * whose doubling table holds four 64-byte direct children (2 rows ×
+    * width 2), and the 12 link messages spread 3-per-block — offset
+    * resolution must walk the table, not assume block 0. */
+  def fixture4(): Array[Byte] = {
+    val b = new Buf
+    val blockSize = 64L
+    val nBlocks = 4
+
+    b.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.u8(2); b.u8(8); b.u8(8); b.u8(0)
+    b.u64(0L); b.u64(-1L); b.ref("eof"); b.ref("rootHeader4")
+    b.u32(0L)
+
+    def headerV2(label: String, msgs: Seq[Msg]): Unit = {
+      b.padTo8(); b.mark(label)
+      b.ascii("OHDR"); b.u8(2); b.u8(1)
+      b.u16(msgs.map(_.totalV2).sum)
+      msgs.foreach(_.emitV2(b))
+      b.u32(0L)
+    }
+
+    val varNames = (0 until 12).map(i => s"w$i")
+    varNames.zipWithIndex.foreach { case (n, i) =>
+      b.padTo8(); b.mark(s"data4:$n"); b.f64(i * 1.5)
+      headerV2(s"hdr4:$n", Seq(
+        dataspaceMsg(Seq(1L)),
+        datatypeMsg(dtFloat(8)),
+        Msg(0x0008, 18, bb => { bb.u8(3); bb.u8(1); bb.ref(s"data4:$n")
+          bb.u64(8L) })))
+    }
+
+    // four direct blocks, 3 links each; heap offsets include each
+    // block's own 17-byte header (sig+ver+heapHdrAddr+4-byte offset)
+    val linkOffsets = scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until nBlocks).foreach { blk =>
+      b.padTo8(); b.mark(s"dblock:$blk")
+      val start = b.pos
+      val heapBase = blk * blockSize
+      b.ascii("FHDB"); b.u8(0); b.ref("ifrhp"); b.u32(heapBase)
+      varNames.slice(blk * 3, blk * 3 + 3).foreach { n =>
+        linkOffsets += heapBase + (b.pos - start)
+        val nb = n.getBytes("US-ASCII")
+        b.u8(1); b.u8(0); b.u8(nb.length); b.bytes(nb)
+        b.ref(s"hdr4:$n")
+      }
+      b.zeros((start + blockSize.toInt) - b.pos)
+    }
+
+    // root indirect block: 2 rows × width 2 of direct children
+    b.padTo8(); b.mark("fhib")
+    b.ascii("FHIB"); b.u8(0); b.ref("ifrhp"); b.u32(0L)
+    (0 until nBlocks).foreach(blk => b.ref(s"dblock:$blk"))
+    b.u32(0L) // checksum
+
+    b.padTo8(); b.mark("ifrhp")
+    b.ascii("FRHP"); b.u8(0)
+    b.u16(8); b.u16(0); b.u8(0)
+    b.u32(4096L)
+    b.u64(0L); b.u64(-1L); b.u64(0L); b.u64(-1L)
+    b.u64(blockSize * nBlocks); b.u64(blockSize * nBlocks)
+    b.u64(blockSize * nBlocks); b.u64(varNames.size.toLong)
+    b.u64(0L); b.u64(0L); b.u64(0L); b.u64(0L)
+    b.u16(2) // table width
+    b.u64(blockSize) // starting block size
+    b.u64(65536L) // max direct block size
+    b.u16(32); b.u16(2)
+    b.ref("fhib")
+    b.u16(2) // current rows: root is an indirect block
+    b.u32(0L)
+
+    b.padTo8(); b.mark("bthd4")
+    b.ascii("BTHD"); b.u8(0); b.u8(5)
+    b.u32(2048L); b.u16(4 + 8); b.u16(0)
+    b.u8(100); b.u8(40)
+    b.ref("btlf4"); b.u16(varNames.size); b.u64(varNames.size.toLong); b.u32(0L)
+    b.padTo8(); b.mark("btlf4")
+    b.ascii("BTLF"); b.u8(0); b.u8(5)
+    linkOffsets.foreach { off =>
+      b.u32(0L)
+      b.u8(0); b.u32(off); b.u8(0); b.u8(0); b.u8(0)
+    }
+    b.u32(0L)
+
+    headerV2("rootHeader4", Seq(
+      Msg(0x0002, 18, bb => { bb.u8(0); bb.u8(0)
+        bb.ref("ifrhp"); bb.ref("bthd4") })))
+
+    b.mark("eof")
+    b.result()
+  }
+
+  // ---- fixture 5: depth-1 v2 B-tree name index --------------------------
+
+  /** The deeper-index variant: the 12 dense links' name index has
+    * outgrown one leaf, so the root is an INTERNAL node (BTIN) holding
+    * 2 records and 3 leaf children (3+3+4 records) — child pointers
+    * carry (address, record count) with the count width derived from
+    * the leaf capacity. Heap side stays a single direct block. */
+  def fixture5(): Array[Byte] = {
+    val b = new Buf
+
+    b.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.u8(2); b.u8(8); b.u8(8); b.u8(0)
+    b.u64(0L); b.u64(-1L); b.ref("eof"); b.ref("rootHeader5")
+    b.u32(0L)
+
+    def headerV2(label: String, msgs: Seq[Msg]): Unit = {
+      b.padTo8(); b.mark(label)
+      b.ascii("OHDR"); b.u8(2); b.u8(1)
+      b.u16(msgs.map(_.totalV2).sum)
+      msgs.foreach(_.emitV2(b))
+      b.u32(0L)
+    }
+
+    val varNames = (0 until 12).map(i => s"u$i")
+    varNames.zipWithIndex.foreach { case (n, i) =>
+      b.padTo8(); b.mark(s"data5:$n"); b.f64(i * 2.5)
+      headerV2(s"hdr5:$n", Seq(
+        dataspaceMsg(Seq(1L)),
+        datatypeMsg(dtFloat(8)),
+        Msg(0x0008, 18, bb => { bb.u8(3); bb.u8(1); bb.ref(s"data5:$n")
+          bb.u64(8L) })))
+    }
+
+    // one 512-byte direct heap block with all 12 link messages
+    b.padTo8(); b.mark("hblock5")
+    val hStart = b.pos
+    b.ascii("FHDB"); b.u8(0); b.ref("frhp5"); b.u32(0L)
+    val offs = varNames.map { n =>
+      val off = (b.pos - hStart).toLong
+      val nb = n.getBytes("US-ASCII")
+      b.u8(1); b.u8(0); b.u8(nb.length); b.bytes(nb)
+      b.ref(s"hdr5:$n")
+      off
+    }
+    b.zeros((hStart + 512) - b.pos)
+    b.padTo8(); b.mark("frhp5")
+    b.ascii("FRHP"); b.u8(0)
+    b.u16(8); b.u16(0); b.u8(0)
+    b.u32(4096L)
+    b.u64(0L); b.u64(-1L); b.u64(0L); b.u64(-1L)
+    b.u64(512L); b.u64(512L); b.u64(512L); b.u64(12L)
+    b.u64(0L); b.u64(0L); b.u64(0L); b.u64(0L)
+    b.u16(4); b.u64(512L); b.u64(65536L)
+    b.u16(32); b.u16(1); b.ref("hblock5"); b.u16(0)
+    b.u32(0L)
+
+    def record(off: Long): Unit = {
+      b.u32(0L) // name hash (unread)
+      b.u8(0); b.u32(off); b.u8(0); b.u8(0); b.u8(0) // managed heap ID
+    }
+
+    // leaves: [0..2], [4..6], [8..11]; internal root records: 3, 7
+    val leaves = Seq(Seq(0, 1, 2), Seq(4, 5, 6), Seq(8, 9, 10, 11))
+    leaves.zipWithIndex.foreach { case (idxs, li) =>
+      b.padTo8(); b.mark(s"btlf5:$li")
+      b.ascii("BTLF"); b.u8(0); b.u8(5)
+      idxs.foreach(i => record(offs(i)))
+      b.u32(0L) // checksum
+    }
+    b.padTo8(); b.mark("btin5")
+    b.ascii("BTIN"); b.u8(0); b.u8(5)
+    Seq(3, 7).foreach(i => record(offs(i)))
+    // child pointers: address + 1-byte record count (leaf capacity
+    // (2048-10)/12 = 169 fits one byte)
+    leaves.zipWithIndex.foreach { case (idxs, li) =>
+      b.ref(s"btlf5:$li"); b.u8(idxs.size)
+    }
+    b.u32(0L) // checksum
+
+    b.padTo8(); b.mark("bthd5")
+    b.ascii("BTHD"); b.u8(0); b.u8(5)
+    b.u32(2048L); b.u16(12); b.u16(1) // node size, record size, DEPTH 1
+    b.u8(100); b.u8(40)
+    b.ref("btin5"); b.u16(2); b.u64(12L); b.u32(0L)
+
+    headerV2("rootHeader5", Seq(
+      Msg(0x0002, 18, bb => { bb.u8(0); bb.u8(0)
+        bb.ref("frhp5"); bb.ref("bthd5") })))
+
+    b.mark("eof")
+    b.result()
+  }
+
   // ---- parameterized fixture: the property-fuzz surface ----------------
 
   /** One 2-D variable `x`, emitted across the reader's layout grid:

@@ -162,6 +162,28 @@ class Hdf5Spec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0L, 1.0, 0.07), (1L, 1.5, 0.08)))
   }
 
+  test("fixture4: dense links resolve through a root INDIRECT heap block") {
+    val f4 = Hdf5.parse(Hdf5Fixture.fixture4())
+    assert(f4.datasets.map(_.name).toSet == (0 until 12).map(i => s"w$i").toSet)
+    val p = new Hdf5.TestReader(Hdf5Fixture.fixture4())
+    // values live 3-per-direct-block: w0 (block 0), w7 (block 2), w11
+    // (block 3) prove the doubling-table walk, not just block 0
+    assert(p.readDoubles("w0").toSeq == Seq(0.0))
+    assert(p.readDoubles("w7").toSeq == Seq(10.5))
+    assert(p.readDoubles("w11").toSeq == Seq(16.5))
+  }
+
+  test("fixture5: dense links resolve through a depth-1 (internal + leaves) name index") {
+    val f5 = Hdf5.parse(Hdf5Fixture.fixture5())
+    assert(f5.datasets.map(_.name).toSet == (0 until 12).map(i => s"u$i").toSet)
+    val p = new Hdf5.TestReader(Hdf5Fixture.fixture5())
+    // u3 and u7 live in the INTERNAL node's own records; u11 in the last
+    // leaf — all three paths of the depth-1 walk
+    assert(p.readDoubles("u3").toSeq == Seq(7.5))
+    assert(p.readDoubles("u7").toSeq == Seq(17.5))
+    assert(p.readDoubles("u11").toSeq == Seq(27.5))
+  }
+
   test("unsupported features fail fast with the spec feature named") {
     // flip the layout version byte of a known message to v4
     val bytes = Hdf5Fixture.fixture1()
