@@ -243,8 +243,15 @@ object CorpusOps {
     val prefix = s"graft_c12_$fp"
     val bucketCols = Map("bands" -> Seq("band", "sig"),
       "shingles" -> Seq("id"), "sizes" -> Seq("id"))
-    if (!bucketCols.keys.forall(t => s.catalog.tableExists(s"${prefix}_$t"))) {
-      val marker = root.resolve("_INDEX_OK")
+    val marker = root.resolve("_INDEX_OK")
+    // registered tables are only trustworthy while the marker survives:
+    // artifactRoot's stale-fingerprint prune (a session alternating data
+    // dirs) deletes files out from under still-registered catalog entries
+    val registered = bucketCols.keys.forall(t =>
+      s.catalog.tableExists(s"${prefix}_$t"))
+    if (registered && !java.nio.file.Files.exists(marker))
+      bucketCols.keys.foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
+    if (!registered || !java.nio.file.Files.exists(marker)) {
       if (java.nio.file.Files.exists(marker)) {
         // files landed by an earlier process: re-attach by DDL, no rewrite
         bucketCols.foreach { case (t, cols) =>

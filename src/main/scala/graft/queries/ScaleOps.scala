@@ -858,8 +858,14 @@ object ScaleOps {
   private def ensureBucketedTable(s: SparkSession, name: String,
                                   path: java.nio.file.Path, source: => DataFrame,
                                   bucketCols: Seq[String], n: Int): Unit = {
-    if (s.catalog.tableExists(name)) return
     val marker = path.resolve("_BUCKETS_OK")
+    if (s.catalog.tableExists(name)) {
+      // a registered table is only trustworthy while its files' marker
+      // survives — artifactRoot's stale-fingerprint prune (e.g. a session
+      // alternating data dirs) deletes files out from under the catalog
+      if (java.nio.file.Files.exists(marker)) return
+      s.sql(s"DROP TABLE IF EXISTS $name")
+    }
     if (java.nio.file.Files.exists(marker)) {
       val cols = bucketCols.mkString(", ")
       s.sql(s"CREATE TABLE $name (${s.read.parquet(path.toString).schema.toDDL}) " +
