@@ -30,9 +30,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     signs/orders), IEEE float32/64, fixed strings, object
   *     references, vlen sequences (for DIMENSION_LIST) and vlen
   *     strings;
-  *   - data layout v3: compact, contiguous, and chunked over a v1
-  *     B-tree chunk index (v4 layouts / 1.10 chunk indexes are
-  *     fail-fast);
+  *   - data layout v3 (compact, contiguous, chunked over a v1 B-tree
+  *     chunk index) AND the common v4 (1.10+) shapes: compact,
+  *     contiguous, chunked with Single Chunk (filtered or not) and
+  *     Implicit indexes — robust to either chunk-dimensionality
+  *     convention; fixed/extensible-array and v2-B-tree chunk indexes
+  *     fail-fast;
   *   - filter pipeline v1/v2 with deflate (`java.util.zip.Inflater`),
   *     shuffle (byte de-interleave), and fletcher32 (checksum strip);
   *   - attributes v1/v2/v3, including vlen-reference values resolved
@@ -60,6 +63,15 @@ object Hdf5 {
   case class Compact(data: Array[Byte]) extends Layout
   case class Contiguous(addr: Long, size: Long) extends Layout
   case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
+  /** v4 "Single Chunk" index: the whole dataset is one chunk at `addr`;
+    * `filteredSize < 0` means unfiltered. `dims` may or may not carry
+    * the trailing element-size entry — resolved against the dataspace
+    * rank at decode time. */
+  case class ChunkedSingle(addr: Long, dims: Seq[Int],
+                           filteredSize: Long, filterMask: Int) extends Layout
+  /** v4 "Implicit" index: unfiltered fixed-size chunks stored
+    * back-to-back in row-major chunk-grid order starting at `addr`. */
+  case class ChunkedImplicit(addr: Long, dims: Seq[Int]) extends Layout
 
   case class Filter(id: Int, flags: Int, values: Seq[Int])
 
@@ -572,7 +584,46 @@ object Hdf5 {
             Chunked(btree, dims)
           case c => fail(s"data layout class $c")
         }
-        case 4 => fail("data layout message v4 (1.10+ chunk indexes)")
+        case 4 => u8(body + 1) match {
+          // v4 compact/contiguous bodies match v3's
+          case 0 =>
+            val sz = u16(body + 2)
+            Compact(java.util.Arrays.copyOfRange(bytes, body + 4, body + 4 + sz))
+          case 1 => Contiguous(i64(body + 2), i64(body + 10))
+          case 2 =>
+            // chunked v4: flags(1), dimensionality(1), dim-size encoded
+            // length(1), dims, chunk indexing type(1), index info, addr.
+            // Whether `dims` carries the trailing element-size entry is
+            // resolved against the dataspace rank at decode time, so
+            // both conventions parse correctly.
+            val flags = u8(body + 2)
+            val ndims = u8(body + 3)
+            val encLen = u8(body + 4)
+            var q = body + 5
+            val dims = (0 until ndims).map { _ =>
+              var v = 0L
+              (0 until encLen).foreach(i => v |= (bytes(q + i) & 0xffL) << (8 * i))
+              q += encLen
+              v.toInt
+            }
+            u8(q) match {
+              case 1 => // single chunk; filtered variants carry size+mask
+                q += 1
+                val (fsize, fmask) =
+                  if ((flags & 0x2) != 0) {
+                    val s = i64(q); q += 8
+                    val m = u32(q).toInt; q += 4
+                    (s, m)
+                  } else (-1L, 0)
+                ChunkedSingle(i64(q), dims, fsize, fmask)
+              case 2 => // implicit: address only, unfiltered
+                q += 1
+                ChunkedImplicit(i64(q), dims)
+              case t => fail(s"v4 chunk index type $t " +
+                "(fixed/extensible array, v2 B-tree chunk indexes)")
+            }
+          case c => fail(s"v4 data layout class $c")
+        }
         case v => fail(s"data layout message v$v")
       }
     }
@@ -712,8 +763,48 @@ object Hdf5 {
             s"chunk rank ${chunkDims.size} != dataspace rank ${ds.shape.size}")
           if (btree != Undef)
             walkChunks(btree.toInt, ds, chunkDims)(out)
+        case ChunkedSingle(addr, dimsRaw, fsize, fmask) =>
+          if (addr != Undef) {
+            val chunkDims = normChunkDims(dimsRaw, ds)
+            val sz = if (fsize >= 0) fsize.toInt
+                     else chunkDims.product * ds.dtype.size
+            val raw = java.util.Arrays.copyOfRange(bytes, addr.toInt,
+              addr.toInt + sz)
+            val data = if (fsize >= 0) defilter(raw, ds.filters, fmask, ds.dtype.size)
+                       else raw
+            scatterChunk(data, ds, chunkDims, chunkDims.map(_ => 0L), out)
+          }
+        case ChunkedImplicit(addr, dimsRaw) =>
+          if (addr != Undef) {
+            val chunkDims = normChunkDims(dimsRaw, ds)
+            val chunkBytes = chunkDims.product * ds.dtype.size
+            val grid = ds.shape.zip(chunkDims)
+              .map { case (s, c) => ((s + c - 1) / c).toInt }
+            (0 until grid.product).foreach { ci =>
+              var rem = ci
+              val origin = new Array[Long](grid.size)
+              grid.indices.reverse.foreach { d =>
+                origin(d) = (rem % grid(d)).toLong * chunkDims(d)
+                rem /= grid(d)
+              }
+              val start = addr.toInt + ci * chunkBytes
+              val raw = java.util.Arrays.copyOfRange(bytes, start,
+                start + chunkBytes)
+              scatterChunk(raw, ds, chunkDims, origin.toSeq, out)
+            }
+          }
       }
       out
+    }
+
+    /** v4 chunk dims may or may not carry the trailing element-size
+      * entry (the v3 convention); resolve against the dataspace rank so
+      * either encoding decodes. */
+    private def normChunkDims(dims: Seq[Int], ds: Dataset): Seq[Int] = {
+      val d = if (dims.size == ds.shape.size + 1) dims.dropRight(1) else dims
+      require(d.size == ds.shape.size,
+        s"chunk rank ${d.size} != dataspace rank ${ds.shape.size}")
+      d
     }
 
     private def walkChunks(p: Int, ds: Dataset, chunkDims: Seq[Int])

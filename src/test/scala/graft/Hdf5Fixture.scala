@@ -818,6 +818,98 @@ object Hdf5Fixture {
     b.result()
   }
 
+  // ---- fixture 6: v4 data layouts (1.10+ Single Chunk / Implicit) -------
+
+  /** One variable `y` of shape (3,4) under a v4 chunked data-layout
+    * message. Kinds: "single2" = Single Chunk index with rank-only chunk
+    * dims; "single3" = the same with the v3-style rank+1 (element-size)
+    * dims — the reader must accept either convention; "singleFiltered" =
+    * Single Chunk of shuffled+deflated int16; "implicit" = Implicit
+    * index, four unfiltered (2,3)-chunks back-to-back in row-major grid
+    * order (overhang clipped). */
+  def fixture6(kind: String): Array[Byte] = {
+    val b = new Buf
+    val shape = (3, 4)
+    val useShort = kind == "singleFiltered"
+    val vals = (0 until 12).map(i => if (useShort) (i * 3 - 5).toDouble
+                                     else i * 1.25)
+
+    b.bytes(Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.u8(2); b.u8(8); b.u8(8); b.u8(0)
+    b.u64(0L); b.u64(-1L); b.ref("eof"); b.ref("rootHeader6")
+    b.u32(0L)
+
+    def headerV2(label: String, msgs: Seq[Msg]): Unit = {
+      b.padTo8(); b.mark(label)
+      b.ascii("OHDR"); b.u8(2); b.u8(1)
+      b.u16(msgs.map(_.totalV2).sum)
+      msgs.foreach(_.emitV2(b))
+      b.u32(0L)
+    }
+
+    // chunk data first (filtered size must be known before the message)
+    var filteredLen = -1
+    kind match {
+      case "implicit" =>
+        // grid origins row-major: (0,0) (0,3) (2,0) (2,3) for (2,3) chunks
+        b.padTo8(); b.mark("chunks6")
+        for (g0 <- 0 until 2; g1 <- 0 until 2) {
+          for (i0 <- 0 until 2; i1 <- 0 until 3) {
+            val (r, c) = (g0 * 2 + i0, g1 * 3 + i1)
+            b.f64(if (r < 3 && c < 4) vals(r * 4 + c) else 0.0)
+          }
+        }
+      case "singleFiltered" =>
+        val raw = shuffleDeflate(vals.map(_.toInt.toShort).toArray)
+        filteredLen = raw.length
+        b.padTo8(); b.mark("chunks6"); b.bytes(raw)
+      case _ =>
+        b.padTo8(); b.mark("chunks6"); vals.foreach(b.f64)
+    }
+
+    val dt = if (useShort) dtFixed(2, signed = true) else dtFloat(8)
+    val layoutMsg = kind match {
+      case "single2" => // rank-only dims, unfiltered single chunk
+        Msg(0x0008, 2 + 3 + 2 + 1 + 8, bb => {
+          bb.u8(4); bb.u8(2); bb.u8(0); bb.u8(2); bb.u8(1)
+          bb.u8(3); bb.u8(4)
+          bb.u8(1); bb.ref("chunks6")
+        })
+      case "single3" => // v3-style rank+1 dims (trailing element size)
+        Msg(0x0008, 2 + 3 + 3 + 1 + 8, bb => {
+          bb.u8(4); bb.u8(2); bb.u8(0); bb.u8(3); bb.u8(1)
+          bb.u8(3); bb.u8(4); bb.u8(8)
+          bb.u8(1); bb.ref("chunks6")
+        })
+      case "singleFiltered" => // flags bit1: filtered size + mask present
+        Msg(0x0008, 2 + 3 + 2 + 1 + 12 + 8, bb => {
+          bb.u8(4); bb.u8(2); bb.u8(2); bb.u8(2); bb.u8(1)
+          bb.u8(3); bb.u8(4)
+          bb.u8(1); bb.u64(filteredLen.toLong); bb.u32(0L)
+          bb.ref("chunks6")
+        })
+      case "implicit" =>
+        Msg(0x0008, 2 + 3 + 2 + 1 + 8, bb => {
+          bb.u8(4); bb.u8(2); bb.u8(0); bb.u8(2); bb.u8(1)
+          bb.u8(2); bb.u8(3)
+          bb.u8(2); bb.ref("chunks6")
+        })
+      case k => sys.error(s"unknown fixture6 kind $k")
+    }
+    val msgs = Seq(
+      dataspaceMsg(Seq(shape._1.toLong, shape._2.toLong)),
+      datatypeMsg(dt), layoutMsg) ++
+      (if (useShort) Seq(filtersMsg(elemSize = 2)) else Nil)
+    headerV2("hdr6:y", msgs)
+
+    headerV2("rootHeader6", Seq(
+      Msg(0x0006, 2 + 1 + 1 + 8, bb => { bb.u8(1); bb.u8(0); bb.u8(1)
+        bb.ascii("y"); bb.ref("hdr6:y") })))
+
+    b.mark("eof")
+    b.result()
+  }
+
   // ---- parameterized fixture: the property-fuzz surface ----------------
 
   /** One 2-D variable `x`, emitted across the reader's layout grid:

@@ -184,6 +184,17 @@ class Hdf5Spec extends AnyFunSuite {
     assert(p.readDoubles("u11").toSeq == Seq(27.5))
   }
 
+  test("fixture6: v4 Single Chunk / Implicit layouts decode, either dims convention") {
+    val want = (0 until 12).map(_ * 1.25)
+    Seq("single2", "single3", "implicit").foreach { kind =>
+      val p = new Hdf5.TestReader(Hdf5Fixture.fixture6(kind))
+      assert(p.readDoubles("y").toSeq == want, s"kind=$kind")
+    }
+    // filtered single chunk: shuffled+deflated int16
+    val pf = new Hdf5.TestReader(Hdf5Fixture.fixture6("singleFiltered"))
+    assert(pf.readDoubles("y").toSeq == (0 until 12).map(i => (i * 3 - 5).toDouble))
+  }
+
   test("unsupported features fail fast with the spec feature named") {
     // flip the layout version byte of a known message to v4
     val bytes = Hdf5Fixture.fixture1()

@@ -560,6 +560,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s31, "SortMergeJoin") == 0 && nodeCount(s31, "CartesianProduct") == 0)
   }
 
+  test("e33 OHLC: one hash-aggregate family over the composite key, zero windows") {
+    val s = formatted(SparkEntry.queries("e33_ohlc")(spark, sfDir))
+    // the scaladoc claim: min_by/max_by over the total-order key makes
+    // OHLC a pure two-phase aggregate — a window over raw events would
+    // re-sort the whole stream per type
+    assert(nodeCount(s, "Window") == 0, "no window machinery expected: " + s.take(1200))
+    assert(s.contains("partial_"), "open/close must combine map-side")
+    assert(nodeCount(s, "HashAggregate") + nodeCount(s, "SortAggregate") >= 2,
+      "expected partial+final aggregates: " + s.take(1200))
+  }
+
+  test("e34 incremental agg: base+delta aggregate families merge without window or cartesian") {
+    val s = formatted(SparkEntry.queries("e34_incremental_agg")(spark, sfDir))
+    assert(nodeCount(s, "Window") == 0, s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+    // the merge is a |types|-row join of two aggregate families
+    assert(nodeCount(s, "HashAggregate") >= 4,
+      "base and delta must each partial+final aggregate: " + s.take(1200))
+  }
+
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
     val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
     finally spark.catalog.clearCache() // d25 persists its gram table
