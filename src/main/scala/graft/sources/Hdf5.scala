@@ -32,10 +32,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     strings;
   *   - data layout v3 (compact, contiguous, chunked over a v1 B-tree
   *     chunk index) AND the common v4 (1.10+) shapes: compact,
-  *     contiguous, chunked with Single Chunk (filtered or not) and
-  *     Implicit indexes — robust to either chunk-dimensionality
-  *     convention; fixed/extensible-array and v2-B-tree chunk indexes
-  *     fail-fast;
+  *     contiguous, chunked with Single Chunk (filtered or not),
+  *     Implicit, and unpaged Fixed Array (both clients) indexes —
+  *     robust to either chunk-dimensionality convention;
+  *     paged/extensible-array and v2-B-tree chunk indexes fail-fast;
   *   - filter pipeline v1/v2 with deflate (`java.util.zip.Inflater`),
   *     shuffle (byte de-interleave), and fletcher32 (checksum strip);
   *   - attributes v1/v2/v3, including vlen-reference values resolved
@@ -72,6 +72,11 @@ object Hdf5 {
   /** v4 "Implicit" index: unfiltered fixed-size chunks stored
     * back-to-back in row-major chunk-grid order starting at `addr`. */
   case class ChunkedImplicit(addr: Long, dims: Seq[Int]) extends Layout
+  /** v4 "Fixed Array" index: chunk addresses (client 0) or
+    * (address, size, mask) entries (client 1, filtered) in a fixed
+    * array keyed by row-major chunk-grid index; `addr` is the FAHD
+    * header. Unpaged arrays only — paged fail-fast. */
+  case class ChunkedFixedArray(addr: Long, dims: Seq[Int]) extends Layout
 
   case class Filter(id: Int, flags: Int, values: Seq[Int])
 
@@ -619,8 +624,11 @@ object Hdf5 {
               case 2 => // implicit: address only, unfiltered
                 q += 1
                 ChunkedImplicit(i64(q), dims)
+              case 3 => // fixed array: page bits byte, then header addr
+                q += 2
+                ChunkedFixedArray(i64(q), dims)
               case t => fail(s"v4 chunk index type $t " +
-                "(fixed/extensible array, v2 B-tree chunk indexes)")
+                "(extensible array, v2 B-tree chunk indexes)")
             }
           case c => fail(s"v4 data layout class $c")
         }
@@ -778,23 +786,70 @@ object Hdf5 {
           if (addr != Undef) {
             val chunkDims = normChunkDims(dimsRaw, ds)
             val chunkBytes = chunkDims.product * ds.dtype.size
-            val grid = ds.shape.zip(chunkDims)
-              .map { case (s, c) => ((s + c - 1) / c).toInt }
+            val grid = chunkGrid(ds, chunkDims)
             (0 until grid.product).foreach { ci =>
-              var rem = ci
-              val origin = new Array[Long](grid.size)
-              grid.indices.reverse.foreach { d =>
-                origin(d) = (rem % grid(d)).toLong * chunkDims(d)
-                rem /= grid(d)
-              }
               val start = addr.toInt + ci * chunkBytes
               val raw = java.util.Arrays.copyOfRange(bytes, start,
                 start + chunkBytes)
-              scatterChunk(raw, ds, chunkDims, origin.toSeq, out)
+              scatterChunk(raw, ds, chunkDims, chunkOrigin(ci, grid, chunkDims), out)
+            }
+          }
+        case ChunkedFixedArray(addr, dimsRaw) =>
+          if (addr != Undef) {
+            val chunkDims = normChunkDims(dimsRaw, ds)
+            val p = checkSig(addr, "FAHD", "fixed array header")
+            val clientId = u8(p + 5) // 0 chunks, 1 filtered chunks
+            val entrySize = u8(p + 6)
+            val pageBits = u8(p + 7)
+            val maxEntries = i64(p + 8)
+            val dbAddr = i64(p + 16)
+            if (maxEntries > (1L << pageBits))
+              fail("paged fixed-array chunk index")
+            val dp = checkSig(dbAddr, "FADB", "fixed array data block")
+            val elems = dp + 4 + 1 + 1 + 8 // sig, version, client, hdr addr
+            val grid = chunkGrid(ds, chunkDims)
+            val chunkBytes = chunkDims.product * ds.dtype.size
+            require(grid.product <= maxEntries,
+              s"chunk grid ${grid.product} exceeds fixed-array capacity $maxEntries")
+            (0 until grid.product).foreach { ci =>
+              val e = elems + ci * entrySize
+              val caddr = i64(e)
+              if (caddr != Undef && caddr != 0L) {
+                val data =
+                  if (clientId == 1) {
+                    // entry: address, chunk size (entrySize-12 bytes), mask
+                    val szBytes = entrySize - 8 - 4
+                    var sz = 0L
+                    (0 until szBytes).foreach { i =>
+                      sz |= (bytes(e + 8 + i) & 0xffL) << (8 * i)
+                    }
+                    val mask = u32(e + 8 + szBytes).toInt
+                    val raw = java.util.Arrays.copyOfRange(bytes, caddr.toInt,
+                      caddr.toInt + sz.toInt)
+                    defilter(raw, ds.filters, mask, ds.dtype.size)
+                  } else java.util.Arrays.copyOfRange(bytes, caddr.toInt,
+                    caddr.toInt + chunkBytes)
+                scatterChunk(data, ds, chunkDims, chunkOrigin(ci, grid, chunkDims), out)
+              }
             }
           }
       }
       out
+    }
+
+    /** Chunks per dimension (ceil division). */
+    private def chunkGrid(ds: Dataset, chunkDims: Seq[Int]): Seq[Int] =
+      ds.shape.zip(chunkDims).map { case (s, c) => ((s + c - 1) / c).toInt }
+
+    /** Element origin of the row-major `ci`-th chunk of the grid. */
+    private def chunkOrigin(ci: Int, grid: Seq[Int], chunkDims: Seq[Int]): Seq[Long] = {
+      var rem = ci
+      val origin = new Array[Long](grid.size)
+      grid.indices.reverse.foreach { d =>
+        origin(d) = (rem % grid(d)).toLong * chunkDims(d)
+        rem /= grid(d)
+      }
+      origin.toSeq
     }
 
     /** v4 chunk dims may or may not carry the trailing element-size

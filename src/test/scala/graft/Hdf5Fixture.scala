@@ -830,7 +830,7 @@ object Hdf5Fixture {
   def fixture6(kind: String): Array[Byte] = {
     val b = new Buf
     val shape = (3, 4)
-    val useShort = kind == "singleFiltered"
+    val useShort = kind == "singleFiltered" || kind == "fixedArrayFiltered"
     val vals = (0 until 12).map(i => if (useShort) (i * 3 - 5).toDouble
                                      else i * 1.25)
 
@@ -849,22 +849,52 @@ object Hdf5Fixture {
 
     // chunk data first (filtered size must be known before the message)
     var filteredLen = -1
+    // (2,3) chunks over (3,4): grid origins row-major (0,0)(0,3)(2,0)(2,3)
+    def chunkElems(g0: Int, g1: Int): Seq[Double] =
+      for (i0 <- 0 until 2; i1 <- 0 until 3) yield {
+        val (r, c) = (g0 * 2 + i0, g1 * 3 + i1)
+        if (r < 3 && c < 4) vals(r * 4 + c) else 0.0
+      }
+    var faSizes = Seq.empty[Int]
     kind match {
       case "implicit" =>
-        // grid origins row-major: (0,0) (0,3) (2,0) (2,3) for (2,3) chunks
         b.padTo8(); b.mark("chunks6")
-        for (g0 <- 0 until 2; g1 <- 0 until 2) {
-          for (i0 <- 0 until 2; i1 <- 0 until 3) {
-            val (r, c) = (g0 * 2 + i0, g1 * 3 + i1)
-            b.f64(if (r < 3 && c < 4) vals(r * 4 + c) else 0.0)
-          }
-        }
+        for (g0 <- 0 until 2; g1 <- 0 until 2) chunkElems(g0, g1).foreach(b.f64)
       case "singleFiltered" =>
         val raw = shuffleDeflate(vals.map(_.toInt.toShort).toArray)
         filteredLen = raw.length
         b.padTo8(); b.mark("chunks6"); b.bytes(raw)
+      case "fixedArray" =>
+        // REVERSED file order: the reader must follow the array's
+        // addresses, not file position
+        for ((g0, g1) <- Seq((1, 1), (1, 0), (0, 1), (0, 0))) {
+          b.padTo8(); b.mark(s"fa6:$g0$g1")
+          chunkElems(g0, g1).foreach(b.f64)
+        }
+      case "fixedArrayFiltered" =>
+        faSizes = (for ((g0, g1) <- Seq((0, 0), (0, 1), (1, 0), (1, 1))) yield {
+          val raw = shuffleDeflate(chunkElems(g0, g1).map(_.toInt.toShort).toArray)
+          b.padTo8(); b.mark(s"fa6:$g0$g1"); b.bytes(raw)
+          raw.length
+        })
       case _ =>
         b.padTo8(); b.mark("chunks6"); vals.foreach(b.f64)
+    }
+
+    if (kind.startsWith("fixedArray")) {
+      val filtered = kind == "fixedArrayFiltered"
+      val entrySize = if (filtered) 16 else 8 // addr [+ size(4) + mask(4)]
+      b.padTo8(); b.mark("fadb6")
+      b.ascii("FADB"); b.u8(0); b.u8(if (filtered) 1 else 0); b.ref("fahd6")
+      Seq((0, 0), (0, 1), (1, 0), (1, 1)).zipWithIndex.foreach { case ((g0, g1), i) =>
+        b.ref(s"fa6:$g0$g1")
+        if (filtered) { b.u32(faSizes(i).toLong); b.u32(0L) }
+      }
+      b.u32(0L) // checksum
+      b.padTo8(); b.mark("fahd6")
+      b.ascii("FAHD"); b.u8(0); b.u8(if (filtered) 1 else 0)
+      b.u8(entrySize); b.u8(10) // page bits: 1024 entries/page → unpaged
+      b.u64(4L); b.ref("fadb6"); b.u32(0L)
     }
 
     val dt = if (useShort) dtFixed(2, signed = true) else dtFloat(8)
@@ -893,6 +923,13 @@ object Hdf5Fixture {
           bb.u8(4); bb.u8(2); bb.u8(0); bb.u8(2); bb.u8(1)
           bb.u8(2); bb.u8(3)
           bb.u8(2); bb.ref("chunks6")
+        })
+      case "fixedArray" | "fixedArrayFiltered" =>
+        Msg(0x0008, 2 + 3 + 2 + 2 + 8, bb => {
+          bb.u8(4); bb.u8(2); bb.u8(0); bb.u8(2); bb.u8(1)
+          bb.u8(2); bb.u8(3)
+          bb.u8(3); bb.u8(10) // index type 3, page bits
+          bb.ref("fahd6")
         })
       case k => sys.error(s"unknown fixture6 kind $k")
     }

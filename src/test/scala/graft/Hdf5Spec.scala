@@ -195,6 +195,15 @@ class Hdf5Spec extends AnyFunSuite {
     assert(pf.readDoubles("y").toSeq == (0 until 12).map(i => (i * 3 - 5).toDouble))
   }
 
+  test("fixture6: v4 Fixed Array chunk index decodes, both clients") {
+    // unfiltered: chunks land REVERSED in the file — addresses must rule
+    val p = new Hdf5.TestReader(Hdf5Fixture.fixture6("fixedArray"))
+    assert(p.readDoubles("y").toSeq == (0 until 12).map(_ * 1.25))
+    // filtered client: per-entry (address, size, mask), shuffle+deflate
+    val pf = new Hdf5.TestReader(Hdf5Fixture.fixture6("fixedArrayFiltered"))
+    assert(pf.readDoubles("y").toSeq == (0 until 12).map(i => (i * 3 - 5).toDouble))
+  }
+
   test("unsupported features fail fast with the spec feature named") {
     // flip the layout version byte of a known message to v4
     val bytes = Hdf5Fixture.fixture1()
