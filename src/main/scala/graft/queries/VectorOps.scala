@@ -445,6 +445,96 @@ object VectorOps {
       |  quantile_cont(norm, 0.9) AS p90_norm
       |FROM n""".stripMargin
 
+  /** v9: dominant embedding direction — the SPECTRAL diagnostic a
+    * vector tier runs before trusting an index layout: the top
+    * eigenvector/eigenvalue of the corpus second-moment (Gram/n-free)
+    * matrix T = Σ x·xᵀ, via the textbook two-stage shape:
+    *
+    *   1. DISTRIBUTED: T's dim² entries as one hash aggregate over the
+    *      double-posexploded (i, j, xi·xj) stream — map-side partial
+    *      sums, shuffle carries dim² groups, never rows. The collect is
+    *      bounded by dim² (4096 entries), not the corpus.
+    *   2. DRIVER: 3 deterministic power iterations from the normalized
+    *      all-ones start on the ROUNDED T (6dp — the v3 precedent that
+    *      absorbs double-sum ordering), every step a sequential fold,
+    *      so the oracle replays bit-identical doubles via
+    *      `list_dot_product` CTE chains.
+    *
+    * A dominant eigenvalue close to the total second-moment mass means
+    * the embeddings collapse onto one axis (bad for IVF/PQ routing);
+    * the first components show which axis. At 100 TB stage 1 is the
+    * only data-touching pass; stage 2 is O(dim²) anywhere. */
+  def v9TopEigen(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.operators.AnnSearch.Dim
+    val e = Tables(s, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val ex1 = e.select(col("emb"), posexplode(col("emb")).as(Seq("i", "xi")))
+    val tEntries = ex1
+      .select(col("i"), col("xi"), posexplode(col("emb")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("xi") * col("xj")), 6).as("t"))
+      .collect() // bounded: dim² rows of (i, j, t)
+    val T = Array.ofDim[Double](dim, dim)
+    tEntries.foreach(r => T(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += T(i)(j) * v(j); j += 1 } // sequential fold
+        acc
+      }
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += a(j) * b(j); j += 1 }
+      acc
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    (0 until 3).foreach { _ =>
+      val w = matvec(v)
+      val n = math.sqrt(dotSeq(w, w))
+      v = w.map(_ / n)
+    }
+    val lambda = dotSeq(v, matvec(v)) // Rayleigh quotient
+    // HALF_UP (away from zero) matches DuckDB's ROUND on doubles
+    def r(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import s.implicits._
+    (0 until 8).map(p => (p.toLong, r(v(p), 6), r(lambda, 4)))
+      .toDF("pos", "component", "eigenvalue")
+  }
+
+  private val v9Sql: String = {
+    val dim = graft.operators.AnnSearch.Dim
+    def iter(n: Int): String =
+      s"""w$n AS (
+         |  SELECT i, list_dot_product(row, (SELECT v FROM v${n - 1})) AS w
+         |  FROM trows),
+         |v$n AS (
+         |  SELECT list(w / sqrt((SELECT list_dot_product(list(w ORDER BY i),
+         |    list(w ORDER BY i)) FROM w$n)) ORDER BY i) AS v
+         |  FROM w$n)""".stripMargin
+    s"""WITH tmat AS (
+       |  SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j,
+       |    ROUND(SUM(emb[CAST(a.i AS INTEGER) + 1] * emb[CAST(b.j AS INTEGER) + 1]), 6) AS t
+       |  FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings) e
+       |  CROSS JOIN range($dim) a(i) CROSS JOIN range($dim) b(j)
+       |  GROUP BY a.i, b.j),
+       |trows AS (SELECT i, list(t ORDER BY j) AS row FROM tmat GROUP BY i),
+       |v0 AS (SELECT list_transform(range($dim), x -> 1.0 / sqrt(${dim}.0)) AS v),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |tv AS (
+       |  SELECT i, list_dot_product(row, (SELECT v FROM v3)) AS w FROM trows),
+       |lam AS (
+       |  SELECT list_dot_product((SELECT v FROM v3), list(w ORDER BY i)) AS l
+       |  FROM tv)
+       |SELECT CAST(p AS BIGINT) AS pos,
+       |  ROUND(v[CAST(p AS INTEGER) + 1], 6) AS component,
+       |  ROUND((SELECT l FROM lam), 4) AS eigenvalue
+       |FROM v3 CROSS JOIN range(8) t(p)
+       |ORDER BY pos""".stripMargin
+  }
+
   /** a3: CROSS-MODAL quality↔typicality audit — per-language Pearson
     * correlation between the d3 text-quality score and the document
     * embedding's TYPICALITY (cosine to its label's centroid, v3's
@@ -533,6 +623,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v8_sq8_rerank" -> (v8Sq8Rerank _),
+    "v9_top_eigen" -> (v9TopEigen _),
     "v10_norm_audit" -> (v10NormAudit _),
     "a3_quality_typicality_corr" -> (a3QualityTypicalityCorr _),
     "v7_mmr_rerank" -> (v7MmrRerank _),
@@ -545,6 +636,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "v8_sq8_rerank" -> v8Sql,
+    "v9_top_eigen" -> v9Sql,
     "v10_norm_audit" -> v10Sql,
     "a3_quality_typicality_corr" -> a3Sql,
     "v7_mmr_rerank" -> v7Sql,

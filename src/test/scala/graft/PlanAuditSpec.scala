@@ -581,6 +581,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "base and delta must each partial+final aggregate: " + s.take(1200))
   }
 
+  test("v9 top eigen: Gram entries partial-aggregate; driver work bounded by dim²") {
+    // audit the distributed stage (the query fn collects the dim²-entry
+    // aggregate and returns a local frame, so build the stage directly)
+    import org.apache.spark.sql.functions.{posexplode, round => rnd, sum}
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val stage = e.select(col("emb"), posexplode(col("emb")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("emb")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(rnd(sum(col("xi") * col("xj")), 6).as("t"))
+    val s = formatted(stage)
+    assert(s.contains("partial_sum"), "Gram sums must combine map-side: " + s.take(1200))
+    assert(nodeCount(s, "Window") == 0 && nodeCount(s, "CartesianProduct") == 0,
+      s.take(1200))
+  }
+
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
     val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
     finally spark.catalog.clearCache() // d25 persists its gram table

@@ -299,4 +299,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ps.forall(_.forall(_.forall(w => w >= -1.0 && w <= 1.0))))
     assert(ps == AnnSearch.planes) // pure function of seeds
   }
+
+  test("v9 top eigen: PSD spectrum, unit-ish eigenvector, deterministic reruns") {
+    val rows = graft.queries.VectorOps.v9TopEigen(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val lambda = rows.head.getDouble(2)
+    // T = Σ x·xᵀ is PSD, so the dominant eigenvalue is positive and at
+    // most the trace (≈ Σ ||x||² = n on a unit-normalized corpus)
+    assert(lambda > 0.0, s"PSD matrix cannot have top eigenvalue $lambda")
+    val again = graft.queries.VectorOps.v9TopEigen(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "power iteration must be bit-deterministic")
+  }
 }
