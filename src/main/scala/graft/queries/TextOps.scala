@@ -737,6 +737,95 @@ object TextOps {
        |   (acc, c) -> (acc * ${graft.operators.TextAnalysis.RollBase} + c) % ${graft.operators.TextAnalysis.RollMod}) AS roll_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** d39: CONTENT-DEFINED chunking stats — the blob-level dedup
+    * primitive the fixed-window family (d16 token chunks, d8 whole-doc
+    * hash) lacks: chunk boundaries fall where the 8-char polynomial
+    * window hash (d8's base/modulus) ≡ 0 mod 64 (~64-char expected
+    * chunks), so an insertion shifts only its OWN chunk's boundaries —
+    * every later chunk re-aligns and re-deduplicates, which is exactly
+    * why CDC beats fixed-offset chunking for storage/dedup at scale.
+    * Stateless per position (no min/max-length constraint), so the
+    * whole derivation is row-local codegen'd higher-order functions;
+    * the only shuffles are the |distinct chunk-hash| count and a
+    * |langs|-row rollup. Reports per language: chunk count, total
+    * chars, mean chunk length (c100 integer grid), and the ppm share
+    * of chunk INSTANCES whose md5 occurs ≥ 2 times corpus-wide. */
+  /** The row-local CDC derivation behind [[d39CdcChunks]]: one chunk
+    * string per output row, keyed by the carried columns. Exposed for
+    * the locality spec (an edit must only perturb its own chunks). */
+  private[graft] def cdcChunks(docs: DataFrame, keep: Seq[String]): DataFrame = {
+    val base = graft.operators.TextAnalysis.RollBase
+    val mod = graft.operators.TextAnalysis.RollMod
+    docs
+      .selectExpr((keep :+ "text" :+
+        "transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes"): _*)
+      .selectExpr((keep :+ "text" :+ "CAST(size(codes) AS BIGINT) AS n" :+
+        // window end positions whose 8-char hash hits the 6-bit mask
+        s"""filter(sequence(8L, greatest(CAST(size(codes) AS BIGINT), 8L)), p ->
+              p <= CAST(size(codes) AS BIGINT) AND
+              aggregate(slice(codes, CAST(p AS INT) - 7, 8), 0L,
+                (acc, c) -> (acc * ${base}L + c) % ${mod}L) % 64 = 0) AS pos"""): _*)
+      .selectExpr((keep :+ "text" :+
+        "concat(array(CAST(0 AS BIGINT)), filter(pos, p -> p < n), array(n)) AS bounds"): _*)
+      .selectExpr((keep :+
+        """explode(zip_with(
+             slice(bounds, 1, size(bounds) - 1),
+             slice(bounds, 2, size(bounds) - 1),
+             (lo, hi) -> substring(text, CAST(lo AS INT) + 1, CAST(hi - lo AS INT))))
+           AS c"""): _*)
+  }
+
+  def d39CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val inst = cdcChunks(Tables(s, dir, "documents"), Seq("lang"))
+      .selectExpr("lang", "md5(c) AS h", "CAST(length(c) AS BIGINT) AS clen")
+    val counts = inst.groupBy(col("h")).agg(count(lit(1)).as("m"))
+    inst.join(counts, "h")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("total_chars"),
+        sum(when(col("m") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .selectExpr("lang", "n_chunks", "total_chars",
+        "(100 * total_chars) div n_chunks AS avg_len_c100",
+        "(1000000 * n_dup) div n_chunks AS dup_chunk_ppm")
+      .orderBy("lang")
+  }
+
+  private val d39Sql: String = {
+    val base = graft.operators.TextAnalysis.RollBase
+    val mod = graft.operators.TextAnalysis.RollMod
+    s"""WITH ch AS (
+       |  SELECT doc_id, lang, text,
+       |    list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS codes
+       |  FROM documents),
+       |bnd AS (
+       |  SELECT doc_id, lang, text, CAST(len(codes) AS BIGINT) AS n,
+       |    list_filter(range(8, len(codes) + 1), p ->
+       |      (list_reduce(list_prepend(CAST(0 AS BIGINT), codes[p-7:p]),
+       |        (acc, c) -> (acc * $base + c) % $mod)) % 64 = 0) AS pos
+       |  FROM ch),
+       |bnd2 AS (
+       |  SELECT doc_id, lang, text,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)],
+       |      list_filter(pos, p -> p < n)), [n]) AS bounds
+       |  FROM bnd),
+       |inst AS (
+       |  SELECT lang, md5(c) AS h, CAST(length(c) AS BIGINT) AS clen
+       |  FROM (
+       |    SELECT lang,
+       |      unnest([substring(text, CAST(bounds[i] AS INTEGER) + 1,
+       |                        CAST(bounds[i+1] - bounds[i] AS INTEGER))
+       |              for i in range(1, len(bounds))]) AS c
+       |    FROM bnd2)),
+       |cnt AS (SELECT h, COUNT(*) AS m FROM inst GROUP BY h)
+       |SELECT lang, COUNT(*) AS n_chunks,
+       |  CAST(SUM(clen) AS BIGINT) AS total_chars,
+       |  CAST((100 * SUM(clen)) // COUNT(*) AS BIGINT) AS avg_len_c100,
+       |  CAST((1000000 * SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END)) // COUNT(*)
+       |    AS BIGINT) AS dup_chunk_ppm
+       |FROM inst JOIN cnt USING (h)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** d9: deterministic hash-based train/val/test split — the canonical
     * 100 TB dataset-splitting primitive: assignment is a pure function of
     * the content hash, so it is reproducible across runs/engines, stable
@@ -1073,6 +1162,7 @@ object TextOps {
     "d12_len_profile" -> (d12LenProfile _),
     "d7_bpe_tokens" -> (d7BpeTokens _),
     "d8_rolling_hash" -> (d8RollingHash _),
+    "d39_cdc_chunks" -> (d39CdcChunks _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_token_stats" -> (d2TokenStats _),
     "d3_quality_score" -> (d3QualityScore _),
@@ -1102,6 +1192,7 @@ object TextOps {
     "d12_len_profile" -> d12Sql,
     "d7_bpe_tokens" -> d7Sql,
     "d8_rolling_hash" -> d8Sql,
+    "d39_cdc_chunks" -> d39Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_token_stats" -> d2Sql,
     "d3_quality_score" -> d3Sql,

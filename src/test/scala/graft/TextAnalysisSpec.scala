@@ -59,4 +59,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.count() == 500)
     assert(out.select("pred_lang").distinct().count() >= 1)
   }
+
+  test("CDC chunking is LOCAL: an insertion only perturbs its own neighborhood") {
+    import spark.implicits._
+    // deterministic pseudo-random text, long enough for many ~64-char chunks
+    val rnd = new scala.util.Random(42)
+    val original = (0 until 4000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = original.substring(0, 200) + "XYZ" + original.substring(200)
+    def chunks(t: String): Seq[String] =
+      graft.queries.TextOps.cdcChunks(Seq(("d", t)).toDF("doc_id", "text"),
+          Seq("doc_id")).select("c").collect().map(_.getString(0)).toSeq
+    val a = chunks(original)
+    val b = chunks(edited)
+    assert(a.size >= 20, s"expected many chunks, got ${a.size}")
+    // every chunk strictly after the edited one re-aligns bit-exactly —
+    // the property fixed-offset chunking cannot have (one insert shifts
+    // every later window)
+    val common = a.toSet & b.toSet
+    assert(common.size >= a.size - 3,
+      s"only ${common.size}/${a.size} chunks survived a 3-char insert")
+    assert(a.last == b.last, "tail chunks must re-align after the edit")
+  }
 }
