@@ -186,6 +186,18 @@ object SketchFunctions {
     new ExpressionInfo(classOf[Hex60Array].getName, "hex60_array"),
     (children: Seq[Expression]) => Hex60Array(children(0)))
 
+  /** kmin_values(hash, k) — k must fold to an integer literal (the
+    * aggregate's state bound is fixed at plan time by construction). */
+  val kminInfo: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("kmin_values"),
+    new ExpressionInfo(classOf[KMinValues].getName, "kmin_values"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "kmin_values(hash, k) takes two arguments")
+      require(children(1).foldable, "kmin_values k must be a literal")
+      KMinValues(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())
+    })
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       simhashInfo._1, simhashInfo._2, simhashInfo._3)
@@ -193,11 +205,15 @@ object SketchFunctions {
       minhashInfo._1, minhashInfo._2, minhashInfo._3)
     spark.sessionState.functionRegistry.registerFunction(
       hex60Info._1, hex60Info._2, hex60Info._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      kminInfo._1, kminInfo._2, kminInfo._3)
   }
 
   def simhash60(c: Column): Column = call_function("simhash60", c)
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
   def hex60Array(c: Column): Column = call_function("hex60_array", c)
+  def kminValues(c: Column, k: Int): Column =
+    call_function("kmin_values", c, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `hex60_array(strings)` — element-wise [[graft.operators.PortableHash]]

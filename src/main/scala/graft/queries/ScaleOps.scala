@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnSearch, BloomPrune, IvfSearch, MinHashDedup, PqSearch, SimHash, SkewAgg, SkewJoin}
+import graft.operators.{AnnSearch, BloomPrune, IvfSearch, MinHashDedup, PortableHash, PqSearch, SimHash, SkewAgg, SkewJoin}
 
 /** Oracle-checked entry points for the scale operators (MinHash/LSH,
   * SimHash, hyperplane-LSH ANN). The operator logic lives in
@@ -130,6 +130,76 @@ object ScaleOps {
        |  CAST(SUM(CAST(ROUND(jaccard * 1e6, 0) AS BIGINT)) AS BIGINT) // COUNT(*) AS mean_jaccard_e6
        |FROM mm GROUP BY n_match ORDER BY n_match""".stripMargin
   }
+
+  /** KMV sketch size: k = 64 keeps relative error ~1/√(k−2) ≈ 13%
+    * (Beyer et al. 2007) while the oracle's window replay stays cheap.
+    * 63·2⁶⁰ (the estimator numerator) is EXACTLY representable as a
+    * double (6-bit mantissa × power of two), so both engines fold the
+    * same constant. */
+  private val KmvK = 64
+  private val KmvNum: Double = 63.0 * 1152921504606846976.0 // (k−1)·2⁶⁰, exact
+
+  /** m4: KMV approximate-distinct audit — per-language distinct-token
+    * estimate from the [[graft.functions.KMinValues]] bounded-state
+    * k-minimum-values aggregate, against the exact distinct count, with
+    * the signed error in ppm. `approx_count_distinct`'s HLL is not
+    * oracle-checkable (engine-private registers); KMV is a pure order
+    * statistic of the portable md5 hash, so DuckDB replays the identical
+    * sketch with a `row_number() <= k` window and the identical
+    * estimator arithmetic — the sketch itself is hash-verified, like
+    * m3 does for MinHash.
+    *
+    * Scale shape: explode → ONE hash-partial aggregate whose map-side
+    * combine ships ≤ k longs per (mapper, lang); no per-group sort
+    * anywhere (the oracle's window form is the thing the aggregate
+    * exists to avoid). The exact count is the audit column — at
+    * deployment scale you'd drop it and keep only the sketch. A group
+    * with < k distinct values degenerates to the exact set, so the
+    * estimate is exact there by construction (the CASE below). */
+  def m4KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val toks = Tables(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .select(col("lang"), PortableHash.hex60(col("term")).as("gh"))
+    val sk = toks.groupBy(col("lang"))
+      .agg(graft.functions.SketchFunctions.kminValues(col("gh"), KmvK).as("kmins"))
+      .select(col("lang"), size(col("kmins")).as("kc"),
+        element_at(col("kmins"), size(col("kmins"))).as("kth_hash"))
+    val ex = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("gh")).as("exact_distinct"))
+    val exd = col("exact_distinct").cast("double")
+    val est = when(col("kc") < KmvK, col("kc").cast("double"))
+      .otherwise(round(lit(KmvNum) / col("kth_hash").cast("double"), 4))
+    sk.join(ex, "lang")
+      .withColumn("kmv_estimate", est)
+      .withColumn("err_ppm",
+        round((col("kmv_estimate") - exd) / exd * lit(1e6)).cast("long"))
+      .select(col("lang"), col("exact_distinct"), col("kth_hash"),
+        col("kmv_estimate"), col("err_ppm"))
+      .orderBy("lang")
+  }
+
+  private val m4Sql: String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+       |h AS (SELECT DISTINCT lang, ${hex60Sql("term")} AS gh FROM tok),
+       |rk AS (
+       |  SELECT lang, gh, row_number() OVER (PARTITION BY lang ORDER BY gh) AS rk
+       |  FROM h),
+       |sk AS (
+       |  SELECT lang, MAX(gh) AS kth_hash, COUNT(*) AS kc
+       |  FROM rk WHERE rk <= $KmvK GROUP BY lang),
+       |ex AS (SELECT lang, COUNT(*) AS exact_distinct FROM h GROUP BY lang),
+       |j AS (
+       |  SELECT sk.lang, ex.exact_distinct, sk.kth_hash,
+       |    CASE WHEN sk.kc < $KmvK THEN CAST(sk.kc AS DOUBLE)
+       |         ELSE ROUND((63.0 * 1152921504606846976.0) / CAST(sk.kth_hash AS DOUBLE), 4)
+       |    END AS kmv_estimate
+       |  FROM sk JOIN ex USING (lang))
+       |SELECT lang, exact_distinct, kth_hash, kmv_estimate,
+       |  CAST(ROUND((kmv_estimate - CAST(exact_distinct AS DOUBLE))
+       |    / CAST(exact_distinct AS DOUBLE) * 1e6, 0) AS BIGINT) AS err_ppm
+       |FROM j ORDER BY lang""".stripMargin
 
   /** m2: SimHash fingerprint pairs within Hamming distance 3. With
     * `NumBands` = 5 disjoint 12-bit bands, banding finds EVERY pair at
@@ -985,6 +1055,7 @@ object ScaleOps {
     "m1_minhash_neardup" -> (m1MinhashNeardup _),
     "m2_simhash_neardup" -> (m2SimhashNeardup _),
     "m3_sketch_calibration" -> (m3SketchCalibration _),
+    "m4_kmv_distinct" -> (m4KmvDistinct _),
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
@@ -1005,6 +1076,7 @@ object ScaleOps {
     "m1_minhash_neardup" -> m1Sql,
     "m2_simhash_neardup" -> m2Sql,
     "m3_sketch_calibration" -> m3Sql,
+    "m4_kmv_distinct" -> m4Sql,
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
     "i1_ivf_topk" -> i1Sql,
