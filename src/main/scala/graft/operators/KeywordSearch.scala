@@ -63,6 +63,16 @@ object KeywordSearch {
       sum(col("dli").cast("long")).as("sumdl") +:
         terms.indices.map(i =>
           sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i")): _*)
+    base.crossJoin(broadcast(stats))
+      .select(col("id"), scoreColumn(terms).as("score"))
+  }
+
+  /** The BM25 scoring expression over the canonical stat columns
+    * (`tf_i`, `dli` per doc; `n`, `sumdl`, `df_i` broadcast) — factored
+    * out so the corpus-rescan path ([[bm25]]) and the at-rest
+    * inverted-index serving path (SearchOps k6) build the IDENTICAL
+    * expression tree: same operands, same order, bit-identical doubles. */
+  private[graft] def scoreColumn(terms: Seq[String]): Column = {
     val nD = col("n").cast("double")
     val avgdl = col("sumdl").cast("double") / nD
     val termScores = terms.indices.map { i =>
@@ -72,8 +82,7 @@ object KeywordSearch {
       val norm = tf + lit(K1) * (lit(1.0 - B) + (lit(B) * col("dli").cast("double")) / avgdl)
       when(col(s"tf_$i") > 0, idf * ((tf * lit(K1 + 1.0)) / norm)).otherwise(lit(0.0))
     }
-    base.crossJoin(broadcast(stats))
-      .select(col("id"), round(termScores.reduce(_ + _), 6).as("score"))
+    round(termScores.reduce(_ + _), 6)
   }
 
   /** DuckDB replay of [[bm25]] ending in a `sc(id, score)` CTE — one SQL

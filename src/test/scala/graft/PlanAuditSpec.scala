@@ -340,6 +340,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("TakeOrderedAndProject"), s.take(800))
   }
 
+  test("k6 at-rest search: probe partition-prunes to the query terms' shards") {
+    val s = formatted(SparkEntry.queries("k6_search_at_rest")(spark, sfDir))
+    // the shard filter must land as PARTITION pruning on the postings
+    // scan (shard is the index's partition column), the term filter as a
+    // pushed data filter, and the final cut stays a top-k heap
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(term, ["), s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(s.contains("TakeOrderedAndProject"), s.take(800))
+    assert(nodeCount(s, "CartesianProduct") == 0)
+  }
+
   test("k3 redaction and z1 z-address are row-local: one exchange beyond partial agg") {
     val k3 = formatted(SparkEntry.queries("k3_pii_redact")(spark, sfDir))
     // regexp work happens in the scan projection; the output sort is the
