@@ -433,6 +433,48 @@ object StreamOps {
       }
   }
 
+  case class KmvState(mins: Seq[Long])
+  case class KmvOut(lang: String, kc: Int, kth_hash: Long, estimate: Double)
+
+  /** BOUNDED-STATE streaming distinct-count — the streaming twin of m4's
+    * [[graft.functions.KMinValues]] KMV sketch: per language, the k
+    * smallest distinct portable-hash values of the tokens seen so far
+    * (≤ k longs of state per key, ever), with the running
+    * `(k−1)·2⁶⁰ / h_k` estimate emitted each batch (Update mode).
+    *
+    * Unlike the other keyed-state ops there is NO in-batch ordering
+    * contract: the sketch is a pure function of the SET of hashes seen,
+    * so arrival order, batch boundaries, and restart/replay cannot
+    * change the state — after any prefix of batches the state equals the
+    * batch aggregate over that prefix's union (spec-pinned). This is the
+    * streaming face of the same mergeable-synopsis property that gives
+    * the batch aggregate its map-side combine. */
+  def kmvDistinctPerLang(docs: DataFrame, k: Int = 64): Dataset[KmvOut] = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .select(col("lang"), graft.operators.PortableHash.hex60(col("term")).as("gh"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, Long)], state: GroupState[KmvState]) =>
+          var set = scala.collection.immutable.TreeSet.empty[Long] ++
+            state.getOption.map(_.mins).getOrElse(Seq.empty)
+          rows.foreach { case (_, gh) =>
+            if (set.size < k) set += gh
+            else if (gh < set.max && !set.contains(gh)) set = set - set.max + gh
+          }
+          state.update(KmvState(set.toSeq))
+          val kc = set.size
+          val kth = if (kc == 0) 0L else set.max
+          val est =
+            if (kc < k) kc.toDouble
+            else (k - 1).toDouble * math.pow(2, 60) / kth.toDouble
+          KmvOut(lang, kc, kth, est)
+      }
+  }
+
   case class CusumState(s: Double)
   case class CusumAlarm(event_type: String, event_id: Long, ts: Timestamp,
                         cusum: Double)

@@ -523,6 +523,50 @@ class StreamOpsSpec extends AnyFunSuite {
       s"streaming ${perBatch.values.flatten.toSet} != batch $want")
   }
 
+  test("kmvDistinctPerLang (m4 twin): state after every batch equals the batch sketch over the union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.SketchFunctions.register(spark)
+    val k = 8 // small k so batches overflow the sketch (the interesting regime)
+    val b1 = (0 until 40).map(i => ("en", s"tok${i % 25} tok${(i + 3) % 25}"))
+    val b2 = (0 until 40).map(i => ("en", s"tok${i % 31} xx$i")) ++
+      Seq(("fr", "seul jeton"))
+    val b3 = Seq(("en", "tok1 tok2 fresh token stream"), ("fr", "seul jeton encore"))
+    val ms = MemoryStream[(String, String)]
+    val q = StreamOps.kmvDistinctPerLang(ms.toDF().toDF("lang", "text"), k)
+      .toDF()
+      .writeStream.format("memory").queryName("kmv").outputMode(OutputMode.Update())
+      .start()
+    // the batch twin: the KMinValues aggregate over the prefix's union —
+    // sketch state must be a pure function of the union, not the batching
+    def batchSketch(rows: Seq[(String, String)]): Map[String, (Int, Long)] =
+      rows.toDF("lang", "text")
+        .select(org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.col("text"), " ")).as("term"))
+        .select(org.apache.spark.sql.functions.col("lang"),
+          graft.operators.PortableHash.hex60(
+            org.apache.spark.sql.functions.col("term")).as("gh"))
+        .groupBy("lang")
+        .agg(graft.functions.SketchFunctions.kminValues(
+          org.apache.spark.sql.functions.col("gh"), k).as("km"))
+        .collect()
+        .map(r => r.getString(0) -> {
+          val s = r.getSeq[Long](1); (s.size, s.last)
+        }).toMap
+    def lastPerLang(): Map[String, (Int, Long)] = spark.table("kmv").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (l, v) => l -> v.last._2 }
+    var seen = Seq.empty[(String, String)]
+    for (b <- Seq(b1, b2, b3)) {
+      ms.addData(b); q.processAllAvailable()
+      seen = seen ++ b
+      assert(lastPerLang() == batchSketch(seen), s"after ${seen.size} docs")
+    }
+    q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
