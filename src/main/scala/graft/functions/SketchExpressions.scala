@@ -198,6 +198,17 @@ object SketchFunctions {
         children(1).eval().asInstanceOf[Number].intValue())
     })
 
+  /** topk_pairs(score, id, k) — k must fold to an integer literal. */
+  val topkInfo: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("topk_pairs"),
+    new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "topk_pairs(score, id, k) takes three arguments")
+      require(children(2).foldable, "topk_pairs k must be a literal")
+      TopKPairs(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue())
+    })
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       simhashInfo._1, simhashInfo._2, simhashInfo._3)
@@ -207,6 +218,8 @@ object SketchFunctions {
       hex60Info._1, hex60Info._2, hex60Info._3)
     spark.sessionState.functionRegistry.registerFunction(
       kminInfo._1, kminInfo._2, kminInfo._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      topkInfo._1, topkInfo._2, topkInfo._3)
   }
 
   def simhash60(c: Column): Column = call_function("simhash60", c)
@@ -214,6 +227,8 @@ object SketchFunctions {
   def hex60Array(c: Column): Column = call_function("hex60_array", c)
   def kminValues(c: Column, k: Int): Column =
     call_function("kmin_values", c, org.apache.spark.sql.functions.lit(k))
+  def topkPairs(score: Column, id: Column, k: Int): Column =
+    call_function("topk_pairs", score, id, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `hex60_array(strings)` — element-wise [[graft.operators.PortableHash]]

@@ -216,6 +216,33 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY c_mktsegment, rk""".stripMargin
 
+  /** q35: q9's per-segment top-3 computed WITHOUT any window sort — the
+    * [[graft.functions.TopKPairs]] bounded-heap aggregate replaces both
+    * of q9's row_number phases with ONE partial+final aggregate: each
+    * mapper keeps ≤ 3 (price, orderkey) pairs per segment and the
+    * shuffle carries those pairs, not the fact rows. q9 exists to show
+    * the salting discipline that makes window top-k survive skew; q35
+    * shows the aggregate that makes the problem disappear (state O(k)
+    * per group, no sort, map-side combine). Oracle = q9's SQL — same
+    * answer, different machine. PlanAuditSpec pins the plan: an
+    * ObjectHashAggregate pair, ZERO Window nodes. */
+  def q35TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.SketchFunctions
+        .topkPairs(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
   /** q10: analytic window over a time series — lag + moving average
     * (SURVEY §2.5: the reference's advertised year-over-year trend
     * analysis). The monthly pre-aggregation shrinks the windowed input to
@@ -950,7 +977,8 @@ object Relational {
     "q26_grouping_sets" -> (q26GroupingSets _),
     "q27_rank_family" -> (q27RankFamily _),
     "q33_value_windows" -> (q33ValueWindows _),
-    "q34_recursive_cte" -> (q34RecursiveCte _))
+    "q34_recursive_cte" -> (q34RecursiveCte _),
+    "q35_topk_agg" -> (q35TopkAgg _))
 
   val oracles: Map[String, String] = Map(
     "q32_column_stats" -> q32Sql,
@@ -986,5 +1014,6 @@ object Relational {
     "q26_grouping_sets" -> q26Sql,
     "q27_rank_family" -> q27Sql,
     "q33_value_windows" -> q33Sql,
-    "q34_recursive_cte" -> q34Sql)
+    "q34_recursive_cte" -> q34Sql,
+    "q35_topk_agg" -> q9Sql) // same answer as q9, via the bounded-heap aggregate
 }

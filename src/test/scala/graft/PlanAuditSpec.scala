@@ -352,6 +352,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0)
   }
 
+  test("q35 top-k aggregate: object-hash partial+final pair, ZERO window sorts") {
+    val s = formatted(SparkEntry.queries("q35_topk_agg")(spark, sfDir))
+    assert(s.contains("ObjectHashAggregate"), s.take(1200))
+    assert(nodeCount(s, "Window") == 0,
+      "the bounded-heap aggregate exists to remove the window sort")
+    // one hash exchange for the final aggregate; the customer join
+    // broadcasts; the output sort is the only other movement
+    assert(nodeCount(s, "Exchange hashpartitioning") <= 1, s.take(1500))
+  }
+
   test("k3 redaction and z1 z-address are row-local: one exchange beyond partial agg") {
     val k3 = formatted(SparkEntry.queries("k3_pii_redact")(spark, sfDir))
     // regexp work happens in the scan projection; the output sort is the
