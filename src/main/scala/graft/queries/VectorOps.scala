@@ -621,7 +621,58 @@ object VectorOps {
       |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_quality_typicality
       |FROM m ORDER BY lang""".stripMargin
 
+  /** v12: hard-negative mining — for each query vector, the top-5 most
+    * cosine-similar vectors with a DIFFERENT label: the contrastive-
+    * training pair miner (hard negatives are what make embedding/reranker
+    * fine-tunes work; random negatives are too easy to be informative).
+    *
+    * Shape: v1's broadcast-query scan with the cross-label constraint,
+    * but the per-query top-k runs through the [[graft.functions.TopKPairs]]
+    * bounded-heap aggregate instead of a row_number window — the corpus
+    * rows die at the mappers (≤ k pairs per query survive per mapper),
+    * which is the difference between shuffling |corpus| scored rows and
+    * shuffling k·|queries| at deployment scale. Oracle replays the
+    * window form — same answer, sort-free machine. */
+  def v12HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    graft.functions.SketchFunctions.register(s)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"))
+    broadcast(q)
+      .join(e, col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.SketchFunctions
+        .topkPairs(col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("neighbor"),
+        col("col.score").as("cos"), (col("pos") + 1).cast("long").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val v12Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb FROM e WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q_id, vec_id,
+      |    ROUND(list_dot_product(q_emb, emb) /
+      |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
+      |  FROM q CROSS JOIN e WHERE vec_id <> q_id AND label <> q_label),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT q_id, vec_id AS neighbor, cos, rk
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_hard_negatives" -> (v12HardNegatives _),
     "v8_sq8_rerank" -> (v8Sq8Rerank _),
     "v9_top_eigen" -> (v9TopEigen _),
     "v10_norm_audit" -> (v10NormAudit _),
@@ -635,6 +686,7 @@ object VectorOps {
     "v6_label_noise" -> (v6LabelNoise _))
 
   val oracles: Map[String, String] = Map(
+    "v12_hard_negatives" -> v12Sql,
     "v8_sq8_rerank" -> v8Sql,
     "v9_top_eigen" -> v9Sql,
     "v10_norm_audit" -> v10Sql,
