@@ -65,6 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SketchFunctions.simhashInfo)
     ext.injectFunction(SketchFunctions.minhashInfo)
     ext.injectFunction(SketchFunctions.hex60Info)
+    ext.injectFunction(SketchFunctions.kminInfo)
+    ext.injectFunction(SketchFunctions.topkInfo)
     ext.injectFunction(NearestEntry.info)
     ext.injectFunction(BloomFunctions.info)
     // optimizer depth: naive band joins (abs(a-b) <= k, no equi key)
