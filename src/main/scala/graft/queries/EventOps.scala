@@ -1520,7 +1520,65 @@ object EventOps {
       |    / CAST(n AS DOUBLE), 6) AS var_value
       |FROM p ORDER BY event_type""".stripMargin
 
+  /** e35: KMV distinct-user estimate per event type — m4's
+    * [[graft.functions.KMinValues]] sketch on the events stream's
+    * cardinality question ("how many distinct users did X", the query
+    * behind every DAU/MAU tile). Same scale contract as m4: ONE hash
+    * aggregate whose map-side combine ships ≤ k longs per (mapper,
+    * type); the exact countDistinct rides alongside as the audit column
+    * you'd drop at deployment scale. Hashes come from the user id's
+    * decimal string (both engines render a BIGINT identically), so the
+    * DuckDB replay is the same order statistic. */
+  def e35KmvUsers(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val k = 64
+    val hashed = Tables(s, dir, "events")
+      .select(col("event_type"),
+        graft.operators.PortableHash.hex60(col("user_id")).as("gh"))
+    val sk = hashed.groupBy(col("event_type"))
+      .agg(graft.functions.SketchFunctions.kminValues(col("gh"), k).as("kmins"))
+      .select(col("event_type"), size(col("kmins")).as("kc"),
+        element_at(col("kmins"), size(col("kmins"))).as("kth_hash"))
+    val ex = hashed.groupBy(col("event_type"))
+      .agg(countDistinct(col("gh")).as("exact_users"))
+    val exd = col("exact_users").cast("double")
+    val est = when(col("kc") < k, col("kc").cast("double"))
+      .otherwise(round(lit(63.0 * 1152921504606846976.0) / col("kth_hash").cast("double"), 4))
+    sk.join(ex, "event_type")
+      .withColumn("kmv_estimate", est)
+      .withColumn("err_ppm",
+        round((col("kmv_estimate") - exd) / exd * lit(1e6)).cast("long"))
+      .select(col("event_type"), col("exact_users"), col("kth_hash"),
+        col("kmv_estimate"), col("err_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val e35Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS gh
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type, gh,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gh) AS rk
+      |  FROM h),
+      |sk AS (
+      |  SELECT event_type, MAX(gh) AS kth_hash, COUNT(*) AS kc
+      |  FROM rk WHERE rk <= 64 GROUP BY event_type),
+      |ex AS (SELECT event_type, COUNT(*) AS exact_users FROM h GROUP BY event_type),
+      |j AS (
+      |  SELECT sk.event_type, ex.exact_users, sk.kth_hash,
+      |    CASE WHEN sk.kc < 64 THEN CAST(sk.kc AS DOUBLE)
+      |         ELSE ROUND((63.0 * 1152921504606846976.0) / CAST(sk.kth_hash AS DOUBLE), 4)
+      |    END AS kmv_estimate
+      |  FROM sk JOIN ex USING (event_type))
+      |SELECT event_type, exact_users, kth_hash, kmv_estimate,
+      |  CAST(ROUND((kmv_estimate - CAST(exact_users AS DOUBLE))
+      |    / CAST(exact_users AS DOUBLE) * 1e6, 0) AS BIGINT) AS err_ppm
+      |FROM j ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e35_kmv_users" -> (e35KmvUsers _),
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
     "e3_sessionize" -> (e3Sessionize _),
@@ -1560,6 +1618,7 @@ object EventOps {
     "z1_zorder_stats" -> (z1ZorderStats _))
 
   val oracles: Map[String, String] = Map(
+    "e35_kmv_users" -> e35Sql,
     "e1_window_hourly" -> e1Sql,
     "e2_window_sliding" -> e2Sql,
     "e3_sessionize" -> e3Sql,

@@ -306,4 +306,44 @@ class PropertySpec extends AnyFunSuite {
         new Hdf5.TestReader(bytes).readDoubles("x").toSeq == vals
     }, (p: org.scalacheck.Test.Parameters) => p.withMinSuccessfulTests(80))
   }
+
+  test("kmin_values / topk_pairs equal their reference models on random frames") {
+    import spark.implicits._
+    graft.functions.SketchFunctions.register(spark)
+    // values drawn from a small domain so duplicates are common (the
+    // dedup path) and groups straddle the k boundary both ways
+    val rowsGen = Gen.choose(0, 60).flatMap(n => Gen.listOfN(n,
+      for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(0L, 30L)
+      } yield (g, v)))
+    val kGen = Gen.oneOf(1, 3, 8)
+    val partsGen = Gen.oneOf(1, 5)
+    check(Prop.forAllNoShrink(rowsGen, kGen, partsGen) { (rows, k, parts) =>
+      val df = rows.toDF("g", "v").repartition(parts)
+      val kmGot = df
+        .groupBy("g")
+        .agg(graft.functions.SketchFunctions.kminValues(
+          org.apache.spark.sql.functions.col("v"), k).as("km"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val kmWant = rows.groupBy(_._1).map { case (g, v) =>
+        g -> v.map(_._2).distinct.sorted.take(k).toSeq
+      }
+      // topk over (v, rid): rid is a unique per-row id (the total-order
+      // tiebreaker contract); score is the value as a double
+      val withId = rows.zipWithIndex.map { case ((g, v), i) => (g, v.toDouble, i.toLong) }
+      val tkGot = withId.toDF("g", "s", "rid").repartition(parts)
+        .groupBy("g")
+        .agg(graft.functions.SketchFunctions.topkPairs(
+          org.apache.spark.sql.functions.col("s"),
+          org.apache.spark.sql.functions.col("rid"), k).as("top"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1))))
+        .toMap
+      val tkWant = withId.groupBy(_._1).map { case (g, v) =>
+        g -> v.map(r => (r._2, r._3)).sortBy { case (s, i) => (-s, i) }.take(k).toSeq
+      }
+      kmGot == kmWant && tkGot == tkWant
+    }, _.withMinSuccessfulTests(15))
+  }
 }
