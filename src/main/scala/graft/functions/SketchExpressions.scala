@@ -198,6 +198,11 @@ object SketchFunctions {
         children(1).eval().asInstanceOf[Number].intValue())
     })
 
+  val cdcInfo: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("cdc_bounds"),
+    new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
+    (children: Seq[Expression]) => CdcBounds(children(0)))
+
   /** topk_pairs(score, id, k) — k must fold to an integer literal. */
   val topkInfo: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     FunctionIdentifier("topk_pairs"),
@@ -220,6 +225,8 @@ object SketchFunctions {
       kminInfo._1, kminInfo._2, kminInfo._3)
     spark.sessionState.functionRegistry.registerFunction(
       topkInfo._1, topkInfo._2, topkInfo._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      cdcInfo._1, cdcInfo._2, cdcInfo._3)
   }
 
   def simhash60(c: Column): Column = call_function("simhash60", c)

@@ -754,17 +754,15 @@ object TextOps {
     * string per output row, keyed by the carried columns. Exposed for
     * the locality spec (an edit must only perturb its own chunks). */
   private[graft] def cdcChunks(docs: DataFrame, keep: Seq[String]): DataFrame = {
-    val base = graft.operators.TextAnalysis.RollBase
-    val mod = graft.operators.TextAnalysis.RollMod
+    graft.functions.SketchFunctions.register(docs.sparkSession)
     docs
-      .selectExpr((keep :+ "text" :+
-        "transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes"): _*)
-      .selectExpr((keep :+ "text" :+ "CAST(size(codes) AS BIGINT) AS n" :+
-        // window end positions whose 8-char hash hits the 6-bit mask
-        s"""filter(sequence(8L, greatest(CAST(size(codes) AS BIGINT), 8L)), p ->
-              p <= CAST(size(codes) AS BIGINT) AND
-              aggregate(slice(codes, CAST(p AS INT) - 7, 8), 0L,
-                (acc, c) -> (acc * ${base}L + c) % ${mod}L) % 64 = 0) AS pos"""): _*)
+      // boundary detection is ONE codegen'd rolling-hash pass per row
+      // (graft.functions.CdcBounds) — the composable filter/aggregate/
+      // slice form re-folded 8 interpreted elements per POSITION
+      // (FunctionsSpec pins the two derivations equal; the DuckDB oracle
+      // still replays the composable form)
+      .selectExpr((keep :+ "text" :+ "CAST(length(text) AS BIGINT) AS n" :+
+        "cdc_bounds(text) AS pos"): _*)
       .selectExpr((keep :+ "text" :+
         "concat(array(CAST(0 AS BIGINT)), filter(pos, p -> p < n), array(n)) AS bounds"): _*)
       .selectExpr((keep :+

@@ -45,6 +45,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(built.eval(null) == 0.75)
   }
 
+  test("cdc_bounds equals the composable filter/aggregate derivation on corpus + edge docs") {
+    import spark.implicits._
+    graft.functions.SketchFunctions.register(spark)
+    val base = graft.operators.TextAnalysis.RollBase
+    val mod = graft.operators.TextAnalysis.RollMod
+    val hof = s"""filter(sequence(8L, greatest(CAST(length(text) AS BIGINT), 8L)), p ->
+                    p <= CAST(length(text) AS BIGINT) AND
+                    aggregate(slice(transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+                      CAST(p AS INT) - 7, 8), 0L,
+                      (acc, c) -> (acc * ${base}L + c) % ${mod}L) % 64 = 0)"""
+    val edge = Seq("", "short", "exactly8", "exactly8!", "a" * 200).toDF("text")
+    val corpus = Tables(spark, sfDir, "documents").select("text").limit(200)
+    for (df <- Seq(edge, corpus)) {
+      val diff = df.selectExpr("text", s"$hof AS want", "cdc_bounds(text) AS got")
+        .filter("want <> got")
+      assert(diff.isEmpty, diff.take(1).mkString)
+    }
+  }
+
   test("nearest_entry: argmin by haversine with (city, country) tie-break") {
     import spark.implicits._
     graft.functions.NearestEntry.register(spark)
