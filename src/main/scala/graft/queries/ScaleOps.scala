@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -200,6 +200,101 @@ object ScaleOps {
        |  CAST(ROUND((kmv_estimate - CAST(exact_distinct AS DOUBLE))
        |    / CAST(exact_distinct AS DOUBLE) * 1e6, 0) AS BIGINT) AS err_ppm
        |FROM j ORDER BY lang""".stripMargin
+
+  /** m5: cross-source vocabulary overlap from MERGED KMV sketches — the
+    * mergeability payoff of m4's synopsis: per-source sketches (≤ k longs
+    * each) combine row-locally into a union sketch — `kmin_k(A ∪ B) =
+    * kmin_k(kmin_k(A) ∪ kmin_k(B))`, an identity, not an approximation
+    * of the merge — so the pairwise union/overlap table touches tokens
+    * exactly once (the sketch build) and every |sources|² estimate after
+    * that is arithmetic on tiny arrays. Overlap = |A| + |B| − |A ∪ B| on
+    * the estimates (can go slightly negative under estimator noise —
+    * reported as-is). `exact_overlap` is the audit column via the vocab
+    * self-join you'd never run at deployment scale; c7 gives doc-level
+    * source overlap, this is the token-level complement. */
+  def m5KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    // persisted: the sketch build, both sides of its pair self-join, and
+    // the audit self-join all read the distinct (source, token-hash)
+    // table — without the persist each self-join side re-shingles the
+    // corpus (NOTES hard-won fact #4); released by the caller's
+    // clearCache
+    val h = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .select(col("source"), PortableHash.hex60(col("term")).as("gh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    h.count()
+    val sk = h.groupBy(col("source"))
+      .agg(graft.functions.SketchFunctions.kminValues(col("gh"), KmvK).as("mins"))
+      .select(col("source"), col("mins"), size(col("mins")).as("kc"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.mins").as("ma"), col("a.kc").as("ka"),
+        col("b.mins").as("mb"), col("b.kc").as("kb"))
+    val mg = array_sort(array_distinct(concat(col("ma"), col("mb"))))
+    def est(kc: Column, mins: Column): Column =
+      when(kc < KmvK, kc.cast("double"))
+        .otherwise(round(lit(KmvNum) / element_at(mins, KmvK).cast("double"), 4))
+    val withU = pairs.withColumn("mu",
+        when(size(mg) >= KmvK, slice(mg, 1, KmvK)).otherwise(mg))
+      .withColumn("est_a", est(col("ka"), col("ma")))
+      .withColumn("est_b", est(col("kb"), col("mb")))
+      .withColumn("est_union", est(size(col("mu")), col("mu")))
+      .withColumn("est_overlap",
+        round(col("est_a") + col("est_b") - col("est_union"), 4))
+    val ov = h.as("x").join(h.as("y"),
+        col("x.gh") === col("y.gh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    withU.join(ov, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val m5Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+       |h AS (SELECT DISTINCT source, ${hex60Sql("term")} AS gh FROM tok),
+       |rk AS (
+       |  SELECT source, gh, row_number() OVER (PARTITION BY source ORDER BY gh) AS rk
+       |  FROM h),
+       |sk AS (
+       |  SELECT source, list(gh ORDER BY gh) AS mins, COUNT(*) AS kc
+       |  FROM rk WHERE rk <= $KmvK GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    a.mins AS ma, a.kc AS ka, b.mins AS mb, b.kc AS kb
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |m AS (
+       |  SELECT *, list_sort(list_distinct(list_concat(ma, mb))) AS mg FROM pairs),
+       |m2 AS (
+       |  SELECT source_a, source_b, ma, ka, mb, kb,
+       |    CASE WHEN len(mg) >= $KmvK THEN mg[1:$KmvK] ELSE mg END AS mu
+       |  FROM m),
+       |est AS (
+       |  SELECT source_a, source_b,
+       |    CASE WHEN ka < $KmvK THEN CAST(ka AS DOUBLE)
+       |         ELSE ROUND((63.0 * 1152921504606846976.0) / CAST(ma[$KmvK] AS DOUBLE), 4)
+       |    END AS est_a,
+       |    CASE WHEN kb < $KmvK THEN CAST(kb AS DOUBLE)
+       |         ELSE ROUND((63.0 * 1152921504606846976.0) / CAST(mb[$KmvK] AS DOUBLE), 4)
+       |    END AS est_b,
+       |    CASE WHEN len(mu) < $KmvK THEN CAST(len(mu) AS DOUBLE)
+       |         ELSE ROUND((63.0 * 1152921504606846976.0) / CAST(mu[$KmvK] AS DOUBLE), 4)
+       |    END AS est_union
+       |  FROM m2),
+       |ov AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS exact_overlap
+       |  FROM h a JOIN h b ON a.gh = b.gh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT e.source_a, e.source_b, e.est_a, e.est_b, e.est_union,
+       |  ROUND(e.est_a + e.est_b - e.est_union, 4) AS est_overlap,
+       |  COALESCE(ov.exact_overlap, 0) AS exact_overlap
+       |FROM est e LEFT JOIN ov USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** m2: SimHash fingerprint pairs within Hamming distance 3. With
     * `NumBands` = 5 disjoint 12-bit bands, banding finds EVERY pair at
@@ -1056,6 +1151,7 @@ object ScaleOps {
     "m2_simhash_neardup" -> (m2SimhashNeardup _),
     "m3_sketch_calibration" -> (m3SketchCalibration _),
     "m4_kmv_distinct" -> (m4KmvDistinct _),
+    "m5_kmv_overlap" -> (m5KmvOverlap _),
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
@@ -1077,6 +1173,7 @@ object ScaleOps {
     "m2_simhash_neardup" -> m2Sql,
     "m3_sketch_calibration" -> m3Sql,
     "m4_kmv_distinct" -> m4Sql,
+    "m5_kmv_overlap" -> m5Sql,
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
     "i1_ivf_topk" -> i1Sql,
