@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SketchFunctions.hex60Info)
     ext.injectFunction(SketchFunctions.kminInfo)
     ext.injectFunction(SketchFunctions.topkInfo)
+    ext.injectFunction(SketchFunctions.cmsInfo)
     ext.injectFunction(NearestEntry.info)
     ext.injectFunction(BloomFunctions.info)
     // optimizer depth: naive band joins (abs(a-b) <= k, no equi key)

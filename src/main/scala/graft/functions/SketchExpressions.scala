@@ -203,6 +203,20 @@ object SketchFunctions {
     new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
     (children: Seq[Expression]) => CdcBounds(children(0)))
 
+  /** cms_counts(hash, weight, d, w) — d and w must fold to integer
+    * literals (the sketch grid is fixed at plan time by construction). */
+  val cmsInfo: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("cms_counts"),
+    new ExpressionInfo(classOf[CmsCounts].getName, "cms_counts"),
+    (children: Seq[Expression]) => {
+      require(children.length == 4, "cms_counts(hash, weight, d, w) takes four arguments")
+      require(children(2).foldable && children(3).foldable,
+        "cms_counts d and w must be literals")
+      CmsCounts(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue(),
+        children(3).eval().asInstanceOf[Number].intValue())
+    })
+
   /** topk_pairs(score, id, k) — k must fold to an integer literal. */
   val topkInfo: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
     FunctionIdentifier("topk_pairs"),
@@ -227,6 +241,8 @@ object SketchFunctions {
       topkInfo._1, topkInfo._2, topkInfo._3)
     spark.sessionState.functionRegistry.registerFunction(
       cdcInfo._1, cdcInfo._2, cdcInfo._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      cmsInfo._1, cmsInfo._2, cmsInfo._3)
   }
 
   def simhash60(c: Column): Column = call_function("simhash60", c)
@@ -236,6 +252,9 @@ object SketchFunctions {
     call_function("kmin_values", c, org.apache.spark.sql.functions.lit(k))
   def topkPairs(score: Column, id: Column, k: Int): Column =
     call_function("topk_pairs", score, id, org.apache.spark.sql.functions.lit(k))
+  def cmsCounts(hash: Column, weight: Column, d: Int, w: Int): Column =
+    call_function("cms_counts", hash, weight,
+      org.apache.spark.sql.functions.lit(d), org.apache.spark.sql.functions.lit(w))
 }
 
 /** `hex60_array(strings)` — element-wise [[graft.operators.PortableHash]]

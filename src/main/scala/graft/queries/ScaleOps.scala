@@ -296,6 +296,106 @@ object ScaleOps {
        |FROM est e LEFT JOIN ov USING (source_a, source_b)
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** CMS grid for m6: d = 4 rows × w = 16 buckets. DELIBERATELY narrow:
+    * the synthetic corpus has a 31-term vocabulary per language, so a
+    * deployment-width grid (say 4×4096, still only 128 KiB) would never
+    * collide and the audit column would be vacuously zero — the narrow
+    * grid forces real collisions so the query demonstrates (and the
+    * oracle verifies) the overestimate the audit exists to price. */
+  private val CmsD = 4
+  private val CmsW = 16
+  private val CmsTopN = 10
+
+  /** m6: Count-Min Sketch frequency audit — per language, the top-10
+    * exact tokens (count DESC, term ASC) with the CMS point estimate
+    * from the [[graft.functions.CmsCounts]] native aggregate and the
+    * signed overestimate in ppm. The CMS is the oracle-checkable
+    * point-FREQUENCY sketch completing the native-aggregate tier: m4's
+    * KMV answers "how many distinct", e32's space-saving answers "which
+    * are hot", this answers "how often is x" for ANY x from fixed
+    * 16 KiB state — a plain sum of deterministic per-row contributions,
+    * so DuckDB replays every grid cell exactly from the same affine
+    * bucket family and the min-over-rows estimate is hash-verified.
+    *
+    * Scale shape: one exact (lang, term) count pass feeds BOTH the
+    * audit's top-10 and the sketch via the aggregate's weight child
+    * (tokens are never re-exploded); at deployment scale you drop the
+    * exact side and feed per-occurrence weight-1 rows — one pass,
+    * map-side combine ships one 16 KiB grid per (mapper, lang), merge
+    * is element-wise addition ([[graft.streaming.StreamOps]] carries
+    * the same grid as streaming state). The estimate lookup is a
+    * broadcast join of 10·|langs| probes against |langs| sketch rows.
+    * est ≥ exact always (counters only over-count on collisions), so
+    * `over_ppm` is the audit: it prices ε·N against the true counts. */
+  def m6CmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    import graft.functions.CmsCounts
+    // persisted: the exact (lang, term) counts feed the sketch build,
+    // the top-10 window, and the probe join — without the persist each
+    // consumer re-explodes the corpus (NOTES hard-won fact #4);
+    // released by the caller's clearCache
+    val cnt = Tables(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("gh", PortableHash.hex60(col("term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cnt.count()
+    val sk = cnt.groupBy(col("lang"))
+      .agg(graft.functions.SketchFunctions
+        .cmsCounts(col("gh"), col("exact_cnt"), CmsD, CmsW).as("cms"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("exact_cnt").desc, col("term"))
+    val top = cnt.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= CmsTopN)
+    val est = (0 until CmsD).map { r =>
+      val bucket = ((lit(CmsCounts.coeffA(r)) * (col("gh") % CmsCounts.P)
+        + lit(CmsCounts.coeffB(r))) % CmsCounts.P) % CmsW
+      element_at(col("cms"), (lit(r * CmsW) + bucket + 1).cast("int"))
+    }.reduce((x, y) => least(x, y))
+    top.join(broadcast(sk), "lang")
+      .withColumn("cms_est", est)
+      .select(col("lang"), col("rk").cast("bigint").as("rk"), col("term"),
+        col("exact_cnt"), col("cms_est"),
+        round((col("cms_est") - col("exact_cnt")).cast("double")
+          / col("exact_cnt").cast("double") * lit(1e6)).cast("long").as("over_ppm"))
+      .orderBy("lang", "rk")
+  }
+
+  private val m6Sql: String = {
+    import graft.functions.CmsCounts
+    val coefRows = (0 until CmsD)
+      .map(r => s"(${r}, ${CmsCounts.coeffA(r)}, ${CmsCounts.coeffB(r)})")
+      .mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+       |cnt AS (
+       |  SELECT lang, term, ${hex60Sql("term")} AS gh, COUNT(*) AS exact_cnt
+       |  FROM tok GROUP BY lang, term),
+       |coef AS (SELECT * FROM (VALUES $coefRows) AS t(r, ca, cb)),
+       |cells AS (
+       |  SELECT c.lang, f.r,
+       |    ((f.ca * (c.gh % ${CmsCounts.P}) + f.cb) % ${CmsCounts.P}) % $CmsW AS bucket,
+       |    CAST(SUM(c.exact_cnt) AS BIGINT) AS cell
+       |  FROM cnt c CROSS JOIN coef f
+       |  GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT lang, term, gh, exact_cnt,
+       |    row_number() OVER (PARTITION BY lang ORDER BY exact_cnt DESC, term) AS rk
+       |  FROM cnt),
+       |top AS (SELECT * FROM rk WHERE rk <= $CmsTopN),
+       |est AS (
+       |  SELECT t.lang, t.rk, t.term, t.exact_cnt, MIN(cl.cell) AS cms_est
+       |  FROM top t CROSS JOIN coef f
+       |  JOIN cells cl ON cl.lang = t.lang AND cl.r = f.r
+       |    AND cl.bucket = ((f.ca * (t.gh % ${CmsCounts.P}) + f.cb) % ${CmsCounts.P}) % $CmsW
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT lang, CAST(rk AS BIGINT) AS rk, term, exact_cnt, cms_est,
+       |  CAST(ROUND((CAST(cms_est AS DOUBLE) - CAST(exact_cnt AS DOUBLE))
+       |    / CAST(exact_cnt AS DOUBLE) * 1e6, 0) AS BIGINT) AS over_ppm
+       |FROM est ORDER BY lang, rk""".stripMargin
+  }
+
   /** m2: SimHash fingerprint pairs within Hamming distance 3. With
     * `NumBands` = 5 disjoint 12-bit bands, banding finds EVERY pair at
     * Hamming ≤ 4, so the result is exactly the full Hamming-≤3 pair set
@@ -1152,6 +1252,7 @@ object ScaleOps {
     "m3_sketch_calibration" -> (m3SketchCalibration _),
     "m4_kmv_distinct" -> (m4KmvDistinct _),
     "m5_kmv_overlap" -> (m5KmvOverlap _),
+    "m6_cms_heavy" -> (m6CmsHeavy _),
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
@@ -1174,6 +1275,7 @@ object ScaleOps {
     "m3_sketch_calibration" -> m3Sql,
     "m4_kmv_distinct" -> m4Sql,
     "m5_kmv_overlap" -> m5Sql,
+    "m6_cms_heavy" -> m6Sql,
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
     "i1_ivf_topk" -> i1Sql,

@@ -475,6 +475,48 @@ object StreamOps {
       }
   }
 
+  case class CmsState(cells: Seq[Long])
+  case class CmsOut(lang: String, total: Long, cells: Seq[Long])
+
+  /** Streaming twin of m6's [[graft.functions.CmsCounts]] Count-Min
+    * Sketch: per language, the running d×w counter grid over every
+    * token seen so far, with the grid itself emitted each batch (Update
+    * mode) so any point frequency is answerable downstream without
+    * touching the stream again. State is the FIXED d·w-long grid —
+    * 16 KiB per key at the defaults, stream-size-independent, the
+    * bounded-state contract shared with the other keyed-state ops.
+    *
+    * Like [[kmvDistinctPerLang]] there is NO ordering contract: the
+    * grid is a sum over the MULTISET of tokens seen, so arrival order,
+    * batch boundaries, and restart/replay cannot change the state —
+    * after any prefix of batches the grid equals the batch aggregate
+    * over that prefix's union (spec-pinned), which is the streaming
+    * face of the aggregate's element-wise-addition merge. `total` is
+    * the token count (each token adds 1 to each of the d rows). */
+  def cmsCountsPerLang(docs: DataFrame, d: Int = 4, w: Int = 512): Dataset[CmsOut] = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .select(col("lang"), graft.operators.PortableHash.hex60(col("term")).as("gh"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CmsState, CmsOut](GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, Long)], state: GroupState[CmsState]) =>
+          val cells = state.getOption.map(_.cells.toArray)
+            .getOrElse(new Array[Long](d * w))
+          rows.foreach { case (_, gh) =>
+            var r = 0
+            while (r < d) {
+              cells(r * w + graft.functions.CmsCounts.bucket(r, gh, w)) += 1
+              r += 1
+            }
+          }
+          state.update(CmsState(cells.toSeq))
+          CmsOut(lang, cells.sum / d, cells.toSeq)
+      }
+  }
+
   case class CusumState(s: Double)
   case class CusumAlarm(event_type: String, event_id: Long, ts: Timestamp,
                         cusum: Double)

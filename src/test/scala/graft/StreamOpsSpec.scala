@@ -567,6 +567,55 @@ class StreamOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("cmsCountsPerLang (m6 twin): grid after every batch equals the batch sketch over the union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.SketchFunctions.register(spark)
+    val (d, w) = (3, 16) // tiny grid so collisions actually occur
+    val b1 = (0 until 30).map(i => ("en", s"cm${i % 9} cm${(i + 2) % 9}"))
+    val b2 = (0 until 30).map(i => ("en", s"cm${i % 13} yy$i")) ++
+      Seq(("fr", "un jeton"))
+    val b3 = Seq(("en", "cm1 cm2 nouveau"), ("fr", "un jeton encore"))
+    val ms = MemoryStream[(String, String)]
+    val q = StreamOps.cmsCountsPerLang(ms.toDF().toDF("lang", "text"), d, w)
+      .toDF()
+      .writeStream.format("memory").queryName("cms").outputMode(OutputMode.Update())
+      .start()
+    // batch twin: the CmsCounts aggregate over the prefix's union — the
+    // grid is a sum over the token multiset, so batching cannot move it
+    def batchGrid(rows: Seq[(String, String)]): Map[String, Seq[Long]] =
+      rows.toDF("lang", "text")
+        .select(org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.col("text"), " ")).as("term"))
+        .select(org.apache.spark.sql.functions.col("lang"),
+          graft.operators.PortableHash.hex60(
+            org.apache.spark.sql.functions.col("term")).as("gh"))
+        .groupBy("lang")
+        .agg(graft.functions.SketchFunctions.cmsCounts(
+          org.apache.spark.sql.functions.col("gh"),
+          org.apache.spark.sql.functions.lit(1L), d, w).as("cms"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def lastPerLang(): Map[String, Seq[Long]] = spark.table("cms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1).map { case (l, v) => l -> v.last._3 }
+    var seen = Seq.empty[(String, String)]
+    for (b <- Seq(b1, b2, b3)) {
+      ms.addData(b); q.processAllAvailable()
+      seen = seen ++ b
+      val want = batchGrid(seen)
+      assert(lastPerLang() == want, s"after ${seen.size} docs")
+      // the emitted total is the token count (grid row sums are equal)
+      val totals = spark.table("cms").collect()
+        .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+        .map { case (l, v) => l -> v.last._2 }
+      assert(totals == want.map { case (l, g) => l -> g.sum / d })
+    }
+    q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
