@@ -746,6 +746,41 @@ object Relational {
 
   private val q34Sql = q34Body("lineitem")
 
+  /** The q36 LATERAL body, shared verbatim by both engines (only the
+    * view names differ): per region, the top-2 nations by customer
+    * count — an aggregate + ORDER BY + LIMIT subquery correlated on the
+    * outer row. */
+  private def q36Body(region: String, nation: String, customer: String): String =
+    s"""SELECT r.r_name AS region, t.n_name AS nation, t.n_cust
+       |FROM $region r, LATERAL (
+       |  SELECT n.n_name, COUNT(*) AS n_cust
+       |  FROM $nation n JOIN $customer c ON c.c_nationkey = n.n_nationkey
+       |  WHERE n.n_regionkey = r.r_regionkey
+       |  GROUP BY n.n_name
+       |  ORDER BY n_cust DESC, n.n_name
+       |  LIMIT 2) t
+       |ORDER BY region, n_cust DESC, nation""".stripMargin
+
+  /** q36: LATERAL correlated subquery (new join surface; Spark 4 parses
+    * `, LATERAL (...)` and DECORRELATES it) — the declarative form of
+    * the reference's per-candidate point-query loop (one small SELECT
+    * re-run per outer row, `Billion_Dollar/new_disaster_c.py`'s per-year
+    * lookups): written as N point queries it is N scans; written
+    * LATERAL, Catalyst's DecorrelateInnerQuery rewrites the aggregate +
+    * ORDER + LIMIT inner block into ONE distributed join + per-group
+    * top-k over the whole outer set, so the plan scales with the data,
+    * not with |outer rows|. Same answer as a window formulation; the
+    * point here is that the correlated SURFACE compiles to the scalable
+    * plan. */
+  def q36Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "region").createOrReplaceTempView("q36_region")
+    Tables(s, dir, "nation").createOrReplaceTempView("q36_nation")
+    Tables(s, dir, "customer").createOrReplaceTempView("q36_customer")
+    s.sql(q36Body("q36_region", "q36_nation", "q36_customer"))
+  }
+
+  private val q36Sql = q36Body("region", "nation", "customer")
+
   /** q28: conditional (FILTER-clause) aggregation — several differently-
     * filtered measures off ONE scan (the "count matching X, sum matching
     * Y, all per group" report that would otherwise take N scans or a
@@ -978,7 +1013,8 @@ object Relational {
     "q27_rank_family" -> (q27RankFamily _),
     "q33_value_windows" -> (q33ValueWindows _),
     "q34_recursive_cte" -> (q34RecursiveCte _),
-    "q35_topk_agg" -> (q35TopkAgg _))
+    "q35_topk_agg" -> (q35TopkAgg _),
+    "q36_lateral" -> (q36Lateral _))
 
   val oracles: Map[String, String] = Map(
     "q32_column_stats" -> q32Sql,
@@ -1015,5 +1051,6 @@ object Relational {
     "q27_rank_family" -> q27Sql,
     "q33_value_windows" -> q33Sql,
     "q34_recursive_cte" -> q34Sql,
-    "q35_topk_agg" -> q9Sql) // same answer as q9, via the bounded-heap aggregate
+    "q35_topk_agg" -> q9Sql, // same answer as q9, via the bounded-heap aggregate
+    "q36_lateral" -> q36Sql)
 }

@@ -132,6 +132,37 @@ class PlanAuditSpec extends AnyFunSuite {
       nodeCount(s, "ShuffledHashJoin") >= 1, s"no equi-join found:\n${s.take(1200)}")
   }
 
+  test("q36 lateral: decorrelated — each table scanned once, no per-outer-row loop") {
+    val s = formatted(SparkEntry.queries("q36_lateral")(spark, sfDir))
+    // DecorrelateInnerQuery must turn the correlated aggregate+LIMIT
+    // block into one join tree: 3 scans total (region, nation, customer),
+    // not |region| re-executions of the inner query, and no cartesian
+    assert(!s.contains("CartesianProduct"), "lateral planned a cartesian")
+    assert(nodeCount(s, "Scan parquet") <= 3,
+      s"inner query re-executed per outer row:\n${s.linesIterator.filter(_.contains("Scan")).mkString("\n")}")
+    assert(nodeCount(s, "BroadcastHashJoin") + nodeCount(s, "SortMergeJoin") +
+      nodeCount(s, "ShuffledHashJoin") >= 1, "no equi-join in decorrelated plan")
+  }
+
+  test("m6 cms: sketch builds as a partial+final object-hash pair, probe join broadcasts") {
+    try {
+      val s = formatted(SparkEntry.queries("m6_cms_heavy")(spark, sfDir))
+      // the TypedImperativeAggregate must partially aggregate before the
+      // lang shuffle (map-side combine ships one grid per mapper) and the
+      // 10-per-lang probe side must broadcast against the sketch rows.
+      // The partial_/final function pair in the node details is the
+      // direct evidence of the combine (the ObjectHashAggregate nodes
+      // themselves sit under cached/AQE subtrees the final-tree counter
+      // does not walk)
+      assert(s.contains("partial_cms_counts"),
+        s"no partial (map-side) cms aggregate:\n${s.linesIterator.filter(_.contains("Aggregate")).mkString("\n")}")
+      assert(s.contains("Functions [1]: [cms_counts"),
+        "no final cms aggregate in plan details")
+      assert(nodeCount(s, "BroadcastHashJoin") >= 1, "sketch probe join did not broadcast")
+      assert(!s.contains("CartesianProduct"))
+    } finally spark.catalog.clearCache() // m6 persists the (lang, term) counts
+  }
+
   test("s1 salted agg: both phases partial-aggregate, no cartesian anywhere") {
     val s = formatted(SparkEntry.queries("s1_skew_agg")(spark, sfDir))
     // phase 1 (key,salt) and phase 2 (key) each split into partial+final
