@@ -166,6 +166,45 @@ object IvfSearch {
       .select(col("q_id"), col("q_emb"), col("probe.cid").as("centroid_id"))
   }
 
+  /** FILTERED approximate cosine top-k ("filtered vector search"):
+    * like [[approxTopK]], but a candidate only qualifies if its `meta`
+    * row's `matchCol` equals the QUERY's `matchCol` value — constrained
+    * retrieval (nearest same-class / same-tenant / same-language
+    * neighbors), the serving pattern ANN systems bolt on as a WHERE
+    * clause. This is the PRE-filter strategy: the predicate cuts the
+    * candidate set between probe and scoring, so top-k never spends its
+    * budget on excluded vectors (a POST-filter — rank first, filter
+    * after — silently returns < k rows whenever the filter bites, and
+    * inflating k to compensate re-scores the whole list).
+    *
+    * `meta` is keyed by `idCol` and carries `matchCol`. Scale shape:
+    * routing broadcasts as usual; the predicate lands on the candidate
+    * set via one equi-join against `meta` — at deployment you
+    * denormalize hot filter columns INTO the inverted file at build
+    * time (the k6 postings pattern) and the join disappears; keeping
+    * `meta` separate here means one index serves any metadata without
+    * rebuild. */
+  def approxTopKFiltered(queries: DataFrame, index: Index, idCol: String,
+                         embCol: String, k: Int, nprobe: Int,
+                         meta: DataFrame, matchCol: String): DataFrame = {
+    DotProduct.register(queries.sparkSession)
+    val m = meta.select(col(idCol).as("id"), col(matchCol).as("m_match"))
+    val qm = meta.select(col(idCol).as("q_id"), col(matchCol).as("q_match"))
+    val probed = route(queries, index, idCol, embCol, nprobe).join(qm, "q_id")
+    val cands = broadcast(probed)
+      .join(index.assignments, Seq("centroid_id"))
+      .join(m, Seq("id"))
+      .filter(col("id") =!= col("q_id") && col("m_match") === col("q_match"))
+    val scored = cands.withColumn("cos",
+      round(dot(col("q_emb"), col("emb")) /
+        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("neighbor"), col("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Approximate cosine top-k: probe the `nprobe` nearest inverted lists
     * per query, exact cosine within them. */
   def approxTopK(queries: DataFrame, index: Index, idCol: String, embCol: String,

@@ -682,6 +682,92 @@ object ScaleOps {
        |GROUP BY nprobe ORDER BY nprobe""".stripMargin
   }
 
+  /** i7: FILTERED vector search — same-label cosine top-$IvfTopK for the
+    * v1/a1/i1 query vectors through [[IvfSearch.approxTopKFiltered]]
+    * (constrained retrieval: "nearest neighbors of my class", the
+    * contrastive-positive mining / same-tenant serving pattern), audited
+    * per row with `in_exact` = membership in the exact filtered
+    * brute-force top-$IvfTopK. The pre-filter strategy is the one that
+    * scales: the label predicate prunes candidates BETWEEN probe and
+    * scoring, so the top-k budget is spent entirely inside the allowed
+    * subset — a post-filter over i1's unfiltered answer would keep only
+    * the accidental same-label survivors (and return short lists), and
+    * the audit column would expose it. Routing/clustering replay the
+    * SAME oracle-pinned ivfCtes chain as i1/i3/i5/i6 — one clustering,
+    * five oracle-checked consumers. */
+  def i7FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val e = Tables(s, dir, "embeddings")
+    val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      val meta = e.select(col("vec_id"), col("label"))
+      val apx = IvfSearch.approxTopKFiltered(e.filter(col("vec_id") < 3), idx,
+        "vec_id", "embedding", k = IvfTopK, nprobe = IvfNprobe,
+        meta = meta, matchCol = "label")
+      // exact filtered ground truth: brute-force cosine within the
+      // query's label class (the audit side — priced once, |q|·|class|)
+      val eb = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val q = eb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("label").as("q_label"))
+      val scored = broadcast(q)
+        .join(eb, col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+        .withColumn("cos",
+          round(dot(col("q_emb"), col("emb")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) *
+              sqrt(dot(col("emb"), col("emb")))), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      val brute = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= IvfTopK)
+        .select(col("q_id"), col("vec_id").as("neighbor"), lit(1).as("in_exact"))
+      val res = apx.join(brute, Seq("q_id", "neighbor"), "left")
+        .select(col("q_id"), col("rk"), col("neighbor"), col("cos"),
+          coalesce(col("in_exact"), lit(0)).as("in_exact"))
+        .orderBy("q_id", "rk")
+      // bounded (|q|·k = 15 rows): materialize before closing the index
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
+  private val i7Sql: String = {
+    val cos = (a: String, b: String) =>
+      s"ROUND(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$ivfCtes,
+       |lab AS (SELECT vec_id AS id, label FROM embeddings),
+       |ql AS (SELECT q.q_id, l.label AS q_label FROM q JOIN lab l ON l.id = q.q_id),
+       |cands AS (
+       |  SELECT pr.q_id, pr.q_emb, a.id AS neighbor, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id
+       |  JOIN lab ON lab.id = a.id
+       |  JOIN ql ON ql.q_id = pr.q_id AND lab.label = ql.q_label),
+       |ranked AS (
+       |  SELECT q_id, neighbor, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+       |  FROM (SELECT q_id, neighbor, ${cos("q_emb", "emb")} AS cos FROM cands) z),
+       |bf AS (
+       |  SELECT q_id, neighbor FROM (
+       |    SELECT q.q_id, e2.id AS neighbor,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cos("q.q_emb", "e2.emb")} DESC, e2.id) AS rk
+       |    FROM q
+       |    JOIN ql ON ql.q_id = q.q_id
+       |    JOIN lab l2 ON l2.label = ql.q_label
+       |    JOIN e e2 ON e2.id = l2.id AND e2.id <> q.q_id) z
+       |  WHERE rk <= $IvfTopK)
+       |SELECT r.q_id, r.rk, r.neighbor, r.cos,
+       |  CASE WHEN bf.neighbor IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+       |FROM ranked r LEFT JOIN bf ON bf.q_id = r.q_id AND bf.neighbor = r.neighbor
+       |WHERE r.rk <= $IvfTopK
+       |ORDER BY r.q_id, r.rk""".stripMargin
+  }
+
   // i2 constants shared by the Spark query and its SQL replay
   private val PqM = 4       // subspaces
   private val PqK = 16      // codewords per subspace (codes are 4 bits)
@@ -1261,6 +1347,7 @@ object ScaleOps {
     "i4_pq_distortion" -> (i4PqDistortion _),
     "i5_ann_at_rest" -> (i5AnnAtRest _),
     "i6_ivf_recall" -> (i6IvfRecall _),
+    "i7_filtered_ann" -> (i7FilteredAnn _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
@@ -1284,6 +1371,7 @@ object ScaleOps {
     "i4_pq_distortion" -> i4Sql,
     "i5_ann_at_rest" -> i3Sql, // same answer, served from artifacts
     "i6_ivf_recall" -> i6Sql,
+    "i7_filtered_ann" -> i7Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "s3_adaptive_skew_join" -> s3Sql,
