@@ -43,6 +43,33 @@ class IvfSearchSpec extends AnyFunSuite {
     assert(approx.size <= 15)
   }
 
+  test("filtered search: every neighbor shares the query's label; full probe equals filtered brute force") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val meta = corpus.select(col("vec_id"), col("label"))
+    val got = IvfSearch.approxTopKFiltered(q, index, "vec_id", "embedding",
+        k = 5, nprobe = 16, meta = meta, matchCol = "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labels = meta.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the predicate really constrains the result set
+    assert(got.nonEmpty && got.forall { case (qid, n) => labels(qid) == labels(n) })
+    // nprobe=k is exhaustive, so the filtered answer must equal the
+    // exact brute-force top-5 WITHIN the query's label class
+    val eb = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+      col("label"))
+    val dot = graft.functions.DotProduct.dotProduct _
+    val qq = eb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("label").as("q_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = broadcast(qq)
+      .join(eb, col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .withColumn("cos", round(dot(col("q_emb"), col("emb")) /
+        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(got == exact, s"diff=${(exact -- got).take(5)} / ${(got -- exact).take(5)}")
+  }
+
   test("saved index reloads and answers identically (build once, query many)") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     IvfSearch.saveIndex(index, dir)
