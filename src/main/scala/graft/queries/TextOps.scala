@@ -684,6 +684,80 @@ object TextOps {
        |SELECT doc_id, n_bigrams, mean_ppm FROM d
        |ORDER BY mean_ppm, doc_id LIMIT $D38K""".stripMargin
 
+  /** d40: per-source distribution-drift audit — total-variation distance
+    * (in ppm) between each source's token distribution and the whole
+    * corpus's, with the single most-divergent term named per source. The
+    * mixture-monitoring tile a corpus build watches as new sources land:
+    * TV is the fraction of probability mass you'd have to move, it needs
+    * no logarithm (KL/PSI's `ln` is never oracle-safe — the e24
+    * precedent), and it is exactly computable on the ppm integer grid
+    * both engines truncate identically.
+    *
+    * Scale shape: ONE corpus pass builds the (source, term) counts; the
+    * corpus marginal, the source totals, and the grand total all derive
+    * from that aggregate (the corpus is never re-read). The comparison
+    * grid is |sources| × |corpus vocab| via a broadcast of the (tiny)
+    * per-term marginal — at deployment vocabulary you'd cap to the top-V
+    * terms plus a residual bucket, which keeps TV exact over the head
+    * and bounds the tail's contribution. Terms a source never emits
+    * still carry corpus mass (LEFT join, zero-fill) — dropping them
+    * UNDERSTATES drift, the classic mistake this query exists to avoid. */
+  def d40SourceDrift(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the (source, term) aggregate feeds four consumers
+    // (marginals, totals, grid); without it each re-explodes the corpus.
+    // Released by the caller's clearCache
+    val st = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    st.count()
+    val ct = st.groupBy(col("term")).agg(sum(col("n")).as("cn"))
+    val stot = st.groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val ctot = st.agg(sum(col("n")).as("ctot"))
+    val grid = stot.join(broadcast(ct))
+      .join(broadcast(ctot))
+      .join(st, Seq("source", "term"), "left")
+      .select(col("source"), col("term"), col("n_tokens"),
+        expr("(1000000 * coalesce(n, 0L)) div n_tokens").as("ps"),
+        expr("(1000000 * cn) div ctot").as("pc"))
+      .withColumn("diff", abs(col("ps") - col("pc")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("diff").desc, col("term"))
+    grid
+      .withColumn("tv2", sum(col("diff")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("n_tokens"),
+        expr("tv2 div 2").as("tv_ppm"),
+        col("term").as("top_term"), col("diff").as("top_term_ppm"))
+      .orderBy("source")
+  }
+
+  private val d40Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |st AS (SELECT source, term, COUNT(*) AS n FROM tok GROUP BY source, term),
+      |ct AS (SELECT term, SUM(n) AS cn FROM st GROUP BY term),
+      |stot AS (SELECT source, SUM(n) AS n_tokens FROM st GROUP BY source),
+      |ctot AS (SELECT SUM(n) AS ctot FROM st),
+      |grid AS (
+      |  SELECT s.source, c.term, s.n_tokens,
+      |    ABS((1000000 * COALESCE(st.n, 0)) // s.n_tokens
+      |      - (1000000 * c.cn) // t.ctot) AS diff
+      |  FROM stot s CROSS JOIN ct c CROSS JOIN ctot t
+      |  LEFT JOIN st ON st.source = s.source AND st.term = c.term),
+      |r AS (
+      |  SELECT source, n_tokens, term, diff,
+      |    SUM(diff) OVER (PARTITION BY source) AS tv2,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY diff DESC, term) AS rk
+      |  FROM grid)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(tv2 // 2 AS BIGINT) AS tv_ppm,
+      |  term AS top_term, CAST(diff AS BIGINT) AS top_term_ppm
+      |FROM r WHERE rk = 1 ORDER BY source""".stripMargin
+
   private val d6Sql =
     """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
       |tok AS (
@@ -1177,6 +1251,7 @@ object TextOps {
     "d36_coverage_curve" -> (d36CoverageCurve _),
     "d37_len_quality_corr" -> (d37LenQualityCorr _),
     "d38_lm_quality" -> (d38LmQuality _),
+    "d40_source_drift" -> (d40SourceDrift _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1207,5 +1282,6 @@ object TextOps {
     "d36_coverage_curve" -> d36Sql,
     "d37_len_quality_corr" -> d37Sql,
     "d38_lm_quality" -> d38Sql,
+    "d40_source_drift" -> d40Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
