@@ -517,6 +517,60 @@ object StreamOps {
       }
   }
 
+  case class DriftState(counts: Map[String, Long])
+  case class DriftOut(source: String, n_tokens: Long, tv_ppm: Long)
+
+  /** Streaming twin of d40's source-drift audit — the live mixture
+    * monitor: per source, the total-variation distance (ppm) between the
+    * tokens seen SO FAR and a FROZEN reference distribution
+    * (`refMarginal`: term → corpus count, the d40 corpus marginal,
+    * driver-derived like the c6 frozen train grams), re-emitted each
+    * batch (Update mode). An operator drifting away from the reference
+    * mix raises its TV as it streams — the batch d40 localizes drift
+    * after the fact; this watches it happen.
+    *
+    * State per source is the term-count map, bounded by `maxVocab` with
+    * a FAIL-FAST on overflow (the honest bounded-state contract: at
+    * deployment the reference is capped to top-V terms + a residual
+    * bucket and arriving terms outside it fold into the residual; this
+    * twin keeps exact terms so the spec can pin equality with the batch
+    * computation, and refuses to grow past the declared bound rather
+    * than silently degrade). Like the sketch twins there is no ordering
+    * contract: counts are a multiset sum, so batching/replay cannot
+    * move the state. Division is integer ppm (`div`), matching d40's
+    * grid exactly. */
+  def sourceDriftPerBatch(docs: DataFrame, refMarginal: Map[String, Long],
+                          maxVocab: Int = 4096): Dataset[DriftOut] = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    require(refMarginal.nonEmpty, "sourceDriftPerBatch needs a non-empty reference")
+    val refTotal = refMarginal.values.sum
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DriftState, DriftOut](GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, String)], state: GroupState[DriftState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          rows.foreach { case (_, t) =>
+            counts = counts.updated(t, counts.getOrElse(t, 0L) + 1L)
+          }
+          if (counts.size > maxVocab) {
+            throw new IllegalStateException(
+              s"source $source exceeded the $maxVocab-term state bound " +
+                s"(${counts.size} terms): cap the reference to top-V + residual")
+          }
+          state.update(DriftState(counts))
+          val nTokens = counts.values.sum
+          val tv2 = (refMarginal.keySet ++ counts.keySet).toSeq.map { t =>
+            val ps = counts.getOrElse(t, 0L) * 1000000L / math.max(nTokens, 1L)
+            val pc = refMarginal.getOrElse(t, 0L) * 1000000L / refTotal
+            math.abs(ps - pc)
+          }.sum
+          DriftOut(source, nTokens, tv2 / 2)
+      }
+  }
+
   case class CusumState(s: Double)
   case class CusumAlarm(event_type: String, event_id: Long, ts: Timestamp,
                         cusum: Double)

@@ -616,6 +616,65 @@ class StreamOpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sourceDriftPerBatch (d40 twin): TV after every batch equals the batch formula over the union") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // frozen reference: a fixed 4-term corpus marginal
+    val ref = Map("alpha" -> 40L, "beta" -> 30L, "gamma" -> 20L, "delta" -> 10L)
+    val refTotal = ref.values.sum
+    val b1 = Seq(("s1", "alpha alpha beta"), ("s2", "delta delta delta"))
+    val b2 = Seq(("s1", "gamma beta beta"), ("s2", "delta epsilon"))
+    val b3 = Seq(("s1", "alpha"), ("s2", "zeta zeta"))
+    val ms = MemoryStream[(String, String)]
+    val q = StreamOps.sourceDriftPerBatch(ms.toDF().toDF("source", "text"), ref)
+      .toDF()
+      .writeStream.format("memory").queryName("drift").outputMode(OutputMode.Update())
+      .start()
+    def batchTv(rows: Seq[(String, String)]): Map[String, (Long, Long)] =
+      rows.flatMap { case (s, t) => t.split(" ").map(s -> _) }
+        .groupBy(_._1).map { case (s, toks) =>
+          val counts = toks.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+          val n = counts.values.sum
+          val tv2 = (ref.keySet ++ counts.keySet).toSeq.map { t =>
+            math.abs(counts.getOrElse(t, 0L) * 1000000L / n -
+              ref.getOrElse(t, 0L) * 1000000L / refTotal)
+          }.sum
+          s -> (n, tv2 / 2)
+        }
+    def lastPerSource(): Map[String, (Long, Long)] = spark.table("drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (s, v) => s -> (v.last._2, v.last._3) }
+    var seen = Seq.empty[(String, String)]
+    for (b <- Seq(b1, b2, b3)) {
+      ms.addData(b); q.processAllAvailable()
+      seen = seen ++ b
+      assert(lastPerSource() == batchTv(seen), s"after ${seen.size} docs")
+    }
+    q.stop()
+    // terms OUTSIDE the reference (epsilon, zeta) must add drift mass:
+    // s2 saw 2/6 tokens outside ref, so its TV is strictly above the
+    // TV it would have with those tokens replaced by its modal term
+    assert(lastPerSource()("s2")._2 > 0L)
+  }
+
+  test("sourceDriftPerBatch fail-fasts when a source exceeds the declared vocab bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val q = StreamOps.sourceDriftPerBatch(
+        ms.toDF().toDF("source", "text"), Map("a" -> 1L), maxVocab = 3)
+      .toDF()
+      .writeStream.format("memory").queryName("drift_cap").outputMode(OutputMode.Update())
+      .start()
+    ms.addData(Seq(("s1", "t1 t2 t3 t4")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getCause.getMessage.contains("state bound") ||
+      Option(e.getCause.getCause).exists(_.getMessage.contains("state bound")))
+    q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
