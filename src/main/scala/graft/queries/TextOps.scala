@@ -497,6 +497,93 @@ object TextOps {
       |  COUNT(*) * CAST(bucket_max AS BIGINT) - CAST(SUM(nt) AS BIGINT) AS padding_waste
       |FROM b GROUP BY bucket_max ORDER BY bucket_max""".stripMargin
 
+  /** d41: matched contrastive sampling — pair each high-quality document
+    * with a low-quality document of the SAME d34 length bucket,
+    * deterministically (i-th best ↔ i-th worst within the bucket), and
+    * report the pairing per bucket. This is the matched-control
+    * construction behind quality-classifier training sets and ablation
+    * evals: comparing high vs low quality WITHOUT length matching mostly
+    * measures length (the d3 score is length-correlated by design), so
+    * the control must come from the same bucket.
+    *
+    * Determinism: the hi side ranks (score DESC, doc_id ASC), the lo
+    * side ranks the EXACT reverse (score ASC, doc_id DESC) — so hi takes
+    * positions 1..n/2 of one total order and lo takes positions
+    * n..n−n/2+1, disjoint under any ties; an odd bucket's median doc
+    * joins neither side. Scale shape: both ranks and the bucket count
+    * share ONE bucket-key shuffle; pairing is an equi-join on
+    * (bucket, rank); at deployment the per-bucket rank is d19's salted
+    * top-k shape. All integer ppm arithmetic. */
+  def d41MatchedPairs(s: SparkSession, dir: String): DataFrame = {
+    val charLen = length(col("text"))
+    val nTok = charLen - length(expr("replace(text, ' ', '')")) + 1
+    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val score = round(
+      least(lit(1.0), nTok.cast("double") / lit(200.0)) *
+        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+    val bucket = when(nTok <= 16, 16).when(nTok <= 32, 32).when(nTok <= 64, 64)
+      .when(nTok <= 128, 128).when(nTok <= 256, 256).when(nTok <= 512, 512)
+      .otherwise(1024)
+    val base = Tables(s, dir, "documents").select(col("doc_id"),
+      bucket.cast("int").as("bucket_max"),
+      round(score * 1e6).cast("long").as("score_ppm"))
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket_max"))
+    val hiW = part.orderBy(col("score_ppm").desc, col("doc_id"))
+    val loW = part.orderBy(col("score_ppm").asc, col("doc_id").desc)
+    val ranked = base
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("hi_rk", row_number().over(hiW))
+      .withColumn("lo_rk", row_number().over(loW))
+    val hi = ranked.filter(col("hi_rk") <= expr("n div 2"))
+      .select(col("bucket_max"), col("hi_rk").as("rk"),
+        col("score_ppm").as("hi_ppm"), col("n"))
+    val lo = ranked.filter(col("lo_rk") <= expr("n div 2"))
+      .select(col("bucket_max"), col("lo_rk").as("rk"),
+        col("score_ppm").as("lo_ppm"))
+    hi.join(lo, Seq("bucket_max", "rk"))
+      .withColumn("gap_ppm", col("hi_ppm") - col("lo_ppm"))
+      .groupBy(col("bucket_max"))
+      .agg(max(col("n")).as("n_docs"),
+        count(lit(1)).as("n_pairs"),
+        expr("sum(gap_ppm) div count(1)").cast("long").as("mean_gap_ppm"),
+        min(col("gap_ppm")).as("min_gap_ppm"),
+        max(col("gap_ppm")).as("max_gap_ppm"))
+      .orderBy("bucket_max")
+  }
+
+  private val d41Sql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+      |      WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+      |      WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+      |      ELSE 1024 END AS INTEGER) AS bucket_max,
+      |    CAST(ROUND(ROUND(least(1.0, CAST(nt AS DOUBLE) / 200.0)
+      |      * (1.0 - least(1.0, pn / CAST(cl AS DOUBLE) * 10)), 6) * 1e6, 0) AS BIGINT)
+      |      AS score_ppm
+      |  FROM (
+      |    SELECT doc_id, length(text) AS cl,
+      |      length(text) - length(replace(text, ' ', '')) + 1 AS nt,
+      |      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS pn
+      |    FROM documents) z),
+      |r AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY bucket_max) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket_max ORDER BY score_ppm DESC, doc_id) AS hi_rk,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket_max ORDER BY score_ppm ASC, doc_id DESC) AS lo_rk
+      |  FROM q),
+      |hi AS (SELECT bucket_max, hi_rk AS rk, score_ppm AS hi_ppm, n
+      |       FROM r WHERE hi_rk <= n // 2),
+      |lo AS (SELECT bucket_max, lo_rk AS rk, score_ppm AS lo_ppm
+      |       FROM r WHERE lo_rk <= n // 2),
+      |p AS (
+      |  SELECT hi.bucket_max, hi.n, hi.hi_ppm - lo.lo_ppm AS gap_ppm
+      |  FROM hi JOIN lo USING (bucket_max, rk))
+      |SELECT bucket_max, CAST(MAX(n) AS BIGINT) AS n_docs, COUNT(*) AS n_pairs,
+      |  CAST(SUM(gap_ppm) // COUNT(*) AS BIGINT) AS mean_gap_ppm,
+      |  CAST(MIN(gap_ppm) AS BIGINT) AS min_gap_ppm,
+      |  CAST(MAX(gap_ppm) AS BIGINT) AS max_gap_ppm
+      |FROM p GROUP BY bucket_max ORDER BY bucket_max""".stripMargin
+
   /** d36: vocabulary coverage curve — how many of the top-frequency
     * token TYPES cover 50% / 90% / 99% of all token OCCURRENCES (the
     * Zipf curve read as a tokenizer-budget question: "how big a vocab
@@ -1252,6 +1339,7 @@ object TextOps {
     "d37_len_quality_corr" -> (d37LenQualityCorr _),
     "d38_lm_quality" -> (d38LmQuality _),
     "d40_source_drift" -> (d40SourceDrift _),
+    "d41_matched_pairs" -> (d41MatchedPairs _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1283,5 +1371,6 @@ object TextOps {
     "d37_len_quality_corr" -> d37Sql,
     "d38_lm_quality" -> d38Sql,
     "d40_source_drift" -> d40Sql,
+    "d41_matched_pairs" -> d41Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
