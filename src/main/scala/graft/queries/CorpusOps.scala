@@ -66,6 +66,46 @@ object CorpusOps {
        |SELECT component, COUNT(*) AS n_docs
        |FROM clusters GROUP BY component ORDER BY component""".stripMargin
 
+  /** c13 arrival split: edges wholly below this doc_id are the "already
+    * clustered" history; everything touching a newer doc is the
+    * increment. Any split point satisfies the star identity — this one
+    * lands non-trivial mass on both sides at both SFs. */
+  private val C13Split = 300L
+
+  /** c13: INCREMENTAL connected components — c1's cluster histogram
+    * computed without ever re-reading the historical edge set. The old
+    * edges' labeling is collapsed to STAR edges (member → component
+    * min-id); the new labeling is the components of (stars ∪ new edges).
+    * Collapsing a connected subgraph to a star preserves the quotient
+    * connectivity, and min-id labels make the collapsed run emit
+    * IDENTICAL labels to a from-scratch run — an identity, not an
+    * approximation, which is why the oracle is c1's own SQL (the same
+    * precedent as i5→i3 and q35→q9: same answer, incremental machine).
+    *
+    * This is the piece that keeps c9/c12's rolling ingest honest at
+    * 100 TB: the accumulated pair log only ever grows, but each
+    * increment's CC pass touches |old vertices| star rows + the new
+    * batch's edges — cost tracks the increment, not the history (the
+    * graph-side analog of the index-delta property the ingest sweeps
+    * prove for shingles). */
+  def c13IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    // persisted: both arrival slices filter the same MinHash sweep;
+    // without it each CC call's eager edge persist re-runs the full
+    // pipeline. Released by the caller's clearCache (c1 precedent)
+    val edges = nearDupEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val old = edges.filter(col("id_a") < C13Split && col("id_b") < C13Split)
+    val fresh = edges.filter(col("id_a") >= C13Split || col("id_b") >= C13Split)
+    val stars = ConnectedComponents.components(old)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+    ConnectedComponents.components(stars.unionByName(fresh))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("component")
+  }
+
   /** d14: the near-dup keep/drop decision composed end-to-end — MinHash
     * pairs → connected components → drop every non-representative
     * (id ≠ component) → per-language corpus stats over the survivors.
@@ -1142,6 +1182,7 @@ object CorpusOps {
     "c8_threshold_sweep" -> (c8ThresholdSweep _),
     "c9_ingest_compaction" -> (c9IngestCompaction _),
     "c12_ingest_at_rest" -> (c12IngestAtRest _),
+    "c13_incremental_cc" -> (c13IncrementalCc _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1168,6 +1209,7 @@ object CorpusOps {
     "c9_ingest_compaction" -> c9Sql,
     // the at-rest round-trip must reproduce c9's one-shot answer exactly
     "c12_ingest_at_rest" -> c9Sql,
+    "c13_incremental_cc" -> c1Sql, // the star identity: same answer, incremental machine
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,

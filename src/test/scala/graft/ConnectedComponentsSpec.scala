@@ -37,6 +37,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       99L -> 99L))
   }
 
+  test("star identity: incremental CC over (stars of old labels) ∪ new edges equals from-scratch (c13's contract)") {
+    import spark.implicits._
+    // old history: two separate components {1,2,3} and {10,11}, plus an
+    // untouched component {20,21}
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // increment: a NEW vertex joins one component (12→10-cluster), and —
+    // the adversarial case — a new edge MERGES the two old components
+    // through their non-min members (3–11): the star collapse must still
+    // produce the global min label 1 for everything reachable
+    val fresh = Seq((12L, 11L), (3L, 11L), (30L, 31L))
+    val scratch = labelsOf(old ++ fresh)
+    val stars = labelsOf(old).toSeq.filter { case (id, c) => id != c }
+    val incremental = labelsOf(stars ++ fresh)
+    assert(incremental == scratch)
+    assert(scratch(12L) == 1L && scratch(11L) == 1L, "merge must reach global min")
+    assert(scratch(20L) == 20L && scratch(21L) == 20L, "untouched component survives the collapse")
+  }
+
   test("two components never merge; every vertex gets exactly one label") {
     val edges = Seq((1L, 2L), (2L, 3L), (100L, 101L))
     val got = labelsOf(edges)
