@@ -134,6 +134,69 @@ object SearchOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Misspelled query forms of real corpus terms (substitution,
+    * substitution, insertion) — each must resolve through the typo
+    * expansion, never by exact match. */
+  private val TypoTerms = Seq("vektor", "streem", "windoww")
+
+  /** k7: typo-tolerant term resolution — expand each misspelled query
+    * term to the corpus-vocabulary terms within Levenshtein distance 1,
+    * with document frequency per match (the "did you mean" / fuzzy
+    * retrieval front-end that turns a typo into k1's exact BM25 terms).
+    *
+    * Scale shape — SymSpell-style deletion-neighborhood blocking, NOT a
+    * |queries|×|vocab| edit-distance scan: every term emits its
+    * {identity} ∪ {one-char deletions} variant set (≤ len+1 short
+    * strings, row-local), candidates are an EQUI-join on the variant
+    * (any lev-≤1 pair shares one: a substitution at i shares the
+    * both-delete-i variant, an insertion's deletion IS the shorter
+    * term), and the cheap exact `levenshtein` verify runs only on the
+    * blocked candidates. The variant table is the at-rest artifact a
+    * production spellchecker ships — build once per vocabulary, probe
+    * per query. The oracle replays the SEMANTICS (direct lev ≤ 1 over
+    * the vocabulary) without modeling the blocking, which is exact —
+    * the m2 banding precedent. */
+  def k7FuzzySearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // df = documents containing the term (distinct doc_id per term)
+    val df = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // {identity} ∪ one-char deletions, as a row-local generated column
+    def variants(c: org.apache.spark.sql.Column) = array_union(
+      array(c),
+      expr(s"transform(sequence(1, length(${c.toString})), i -> " +
+        s"concat(substring(${c.toString}, 1, i - 1), " +
+        s"substring(${c.toString}, i + 1, length(${c.toString}))))"))
+    val vvar = df.select(col("term"), col("df"),
+      explode(variants(col("term"))).as("variant"))
+    val qvar = TypoTerms.toDF("query_term")
+      .select(col("query_term"), explode(variants(col("query_term"))).as("variant"))
+    broadcast(qvar)
+      .join(vvar, "variant")
+      .select(col("query_term"), col("term").as("matched_term"), col("df"))
+      .distinct()
+      .filter(levenshtein(col("query_term"), col("matched_term")) <= 1)
+      .withColumn("lev",
+        levenshtein(col("query_term"), col("matched_term")).cast("int"))
+      .select(col("query_term"), col("matched_term"), col("lev"), col("df"))
+      .orderBy("query_term", "matched_term")
+  }
+
+  private val k7Sql: String = {
+    val vals = TypoTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+       |q AS (SELECT * FROM (VALUES $vals) v(query_term))
+       |SELECT q.query_term, d.term AS matched_term,
+       |  CAST(levenshtein(q.query_term, d.term) AS INTEGER) AS lev, d.df
+       |FROM q JOIN df d ON levenshtein(q.query_term, d.term) <= 1
+       |ORDER BY query_term, matched_term""".stripMargin
+  }
+
   /** k3: PII redaction audit — each document gets deterministic contact
     * lines synthesized from its own key (one source-derived email, a
     * second cc address on even ids, one +1 phone number), then the
@@ -243,7 +306,8 @@ object SearchOps {
     "k4_phrase_search" -> (k4PhraseSearch _),
     "k5_proximity_search" -> (k5ProximitySearch _),
     "k2_tfidf_term" -> (k2TfidfTerm _),
-    "k3_pii_redact" -> (k3PiiRedact _))
+    "k3_pii_redact" -> (k3PiiRedact _),
+    "k7_fuzzy_search" -> (k7FuzzySearch _))
 
   val oracles: Map[String, String] = Map(
     "k1_bm25_topk" -> k1Sql,
@@ -251,5 +315,6 @@ object SearchOps {
     "k4_phrase_search" -> k4Sql,
     "k5_proximity_search" -> k5Sql,
     "k2_tfidf_term" -> k2Sql,
-    "k3_pii_redact" -> k3Sql)
+    "k3_pii_redact" -> k3Sql,
+    "k7_fuzzy_search" -> k7Sql)
 }
