@@ -312,6 +312,46 @@ object Relational {
       |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       |ORDER BY c_custkey""".stripMargin
 
+  /** q37: BAG-semantics set operations — `UNION ALL` / `INTERSECT ALL` /
+    * `EXCEPT ALL` over two overlapping lineitem part-key multisets
+    * (q11–q13 cover the DISTINCT variants; the ALL variants keep
+    * multiplicities: intersect = per-key MIN of the two counts, except =
+    * truncated difference). Each result is reported as (rows, distinct
+    * keys, key checksum) so the oracle pins the multiset itself, not
+    * just its support. Scale note: Spark plans INTERSECT/EXCEPT ALL as
+    * a count-aggregate + generate per side — one shuffle each on the
+    * key, no pairwise machinery. */
+  def q37BagSetops(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") < 25).select(col("l_partkey").as("k"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_partkey").as("k"))
+    def stats(name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"),
+          sum(col("k")).as("key_sum"))
+        .select(lit(name).as("op"), col("n_rows"), col("n_keys"), col("key_sum"))
+    stats("except_all", a.exceptAll(b))
+      .unionByName(stats("intersect_all", a.intersectAll(b)))
+      .unionByName(stats("union_all", a.unionAll(b)))
+      .orderBy("op")
+  }
+
+  private val q37Sql =
+    """WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity < 25),
+      |b AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+      |ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      |ua AS (SELECT k FROM a UNION ALL SELECT k FROM b)
+      |SELECT 'except_all' AS op, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT k) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum FROM ea
+      |UNION ALL
+      |SELECT 'intersect_all', COUNT(*), COUNT(DISTINCT k),
+      |  CAST(SUM(k) AS BIGINT) FROM ia
+      |UNION ALL
+      |SELECT 'union_all', COUNT(*), COUNT(DISTINCT k),
+      |  CAST(SUM(k) AS BIGINT) FROM ua
+      |ORDER BY op""".stripMargin
+
   /** q14: pivot to wide layout (SURVEY §2.8 — NOAA/EDGAR wide layouts are
     * pivots of the canonical long form). Explicit value list keeps the plan
     * single-pass (no extra distinct job to discover pivot values). */
@@ -1014,7 +1054,8 @@ object Relational {
     "q33_value_windows" -> (q33ValueWindows _),
     "q34_recursive_cte" -> (q34RecursiveCte _),
     "q35_topk_agg" -> (q35TopkAgg _),
-    "q36_lateral" -> (q36Lateral _))
+    "q36_lateral" -> (q36Lateral _),
+    "q37_bag_setops" -> (q37BagSetops _))
 
   val oracles: Map[String, String] = Map(
     "q32_column_stats" -> q32Sql,
@@ -1052,5 +1093,6 @@ object Relational {
     "q33_value_windows" -> q33Sql,
     "q34_recursive_cte" -> q34Sql,
     "q35_topk_agg" -> q9Sql, // same answer as q9, via the bounded-heap aggregate
-    "q36_lateral" -> q36Sql)
+    "q36_lateral" -> q36Sql,
+    "q37_bag_setops" -> q37Sql)
 }
