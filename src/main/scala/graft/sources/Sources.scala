@@ -87,6 +87,94 @@ object Sources {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(name)
 
+  /** Small-file compaction: rewrite a parquet directory (optionally
+    * per-partition) into files sized near `targetBytes` — the
+    * housekeeping pass every long-running ingest needs (streaming
+    * micro-batches and fine partitioning strand thousands of KB-scale
+    * files; at 100 TB the scan's task count and the namenode's inode
+    * table both scale with file COUNT, not bytes).
+    *
+    * File count is derived from the CURRENT on-disk footprint (compressed
+    * bytes, summed via the Hadoop FileSystem so any scheme works — the
+    * StreamOps ADVICE precedent), never from row counts: parquet's
+    * compression ratio varies too much across schemas for a row heuristic.
+    * The rewrite is `coalesce` (no shuffle — compaction must move bytes
+    * once, not twice); partitioned layouts compact each partition
+    * directory independently so pruning survives.
+    *
+    * Order of operations: the original directory is RENAMED to
+    * `<path>__compact_old` FIRST, then read from there and written
+    * compacted to the final path. Reading from the never-before-listed
+    * staging path matters: Spark's shared FileStatusCache keys directory
+    * listings by path with an infinite default TTL, and
+    * `FileStatusCache.getOrCreate` hands each caller a fresh client view
+    * whose `invalidateAll` cannot evict another client's entries — a
+    * rewrite-in-tmp-then-swap design therefore poisons the final path's
+    * listing with the pre-compaction file set (FILE_NOT_EXIST on the
+    * next read). Crash recovery: the original stays intact at
+    * `__compact_old` until the rewrite completes; on failure this method
+    * restores it (delete partial output, rename back). Returns
+    * (files before, files after). */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L << 20): (Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(root.toUri, hconf)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f
+      }
+      out.result()
+    }
+    val back = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(back, true)
+    if (!fs.rename(root, back)) {
+      throw new java.io.IOException(s"compactParquet: could not stage $path")
+    }
+    try {
+      val before = dataFiles(back)
+      // partition directories (key=value segments) compact independently;
+      // an unpartitioned directory is a single unit
+      val units = before.groupBy(f => f.getPath.getParent).toSeq
+      units.foreach { case (dir, files) =>
+        val bytes = files.map(_.getLen).sum
+        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        // listed paths are scheme-qualified — the base must be qualified
+        // the same way or URI.relativize returns the ABSOLUTE uri and the
+        // write target resolves back to the staging dir (self-overwrite)
+        val rel = fs.makeQualified(back).toUri
+          .relativize(dir.toUri).toString // "" or "k=v/..."
+        require(!rel.contains(":"),
+          s"compactParquet: could not relativize $dir against $back")
+        val out = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
+        spark.read.parquet(dir.toString)
+          .coalesce(n)
+          .write.mode(SaveMode.Overwrite).parquet(out.toString)
+      }
+      // best-effort plan recache for readers that referenced the path
+      // before compaction (the LISTING cache was never poisoned for the
+      // final path: only the staging path was listed during the rewrite)
+      spark.catalog.refreshByPath(path)
+      val after = dataFiles(root).size.toLong
+      fs.delete(back, true)
+      (before.size.toLong, after)
+    } catch {
+      case e: Throwable =>
+        // restore the original — compaction must never half-apply
+        fs.delete(root, true)
+        if (!fs.rename(back, root)) {
+          throw new java.io.IOException(
+            s"compactParquet: rewrite failed AND restore failed; " +
+              s"original data is at $back", e)
+        }
+        throw e
+    }
+  }
+
   /** S6 — `SELECT name FROM sqlite_master` → catalog listing. */
   def listTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq

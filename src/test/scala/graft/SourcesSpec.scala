@@ -63,6 +63,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.filter(org.apache.spark.sql.functions.col("country") === "india").count() == 8)
   }
 
+  test("compactParquet: many small files become few, data and layout survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // unpartitioned: 20 shards of a small table -> 1 file
+    val flat = Files.createTempDirectory("cmp_flat").resolve("t").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(20).write.parquet(flat)
+    val (b1, a1) = Sources.compactParquet(spark, flat)
+    assert(b1 == 20 && a1 == 1, s"$b1 -> $a1")
+    assert(spark.read.parquet(flat).orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // partitioned: each partition directory compacts independently,
+    // so partition pruning still works on the rewritten layout
+    val part = Files.createTempDirectory("cmp_part").resolve("t").toString
+    df.withColumn("p", col("id") % 2)
+      .repartition(10).write.partitionBy("p").parquet(part)
+    val (b2, a2) = Sources.compactParquet(spark, part)
+    assert(b2 > 2 && a2 == 2, s"$b2 -> $a2")
+    assert(Files.exists(java.nio.file.Paths.get(part, "p=0")))
+    assert(spark.read.parquet(part).filter(col("p") === 1).count() == 500)
+    assert(spark.read.parquet(part).count() == 1000)
+    // sizing: a tiny targetBytes keeps multiple files (derived from the
+    // on-disk footprint, not row counts)
+    val multi = Files.createTempDirectory("cmp_multi").resolve("t").toString
+    df.repartition(20).write.parquet(multi)
+    val (_, a3) = Sources.compactParquet(spark, multi, targetBytes = 4096)
+    assert(a3 > 1, s"expected multiple output files, got $a3")
+    assert(spark.read.parquet(multi).count() == 1000)
+  }
+
   test("orc sink round-trips with partitioning and pushes filters to the scan") {
     val dir = Files.createTempDirectory("orc_sink").resolve("era5")
     Sources.saveOrc(graft.model.Fixtures.era5(spark), dir.toString,
