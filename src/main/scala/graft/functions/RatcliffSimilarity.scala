@@ -68,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SketchFunctions.kminInfo)
     ext.injectFunction(SketchFunctions.topkInfo)
     ext.injectFunction(SketchFunctions.cmsInfo)
+    ext.injectFunction(UnicodeNorm.info)
     ext.injectFunction(NearestEntry.info)
     ext.injectFunction(BloomFunctions.info)
     // optimizer depth: naive band joins (abs(a-b) <= k, no equi key)

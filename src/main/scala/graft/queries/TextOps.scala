@@ -584,6 +584,71 @@ object TextOps {
       |  CAST(MAX(gap_ppm) AS BIGINT) AS max_gap_ppm
       |FROM p GROUP BY bucket_max ORDER BY bucket_max""".stripMargin
 
+  /** d42: Unicode normalization audit — the cleaning pass a multilingual
+    * corpus needs BEFORE any hash-keyed operator: canonically-equal but
+    * byte-different text (precomposed é vs e + combining acute) defeats
+    * exact dedup, MinHash shingles, and vocabulary counts; zero-width
+    * characters (ZWSP/ZWNJ/ZWJ/BOM) survive tokenization invisibly. The
+    * corpus is ASCII, so each doc is AUGMENTED deterministically from
+    * its own key (the k3 PII-synthesis precedent): even ids get a
+    * combining-sequence "cafe?" (changed by NFC), odd ids the
+    * precomposed form (NFC-invariant — the control group), every doc a
+    * zero-width space (two when id % 3 = 0). The audit strips the
+    * zero-width class, NFC-normalizes through the codegen'd
+    * [[graft.functions.NfcNormalize]] expression, and reports per
+    * language: docs, docs NFC changed, zero-width chars removed, and a
+    * portable checksum of the normalized text — Java's Normalizer and
+    * DuckDB's utf8proc implement the same canonical composition, so the
+    * checksum pins true cross-engine parity. Fully row-local; one hash
+    * aggregate. */
+  def d42UnicodeAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UnicodeNorm.register(s)
+    val zw = when(pmod(col("doc_id"), lit(3)) === 0, lit("\u200b\u200b"))
+      .otherwise(lit("\u200b"))
+    val suffix = when(pmod(col("doc_id"), lit(2)) === 0, lit(" cafe\u0301"))
+      .otherwise(lit(" caf\u00e9"))
+    val aug = Tables(s, dir, "documents")
+      .select(col("lang"), concat(col("text"), suffix, zw).as("t"))
+    val stripped = regexp_replace(col("t"),
+      "[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]", "")
+    aug.select(col("lang"), col("t"), stripped.as("st"))
+      .select(col("lang"), col("st"),
+        (length(col("t")) - length(col("st"))).cast("long").as("zw"),
+        graft.functions.UnicodeNorm.nfcNormalize(col("st")).as("norm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("st"), 1L).otherwise(0L)).as("n_changed"),
+        sum(col("zw")).as("zw_removed"),
+        sum(graft.operators.PortableHash.hex60(col("norm")) % 1000000007L)
+          .as("checksum"))
+      .orderBy("lang")
+  }
+
+  private val d42Sql: String =
+    s"""WITH aug AS (
+       |  SELECT lang, text
+       |    || CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769)
+       |            ELSE ' caf' || chr(233) END
+       |    || CASE WHEN doc_id % 3 = 0 THEN chr(8203) || chr(8203)
+       |            ELSE chr(8203) END AS t
+       |  FROM documents),
+       |st AS (
+       |  SELECT lang, t,
+       |    regexp_replace(t, '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g') AS st
+       |  FROM aug),
+       |n AS (
+       |  SELECT lang, st, length(t) - length(st) AS zw, nfc_normalize(st) AS norm
+       |  FROM st)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN norm <> st THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(SUM(zw) AS BIGINT) AS zw_removed,
+       |  CAST(SUM(${hex60SqlT("norm")} % 1000000007) AS BIGINT) AS checksum
+       |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** TextOps-local twin of ScaleOps' hex60Sql (private there). */
+  private def hex60SqlT(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
   /** d36: vocabulary coverage curve — how many of the top-frequency
     * token TYPES cover 50% / 90% / 99% of all token OCCURRENCES (the
     * Zipf curve read as a tokenizer-budget question: "how big a vocab
@@ -1340,6 +1405,7 @@ object TextOps {
     "d38_lm_quality" -> (d38LmQuality _),
     "d40_source_drift" -> (d40SourceDrift _),
     "d41_matched_pairs" -> (d41MatchedPairs _),
+    "d42_unicode_audit" -> (d42UnicodeAudit _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1372,5 +1438,6 @@ object TextOps {
     "d38_lm_quality" -> d38Sql,
     "d40_source_drift" -> d40Sql,
     "d41_matched_pairs" -> d41Sql,
+    "d42_unicode_audit" -> d42Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

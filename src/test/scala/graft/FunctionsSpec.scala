@@ -45,6 +45,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(built.eval(null) == 0.75)
   }
 
+  test("nfc_normalize: canonical composition, fast-path identity, null propagation") {
+    import spark.implicits._
+    graft.functions.UnicodeNorm.register(spark)
+    val cases = Seq(
+      "cafe\u0301",          // e + combining acute -> precomposed
+      "caf\u00e9",           // already composed -> unchanged
+      "plain ascii",         // fast path
+      "A\u030a",             // A + combining ring -> angstrom A
+      "q\u0307\u0323",       // combining marks REORDER canonically (UAX#15)
+      "d\u0323\u0307")       // composes to dot-below d, keeps dot-above mark
+    val got = cases.toDF("s")
+      .select(graft.functions.UnicodeNorm.nfcNormalize(col("s")))
+      .collect().map(_.getString(0))
+    val want = cases.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    assert(got(0) == "caf\u00e9" && got(0) == got(1),
+      "composition must land on the precomposed form")
+    assert(got(3) == "\u00c5", "A + combining ring must compose")
+    assert(got(4) == "q\u0323\u0307", "canonical reordering must apply")
+    assert(got(5) == "\u1e0d\u0307", "partial composition keeps the residual mark")
+    // null propagates; SQL surface is registered
+    val viaSql = Seq(("cafe\u0301", null: String)).toDF("a", "b")
+      .selectExpr("nfc_normalize(a)", "nfc_normalize(b)").head()
+    assert(viaSql.getString(0) == "caf\u00e9" && viaSql.isNullAt(1))
+  }
+
   test("cdc_bounds equals the composable filter/aggregate derivation on corpus + edge docs") {
     import spark.implicits._
     graft.functions.SketchFunctions.register(spark)
