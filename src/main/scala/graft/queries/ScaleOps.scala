@@ -550,7 +550,14 @@ object ScaleOps {
     * lists. Expects `e(id, emb)` and `q(q_id, q_emb)` CTEs upstream;
     * consumed by the i1 oracle and re-consumed verbatim by i3 so the
     * composed stack replays the SAME clustering text. */
-  private val ivfCtes: String = {
+  private val ivfCtes: String = ivfCtesOver("e")
+
+  /** The same chain with a caller-chosen TRAINING table (i8 trains the
+    * quantizer on `et`, the pre-increment corpus, while `af` still
+    * assigns every row of `e` — the frozen-centroid incremental-index
+    * form). `ivfCtes` (train == assign == `e`) is the zero-arg instance
+    * every earlier consumer replays verbatim. */
+  private def ivfCtesOver(train: String): String = {
     val D = AnnSearch.Dim
     val iterCtes = (1 to IvfIters).map { i =>
       s"""a$i AS (
@@ -558,7 +565,7 @@ object ScaleOps {
          |    SELECT e.id, e.emb, cc.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.id
          |        ORDER BY ${sqlDist2("e.emb", "cc.c")}, cc.cid) AS rn
-         |    FROM e CROSS JOIN c${i - 1} cc) z WHERE rn = 1),
+         |    FROM $train e CROSS JOIN c${i - 1} cc) z WHERE rn = 1),
          |n$i AS (
          |  SELECT cid, list(m ORDER BY j) AS c FROM (
          |    SELECT cid, j, ROUND(AVG(emb[CAST(j AS INTEGER) + 1]), $IvfRound) AS m
@@ -569,7 +576,7 @@ object ScaleOps {
     }.mkString(",\n")
     s"""c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS INTEGER) - 1 AS cid, emb AS c
-       |  FROM (SELECT id, emb FROM e ORDER BY id LIMIT $IvfK) s),
+       |  FROM (SELECT id, emb FROM $train ORDER BY id LIMIT $IvfK) s),
        |$iterCtes,
        |af AS (
        |  SELECT id, emb, cid FROM (
@@ -767,6 +774,61 @@ object ScaleOps {
        |WHERE r.rk <= $IvfTopK
        |ORDER BY r.q_id, r.rk""".stripMargin
   }
+
+  /** i8 arrival split: the coarse quantizer trains on vectors below this
+    * id; everything at or above arrives AFTER the index is built. */
+  private val I8TrainEnd = 400L
+
+  /** i8: INCREMENTAL IVF indexing — late-arriving vectors are ASSIGNED
+    * to the frozen coarse quantizer (one broadcast-centroid argmin pass,
+    * exactly [[IvfSearch.assign]] — the same pass the trainer's final
+    * step runs) and appended to the inverted lists; queries then probe
+    * the GROWN index. This is how a production IVF serves a growing
+    * corpus: assignment is append-only and embarrassingly parallel,
+    * retraining is a scheduled event when the recall audit (i6) says
+    * the centroids have drifted — never a per-batch cost. Completes the
+    * incremental trio: c9/c12 grow the dedup index by deltas, c13 grows
+    * the components by star-collapse, i8 grows the ANN index by
+    * assignment. The oracle replays the split exactly — Lloyd unrolled
+    * over the PRE-ARRIVAL subset only, assignment over everything —
+    * via the parameterized ivfCtes chain. */
+  def i8IncrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx0 = IvfSearch.buildIndex(e.filter(col("vec_id") < I8TrainEnd),
+      "vec_id", "embedding", k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      val late = e.filter(col("vec_id") >= I8TrainEnd)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val grown = IvfSearch.Index(idx0.centroids,
+        idx0.assignments.unionByName(IvfSearch.assign(late, idx0.centroids)))
+      val res = IvfSearch.approxTopK(e.filter(col("vec_id") < 3), grown,
+          "vec_id", "embedding", k = IvfTopK, nprobe = IvfNprobe)
+        .orderBy("q_id", "rk")
+      // bounded (|q|·k = 15 rows): materialize before closing the index
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx0.close()
+  }
+
+  private val i8Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |et AS (SELECT id, emb FROM e WHERE id < $I8TrainEnd),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |${ivfCtesOver("et")},
+       |cands AS (
+       |  SELECT pr.q_id, pr.q_emb, a.id AS neighbor, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id),
+       |scored AS (
+       |  SELECT q_id, neighbor,
+       |    ROUND(list_dot_product(q_emb, emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT q_id, neighbor, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+       |  FROM scored)
+       |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= $IvfTopK
+       |ORDER BY q_id, rk""".stripMargin
 
   // i2 constants shared by the Spark query and its SQL replay
   private val PqM = 4       // subspaces
@@ -1348,6 +1410,7 @@ object ScaleOps {
     "i5_ann_at_rest" -> (i5AnnAtRest _),
     "i6_ivf_recall" -> (i6IvfRecall _),
     "i7_filtered_ann" -> (i7FilteredAnn _),
+    "i8_incremental_ivf" -> (i8IncrementalIvf _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
@@ -1372,6 +1435,7 @@ object ScaleOps {
     "i5_ann_at_rest" -> i3Sql, // same answer, served from artifacts
     "i6_ivf_recall" -> i6Sql,
     "i7_filtered_ann" -> i7Sql,
+    "i8_incremental_ivf" -> i8Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "s3_adaptive_skew_join" -> s3Sql,
