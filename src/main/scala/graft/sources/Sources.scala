@@ -130,6 +130,8 @@ object Sources {
       }
       out.result()
     }
+    // nothing to compact (no data files yet) -> no-op, don't stage
+    if (dataFiles(root).isEmpty) return (0L, 0L)
     val back = new org.apache.hadoop.fs.Path(path + "__compact_old")
     fs.delete(back, true)
     if (!fs.rename(root, back)) {
