@@ -1577,8 +1577,68 @@ object EventOps {
       |    / CAST(exact_users AS DOUBLE) * 1e6, 0) AS BIGINT) AS err_ppm
       |FROM j ORDER BY event_type""".stripMargin
 
+  /** e36: windowed KMV cardinality tiles — e35's distinct-user sketch
+    * per (event_type, hour) window, the actual DAU-dashboard grain: one
+    * sketch per tile, each ≤ k longs of state, thousands of tiles
+    * filled by ONE hash aggregate whose map-side combine ships ≤ k
+    * longs per (mapper, tile). This is the query shape where the
+    * bounded-state aggregate beats `countDistinct` hardest at scale:
+    * exact per-tile distinct is an Expand (one duplicated row per
+    * aggregate) + full (tile, user) dedup shuffle, while the sketch
+    * shuffle is capped by tiles·k regardless of the event volume. The
+    * exact count rides as the audit column; per-tile error in ppm. */
+  def e36WindowedKmv(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val k = 64
+    val hashed = Tables(s, dir, "events")
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        graft.operators.PortableHash.hex60(col("user_id")).as("gh"))
+    val sk = hashed.groupBy(col("event_type"), col("hour"))
+      .agg(graft.functions.SketchFunctions.kminValues(col("gh"), k).as("kmins"),
+        countDistinct(col("gh")).as("exact_users"))
+      .select(col("event_type"), col("hour"), col("exact_users"),
+        size(col("kmins")).as("kc"),
+        element_at(col("kmins"), size(col("kmins"))).as("kth_hash"))
+    val est = when(col("kc") < k, col("kc").cast("double"))
+      .otherwise(round(lit(63.0 * 1152921504606846976.0) / col("kth_hash").cast("double"), 4))
+    sk.withColumn("kmv_estimate", est)
+      .withColumn("err_ppm",
+        round((col("kmv_estimate") - col("exact_users").cast("double"))
+          / col("exact_users").cast("double") * lit(1e6)).cast("long"))
+      .select(col("event_type"), col("hour"), col("exact_users"),
+        col("kmv_estimate"), col("err_ppm"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val e36Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS gh
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type, hour, gh,
+      |    row_number() OVER (PARTITION BY event_type, hour ORDER BY gh) AS rk
+      |  FROM h),
+      |sk AS (
+      |  SELECT event_type, hour, MAX(gh) AS kth_hash, COUNT(*) AS kc
+      |  FROM rk WHERE rk <= 64 GROUP BY event_type, hour),
+      |ex AS (SELECT event_type, hour, COUNT(*) AS exact_users
+      |       FROM h GROUP BY event_type, hour),
+      |j AS (
+      |  SELECT sk.event_type, sk.hour, ex.exact_users,
+      |    CASE WHEN sk.kc < 64 THEN CAST(sk.kc AS DOUBLE)
+      |         ELSE ROUND((63.0 * 1152921504606846976.0) / CAST(sk.kth_hash AS DOUBLE), 4)
+      |    END AS kmv_estimate
+      |  FROM sk JOIN ex USING (event_type, hour))
+      |SELECT event_type, hour, exact_users, kmv_estimate,
+      |  CAST(ROUND((kmv_estimate - CAST(exact_users AS DOUBLE))
+      |    / CAST(exact_users AS DOUBLE) * 1e6, 0) AS BIGINT) AS err_ppm
+      |FROM j ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e35_kmv_users" -> (e35KmvUsers _),
+    "e36_windowed_kmv" -> (e36WindowedKmv _),
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
     "e3_sessionize" -> (e3Sessionize _),
@@ -1619,6 +1679,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e35_kmv_users" -> e35Sql,
+    "e36_windowed_kmv" -> e36Sql,
     "e1_window_hourly" -> e1Sql,
     "e2_window_sliding" -> e2Sql,
     "e3_sessionize" -> e3Sql,
