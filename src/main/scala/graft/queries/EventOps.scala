@@ -1579,14 +1579,16 @@ object EventOps {
 
   /** e36: windowed KMV cardinality tiles — e35's distinct-user sketch
     * per (event_type, hour) window, the actual DAU-dashboard grain: one
-    * sketch per tile, each ≤ k longs of state, thousands of tiles
-    * filled by ONE hash aggregate whose map-side combine ships ≤ k
-    * longs per (mapper, tile). This is the query shape where the
-    * bounded-state aggregate beats `countDistinct` hardest at scale:
-    * exact per-tile distinct is an Expand (one duplicated row per
-    * aggregate) + full (tile, user) dedup shuffle, while the sketch
-    * shuffle is capped by tiles·k regardless of the event volume. The
-    * exact count rides as the audit column; per-tile error in ppm. */
+    * sketch per tile, each ≤ k longs of state. This is the query shape
+    * where the bounded-state aggregate beats `countDistinct` hardest at
+    * scale: exact per-tile distinct needs a full (tile, user) dedup
+    * shuffle, while the sketch-only form is one hash aggregate whose
+    * map-side combine ships ≤ k longs per (mapper, tile) — capped by
+    * tiles·k regardless of event volume. THIS audit query carries the
+    * exact count alongside, so its own plan does pay the (tile, user)
+    * shuffle (the sketch riding through it — plan-verified); at
+    * deployment you drop the audit column and keep the capped shape,
+    * the m4 convention. Per-tile error in ppm. */
   def e36WindowedKmv(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SketchFunctions.register(s)
     val k = 64
