@@ -1638,9 +1638,54 @@ object EventOps {
       |    / CAST(exact_users AS DOUBLE) * 1e6, 0) AS BIGINT) AS err_ppm
       |FROM j ORDER BY event_type, hour""".stripMargin
 
+  /** e37: discrete churn hazard by tenure — for each tenure week t
+    * (weeks since the user's first activity, e29's epoch-week grid),
+    * the share of then-active users whose LAST activity falls at t:
+    * h(t) = churned_here(t) / active(t), the retention curve read as a
+    * per-step exit rate (where e15's triangle shows survival mass, the
+    * hazard localizes WHEN users leave). NAIVE right-censoring: users
+    * whose last week is the dataset's final observed week are counted
+    * as churned like any other — fine for an audit over a closed
+    * window, stated so nobody reads the tail row as real churn.
+    *
+    * Scale shape: the (user, week) activity table dedups once, per-user
+    * min/max fold to one row per user, tenures aggregate to |weeks|
+    * rows — no window over raw events, all integer arithmetic, hazard
+    * on the ppm grid. */
+  def e37ChurnHazard(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val users = act.groupBy(col("user_id"))
+      .agg(min(col("week")).as("w0"), max(col("week")).as("wlast"))
+    val tenures = act.join(users, "user_id")
+      .select(col("user_id"), (col("week") - col("w0")).as("t"),
+        (col("wlast") - col("w0")).as("tlast"))
+    tenures.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("t") === col("tlast"), 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("hazard_ppm", expr("(1000000 * n_churned) div n_active"))
+      .orderBy("t")
+  }
+
+  private val e37Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      |u AS (SELECT user_id, MIN(week) AS w0, MAX(week) AS wlast
+      |      FROM act GROUP BY user_id),
+      |t AS (
+      |  SELECT a.user_id, a.week - u.w0 AS t, u.wlast - u.w0 AS tlast
+      |  FROM act a JOIN u USING (user_id))
+      |SELECT t, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN t = tlast THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |  CAST((1000000 * SUM(CASE WHEN t = tlast THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+      |    AS hazard_ppm
+      |FROM t GROUP BY t ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e35_kmv_users" -> (e35KmvUsers _),
     "e36_windowed_kmv" -> (e36WindowedKmv _),
+    "e37_churn_hazard" -> (e37ChurnHazard _),
     "e1_window_hourly" -> (e1WindowHourly _),
     "e2_window_sliding" -> (e2WindowSliding _),
     "e3_sessionize" -> (e3Sessionize _),
@@ -1682,6 +1727,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "e35_kmv_users" -> e35Sql,
     "e36_windowed_kmv" -> e36Sql,
+    "e37_churn_hazard" -> e37Sql,
     "e1_window_hourly" -> e1Sql,
     "e2_window_sliding" -> e2Sql,
     "e3_sessionize" -> e3Sql,
