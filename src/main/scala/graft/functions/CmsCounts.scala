@@ -51,6 +51,11 @@ case class CmsCounts(
 
   require(d >= 1 && d <= 16, s"cms_counts needs 1 <= d <= 16, got $d")
   require(w >= 2, s"cms_counts needs w >= 2, got $w")
+  // grid bound: d*w long counters materialize PER GROUP per task — cap
+  // at 4M cells (32 MiB) so a typo'd width fails at plan time instead
+  // of overflowing the Int product or attempting multi-GB buffers
+  require(d.toLong * w <= (1L << 22),
+    s"cms_counts grid d*w = ${d.toLong * w} exceeds ${1L << 22} cells")
 
   override def left: Expression = hashExpr
   override def right: Expression = weightExpr
@@ -69,7 +74,11 @@ case class CmsCounts(
     val h = hashExpr.eval(input)
     val c = weightExpr.eval(input)
     if (h != null && c != null) {
-      val hm = h.asInstanceOf[Long] % CmsCounts.P
+      // floorMod: the portable hex60 hash is non-negative, but the
+      // aggregate is SQL-exposed to arbitrary longs — a signed hash must
+      // fold into a valid bucket, never index negatively (an oracle
+      // replaying negative inputs must apply the same fold)
+      val hm = java.lang.Math.floorMod(h.asInstanceOf[Long], CmsCounts.P)
       val cv = c.asInstanceOf[Long]
       var r = 0
       while (r < d) {
@@ -122,12 +131,20 @@ case class CmsCounts(
 object CmsCounts {
   val P: Long = 2147483647L
 
-  def coeffA(r: Int): Long =
-    graft.operators.PortableHash.hex60(s"CMA$r") % (P - 1) + 1
-  def coeffB(r: Int): Long =
-    graft.operators.PortableHash.hex60(s"CMB$r") % P
+  // memoized: coeffA/coeffB sit on per-token hot paths (the streaming
+  // twin buckets every token) and each derivation is an MD5 digest —
+  // 16 rows covers the d <= 16 bound
+  private val as: Array[Long] = Array.tabulate(16)(r =>
+    graft.operators.PortableHash.hex60(s"CMA$r") % (P - 1) + 1)
+  private val bs: Array[Long] = Array.tabulate(16)(r =>
+    graft.operators.PortableHash.hex60(s"CMB$r") % P)
 
-  /** Driver/stream-side twin of the in-plan bucket arithmetic. */
+  def coeffA(r: Int): Long = as(r)
+  def coeffB(r: Int): Long = bs(r)
+
+  /** Driver/stream-side twin of the in-plan bucket arithmetic
+    * (floorMod like the aggregate: signed hashes fold, never index
+    * negatively). */
   def bucket(r: Int, hash: Long, w: Int): Int =
-    (((coeffA(r) * (hash % P) + coeffB(r)) % P) % w).toInt
+    (((as(r) * java.lang.Math.floorMod(hash, P) + bs(r)) % P) % w).toInt
 }

@@ -177,19 +177,22 @@ object IvfSearch {
     * after — silently returns < k rows whenever the filter bites, and
     * inflating k to compensate re-scores the whole list).
     *
-    * `meta` is keyed by `idCol` and carries `matchCol`. Scale shape:
-    * routing broadcasts as usual; the predicate lands on the candidate
-    * set via one equi-join against `meta` — at deployment you
-    * denormalize hot filter columns INTO the inverted file at build
-    * time (the k6 postings pattern) and the join disappears; keeping
-    * `meta` separate here means one index serves any metadata without
-    * rebuild. */
+    * `meta` is keyed by `idCol` and carries `matchCol` for the CORPUS
+    * side; the query's own `matchCol` column supplies its match value
+    * (queries need not exist in `meta` — serving-time vectors carry
+    * their own constraint, and a missing column fails analysis loudly
+    * instead of silently dropping the query). Scale shape: routing
+    * broadcasts as usual; the predicate lands on the candidate set via
+    * one equi-join against `meta` — at deployment you denormalize hot
+    * filter columns INTO the inverted file at build time (the k6
+    * postings pattern) and the join disappears; keeping `meta` separate
+    * here means one index serves any metadata without rebuild. */
   def approxTopKFiltered(queries: DataFrame, index: Index, idCol: String,
                          embCol: String, k: Int, nprobe: Int,
                          meta: DataFrame, matchCol: String): DataFrame = {
     DotProduct.register(queries.sparkSession)
     val m = meta.select(col(idCol).as("id"), col(matchCol).as("m_match"))
-    val qm = meta.select(col(idCol).as("q_id"), col(matchCol).as("q_match"))
+    val qm = queries.select(col(idCol).as("q_id"), col(matchCol).as("q_match"))
     val probed = route(queries, index, idCol, embCol, nprobe).join(qm, "q_id")
     val cands = broadcast(probed)
       .join(index.assignments, Seq("centroid_id"))

@@ -1543,7 +1543,7 @@ object EventOps {
       .agg(countDistinct(col("gh")).as("exact_users"))
     val exd = col("exact_users").cast("double")
     val est = when(col("kc") < k, col("kc").cast("double"))
-      .otherwise(round(lit(63.0 * 1152921504606846976.0) / col("kth_hash").cast("double"), 4))
+      .otherwise(round(lit((k - 1).toDouble * 1152921504606846976.0) / col("kth_hash").cast("double"), 4))
     sk.join(ex, "event_type")
       .withColumn("kmv_estimate", est)
       .withColumn("err_ppm",
@@ -1603,7 +1603,7 @@ object EventOps {
         size(col("kmins")).as("kc"),
         element_at(col("kmins"), size(col("kmins"))).as("kth_hash"))
     val est = when(col("kc") < k, col("kc").cast("double"))
-      .otherwise(round(lit(63.0 * 1152921504606846976.0) / col("kth_hash").cast("double"), 4))
+      .otherwise(round(lit((k - 1).toDouble * 1152921504606846976.0) / col("kth_hash").cast("double"), 4))
     sk.withColumn("kmv_estimate", est)
       .withColumn("err_ppm",
         round((col("kmv_estimate") - col("exact_users").cast("double"))

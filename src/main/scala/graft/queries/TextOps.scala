@@ -62,14 +62,29 @@ object TextOps {
   /** d3: composite quality score + bucket (SURVEY north-star quality
     * scoring: length/punctuation heuristics composed into one [0,1]
     * score). */
-  def d3QualityScore(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
+  /** The d3 composite quality score over a `text` column — ONE
+    * definition shared by every consumer (d3, d35, d37, d41): the
+    * formula exists in exactly one Scala place so a tweak cannot
+    * silently diverge the queries from each other (each query's SQL
+    * replay still pins it against DuckDB independently). */
+  private[queries] def qualityScore: Column = {
     val charLen = length(col("text"))
     val tokens = (charLen - length(expr("replace(text, ' ', '')")) + 1).cast("double")
     val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-    val punctRatio = punct / charLen.cast("double")
-    val score = round(
-      least(lit(1.0), tokens / lit(200.0)) * (lit(1.0) - least(lit(1.0), punctRatio * 10)), 6)
+    round(
+      least(lit(1.0), tokens / lit(200.0)) *
+        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+  }
+
+  /** d34's smallest power-of-two token bucket — shared with d41. */
+  private[queries] def lenBucket(n: Column): Column =
+    when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+      .when(n <= 128, 128).when(n <= 256, 256).when(n <= 512, 512)
+      .otherwise(1024)
+
+  def d3QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val score = qualityScore
     d.select(
       col("doc_id"),
       score.as("quality_score"),
@@ -469,9 +484,7 @@ object TextOps {
     * integer arithmetic off the d2 token convention; one hash aggregate. */
   def d34LengthBuckets(s: SparkSession, dir: String): DataFrame = {
     val n = length(col("text")) - length(expr("replace(text, ' ', '')")) + 1
-    val bucket = when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
-      .when(n <= 128, 128).when(n <= 256, 256).when(n <= 512, 512)
-      .otherwise(1024)
+    val bucket = lenBucket(n)
     Tables(s, dir, "documents")
       .select(bucket.cast("int").as("bucket_max"), n.cast("long").as("nt"))
       .groupBy(col("bucket_max"))
@@ -515,15 +528,9 @@ object TextOps {
     * (bucket, rank); at deployment the per-bucket rank is d19's salted
     * top-k shape. All integer ppm arithmetic. */
   def d41MatchedPairs(s: SparkSession, dir: String): DataFrame = {
-    val charLen = length(col("text"))
-    val nTok = charLen - length(expr("replace(text, ' ', '')")) + 1
-    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-    val score = round(
-      least(lit(1.0), nTok.cast("double") / lit(200.0)) *
-        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
-    val bucket = when(nTok <= 16, 16).when(nTok <= 32, 32).when(nTok <= 64, 64)
-      .when(nTok <= 128, 128).when(nTok <= 256, 256).when(nTok <= 512, 512)
-      .otherwise(1024)
+    val nTok = length(col("text")) - length(expr("replace(text, ' ', '')")) + 1
+    val score = qualityScore
+    val bucket = lenBucket(nTok)
     val base = Tables(s, dir, "documents").select(col("doc_id"),
       bucket.cast("int").as("bucket_max"),
       round(score * 1e6).cast("long").as("score_ppm"))
@@ -733,12 +740,9 @@ object TextOps {
     * engines (0/0), never a fake 0. */
   def d37LenQualityCorr(s: SparkSession, dir: String): DataFrame = {
     val d38 = Conventions.Dec38
-    val charLen = length(col("text"))
-    val tokens = (charLen - length(expr("replace(text, ' ', '')")) + 1).cast("long")
-    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-    val score = round(
-      least(lit(1.0), tokens.cast("double") / lit(200.0)) *
-        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+    val tokens =
+      (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1).cast("long")
+    val score = qualityScore
     val g = Tables(s, dir, "documents")
       .select(col("lang"), tokens.as("x"),
         round(score * 1e6).cast("long").as("y"))
@@ -1227,19 +1231,15 @@ object TextOps {
   def d13CleanPipeline(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"), lower(col("text")).as("lt"))
-    val charLen = length(col("text"))
-    val tokensD = (charLen - length(expr("replace(text, ' ', '')")) + 1).cast("double")
-    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-    val score = round(
-      least(lit(1.0), tokensD / lit(200.0)) *
-        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+    val score = qualityScore
     def hits(word: String): Column =
       ((length(col("lt")) -
         length(expr(s"replace(lt, '$word', '')"))) / lit(word.length)).cast("int")
     val enScore = hits("the") + hits("and") + hits("data")
     val scored = base.select(col("doc_id"), col("text"),
         score.as("quality"),
-        (charLen - length(expr("replace(text, ' ', '')")) + 1).cast("long").as("n_tokens"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long").as("n_tokens"),
         enScore.as("en_score"))
       .filter(col("quality") > 0.2 && col("en_score") >= 3)
     val kept = scored

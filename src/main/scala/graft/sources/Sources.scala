@@ -130,10 +130,21 @@ object Sources {
       }
       out.result()
     }
+    val back = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // an existing backup means a previous run died mid-rewrite (success
+    // deletes it): the backup is then the ONLY complete copy and the
+    // root holds partial output. RECOVER it — never delete it, or a
+    // re-run after a hard crash (SIGKILL, not an exception) would
+    // destroy the data the staging design exists to protect
+    if (fs.exists(back)) {
+      fs.delete(root, true)
+      if (!fs.rename(back, root)) {
+        throw new java.io.IOException(
+          s"compactParquet: found interrupted run; could not restore $back")
+      }
+    }
     // nothing to compact (no data files yet) -> no-op, don't stage
     if (dataFiles(root).isEmpty) return (0L, 0L)
-    val back = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    fs.delete(back, true)
     if (!fs.rename(root, back)) {
       throw new java.io.IOException(s"compactParquet: could not stage $path")
     }
@@ -145,13 +156,17 @@ object Sources {
       units.foreach { case (dir, files) =>
         val bytes = files.map(_.getLen).sum
         val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        // listed paths are scheme-qualified — the base must be qualified
-        // the same way or URI.relativize returns the ABSOLUTE uri and the
-        // write target resolves back to the staging dir (self-overwrite)
-        val rel = fs.makeQualified(back).toUri
-          .relativize(dir.toUri).toString // "" or "k=v/..."
-        require(!rel.contains(":"),
-          s"compactParquet: could not relativize $dir against $back")
+        // relativize on qualified Path STRINGS, not URIs: listed paths are
+        // scheme-qualified (an unqualified base makes URI.relativize
+        // return the ABSOLUTE uri — the write target then resolves back
+        // to the staging dir and Overwrite-deletes its own input), and
+        // URI percent-encoding would mangle partition names containing
+        // space/%/# into literally-escaped directories
+        val base = fs.makeQualified(back).toString
+        val dirStr = fs.makeQualified(dir).toString
+        require(dirStr == base || dirStr.startsWith(base + "/"),
+          s"compactParquet: $dirStr is not under $base")
+        val rel = dirStr.stripPrefix(base).stripPrefix("/") // "" or "k=v/..."
         val out = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
         spark.read.parquet(dir.toString)
           .coalesce(n)
