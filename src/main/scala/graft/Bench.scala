@@ -42,8 +42,18 @@ import org.apache.spark.sql.SparkSession
   * policy or spot a machine-wide slowdown (all reps uniformly inflated).
   * Any run failing makes the query -1 and short-circuits its remaining
   * runs (the result is already determined).
+  *
+  * Contention visibility (round 11 on): `variance_ratio` records max/min
+  * of the measured reps per query, and any query over
+  * [[VarianceFlagRatio]] is printed to stderr as a CONTENTION-flagged
+  * line — polluted reps are visible in the artifact instead of only
+  * inferable from the raw arrays (round 10's m3 spanned 8.3× across reps
+  * and had to be diagnosed by hand).
   */
 object Bench {
+  /** max/min rep-time ratio above which a query is flagged on stderr. */
+  private val VarianceFlagRatio = 3.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -134,10 +144,23 @@ object Bench {
     val repSecs = results.map { case (k, _, _, rs) =>
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // max/min across measured reps: ~1 on a quiet machine; >>1 means an
+    // external load hit some reps (min-of-reps absorbs it, this shows it)
+    val varRatios = results.map { case (k, _, _, rs) =>
+      val r = if (rs.isEmpty || rs.min <= 0) -1.0
+        else (rs.max / rs.min * 1000).round / 1000.0
+      if (r > VarianceFlagRatio)
+        System.err.println(f"[bench] CONTENTION $k rep variance ${r}%.1fx " +
+          rs.map(v => f"$v%.2f").mkString("(", ", ", " s)"))
+      (k, r)
+    }
+    val variance = varRatios.map { case (k, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$medians,"rep_secs":$repSecs,""" +
+        s""""variance_ratio":$variance,""" +
         s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -191,7 +191,10 @@ object IvfSearch {
                          embCol: String, k: Int, nprobe: Int,
                          meta: DataFrame, matchCol: String): DataFrame = {
     DotProduct.register(queries.sparkSession)
+    // one row per id: duplicate meta rows would duplicate candidates and
+    // let one neighbor occupy several of the k ranks
     val m = meta.select(col(idCol).as("id"), col(matchCol).as("m_match"))
+      .dropDuplicates("id")
     val qm = queries.select(col(idCol).as("q_id"), col(matchCol).as("q_match"))
     val probed = route(queries, index, idCol, embCol, nprobe).join(qm, "q_id")
     val cands = broadcast(probed)

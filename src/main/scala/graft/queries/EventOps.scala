@@ -1520,6 +1520,11 @@ object EventOps {
       |    / CAST(n AS DOUBLE), 6) AS var_value
       |FROM p ORDER BY event_type""".stripMargin
 
+  /** KMV sketch size shared by e35/e36 — the Spark aggregates AND the
+    * oracle SQL texts interpolate from this one val, so changing k can
+    * never silently diverge the estimator constant `(k-1)·2⁶⁰`. */
+  private val KmvK = 64
+
   /** e35: KMV distinct-user estimate per event type — m4's
     * [[graft.functions.KMinValues]] sketch on the events stream's
     * cardinality question ("how many distinct users did X", the query
@@ -1531,7 +1536,7 @@ object EventOps {
     * DuckDB replay is the same order statistic. */
   def e35KmvUsers(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SketchFunctions.register(s)
-    val k = 64
+    val k = KmvK
     val hashed = Tables(s, dir, "events")
       .select(col("event_type"),
         graft.operators.PortableHash.hex60(col("user_id")).as("gh"))
@@ -1554,7 +1559,7 @@ object EventOps {
   }
 
   private val e35Sql =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT DISTINCT event_type,
       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS gh
       |  FROM events),
@@ -1564,12 +1569,12 @@ object EventOps {
       |  FROM h),
       |sk AS (
       |  SELECT event_type, MAX(gh) AS kth_hash, COUNT(*) AS kc
-      |  FROM rk WHERE rk <= 64 GROUP BY event_type),
+      |  FROM rk WHERE rk <= $KmvK GROUP BY event_type),
       |ex AS (SELECT event_type, COUNT(*) AS exact_users FROM h GROUP BY event_type),
       |j AS (
       |  SELECT sk.event_type, ex.exact_users, sk.kth_hash,
-      |    CASE WHEN sk.kc < 64 THEN CAST(sk.kc AS DOUBLE)
-      |         ELSE ROUND((63.0 * 1152921504606846976.0) / CAST(sk.kth_hash AS DOUBLE), 4)
+      |    CASE WHEN sk.kc < $KmvK THEN CAST(sk.kc AS DOUBLE)
+      |         ELSE ROUND((${KmvK - 1}.0 * 1152921504606846976.0) / CAST(sk.kth_hash AS DOUBLE), 4)
       |    END AS kmv_estimate
       |  FROM sk JOIN ex USING (event_type))
       |SELECT event_type, exact_users, kth_hash, kmv_estimate,
@@ -1591,7 +1596,7 @@ object EventOps {
     * the m4 convention. Per-tile error in ppm. */
   def e36WindowedKmv(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SketchFunctions.register(s)
-    val k = 64
+    val k = KmvK
     val hashed = Tables(s, dir, "events")
       .select(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
@@ -1614,7 +1619,7 @@ object EventOps {
   }
 
   private val e36Sql =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS gh
       |  FROM events),
@@ -1624,13 +1629,13 @@ object EventOps {
       |  FROM h),
       |sk AS (
       |  SELECT event_type, hour, MAX(gh) AS kth_hash, COUNT(*) AS kc
-      |  FROM rk WHERE rk <= 64 GROUP BY event_type, hour),
+      |  FROM rk WHERE rk <= $KmvK GROUP BY event_type, hour),
       |ex AS (SELECT event_type, hour, COUNT(*) AS exact_users
       |       FROM h GROUP BY event_type, hour),
       |j AS (
       |  SELECT sk.event_type, sk.hour, ex.exact_users,
-      |    CASE WHEN sk.kc < 64 THEN CAST(sk.kc AS DOUBLE)
-      |         ELSE ROUND((63.0 * 1152921504606846976.0) / CAST(sk.kth_hash AS DOUBLE), 4)
+      |    CASE WHEN sk.kc < $KmvK THEN CAST(sk.kc AS DOUBLE)
+      |         ELSE ROUND((${KmvK - 1}.0 * 1152921504606846976.0) / CAST(sk.kth_hash AS DOUBLE), 4)
       |    END AS kmv_estimate
       |  FROM sk JOIN ex USING (event_type, hour))
       |SELECT event_type, hour, exact_users, kmv_estimate,

@@ -139,6 +139,19 @@ object SearchOps {
     * expansion, never by exact match. */
   private val TypoTerms = Seq("vektor", "streem", "windoww")
 
+  /** {identity} ∪ one-char deletions as a row-local generated column —
+    * the SymSpell blocking key shared by k7 (built per run) and k8
+    * (persisted at rest). Typed Column lambdas throughout (no string-
+    * built expr): safe for any column name or term content. */
+  private def deletionVariants(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = array_union(
+    array(c),
+    transform(sequence(lit(1), length(c)), i =>
+      concat(c.substr(lit(1), i - lit(1)), c.substr(i + lit(1), length(c)))))
+
+  /** SQL single-quoted literal with quote escaping. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** k7: typo-tolerant term resolution — expand each misspelled query
     * term to the corpus-vocabulary terms within Levenshtein distance 1,
     * with document frequency per match (the "did you mean" / fuzzy
@@ -152,8 +165,9 @@ object SearchOps {
     * both-delete-i variant, an insertion's deletion IS the shorter
     * term), and the cheap exact `levenshtein` verify runs only on the
     * blocked candidates. The variant table is the at-rest artifact a
-    * production spellchecker ships — build once per vocabulary, probe
-    * per query. The oracle replays the SEMANTICS (direct lev ≤ 1 over
+    * production spellchecker ships — [[k8FuzzyAtRest]] persists and
+    * serves exactly that; this form prices the build+probe in one
+    * plan. The oracle replays the SEMANTICS (direct lev ≤ 1 over
     * the vocabulary) without modeling the blocking, which is exact —
     * the m2 banding precedent. */
   def k7FuzzySearch(s: SparkSession, dir: String): DataFrame = {
@@ -163,16 +177,11 @@ object SearchOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // {identity} ∪ one-char deletions, as a row-local generated column
-    def variants(c: org.apache.spark.sql.Column) = array_union(
-      array(c),
-      expr(s"transform(sequence(1, length(${c.toString})), i -> " +
-        s"concat(substring(${c.toString}, 1, i - 1), " +
-        s"substring(${c.toString}, i + 1, length(${c.toString}))))"))
     val vvar = df.select(col("term"), col("df"),
-      explode(variants(col("term"))).as("variant"))
+      explode(deletionVariants(col("term"))).as("variant"))
     val qvar = TypoTerms.toDF("query_term")
-      .select(col("query_term"), explode(variants(col("query_term"))).as("variant"))
+      .select(col("query_term"),
+        explode(deletionVariants(col("query_term"))).as("variant"))
     broadcast(qvar)
       .join(vvar, "variant")
       .select(col("query_term"), col("term").as("matched_term"), col("df"))
@@ -185,7 +194,7 @@ object SearchOps {
   }
 
   private val k7Sql: String = {
-    val vals = TypoTerms.map(t => s"('$t')").mkString(", ")
+    val vals = TypoTerms.map(t => s"(${sqlLit(t)})").mkString(", ")
     s"""WITH tok AS (
        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
        |  FROM documents),
@@ -195,6 +204,70 @@ object SearchOps {
        |  CAST(levenshtein(q.query_term, d.term) AS INTEGER) AS lev, d.df
        |FROM q JOIN df d ON levenshtein(q.query_term, d.term) <= 1
        |ORDER BY query_term, matched_term""".stripMargin
+  }
+
+  /** Deletion-variant index shard count (k8). Each variant lives in
+    * exactly one shard (`shard = hex60(variant) mod 16`), so a query
+    * probe reads only its variants' shards via partition pruning — the
+    * k6 postings discipline applied to the spellchecker artifact. */
+  private val K8Shards = 16
+
+  /** k8: k7's typo-tolerant resolution served from the AT-REST variant
+    * table — the deployment boundary k7's scaladoc names: the deletion-
+    * neighborhood index (variant, term, df) is built ONCE per corpus
+    * fingerprint in a SIBLING session and landed shard-partitioned
+    * (marker-last, fingerprint-keyed — the k6/i5/c12 discipline); later
+    * sessions or processes expand only the QUERY terms (driver-side:
+    * |queries|·(len+1) strings), probe the matching shards via partition
+    * pruning (plan-audited like k6), and verify `levenshtein` on the
+    * blocked candidates. Corpus text is never read in the serving
+    * session. Oracle = k7's SQL: the at-rest round-trip must not change
+    * a single answer bit. At 100 TB the difference is a full vocabulary
+    * scan + variant explode per query vs reading ≤|query variants| shard
+    * directories of a write-once index. */
+  def k8FuzzyAtRest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ScaleOps.artifactRoot("k8",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    val done = root.resolve("_INDEX_OK")
+    if (!java.nio.file.Files.exists(done)) {
+      val t = s.newSession()
+      val df = Tables(t, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      df.select(col("term"), col("df"),
+          explode(deletionVariants(col("term"))).as("variant"))
+        .withColumn("shard",
+          pmod(graft.operators.PortableHash.hex60(col("variant")),
+            lit(K8Shards.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(root.resolve("variants").toString)
+      // marker LAST: a crash mid-write leaves no marker and the next
+      // call rebuilds (overwrite mode cleans partial output)
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    // query-side expansion runs on the driver (tiny, literal terms) with
+    // the same identity-∪-deletions rule the index was built with
+    val qv = TypoTerms.flatMap { t =>
+      (t +: (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1)))
+        .distinct.map(v => (t, v))
+    }
+    val shards = qv
+      .map(v => (graft.operators.PortableHash.hex60(v._2) % K8Shards).toInt)
+      .distinct
+    val vvar = s.read.parquet(root.resolve("variants").toString)
+      .filter(col("shard").isin(shards: _*) &&
+        col("variant").isin(qv.map(_._2).distinct: _*))
+    val qvar = qv.toDF("query_term", "variant")
+    broadcast(qvar).join(vvar, "variant")
+      .select(col("query_term"), col("term").as("matched_term"), col("df"))
+      .distinct()
+      .filter(levenshtein(col("query_term"), col("matched_term")) <= 1)
+      .withColumn("lev",
+        levenshtein(col("query_term"), col("matched_term")).cast("int"))
+      .select(col("query_term"), col("matched_term"), col("lev"), col("df"))
+      .orderBy("query_term", "matched_term")
   }
 
   /** k3: PII redaction audit — each document gets deterministic contact
@@ -307,7 +380,8 @@ object SearchOps {
     "k5_proximity_search" -> (k5ProximitySearch _),
     "k2_tfidf_term" -> (k2TfidfTerm _),
     "k3_pii_redact" -> (k3PiiRedact _),
-    "k7_fuzzy_search" -> (k7FuzzySearch _))
+    "k7_fuzzy_search" -> (k7FuzzySearch _),
+    "k8_fuzzy_at_rest" -> (k8FuzzyAtRest _))
 
   val oracles: Map[String, String] = Map(
     "k1_bm25_topk" -> k1Sql,
@@ -316,5 +390,7 @@ object SearchOps {
     "k5_proximity_search" -> k5Sql,
     "k2_tfidf_term" -> k2Sql,
     "k3_pii_redact" -> k3Sql,
-    "k7_fuzzy_search" -> k7Sql)
+    "k7_fuzzy_search" -> k7Sql,
+    // same answer, served from the persisted variant shards
+    "k8_fuzzy_at_rest" -> k7Sql)
 }

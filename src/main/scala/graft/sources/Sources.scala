@@ -113,7 +113,12 @@ object Sources {
     * listing with the pre-compaction file set (FILE_NOT_EXIST on the
     * next read). Crash recovery: the original stays intact at
     * `__compact_old` until the rewrite completes; on failure this method
-    * restores it (delete partial output, rename back). Returns
+    * restores it (delete partial output, rename back), and a
+    * `__compact_staged` completion marker guards SIGKILL recovery so the
+    * delete-root path only runs when the stage rename provably finished
+    * (on copy-per-file object stores an interrupted stage fails fast for
+    * a manual merge instead of destroying the unmoved half). Requires
+    * single-writer access for the staging window. Returns
     * (files before, files after). */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L << 20): (Long, Long) = {
@@ -131,16 +136,42 @@ object Sources {
       out.result()
     }
     val back = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // marker written AFTER the stage rename completes: recovery may only
+    // take the delete-root path when it exists. On an object store (S3A)
+    // rename is copy-per-file, so a crash MID-stage leaves the originals
+    // split across root and back with no marker — deleting root there
+    // would destroy the not-yet-moved half. Single-writer access is
+    // still required (concurrent readers fail during the staging window).
+    val staged = new org.apache.hadoop.fs.Path(path + "__compact_staged")
     // an existing backup means a previous run died mid-rewrite (success
     // deletes it): the backup is then the ONLY complete copy and the
     // root holds partial output. RECOVER it — never delete it, or a
     // re-run after a hard crash (SIGKILL, not an exception) would
     // destroy the data the staging design exists to protect
     if (fs.exists(back)) {
-      fs.delete(root, true)
-      if (!fs.rename(back, root)) {
+      if (fs.exists(staged)) {
+        // stage rename finished: back is complete, root is rewrite debris
+        fs.delete(root, true)
+        if (!fs.rename(back, root)) {
+          throw new java.io.IOException(
+            s"compactParquet: found interrupted run; could not restore $back")
+        }
+        fs.delete(staged, false)
+      } else if (!fs.exists(root)) {
+        // crashed in the window between the completed rename and the
+        // marker write (root is gone, so the rename DID finish)
+        if (!fs.rename(back, root)) {
+          throw new java.io.IOException(
+            s"compactParquet: found interrupted run; could not restore $back")
+        }
+      } else {
+        // no marker AND both directories populated: a non-atomic rename
+        // (copy-per-file object store) died mid-stage — the originals are
+        // split across the two paths and neither side is safe to delete
         throw new java.io.IOException(
-          s"compactParquet: found interrupted run; could not restore $back")
+          s"compactParquet: $back exists without a completion marker while " +
+            s"$path is non-empty — a non-atomic stage rename was interrupted; " +
+            "merge the two directories manually before re-running")
       }
     }
     // nothing to compact (no data files yet) -> no-op, don't stage
@@ -148,6 +179,7 @@ object Sources {
     if (!fs.rename(root, back)) {
       throw new java.io.IOException(s"compactParquet: could not stage $path")
     }
+    fs.create(staged, true).close()
     try {
       val before = dataFiles(back)
       // partition directories (key=value segments) compact independently;
@@ -178,6 +210,7 @@ object Sources {
       spark.catalog.refreshByPath(path)
       val after = dataFiles(root).size.toLong
       fs.delete(back, true)
+      fs.delete(staged, false)
       (before.size.toLong, after)
     } catch {
       case e: Throwable =>
@@ -188,6 +221,7 @@ object Sources {
             s"compactParquet: rewrite failed AND restore failed; " +
               s"original data is at $back", e)
         }
+        fs.delete(staged, false)
         throw e
     }
   }

@@ -383,6 +383,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0)
   }
 
+  test("k8 at-rest fuzzy search: probe partition-prunes to the query variants' shards") {
+    val s = formatted(SparkEntry.queries("k8_fuzzy_at_rest")(spark, sfDir))
+    // the shard filter must land as PARTITION pruning on the variant-
+    // table scan (shard is the index's partition column) and the variant
+    // filter as a pushed data filter; the query side broadcasts
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(variant, ["),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(s.contains("BroadcastHashJoin"), s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0)
+  }
+
   test("q35 top-k aggregate: object-hash partial+final pair, ZERO window sorts") {
     val s = formatted(SparkEntry.queries("q35_topk_agg")(spark, sfDir))
     assert(s.contains("ObjectHashAggregate"), s.take(1200))
