@@ -182,6 +182,24 @@ object ConnectedComponents {
     (labels.select(col("id"), col("component")), Seq(sym, labels))
   }
 
+  /** One increment of ROLLING connected components — the star-collapse
+    * identity packaged as the per-batch step a continuous ingest applies:
+    * the current label table collapses to star edges (member → component
+    * min-id), the increment's edges union in, and one [[components]] pass
+    * over stars ∪ new edges yields the labels a from-scratch run over ALL
+    * edges so far would emit. Collapsing a connected subgraph to a star
+    * preserves the quotient connectivity, and min-id labels make the
+    * collapsed run emit IDENTICAL labels — an identity, not an
+    * approximation (oracle-proven by c13/c14). The signature is the
+    * 100 TB contract: the step consumes ONLY the label table
+    * (|clustered vertices| rows) and the increment's edges — historical
+    * edges are unreachable from here by construction. */
+  def incrementalStep(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val stars = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+    components(stars.unionByName(newEdges.select(col("id_a"), col("id_b"))))
+  }
+
   /** Runs `f` over the component table and releases every cache this
     * operator holds before returning — the bounded-lifecycle twin of
     * [[components]] for callers outside Bench/Verify's clearCache loop. */

@@ -35,11 +35,13 @@ object CorpusOps {
         Tables(s, dir, "documents"), "doc_id", "text", NearDupThreshold)
       .select(col("id_a"), col("id_b"))
 
-  /** DuckDB replay of [[ConnectedComponents]] over the m1 pair set: the
-    * symmetric edge list, a recursive transitive closure, and MIN over the
-    * reachable set per vertex. Ends in a `clusters` CTE (id, component). */
-  private val clustersCtes: String =
-    s"""${ScaleOps.m1PairsCtes},
+  /** DuckDB replay of [[ConnectedComponents]] over the m1 pair set
+    * (optionally restricted by `where` — c14 clusters only the corpus ∪
+    * stream window): the symmetric edge list, a recursive transitive
+    * closure, and MIN over the reachable set per vertex. Ends in a
+    * `clusters` CTE (id, component). */
+  private def clustersCtesAt(where: String): String =
+    s"""${ScaleOps.m1PairsCtesAt(NearDupThreshold, where)},
        |sym AS (
        |  SELECT id_a AS src, id_b AS dst FROM fpairs
        |  UNION
@@ -49,6 +51,8 @@ object CorpusOps {
        |  UNION
        |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
        |clusters AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private val clustersCtes: String = clustersCtesAt("")
 
   /** c1: near-dup pairs (m1's MinHash output) resolved into dedup clusters
     * with per-cluster size — the keep/drop unit. `component` is the
@@ -97,14 +101,80 @@ object CorpusOps {
     edges.count()
     val old = edges.filter(col("id_a") < C13Split && col("id_b") < C13Split)
     val fresh = edges.filter(col("id_a") >= C13Split || col("id_b") >= C13Split)
-    val stars = ConnectedComponents.components(old)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("id_a"), col("component").as("id_b"))
-    ConnectedComponents.components(stars.unionByName(fresh))
+    ConnectedComponents
+      .incrementalStep(ConnectedComponents.components(old), fresh)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("component")
   }
+
+  /** c14: the incremental trio RUNNING TOGETHER — dedup cluster labels
+    * maintained ACROSS the c9/c12 ingest waves. c9/c12 prove per-batch
+    * index-delta dedup and c13 proves incremental CC in isolation; this
+    * query composes them by driving the SAME
+    * [[graft.streaming.StreamOps.rollingCcBatch]] code path the
+    * streaming pipeline runs per micro-batch (the c9 precedent): each
+    * wave is swept against the static index ∪ earlier waves' landed
+    * deltas (corpus and earlier-batch text never re-shingled), and the
+    * wave's pair log advances the cluster labels by
+    * [[ConnectedComponents.incrementalStep]]'s star-collapse — per wave
+    * the CC pass touches |labeled docs| star rows + the wave's pairs,
+    * never the accumulated pair history. Seed labels are the static
+    * corpus's own internal clusters (the at-rest labels a previous full
+    * run left behind). Because the accumulated sweep surfaces every pair
+    * touching stream docs exactly once and the seed covers
+    * corpus-internal pairs, the final labels equal a from-scratch
+    * clustering of the whole corpus ∪ stream window — the oracle is c1's
+    * own recursive-CTE SQL over that window's one-shot pair set. Output
+    * is c1's cluster histogram shape. */
+  def c14RollingCc(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"), col("text"))
+    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    val stream = docs
+      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
+    val root = java.nio.file.Files.createTempDirectory("graft_c14_").toString
+    try {
+      // seed: the corpus's own internal clusters, MATERIALIZED
+      // (localCheckpoint) — every wave's star edges must read landed or
+      // checkpointed labels, never stack the previous CC-loop's plan
+      // (plan size otherwise grows exponentially in waves; measured:
+      // driver heap exhaustion by wave 3 at sf0.01)
+      val seed = ConnectedComponents.components(
+        MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
+          .select(col("id_a"), col("id_b")))
+        .localCheckpoint()
+      var labels = seed
+      (0 until C9Batches).foreach { b =>
+        val batch = stream
+          .filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong)
+        labels = StreamOps.rollingCcBatch(batch, staticIndex, seed,
+          "doc_id", "text", NearDupThreshold, s"$root/state", b.toLong)
+      }
+      val res = labels.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("component")
+      // bounded (|clusters| rows): materialize before the temp state is
+      // deleted — the returned frame must not lazily re-read it
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  // lazy: C9StreamEnd is declared further down the object; an eager val
+  // here would interpolate its pre-initialization default (0)
+  private lazy val c14Sql: String =
+    s"""WITH RECURSIVE ${clustersCtesAt(
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")}
+       |SELECT component, COUNT(*) AS n_docs
+       |FROM clusters GROUP BY component ORDER BY component""".stripMargin
 
   /** d14: the near-dup keep/drop decision composed end-to-end — MinHash
     * pairs → connected components → drop every non-representative
@@ -1183,6 +1253,7 @@ object CorpusOps {
     "c9_ingest_compaction" -> (c9IngestCompaction _),
     "c12_ingest_at_rest" -> (c12IngestAtRest _),
     "c13_incremental_cc" -> (c13IncrementalCc _),
+    "c14_rolling_cc" -> (c14RollingCc _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1210,6 +1281,7 @@ object CorpusOps {
     // the at-rest round-trip must reproduce c9's one-shot answer exactly
     "c12_ingest_at_rest" -> c9Sql,
     "c13_incremental_cc" -> c1Sql, // the star identity: same answer, incremental machine
+    "c14_rolling_cc" -> c14Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,

@@ -1045,6 +1045,76 @@ object StreamOps {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
 
+  /** ROLLING connected components over the ingest stream — the third
+    * member of the incremental trio (index-delta dedup: [[
+    * ingestPipelineCompact]]; incremental ANN assignment:
+    * [[ivfAssignPerBatch]]) running INSIDE the same wave protocol:
+    * each micro-batch is swept against static index ∪ accumulated
+    * earlier deltas ([[sweepBatchAccum]] — corpus and earlier-batch text
+    * never re-shingled), and the wave's near-dup pairs advance the
+    * cluster labels by [[graft.operators.ConnectedComponents
+    * .incrementalStep]]'s star-collapse. Per batch the CC pass touches
+    * |labeled docs| star rows + the batch's pairs, never the accumulated
+    * pair history — and the emitted labels equal a from-scratch
+    * clustering of everything arrived (the c13/c14 identity,
+    * oracle-checked as c14).
+    *
+    * Label state lands at `statePath/labels` batch_id-partitioned (the
+    * full table per batch — the star set IS the CC state, so landing it
+    * is the checkpoint; dynamic partition overwrite keeps a checkpoint
+    * replay idempotent, and each batch reads only the LATEST landed
+    * table of batches < batchId, so a replayed batch cannot see its own
+    * output). `seedLabels` (id, component) carries the at-rest labels a
+    * previous full run produced over the static corpus — pass an empty
+    * frame for a cold start. The sink receives the post-batch label
+    * table. */
+  def rollingCcPerBatch(docs: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      seedLabels: DataFrame, idCol: String, textCol: String,
+      threshold: Double, statePath: String, checkpoint: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(rollingCcBatch(batch, staticIndex, seedLabels, idCol, textCol,
+          threshold, statePath, batchId), batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[rollingCcPerBatch]] — package-visible so the
+    * spec can force a replay and c14 can drive the same code path in
+    * batch mode (the c9/ingestBatchCompact precedent). Returns the
+    * post-batch label table, localCheckpointed: the caller reads
+    * MATERIALIZED labels — stacking each wave's CC-loop plan on the
+    * last would grow the logical plan exponentially in waves. */
+  private[graft] def rollingCcBatch(batch: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      seedLabels: DataFrame, idCol: String, textCol: String,
+      threshold: Double, statePath: String, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val idType = batch.schema(idCol).dataType
+    val labSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType).add("component", idType)
+    val prior = readDelta(spark, s"$statePath/labels", labSchema)
+      .filter(col("batch_id") < batchId)
+    // latest landed table wins (each batch lands the FULL label table);
+    // the agg is one row — bounded driver work
+    val last = prior.agg(max(col("batch_id"))).head
+    val prev =
+      if (last.isNullAt(0)) seedLabels.select(col("id"), col("component"))
+      else prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id")
+    val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
+      threshold, statePath, batchId)
+    try {
+      val labels = graft.operators.ConnectedComponents
+        .incrementalStep(prev, pairs)
+        .localCheckpoint() // eager — pairs can be released right after
+      landDelta(labels, s"$statePath/labels", batchId)
+      labels
+    } finally pairs.unpersist()
+  }
+
   /** Streaming twin of c6's split-leakage audit, in its DEPLOYMENT
     * orientation: c6 audits a finished corpus's own split internally;
     * this gate audits ARRIVING documents against the FROZEN train-gram
@@ -1092,6 +1162,45 @@ object StreamOps {
       .join(leaky, Seq("split"), "left")
       .select(col("split"), col("n_docs"),
         coalesce(col("n_leaky"), lit(0L)).as("n_leaky"))
+  }
+
+  /** Streaming twin of i8's INCREMENTAL IVF indexing (foreachBatch):
+    * each arriving micro-batch of vectors is assigned to the FROZEN
+    * coarse quantizer — one broadcast-centroid argmin pass, exactly
+    * [[graft.operators.IvfSearch.assign]], the same pass the trainer's
+    * final step runs — and landed as an assignment delta partitioned by
+    * batch_id (dynamic overwrite, so a checkpoint replay rewrites its
+    * own partition). Queries probe the GROWN index via
+    * [[grownIvfIndex]]: base assignments ∪ landed deltas, answers equal
+    * to i8's batch construction after any number of waves (spec-pinned).
+    * Retraining stays an audit-driven event (the i6 recall audit),
+    * never a per-batch cost — the ANN face of the per-batch-cost-tracks-
+    * the-batch contract the dedup gate proves for shingles. */
+  def ivfAssignPerBatch(vectors: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], idCol: String, embCol: String,
+      statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val e = batch.select(col(idCol).as("id"),
+          col(embCol).cast("array<double>").as("emb"))
+        landDelta(graft.operators.IvfSearch.assign(e, centroids),
+          s"$statePath/ivf_assign", batchId)
+      }
+      .start()
+
+  /** The grown IVF index after any number of [[ivfAssignPerBatch]]
+    * waves: the frozen centroids over base ∪ landed assignment deltas.
+    * Reads lazily — probes prune to the routed lists as usual. */
+  def grownIvfIndex(spark: SparkSession,
+      base: graft.operators.IvfSearch.Index, statePath: String)
+      : graft.operators.IvfSearch.Index = {
+    val path = s"$statePath/ivf_assign"
+    if (!pathExists(spark, path)) base
+    else graft.operators.IvfSearch.Index(base.centroids,
+      base.assignments.unionByName(spark.read.parquet(path)
+        .select(col("id"), col("emb"), col("centroid_id"))))
   }
 
   /** The compaction pass: replay the gate's drop policy over the FULL

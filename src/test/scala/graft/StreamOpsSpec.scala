@@ -1033,6 +1033,128 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("rollingCcPerBatch: labels after every wave equal from-scratch CC; the advance consumes stars + wave pairs only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("rollcc")
+    val threshold = 0.3
+    val t10 = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
+    val t101 = "completely unrelated corpus document about distributed query planning internals altogether"
+    val corpus = Seq(
+      10L -> t10,
+      11L -> "the quick brown fox jumps over the lazy dog near the riverbank every evening",
+      12L -> "a standalone corpus document with no duplicates anywhere in this fixture at all")
+      .toDF("doc_id", "text")
+    val staticIndex = graft.operators.MinHashDedup
+      .buildDedupIndex(corpus, "doc_id", "text")
+    val seed = graft.operators.ConnectedComponents.components(
+      graft.operators.MinHashDedup
+        .nearDuplicates(corpus, "doc_id", "text", threshold)
+        .select(col("id_a"), col("id_b"))).localCheckpoint()
+    // wave 0: 100 joins the corpus cluster {10,11}; 101+102 pair WITHIN
+    //         the batch and start a second cluster
+    // wave 1: 103 = t10 ++ t101 — shares shingles with BOTH clusters, so
+    //         the wave MERGES two previously-labeled clusters (the case
+    //         the star identity must get right)
+    val b0 = Seq(StreamDoc(100L, t10.replace("morning", "midday")),
+      StreamDoc(101L, t101),
+      StreamDoc(102L, t101.replace("altogether", "entirely")))
+    val b1 = Seq(StreamDoc(103L, s"$t10 $t101"))
+    val labelsAfter = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamOps.rollingCcPerBatch(ms.toDF(), staticIndex, seed,
+      "doc_id", "text", threshold, root.resolve("state").toString,
+      root.resolve("ck").toString) { (labels, id) =>
+      labelsAfter(id) = labels.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def fromScratch(arrived: Seq[StreamDoc]): Set[(Long, Long)] = {
+      val all = corpus.unionByName(
+        arrived.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      graft.operators.ConnectedComponents.components(
+          graft.operators.MinHashDedup
+            .nearDuplicates(all, "doc_id", "text", threshold)
+            .select(col("id_a"), col("id_b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    ms.addData(b0: _*); q.processAllAvailable()
+    assert(labelsAfter(0L) == fromScratch(b0))
+    ms.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    assert(labelsAfter(1L) == fromScratch(b0 ++ b1))
+    // the merge actually happened: 101's cluster fused into 10's
+    assert(labelsAfter(0L).contains(101L -> 101L), s"wave 0: ${labelsAfter(0L)}")
+    assert(labelsAfter(1L).contains(101L -> 10L), s"wave 1: ${labelsAfter(1L)}")
+    // the advance consumed ONLY the star table + wave 1's own pair log:
+    // replaying incrementalStep over exactly those inputs reproduces the
+    // emitted labels (historical pairs are unreachable from the step)
+    val wave1Pairs = spark.read
+      .parquet(root.resolve("state").resolve("pairs").toString)
+      .filter(col("batch_id") === 1L)
+    val prevLabels = labelsAfter(0L).toSeq.toDF("id", "component")
+    val replayed = graft.operators.ConnectedComponents
+      .incrementalStep(prevLabels, wave1Pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == labelsAfter(1L))
+    // replay idempotence: re-running wave 1 reads labels < 1 only and
+    // overwrites its own partitions — same labels out
+    val again = StreamOps.rollingCcBatch(
+        b1.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), staticIndex,
+        seed, "doc_id", "text", threshold, root.resolve("state").toString, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == labelsAfter(1L))
+    spark.catalog.clearCache()
+  }
+
+  test("ivfAssignPerBatch (i8 twin): probing the grown index equals the batch frozen-quantizer construction") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    import graft.operators.IvfSearch
+    val root = Files.createTempDirectory("ivfgrow")
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val split = 250L
+    val base = IvfSearch.buildIndex(e.filter(col("vec_id") < split),
+      "vec_id", "embedding", k = 4, iters = 2, roundDecimals = 6)
+    try {
+      val late = e.filter(col("vec_id") >= split)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, emb) => StreamVec(id, emb) }
+      val (w0, w1) = late.partition(_.vec_id % 2 == 0)
+      val ms = MemoryStream[StreamVec]
+      val q = StreamOps.ivfAssignPerBatch(ms.toDF(), base.centroids,
+        "vec_id", "embedding", root.resolve("state").toString,
+        root.resolve("ck").toString)
+      ms.addData(w0.toSeq: _*); q.processAllAvailable()
+      ms.addData(w1.toSeq: _*); q.processAllAvailable()
+      q.stop()
+      val grown = StreamOps.grownIvfIndex(spark, base,
+        root.resolve("state").toString)
+      def rows(idx: IvfSearch.Index): Seq[(Long, Long, Double, Long)] =
+        IvfSearch.approxTopK(e.filter(col("vec_id") < 3), idx,
+            "vec_id", "embedding", k = 5, nprobe = 2)
+          .orderBy("q_id", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq
+      // i8's batch construction over the same arrivals
+      val lateDf = e.filter(col("vec_id") >= split)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val batchGrown = IvfSearch.Index(base.centroids,
+        base.assignments.unionByName(IvfSearch.assign(lateDf, base.centroids)))
+      val got = rows(grown)
+      assert(got == rows(batchGrown))
+      assert(got.nonEmpty && got.map(_._1).distinct.size == 3)
+      // the stream really grew the index: some late vector must appear
+      // among the neighbors (vec_id 250+ can only come from the deltas)
+      assert(got.exists(_._2 >= split),
+        s"no late-arrival neighbor in ${got.map(_._2)}")
+    } finally base.close()
+    spark.catalog.clearCache()
+  }
+
   test("splitLeakagePerBatch reports sum to the one-shot audit against the frozen train grams") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -1078,3 +1200,6 @@ class StreamOpsSpec extends AnyFunSuite {
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
 case class StreamDoc(doc_id: Long, text: String)
+
+/** Arriving vector for the incremental-IVF twin. */
+case class StreamVec(vec_id: Long, embedding: Seq[Double])
