@@ -475,6 +475,61 @@ object StreamOps {
       }
   }
 
+  case class KmvTileOut(window_start: Timestamp, event_type: String,
+                        kc: Int, kth_hash: Long, estimate: Double)
+
+  /** BOUNDED-STATE windowed distinct-count tiles — the streaming twin of
+    * e36's per-(event_type, hour) KMV sketches, [[kmvDistinctPerLang]]
+    * one level down at the dashboard grain: each open tile holds the k
+    * smallest distinct user-id hashes (≤ k longs of state per tile,
+    * regardless of user cardinality), and the tile's (kc, kth hash,
+    * `(k−1)·2⁶⁰ / h_k` estimate) is emitted ONCE when the event-time
+    * timeout fires as the watermark passes window end — append-mode,
+    * state evicted (the heavyHittersPerWindow protocol). Like the other
+    * sketch twins there is NO ordering contract: the sketch is a pure
+    * function of the SET of hashes, so batching and replay cannot move
+    * the state, and the emitted tile equals the batch e36 sketch columns
+    * over the same rows (spec-pinned; the estimate rounds to 4 dp with
+    * HALF_UP — the same grid as the batch `round(x, 4)`). At 100 TB this
+    * is e36's scale argument live: exact per-tile distinct carries
+    * (tile, user) state, this carries tiles·k longs. */
+  def kmvUsersPerWindow(events: Dataset[Event], k: Int = 64): Dataset[KmvTileOut] = {
+    import events.sparkSession.implicits._
+    val windowMs = 3600000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => (e.event_type,
+        e.ts.getTime - Math.floorMod(e.ts.getTime, windowMs)))
+      .flatMapGroupsWithState[KmvState, KmvTileOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case ((tpe, w), batch, state) =>
+          if (state.hasTimedOut) {
+            val mins = state.get.mins
+            state.remove()
+            val kc = mins.size
+            val kth = if (kc == 0) 0L else mins.max
+            val est =
+              if (kc < k) kc.toDouble
+              else BigDecimal((k - 1).toDouble * 1152921504606846976.0 / kth.toDouble)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator(KmvTileOut(new Timestamp(w), tpe, kc, kth, est))
+          } else {
+            var set = scala.collection.immutable.TreeSet.empty[Long] ++
+              state.getOption.map(_.mins).getOrElse(Seq.empty)
+            batch.foreach { e =>
+              // the user id's decimal string — the same bytes the batch
+              // side hashes via hex60(col), so sketches agree bit-for-bit
+              val gh = graft.operators.PortableHash.hex60(e.user_id.toString)
+              if (set.size < k) set += gh
+              else if (gh < set.max && !set.contains(gh)) set = set - set.max + gh
+            }
+            state.update(KmvState(set.toSeq))
+            state.setTimeoutTimestamp(w + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   case class CmsState(cells: Seq[Long])
   case class CmsOut(lang: String, total: Long, cells: Seq[Long])
 

@@ -267,6 +267,67 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmvUsersPerWindow (e36 twin): emitted tiles equal the batch windowed sketch, kth-hash path exercised") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val k = 3
+    // hour 10: 6 distinct users on click (> k: estimator path), 2 on
+    // view; hour 11: 4 distinct users on click — split across batches
+    // and with repeat visits (distinctness is the sketch's job)
+    val evs = Seq(
+      Event(1L, ts(0), 11L, "click", 0, "{}"),
+      Event(2L, ts(2), 12L, "click", 0, "{}"),
+      Event(3L, ts(4), 13L, "click", 0, "{}"),
+      Event(4L, ts(6), 14L, "click", 0, "{}"),
+      Event(5L, ts(8), 11L, "click", 0, "{}"), // repeat
+      Event(6L, ts(10), 21L, "view", 0, "{}"),
+      Event(7L, ts(50), 22L, "view", 0, "{}"),
+      Event(8L, ts(65), 31L, "click", 0, "{}"),
+      Event(9L, ts(70), 32L, "click", 0, "{}"))
+    val late = Seq(
+      Event(10L, ts(12), 15L, "click", 0, "{}"),
+      Event(11L, ts(14), 16L, "click", 0, "{}"),
+      Event(12L, ts(75), 33L, "click", 0, "{}"),
+      Event(13L, ts(80), 34L, "click", 0, "{}"))
+    val ms = MemoryStream[Event]
+    val q = StreamOps.kmvUsersPerWindow(ms.toDS(), k)
+      .toDF().writeStream.format("memory").queryName("kmv_tiles")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(evs); q.processAllAvailable()
+    ms.addData(late); q.processAllAvailable()
+    // far-future row pushes the watermark past both windows' close
+    ms.addData(Seq(Event(99L, Timestamp.valueOf("2024-01-02 09:00:00"), 9L, "x", 0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kmv_tiles")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("kc"), col("kth_hash"), col("estimate"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // batch e36's sketch columns over the same rows (the aggregate +
+    // estimate expression is e36's, at this k)
+    graft.functions.SketchFunctions.register(spark)
+    val hashed = (evs ++ late).toDF()
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        graft.operators.PortableHash.hex60(col("user_id")).as("gh"))
+    val want = hashed.groupBy(col("event_type"), col("hour"))
+      .agg(graft.functions.SketchFunctions.kminValues(col("gh"), k).as("kmins"))
+      .select(col("hour"), col("event_type"),
+        size(col("kmins")).as("kc"),
+        element_at(col("kmins"), size(col("kmins"))).as("kth_hash"))
+      .withColumn("estimate",
+        when(col("kc") < k, col("kc").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * 1152921504606846976.0)
+            / col("kth_hash").cast("double"), 4)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want, s"stream $got != batch $want")
+    // the saturated tile really took the estimator path (kc == k)
+    assert(got.exists(t => t._3 == k), got)
+    assert(got.exists(t => t._3 < k), got)
+  }
+
   test("completedSessions extends, never rewinds, on late-but-valid events") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
