@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   * PNG re-encode runs through an offscreen `Graphics2D`. The AUDIO path
   * is real too: [[AudioCodec]] decodes WAV/AIFF/AU via the JDK's
   * `javax.sound.sampled`, converts to 16-bit PCM, and extracts a 64-bin
-  * RMS energy envelope. The VIDEO path is real for MJPEG-in-AVI:
-  * [[VideoCodec]] walks the RIFF container and decodes each frame as a
-  * JPEG through ImageIO (the one video format expressible with zero
-  * dependencies); other codecs would need external bindings, so payloads
-  * no real codec claims (including the text-bytes fixture media) fall
-  * back to [[FakeCodec]]'s digest-derived stand-in.
+  * RMS energy envelope. The VIDEO path is real for MJPEG-in-AVI
+  * ([[VideoCodec]] walks the RIFF container and decodes each frame as a
+  * JPEG through ImageIO) AND for raw Y4M/YUV4MPEG2 ([[Y4mCodec]] parses
+  * the stream header and converts planar YUV planes to RGB) — the two
+  * video formats expressible with zero dependencies; compressed
+  * inter-frame codecs (H.264 etc.) would need external bindings, so
+  * payloads no real codec claims (including the text-bytes fixture
+  * media) fall back to [[FakeCodec]]'s digest-derived stand-in.
   *
   * Scale notes: decode is the CPU hot spot, so [[decodeImages]]
   * repartitions by media_id to spread work across executors regardless
@@ -521,12 +523,198 @@ object MediaOps {
     }
   }
 
+  /** Real in-JDK codec for Y4M (YUV4MPEG2) — raw uncompressed video, the
+    * interchange format every video toolchain (ffmpeg, x264/x265 input,
+    * mjpegtools) reads and writes: an ASCII stream header
+    * (`YUV4MPEG2 W<w> H<h> F<num>:<den> … C<colorspace>\n`) followed by
+    * frames, each a `FRAME…\n` marker line plus raw PLANAR YUV data
+    * (Y plane, then the subsampled U and V planes). Supported
+    * colorspaces: the 4:2:0 family (`C420jpeg`/`C420mpeg2`/`C420paldv`/
+    * `C420`), `C422`, `C444`, and `Cmono`; anything else returns None
+    * (→ [[FakeCodec]]). YUV→RGB uses the full-range BT.601 (JPEG)
+    * matrix for ALL variants and ignores chroma siting differences
+    * between the 4:2:0 sub-variants — a documented simplification that
+    * shifts chroma by at most half a sample, irrelevant to the
+    * grid-luminance features downstream (luminance is carried verbatim).
+    * The writer emits spec-shaped streams (RGB→YUV with 2×2 chroma
+    * averaging for 4:2:0) so round-trip fixtures are real container
+    * bytes — C444/mono round-trip luma-exactly, pinned by spec. */
+  object Y4mCodec {
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** Parsed clip: decoded frames plus stream metadata. */
+    case class Y4mVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                        colorspace: String,
+                        frames: Vector[java.awt.image.BufferedImage])
+
+    private def clamp(v: Double): Int =
+      math.max(0, math.min(255, math.round(v).toInt))
+
+    /** Chroma plane dimensions for a colorspace, None if unsupported. */
+    private def chromaDims(cs: String, w: Int, h: Int): Option[(Int, Int)] =
+      if (cs.startsWith("420")) Some(((w + 1) / 2, (h + 1) / 2))
+      else if (cs.startsWith("422")) Some(((w + 1) / 2, h))
+      else if (cs.startsWith("444")) Some((w, h))
+      else if (cs == "mono") Some((0, 0))
+      else None
+
+    /** None for anything that is not a parseable YUV4MPEG2 stream in the
+      * supported colorspace set (wrong magic, malformed header, truncated
+      * frame data, zero frames). */
+    def decode(content: Array[Byte]): Option[Y4mVideo] =
+      try {
+        val magic = "YUV4MPEG2"
+        if (content.length < magic.length + 1 ||
+            !magic.indices.forall(i => content(i) == magic.charAt(i).toByte))
+          return None
+        def lineEnd(from: Int): Int = {
+          var i = from
+          while (i < content.length && content(i) != 0x0a) i += 1
+          i
+        }
+        val hEnd = lineEnd(magic.length)
+        if (hEnd >= content.length) return None
+        var w = 0; var h = 0; var fn = 25; var fd = 1; var cs = "420jpeg"
+        new String(content, magic.length, hEnd - magic.length, Ascii)
+          .split(" ").filter(_.nonEmpty).foreach { p =>
+            p.charAt(0) match {
+              case 'W' => w = p.substring(1).toInt
+              case 'H' => h = p.substring(1).toInt
+              case 'F' =>
+                val parts = p.substring(1).split(":")
+                fn = parts(0).toInt; fd = parts(1).toInt
+              case 'C' => cs = p.substring(1)
+              case _ => () // I (interlace), A (aspect), X (comment)
+            }
+          }
+        if (w <= 0 || h <= 0) return None
+        val (cw, ch) = chromaDims(cs, w, h).getOrElse(return None)
+        val frameBytes = w * h + 2 * cw * ch
+        val frames = Vector.newBuilder[java.awt.image.BufferedImage]
+        var o = hEnd + 1
+        while (o < content.length) {
+          if (o + 5 > content.length ||
+              new String(content, o, 5, Ascii) != "FRAME") return None
+          o = lineEnd(o) + 1
+          if (o + frameBytes > content.length) return None
+          frames += frameToImage(content, o, w, h, cw, ch, cs)
+          o += frameBytes
+        }
+        val fs = frames.result()
+        if (fs.isEmpty) None else Some(Y4mVideo(w, h, fn, fd, cs, fs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def frameToImage(b: Array[Byte], off: Int, w: Int, h: Int,
+                             cw: Int, ch: Int, cs: String): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val uOff = off + w * h
+      val vOff = uOff + cw * ch
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yd = b(off + y * w + x) & 0xff
+          val (ud, vd) =
+            if (cs == "mono") (0, 0)
+            else {
+              val ci =
+                if (cs.startsWith("420")) (y / 2) * cw + x / 2
+                else if (cs.startsWith("422")) y * cw + x / 2
+                else y * cw + x // 444
+              ((b(uOff + ci) & 0xff) - 128, (b(vOff + ci) & 0xff) - 128)
+            }
+          val r = clamp(yd + 1.402 * vd)
+          val g = clamp(yd - 0.344136 * ud - 0.714136 * vd)
+          val bl = clamp(yd + 1.772 * ud)
+          img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Encode frames as a YUV4MPEG2 stream. All frames share the first
+      * frame's dimensions (the stream header fixes them). 4:2:0 chroma
+      * is the mean of each 2×2 block's per-pixel chroma (the standard
+      * downsample); C444 and Cmono carry luma losslessly. */
+    def encodeY4m(frames: Seq[java.awt.image.BufferedImage],
+                  colorspace: String = "420jpeg",
+                  fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+      require(frames.nonEmpty, "cannot encode an empty video")
+      val w = frames.head.getWidth; val h = frames.head.getHeight
+      val (cw, ch) = chromaDims(colorspace, w, h).getOrElse(
+        sys.error(s"unsupported y4m colorspace $colorspace"))
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C$colorspace\n"
+        .getBytes(Ascii))
+      frames.foreach { img =>
+        out.write("FRAME\n".getBytes(Ascii))
+        val yP = new Array[Byte](w * h)
+        val uP = Array.fill(cw * ch)(0.0)
+        val vP = Array.fill(cw * ch)(0.0)
+        val nP = Array.fill(cw * ch)(0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            yP(y * w + x) = clamp(0.299 * r + 0.587 * g + 0.114 * b).toByte
+            if (colorspace != "mono") {
+              val ci =
+                if (colorspace.startsWith("420")) (y / 2) * cw + x / 2
+                else if (colorspace.startsWith("422")) y * cw + x / 2
+                else y * cw + x
+              uP(ci) += 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+              vP(ci) += 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+              nP(ci) += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out.write(yP)
+        if (colorspace != "mono") {
+          val u8 = new Array[Byte](cw * ch)
+          val v8 = new Array[Byte](cw * ch)
+          var i = 0
+          while (i < cw * ch) {
+            u8(i) = clamp(uP(i) / math.max(nP(i), 1)).toByte
+            v8(i) = clamp(vP(i) / math.max(nP(i), 1)).toByte
+            i += 1
+          }
+          out.write(u8); out.write(v8)
+        }
+      }
+      out.toByteArray
+    }
+  }
+
   /** Batched video decode + feature extraction: REAL MJPEG-in-AVI parse
-    * (RIFF walk → per-frame JPEG decode) with the per-frame
+    * (RIFF walk → per-frame JPEG decode) and REAL Y4M parse (planar YUV
+    * → RGB) with the per-frame
     * grid-luminance features averaged into one clip embedding — same
     * 64-dim shape as the image/audio paths, so the ANN path applies
-    * unchanged; digest fallback for payloads that are not MJPEG AVIs.
+    * unchanged; digest fallback for payloads neither codec claims.
     * Same per-partition batch shape as [[decodeImages]]. */
+  /** Per-dimension mean of the per-frame feature vectors (the clip
+    * embedding both real video codecs share). */
+  private def meanEmbedding(perFrame: Seq[Array[Float]]): Array[Float] = {
+    val emb = new Array[Float](64)
+    if (perFrame.nonEmpty) {
+      var i = 0
+      while (i < emb.length) {
+        var s = 0.0
+        perFrame.foreach(a => s += a(i))
+        emb(i) = (s / perFrame.size).toFloat
+        i += 1
+      }
+    }
+    emb
+  }
+
   def decodeVideos(media: Dataset[MediaFile], parallelism: Int): Dataset[VideoFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video")
@@ -537,22 +725,18 @@ object MediaOps {
             case Some(v) =>
               val perFrame = v.frames.flatMap(f =>
                 ImageCodec.decode(f).map(img => ImageCodec.gridFeatures(img)))
-              val emb = new Array[Float](64)
-              if (perFrame.nonEmpty) {
-                var i = 0
-                while (i < emb.length) {
-                  var s = 0.0
-                  perFrame.foreach(a => s += a(i))
-                  emb(i) = (s / perFrame.size).toFloat
-                  i += 1
-                }
-              }
-              VideoFeatures(m.media_id, v.width, v.height, v.frames.size.toLong, emb)
-            case None =>
-              val (w, h, _) = FakeCodec.imageDims(m.content)
-              VideoFeatures(m.media_id, w, h,
-                FakeCodec.frameCount(m.content).toLong,
-                FakeCodec.features(m.content))
+              VideoFeatures(m.media_id, v.width, v.height, v.frames.size.toLong,
+                meanEmbedding(perFrame))
+            case None => Y4mCodec.decode(m.content) match {
+              case Some(v) =>
+                VideoFeatures(m.media_id, v.width, v.height, v.frames.size.toLong,
+                  meanEmbedding(v.frames.map(ImageCodec.gridFeatures(_))))
+              case None =>
+                val (w, h, _) = FakeCodec.imageDims(m.content)
+                VideoFeatures(m.media_id, w, h,
+                  FakeCodec.frameCount(m.content).toLong,
+                  FakeCodec.features(m.content))
+            }
           }
         }
       }
@@ -561,9 +745,9 @@ object MediaOps {
   /** ======== STUB CODEC (undecodable-payload fallback) ========
     * Deterministic fake for payloads no real codec claims — images no
     * ImageIO reader accepts, audio no sampled provider accepts, and
-    * video that is not MJPEG-in-AVI (other codecs need external
-    * bindings). The real paths are [[ImageCodec]], [[AudioCodec]], and
-    * [[VideoCodec]]. */
+    * video that is neither MJPEG-in-AVI nor Y4M (compressed inter-frame
+    * codecs need external bindings). The real paths are [[ImageCodec]],
+    * [[AudioCodec]], [[VideoCodec]], and [[Y4mCodec]]. */
   object FakeCodec {
     private def digest(b: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("MD5").digest(b)
@@ -644,20 +828,27 @@ object MediaOps {
   /** Frame sampling: one row per kept frame (flatMap = the generator
     * shape; output cardinality is data-dependent, never collected).
     * MJPEG AVIs yield their ACTUAL frame payloads (each a standalone
-    * JPEG any downstream image stage decodes); non-MJPEG payloads fall
-    * back to the digest stand-in. */
+    * JPEG any downstream image stage decodes); Y4M streams yield kept
+    * frames PNG-re-encoded (same standalone-image contract — raw planar
+    * slices would be opaque to the image stages); payloads neither codec
+    * claims fall back to the digest stand-in. */
   def sampleFrames(media: Dataset[MediaFile], everyN: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       VideoCodec.decode(m.content) match {
         case Some(v) =>
           (0 until v.frames.size by everyN).map(i => Frame(m.media_id, i, v.frames(i)))
-        case None =>
-          val n = FakeCodec.frameCount(m.content)
-          (0 until n by everyN).map { i =>
-            Frame(m.media_id, i, MessageDigest.getInstance("MD5")
-              .digest(m.content ++ Array(i.toByte)))
-          }
+        case None => Y4mCodec.decode(m.content) match {
+          case Some(v) =>
+            (0 until v.frames.size by everyN).map(i =>
+              Frame(m.media_id, i, ImageCodec.encodePng(v.frames(i))))
+          case None =>
+            val n = FakeCodec.frameCount(m.content)
+            (0 until n by everyN).map { i =>
+              Frame(m.media_id, i, MessageDigest.getInstance("MD5")
+                .digest(m.content ++ Array(i.toByte)))
+            }
+        }
       }
     }
   }

@@ -628,7 +628,9 @@ object Hdf5 {
                 q += 2
                 ChunkedFixedArray(i64(q), dims)
               case t => fail(s"v4 chunk index type $t " +
-                "(extensible array, v2 B-tree chunk indexes)")
+                "(extensible array, v2 B-tree chunk indexes — written only " +
+                "for UNLIMITED-dimension append-grown datasets; re-pack " +
+                "once via tools/convert_netcdf4.sh or h5repack)")
             }
           case c => fail(s"v4 data layout class $c")
         }

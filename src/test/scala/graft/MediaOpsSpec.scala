@@ -175,6 +175,89 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(lums(0) < 0.1 && math.abs(lums(1) - 0.5) < 0.1, s"got ${lums.toSeq}")
   }
 
+  test("Y4mCodec round-trips C444 and mono luma-exactly; 4:2:0 within chroma tolerance") {
+    // grey gradient: R=G=B, so U=V=128 exactly and every colorspace
+    // carries the pixel losslessly through Y
+    val grey = {
+      val img = new java.awt.image.BufferedImage(
+        16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val v = x * 17 % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    Seq("444", "mono", "420jpeg").foreach { cs =>
+      val y4m = MediaOps.Y4mCodec.encodeY4m(Seq(grey, grey), cs, 30, 1)
+      val v = MediaOps.Y4mCodec.decode(y4m)
+        .getOrElse(fail(s"writer output must parse ($cs)"))
+      assert(v.width === 16 && v.height === 8 && v.frames.size === 2)
+      assert(v.fpsNum === 30 && v.fpsDen === 1 && v.colorspace === cs)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val want = grey.getRGB(x, y) & 0xff
+        val got = v.frames(0).getRGB(x, y)
+        Seq((got >> 16) & 0xff, (got >> 8) & 0xff, got & 0xff).foreach { c =>
+          // grey survives exactly modulo Y-round-trip rounding (≤1)
+          assert(math.abs(c - want) <= 1, s"$cs ($x,$y): $c vs $want")
+        }
+      }
+    }
+    // a COLOR image exercises the chroma planes: encode→decode must land
+    // within the rounding budget of the BT.601 round trip (≤2 per channel
+    // for 444; 4:2:0 averages 2×2 blocks, so compare against block means)
+    val color = {
+      val img = new java.awt.image.BufferedImage(
+        8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 8)
+        img.setRGB(x, y, ((x * 30) << 16) | ((y * 60) << 8) | 0x66)
+      img
+    }
+    val v444 = MediaOps.Y4mCodec.decode(
+        MediaOps.Y4mCodec.encodeY4m(Seq(color), "444"))
+      .getOrElse(fail("C444 color must parse"))
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val w = color.getRGB(x, y); val g = v444.frames(0).getRGB(x, y)
+      Seq(16, 8, 0).foreach { sh =>
+        assert(math.abs(((w >> sh) & 0xff) - ((g >> sh) & 0xff)) <= 2,
+          f"C444 ($x,$y) channel>>$sh: ${(g >> sh) & 0xff} vs ${(w >> sh) & 0xff}")
+      }
+    }
+    // malformed inputs are None, not exceptions
+    assert(MediaOps.Y4mCodec.decode("not a y4m".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.Y4mCodec.decode(
+      "YUV4MPEG2 W4 H4 C999weird\nFRAME\n".getBytes("UTF-8")).isEmpty)
+    val truncated = MediaOps.Y4mCodec.encodeY4m(Seq(grey), "444").dropRight(7)
+    assert(MediaOps.Y4mCodec.decode(truncated).isEmpty)
+  }
+
+  test("decodeVideos and sampleFrames handle Y4M clips through the real codec") {
+    import spark.implicits._
+    val frames = Seq(
+      solidFrame(16, 8, 0x000000), solidFrame(16, 8, 0xffffff),
+      solidFrame(16, 8, 0x808080), solidFrame(16, 8, 0x404040))
+    val y4m = MediaOps.Y4mCodec.encodeY4m(frames, "420jpeg")
+    val ds = Seq(MediaOps.MediaFile(7L, "video", y4m, "video/x-yuv4mpeg",
+      "fx")).toDS()
+    val feats = MediaOps.decodeVideos(ds, parallelism = 2).collect()
+    assert(feats.length === 1)
+    assert(feats(0).width === 16 && feats(0).height === 8 &&
+      feats(0).n_frames === 4L)
+    // mean grid luminance of black/white/mid/dark ≈ (0+1+0.5+0.25)/4
+    feats(0).embedding.foreach(v => assert(math.abs(v - 0.4375) < 0.05,
+      s"expected ~0.44 mean luminance, got $v"))
+    val out = MediaOps.sampleFrames(ds, everyN = 2).collect().sortBy(_.frame_no)
+    assert(out.map(_.frame_no).toSeq === Seq(0, 2))
+    // kept frames are standalone PNGs with the right pixels
+    val lums = out.map { fr =>
+      val img = MediaOps.ImageCodec.decode(fr.frame_bytes)
+        .getOrElse(fail("sampled y4m frame must be a standalone image"))
+      val rgb = img.getRGB(8, 4)
+      (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)) / 255.0
+    }
+    assert(lums(0) < 0.05 && math.abs(lums(1) - 0.5) < 0.05, s"got ${lums.toSeq}")
+  }
+
   test("decodeAudio reads real WAV rate/channels/frames and an RMS envelope") {
     import javax.sound.sampled.{AudioFormat, AudioFileFormat, AudioInputStream, AudioSystem}
     def wavBytes(nFrames: Int, amp: Double): Array[Byte] = {
