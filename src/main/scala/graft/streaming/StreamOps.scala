@@ -978,6 +978,24 @@ object StreamOps {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
   }
 
+  /** Largest landed `batch_id=<n>` partition strictly below `before`, by
+    * Hadoop-FS directory listing — metadata-only, never a row scan. */
+  private def latestLandedBatch(spark: SparkSession, path: String,
+                                before: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=")) n.stripPrefix("batch_id=").toLongOption
+        else None
+      }
+      .filter(_ < before)
+      .maxOption
+  }
+
   /** Land a batch-scoped delta: batch_id-partitioned with dynamic
     * partition overwrite, so a checkpoint replay rewrites its own
     * partition instead of appending a duplicate. */
@@ -1151,14 +1169,18 @@ object StreamOps {
     val idType = batch.schema(idCol).dataType
     val labSchema = new org.apache.spark.sql.types.StructType()
       .add("id", idType).add("component", idType)
-    val prior = readDelta(spark, s"$statePath/labels", labSchema)
-      .filter(col("batch_id") < batchId)
-    // latest landed table wins (each batch lands the FULL label table);
-    // the agg is one row — bounded driver work
-    val last = prior.agg(max(col("batch_id"))).head
-    val prev =
-      if (last.isNullAt(0)) seedLabels.select(col("id"), col("component"))
-      else prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id")
+    // latest landed table wins (each batch lands the FULL label table).
+    // The latest batch id comes from the PARTITION DIRECTORY listing —
+    // a row-level max(batch_id) would scan every earlier wave's full
+    // label table per batch (O(waves·|labels|) rows for one number);
+    // the listing is pure metadata, and the read below partition-prunes
+    // to the one chosen directory
+    val prev = latestLandedBatch(spark, s"$statePath/labels", batchId) match {
+      case None => seedLabels.select(col("id"), col("component"))
+      case Some(last) =>
+        readDelta(spark, s"$statePath/labels", labSchema)
+          .filter(col("batch_id") === last).drop("batch_id")
+    }
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
       threshold, statePath, batchId)
     try {
