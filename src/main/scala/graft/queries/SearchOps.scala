@@ -100,9 +100,15 @@ object SearchOps {
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "pos", "term")
       .filter(col("term").isin(terms: _*))
-    val pd = NearPairs.toDF("ta", "tb")
+    proximityRollup(pos, NearPairs.toDF("ta", "tb"))
+  }
+
+  /** k5's join/rollup over any (doc_id, pos, term) postings frame — the
+    * serve stage shared with the at-rest k9: broadcast the pair table,
+    * equi-join the two term postings on the doc, slop-filter, roll up. */
+  private def proximityRollup(pos: DataFrame, pairs: DataFrame): DataFrame =
     pos.as("a")
-      .join(broadcast(pd), col("a.term") === col("ta"))
+      .join(broadcast(pairs), col("a.term") === col("ta"))
       .join(pos.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("b.term") === col("tb") &&
           abs(col("a.pos") - col("b.pos")) <= Slop)
@@ -113,7 +119,6 @@ object SearchOps {
         count(lit(1)).as("n_hits"),
         min(col("doc_id")).as("first_doc"))
       .orderBy("pair")
-  }
 
   private val k5Sql: String = {
     val vals = NearPairs.map(p => s"('${p._1}', '${p._2}')").mkString(", ")
@@ -204,6 +209,88 @@ object SearchOps {
        |  CAST(levenshtein(q.query_term, d.term) AS INTEGER) AS lev, d.df
        |FROM q JOIN df d ON levenshtein(q.query_term, d.term) <= 1
        |ORDER BY query_term, matched_term""".stripMargin
+  }
+
+  /** Positional-index shard count (k9/k10). Each term's occurrences live
+    * in exactly one shard (`shard = hex60(term) mod 16`), so a probe
+    * reads only its query terms' shards via partition pruning. */
+  private val K9Shards = 16
+
+  /** Build-once POSITIONAL index — (doc_id, pos, term), one row per token
+    * occurrence, term-sharded: the artifact behind Lucene-style phrase
+    * and NEAR queries. Built at most once per corpus fingerprint in a
+    * sibling session (marker-last — the k6/k8/i5/c12 discipline); both
+    * k9 (proximity) and k10 (phrase) serve from the SAME files — one
+    * write-once index, many query shapes. Returns the lazily-read frame;
+    * probes partition-prune to their terms' shards. */
+  private def positionalIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = ScaleOps.artifactRoot("k9",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    val done = root.resolve("_INDEX_OK")
+    if (!java.nio.file.Files.exists(done)) {
+      val t = s.newSession()
+      Tables(t, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "term")
+        .withColumn("shard",
+          pmod(graft.operators.PortableHash.hex60(col("term")),
+            lit(K9Shards.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(root.resolve("positions").toString)
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    s.read.parquet(root.resolve("positions").toString)
+  }
+
+  /** Partition-pruned probe of [[positionalIndex]]: only the query
+    * terms' shard directories are listed, let alone read. */
+  private def probePositions(idx: DataFrame, terms: Seq[String]): DataFrame = {
+    val shards = terms
+      .map(t => (graft.operators.PortableHash.hex60(t) % K9Shards).toInt)
+      .distinct
+    idx.filter(col("shard").isin(shards: _*) && col("term").isin(terms: _*))
+  }
+
+  /** k9: k5's proximity (NEAR/k) search served from the AT-REST
+    * positional index — the corpus rescan + per-query postings explode
+    * replaced by a partition-pruned read of the query terms' shards
+    * (plan-audited like k6/k8), then the identical join/rollup. Oracle =
+    * k5's SQL: the at-rest round-trip must not change an answer bit. At
+    * 100 TB the difference is tokenizing the corpus per query vs reading
+    * a few shard directories of a write-once index. */
+  def k9ProximityAtRest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = NearPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    proximityRollup(probePositions(positionalIndex(s, dir), terms),
+      NearPairs.toDF("ta", "tb"))
+  }
+
+  /** k10: k4's exact-phrase search served from the SAME at-rest
+    * positional index as k9 — the positional-adjacency form (two-word
+    * phrase = consecutive token positions in the same document), which
+    * is the Lucene phrase-query plan: probe the two terms' postings,
+    * equi-join on the doc with `b.pos = a.pos + 1`. Equivalent to k4's
+    * space-boundary substring containment on space-tokenized text, so
+    * the oracle is k4's own SQL. Handles repeated-word phrases ("table
+    * table") naturally — the self-adjacent position pair. */
+  def k10PhraseAtRest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Phrases.map { p =>
+      val parts = p.split(" "); (parts(0), parts(1))
+    }
+    val pos = probePositions(positionalIndex(s, dir),
+      words.flatMap(t => Seq(t._1, t._2)).distinct)
+    pos.as("a")
+      .join(broadcast(words.toDF("ta", "tb")), col("a.term") === col("ta"))
+      .join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.term") === col("tb") &&
+          col("b.pos") === col("a.pos") + 1)
+      .select(concat(col("ta"), lit(" "), col("tb")).as("phrase"),
+        col("a.doc_id").as("doc_id"))
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("phrase")
   }
 
   /** Deletion-variant index shard count (k8). Each variant lives in
@@ -381,7 +468,9 @@ object SearchOps {
     "k2_tfidf_term" -> (k2TfidfTerm _),
     "k3_pii_redact" -> (k3PiiRedact _),
     "k7_fuzzy_search" -> (k7FuzzySearch _),
-    "k8_fuzzy_at_rest" -> (k8FuzzyAtRest _))
+    "k8_fuzzy_at_rest" -> (k8FuzzyAtRest _),
+    "k9_proximity_at_rest" -> (k9ProximityAtRest _),
+    "k10_phrase_at_rest" -> (k10PhraseAtRest _))
 
   val oracles: Map[String, String] = Map(
     "k1_bm25_topk" -> k1Sql,
@@ -392,5 +481,8 @@ object SearchOps {
     "k3_pii_redact" -> k3Sql,
     "k7_fuzzy_search" -> k7Sql,
     // same answer, served from the persisted variant shards
-    "k8_fuzzy_at_rest" -> k7Sql)
+    "k8_fuzzy_at_rest" -> k7Sql,
+    // same answers, served from the persisted positional index
+    "k9_proximity_at_rest" -> k5Sql,
+    "k10_phrase_at_rest" -> k4Sql)
 }

@@ -396,6 +396,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0)
   }
 
+  test("k9 at-rest proximity: probe partition-prunes to the query terms' shards") {
+    val s = formatted(SparkEntry.queries("k9_proximity_at_rest")(spark, sfDir))
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(term, ["),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(nodeCount(s, "CartesianProduct") == 0)
+  }
+
   test("q35 top-k aggregate: object-hash partial+final pair, ZERO window sorts") {
     val s = formatted(SparkEntry.queries("q35_topk_agg")(spark, sfDir))
     assert(s.contains("ObjectHashAggregate"), s.take(1200))
