@@ -93,6 +93,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(multi).count() == 1000)
   }
 
+  test("compactParquet crash recovery: marker gates the delete-root path") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    def mkData(): (java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
+      val root = Files.createTempDirectory("cmp_rec").resolve("t")
+      df.repartition(4).write.parquet(root.toString)
+      (root, java.nio.file.Paths.get(root.toString + "__compact_old"),
+        java.nio.file.Paths.get(root.toString + "__compact_staged"))
+    }
+    // 1) marker present: the stage rename finished before the crash —
+    //    back is complete, root holds rewrite debris; recovery restores
+    //    the original, deletes the debris, and the compaction proceeds
+    val (r1, b1, m1) = mkData()
+    Files.move(r1, b1)
+    Files.createFile(m1)
+    Files.createDirectories(r1)
+    Files.write(r1.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    val (before1, after1) = Sources.compactParquet(spark, r1.toString)
+    assert(before1 == 4 && after1 == 1, s"$before1 -> $after1")
+    assert(spark.read.parquet(r1.toString).count() == 100)
+    assert(!Files.exists(b1) && !Files.exists(m1))
+    // 2) no marker, root missing: crashed in the window between the
+    //    completed rename and the marker write — back renames home
+    val (r2, b2, m2) = mkData()
+    Files.move(r2, b2)
+    val (before2, after2) = Sources.compactParquet(spark, r2.toString)
+    assert(before2 == 4 && after2 == 1, s"$before2 -> $after2")
+    assert(spark.read.parquet(r2.toString).count() == 100)
+    assert(!Files.exists(b2) && !Files.exists(m2))
+    // 3) no marker, BOTH populated: a non-atomic (copy-per-file) stage
+    //    rename died mid-copy — neither side is safely deletable, so the
+    //    helper must fail fast instead of destroying the unmoved half
+    val (r3, b3, _) = mkData()
+    Files.createDirectories(b3)
+    Files.copy(r3.resolve(
+      Files.list(r3).filter(_.toString.endsWith(".parquet")).findFirst.get.getFileName.toString),
+      b3.resolve("part-half-moved.parquet"))
+    val e = intercept[java.io.IOException](Sources.compactParquet(spark, r3.toString))
+    assert(e.getMessage.contains("without a completion marker"), e.getMessage)
+    assert(Files.exists(r3) && Files.exists(b3), "fail-fast must not delete either side")
+  }
+
   test("orc sink round-trips with partitioning and pushes filters to the scan") {
     val dir = Files.createTempDirectory("orc_sink").resolve("era5")
     Sources.saveOrc(graft.model.Fixtures.era5(spark), dir.toString,
