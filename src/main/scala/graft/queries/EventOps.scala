@@ -1687,8 +1687,94 @@ object EventOps {
       |    AS hazard_ppm
       |FROM t GROUP BY t ORDER BY t""".stripMargin
 
+  /** e38: A/A SPLIT-SANITY check — the calibration every experimentation
+    * pipeline runs before trusting its assignment hash: purchasing users
+    * split into two arms by the portable hash of their id, per-user
+    * total purchase value compared across arms with the two-sample
+    * (Welch) z statistic. On observational data with a sound hash the
+    * arms are exchangeable, so |z| should sit inside ±1.96 — a
+    * significant difference means the ASSIGNMENT is biased (hash
+    * correlated with behavior), the failure this audit exists to catch
+    * before any real A/B test launches on the same split. (A
+    * conversion-RATE z is degenerate here — every synthetic user
+    * purchases — so the value metric is also the non-trivial one.)
+    *
+    * Scale shape: one per-user aggregate, one 2-row arm rollup of
+    * sufficient statistics (n, Σ, Σ²) with DECIMAL interior sums (the
+    * e34 convention — the shuffle cannot perturb them), driver-free
+    * arithmetic on a 1-row frame. The z expression tree is identical on
+    * both engines (every FP op correctly rounded on identical exact
+    * operands → identical doubles), rounded to 6 dp; zero pooled
+    * variance yields NULL on both sides (never a divide). */
+  def e38AbSplitCheck(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+        .as("tv"))
+      .withColumn("arm",
+        pmod(graft.operators.PortableHash.hex60(col("user_id")), lit(2L)))
+    val tv18 = col("tv").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("tv")).as("s"),
+        sum(tv18 * tv18).as("s2"))
+    val a = arms.filter(col("arm") === 0L)
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("s2").as("s2_a"))
+    val b = arms.filter(col("arm") === 1L)
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("s2").as("s2_b"))
+    def stats(n: String, sc: String, s2: String)
+        : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+           org.apache.spark.sql.Column) = {
+      val nd = col(n).cast("double")
+      val mean = col(sc).cast("double") / nd
+      val variance = (col(s2).cast("double") -
+        col(sc).cast("double") * col(sc).cast("double") / nd) / nd
+      (nd, mean, variance)
+    }
+    val (na, ma, va) = stats("n_a", "s_a", "s2_a")
+    val (nb, mb, vb) = stats("n_b", "s_b", "s2_b")
+    val pooled = va / na + vb / nb
+    a.crossJoin(b)
+      .withColumn("mean_a", round(ma, 4))
+      .withColumn("mean_b", round(mb, 4))
+      .withColumn("z",
+        when(pooled > 0, round((ma - mb) / sqrt(pooled), 6)))
+      .withColumn("balanced", abs(col("z")) <= 1.96)
+      .select(col("n_a"), col("mean_a"), col("n_b"), col("mean_b"),
+        col("z"), col("balanced"))
+  }
+
+  private val e38Sql = {
+    def stats(p: String) = (
+      s"CAST(n_$p AS DOUBLE)",
+      s"CAST(s_$p AS DOUBLE) / CAST(n_$p AS DOUBLE)",
+      s"(CAST(s2_$p AS DOUBLE) - CAST(s_$p AS DOUBLE) * CAST(s_$p AS DOUBLE) / CAST(n_$p AS DOUBLE)) / CAST(n_$p AS DOUBLE)")
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val pooled = s"$va / $na + $vb / $nb"
+    s"""WITH pu AS (
+       |  SELECT user_id, SUM(CAST(value AS DECIMAL(38,4))) AS tv
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |arms AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2
+       |      AS arm, tv, CAST(tv AS DECIMAL(18,4)) AS tv18
+       |  FROM pu),
+       |s AS (SELECT arm, COUNT(*) AS n, SUM(tv) AS s, SUM(tv18 * tv18) AS s2
+       |      FROM arms GROUP BY arm),
+       |a AS (SELECT n AS n_a, s AS s_a, s2 AS s2_a FROM s WHERE arm = 0),
+       |b AS (SELECT n AS n_b, s AS s_b, s2 AS s2_b FROM s WHERE arm = 1),
+       |j AS (
+       |  SELECT n_a, ROUND($ma, 4) AS mean_a, n_b, ROUND($mb, 4) AS mean_b,
+       |    CASE WHEN $pooled > 0
+       |         THEN ROUND(($ma - $mb) / sqrt($pooled), 6) END AS z
+       |  FROM a, b)
+       |SELECT n_a, mean_a, n_b, mean_b, z, abs(z) <= 1.96 AS balanced
+       |FROM j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e35_kmv_users" -> (e35KmvUsers _),
+    "e38_ab_splitcheck" -> (e38AbSplitCheck _),
     "e36_windowed_kmv" -> (e36WindowedKmv _),
     "e37_churn_hazard" -> (e37ChurnHazard _),
     "e1_window_hourly" -> (e1WindowHourly _),
@@ -1731,6 +1817,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "e35_kmv_users" -> e35Sql,
+    "e38_ab_splitcheck" -> e38Sql,
     "e36_windowed_kmv" -> e36Sql,
     "e37_churn_hazard" -> e37Sql,
     "e1_window_hourly" -> e1Sql,

@@ -476,6 +476,95 @@ object TextOps {
        |FROM dw JOIN wt USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d44: per-language tokenizer FERTILITY — subwords emitted per word
+    * by the d32-trained BPE, rolled up by language: the standard
+    * multilingual-tokenizer equity metric (a language whose fertility
+    * runs far above the corpus mean pays proportionally more sequence
+    * budget per word, the signal that drives vocab rebalancing).
+    * Composes the full tokenizer lifecycle: d32's learned merges applied
+    * row-locally per word occurrence (d33's encode), aggregated one
+    * level up with the ratio on the exact ppm grid (integer `div`, no
+    * FP division). The oracle replays the whole unrolled training chain
+    * plus the per-language rollup — the tokenizer itself is inside the
+    * hash check, not assumed. */
+  def d44BpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val merges = graft.operators.BpeTrain.learnMerges(docs, "text", BpeMerges)
+    val words = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val encoded = graft.operators.BpeTrain.applyMerges(
+      graft.operators.BpeTrain.symbolize(col("w")), merges)
+    words
+      .withColumn("n_sym", size(split(trim(encoded), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_subwords"))
+      .withColumn("fertility_ppm", expr("(1000000 * n_subwords) div n_words"))
+      .orderBy("lang")
+  }
+
+  private val d44Sql: String =
+    s"""WITH ${bpeCtes(carryWord = true)},
+       |wt AS (
+       |  SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+       |  FROM s$BpeMerges),
+       |dw AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) z
+       |  WHERE length(w) > 0)
+       |SELECT lang, COUNT(*) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_subwords,
+       |  (1000000 * CAST(SUM(n_sym) AS BIGINT)) // COUNT(*) AS fertility_ppm
+       |FROM dw JOIN wt USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** d43 anonymity threshold: classes smaller than this are
+    * re-identification risks. */
+  private val KAnon = 5L
+
+  /** d43: k-ANONYMITY generalization sweep — the privacy audit a
+    * training-data release runs over its quasi-identifiers (here
+    * source × lang × document length): for each GENERALIZATION level of
+    * the length attribute (width-10 buckets → width-100 → suppressed),
+    * the equivalence-class profile (class count, minimum class size,
+    * rows in classes below k) and whether the level satisfies
+    * k-anonymity. The release picks the FINEST level with
+    * `k_satisfied` — generalizing further destroys utility for no
+    * privacy gain. One aggregate per level over the same scan shape
+    * (the levels are a 3-row report, not a search at runtime); all
+    * integer arithmetic. */
+  def d43KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val levels = Seq(
+      0 -> expr("n_chars div 10"),
+      1 -> expr("n_chars div 100"),
+      2 -> lit(-1L))
+    levels.map { case (lv, g) =>
+      docs.select(col("source"), col("lang"), g.cast("long").as("len_class"))
+        .groupBy(col("source"), col("lang"), col("len_class"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("sz")).as("min_class_size"),
+          sum(when(col("sz") < KAnon, col("sz")).otherwise(0L)).as("rows_at_risk"))
+        .select(lit(lv).as("level"), col("n_classes"), col("min_class_size"),
+          (col("min_class_size") >= KAnon).as("k_satisfied"), col("rows_at_risk"))
+    }.reduce(_ unionByName _).orderBy("level")
+  }
+
+  private val d43Sql: String = {
+    def level(lv: Int, g: String): String =
+      s"""SELECT $lv AS level, COUNT(*) AS n_classes,
+         |  MIN(sz) AS min_class_size,
+         |  MIN(sz) >= $KAnon AS k_satisfied,
+         |  CAST(SUM(CASE WHEN sz < $KAnon THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
+         |FROM (
+         |  SELECT source, lang, $g AS len_class, COUNT(*) AS sz
+         |  FROM documents GROUP BY source, lang, $g) z""".stripMargin
+    Seq(level(0, "n_chars // 10"), level(1, "n_chars // 100"),
+        level(2, "CAST(-1 AS BIGINT)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY level")
+  }
+
   /** d34: length-bucketed batch shaping — assign each document to the
     * smallest power-of-two token bucket that holds it and report bucket
     * occupancy plus PADDING WASTE (tokens burned if every member pads to
@@ -1406,6 +1495,8 @@ object TextOps {
     "d40_source_drift" -> (d40SourceDrift _),
     "d41_matched_pairs" -> (d41MatchedPairs _),
     "d42_unicode_audit" -> (d42UnicodeAudit _),
+    "d43_k_anonymity" -> (d43KAnonymity _),
+    "d44_bpe_fertility" -> (d44BpeFertility _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1439,5 +1530,7 @@ object TextOps {
     "d40_source_drift" -> d40Sql,
     "d41_matched_pairs" -> d41Sql,
     "d42_unicode_audit" -> d42Sql,
+    "d43_k_anonymity" -> d43Sql,
+    "d44_bpe_fertility" -> d44Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
