@@ -623,49 +623,60 @@ object ScaleOps {
     * once, not per nprobe); each approximate side scans only the probed
     * lists; the report is 3 rows. */
   def i6IvfRecall(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.DotProduct.register(s)
-    val dot = graft.functions.DotProduct.dotProduct _
     val e = Tables(s, dir, "embeddings")
     val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
       k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
-    try {
-      val eb = e.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("emb"))
-      val q = eb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      val scored = broadcast(q).join(eb, col("vec_id") =!= col("q_id"))
-        .withColumn("cos",
-          round(dot(col("q_emb"), col("emb")) /
-            (sqrt(dot(col("q_emb"), col("q_emb"))) *
-              sqrt(dot(col("emb"), col("emb")))), 6))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      val brute = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= IvfTopK)
-        .select(col("q_id"), col("vec_id").as("neighbor"))
-      val apx = (1 to IvfNprobe).map { np =>
-        IvfSearch.approxTopK(e.filter(col("vec_id") < 3), idx,
-            "vec_id", "embedding", k = IvfTopK, nprobe = np)
-          .select(lit(np).as("nprobe"), col("q_id"), col("neighbor"))
-      }.reduce(_ unionByName _)
-      val res = apx.join(brute, Seq("q_id", "neighbor"))
-        .groupBy(col("nprobe"))
-        .agg(count(lit(1)).as("n_hits"))
-        .withColumn("recall_ppm",
-          expr(s"(1000000 * n_hits) div ${3 * IvfTopK}"))
-        .orderBy("nprobe")
-      // bounded (IvfNprobe rows): materialize before closing the index
-      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
-    } finally idx.close()
+    try recallAudit(s, e, idx)
+    finally idx.close()
   }
 
-  private val i6Sql: String = {
+  /** The recall@$IvfTopK-per-nprobe audit body shared by i6 (index over
+    * the full corpus) and i9 (the i8-grown index): brute-force ground
+    * truth priced once, each nprobe's approximate side scans only its
+    * probed lists, MATERIALIZED before the caller closes the index. */
+  private def recallAudit(s: SparkSession, e: DataFrame,
+                          idx: IvfSearch.Index): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val eb = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = eb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = broadcast(q).join(eb, col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) *
+            sqrt(dot(col("emb"), col("emb")))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val brute = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"))
+    val apx = (1 to IvfNprobe).map { np =>
+      IvfSearch.approxTopK(e.filter(col("vec_id") < 3), idx,
+          "vec_id", "embedding", k = IvfTopK, nprobe = np)
+        .select(lit(np).as("nprobe"), col("q_id"), col("neighbor"))
+    }.reduce(_ unionByName _)
+    val res = apx.join(brute, Seq("q_id", "neighbor"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall_ppm",
+        expr(s"(1000000 * n_hits) div ${3 * IvfTopK}"))
+      .orderBy("nprobe")
+    // bounded (IvfNprobe rows): materialize before closing the index
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+  }
+
+  /** The i6 recall-audit SQL over a caller-chosen quantizer chain —
+    * `preCtes` injects the training-subset CTE (i9's `et`), `chain` is
+    * the matching `ivfCtesOver` instance; i6 passes the zero-arg pair. */
+  private def recallSqlOver(preCtes: String, chain: String): String = {
     val cos = (a: String, b: String) =>
       s"ROUND(list_dot_product($a, $b) / " +
         s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
        |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
-       |$ivfCtes,
+       |$preCtes$chain,
        |bf AS (
        |  SELECT q_id, neighbor FROM (
        |    SELECT q.q_id, e2.id AS neighbor,
@@ -688,6 +699,8 @@ object ScaleOps {
        |FROM apx JOIN bf USING (q_id, neighbor)
        |GROUP BY nprobe ORDER BY nprobe""".stripMargin
   }
+
+  private val i6Sql: String = recallSqlOver("", ivfCtes)
 
   /** i7: FILTERED vector search — same-label cosine top-$IvfTopK for the
     * v1/a1/i1 query vectors through [[IvfSearch.approxTopKFiltered]]
@@ -809,6 +822,39 @@ object ScaleOps {
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally idx0.close()
   }
+
+  /** i9: recall audit ON THE GROWN INDEX — i6's recall@k-per-nprobe
+    * table recomputed for i8's construction (quantizer frozen on the
+    * pre-arrival subset, every vector assigned). THIS is the number
+    * i8's scaladoc defers retraining to: as arrivals drift away from
+    * the frozen centroids, the grown index's recall decays below the
+    * full-retrain baseline (i6's table), and the gap between the two
+    * tables IS the retrain trigger — a scheduled decision read off two
+    * bounded reports, never a per-batch cost. Ground truth is the same
+    * full-corpus brute force as i6 (the grown index must find
+    * neighbors among ALL vectors, late arrivals included), so the
+    * audit also proves the deltas are probe-visible. Oracle: i6's
+    * recall SQL over the parameterized `et`-trained chain. */
+  def i9GrownRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx0 = IvfSearch.buildIndex(e.filter(col("vec_id") < I8TrainEnd),
+      "vec_id", "embedding", k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      val late = e.filter(col("vec_id") >= I8TrainEnd)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val grown = IvfSearch.Index(idx0.centroids,
+        idx0.assignments.unionByName(IvfSearch.assign(late, idx0.centroids)))
+      recallAudit(s, e, grown)
+    } finally idx0.close()
+  }
+
+  // lazy: I8TrainEnd is declared above but ivfCtesOver/recallSqlOver are
+  // methods on vals declared earlier in the object — keep the
+  // interpolation deferred so declaration order can never zero a bound
+  private lazy val i9Sql: String = recallSqlOver(
+    s"et AS (SELECT id, emb FROM e WHERE id < $I8TrainEnd),\n",
+    ivfCtesOver("et"))
 
   private val i8Sql: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1411,6 +1457,7 @@ object ScaleOps {
     "i6_ivf_recall" -> (i6IvfRecall _),
     "i7_filtered_ann" -> (i7FilteredAnn _),
     "i8_incremental_ivf" -> (i8IncrementalIvf _),
+    "i9_grown_recall" -> (i9GrownRecall _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
@@ -1436,6 +1483,7 @@ object ScaleOps {
     "i6_ivf_recall" -> i6Sql,
     "i7_filtered_ann" -> i7Sql,
     "i8_incremental_ivf" -> i8Sql,
+    "i9_grown_recall" -> i9Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "s3_adaptive_skew_join" -> s3Sql,
