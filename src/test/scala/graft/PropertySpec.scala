@@ -307,6 +307,47 @@ class PropertySpec extends AnyFunSuite {
     }, (p: org.scalacheck.Test.Parameters) => p.withMinSuccessfulTests(80))
   }
 
+  test("Y4M: encode-decode round-trip over random dims (odd included), colorspaces, frame counts") {
+    import graft.multimodal.MediaOps
+    val gen = for {
+      w <- Gen.choose(1, 17)
+      h <- Gen.choose(1, 9)
+      cs <- Gen.oneOf("444", "422", "420jpeg", "420mpeg2", "mono")
+      nFrames <- Gen.choose(1, 3)
+      pix <- Gen.listOfN(nFrames * w * h, Gen.choose(0, 255))
+    } yield (w, h, cs, nFrames, pix)
+    check(Prop.forAllNoShrink(gen) { case (w, h, cs, nFrames, pix) =>
+      // grey pixels (R=G=B): chroma is exactly 128 in every colorspace,
+      // so subsampling loses nothing and the luma round-trip must land
+      // within the single Y-quantization step for ANY dims — odd widths
+      // and heights exercise the ceil chroma planes
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = pix(f * w * h + y * w + x)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        img
+      }
+      val decoded = MediaOps.Y4mCodec
+        .decode(MediaOps.Y4mCodec.encodeY4m(frames, cs))
+        .getOrElse(sys.error(s"writer output must parse ($cs ${w}x$h)"))
+      decoded.width == w && decoded.height == h &&
+        decoded.frames.size == nFrames &&
+        (0 until nFrames).forall { f =>
+          (0 until h).forall { y =>
+            (0 until w).forall { x =>
+              val want = pix(f * w * h + y * w + x)
+              val got = decoded.frames(f).getRGB(x, y)
+              Seq((got >> 16) & 0xff, (got >> 8) & 0xff, got & 0xff)
+                .forall(c => math.abs(c - want) <= 1)
+            }
+          }
+        }
+    }, (p: org.scalacheck.Test.Parameters) => p.withMinSuccessfulTests(60))
+  }
+
   test("kmin_values / topk_pairs equal their reference models on random frames") {
     import spark.implicits._
     graft.functions.SketchFunctions.register(spark)
