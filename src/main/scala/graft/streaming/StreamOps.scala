@@ -1260,12 +1260,21 @@ object StreamOps {
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val e = batch.select(col(idCol).as("id"),
-          col(embCol).cast("array<double>").as("emb"))
-        landDelta(graft.operators.IvfSearch.assign(e, centroids),
-          s"$statePath/ivf_assign", batchId)
+        ivfAssignBatch(batch, centroids, idCol, embCol, statePath, batchId)
       }
       .start()
+
+  /** One micro-batch of [[ivfAssignPerBatch]] — package-visible so the
+    * spec can force a replay of a committed batchId and assert the
+    * landed assignment deltas are idempotent. */
+  private[graft] def ivfAssignBatch(batch: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], idCol: String, embCol: String,
+      statePath: String, batchId: Long): Unit = {
+    val e = batch.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("emb"))
+    landDelta(graft.operators.IvfSearch.assign(e, centroids),
+      s"$statePath/ivf_assign", batchId)
+  }
 
   /** The grown IVF index after any number of [[ivfAssignPerBatch]]
     * waves: the frozen centroids over base ∪ landed assignment deltas.

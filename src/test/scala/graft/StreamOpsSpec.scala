@@ -1212,6 +1212,13 @@ class StreamOpsSpec extends AnyFunSuite {
       // among the neighbors (vec_id 250+ can only come from the deltas)
       assert(got.exists(_._2 >= split),
         s"no late-arrival neighbor in ${got.map(_._2)}")
+      // replay idempotence: re-landing a committed batch rewrites its
+      // own partition — the grown index answers identically
+      StreamOps.ivfAssignBatch(w0.toSeq.toDF("vec_id", "embedding"),
+        base.centroids, "vec_id", "embedding",
+        root.resolve("state").toString, 0L)
+      assert(rows(StreamOps.grownIvfIndex(spark, base,
+        root.resolve("state").toString)) == got)
     } finally base.close()
     spark.catalog.clearCache()
   }
