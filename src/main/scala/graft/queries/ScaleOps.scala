@@ -511,6 +511,87 @@ object ScaleOps {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** a4 similarity threshold: the synthetic embeddings are near-uniform
+    * (max pairwise cosine ≈ 0.44 — a2's note), so 0.3 keeps the demo
+    * non-vacuous; production corpora run ~0.95+ per the paper. */
+  private val A4Threshold = 0.3
+
+  /** a4: SEMANTIC dedup, cluster-blocked (the SemDeDup recipe — Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means the embeddings (the i1 coarse
+    * quantizer, same oracle-unrolled Lloyd), compare pairs ONLY within a
+    * cluster, connect pairs above the cosine threshold into groups, and
+    * keep one representative per group (min id — c1's rule). This is
+    * the embedding-space complement of MinHash dedup: near-duplicate
+    * MEANING (paraphrases, translations, re-renders) that shares no
+    * shingles. Scale story: the cluster blocking bounds the quadratic
+    * term to Σ|cluster|² — k is chosen so clusters fit the budget —
+    * and norms are computed once per row, never per pair. Bounded to
+    * the a2 demo block (vec_id < 500). Output: per-cluster document
+    * and drop counts. Oracle: the shared ivfCtes chain + within-cluster
+    * pair join + the c1 recursive-CTE components, replayed end to end. */
+  def a4SemDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 500)
+    val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      // norm once per row — the pair join must never recompute ||x||
+      val asg = idx.assignments
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      val pairs = asg.as("a")
+        .join(asg.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.id") < col("b.id"))
+        .withColumn("cos", round(
+          dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("cos") >= A4Threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val dropped = graft.operators.ConnectedComponents.components(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id"), lit(1L).as("drp"))
+      val res = idx.assignments.select(col("id"), col("centroid_id"))
+        .join(dropped, Seq("id"), "left")
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
+        .orderBy("centroid_id")
+      // bounded (IvfK rows): materialize before closing the index
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
+  // lazy: ivfCtes is declared further down the object — an eager val
+  // here would interpolate its pre-initialization null (the c14Sql trap)
+  private lazy val a4Sql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings
+       |  WHERE vec_id < 500),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$ivfCtes,
+       |nr AS (SELECT id, cid, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM af),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM nr a JOIN nr b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+       |    >= $A4Threshold),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |drp AS (SELECT id FROM comp WHERE id <> component)
+       |SELECT af.cid AS centroid_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN drp.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM af LEFT JOIN drp ON af.id = drp.id
+       |GROUP BY af.cid ORDER BY af.cid""".stripMargin
+
   // i1 constants shared by the Spark query and its SQL replay
   private val IvfK = 8       // coarse centroids
   private val IvfIters = 2   // Lloyd iterations (unrolled in the oracle)
@@ -1449,6 +1530,7 @@ object ScaleOps {
     "m6_cms_heavy" -> (m6CmsHeavy _),
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
+    "a4_semdedup" -> (a4SemDedup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
     "i2_pq_topk" -> (i2PqTopk _),
     "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
@@ -1475,6 +1557,7 @@ object ScaleOps {
     "m6_cms_heavy" -> m6Sql,
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
+    "a4_semdedup" -> a4Sql,
     "i1_ivf_topk" -> i1Sql,
     "i2_pq_topk" -> i2Sql,
     "i3_ivf_pq_rerank" -> i3Sql,
