@@ -176,6 +176,42 @@ object CorpusOps {
        |SELECT component, COUNT(*) AS n_docs
        |FROM clusters GROUP BY component ORDER BY component""".stripMargin
 
+  /** c15: dedup-cluster PURITY audit — c1's clusters joined back to the
+    * provenance dimensions: per multi-document cluster, the distinct
+    * source and language counts plus the cluster's id span. A cluster
+    * spanning SOURCES is mirroring/syndication (c7's signal localized to
+    * the cluster grain); a cluster spanning LANGUAGES is near-identical
+    * text across languages — template boilerplate or machine
+    * translation, the class a per-language dedup never sees and exactly
+    * what a curation pass wants surfaced before choosing representatives.
+    * Scale shape: the cluster table is |paired docs| rows joined on the
+    * corpus's own hash partitioning; the report is |clusters| rows.
+    * Oracle replays the full m1→components chain plus the rollup. */
+  def c15ClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    ConnectedComponents.components(nearDupEdges(s, dir))
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("component")
+  }
+
+  private val c15Sql: String =
+    s"""WITH RECURSIVE $clustersCtes
+       |SELECT component, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT d.source) AS n_sources,
+       |  COUNT(DISTINCT d.lang) AS n_langs,
+       |  MIN(d.doc_id) AS first_doc, MAX(d.doc_id) AS last_doc
+       |FROM clusters c JOIN documents d ON c.id = d.doc_id
+       |GROUP BY component HAVING COUNT(*) >= 2
+       |ORDER BY component""".stripMargin
+
   /** d14: the near-dup keep/drop decision composed end-to-end — MinHash
     * pairs → connected components → drop every non-representative
     * (id ≠ component) → per-language corpus stats over the survivors.
@@ -1254,6 +1290,7 @@ object CorpusOps {
     "c12_ingest_at_rest" -> (c12IngestAtRest _),
     "c13_incremental_cc" -> (c13IncrementalCc _),
     "c14_rolling_cc" -> (c14RollingCc _),
+    "c15_cluster_purity" -> (c15ClusterPurity _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1282,6 +1319,7 @@ object CorpusOps {
     "c12_ingest_at_rest" -> c9Sql,
     "c13_incremental_cc" -> c1Sql, // the star identity: same answer, incremental machine
     "c14_rolling_cc" -> c14Sql,
+    "c15_cluster_purity" -> c15Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,
