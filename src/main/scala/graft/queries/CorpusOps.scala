@@ -212,6 +212,72 @@ object CorpusOps {
        |GROUP BY component HAVING COUNT(*) >= 2
        |ORDER BY component""".stripMargin
 
+  /** c16: QUALITY-based representative selection — the keep rule real
+    * curation uses instead of c1/d14's min-id: within each dedup
+    * cluster, keep the HIGHEST-QUALITY member (d3's score lifted to
+    * exact integer micro-units, ties → smallest id). Min-id is
+    * arbitrary; near-dup clusters routinely contain one clean copy and
+    * several truncated/boilerplate-wrapped mirrors, and this query picks
+    * the clean one. Reports, per multi-document cluster, the chosen
+    * representative, its score, and the cluster's integer-exact mean
+    * score (the quality LIFT of choosing well is best − mean). Scale
+    * shape: the cluster table is |paired docs| rows; the selection is
+    * one bounded window inside the cluster key. Oracle replays the full
+    * m1→components chain, the d35 score arithmetic, and the window. */
+  def c16BestRepresentative(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val charLen = length(col("text"))
+    val tokens = charLen - length(expr("replace(text, ' ', '')")) + 1
+    val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .cast("double")
+    val score = round(
+      least(lit(1.0), tokens.cast("double") / lit(200.0)) *
+        (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
+    val scored = docs.select(col("doc_id"),
+      round(score * 1e6).cast("long").as("q_e6"))
+    val members = ConnectedComponents.components(nearDupEdges(s, dir))
+      .withColumnRenamed("id", "doc_id")
+      .join(scored, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("q_e6").desc, col("doc_id"))
+    val agg = members.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_e6")).as("q_sum"))
+    val best = members.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("best_doc"),
+        col("q_e6").as("best_q_e6"))
+    agg.join(best, "component")
+      .withColumn("mean_q_e6", expr("q_sum div n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("component"), col("n_docs"), col("best_doc"),
+        col("best_q_e6"), col("mean_q_e6"))
+      .orderBy("component")
+  }
+
+  private val c16Sql: String =
+    s"""WITH RECURSIVE $clustersCtes,
+       |sc AS (
+       |  SELECT doc_id, CAST(ROUND(ROUND(
+       |    least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
+       |      * (1.0 - least(1.0,
+       |          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |          / CAST(length(text) AS DOUBLE) * 10)), 6) * 1e6, 0) AS BIGINT) AS q_e6
+       |  FROM documents),
+       |m AS (SELECT c.component, c.id AS doc_id, sc.q_e6
+       |      FROM clusters c JOIN sc ON sc.doc_id = c.id),
+       |r AS (SELECT component, doc_id, q_e6,
+       |        ROW_NUMBER() OVER (PARTITION BY component
+       |          ORDER BY q_e6 DESC, doc_id) AS rk
+       |      FROM m),
+       |agg AS (SELECT component, COUNT(*) AS n_docs,
+       |          CAST(SUM(q_e6) AS BIGINT) AS q_sum
+       |        FROM m GROUP BY component)
+       |SELECT a.component, a.n_docs, r.doc_id AS best_doc,
+       |  r.q_e6 AS best_q_e6, a.q_sum // a.n_docs AS mean_q_e6
+       |FROM agg a JOIN r ON r.component = a.component AND r.rk = 1
+       |WHERE a.n_docs >= 2
+       |ORDER BY a.component""".stripMargin
+
   /** d14: the near-dup keep/drop decision composed end-to-end — MinHash
     * pairs → connected components → drop every non-representative
     * (id ≠ component) → per-language corpus stats over the survivors.
@@ -1291,6 +1357,7 @@ object CorpusOps {
     "c13_incremental_cc" -> (c13IncrementalCc _),
     "c14_rolling_cc" -> (c14RollingCc _),
     "c15_cluster_purity" -> (c15ClusterPurity _),
+    "c16_best_representative" -> (c16BestRepresentative _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1320,6 +1387,7 @@ object CorpusOps {
     "c13_incremental_cc" -> c1Sql, // the star identity: same answer, incremental machine
     "c14_rolling_cc" -> c14Sql,
     "c15_cluster_purity" -> c15Sql,
+    "c16_best_representative" -> c16Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,
