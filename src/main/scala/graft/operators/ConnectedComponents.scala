@@ -22,16 +22,19 @@ import org.apache.spark.storage.StorageLevel
   * against a DuckDB recursive CTE without replaying the schedule.
   *
   * Scale design:
-  *   - each round is ONE shuffle (edge⨝label equi-join + min-aggregate) —
-  *     cost O(|E|) per round, never materializing the O(n²) pair space;
-  *   - rounds needed = graph diameter; near-dup graphs are overwhelmingly
-  *     tiny star/chain clusters (diameter ≤ 3-4 — sf0.1 measures ≤ 2), so
-  *     the loop converges in a handful of rounds. For adversarial long
-  *     chains, alternating large-star/small-star (Kiveris et al.,
-  *     "Connected Components in MapReduce and Beyond", SoCC'14) drops the
-  *     bound to O(log² n) rounds; the propagation loop is kept here for
-  *     determinism-by-construction and because diameter, not vertex
-  *     count, is the binding constraint for this workload;
+  *   - each round is one edge⨝label equi-join + min-aggregate (O(|E|)
+  *     shuffle bytes, never the O(n²) pair space); a graph still
+  *     unconverged after a few rounds has proven itself deep and
+  *     additionally applies a label⨝label POINTER-JUMPING join per round
+  *     (path compression: every vertex also takes its label's label,
+  *     doubling the distance a minimum travels) — deep rounds =
+  *     O(log diameter), not diameter, so long-chain similarity graphs
+  *     (semantic-dedup clusters) converge in a handful of rounds instead
+  *     of tens (the same O(log) regime as large-star/small-star —
+  *     Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *     SoCC'14 — while keeping the min-label invariant trivially intact:
+  *     labels only ever copy same-component ids), and shallow graphs —
+  *     the overwhelming near-dup case — never pay for the second join;
   *   - per-round results are persisted and the previous round's cache is
   *     released as soon as its successor is materialized, so peak cache
   *     is 2 label tables + the symmetric edge list;
@@ -48,11 +51,20 @@ object ConnectedComponents {
 
   /** Lineage-truncation cadence: each propagation round's plan stacks on
     * the previous round's, and while the per-round persist bounds
-    * RECOMPUTATION, the plan object itself grows linearly — 50 adversarial
-    * rounds would pay 50 generations of analysis/optimization. Every
-    * N rounds the label table is `localCheckpoint`ed, cutting the logical
-    * plan back to a leaf over the materialized partitions. */
-  private val CheckpointEvery = 8
+    * RECOMPUTATION, the plan object itself grows — and the pointer-jump
+    * self-join references the round's table TWICE, so between truncations
+    * plan text doubles per round (2^cadence copies of the edge
+    * derivation). Every N rounds the label table is `localCheckpoint`ed,
+    * cutting the logical plan back to a leaf over the materialized
+    * partitions; 3 keeps the in-window factor at 8× while jumping keeps
+    * total rounds at O(log diameter) anyway. */
+  private val CheckpointEvery = 3
+
+  /** First round that applies pointer jumping: shallow graphs (diameter
+    * ≤ 3 — the typical near-dup shape) converge before this and never
+    * pay the extra join; a graph still unconverged here is deep and
+    * switches to the O(log diameter) regime. */
+  private val JumpFrom = 4
 
   /** (id, component) for every vertex appearing in `edges` — an edge list
     * with columns `id_a`, `id_b` (undirected; orientation and duplicate
@@ -149,13 +161,47 @@ object ConnectedComponents {
       // partitions = up to 4 jobs per round when the answer is "empty",
       // which on a converging graph it always eventually is) — profiled
       // ~1.7 s/round of pure scheduling on a 260-edge graph at sf0.1.
-      val next0 = labels.as("cur")
+      val nm0 = labels.as("cur")
         .join(neighborMin, col("cur.id") === col("nid"), "left")
         .select(col("cur.id").as("id"),
           least(col("cur.component"), coalesce(col("ncomp"), col("cur.component")))
             .as("component"),
           (coalesce(col("ncomp"), col("cur.component")) < col("cur.component"))
             .as("_changed"))
+      // POINTER JUMPING (path compression), ADAPTIVE: from round
+      // [[JumpFrom]] on, each vertex also takes its label's label —
+      // labels are always ids of same-component vertices (they start as
+      // own ids and only ever copy neighbor labels), so the lookup stays
+      // inside the component and the distance a label travels per round
+      // DOUBLES instead of stepping by one. Without this, rounds =
+      // component diameter, and a similarity graph full of long chains
+      // (a4's semantic clusters — profiled 18.9 s for a 312-edge graph)
+      // pays tens of near-empty scheduling rounds; with it, rounds =
+      // O(log diameter). The fixed point is unchanged (the unique min-id
+      // labeling), so every oracle replay is unaffected. Deferring the
+      // jump keeps shallow graphs — the overwhelming near-dup case,
+      // diameter ≤ 3 — on the original one-join rounds: a graph still
+      // unconverged at JumpFrom has proven itself deep, and only then is
+      // the extra join + persist per round worth paying (measured: an
+      // unconditional jump cost shallow c1 ~2× for zero round savings).
+      val (next0, roundCache) =
+        if (round < JumpFrom) (nm0, None)
+        else {
+          // persisted: the jump SELF-joins this table — without the
+          // persist the neighbor-min join would run twice per round (the
+          // double plan reference is why CheckpointEvery is tight)
+          val nm = nm0.persist(StorageLevel.MEMORY_AND_DISK)
+          val jumped = nm.as("l")
+            .join(nm.select(col("id").as("pid"), col("component").as("pcomp")),
+              col("l.component") === col("pid"), "left")
+            .select(col("l.id").as("id"),
+              least(col("l.component"), coalesce(col("pcomp"), col("l.component")))
+                .as("component"),
+              (col("l._changed") ||
+                coalesce(col("pcomp"), col("l.component")) < col("l.component"))
+                .as("_changed"))
+          (jumped, Some(nm))
+        }
       // periodic localCheckpoint (eager) truncates the stacked round
       // lineage — see CheckpointEvery; the checkpointed partitions live in
       // executor storage and are released by the ContextCleaner when the
@@ -168,6 +214,7 @@ object ConnectedComponents {
       converged = !next
         .agg(coalesce(max(col("_changed")), lit(false)).as("c"))
         .head.getBoolean(0)
+      roundCache.foreach(_.unpersist())
       labels.unpersist()
       labels = next
     }
