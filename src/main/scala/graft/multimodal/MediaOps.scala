@@ -550,13 +550,20 @@ object MediaOps {
     private def clamp(v: Double): Int =
       math.max(0, math.min(255, math.round(v).toInt))
 
-    /** Chroma plane dimensions for a colorspace, None if unsupported. */
+    /** Chroma plane dimensions for a colorspace, None if unsupported.
+      * EXACT names only: a prefix match would claim 10/16-bit variants
+      * (`420p10`, `444p16`) with 8-bit plane sizes and walk wrong frame
+      * offsets — usually caught by the FRAME resync, but a short stream
+      * could silently decode garbage instead of falling to FakeCodec. */
     private def chromaDims(cs: String, w: Int, h: Int): Option[(Int, Int)] =
-      if (cs.startsWith("420")) Some(((w + 1) / 2, (h + 1) / 2))
-      else if (cs.startsWith("422")) Some(((w + 1) / 2, h))
-      else if (cs.startsWith("444")) Some((w, h))
-      else if (cs == "mono") Some((0, 0))
-      else None
+      cs match {
+        case "420jpeg" | "420mpeg2" | "420paldv" | "420" =>
+          Some(((w + 1) / 2, (h + 1) / 2))
+        case "422"  => Some(((w + 1) / 2, h))
+        case "444"  => Some((w, h))
+        case "mono" => Some((0, 0))
+        case _      => None
+      }
 
     /** None for anything that is not a parseable YUV4MPEG2 stream in the
       * supported colorspace set (wrong magic, malformed header, truncated

@@ -247,6 +247,23 @@ object ConnectedComponents {
     components(stars.unionByName(newEdges.select(col("id_a"), col("id_b"))))
   }
 
+  /** [[incrementalStep]] with a bounded cache lifecycle: runs `f` over
+    * the advanced label table and releases every cache the CC pass
+    * created before returning. Continuous per-micro-batch callers MUST
+    * use this (or [[withComponents]]): each [[components]] call leaves
+    * the symmetric edge list and final label table persisted, and a
+    * foreachBatch loop calling the non-releasing form leaks ~2
+    * CacheManager entries per batch without bound. `f` must materialize
+    * anything it keeps (e.g. `localCheckpoint()`) — the frame's caches
+    * are gone once this returns. */
+  def incrementalStepWith[T](labels: DataFrame, newEdges: DataFrame)(
+      f: DataFrame => T): T = {
+    val stars = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+    withComponents(
+      stars.unionByName(newEdges.select(col("id_a"), col("id_b"))))(f)
+  }
+
   /** Runs `f` over the component table and releases every cache this
     * operator holds before returning — the bounded-lifecycle twin of
     * [[components]] for callers outside Bench/Verify's clearCache loop. */

@@ -192,9 +192,11 @@ object IvfSearch {
                          meta: DataFrame, matchCol: String): DataFrame = {
     DotProduct.register(queries.sparkSession)
     // one row per id: duplicate meta rows would duplicate candidates and
-    // let one neighbor occupy several of the k ranks
+    // let one neighbor occupy several of the k ranks. min() rather than
+    // dropDuplicates — an id carrying CONFLICTING match values then
+    // resolves the same way on every run instead of nondeterministically
     val m = meta.select(col(idCol).as("id"), col(matchCol).as("m_match"))
-      .dropDuplicates("id")
+      .groupBy(col("id")).agg(min(col("m_match")).as("m_match"))
     val qm = queries.select(col(idCol).as("q_id"), col(matchCol).as("q_match"))
     val probed = route(queries, index, idCol, embCol, nprobe).join(qm, "q_id")
     val cands = broadcast(probed)

@@ -150,13 +150,18 @@ object Sources {
     // destroy the data the staging design exists to protect
     if (fs.exists(back)) {
       if (fs.exists(staged)) {
-        // stage rename finished: back is complete, root is rewrite debris
+        // stage rename finished: back is complete, root is rewrite debris.
+        // Marker goes BEFORE the restore rename: a crash mid-restore then
+        // leaves back-without-marker + empty root, which the next run's
+        // rename-finished branch below restores — a crash AFTER a rename
+        // but before a marker delete would instead leave a stale marker
+        // that could later bless deleting a half-moved root
         fs.delete(root, true)
+        fs.delete(staged, false)
         if (!fs.rename(back, root)) {
           throw new java.io.IOException(
             s"compactParquet: found interrupted run; could not restore $back")
         }
-        fs.delete(staged, false)
       } else if (!fs.exists(root)) {
         // crashed in the window between the completed rename and the
         // marker write (root is gone, so the rename DID finish)
@@ -209,19 +214,27 @@ object Sources {
       // final path: only the staging path was listed during the rewrite)
       spark.catalog.refreshByPath(path)
       val after = dataFiles(root).size.toLong
-      fs.delete(back, true)
+      // marker FIRST: a crash between the two deletes must leave
+      // back-without-marker (→ the fail-fast merge-manually branch, no
+      // data at risk), never marker-without-back — the next run would
+      // stage root, crash mid-stage, and recovery would trust the STALE
+      // marker into deleting the not-yet-moved half
       fs.delete(staged, false)
+      fs.delete(back, true)
       (before.size.toLong, after)
     } catch {
       case e: Throwable =>
-        // restore the original — compaction must never half-apply
+        // restore the original — compaction must never half-apply; the
+        // marker goes before the rename for the same stale-marker reason
+        // as the success path (a crash mid-restore leaves back-without-
+        // marker + empty root → the rename-finished branch recovers)
         fs.delete(root, true)
+        fs.delete(staged, false)
         if (!fs.rename(back, root)) {
           throw new java.io.IOException(
             s"compactParquet: rewrite failed AND restore failed; " +
               s"original data is at $back", e)
         }
-        fs.delete(staged, false)
         throw e
     }
   }

@@ -1184,9 +1184,13 @@ object StreamOps {
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
       threshold, statePath, batchId)
     try {
+      // the releasing variant: each micro-batch unpersists the caches its
+      // CC pass created (the non-releasing form leaks ~2 CacheManager
+      // entries per batch in a continuous stream). The localCheckpoint
+      // INSIDE the callback is eager, so the labels are materialized
+      // before the caches are released — and pairs right after.
       val labels = graft.operators.ConnectedComponents
-        .incrementalStep(prev, pairs)
-        .localCheckpoint() // eager — pairs can be released right after
+        .incrementalStepWith(prev, pairs)(_.localCheckpoint())
       landDelta(labels, s"$statePath/labels", batchId)
       labels
     } finally pairs.unpersist()
