@@ -996,6 +996,37 @@ object StreamOps {
       .maxOption
   }
 
+  /** Retention for SUPERSEDED snapshot state: [[rollingCcBatch]] lands
+    * the FULL label table each wave, so every `batch_id=` partition
+    * below the newest two is 100% superseded data — at thousands of
+    * waves that is unbounded at-rest growth (and an ever-longer
+    * directory listing) for rows no read path can ever choose. Keeps the
+    * `keep` largest partitions and deletes the rest. Runs AFTER the new
+    * land succeeds: a crash mid-prune leaves EXTRA partitions (harmless
+    * — reads pick the latest), never missing ones. The default keep=2
+    * (latest + previous) preserves replay safety: Structured Streaming
+    * only ever replays the newest uncommitted batch, whose read is the
+    * latest partition strictly below it — exactly the second survivor.
+    * NOT for append-only deltas (pair logs, IVF assignments) — those are
+    * data, not snapshots; their growth is bounded by [[Sources
+    * .compactParquet]] instead (see [[compactIvfAssignDeltas]]). */
+  private[graft] def pruneSupersededBatches(spark: SparkSession,
+      path: String, keep: Int = 2): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id="))
+          n.stripPrefix("batch_id=").toLongOption.map(_ -> st.getPath)
+        else None
+      }
+      .toSeq.sortBy(-_._1).drop(keep)
+      .foreach { case (_, dir) => fs.delete(dir, true) }
+  }
+
   /** Land a batch-scoped delta: batch_id-partitioned with dynamic
     * partition overwrite, so a checkpoint replay rewrites its own
     * partition instead of appending a duplicate. */
@@ -1137,7 +1168,11 @@ object StreamOps {
     * is the checkpoint; dynamic partition overwrite keeps a checkpoint
     * replay idempotent, and each batch reads only the LATEST landed
     * table of batches < batchId, so a replayed batch cannot see its own
-    * output). `seedLabels` (id, component) carries the at-rest labels a
+    * output). Superseded snapshots are PRUNED after each successful
+    * land ([[pruneSupersededBatches]]): only latest + previous survive,
+    * so at-rest state is 2·|labels| rows however many waves have run —
+    * and the previous partition is exactly what a replay of the newest
+    * batch reads, so retention never breaks replay. `seedLabels` (id, component) carries the at-rest labels a
     * previous full run produced over the static corpus — pass an empty
     * frame for a cold start. The sink receives the post-batch label
     * table. */
@@ -1192,6 +1227,10 @@ object StreamOps {
       val labels = graft.operators.ConnectedComponents
         .incrementalStepWith(prev, pairs)(_.localCheckpoint())
       landDelta(labels, s"$statePath/labels", batchId)
+      // label snapshots below latest+previous are superseded — prune
+      // them now that the new land is durable (bounds at-rest state to
+      // 2·|labels| rows however many waves have run)
+      pruneSupersededBatches(spark, s"$statePath/labels")
       labels
     } finally pairs.unpersist()
   }
@@ -1291,6 +1330,24 @@ object StreamOps {
     else graft.operators.IvfSearch.Index(base.centroids,
       base.assignments.unionByName(spark.read.parquet(path)
         .select(col("id"), col("emb"), col("centroid_id"))))
+  }
+
+  /** Retention for [[ivfAssignPerBatch]]'s delta log. Unlike the label
+    * snapshots [[pruneSupersededBatches]] deletes, the assignments are
+    * append-only DATA — every row stays probe-reachable forever — so
+    * the growth to bound is FILE COUNT, not rows: thousands of one-file
+    * micro-batch partitions make the grown-index read a listing storm.
+    * Each `batch_id=` partition's files merge toward `targetBytes` via
+    * the SIGKILL-safe [[graft.sources.Sources.compactParquet]] (the c9
+    * corpus-promotion precedent); probes through [[grownIvfIndex]] are
+    * unchanged (spec-pinned), and the pass is schedulable at any cadence
+    * — the stream must be quiet for the staging window, like any
+    * single-writer compaction. Returns (files before, files after). */
+  def compactIvfAssignDeltas(spark: SparkSession, statePath: String,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    val path = s"$statePath/ivf_assign"
+    if (!pathExists(spark, path)) (0L, 0L)
+    else graft.sources.Sources.compactParquet(spark, path, targetBytes)
   }
 
   /** The compaction pass: replay the gate's drop policy over the FULL

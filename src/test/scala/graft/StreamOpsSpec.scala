@@ -1168,6 +1168,82 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("rollingCcBatch retention: only latest+previous label partitions survive; replay after pruning lands identical labels") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("rollccret")
+    val threshold = 0.3
+    val t10 = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
+    val corpus = Seq(
+      10L -> t10,
+      11L -> t10.replace("morning", "evening")).toDF("doc_id", "text")
+    val staticIndex = graft.operators.MinHashDedup
+      .buildDedupIndex(corpus, "doc_id", "text")
+    val seed = graft.operators.ConnectedComponents.components(
+      graft.operators.MinHashDedup
+        .nearDuplicates(corpus, "doc_id", "text", threshold)
+        .select(col("id_a"), col("id_b"))).localCheckpoint()
+    val state = root.resolve("state").toString
+    def wave(id: Long, docs: Seq[(Long, String)]): Set[(Long, Long)] =
+      StreamOps.rollingCcBatch(docs.toDF("doc_id", "text"), staticIndex,
+          seed, "doc_id", "text", threshold, state, id)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def labelParts(): Set[Long] =
+      Option(root.resolve("state").resolve("labels").toFile.listFiles())
+        .toSeq.flatten.filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).toSet
+    wave(0L, Seq(100L -> t10.replace("morning", "midday")))
+    wave(1L, Seq(101L -> t10.replace("morning", "noon")))
+    val w2docs = Seq(102L -> t10.replace("every morning", "each morning"))
+    val w2 = wave(2L, w2docs)
+    // all three arrivals joined the {10, 11} cluster
+    assert(w2.contains(102L -> 10L) && w2.contains(100L -> 10L), s"w2: $w2")
+    // superseded snapshot pruned: batch 0's partition is gone
+    assert(labelParts() == Set(1L, 2L), s"partitions: ${labelParts()}")
+    // forced replay of the NEWEST batch when its predecessor is the only
+    // earlier survivor — identical labels out, retention state unchanged
+    assert(wave(2L, w2docs) == w2)
+    assert(labelParts() == Set(1L, 2L), s"partitions: ${labelParts()}")
+    spark.catalog.clearCache()
+  }
+
+  test("compactIvfAssignDeltas: delta-log file count drops, grown-index probes unchanged") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.IvfSearch
+    val root = Files.createTempDirectory("ivfcompact")
+    val state = root.resolve("state").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val split = 250L
+    val base = IvfSearch.buildIndex(e.filter(col("vec_id") < split),
+      "vec_id", "embedding", k = 4, iters = 2, roundDecimals = 6)
+    try {
+      // absent delta log → no-op, not an error
+      assert(StreamOps.compactIvfAssignDeltas(spark, state) == ((0L, 0L)))
+      // two waves, each deliberately written WIDE (8 shuffle files per
+      // batch_id partition) — the many-small-files shape compaction fixes
+      val late = e.filter(col("vec_id") >= split)
+      StreamOps.ivfAssignBatch(late.filter(col("vec_id") % 2 === 0)
+        .repartition(8), base.centroids, "vec_id", "embedding", state, 0L)
+      StreamOps.ivfAssignBatch(late.filter(col("vec_id") % 2 === 1)
+        .repartition(8), base.centroids, "vec_id", "embedding", state, 1L)
+      def rows(): Seq[(Long, Long, Double, Long)] =
+        IvfSearch.approxTopK(e.filter(col("vec_id") < 3),
+            StreamOps.grownIvfIndex(spark, base, state),
+            "vec_id", "embedding", k = 5, nprobe = 2)
+          .orderBy("q_id", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq
+      val beforeRows = rows()
+      assert(beforeRows.exists(_._2 >= split), "deltas not probe-reachable")
+      val (before, after) = StreamOps.compactIvfAssignDeltas(spark, state)
+      assert(before > after && after == 2L, s"files $before -> $after")
+      assert(rows() == beforeRows)
+    } finally base.close()
+    spark.catalog.clearCache()
+  }
+
   test("ivfAssignPerBatch (i8 twin): probing the grown index equals the batch frozen-quantizer construction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
