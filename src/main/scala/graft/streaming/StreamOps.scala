@@ -1350,6 +1350,111 @@ object StreamOps {
     else graft.sources.Sources.compactParquet(spark, path, targetBytes)
   }
 
+  /** Streaming twin of a4's SEMANTIC dedup (SemDeDup) — the
+    * embedding-space trio composed the way [[rollingCcPerBatch]]
+    * composed the shingle-space one: each arriving micro-batch of
+    * vectors is (1) assigned to the FROZEN coarse quantizer (one
+    * broadcast-centroid argmin — [[graft.operators.IvfSearch.assign]],
+    * i8's per-batch step), (2) cosine-compared ONLY against same-cluster
+    * members — the static corpus's inverted file ∪ landed earlier-batch
+    * deltas ∪ the batch itself — never across clusters (the SemDeDup
+    * blocking contract: per-batch cost is Σ over touched clusters of
+    * |batch∩cluster|·|cluster|, not |batch|·|corpus|), and (3) the
+    * batch's above-threshold pairs advance the dedup groups by
+    * [[graft.operators.ConnectedComponents.incrementalStep]]'s
+    * star-collapse. After any number of waves the labels equal a
+    * from-scratch a4-style clustering of everything arrived under the
+    * same frozen quantizer (spec-pinned — the i8-twin equality, not
+    * i6's: retraining stays the audit-driven i10 event). State:
+    * `statePath/sem_assign` append-only assignment deltas (batch_id-
+    * partitioned, replay-idempotent, compactable like
+    * [[compactIvfAssignDeltas]]); `statePath/sem_labels` full-table
+    * snapshots pruned to latest+previous ([[pruneSupersededBatches]]).
+    * `staticAssign` is the corpus inverted file (id, emb, centroid_id);
+    * `seedLabels` the labels a batch run produced over the static
+    * corpus (empty frame for a cold start). The sink receives the
+    * post-batch label table. */
+  def semDedupPerBatch(vectors: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], staticAssign: DataFrame,
+      seedLabels: DataFrame, idCol: String, embCol: String,
+      threshold: Double, statePath: String, checkpoint: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(semDedupBatch(batch, centroids, staticAssign, seedLabels,
+          idCol, embCol, threshold, statePath, batchId), batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[semDedupPerBatch]] — package-visible so the
+    * spec can force a replay and batch callers can drive the same code
+    * path (the rollingCcBatch precedent). Returns the post-batch label
+    * table, localCheckpointed. */
+  private[graft] def semDedupBatch(batch: DataFrame,
+      centroids: Seq[(Int, Seq[Double])], staticAssign: DataFrame,
+      seedLabels: DataFrame, idCol: String, embCol: String,
+      threshold: Double, statePath: String, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.DotProduct.register(spark)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val idType = batch.schema(idCol).dataType
+    val labSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType).add("component", idType)
+    val asgSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType)
+      .add("emb", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      .add("centroid_id", org.apache.spark.sql.types.IntegerType)
+    // frozen-quantizer assignment + norm once per row (the pair join
+    // must never recompute ||x||)
+    val asg = graft.operators.IvfSearch.assign(
+        batch.select(col(idCol).as("id"),
+          col(embCol).cast("array<double>").as("emb")), centroids)
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // landed side: static inverted file ∪ assignment deltas of batches
+      // STRICTLY BELOW this one (a replayed batch must not see its own
+      // landed delta) ∪ the batch itself (within-batch near-dups). The
+      // norm is computed during the same-cluster scan the cosine needs
+      // anyway — never a second pass over the corpus.
+      val landed = readDelta(spark, s"$statePath/sem_assign", asgSchema)
+        .filter(col("batch_id") < batchId)
+        .select(col("id"), col("emb"), col("centroid_id"))
+      val base = staticAssign.select(col("id"), col("emb"), col("centroid_id"))
+        .unionByName(landed)
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        .unionByName(asg)
+      // same-cluster blocking; least/greatest + distinct because the
+      // batch side appears on BOTH ends of within-batch pairs
+      val pairs = asg.as("a")
+        .join(base.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.id") =!= col("b.id"))
+        .withColumn("cos", round(
+          dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("cos") >= threshold)
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"))
+        .distinct()
+      val prev = latestLandedBatch(spark, s"$statePath/sem_labels", batchId) match {
+        case None => seedLabels.select(col("id"), col("component"))
+        case Some(last) =>
+          readDelta(spark, s"$statePath/sem_labels", labSchema)
+            .filter(col("batch_id") === last).drop("batch_id")
+      }
+      val labels = graft.operators.ConnectedComponents
+        .incrementalStepWith(prev, pairs)(_.localCheckpoint())
+      landDelta(asg.select(col("id"), col("emb"), col("centroid_id")),
+        s"$statePath/sem_assign", batchId)
+      landDelta(labels, s"$statePath/sem_labels", batchId)
+      pruneSupersededBatches(spark, s"$statePath/sem_labels")
+      labels
+    } finally asg.unpersist()
+  }
+
   /** The compaction pass: replay the gate's drop policy over the FULL
     * accumulated pair log and anti-join the landed docs against it. The
     * only rows this removes beyond the per-batch gates are retro-drops —

@@ -1299,6 +1299,79 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semDedupPerBatch (a4 twin): labels after N waves equal from-scratch frozen-quantizer semantic dedup") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    import graft.operators.IvfSearch
+    val root = Files.createTempDirectory("semdedup")
+    val state = root.resolve("state").toString
+    val threshold = 0.3
+    graft.functions.DotProduct.register(spark)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val e = graft.Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 500)
+    val split = 350L
+    val idx = IvfSearch.buildIndex(e.filter(col("vec_id") < split),
+      "vec_id", "embedding", k = 4, iters = 2, roundDecimals = 6)
+    try {
+      // a4's within-cluster pair construction (norm once per row)
+      def pairsWithin(asg: org.apache.spark.sql.DataFrame) = {
+        val a = asg.withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        a.as("a").join(a.as("b"),
+            col("a.centroid_id") === col("b.centroid_id") &&
+              col("a.id") < col("b.id"))
+          .withColumn("cos", round(
+            dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
+          .filter(col("cos") >= threshold)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      }
+      val seed = graft.operators.ConnectedComponents
+        .components(pairsWithin(idx.assignments)).localCheckpoint()
+      val late = e.filter(col("vec_id") >= split)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, emb) => StreamVec(id, emb) }
+      val (w0, w1) = late.partition(_.vec_id % 2 == 0)
+      val labelsAfter = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+      val ms = MemoryStream[StreamVec]
+      val q = StreamOps.semDedupPerBatch(ms.toDF(), idx.centroids,
+        idx.assignments, seed, "vec_id", "embedding", threshold, state,
+        root.resolve("ck").toString) { (labels, id) =>
+        labelsAfter(id) = labels.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      ms.addData(w0.toSeq: _*); q.processAllAvailable()
+      ms.addData(w1.toSeq: _*); q.processAllAvailable()
+      q.stop()
+      // from-scratch under the SAME frozen quantizer (the i8-twin
+      // equality: retraining is i10's audit-driven event, not per batch)
+      val scratch = graft.operators.ConnectedComponents.components(
+          pairsWithin(IvfSearch.assign(
+            e.select(col("vec_id").as("id"),
+              col("embedding").cast("array<double>").as("emb")),
+            idx.centroids)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labelsAfter(1L) == scratch)
+      assert(labelsAfter(1L).nonEmpty)
+      // late arrivals really participate in the grown dedup state
+      assert(labelsAfter(1L).exists(_._1 >= split),
+        s"no late vector in ${labelsAfter(1L)}")
+      // replay idempotence: re-running the newest wave reads labels < 1
+      // and deltas < 1 only, overwrites its own partitions — same out
+      val again = StreamOps.semDedupBatch(
+          w1.toSeq.toDF("vec_id", "embedding"), idx.centroids,
+          idx.assignments, seed, "vec_id", "embedding", threshold, state, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == labelsAfter(1L))
+      // label snapshots bounded (latest + previous at most)
+      val parts = Option(root.resolve("state").resolve("sem_labels")
+        .toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(parts.size <= 2, s"label partitions: ${parts.map(_.getName)}")
+    } finally idx.close()
+    spark.catalog.clearCache()
+  }
+
   test("splitLeakagePerBatch reports sum to the one-shot audit against the frozen train grams") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
