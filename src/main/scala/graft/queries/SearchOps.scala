@@ -54,7 +54,8 @@ object SearchOps {
        |SELECT id AS doc_id, top_term, tfidf FROM top ORDER BY doc_id""".stripMargin
 
   /** Adjacent-pair phrases spanning the corpus's frequency spectrum. */
-  private val Phrases = Seq("fast sort", "query key", "table table")
+  private val Phrases =
+    Seq("fast sort", "query key", "table table", "part filter scan")
 
   /** k4: exact-phrase search — token-boundary containment of multi-word
     * phrases, the retrieval primitive BM25's bag-of-words misses (term
@@ -266,27 +267,31 @@ object SearchOps {
   }
 
   /** k10: k4's exact-phrase search served from the SAME at-rest
-    * positional index as k9 — the positional-adjacency form (two-word
-    * phrase = consecutive token positions in the same document), which
-    * is the Lucene phrase-query plan: probe the two terms' postings,
-    * equi-join on the doc with `b.pos = a.pos + 1`. Equivalent to k4's
-    * space-boundary substring containment on space-tokenized text, so
-    * the oracle is k4's own SQL. Handles repeated-word phrases ("table
-    * table") naturally — the self-adjacent position pair. */
+    * positional index as k9 — the positional-adjacency form for
+    * ARBITRARY n-word phrases, which is the Lucene phrase-query plan.
+    * Instead of folding n−1 position self-joins (one per adjacency),
+    * the check is slot-aligned voting: flatten each phrase to
+    * (phrase, slot i, term, n), join ONCE against the probed postings —
+    * a token at position p matching slot i votes for start p−i — and a
+    * (doc, start) holding all n DISTINCT slots is an occurrence. One
+    * index join and one aggregation regardless of phrase length, over
+    * only the query terms' shards; repeated-word phrases ("table
+    * table") work because the two slots vote independently. Equivalent
+    * to k4's space-boundary substring containment on space-tokenized
+    * text, so the oracle is k4's own SQL. */
   def k10PhraseAtRest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Phrases.map { p =>
-      val parts = p.split(" "); (parts(0), parts(1))
+    val pterms = Phrases.flatMap { p =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, i) => (p, i, t, ts.length) }
     }
     val pos = probePositions(positionalIndex(s, dir),
-      words.flatMap(t => Seq(t._1, t._2)).distinct)
-    pos.as("a")
-      .join(broadcast(words.toDF("ta", "tb")), col("a.term") === col("ta"))
-      .join(pos.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.term") === col("tb") &&
-          col("b.pos") === col("a.pos") + 1)
-      .select(concat(col("ta"), lit(" "), col("tb")).as("phrase"),
-        col("a.doc_id").as("doc_id"))
+      pterms.map(_._3).distinct)
+    pos.join(broadcast(pterms.toDF("phrase", "i", "term", "n")), "term")
+      .groupBy(col("phrase"), col("doc_id"),
+        (col("pos") - col("i")).as("start"), col("n"))
+      .agg(countDistinct(col("i")).as("hits"))
+      .filter(col("hits") === col("n"))
       .groupBy(col("phrase"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))

@@ -405,6 +405,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0)
   }
 
+  test("k10 n-word phrase: probe partition-prunes, one index join, no position self-join") {
+    val s = formatted(SparkEntry.queries("k10_phrase_at_rest")(spark, sfDir))
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(term, ["),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // slot-aligned voting reads the positional index ONCE however many
+    // words the phrases have — the n−1 adjacency self-joins would scan
+    // it per word
+    assert(nodeCount(s, "Scan parquet") == 1, s.take(1500))
+    assert(s.contains("BroadcastHashJoin"), s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0)
+  }
+
   test("q35 top-k aggregate: object-hash partial+final pair, ZERO window sorts") {
     val s = formatted(SparkEntry.queries("q35_topk_agg")(spark, sfDir))
     assert(s.contains("ObjectHashAggregate"), s.take(1200))
