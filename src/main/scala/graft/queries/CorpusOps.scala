@@ -224,8 +224,10 @@ object CorpusOps {
     * shape: the cluster table is |paired docs| rows; the selection is
     * one bounded window inside the cluster key. Oracle replays the full
     * m1→components chain, the d35 score arithmetic, and the window. */
-  def c16BestRepresentative(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  /** d3's quality score in exact integer micro-units over a `text`
+    * column — shared by c16's from-scratch selection and c17's rolling
+    * maintenance so both feed the SAME at-rest score arithmetic. */
+  private def qScoreE6: org.apache.spark.sql.Column = {
     val charLen = length(col("text"))
     val tokens = charLen - length(expr("replace(text, ' ', '')")) + 1
     val punct = (charLen - length(regexp_replace(col("text"), "[.,!?;:]", "")))
@@ -233,8 +235,12 @@ object CorpusOps {
     val score = round(
       least(lit(1.0), tokens.cast("double") / lit(200.0)) *
         (lit(1.0) - least(lit(1.0), punct / charLen.cast("double") * 10)), 6)
-    val scored = docs.select(col("doc_id"),
-      round(score * 1e6).cast("long").as("q_e6"))
+    round(score * 1e6).cast("long")
+  }
+
+  def c16BestRepresentative(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val scored = docs.select(col("doc_id"), qScoreE6.as("q_e6"))
     val members = ConnectedComponents.components(nearDupEdges(s, dir))
       .withColumnRenamed("id", "doc_id")
       .join(scored, "doc_id")
@@ -254,9 +260,12 @@ object CorpusOps {
       .orderBy("component")
   }
 
-  private val c16Sql: String =
-    s"""WITH RECURSIVE $clustersCtes,
-       |sc AS (
+  /** The c16 selection SQL body over whatever `clusters` CTE precedes
+    * it — shared verbatim by c16 (full corpus) and c17 (the c14 ingest
+    * window), so the rolling path's oracle replays the SAME score
+    * arithmetic and window. */
+  private val repSelectSql: String =
+    s"""sc AS (
        |  SELECT doc_id, CAST(ROUND(ROUND(
        |    least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
        |      * (1.0 - least(1.0,
@@ -277,6 +286,66 @@ object CorpusOps {
        |FROM agg a JOIN r ON r.component = a.component AND r.rk = 1
        |WHERE a.n_docs >= 2
        |ORDER BY a.component""".stripMargin
+
+  private val c16Sql: String =
+    s"""WITH RECURSIVE $clustersCtes,
+       |$repSelectSql""".stripMargin
+
+  /** c17: c16's representative selection maintained ROLLING across
+    * c14's ingest waves — the per-cluster argmax is a mergeable monoid
+    * (sum, sum, max by (q_e6, −id)), so each wave advances a
+    * |clusters|-row state table alongside the labels instead of
+    * rescanning members ([[graft.streaming.StreamOps.rollingRepBatch]]).
+    * Seeded from the static corpus's own clusters + the at-rest d3
+    * score table; after the waves the state equals c16's from-scratch
+    * selection over the whole window — the oracle replays c16's exact
+    * SQL body over the c14 window's one-shot clusters. */
+  def c17RollingRep(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"), col("text"))
+    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    val stream = docs
+      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
+    val scores = docs.select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
+    val root = java.nio.file.Files.createTempDirectory("graft_c17_").toString
+    try {
+      val seed = ConnectedComponents.components(
+        MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
+          .select(col("id_a"), col("id_b")))
+        .localCheckpoint()
+      val seedState = StreamOps.repStateOf(seed, scores).localCheckpoint()
+      var state = seedState
+      (0 until C9Batches).foreach { b =>
+        val batch = stream
+          .filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong)
+        state = StreamOps.rollingRepBatch(batch, staticIndex, seed,
+          seedState, scores, "doc_id", "text", NearDupThreshold,
+          s"$root/state", b.toLong)._2
+      }
+      val res = state.filter(col("n_docs") >= 2)
+        .select(col("component"), col("n_docs"), col("best_doc"),
+          col("best_q_e6"), expr("q_sum div n_docs").as("mean_q_e6"))
+        .orderBy("component")
+      // bounded (|clusters| rows): materialize before the temp state is
+      // deleted — the returned frame must not lazily re-read it
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  // lazy: C9StreamEnd is declared further down the object (the c14Sql
+  // initialization-order trap)
+  private lazy val c17Sql: String =
+    s"""WITH RECURSIVE ${clustersCtesAt(
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
+       |$repSelectSql""".stripMargin
 
   /** d14: the near-dup keep/drop decision composed end-to-end — MinHash
     * pairs → connected components → drop every non-representative
@@ -1358,6 +1427,7 @@ object CorpusOps {
     "c14_rolling_cc" -> (c14RollingCc _),
     "c15_cluster_purity" -> (c15ClusterPurity _),
     "c16_best_representative" -> (c16BestRepresentative _),
+    "c17_rolling_rep" -> (c17RollingRep _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1388,6 +1458,7 @@ object CorpusOps {
     "c14_rolling_cc" -> c14Sql,
     "c15_cluster_purity" -> c15Sql,
     "c16_best_representative" -> c16Sql,
+    "c17_rolling_rep" -> c17Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,

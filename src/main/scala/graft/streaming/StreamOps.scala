@@ -1235,6 +1235,98 @@ object StreamOps {
     } finally pairs.unpersist()
   }
 
+  /** The per-cluster representative state c16's from-scratch selection
+    * computes, as a MERGEABLE aggregate over a label table: per
+    * component — member count, exact quality sum, and the best member
+    * by (q_e6 desc, id asc). Every field is a monoid (sum, sum, max of
+    * (q_e6, −id)), which is what lets [[rollingRepBatch]] maintain it
+    * incrementally across waves instead of rescanning members. `scores`
+    * is the at-rest per-document quality table (id, q_e6) — d3's score
+    * landed once, the way a curation pipeline stores it. */
+  def repStateOf(labels: DataFrame, scores: DataFrame): DataFrame =
+    labels.join(scores, "id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_e6")).as("q_sum"),
+        max(struct(col("q_e6").as("best_q_e6"),
+          (-col("id")).as("nbd"))).as("b"))
+      .select(col("component"), col("n_docs"), col("q_sum"),
+        col("b.best_q_e6").as("best_q_e6"), (-col("b.nbd")).as("best_doc"))
+
+  /** One micro-batch of ROLLING representative maintenance — c16's
+    * quality-based representative selection kept current ACROSS
+    * [[rollingCcBatch]]'s waves in bounded state: advance the labels as
+    * usual, then advance the |clusters|-row representative state by its
+    * monoid — previous state rows re-key through the new label table
+    * (an old component id is itself a member, so its new label IS the
+    * merge target; merged clusters' states meet in the group-by and
+    * their sums/maxes combine), and members entering the label table
+    * this wave contribute their singleton state from the at-rest
+    * `scores` table. Per-wave cost: |state| + |new members| rows joined
+    * against the |labels| table — never a member rescan, never pair
+    * history. State lands snapshot-style at `statePath/rep` (pruned to
+    * latest+previous, replay-idempotent like the labels). Returns
+    * (labels, state), both localCheckpointed. */
+  private[graft] def rollingRepBatch(batch: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      seedLabels: DataFrame, seedState: DataFrame, scores: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      statePath: String, batchId: Long): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    val idType = batch.schema(idCol).dataType
+    val labSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType).add("component", idType)
+    val stSchema = new org.apache.spark.sql.types.StructType()
+      .add("component", idType)
+      .add("n_docs", org.apache.spark.sql.types.LongType)
+      .add("q_sum", org.apache.spark.sql.types.LongType)
+      .add("best_q_e6", org.apache.spark.sql.types.LongType)
+      .add("best_doc", idType)
+    // the PRE-advance label table (what rollingCcBatch will read as
+    // `prev`): needed to tell which label rows are new this wave
+    val prevLabels = latestLandedBatch(spark, s"$statePath/labels", batchId) match {
+      case None => seedLabels.select(col("id"), col("component"))
+      case Some(last) =>
+        readDelta(spark, s"$statePath/labels", labSchema)
+          .filter(col("batch_id") === last).drop("batch_id")
+    }
+    val prevState = latestLandedBatch(spark, s"$statePath/rep", batchId) match {
+      case None => seedState.select(col("component"), col("n_docs"),
+        col("q_sum"), col("best_q_e6"), col("best_doc"))
+      case Some(last) =>
+        readDelta(spark, s"$statePath/rep", stSchema)
+          .filter(col("batch_id") === last).drop("batch_id")
+    }
+    val labels = rollingCcBatch(batch, staticIndex, seedLabels, idCol,
+      textCol, threshold, statePath, batchId)
+    // re-key: an old component id c is itself a member of the new label
+    // table, so labels[c].component is where c's state now lives (c kept
+    // its label, or the wave merged it into a smaller id)
+    val rekeyed = prevState.withColumnRenamed("component", "oc")
+      .join(labels.select(col("id").as("oc"), col("component")), "oc")
+      .select(col("component"), col("n_docs"), col("q_sum"),
+        col("best_q_e6"), col("best_doc"))
+    // singleton contributions of members ENTERING the label table this
+    // wave (wave docs that paired, and corpus docs first touched by one)
+    val fresh = labels
+      .join(prevLabels.select(col("id")), Seq("id"), "left_anti")
+      .join(scores, "id")
+      .select(col("component"), lit(1L).as("n_docs"),
+        col("q_e6").cast("long").as("q_sum"),
+        col("q_e6").cast("long").as("best_q_e6"), col("id").as("best_doc"))
+    val state = rekeyed.unionByName(fresh)
+      .groupBy(col("component"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("q_sum")).as("q_sum"),
+        max(struct(col("best_q_e6"), (-col("best_doc")).as("nbd"))).as("b"))
+      .select(col("component"), col("n_docs"), col("q_sum"),
+        col("b.best_q_e6").as("best_q_e6"), (-col("b.nbd")).as("best_doc"))
+      .localCheckpoint() // eager — same plan-stacking trap as the labels
+    landDelta(state, s"$statePath/rep", batchId)
+    pruneSupersededBatches(spark, s"$statePath/rep")
+    (labels, state)
+  }
+
   /** Streaming twin of c6's split-leakage audit, in its DEPLOYMENT
     * orientation: c6 audits a finished corpus's own split internally;
     * this gate audits ARRIVING documents against the FROZEN train-gram

@@ -1299,6 +1299,56 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("rollingRepBatch: representative state across waves equals from-scratch selection; replay idempotent") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("rollrep")
+    val state = root.resolve("state").toString
+    val threshold = 0.3
+    val t10 = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
+    val corpus = Seq(
+      10L -> t10,
+      11L -> t10.replace("morning", "evening")).toDF("doc_id", "text")
+    val staticIndex = graft.operators.MinHashDedup
+      .buildDedupIndex(corpus, "doc_id", "text")
+    val seed = graft.operators.ConnectedComponents.components(
+      graft.operators.MinHashDedup
+        .nearDuplicates(corpus, "doc_id", "text", threshold)
+        .select(col("id_a"), col("id_b"))).localCheckpoint()
+    // synthetic at-rest score table: quality NOT monotone in id, so the
+    // argmax genuinely moves as waves land (doc 101 outranks everyone)
+    val scores = Seq(10L -> 40L, 11L -> 55L, 100L -> 30L, 101L -> 90L,
+      102L -> 20L).toDF("id", "q_e6")
+    val seedState = StreamOps.repStateOf(seed, scores).localCheckpoint()
+    def stateSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def wave(id: Long, docs: Seq[(Long, String)]) =
+      StreamOps.rollingRepBatch(docs.toDF("doc_id", "text"), staticIndex,
+        seed, seedState, scores, "doc_id", "text", threshold, state, id)
+    wave(0L, Seq(100L -> t10.replace("morning", "midday")))
+    val w1docs = Seq(101L -> t10.replace("morning", "noon"),
+      102L -> t10.replace("every morning", "each morning"))
+    val (labels1, state1) = wave(1L, w1docs)
+    // the monoid advance equals the from-scratch aggregate over the
+    // final labels (c16's selection, argmax included)
+    assert(stateSet(state1) ==
+      stateSet(StreamOps.repStateOf(labels1, scores)))
+    // the high-quality late arrival 101 took the representative slot of
+    // the cluster rooted at 10
+    val rep10 = stateSet(state1).find(_._1 == 10L).get
+    assert(rep10._5 == 101L && rep10._4 == 90L, s"state: ${stateSet(state1)}")
+    // replay idempotence: re-running the newest wave reads state < 1
+    // only and overwrites its own partition — same state out
+    val (_, again) = wave(1L, w1docs)
+    assert(stateSet(again) == stateSet(state1))
+    // state snapshots bounded like the labels (latest + previous)
+    val parts = Option(root.resolve("state").resolve("rep").toFile.listFiles())
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(parts.size <= 2, s"rep partitions: ${parts.map(_.getName)}")
+    spark.catalog.clearCache()
+  }
+
   test("semDedupPerBatch (a4 twin): labels after N waves equal from-scratch frozen-quantizer semantic dedup") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
