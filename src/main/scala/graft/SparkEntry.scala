@@ -21,10 +21,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ ScaleOps.queries ++ CorpusOps.queries ++
-      SearchOps.queries
+      SearchOps.queries ++ graft.multimodal.MediaOps.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ ScaleOps.oracles ++ CorpusOps.oracles ++
-      SearchOps.oracles
+      SearchOps.oracles ++ graft.multimodal.MediaOps.oracles
 }

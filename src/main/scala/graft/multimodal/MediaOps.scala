@@ -865,4 +865,88 @@ object MediaOps {
     * `operators.AnnSearch` applies unchanged. */
   def toEmbeddingTable(feats: Dataset[ImageFeatures]): DataFrame =
     feats.toDF().select(col("media_id").as("vec_id"), col("embedding"))
+
+  // mm1 clip geometry — shared by the Spark side and the oracle text
+  private val MmDocs = 40L  // documents rendered to video (exists at every sf)
+  private val MmW = 16
+  private val MmH = 12
+  private val MmF = 3       // frames per clip
+
+  /** mm1: the multimodal tier's first ORACLE-checkable row — a
+    * deterministic bridge between real container decode and a DuckDB
+    * oracle that cannot decode media. Each document (doc_id < $MmDocs)
+    * is rendered to a ${MmF}-frame ${MmW}×${MmH} GRAY clip whose pixel
+    * values are the doc's ASCII text bytes tiled in raster order, the
+    * frames are encoded into a REAL YUV4MPEG2 container
+    * ([[Y4mCodec.encodeY4m]], Cmono) and decoded back through the full
+    * parser ([[Y4mCodec.decode]] — header parse, frame walk, YUV→RGB),
+    * and the query emits each decoded frame's luma sum plus the
+    * header-parsed dimensions. Gray pixels round-trip BIT-EXACTLY
+    * through mono Y4M (Y = 0.299v+0.587v+0.114v rounds to v; decode
+    * adds zero chroma), so the oracle replays the luma sums from the
+    * text bytes with integer arithmetic — if the container writer,
+    * header parser, frame offsets, or YUV matrix drift by one bit, the
+    * sums diverge and the row goes red. Scale shape: one row per
+    * (doc, frame), synthesis+decode per-partition (the mapInPandas
+    * batch pattern), nothing collected. */
+  def mm1VideoLuma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.flatMap { case (docId, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val frames = (0 until MmF).map { f =>
+          val img = new java.awt.image.BufferedImage(MmW, MmH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < MmW * MmH) {
+            val v = bytes((f * MmW * MmH + i) % bytes.length) & 0xff
+            img.setRGB(i % MmW, i / MmW, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          img
+        }
+        val container = Y4mCodec.encodeY4m(frames, "mono") // REAL bytes
+        val v = Y4mCodec.decode(container).getOrElse(
+          sys.error(s"mm1: container round-trip failed for doc $docId"))
+        v.frames.zipWithIndex.map { case (img, f) =>
+          var sum = 0L
+          var y = 0
+          while (y < v.height) {
+            var x = 0
+            while (x < v.width) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          (docId, f, v.width, v.height, sum)
+        }
+      }
+    }.toDF("doc_id", "frame_no", "w", "h", "luma_sum")
+      .orderBy("doc_id", "frame_no")
+  }
+
+  private val mm1Sql: String = {
+    val px = MmW * MmH
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id < $MmDocs),
+       |fr AS (SELECT CAST(f AS INTEGER) AS frame_no FROM range($MmF) t(f)),
+       |px AS (SELECT CAST(i AS BIGINT) AS i FROM range($px) t(i)),
+       |v AS (
+       |  SELECT d.doc_id, fr.frame_no,
+       |    ord(substr(d.text,
+       |      CAST((fr.frame_no * $px + px.i) % d.len AS INTEGER) + 1, 1)) AS v
+       |  FROM d CROSS JOIN fr CROSS JOIN px)
+       |SELECT doc_id, frame_no, CAST($MmW AS INTEGER) AS w,
+       |  CAST($MmH AS INTEGER) AS h, CAST(SUM(v) AS BIGINT) AS luma_sum
+       |FROM v GROUP BY doc_id, frame_no
+       |ORDER BY doc_id, frame_no""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_video_luma" -> (mm1VideoLuma _))
+
+  val oracles: Map[String, String] = Map(
+    "mm1_video_luma" -> mm1Sql)
 }

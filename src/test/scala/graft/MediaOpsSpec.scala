@@ -368,4 +368,25 @@ class MediaOpsSpec extends AnyFunSuite {
     val topk = graft.operators.AnnSearch.approxTopK(q, emb, "vec_id", "embedding", 3)
     assert(topk.count() > 0)
   }
+
+  test("mm1: container-decoded luma sums agree bit-for-bit with the text-byte arithmetic") {
+    import org.apache.spark.sql.functions.col
+    // through the REAL container: render → encodeY4m → decode → sum
+    val got = MediaOps.mm1VideoLuma(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // independent of any codec: the pinned byte-tiling arithmetic the
+    // oracle replays (16x12 pixels, 3 frames, text bytes in raster order)
+    val expected = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 40).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        (0 until 3).map { f =>
+          val sum = (0 until 16 * 12).map(i =>
+            (bytes((f * 16 * 12 + i) % bytes.length) & 0xff).toLong).sum
+          (r.getLong(0), f, 16, 12, sum)
+        }
+      }
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+    assert(got.length == 120)
+  }
 }
