@@ -519,8 +519,41 @@ object TextOps {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** d43 anonymity threshold: classes smaller than this are
-    * re-identification risks. */
-  private val KAnon = 5L
+    * re-identification risks. Package-visible: the streaming monitor
+    * ([[graft.streaming.StreamOps.kAnonPerBatch]]) enforces the SAME
+    * release policy per ingest batch. */
+  private[graft] val KAnon = 5L
+
+  /** Per-level equivalence-class sizes over an arbitrary documents frame
+    * (needs source, lang, n_chars) — the ADDITIVE half of d43: class
+    * sizes are sums, so a streaming monitor merges per-batch counts into
+    * an accumulated-window class table by plain addition. One row per
+    * (level, source, lang, len_class). */
+  private[graft] def kAnonClassCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val levels = Seq(
+      0 -> expr("n_chars div 10"),
+      1 -> expr("n_chars div 100"),
+      2 -> lit(-1L))
+    levels.map { case (lv, g) =>
+      docs.select(lit(lv).as("level"), col("source"), col("lang"),
+          g.cast("long").as("len_class"))
+        .groupBy(col("level"), col("source"), col("lang"), col("len_class"))
+        .agg(count(lit(1)).as("sz"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** d43's 3-row report off a class-size table — the rollup half shared
+    * by the batch query and the streaming monitor. */
+  private[graft] def kAnonReport(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    counts.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_class_size"),
+        sum(when(col("sz") < KAnon, col("sz")).otherwise(0L)).as("rows_at_risk"))
+      .select(col("level"), col("n_classes"), col("min_class_size"),
+        (col("min_class_size") >= KAnon).as("k_satisfied"), col("rows_at_risk"))
+      .orderBy("level")
 
   /** d43: k-ANONYMITY generalization sweep — the privacy audit a
     * training-data release runs over its quasi-identifiers (here
@@ -533,23 +566,8 @@ object TextOps {
     * privacy gain. One aggregate per level over the same scan shape
     * (the levels are a 3-row report, not a search at runtime); all
     * integer arithmetic. */
-  def d43KAnonymity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val levels = Seq(
-      0 -> expr("n_chars div 10"),
-      1 -> expr("n_chars div 100"),
-      2 -> lit(-1L))
-    levels.map { case (lv, g) =>
-      docs.select(col("source"), col("lang"), g.cast("long").as("len_class"))
-        .groupBy(col("source"), col("lang"), col("len_class"))
-        .agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_classes"),
-          min(col("sz")).as("min_class_size"),
-          sum(when(col("sz") < KAnon, col("sz")).otherwise(0L)).as("rows_at_risk"))
-        .select(lit(lv).as("level"), col("n_classes"), col("min_class_size"),
-          (col("min_class_size") >= KAnon).as("k_satisfied"), col("rows_at_risk"))
-    }.reduce(_ unionByName _).orderBy("level")
-  }
+  def d43KAnonymity(s: SparkSession, dir: String): DataFrame =
+    kAnonReport(kAnonClassCounts(Tables(s, dir, "documents")))
 
   private val d43Sql: String = {
     def level(lv: Int, g: String): String =

@@ -1327,6 +1327,69 @@ object StreamOps {
     (labels, state)
   }
 
+  /** Streaming k-anonymity monitor — d43's twin in the d40
+    * drift-monitor mold: each arriving batch's quasi-identifier
+    * equivalence-class counts merge into the accumulated-window class
+    * table (class sizes are SUMS — the additive half
+    * [[graft.queries.TextOps.kAnonClassCounts]] exposes, so the merge
+    * is one |classes|-row addition, never a window rescan), the d43
+    * report is re-emitted over the window to `sink`, and the stream
+    * FAILS FAST when the FROZEN release level no longer satisfies k —
+    * a new tiny class at the released generalization level is a
+    * re-identification risk landing in production, and the monitor's
+    * job is to stop the release, not note it. The report the sink saw
+    * before the failure names the violating level's minimum class size
+    * and rows at risk. Batches need (source, lang, n_chars). State:
+    * the class-count table landed snapshot-style at `statePath/kanon`
+    * (pruned to latest+previous, replay-idempotent); after any number
+    * of waves the window report equals d43's one-shot over everything
+    * arrived (spec-pinned). */
+  def kAnonPerBatch(docs: DataFrame, frozenLevel: Int, statePath: String,
+      checkpoint: String)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val report = kAnonBatch(batch, statePath, batchId)
+        sink(report, batchId)
+        val row = report.filter(col("level") === frozenLevel).head
+        if (!row.getBoolean(3))
+          throw new IllegalStateException(
+            s"k-anonymity degraded at frozen release level $frozenLevel: " +
+              s"min class size ${row.getLong(2)} < " +
+              s"${graft.queries.TextOps.KAnon} " +
+              s"(${row.getLong(4)} rows at risk) — release halted")
+      }
+      .start()
+
+  /** One micro-batch of [[kAnonPerBatch]] — package-visible so the spec
+    * can force a replay. Returns the accumulated-window d43 report. */
+  private[graft] def kAnonBatch(batch: DataFrame, statePath: String,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val cntSchema = new org.apache.spark.sql.types.StructType()
+      .add("level", org.apache.spark.sql.types.IntegerType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("lang", org.apache.spark.sql.types.StringType)
+      .add("len_class", org.apache.spark.sql.types.LongType)
+      .add("sz", org.apache.spark.sql.types.LongType)
+    val prev = latestLandedBatch(spark, s"$statePath/kanon", batchId) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cntSchema)
+      case Some(last) =>
+        readDelta(spark, s"$statePath/kanon", cntSchema)
+          .filter(col("batch_id") === last).drop("batch_id")
+    }
+    val merged = prev
+      .unionByName(graft.queries.TextOps.kAnonClassCounts(batch))
+      .groupBy(col("level"), col("source"), col("lang"), col("len_class"))
+      .agg(sum(col("sz")).as("sz"))
+      .localCheckpoint() // eager — the snapshot-per-wave plan trap
+    landDelta(merged, s"$statePath/kanon", batchId)
+    pruneSupersededBatches(spark, s"$statePath/kanon")
+    graft.queries.TextOps.kAnonReport(merged)
+  }
+
   /** Streaming twin of c6's split-leakage audit, in its DEPLOYMENT
     * orientation: c6 audits a finished corpus's own split internally;
     * this gate audits ARRIVING documents against the FROZEN train-gram

@@ -1299,6 +1299,56 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("kAnonPerBatch (d43 twin): window report equals one-shot; degrading the frozen level fails fast") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("kanon")
+    val state = root.resolve("state").toString
+    def docs(src: String, n: Int, off: Int): Seq[KDoc] =
+      (0 until n).map(i => KDoc(src, "en", 40L + ((i + off) % 3) * 10))
+    val w0 = docs("web", 6, 0) ++ docs("wiki", 7, 1)
+    val w1 = docs("web", 5, 2) ++ docs("wiki", 6, 0)
+    val bad = Seq(KDoc("forum", "en", 55L)) // NEW source → size-1 class at level 2
+    type Rep = Seq[(Int, Long, Long, Boolean, Long)]
+    def rows(df: org.apache.spark.sql.DataFrame): Rep =
+      df.collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3), x.getLong(4))).toSeq
+    val reports = scala.collection.mutable.Map[Long, Rep]()
+    val ms = MemoryStream[KDoc]
+    val q = StreamOps.kAnonPerBatch(ms.toDF(), frozenLevel = 2, state,
+      root.resolve("ck").toString) { (r, id) => reports(id) = rows(r) }
+    def oneShot(arrived: Seq[KDoc]): Rep = rows(
+      graft.queries.TextOps.kAnonReport(
+        graft.queries.TextOps.kAnonClassCounts(arrived.toDF())))
+    try {
+      ms.addData(w0: _*); q.processAllAvailable()
+      assert(reports(0L) == oneShot(w0))
+      ms.addData(w1: _*); q.processAllAvailable()
+      assert(reports(1L) == oneShot(w0 ++ w1))
+      // the release level held so far; one doc of a NEW source is a
+      // size-1 equivalence class at the frozen level → the stream halts
+      ms.addData(bad: _*)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("k-anonymity degraded") ||
+        Option(err.getCause).exists(_.getMessage.contains("k-anonymity degraded")))
+    } finally q.stop()
+    // the sink saw the violating report BEFORE the halt, and it equals
+    // the one-shot over the whole window
+    assert(reports(2L) == oneShot(w0 ++ w1 ++ bad))
+    assert(reports(2L).exists(r => r._1 == 2 && !r._4))
+    // replay of the violating batch is idempotent (reads counts < 2,
+    // overwrites its own snapshot)
+    assert(rows(StreamOps.kAnonBatch(bad.toDF(), state, 2L)) == reports(2L))
+    // class-count snapshots bounded like the labels (latest + previous)
+    val parts = Option(root.resolve("state").resolve("kanon").toFile.listFiles())
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(parts.size <= 2, s"kanon partitions: ${parts.map(_.getName)}")
+    spark.catalog.clearCache()
+  }
+
   test("rollingRepBatch: representative state across waves equals from-scratch selection; replay idempotent") {
     import spark.implicits._
     import java.nio.file.Files
@@ -1467,6 +1517,9 @@ class StreamOpsSpec extends AnyFunSuite {
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
 case class StreamDoc(doc_id: Long, text: String)
+
+/** Arriving document's quasi-identifier projection (kAnonPerBatch). */
+case class KDoc(source: String, lang: String, n_chars: Long)
 
 /** Arriving vector for the incremental-IVF twin. */
 case class StreamVec(vec_id: Long, embedding: Seq[Double])
