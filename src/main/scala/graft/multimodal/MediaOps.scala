@@ -146,6 +146,31 @@ object MediaOps {
         case _: IllegalArgumentException => None // no conversion provider
       }
 
+    /** Encode 16-bit signed mono samples as a REAL RIFF/WAVE payload via
+      * the JDK's own writer — the container [[decode]] reads back
+      * bit-exactly (PCM16 → PCM16 is a pass-through conversion), which
+      * is what lets mm3 pin the audio codec chain against an integer
+      * oracle. */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      finally in.close()
+      out.toByteArray
+    }
+
     /** 64-bin RMS energy envelope over the 16-bit mono-mixed samples,
       * normalized to [0,1] — the coarse loudness contour (silence → 0,
       * full-scale → 1). */
@@ -944,9 +969,122 @@ object MediaOps {
        |ORDER BY doc_id, frame_no""".stripMargin
   }
 
+  // mm2 image geometry (one frame, distinct from mm1's clip geometry)
+  private val Mm2W = 24
+  private val Mm2H = 16
+
+  /** mm2: mm1's bridge for the IMAGE path — each small document's ASCII
+    * bytes tile a ${Mm2W}×${Mm2H} gray image, the image round-trips
+    * through a REAL PNG encode ([[ImageCodec.encodePng]], the JDK
+    * writer) and the REAL ImageIO decode ([[ImageCodec.decode]]), and
+    * the query emits the decoded luma sum. PNG is lossless, so the
+    * oracle replays the sum from text bytes — the PNG writer, the
+    * signature sniffing, the IDAT inflate, and `getRGB`'s sRGB path are
+    * all inside the checked loop. */
+  def mm2ImageLuma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val img = new java.awt.image.BufferedImage(Mm2W, Mm2H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < Mm2W * Mm2H) {
+          val v = bytes(i % bytes.length) & 0xff
+          img.setRGB(i % Mm2W, i / Mm2W, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val png = ImageCodec.encodePng(img) // REAL container bytes
+        val back = ImageCodec.decode(png).getOrElse(
+          sys.error(s"mm2: PNG round-trip failed for doc $docId"))
+        var sum = 0L
+        var y = 0
+        while (y < back.getHeight) {
+          var x = 0
+          while (x < back.getWidth) { sum += back.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        (docId, back.getWidth, back.getHeight, sum)
+      }
+    }.toDF("doc_id", "w", "h", "luma_sum")
+      .orderBy("doc_id")
+  }
+
+  private val mm2Sql: String = {
+    val px = Mm2W * Mm2H
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id < $MmDocs),
+       |px AS (SELECT CAST(i AS BIGINT) AS i FROM range($px) t(i))
+       |SELECT doc_id, CAST($Mm2W AS INTEGER) AS w, CAST($Mm2H AS INTEGER) AS h,
+       |  CAST(SUM(ord(substr(text, CAST(i % len AS INTEGER) + 1, 1))) AS BIGINT)
+       |    AS luma_sum
+       |FROM d CROSS JOIN px
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // mm3 audio geometry
+  private val Mm3Samples = 480
+  private val Mm3Rate = 8000
+
+  /** mm3: the bridge for the AUDIO path — each small document's ASCII
+    * bytes become $Mm3Samples 16-bit mono samples (`(b − 128) · 256`),
+    * encoded as a REAL RIFF/WAVE payload by the JDK writer
+    * ([[AudioCodec.encodeWav]]) and decoded back through the full
+    * javax.sound chain ([[AudioCodec.decode]] — container parse, PCM
+    * conversion). PCM16 → PCM16 is a pass-through, so the decoded
+    * stream is bit-exact and the oracle replays the absolute-sample
+    * sum, the decoded frame count, and the header's sample rate with
+    * integer arithmetic. */
+  def mm3AudioSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val samples = Array.tabulate(Mm3Samples)(i =>
+          (((bytes(i % bytes.length) & 0xff) - 128) * 256).toShort)
+        val wav = AudioCodec.encodeWav(samples, Mm3Rate) // REAL bytes
+        val (rate, channels, pcm) = AudioCodec.decode(wav).getOrElse(
+          sys.error(s"mm3: WAV round-trip failed for doc $docId"))
+        var sum = 0L
+        var i = 0
+        while (i < pcm.length) {
+          val s16 = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort
+          sum += math.abs(s16.toLong)
+          i += 2
+        }
+        (docId, rate, channels, (pcm.length / 2).toLong, sum)
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "n_samples", "abs_sum")
+      .orderBy("doc_id")
+  }
+
+  private val mm3Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id < $MmDocs),
+       |sm AS (SELECT CAST(i AS BIGINT) AS i FROM range($Mm3Samples) t(i))
+       |SELECT doc_id, CAST($Mm3Rate AS INTEGER) AS sample_rate,
+       |  CAST(1 AS INTEGER) AS channels,
+       |  CAST($Mm3Samples AS BIGINT) AS n_samples,
+       |  CAST(SUM(ABS((ord(substr(text, CAST(i % len AS INTEGER) + 1, 1)) - 128) * 256))
+       |    AS BIGINT) AS abs_sum
+       |FROM d CROSS JOIN sm
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm1_video_luma" -> (mm1VideoLuma _))
+    "mm1_video_luma" -> (mm1VideoLuma _),
+    "mm2_image_luma" -> (mm2ImageLuma _),
+    "mm3_audio_sum" -> (mm3AudioSum _))
 
   val oracles: Map[String, String] = Map(
-    "mm1_video_luma" -> mm1Sql)
+    "mm1_video_luma" -> mm1Sql,
+    "mm2_image_luma" -> mm2Sql,
+    "mm3_audio_sum" -> mm3Sql)
 }

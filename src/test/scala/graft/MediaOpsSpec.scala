@@ -389,4 +389,25 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == expected.sorted.toSeq)
     assert(got.length == 120)
   }
+
+  test("mm2/mm3: PNG and WAV round-trips agree bit-for-bit with the byte arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 40).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val img = MediaOps.mm2ImageLuma(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val expImg = texts.map { case (id, b) =>
+      (id, 24, 16, (0 until 24 * 16).map(i => (b(i % b.length) & 0xff).toLong).sum)
+    }
+    assert(img.sorted.toSeq == expImg.sorted.toSeq)
+    val aud = MediaOps.mm3AudioSum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val expAud = texts.map { case (id, b) =>
+      (id, 8000, 1, 480L, (0 until 480).map(i =>
+        math.abs((((b(i % b.length) & 0xff) - 128) * 256).toLong)).sum)
+    }
+    assert(aud.sorted.toSeq == expAud.sorted.toSeq)
+  }
 }
