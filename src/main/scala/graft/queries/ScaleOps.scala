@@ -562,6 +562,108 @@ object ScaleOps {
     } finally idx.close()
   }
 
+  /** a5 arrival split: the coarse quantizer trains on vectors below
+    * this id; everything at or above arrives across the waves. */
+  private val A5Split = 350L
+  private val A5Waves = 3
+
+  /** a5: a4's semantic dedup maintained ROLLING across ingest waves —
+    * the embedding-space c14. Drives the SAME
+    * [[graft.streaming.StreamOps.semDedupBatch]] code path the
+    * streaming gate runs per micro-batch: each wave's vectors are
+    * assigned to the FROZEN coarse quantizer (trained on the static
+    * block only — retraining stays i10's audit event), cosine-compared
+    * ONLY against same-cluster members (static inverted file ∪ landed
+    * earlier-wave deltas ∪ the wave itself), and the pairs advance the
+    * dedup groups by star-collapse. Because the per-wave sweeps surface
+    * every frozen-cluster pair touching an arrival exactly once and the
+    * seed covers static-internal pairs, the final labels equal a
+    * from-scratch a4-style clustering of the whole block under the
+    * frozen quantizer — the oracle is a4's recursive-CTE SQL over the
+    * `et`-trained chain. Output: a4's per-cluster histogram shape. */
+  def a5RollingSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    graft.functions.DotProduct.register(s)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 500)
+    val idx = IvfSearch.buildIndex(e.filter(col("vec_id") < A5Split),
+      "vec_id", "embedding", k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    val root = java.nio.file.Files.createTempDirectory("graft_a5_").toString
+    try {
+      // seed: the static block's own within-cluster groups (norms once)
+      val asg = idx.assignments
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      val seedPairs = asg.as("a")
+        .join(asg.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.id") < col("b.id"))
+        .withColumn("cos", round(
+          dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("cos") >= A4Threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val seed = graft.operators.ConnectedComponents.components(seedPairs)
+        .localCheckpoint()
+      var labels = seed
+      (0 until A5Waves).foreach { b =>
+        val batch = e.filter(col("vec_id") >= A5Split &&
+          pmod(col("vec_id"), lit(A5Waves.toLong)) === b.toLong)
+        labels = StreamOps.semDedupBatch(batch, idx.centroids,
+          idx.assignments, seed, "vec_id", "embedding", A4Threshold,
+          s"$root/state", b.toLong)
+      }
+      val dropped = labels.filter(col("id") =!= col("component"))
+        .select(col("id"), lit(1L).as("drp"))
+      val all = IvfSearch.assign(
+        e.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb")), idx.centroids)
+      val res = all.select(col("id"), col("centroid_id"))
+        .join(dropped, Seq("id"), "left")
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
+        .orderBy("centroid_id")
+      // bounded (IvfK rows): materialize before temp state is deleted
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      idx.close()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  /** a4's oracle over the `et`-trained (frozen-quantizer) chain — the
+    * labels the rolling path must reproduce from scratch. */
+  private lazy val a5Sql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings
+       |  WHERE vec_id < 500),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |et AS (SELECT id, emb FROM e WHERE id < $A5Split),
+       |${ivfCtesOver("et")},
+       |nr AS (SELECT id, cid, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM af),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM nr a JOIN nr b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+       |    >= $A4Threshold),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |drp AS (SELECT id FROM comp WHERE id <> component)
+       |SELECT af.cid AS centroid_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN drp.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped
+       |FROM af LEFT JOIN drp ON af.id = drp.id
+       |GROUP BY af.cid ORDER BY af.cid""".stripMargin
+
   // lazy: ivfCtes is declared further down the object — an eager val
   // here would interpolate its pre-initialization null (the c14Sql trap)
   private lazy val a4Sql: String =
@@ -1654,6 +1756,7 @@ object ScaleOps {
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "a4_semdedup" -> (a4SemDedup _),
+    "a5_rolling_semdedup" -> (a5RollingSemDedup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
     "i2_pq_topk" -> (i2PqTopk _),
     "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
@@ -1682,6 +1785,7 @@ object ScaleOps {
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
     "a4_semdedup" -> a4Sql,
+    "a5_rolling_semdedup" -> a5Sql,
     "i1_ivf_topk" -> i1Sql,
     "i2_pq_topk" -> i2Sql,
     "i3_ivf_pq_rerank" -> i3Sql,
