@@ -85,6 +85,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked persistent RDD ids: $leaked")
   }
 
+  test("incrementalStepWith releases every cache it created (per-micro-batch contract)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val prev = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    // the new edge merges {1,2} with {3}: star (2→1) ∪ edge (2,3)
+    val out = ConnectedComponents.incrementalStepWith(prev,
+      Seq((2L, 3L)).toDF("id_a", "id_b")) { labels =>
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // Dataset.unpersist is non-blocking, and a round that lands on the
+    // CheckpointEvery cadence leaves a localCheckpoint cache that only
+    // the ContextCleaner frees once the frame is unreferenced — so the
+    // contract is "nothing SURVIVES GC", not "nothing appears": poll
+    // with GC nudges until the CacheManager drains back to the baseline
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime() + 15000000000L
+    while (leaked().nonEmpty && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(leaked().isEmpty, s"leaked persistent RDD ids: ${leaked()}")
+  }
+
   test("long-diameter chain: plan growth stays bounded by the checkpoint cadence") {
     import spark.implicits._
     // 25 vertices in a chain → 24 propagation rounds + 1 convergence
