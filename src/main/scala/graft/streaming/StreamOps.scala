@@ -1253,6 +1253,27 @@ object StreamOps {
       .select(col("component"), col("n_docs"), col("q_sum"),
         col("b.best_q_e6").as("best_q_e6"), (-col("b.nbd")).as("best_doc"))
 
+  /** Streaming face of [[rollingRepBatch]] — label advance AND c16-shaped
+    * representative maintenance per micro-batch, the deployment wrapper
+    * c17 drives in batch mode (the rollingCcPerBatch precedent). The
+    * sink receives (labels, state) after each wave. */
+  def rollingRepPerBatch(docs: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      seedLabels: DataFrame, seedState: DataFrame, scores: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      statePath: String, checkpoint: String)
+      (sink: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (labels, state) = rollingRepBatch(batch, staticIndex,
+          seedLabels, seedState, scores, idCol, textCol, threshold,
+          statePath, batchId)
+        sink(labels, state, batchId)
+      }
+      .start()
+
   /** One micro-batch of ROLLING representative maintenance — c16's
     * quality-based representative selection kept current ACROSS
     * [[rollingCcBatch]]'s waves in bounded state: advance the labels as
@@ -1501,6 +1522,18 @@ object StreamOps {
   def compactIvfAssignDeltas(spark: SparkSession, statePath: String,
       targetBytes: Long = 128L << 20): (Long, Long) = {
     val path = s"$statePath/ivf_assign"
+    if (!pathExists(spark, path)) (0L, 0L)
+    else graft.sources.Sources.compactParquet(spark, path, targetBytes)
+  }
+
+  /** [[compactIvfAssignDeltas]]'s twin for the semantic-dedup gate's
+    * append-only assignment log ([[semDedupPerBatch]]'s
+    * `statePath/sem_assign`) — same rationale, same staged-rename
+    * compactor, probes and later waves unchanged (the read path is the
+    * batch_id-pruned [[readDelta]], indifferent to file count). */
+  def compactSemAssignDeltas(spark: SparkSession, statePath: String,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    val path = s"$statePath/sem_assign"
     if (!pathExists(spark, path)) (0L, 0L)
     else graft.sources.Sources.compactParquet(spark, path, targetBytes)
   }

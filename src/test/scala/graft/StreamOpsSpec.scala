@@ -1463,6 +1463,17 @@ class StreamOpsSpec extends AnyFunSuite {
           idx.assignments, seed, "vec_id", "embedding", threshold, state, 1L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(again == labelsAfter(1L))
+      // compacting the assignment delta log changes nothing downstream:
+      // the same replay reads the compacted files and lands identically
+      val (filesBefore, filesAfter) =
+        StreamOps.compactSemAssignDeltas(spark, state)
+      assert(filesBefore >= filesAfter && filesAfter > 0,
+        s"compaction: $filesBefore -> $filesAfter")
+      val afterCompact = StreamOps.semDedupBatch(
+          w1.toSeq.toDF("vec_id", "embedding"), idx.centroids,
+          idx.assignments, seed, "vec_id", "embedding", threshold, state, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterCompact == labelsAfter(1L))
       // label snapshots bounded (latest + previous at most)
       val parts = Option(root.resolve("state").resolve("sem_labels")
         .toFile.listFiles()).toSeq.flatten
