@@ -1196,26 +1196,44 @@ object StreamOps {
     * post-batch label table, localCheckpointed: the caller reads
     * MATERIALIZED labels — stacking each wave's CC-loop plan on the
     * last would grow the logical plan exponentially in waves. */
-  private[graft] def rollingCcBatch(batch: DataFrame,
-      staticIndex: graft.operators.MinHashDedup.DedupIndex,
-      seedLabels: DataFrame, idCol: String, textCol: String,
-      threshold: Double, statePath: String, batchId: Long): DataFrame = {
-    val spark = batch.sparkSession
-    val idType = batch.schema(idCol).dataType
+  /** The PRE-advance label table a wave reads: the latest landed
+    * snapshot strictly below `batchId`, or the seed on a cold start.
+    * The latest batch id comes from the PARTITION DIRECTORY listing —
+    * a row-level max(batch_id) would scan every earlier wave's full
+    * label table per batch (O(waves·|labels|) rows for one number);
+    * the listing is pure metadata, and the read partition-prunes to
+    * the one chosen directory. Shared by [[rollingCcBatch]] and
+    * [[rollingRepBatch]] so the composed path reads it ONCE. */
+  private def landedLabelsBefore(spark: SparkSession, statePath: String,
+      seedLabels: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      batchId: Long): DataFrame = {
     val labSchema = new org.apache.spark.sql.types.StructType()
       .add("id", idType).add("component", idType)
-    // latest landed table wins (each batch lands the FULL label table).
-    // The latest batch id comes from the PARTITION DIRECTORY listing —
-    // a row-level max(batch_id) would scan every earlier wave's full
-    // label table per batch (O(waves·|labels|) rows for one number);
-    // the listing is pure metadata, and the read below partition-prunes
-    // to the one chosen directory
-    val prev = latestLandedBatch(spark, s"$statePath/labels", batchId) match {
+    latestLandedBatch(spark, s"$statePath/labels", batchId) match {
       case None => seedLabels.select(col("id"), col("component"))
       case Some(last) =>
         readDelta(spark, s"$statePath/labels", labSchema)
           .filter(col("batch_id") === last).drop("batch_id")
     }
+  }
+
+  private[graft] def rollingCcBatch(batch: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      seedLabels: DataFrame, idCol: String, textCol: String,
+      threshold: Double, statePath: String, batchId: Long): DataFrame =
+    rollingCcBatchFrom(batch, staticIndex,
+      landedLabelsBefore(batch.sparkSession, statePath, seedLabels,
+        batch.schema(idCol).dataType, batchId),
+      idCol, textCol, threshold, statePath, batchId)
+
+  /** [[rollingCcBatch]] with the pre-advance labels already in hand —
+    * the composed rep path passes the table it needed anyway. */
+  private def rollingCcBatchFrom(batch: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      prev: DataFrame, idCol: String, textCol: String,
+      threshold: Double, statePath: String, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
       threshold, statePath, batchId)
     try {
@@ -1295,22 +1313,16 @@ object StreamOps {
       statePath: String, batchId: Long): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val idType = batch.schema(idCol).dataType
-    val labSchema = new org.apache.spark.sql.types.StructType()
-      .add("id", idType).add("component", idType)
     val stSchema = new org.apache.spark.sql.types.StructType()
       .add("component", idType)
       .add("n_docs", org.apache.spark.sql.types.LongType)
       .add("q_sum", org.apache.spark.sql.types.LongType)
       .add("best_q_e6", org.apache.spark.sql.types.LongType)
       .add("best_doc", idType)
-    // the PRE-advance label table (what rollingCcBatch will read as
-    // `prev`): needed to tell which label rows are new this wave
-    val prevLabels = latestLandedBatch(spark, s"$statePath/labels", batchId) match {
-      case None => seedLabels.select(col("id"), col("component"))
-      case Some(last) =>
-        readDelta(spark, s"$statePath/labels", labSchema)
-          .filter(col("batch_id") === last).drop("batch_id")
-    }
+    // the PRE-advance label table — read ONCE and passed through to the
+    // CC advance (it is the same table rollingCcBatch would re-read)
+    val prevLabels = landedLabelsBefore(spark, statePath, seedLabels,
+      idType, batchId)
     val prevState = latestLandedBatch(spark, s"$statePath/rep", batchId) match {
       case None => seedState.select(col("component"), col("n_docs"),
         col("q_sum"), col("best_q_e6"), col("best_doc"))
@@ -1318,7 +1330,7 @@ object StreamOps {
         readDelta(spark, s"$statePath/rep", stSchema)
           .filter(col("batch_id") === last).drop("batch_id")
     }
-    val labels = rollingCcBatch(batch, staticIndex, seedLabels, idCol,
+    val labels = rollingCcBatchFrom(batch, staticIndex, prevLabels, idCol,
       textCol, threshold, statePath, batchId)
     // re-key: an old component id c is itself a member of the new label
     // table, so labels[c].component is where c's state now lives (c kept
@@ -1328,13 +1340,21 @@ object StreamOps {
       .select(col("component"), col("n_docs"), col("q_sum"),
         col("best_q_e6"), col("best_doc"))
     // singleton contributions of members ENTERING the label table this
-    // wave (wave docs that paired, and corpus docs first touched by one)
+    // wave (wave docs that paired, and corpus docs first touched by one).
+    // A member MISSING from the at-rest score table fails loudly
+    // (codegen'd raise_error, zero cost unless triggered) — an inner
+    // join would silently drop it from n_docs/q_sum and the state would
+    // diverge from c16's from-scratch answer without an error.
     val fresh = labels
       .join(prevLabels.select(col("id")), Seq("id"), "left_anti")
-      .join(scores, "id")
+      .join(scores, Seq("id"), "left")
+      .withColumn("q_e6",
+        when(col("q_e6").isNotNull, col("q_e6").cast("long")).otherwise(expr(
+          "raise_error('rollingRepBatch: label member missing from the scores table')")
+          .cast("long")))
       .select(col("component"), lit(1L).as("n_docs"),
-        col("q_e6").cast("long").as("q_sum"),
-        col("q_e6").cast("long").as("best_q_e6"), col("id").as("best_doc"))
+        col("q_e6").as("q_sum"),
+        col("q_e6").as("best_q_e6"), col("id").as("best_doc"))
     val state = rekeyed.unionByName(fresh)
       .groupBy(col("component"))
       .agg(sum(col("n_docs")).as("n_docs"),
