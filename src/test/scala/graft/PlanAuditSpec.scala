@@ -419,6 +419,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0)
   }
 
+  test("mm1 media bridge: the doc window is pushed to the scan, read schema pruned") {
+    val s = formatted(SparkEntry.queries("mm1_video_luma")(spark, sfDir))
+    // the synthesis/decode mapPartitions must sit on a scan that already
+    // pruned to the 40-doc window and the two needed columns — a full
+    // documents scan under a per-row codec pass is the wrong plan
+    assert(s.contains("LessThan(doc_id,40)"),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source"), readSchema)
+  }
+
   test("q35 top-k aggregate: object-hash partial+final pair, ZERO window sorts") {
     val s = formatted(SparkEntry.queries("q35_topk_agg")(spark, sfDir))
     assert(s.contains("ObjectHashAggregate"), s.take(1200))
