@@ -465,8 +465,47 @@ object SearchOps {
       .select(col("id").as("doc_id"), col("score"))
   }
 
+  /** k11: k1/k6's BM25 maintained ROLLING — the inverted index grown
+    * per ingest wave instead of rebuilt (the Lucene segment model the
+    * at-rest tier implies): each wave lands its postings as a
+    * batch_id×shard segment and advances the (N, Σdl) scalars as a
+    * mergeable snapshot ([[graft.streaming.StreamOps.bm25IndexBatch]]);
+    * serving probes only the query terms' shard directories across the
+    * segments and builds the IDENTICAL scoring expression, so the
+    * answer equals k1's from-scratch corpus scan bit for bit — the
+    * oracle is k1's own SQL. Completes the rolling family into the
+    * search tier: dedup (c14), representatives (c17), semantic groups
+    * (a5), ANN assignment (i8), anonymity counts (kAnon) — and now the
+    * keyword index. */
+  def k11RollingBm25(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_k11_").toString
+    try {
+      (0 until 3).foreach { b =>
+        StreamOps.bm25IndexBatch(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b.toLong),
+          "doc_id", "text", K6Shards, s"$root/state", b.toLong)
+      }
+      val res = StreamOps
+        .bm25ServeRolling(s, s"$root/state", QueryTerms, K6Shards)
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("id"))
+        .limit(TopK)
+        .select(col("id").as("doc_id"), col("score"))
+      // bounded (TopK rows): materialize before the temp state is deleted
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_bm25_topk" -> (k1Bm25TopK _),
+    "k11_rolling_bm25" -> (k11RollingBm25 _),
     "k6_search_at_rest" -> (k6SearchAtRest _),
     "k4_phrase_search" -> (k4PhraseSearch _),
     "k5_proximity_search" -> (k5ProximitySearch _),
@@ -479,6 +518,8 @@ object SearchOps {
 
   val oracles: Map[String, String] = Map(
     "k1_bm25_topk" -> k1Sql,
+    // same answer, served from the rolling segment index
+    "k11_rolling_bm25" -> k1Sql,
     "k6_search_at_rest" -> k1Sql, // same answer, served from the index
     "k4_phrase_search" -> k4Sql,
     "k5_proximity_search" -> k5Sql,

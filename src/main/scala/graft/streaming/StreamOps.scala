@@ -1368,6 +1368,103 @@ object StreamOps {
     (labels, state)
   }
 
+  /** Streaming maintenance of the k6 BM25 inverted index — the Lucene
+    * segment model expressed as delta partitions: each arriving batch
+    * lands its postings (term, id, dli, tf) under
+    * `batch_id=<b>/shard=<hex60(term) mod shards>` (dynamic overwrite —
+    * a checkpoint replay rewrites its own batch, and probes still
+    * partition-prune to the query terms' shards across every segment),
+    * and the two corpus scalars BM25 needs (N, Σdl) advance as a
+    * mergeable snapshot (the k-anon count mold: previous snapshot + the
+    * batch's contribution, pruned to latest+previous). Per-term df
+    * needs no table at all — it is the count of the term's postings
+    * rows, and a doc lands in exactly one batch, so (term, id) stays
+    * unique across segments. Serving ([[bm25ServeRolling]]) reads ONLY
+    * the query terms' shard directories + the 1-row stats snapshot and
+    * builds the EXACT k1/k6 scoring expression — scores are
+    * bit-identical to a from-scratch corpus scan (spec + oracle). */
+  def bm25IndexPerBatch(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bm25IndexBatch(batch, idCol, textCol, shards, statePath, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[bm25IndexPerBatch]] — package-visible so the
+    * spec can force a replay and k11 can drive batch waves. */
+  private[graft] def bm25IndexBatch(batch: DataFrame, idCol: String,
+      textCol: String, shards: Int, statePath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val posted = batch
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), size(col("toks")).as("dli"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dli"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("shard",
+        pmod(graft.operators.PortableHash.hex60(col("term")),
+          lit(shards.toLong)).cast("int"))
+    posted.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "shard")
+      .parquet(s"$statePath/bm25_postings")
+    val statsSchema = new org.apache.spark.sql.types.StructType()
+      .add("n", org.apache.spark.sql.types.LongType)
+      .add("sumdl", org.apache.spark.sql.types.LongType)
+    val prev = latestLandedBatch(spark, s"$statePath/bm25_stats", batchId) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
+      case Some(last) =>
+        readDelta(spark, s"$statePath/bm25_stats", statsSchema)
+          .filter(col("batch_id") === last).drop("batch_id")
+    }
+    val batchStats = batch.agg(count(lit(1)).as("n"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("sumdl"))
+    val merged = prev.unionByName(batchStats)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("sumdl")), lit(0L)).as("sumdl"))
+    landDelta(merged, s"$statePath/bm25_stats", batchId)
+    pruneSupersededBatches(spark, s"$statePath/bm25_stats")
+  }
+
+  /** BM25 scores for `terms` served from the ROLLING index — the k6
+    * serving plan over the accumulated segments: probe only the query
+    * terms' shard directories (partition-pruned across every
+    * batch_id), per-term df from the probed rows, the corpus scalars
+    * from the latest stats snapshot, and the shared
+    * [[graft.operators.KeywordSearch.scoreColumn]] expression tree so
+    * scores are bit-identical to the corpus-rescan path. Returns
+    * (id, score) for docs containing at least one query term. */
+  def bm25ServeRolling(spark: SparkSession, statePath: String,
+      terms: Seq[String], shards: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val shardIds = terms
+      .map(t => (graft.operators.PortableHash.hex60(t) % shards).toInt).distinct
+    val post = spark.read.parquet(s"$statePath/bm25_postings")
+      .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*))
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i") }
+    val byDoc = post.groupBy(col("id"), col("dli"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, lit(1L)).otherwise(lit(0L))).as(s"df_$i") }
+    val dfs = post.agg(dfAggs.head, dfAggs.tail: _*)
+    val statsSchema = new org.apache.spark.sql.types.StructType()
+      .add("n", org.apache.spark.sql.types.LongType)
+      .add("sumdl", org.apache.spark.sql.types.LongType)
+    val last = latestLandedBatch(spark, s"$statePath/bm25_stats", Long.MaxValue)
+      .getOrElse(sys.error("bm25ServeRolling: no stats snapshot landed"))
+    val stats = readDelta(spark, s"$statePath/bm25_stats", statsSchema)
+      .filter(col("batch_id") === last).drop("batch_id")
+    byDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .select(col("id"),
+        graft.operators.KeywordSearch.scoreColumn(terms).as("score"))
+  }
+
   /** Streaming k-anonymity monitor — d43's twin in the d40
     * drift-monitor mold: each arriving batch's quasi-identifier
     * equivalence-class counts merge into the accumulated-window class

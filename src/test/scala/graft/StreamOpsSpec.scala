@@ -1299,6 +1299,46 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bm25IndexPerBatch (k11 twin): rolling segments serve bit-identical scores; replay idempotent") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("bm25roll")
+    val state = root.resolve("state").toString
+    val terms = Seq("fox", "dog")
+    val t = "the quick brown fox jumps over the lazy dog"
+    val w0 = Seq(StreamDoc(1L, t), StreamDoc(2L, "a dog and another dog bark"),
+      StreamDoc(3L, "wholly unrelated text body here"))
+    val w1 = Seq(StreamDoc(4L, s"$t again with the fox"),
+      StreamDoc(5L, "yet more filler prose"))
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamOps.bm25IndexPerBatch(ms.toDF(), "doc_id", "text", 8,
+      state, root.resolve("ck").toString)
+    ms.addData(w0: _*); q.processAllAvailable()
+    ms.addData(w1: _*); q.processAllAvailable()
+    q.stop()
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = scores(StreamOps.bm25ServeRolling(spark, state, terms, 8)
+      .filter(col("score") > 0))
+    // bit-identical to the corpus-rescan path over everything arrived
+    val rescan = scores(graft.operators.KeywordSearch
+      .bm25((w0 ++ w1).toDF("doc_id", "text"), "doc_id", "text", terms)
+      .filter(col("score") > 0))
+    assert(served == rescan && served.nonEmpty, s"$served vs $rescan")
+    // replay idempotence: re-landing the newest wave overwrites its own
+    // segment and re-merges stats from the snapshot below it
+    StreamOps.bm25IndexBatch(w1.toDF(), "doc_id", "text", 8, state, 1L)
+    assert(scores(StreamOps.bm25ServeRolling(spark, state, terms, 8)
+      .filter(col("score") > 0)) == rescan)
+    // stats snapshots bounded (latest + previous at most)
+    val parts = Option(root.resolve("state").resolve("bm25_stats")
+      .toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(parts.size <= 2, s"stats partitions: ${parts.map(_.getName)}")
+    spark.catalog.clearCache()
+  }
+
   test("kAnonPerBatch (d43 twin): window report equals one-shot; degrading the frozen level fails fast") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
