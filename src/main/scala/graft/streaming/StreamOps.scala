@@ -1655,6 +1655,19 @@ object StreamOps {
     else graft.sources.Sources.compactParquet(spark, path, targetBytes)
   }
 
+  /** Delta-log compaction for [[bm25IndexPerBatch]]'s postings segments
+    * — the merge runs per leaf directory (each batch_id, shard pair
+    * independently), so probes' partition pruning and the
+    * one-segment-per-doc df invariant are untouched; only the file
+    * count shrinks (the Lucene segment-merge analog, schedulable
+    * whenever the stream is quiet). */
+  def compactBm25Postings(spark: SparkSession, statePath: String,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    val path = s"$statePath/bm25_postings"
+    if (!pathExists(spark, path)) (0L, 0L)
+    else graft.sources.Sources.compactParquet(spark, path, targetBytes)
+  }
+
   /** Streaming twin of a4's SEMANTIC dedup (SemDeDup) — the
     * embedding-space trio composed the way [[rollingCcPerBatch]]
     * composed the shingle-space one: each arriving micro-batch of

@@ -1336,6 +1336,11 @@ class StreamOpsSpec extends AnyFunSuite {
       .toFile.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
     assert(parts.size <= 2, s"stats partitions: ${parts.map(_.getName)}")
+    // segment-merge compaction leaves served scores unchanged
+    val (fb, fa) = StreamOps.compactBm25Postings(spark, state)
+    assert(fb >= fa && fa > 0, s"compaction: $fb -> $fa")
+    assert(scores(StreamOps.bm25ServeRolling(spark, state, terms, 8)
+      .filter(col("score") > 0)) == rescan)
     spark.catalog.clearCache()
   }
 
