@@ -127,8 +127,21 @@ object CorpusOps {
     * clustering of the whole corpus ∪ stream window — the oracle is c1's
     * own recursive-CTE SQL over that window's one-shot pair set. Output
     * is c1's cluster histogram shape. */
-  def c14RollingCc(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.StreamOps
+  /** The c14/c17 wave-driver scaffold, factored so the two queries
+    * cannot silently diverge (c17's oracle equality depends on its
+    * seed/window/wave split staying byte-identical to c14's): corpus
+    * and stream windows, the static MinHash index, the seed clusters —
+    * MATERIALIZED (localCheckpoint): every wave's star edges must read
+    * landed or checkpointed labels, never stack the previous CC-loop's
+    * plan (plan size otherwise grows exponentially in waves; measured:
+    * driver heap exhaustion by wave 3 at sf0.01) — the pmod wave loop,
+    * and the materialize-before-temp-delete contract. `body` folds a
+    * carry frame through the waves (given the per-wave batch); `finish`
+    * shapes the final carry into the bounded result. */
+  private def driveIngestWaves(s: SparkSession, dir: String,
+      body: (DataFrame, MinHashDedup.DedupIndex, DataFrame, String, Long)
+        => DataFrame,
+      finish: DataFrame => DataFrame): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val corpus = docs
       .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
@@ -136,37 +149,35 @@ object CorpusOps {
     val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
     val stream = docs
       .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
-    val root = java.nio.file.Files.createTempDirectory("graft_c14_").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_waves_").toString
     try {
-      // seed: the corpus's own internal clusters, MATERIALIZED
-      // (localCheckpoint) — every wave's star edges must read landed or
-      // checkpointed labels, never stack the previous CC-loop's plan
-      // (plan size otherwise grows exponentially in waves; measured:
-      // driver heap exhaustion by wave 3 at sf0.01)
       val seed = ConnectedComponents.components(
         MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
           .select(col("id_a"), col("id_b")))
         .localCheckpoint()
-      var labels = seed
+      var carry = seed
       (0 until C9Batches).foreach { b =>
         val batch = stream
           .filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong)
-        labels = StreamOps.rollingCcBatch(batch, staticIndex, seed,
-          "doc_id", "text", NearDupThreshold, s"$root/state", b.toLong)
+        carry = body(batch, staticIndex, seed, s"$root/state", b.toLong)
       }
-      val res = labels.groupBy(col("component"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("component")
-      // bounded (|clusters| rows): materialize before the temp state is
-      // deleted — the returned frame must not lazily re-read it
+      val res = finish(carry)
+      // bounded result: materialize before the temp state is deleted —
+      // the returned frame must not lazily re-read it
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(root))
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
     }
   }
+
+  def c14RollingCc(s: SparkSession, dir: String): DataFrame =
+    driveIngestWaves(s, dir,
+      (batch, idx, seed, state, b) =>
+        graft.streaming.StreamOps.rollingCcBatch(batch, idx, seed,
+          "doc_id", "text", NearDupThreshold, state, b),
+      labels => labels.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("component"))
 
   // lazy: C9StreamEnd is declared further down the object; an eager val
   // here would interpolate its pre-initialization default (0)
@@ -302,42 +313,23 @@ object CorpusOps {
     * SQL body over the c14 window's one-shot clusters. */
   def c17RollingRep(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val docs = Tables(s, dir, "documents")
-    val corpus = docs
-      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
-      .select(col("doc_id"), col("text"))
-    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-    val stream = docs
-      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
-    val scores = docs.select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
-    val root = java.nio.file.Files.createTempDirectory("graft_c17_").toString
-    try {
-      val seed = ConnectedComponents.components(
-        MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
-          .select(col("id_a"), col("id_b")))
-        .localCheckpoint()
-      val seedState = StreamOps.repStateOf(seed, scores).localCheckpoint()
-      var state = seedState
-      (0 until C9Batches).foreach { b =>
-        val batch = stream
-          .filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong)
-        state = StreamOps.rollingRepBatch(batch, staticIndex, seed,
-          seedState, scores, "doc_id", "text", NearDupThreshold,
-          s"$root/state", b.toLong)._2
-      }
-      val res = state.filter(col("n_docs") >= 2)
+    val scores = Tables(s, dir, "documents")
+      .select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
+    // seed state derives from the shared driver's seed on the first
+    // wave (built once, materialized — the seed labels themselves are
+    // already localCheckpointed by the driver)
+    var seedState: DataFrame = null
+    driveIngestWaves(s, dir,
+      (batch, idx, seed, state, b) => {
+        if (seedState == null)
+          seedState = StreamOps.repStateOf(seed, scores).localCheckpoint()
+        StreamOps.rollingRepBatch(batch, idx, seed, seedState, scores,
+          "doc_id", "text", NearDupThreshold, state, b)._2
+      },
+      state => state.filter(col("n_docs") >= 2)
         .select(col("component"), col("n_docs"), col("best_doc"),
           col("best_q_e6"), expr("q_sum div n_docs").as("mean_q_e6"))
-        .orderBy("component")
-      // bounded (|clusters| rows): materialize before the temp state is
-      // deleted — the returned frame must not lazily re-read it
-      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(root))
-    }
+        .orderBy("component"))
   }
 
   // lazy: C9StreamEnd is declared further down the object (the c14Sql
@@ -496,10 +488,7 @@ object CorpusOps {
       // deleted — the returned frame must not lazily re-read it
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(root))
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
     }
   }
 

@@ -626,10 +626,7 @@ object ScaleOps {
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally {
       idx.close()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(root))
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
     }
   }
 
@@ -1090,7 +1087,10 @@ object ScaleOps {
           col("embedding").cast("array<double>").as("emb"))
       val grown = IvfSearch.Index(idx0.centroids,
         idx0.assignments.unionByName(IvfSearch.assign(late, idx0.centroids)))
-      val brute = bruteTopK(s, e)
+      // MATERIALIZED (|q|·topK = 15 rows): each audit ends in a collect,
+      // and a lazy brute plan would re-run the |q|·|corpus| scoring pass
+      // once per audit — the cost sharing it exists to avoid
+      val brute = bruteTopK(s, e).localCheckpoint()
       val g = recallAuditAgainst(s, e, grown, brute)
         .select(col("nprobe"), col("recall_ppm").as("grown_ppm"))
       val f = recallAuditAgainst(s, e, full, brute)
@@ -1361,10 +1361,7 @@ object ScaleOps {
     Option(artifactBase.toFile.listFiles).foreach(_.foreach { f =>
       if (f.isDirectory && f.getName.startsWith(s"${family}_") &&
           f.getName != s"${family}_$fp") {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles).foreach(_.foreach(rm)); x.delete(); ()
-        }
-        rm(f)
+        graft.sources.Sources.deleteRecursively(f)
       }
     })
     dir

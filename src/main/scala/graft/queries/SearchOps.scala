@@ -496,10 +496,7 @@ object SearchOps {
       // bounded (TopK rows): materialize before the temp state is deleted
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(root))
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
     }
   }
 

@@ -239,6 +239,15 @@ object Sources {
     }
   }
 
+  /** Recursive local-filesystem delete — the cleanup every
+    * temp-state-scoped query (rolling-wave drivers, artifact eviction)
+    * shares instead of re-declaring. Deliberately java.io (driver-local
+    * temp dirs), not Hadoop FS. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   /** S6 — `SELECT name FROM sqlite_master` → catalog listing. */
   def listTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq

@@ -1266,10 +1266,12 @@ object StreamOps {
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("q_e6")).as("q_sum"),
-        max(struct(col("q_e6").as("best_q_e6"),
-          (-col("id")).as("nbd"))).as("b"))
+        // (q_e6 desc, id asc) argmax as ONE min aggregate: negate the
+        // always-numeric score, never the id — ids stay generic (string
+        // ids order lexicographically; negating them would null out)
+        min(struct((-col("q_e6")).as("nq"), col("id").as("bd"))).as("b"))
       .select(col("component"), col("n_docs"), col("q_sum"),
-        col("b.best_q_e6").as("best_q_e6"), (-col("b.nbd")).as("best_doc"))
+        (-col("b.nq")).as("best_q_e6"), col("b.bd").as("best_doc"))
 
   /** Streaming face of [[rollingRepBatch]] — label advance AND c16-shaped
     * representative maintenance per micro-batch, the deployment wrapper
@@ -1359,9 +1361,11 @@ object StreamOps {
       .groupBy(col("component"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("q_sum")).as("q_sum"),
-        max(struct(col("best_q_e6"), (-col("best_doc")).as("nbd"))).as("b"))
+        // same id-generic (q desc, id asc) argmax as [[repStateOf]]
+        min(struct((-col("best_q_e6")).as("nq"),
+          col("best_doc").as("bd"))).as("b"))
       .select(col("component"), col("n_docs"), col("q_sum"),
-        col("b.best_q_e6").as("best_q_e6"), (-col("b.nbd")).as("best_doc"))
+        (-col("b.nq")).as("best_q_e6"), col("b.bd").as("best_doc"))
       .localCheckpoint() // eager — same plan-stacking trap as the labels
     landDelta(state, s"$statePath/rep", batchId)
     pruneSupersededBatches(spark, s"$statePath/rep")
@@ -1444,6 +1448,9 @@ object StreamOps {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val shardIds = terms
       .map(t => (graft.operators.PortableHash.hex60(t) % shards).toInt).distinct
+    if (!pathExists(spark, s"$statePath/bm25_postings"))
+      sys.error(s"bm25ServeRolling: no postings landed at $statePath — " +
+        "run bm25IndexPerBatch (or bm25IndexBatch) first")
     val post = spark.read.parquet(s"$statePath/bm25_postings")
       .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*))
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
@@ -1484,21 +1491,28 @@ object StreamOps {
     * arrived (spec-pinned). */
   def kAnonPerBatch(docs: DataFrame, frozenLevel: Int, statePath: String,
       checkpoint: String)(sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(frozenLevel >= 0 && frozenLevel <= 2,
+      s"frozenLevel must be one of d43's generalization levels 0..2, got $frozenLevel")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val report = kAnonBatch(batch, statePath, batchId)
         sink(report, batchId)
-        val row = report.filter(col("level") === frozenLevel).head
-        if (!row.getBoolean(3))
-          throw new IllegalStateException(
-            s"k-anonymity degraded at frozen release level $frozenLevel: " +
-              s"min class size ${row.getLong(2)} < " +
-              s"${graft.queries.TextOps.KAnon} " +
-              s"(${row.getLong(4)} rows at risk) — release halted")
+        // an empty window (cold start, no-data trigger) has no classes
+        // and nothing to degrade — skip the gate, don't crash on head()
+        report.filter(col("level") === frozenLevel)
+          .collect().headOption.foreach { row =>
+            if (!row.getBoolean(3))
+              throw new IllegalStateException(
+                s"k-anonymity degraded at frozen release level $frozenLevel: " +
+                  s"min class size ${row.getLong(2)} < " +
+                  s"${graft.queries.TextOps.KAnon} " +
+                  s"(${row.getLong(4)} rows at risk) — release halted")
+          }
       }
       .start()
+  }
 
   /** One micro-batch of [[kAnonPerBatch]] — package-visible so the spec
     * can force a replay. Returns the accumulated-window d43 report. */
