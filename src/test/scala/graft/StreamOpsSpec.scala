@@ -1387,6 +1387,13 @@ class StreamOpsSpec extends AnyFunSuite {
     // replay of the violating batch is idempotent (reads counts < 2,
     // overwrites its own snapshot)
     assert(rows(StreamOps.kAnonBatch(bad.toDF(), state, 2L)) == reports(2L))
+    // a frozen level outside d43's 0..2 sweep is a configuration error,
+    // rejected before any stream starts
+    val bad2 = intercept[IllegalArgumentException] {
+      StreamOps.kAnonPerBatch(ms.toDF(), frozenLevel = 3, state,
+        root.resolve("ck2").toString) { (_, _) => () }
+    }
+    assert(bad2.getMessage.contains("generalization levels"), bad2.getMessage)
     // class-count snapshots bounded like the labels (latest + previous)
     val parts = Option(root.resolve("state").resolve("kanon").toFile.listFiles())
       .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
