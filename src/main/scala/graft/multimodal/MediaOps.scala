@@ -891,6 +891,30 @@ object MediaOps {
   def toEmbeddingTable(feats: Dataset[ImageFeatures]): DataFrame =
     feats.toDF().select(col("media_id").as("vec_id"), col("embedding"))
 
+  /** The mm1/mm2/mm3 bridges index `bytes(i % bytes.length)` and the
+    * oracle replays `ord(substr(text, i % length(text) + 1))` — the two
+    * agree ONLY for non-empty pure-ASCII text: empty text is an
+    * ArithmeticException (mod by zero), and a non-ASCII character is
+    * encoded as '?' (63) by US_ASCII while DuckDB sees the codepoint
+    * (and `length(text)` counts CHARS where the byte walk counts
+    * BYTES), silently diverging the sums. Fails loudly per doc instead
+    * — the bridge's contract is bit-exactness, and a silent '?'
+    * substitution is exactly the drift it exists to catch. */
+  private def asciiBytes(docId: Long, text: String): Array[Byte] = {
+    if (text == null || text.isEmpty)
+      sys.error(s"media bridge: doc $docId has empty text — the byte-tile " +
+        "window is undefined (and the oracle's i % len is a div by zero)")
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) >= 128)
+        sys.error(s"media bridge: doc $docId has non-ASCII char " +
+          s"U+${text.charAt(i).toInt.toHexString} at $i — US_ASCII would " +
+          "encode it as '?' while the oracle replays the codepoint")
+      i += 1
+    }
+    text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
   // mm1 clip geometry — shared by the Spark side and the oracle text
   private val MmDocs = 40L  // documents rendered to video (exists at every sf)
   private val MmW = 16
@@ -921,7 +945,7 @@ object MediaOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     docs.mapPartitions { it =>
       it.flatMap { case (docId, text) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val bytes = asciiBytes(docId, text)
         val frames = (0 until MmF).map { f =>
           val img = new java.awt.image.BufferedImage(MmW, MmH,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -988,7 +1012,7 @@ object MediaOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     docs.mapPartitions { it =>
       it.map { case (docId, text) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val bytes = asciiBytes(docId, text)
         val img = new java.awt.image.BufferedImage(Mm2W, Mm2H,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         var i = 0
@@ -1046,7 +1070,7 @@ object MediaOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     docs.mapPartitions { it =>
       it.map { case (docId, text) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val bytes = asciiBytes(docId, text)
         val samples = Array.tabulate(Mm3Samples)(i =>
           (((bytes(i % bytes.length) & 0xff) - 128) * 256).toShort)
         val wav = AudioCodec.encodeWav(samples, Mm3Rate) // REAL bytes

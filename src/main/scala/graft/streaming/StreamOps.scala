@@ -968,6 +968,27 @@ object StreamOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True iff `path` holds at least one parquet DATA file (recursive).
+    * A delta directory can EXIST while holding no data — e.g. only
+    * empty batches have landed — and a schema-less read of it fails
+    * with an opaque 'Unable to infer schema' instead of the caller's
+    * intended error; serving paths that cannot supply an explicit
+    * schema (the id type is the writer's) probe this first. */
+  private def hasParquetData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      found = f.getLen > 0 && n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }
+    found
+  }
+
   /** Read a batch_id-partitioned parquet delta that may not exist yet
     * (first batch) — the explicit schema makes an absent or empty
     * directory an empty frame instead of a schema-inference error. */
@@ -1336,9 +1357,22 @@ object StreamOps {
       textCol, threshold, statePath, batchId)
     // re-key: an old component id c is itself a member of the new label
     // table, so labels[c].component is where c's state now lives (c kept
-    // its label, or the wave merged it into a smaller id)
+    // its label, or the wave merged it into a smaller id). LEFT join +
+    // raise_error, not an inner join: the invariant holds for state this
+    // module produced (components() only emits >=2-member clusters, and
+    // star-collapse never forgets a labeled vertex), but a
+    // caller-supplied seedState carrying a component absent from the new
+    // label table (a singleton, or any future label-table change) would
+    // under an inner join silently DROP that cluster's n_docs/q_sum mass
+    // — the same divergence the fresh path below guards loudly.
     val rekeyed = prevState.withColumnRenamed("component", "oc")
-      .join(labels.select(col("id").as("oc"), col("component")), "oc")
+      .join(labels.select(col("id").as("oc"),
+        col("component").as("nc")), Seq("oc"), "left")
+      .withColumn("component",
+        when(col("nc").isNotNull, col("nc")).otherwise(expr(
+          "raise_error('rollingRepBatch: previous-state component missing " +
+            "from the new label table — its cluster mass would be dropped')")
+          .cast(idType)))
       .select(col("component"), col("n_docs"), col("q_sum"),
         col("best_q_e6"), col("best_doc"))
     // singleton contributions of members ENTERING the label table this
@@ -1442,13 +1476,26 @@ object StreamOps {
     * from the latest stats snapshot, and the shared
     * [[graft.operators.KeywordSearch.scoreColumn]] expression tree so
     * scores are bit-identical to the corpus-rescan path. Returns
-    * (id, score) for docs containing at least one query term. */
+    * (id, score) for docs containing at least one query term.
+    *
+    * Serve-while-quiet: like the compaction passes, serving assumes the
+    * writer is not CONCURRENTLY landing-and-pruning under the reader —
+    * the stats snapshot is chosen by directory listing and scanned
+    * lazily, so if two more micro-batches land and
+    * [[pruneSupersededBatches]] runs before this frame executes, the
+    * chosen `batch_id=` partition may be gone (FileNotFoundException).
+    * The default keep=2 protects a one-batch lag; a deployment serving
+    * from continuously-written state should raise the writer's keep (or
+    * quiesce the stream for the read window), not retry blind. */
   def bm25ServeRolling(spark: SparkSession, statePath: String,
       terms: Seq[String], shards: Int): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val shardIds = terms
       .map(t => (graft.operators.PortableHash.hex60(t) % shards).toInt).distinct
-    if (!pathExists(spark, s"$statePath/bm25_postings"))
+    // hasParquetData, not pathExists: a postings DIRECTORY with no data
+    // files (only empty batches landed) must hit this clear error, not
+    // schema inference's opaque one
+    if (!hasParquetData(spark, s"$statePath/bm25_postings"))
       sys.error(s"bm25ServeRolling: no postings landed at $statePath — " +
         "run bm25IndexPerBatch (or bm25IndexBatch) first")
     val post = spark.read.parquet(s"$statePath/bm25_postings")
