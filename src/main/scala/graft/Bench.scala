@@ -90,7 +90,15 @@ object Bench {
     } finally spark.catalog.clearCache()
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
       .trim.toIntOption.getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (comma-separated names); the driver sets no
+    // env, so official runs always measure the full surface
+    val keep: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) if names.trim.nonEmpty =>
+        names.split(",").map(_.trim).toSet
+      case _ => (_: String) => true
+    }
+    val results = SparkEntry.queries.toSeq.filter(e => keep(e._1))
+      .sortBy(_._1).map { case (name, fn) =>
       // noop sink fully materializes every output column (count() lets
       // Spark skip projections the count doesn't need). Each query gets
       // one untimed warm run (absorbs one-time plan/codegen cost), then

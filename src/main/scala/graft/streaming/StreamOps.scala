@@ -1058,6 +1058,53 @@ object StreamOps {
       .partitionBy("batch_id")
       .parquet(path)
 
+  /** Rows per shuffle partition for the per-wave batch bodies — the
+    * [[graft.operators.ConnectedComponents]] discipline (500k edges per
+    * partition there) applied to document/vector batches, whose rows
+    * carry text or embeddings and so run heavier per row. */
+  private val BatchRowsPerPartition = 100000L
+
+  /** Auto-narrowed shuffle width for ONE micro-batch body, sized from
+    * the batch's row count. A demo-scale micro-batch (hundreds of rows)
+    * otherwise runs every sweep/pair/advance join as session-width
+    * stages of near-empty tasks — pure scheduler overhead, measured as
+    * the dominant cost of the c14/c17/a5 wave family at sf0.1 — where
+    * [[graft.operators.ConnectedComponents]] already adapts its own
+    * loop. AQE is opted out INSIDE the narrowed region for the same
+    * reason CC opts out (per-shuffle-stage materialize-and-replan costs
+    * more than the narrow stages themselves at this size); when the
+    * derived width reaches the session width — every at-scale batch —
+    * NOTHING is touched: width, AQE, and plan behavior are exactly the
+    * untouched deployment configuration. The extra `count()` the
+    * callers pay prunes to one column and is noise next to the sweep
+    * itself. Nested narrowing (CC's loop inside a narrowed body)
+    * composes: each layer restores what it found. */
+  private[graft] def withBatchShuffleWidth[T](spark: SparkSession,
+      rows: Long)(f: => T): T = {
+    val PartsKey = "spark.sql.shuffle.partitions"
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val prevParts = spark.conf.get(PartsKey)
+    // non-numeric session width (some deployments set "auto") → leave
+    // the session untouched, exactly the CC guard
+    val narrowed = scala.util.Try(prevParts.toLong).toOption.flatMap { p =>
+      val w = math.max(1L, math.min(p, rows / BatchRowsPerPartition + 1))
+      if (w >= p) None else Some(w.toString)
+    }
+    narrowed match {
+      case None => f
+      case Some(w) =>
+        val prevAqe = spark.conf.get(AqeKey)
+        try {
+          spark.conf.set(PartsKey, w)
+          spark.conf.set(AqeKey, "false")
+          f
+        } finally {
+          spark.conf.set(PartsKey, prevParts)
+          spark.conf.set(AqeKey, prevAqe)
+        }
+    }
+  }
+
   /** The shared ACCUMULATION step behind [[ingestBatchCompact]] and the
     * per-batch audit gates ([[sourceOverlapPerBatch]]): sweep one
     * arriving batch against `staticIndex` ∪ the accumulated index deltas
@@ -1112,7 +1159,8 @@ object StreamOps {
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       staticCorpusIds: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, threshold: Double, n: Int,
-      outPath: String, statePath: String, batchId: Long): Unit = {
+      outPath: String, statePath: String, batchId: Long): Unit =
+    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
       threshold, statePath, batchId)
     try {
@@ -1150,10 +1198,12 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
-          threshold, statePath, batchId)
-        try sink(rollupSourcePairs(pairs, sources, idCol), batchId)
-        finally pairs.unpersist()
+        withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+          val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
+            threshold, statePath, batchId)
+          try sink(rollupSourcePairs(pairs, sources, idCol), batchId)
+          finally pairs.unpersist()
+        }
       }
       .start()
 
@@ -1243,10 +1293,12 @@ object StreamOps {
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       seedLabels: DataFrame, idCol: String, textCol: String,
       threshold: Double, statePath: String, batchId: Long): DataFrame =
-    rollingCcBatchFrom(batch, staticIndex,
-      landedLabelsBefore(batch.sparkSession, statePath, seedLabels,
-        batch.schema(idCol).dataType, batchId),
-      idCol, textCol, threshold, statePath, batchId)
+    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+      rollingCcBatchFrom(batch, staticIndex,
+        landedLabelsBefore(batch.sparkSession, statePath, seedLabels,
+          batch.schema(idCol).dataType, batchId),
+        idCol, textCol, threshold, statePath, batchId)
+    }
 
   /** [[rollingCcBatch]] with the pre-advance labels already in hand —
     * the composed rep path passes the table it needed anyway. */
@@ -1333,7 +1385,8 @@ object StreamOps {
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       seedLabels: DataFrame, seedState: DataFrame, scores: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      statePath: String, batchId: Long): (DataFrame, DataFrame) = {
+      statePath: String, batchId: Long): (DataFrame, DataFrame) =
+    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
     val spark = batch.sparkSession
     val idType = batch.schema(idCol).dataType
     val stSchema = new org.apache.spark.sql.types.StructType()
@@ -1434,7 +1487,8 @@ object StreamOps {
   /** One micro-batch of [[bm25IndexPerBatch]] — package-visible so the
     * spec can force a replay and k11 can drive batch waves. */
   private[graft] def bm25IndexBatch(batch: DataFrame, idCol: String,
-      textCol: String, shards: Int, statePath: String, batchId: Long): Unit = {
+      textCol: String, shards: Int, statePath: String, batchId: Long): Unit =
+    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
     val spark = batch.sparkSession
     val posted = batch
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
@@ -1564,7 +1618,8 @@ object StreamOps {
   /** One micro-batch of [[kAnonPerBatch]] — package-visible so the spec
     * can force a replay. Returns the accumulated-window d43 report. */
   private[graft] def kAnonBatch(batch: DataFrame, statePath: String,
-      batchId: Long): DataFrame = {
+      batchId: Long): DataFrame =
+    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
     val spark = batch.sparkSession
     val cntSchema = new org.apache.spark.sql.types.StructType()
       .add("level", org.apache.spark.sql.types.IntegerType)
@@ -1774,7 +1829,8 @@ object StreamOps {
   private[graft] def semDedupBatch(batch: DataFrame,
       centroids: Seq[(Int, Seq[Double])], staticAssign: DataFrame,
       seedLabels: DataFrame, idCol: String, embCol: String,
-      threshold: Double, statePath: String, batchId: Long): DataFrame = {
+      threshold: Double, statePath: String, batchId: Long): DataFrame =
+    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
     val spark = batch.sparkSession
     graft.functions.DotProduct.register(spark)
     val dot = graft.functions.DotProduct.dotProduct _

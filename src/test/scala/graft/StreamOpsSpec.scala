@@ -1576,6 +1576,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(summed.values.map(_._2).sum >= 1L,
       "at least one leaky val/test arrival expected")
   }
+
+  test("withBatchShuffleWidth tracks batch size, restores conf, skips at scale") {
+    val PartsKey = "spark.sql.shuffle.partitions"
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val sessionParts = spark.conf.get(PartsKey)
+    val sessionAqe = spark.conf.get(AqeKey)
+    val p = sessionParts.toLong
+    assert(p >= 2, "session width must exceed 1 for this spec to bite")
+    def widthInside(rows: Long): (String, String) =
+      StreamOps.withBatchShuffleWidth(spark, rows) {
+        (spark.conf.get(PartsKey), spark.conf.get(AqeKey))
+      }
+    // demo-scale batch: width narrows to ceil-ish rows/100k, AQE off inside
+    assert(widthInside(500L) == (("1", "false")))
+    assert(widthInside(250000L)._1 == "3")
+    // the narrowed width is what a shuffle actually runs at
+    val narrowedParts = StreamOps.withBatchShuffleWidth(spark, 500L) {
+      spark.range(1000).groupBy((col("id") % 7).as("k")).count()
+        .rdd.getNumPartitions
+    }
+    assert(narrowedParts == 1, s"shuffle ran at $narrowedParts partitions")
+    // at-scale batch (>= sessionWidth * 100k rows): session untouched
+    assert(widthInside(p * 100000L) == ((sessionParts, sessionAqe)))
+    // conf restored after the body, including on throw
+    assert(spark.conf.get(PartsKey) == sessionParts)
+    assert(spark.conf.get(AqeKey) == sessionAqe)
+    intercept[RuntimeException] {
+      StreamOps.withBatchShuffleWidth(spark, 1L)(sys.error("boom"))
+    }
+    assert(spark.conf.get(PartsKey) == sessionParts)
+    assert(spark.conf.get(AqeKey) == sessionAqe)
+  }
 }
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
