@@ -1163,20 +1163,33 @@ object StreamOps {
     withBatchShuffleWidth(batch.sparkSession, batch.count()) {
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
       threshold, statePath, batchId)
-    try {
-      val staticIds = staticCorpusIds.select(col(idCol).as("cid"))
-      val drops = pairs.select(col("id_b").as("id"))
-        .unionByName(pairs.join(staticIds, col("id_b") === col("cid"))
-          .select(col("id_a").as("id")))
-        .distinct()
-      val deduped = batch.join(drops, batch(idCol) === drops("id"), "left_anti")
-      val contaminated = graft.operators.Decontaminate
-        .contamination(deduped, evalSet, idCol, textCol, n)
-        .select(col("id"))
-      val clean = deduped.join(contaminated,
-        deduped(idCol) === contaminated("id"), "left_anti")
-      landDelta(clean, outPath, batchId)
-    } finally pairs.unpersist()
+    try promoteClean(batch, pairs, staticCorpusIds, evalSet, idCol,
+      textCol, n, outPath, batchId)
+    finally pairs.unpersist()
+  }
+
+  /** The PROMOTION tail of [[ingestBatchCompact]] over an already-swept
+    * pair frame: drop the batch's near-dup losers (smaller id wins;
+    * anything pairing a static-corpus doc always loses), decontaminate
+    * against the eval set, land the survivors. Factored out so the
+    * composed gate ([[deployGatesBatch]]) feeds it the ONE sweep every
+    * text gate shares. */
+  private def promoteClean(batch: DataFrame, pairs: DataFrame,
+      staticCorpusIds: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      outPath: String, batchId: Long): Unit = {
+    val staticIds = staticCorpusIds.select(col(idCol).as("cid"))
+    val drops = pairs.select(col("id_b").as("id"))
+      .unionByName(pairs.join(staticIds, col("id_b") === col("cid"))
+        .select(col("id_a").as("id")))
+      .distinct()
+    val deduped = batch.join(drops, batch(idCol) === drops("id"), "left_anti")
+    val contaminated = graft.operators.Decontaminate
+      .contamination(deduped, evalSet, idCol, textCol, n)
+      .select(col("id"))
+    val clean = deduped.join(contaminated,
+      deduped(idCol) === contaminated("id"), "left_anti")
+    landDelta(clean, outPath, batchId)
   }
 
   /** Streaming twin of c7's source-overlap provenance matrix: per
@@ -1306,24 +1319,31 @@ object StreamOps {
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       prev: DataFrame, idCol: String, textCol: String,
       threshold: Double, statePath: String, batchId: Long): DataFrame = {
-    val spark = batch.sparkSession
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
       threshold, statePath, batchId)
-    try {
-      // the releasing variant: each micro-batch unpersists the caches its
-      // CC pass created (the non-releasing form leaks ~2 CacheManager
-      // entries per batch in a continuous stream). The localCheckpoint
-      // INSIDE the callback is eager, so the labels are materialized
-      // before the caches are released — and pairs right after.
-      val labels = graft.operators.ConnectedComponents
-        .incrementalStepWith(prev, pairs)(_.localCheckpoint())
-      landDelta(labels, s"$statePath/labels", batchId)
-      // label snapshots below latest+previous are superseded — prune
-      // them now that the new land is durable (bounds at-rest state to
-      // 2·|labels| rows however many waves have run)
-      pruneSupersededBatches(spark, s"$statePath/labels")
-      labels
-    } finally pairs.unpersist()
+    try ccAdvance(prev, pairs, statePath, batchId)
+    finally pairs.unpersist()
+  }
+
+  /** The label ADVANCE half of [[rollingCcBatchFrom]] over an
+    * already-swept pair frame — star-collapse the previous labels with
+    * the wave's pairs, land the snapshot, prune superseded ones.
+    * Factored out so the composed gate reuses the one shared sweep. */
+  private def ccAdvance(prev: DataFrame, pairs: DataFrame,
+      statePath: String, batchId: Long): DataFrame = {
+    // the releasing variant: each micro-batch unpersists the caches its
+    // CC pass created (the non-releasing form leaks ~2 CacheManager
+    // entries per batch in a continuous stream). The localCheckpoint
+    // INSIDE the callback is eager, so the labels are materialized
+    // before the caches are released — and pairs right after.
+    val labels = graft.operators.ConnectedComponents
+      .incrementalStepWith(prev, pairs)(_.localCheckpoint())
+    landDelta(labels, s"$statePath/labels", batchId)
+    // label snapshots below latest+previous are superseded — prune
+    // them now that the new land is durable (bounds at-rest state to
+    // 2·|labels| rows however many waves have run)
+    pruneSupersededBatches(labels.sparkSession, s"$statePath/labels")
+    labels
   }
 
   /** The per-cluster representative state c16's from-scratch selection
@@ -1389,25 +1409,47 @@ object StreamOps {
     withBatchShuffleWidth(batch.sparkSession, batch.count()) {
     val spark = batch.sparkSession
     val idType = batch.schema(idCol).dataType
+    // the PRE-advance label table — read ONCE and passed through to the
+    // CC advance (it is the same table rollingCcBatch would re-read)
+    val prevLabels = landedLabelsBefore(spark, statePath, seedLabels,
+      idType, batchId)
+    val prevState = repStateBefore(spark, statePath, seedState, idType, batchId)
+    val labels = rollingCcBatchFrom(batch, staticIndex, prevLabels, idCol,
+      textCol, threshold, statePath, batchId)
+    (labels, repAdvance(labels, prevLabels, prevState, scores, idType,
+      statePath, batchId))
+  }
+
+  /** The PRE-advance representative state a wave reads: the latest
+    * landed snapshot strictly below `batchId`, or the seed on a cold
+    * start — the label-table read's twin. */
+  private def repStateBefore(spark: SparkSession, statePath: String,
+      seedState: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      batchId: Long): DataFrame = {
     val stSchema = new org.apache.spark.sql.types.StructType()
       .add("component", idType)
       .add("n_docs", org.apache.spark.sql.types.LongType)
       .add("q_sum", org.apache.spark.sql.types.LongType)
       .add("best_q_e6", org.apache.spark.sql.types.LongType)
       .add("best_doc", idType)
-    // the PRE-advance label table — read ONCE and passed through to the
-    // CC advance (it is the same table rollingCcBatch would re-read)
-    val prevLabels = landedLabelsBefore(spark, statePath, seedLabels,
-      idType, batchId)
-    val prevState = latestLandedBatch(spark, s"$statePath/rep", batchId) match {
+    latestLandedBatch(spark, s"$statePath/rep", batchId) match {
       case None => seedState.select(col("component"), col("n_docs"),
         col("q_sum"), col("best_q_e6"), col("best_doc"))
       case Some(last) =>
         readDelta(spark, s"$statePath/rep", stSchema)
           .filter(col("batch_id") === last).drop("batch_id")
     }
-    val labels = rollingCcBatchFrom(batch, staticIndex, prevLabels, idCol,
-      textCol, threshold, statePath, batchId)
+  }
+
+  /** The representative-state ADVANCE half of [[rollingRepBatch]] given
+    * the post-advance labels — the |state|-row monoid merge. Factored
+    * out so the composed gate reuses the one shared CC advance. */
+  private def repAdvance(labels: DataFrame, prevLabels: DataFrame,
+      prevState: DataFrame, scores: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      statePath: String, batchId: Long): DataFrame = {
+    val spark = labels.sparkSession
     // re-key: an old component id c is itself a member of the new label
     // table, so labels[c].component is where c's state now lives (c kept
     // its label, or the wave merged it into a smaller id). LEFT join +
@@ -1456,7 +1498,7 @@ object StreamOps {
       .localCheckpoint() // eager — same plan-stacking trap as the labels
     landDelta(state, s"$statePath/rep", batchId)
     pruneSupersededBatches(spark, s"$statePath/rep")
-    (labels, state)
+    state
   }
 
   /** Streaming maintenance of the k6 BM25 inverted index — the Lucene
@@ -1489,6 +1531,13 @@ object StreamOps {
   private[graft] def bm25IndexBatch(batch: DataFrame, idCol: String,
       textCol: String, shards: Int, statePath: String, batchId: Long): Unit =
     withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+      bm25IndexBatchImpl(batch, idCol, textCol, shards, statePath, batchId)
+    }
+
+  /** [[bm25IndexBatch]] without the width wrapper — the composed gate
+    * calls it inside its own already-narrowed region. */
+  private def bm25IndexBatchImpl(batch: DataFrame, idCol: String,
+      textCol: String, shards: Int, statePath: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val posted = batch
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
@@ -1620,6 +1669,13 @@ object StreamOps {
   private[graft] def kAnonBatch(batch: DataFrame, statePath: String,
       batchId: Long): DataFrame =
     withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+      kAnonBatchImpl(batch, statePath, batchId)
+    }
+
+  /** [[kAnonBatch]] without the width wrapper — the composed gate calls
+    * it inside its own already-narrowed region. */
+  private def kAnonBatchImpl(batch: DataFrame, statePath: String,
+      batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val cntSchema = new org.apache.spark.sql.types.StructType()
       .add("level", org.apache.spark.sql.types.IntegerType)
@@ -1835,13 +1891,6 @@ object StreamOps {
     graft.functions.DotProduct.register(spark)
     val dot = graft.functions.DotProduct.dotProduct _
     val idType = batch.schema(idCol).dataType
-    val labSchema = new org.apache.spark.sql.types.StructType()
-      .add("id", idType).add("component", idType)
-    val asgSchema = new org.apache.spark.sql.types.StructType()
-      .add("id", idType)
-      .add("emb", org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType))
-      .add("centroid_id", org.apache.spark.sql.types.IntegerType)
     // frozen-quantizer assignment + norm once per row (the pair join
     // must never recompute ||x||)
     val asg = graft.operators.IvfSearch.assign(
@@ -1849,45 +1898,202 @@ object StreamOps {
           col(embCol).cast("array<double>").as("emb")), centroids)
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // landed side: static inverted file ∪ assignment deltas of batches
-      // STRICTLY BELOW this one (a replayed batch must not see its own
-      // landed delta) ∪ the batch itself (within-batch near-dups). The
-      // norm is computed during the same-cluster scan the cosine needs
-      // anyway — never a second pass over the corpus.
-      val landed = readDelta(spark, s"$statePath/sem_assign", asgSchema)
-        .filter(col("batch_id") < batchId)
-        .select(col("id"), col("emb"), col("centroid_id"))
-      val base = staticAssign.select(col("id"), col("emb"), col("centroid_id"))
-        .unionByName(landed)
-        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-        .unionByName(asg)
-      // same-cluster blocking; least/greatest + distinct because the
-      // batch side appears on BOTH ends of within-batch pairs
-      val pairs = asg.as("a")
-        .join(base.as("b"),
-          col("a.centroid_id") === col("b.centroid_id") &&
-            col("a.id") =!= col("b.id"))
-        .withColumn("cos", round(
-          dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
-        .filter(col("cos") >= threshold)
-        .select(least(col("a.id"), col("b.id")).as("id_a"),
-          greatest(col("a.id"), col("b.id")).as("id_b"))
-        .distinct()
-      val prev = latestLandedBatch(spark, s"$statePath/sem_labels", batchId) match {
-        case None => seedLabels.select(col("id"), col("component"))
-        case Some(last) =>
-          readDelta(spark, s"$statePath/sem_labels", labSchema)
-            .filter(col("batch_id") === last).drop("batch_id")
+    try semAdvance(asg, staticAssign, seedLabels, idType, threshold,
+      statePath, batchId)
+    finally asg.unpersist()
+  }
+
+  /** The semantic-dedup ADVANCE over an already-computed (and persisted)
+    * frozen-quantizer batch assignment `asg` (id, emb, centroid_id, nrm)
+    * — the same-cluster sweep, star-collapse, and state lands. Factored
+    * out so the composed gate computes the assignment ONCE and feeds
+    * both the IVF-growth land and this gate. */
+  private def semAdvance(asg: DataFrame, staticAssign: DataFrame,
+      seedLabels: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      threshold: Double, statePath: String, batchId: Long): DataFrame = {
+    val spark = asg.sparkSession
+    graft.functions.DotProduct.register(spark)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val labSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType).add("component", idType)
+    val asgSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType)
+      .add("emb", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      .add("centroid_id", org.apache.spark.sql.types.IntegerType)
+    // landed side: static inverted file ∪ assignment deltas of batches
+    // STRICTLY BELOW this one (a replayed batch must not see its own
+    // landed delta) ∪ the batch itself (within-batch near-dups). The
+    // norm is computed during the same-cluster scan the cosine needs
+    // anyway — never a second pass over the corpus.
+    val landed = readDelta(spark, s"$statePath/sem_assign", asgSchema)
+      .filter(col("batch_id") < batchId)
+      .select(col("id"), col("emb"), col("centroid_id"))
+    val base = staticAssign.select(col("id"), col("emb"), col("centroid_id"))
+      .unionByName(landed)
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .unionByName(asg)
+    // same-cluster blocking; least/greatest + distinct because the
+    // batch side appears on BOTH ends of within-batch pairs
+    val pairs = asg.as("a")
+      .join(base.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") =!= col("b.id"))
+      .withColumn("cos", round(
+        dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val prev = latestLandedBatch(spark, s"$statePath/sem_labels", batchId) match {
+      case None => seedLabels.select(col("id"), col("component"))
+      case Some(last) =>
+        readDelta(spark, s"$statePath/sem_labels", labSchema)
+          .filter(col("batch_id") === last).drop("batch_id")
+    }
+    val labels = graft.operators.ConnectedComponents
+      .incrementalStepWith(prev, pairs)(_.localCheckpoint())
+    landDelta(asg.select(col("id"), col("emb"), col("centroid_id")),
+      s"$statePath/sem_assign", batchId)
+    landDelta(labels, s"$statePath/sem_labels", batchId)
+    pruneSupersededBatches(spark, s"$statePath/sem_labels")
+    labels
+  }
+
+  /** Everything the composed deployment stream's gates need, bundled:
+    * the frozen artifacts a deployment pins (MinHash index over the
+    * released corpus, eval set, coarse quantizer, seed labels/state)
+    * plus the column names and thresholds. One value constructed at
+    * deploy time, immutable across waves — the per-wave state all lives
+    * under `statePath`. */
+  case class DeployGatesConfig(
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      staticCorpusIds: DataFrame,
+      evalSet: DataFrame,
+      sources: DataFrame,
+      seedLabels: DataFrame,
+      seedRepState: DataFrame,
+      scores: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      staticAssign: DataFrame,
+      semSeedLabels: DataFrame,
+      idCol: String, textCol: String, embCol: String,
+      threshold: Double, semThreshold: Double,
+      decontamN: Int, bm25Shards: Int, frozenLevel: Int,
+      outPath: String, statePath: String)
+
+  /** What the composed gate hands the sink after each wave — every
+    * frame already materialized (localCheckpointed), so the sink can
+    * consume them after the wave's caches are released. */
+  case class DeployGatesReport(
+      overlap: DataFrame, labels: DataFrame, repState: DataFrame,
+      kanonReport: DataFrame, semLabels: DataFrame)
+
+  /** The COMPOSED deployment stream — every per-batch gate this module
+    * ships, fed from ONE pass over each arriving batch. Run solo, the
+    * six gates each re-read the batch and recompute its derived forms
+    * (the dedup sweep, rolling CC, and representatives each re-shingle
+    * it; the semantic gate and IVF growth each re-run the frozen-
+    * quantizer argmin). Composed, the batch is cached once and each
+    * expensive derived form is computed ONCE and shared:
+    *
+    *   - batch shingles/signatures: ONE [[sweepBatchAccum]] sweep feeds
+    *     the source-overlap rollup, the clean-corpus promotion
+    *     ([[promoteClean]]), and the label advance ([[ccAdvance]]) the
+    *     representative monoid rides on ([[repAdvance]]);
+    *   - frozen-quantizer assignment: ONE [[graft.operators.IvfSearch
+    *     .assign]] lands the IVF growth delta AND drives the semantic
+    *     dedup sweep ([[semAdvance]]);
+    *   - the BM25 segment land and the k-anonymity monitor (n_chars is
+    *     computed from `textCol` here) read the cached batch directly.
+    *
+    * At 100 TB this is the difference between one scan of each arriving
+    * batch and six. State lands under ONE `statePath` in exactly the
+    * per-gate layouts, so every solo read path serves unchanged from a
+    * composed deployment: [[bm25ServeRolling]], [[grownIvfIndex]],
+    * [[compactLanded]], and the per-gate compactors all point at the
+    * same directories — and each gate's output equals its solo run's
+    * after any number of waves (spec-pinned, including a batch-scanned-
+    * once accumulator audit). The k-anonymity fail-fast contract is
+    * [[kAnonPerBatch]]'s: the sink sees the violating report, then the
+    * stream dies. */
+  def deployGatesPerBatch(docs: DataFrame, cfg: DeployGatesConfig,
+      checkpoint: String)(sink: (DeployGatesReport, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(cfg.frozenLevel >= 0 && cfg.frozenLevel <= 2,
+      s"frozenLevel must be one of d43's generalization levels 0..2, got ${cfg.frozenLevel}")
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val report = deployGatesBatch(batch, cfg, batchId)
+        sink(report, batchId)
+        report.kanonReport.filter(col("level") === cfg.frozenLevel)
+          .collect().headOption.foreach { row =>
+            if (!row.getBoolean(3))
+              throw new IllegalStateException(
+                s"k-anonymity degraded at frozen release level ${cfg.frozenLevel}: " +
+                  s"min class size ${row.getLong(2)} < " +
+                  s"${graft.queries.TextOps.KAnon} " +
+                  s"(${row.getLong(4)} rows at risk) — release halted")
+          }
       }
-      val labels = graft.operators.ConnectedComponents
-        .incrementalStepWith(prev, pairs)(_.localCheckpoint())
-      landDelta(asg.select(col("id"), col("emb"), col("centroid_id")),
-        s"$statePath/sem_assign", batchId)
-      landDelta(labels, s"$statePath/sem_labels", batchId)
-      pruneSupersededBatches(spark, s"$statePath/sem_labels")
-      labels
-    } finally asg.unpersist()
+      .start()
+  }
+
+  /** One micro-batch of [[deployGatesPerBatch]] — package-visible so the
+    * spec can force replays and drive batch waves. */
+  private[graft] def deployGatesBatch(batch: DataFrame,
+      cfg: DeployGatesConfig, batchId: Long): DeployGatesReport = {
+    val spark = batch.sparkSession
+    // the ONE batch materialization every gate reads back from cache —
+    // count() is both the caching action and the width signal
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try withBatchShuffleWidth(spark, cached.count()) {
+      val idType = cached.schema(cfg.idCol).dataType
+      // text side: the one shingle sweep four gates share
+      val pairs = sweepBatchAccum(cached, cfg.staticIndex, cfg.idCol,
+        cfg.textCol, cfg.threshold, cfg.statePath, batchId)
+      try {
+        val overlap = rollupSourcePairs(pairs, cfg.sources, cfg.idCol)
+          .localCheckpoint() // eager — consumed after pairs unpersists
+        promoteClean(cached, pairs, cfg.staticCorpusIds, cfg.evalSet,
+          cfg.idCol, cfg.textCol, cfg.decontamN, cfg.outPath, batchId)
+        val prevLabels = landedLabelsBefore(spark, cfg.statePath,
+          cfg.seedLabels, idType, batchId)
+        val prevState = repStateBefore(spark, cfg.statePath,
+          cfg.seedRepState, idType, batchId)
+        val labels = ccAdvance(prevLabels, pairs, cfg.statePath, batchId)
+        val repState = repAdvance(labels, prevLabels, prevState,
+          cfg.scores, idType, cfg.statePath, batchId)
+        // token side
+        bm25IndexBatchImpl(cached, cfg.idCol, cfg.textCol, cfg.bm25Shards,
+          cfg.statePath, batchId)
+        // profile side — the quasi-identifier projection kAnon expects
+        val kanonReport = kAnonBatchImpl(
+          cached.select(col("source"), col("lang"),
+            length(col(cfg.textCol)).cast("long").as("n_chars")),
+          cfg.statePath, batchId)
+        // embedding side: the one frozen-quantizer assignment two gates
+        // share (norm once — semAdvance's pair join must never recompute it)
+        graft.functions.DotProduct.register(spark)
+        val dot = graft.functions.DotProduct.dotProduct _
+        val asg = graft.operators.IvfSearch.assign(
+            cached.select(col(cfg.idCol).as("id"),
+              col(cfg.embCol).cast("array<double>").as("emb")),
+            cfg.centroids)
+          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          landDelta(asg.select(col("id"), col("emb"), col("centroid_id")),
+            s"${cfg.statePath}/ivf_assign", batchId)
+          val semLabels = semAdvance(asg, cfg.staticAssign,
+            cfg.semSeedLabels, idType, cfg.semThreshold, cfg.statePath,
+            batchId)
+          DeployGatesReport(overlap, labels, repState, kanonReport, semLabels)
+        } finally asg.unpersist()
+      } finally pairs.unpersist()
+    } finally cached.unpersist()
   }
 
   /** The compaction pass: replay the gate's drop policy over the FULL

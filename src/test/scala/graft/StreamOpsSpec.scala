@@ -1577,6 +1577,223 @@ class StreamOpsSpec extends AnyFunSuite {
       "at least one leaky val/test arrival expected")
   }
 
+  // ---- composed deployment stream (deployGatesBatch / deployGatesPerBatch)
+
+  /** Shared fixture for the composed-gate specs: frozen artifacts + two
+    * waves of documents carrying text, provenance, and an embedding. */
+  private object DeployFixture {
+    import spark.implicits._
+    val threshold = 0.3
+    val semThreshold = 0.3
+    val t10 = "the quick brown fox jumps over the lazy dog near the riverbank every morning"
+    lazy val corpus = Seq(10L -> t10, 11L -> t10.replace("morning", "evening"))
+      .toDF("doc_id", "text")
+    lazy val staticIndex = graft.operators.MinHashDedup
+      .buildDedupIndex(corpus, "doc_id", "text")
+    lazy val corpusIds = corpus.select(col("doc_id"))
+    lazy val evalSet = Seq(
+      900L -> "held out benchmark question about climate adaptation policy outcomes")
+      .toDF("doc_id", "text")
+    lazy val seed = graft.operators.ConnectedComponents.components(
+      graft.operators.MinHashDedup
+        .nearDuplicates(corpus, "doc_id", "text", threshold)
+        .select(col("id_a"), col("id_b"))).localCheckpoint()
+    lazy val scores = (Seq(10L -> 40L, 11L -> 55L, 100L -> 30L, 101L -> 90L,
+      102L -> 20L, 103L -> 10L) ++
+      // the streaming test's arrivals (their texts near-dup each other,
+      // so they enter the label table and the rep guard demands scores)
+      (300L to 304L).map(_ -> 15L) :+ (400L -> 5L)).toDF("id", "q_e6")
+    lazy val seedState = StreamOps.repStateOf(seed, scores).localCheckpoint()
+    val t101 = "an entirely different second wave document describing streaming ingest gates"
+    // doc 100 near-dups the corpus; 103 carries an eval 5-gram; 102
+    // near-dups 101 within its wave — promotion, decontamination, CC,
+    // and the rep argmax all genuinely move across the two waves
+    val wave0 = Seq(
+      (100L, t10.replace("morning", "midday"), "web", "en",
+        Seq(0.9, 0.1, 0.0, 0.0)),
+      (103L, "students repeated the benchmark question about climate adaptation policy verbatim",
+        "wiki", "en", Seq(0.0, 0.0, 0.0, 1.0)))
+    val wave1 = Seq(
+      (101L, t101, "web", "en", Seq(0.0, 0.0, 1.0, 0.0)),
+      (102L, t101.replace("gates", "dikes"), "wiki", "en",
+        Seq(0.0, 0.0, 0.97, 0.03)))
+    def waveDf(w: Seq[(Long, String, String, String, Seq[Double])]) =
+      w.toDF("doc_id", "text", "source", "lang", "embedding")
+    // provenance dimension covering corpus and stream docs
+    lazy val sources = (Seq(10L -> "corpus", 11L -> "corpus") ++
+      (wave0 ++ wave1).map(d => d._1 -> d._3)).toDF("doc_id", "source")
+    lazy val staticVecs = Seq(10L -> Seq(1.0, 0.0, 0.0, 0.0),
+      11L -> Seq(0.98, 0.02, 0.0, 0.0)).toDF("vec_id", "embedding")
+    lazy val semSeed = Seq.empty[(Long, Long)].toDF("id", "component")
+    def config(idx: graft.operators.IvfSearch.Index, root: java.nio.file.Path)
+        : StreamOps.DeployGatesConfig =
+      StreamOps.DeployGatesConfig(staticIndex, corpusIds, evalSet, sources,
+        seed, seedState, scores, idx.centroids, idx.assignments, semSeed,
+        "doc_id", "text", "embedding", threshold, semThreshold,
+        decontamN = 5, bm25Shards = 8, frozenLevel = 2,
+        root.resolve("out").toString, root.resolve("state").toString)
+  }
+
+  test("deployGatesBatch: every composed gate equals its solo run after 2 waves") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import DeployFixture._
+    val root = Files.createTempDirectory("deploygates")
+    val idx = graft.operators.IvfSearch.buildIndex(staticVecs, "vec_id",
+      "embedding", k = 2, iters = 2, roundDecimals = 6)
+    try {
+      val cfg = config(idx, root)
+      def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def landedIds(path: String): Set[Long] = spark.read.parquet(path)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // composed: both waves through the ONE-pass gate
+      val r0 = StreamOps.deployGatesBatch(waveDf(wave0), cfg, 0L)
+      val r1 = StreamOps.deployGatesBatch(waveDf(wave1), cfg, 1L)
+      // solo: each gate on its own state root, same waves
+      def soloRoot(name: String) = Files.createTempDirectory(name).toString
+      val (ovSt, ingSt, repSt, bmSt, kaSt, semSt, ivfSt) =
+        (soloRoot("s_ov"), soloRoot("s_ing"), soloRoot("s_rep"),
+          soloRoot("s_bm"), soloRoot("s_ka"), soloRoot("s_sem"),
+          soloRoot("s_ivf"))
+      val ingOut = soloRoot("s_ing_out") + "/landed"
+      var soloOverlap = Map.empty[Long, Set[(String, String, Long)]]
+      var soloLabels: org.apache.spark.sql.DataFrame = null
+      var soloState: org.apache.spark.sql.DataFrame = null
+      var soloKanon: org.apache.spark.sql.DataFrame = null
+      var soloSem: org.apache.spark.sql.DataFrame = null
+      Seq(0L -> wave0, 1L -> wave1).foreach { case (id, w) =>
+        val b = waveDf(w)
+        val pr = StreamOps.sweepBatchAccum(b, staticIndex, "doc_id", "text",
+          threshold, ovSt, id)
+        try soloOverlap += id -> StreamOps.rollupSourcePairs(pr, sources, "doc_id")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        finally pr.unpersist()
+        StreamOps.ingestBatchCompact(b, staticIndex, corpusIds, evalSet,
+          "doc_id", "text", threshold, n = 5, ingOut, ingSt, id)
+        val (l, s) = StreamOps.rollingRepBatch(b, staticIndex, seed,
+          seedState, scores, "doc_id", "text", threshold, repSt, id)
+        soloLabels = l; soloState = s
+        StreamOps.bm25IndexBatch(b, "doc_id", "text", 8, bmSt, id)
+        soloKanon = StreamOps.kAnonBatch(b.select(col("source"), col("lang"),
+          length(col("text")).cast("long").as("n_chars")), kaSt, id)
+        soloSem = StreamOps.semDedupBatch(b, idx.centroids, idx.assignments,
+          semSeed, "doc_id", "embedding", semThreshold, semSt, id)
+        StreamOps.ivfAssignBatch(b, idx.centroids, "doc_id", "embedding",
+          ivfSt, id)
+      }
+      // overlap rollups per wave
+      Seq(0L -> r0, 1L -> r1).foreach { case (id, r) =>
+        val got = r.overlap.collect()
+          .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+        assert(got == soloOverlap(id), s"wave $id overlap: $got")
+      }
+      assert(soloOverlap(0L).nonEmpty, "wave 0 must surface near-dup pairs")
+      // clean-corpus promotion
+      assert(landedIds(cfg.outPath) == landedIds(ingOut))
+      assert(landedIds(cfg.outPath) == Set(101L),
+        "100 near-dups corpus, 103 is contaminated, 102 loses to 101")
+      // labels + representative state after the final wave
+      assert(pairsOf(r1.labels) == pairsOf(soloLabels))
+      assert(r1.repState.collect().map(_.toSeq).toSet ==
+        soloState.collect().map(_.toSeq).toSet)
+      assert(pairsOf(r1.labels).contains(100L -> 10L))
+      // BM25 serving from the composed state equals the solo index
+      val terms = Seq("document", "gates")
+      def served(st: String) = StreamOps.bm25ServeRolling(spark, st, terms, 8)
+        .collect().map(r => (r.get(0), r.getDouble(1))).toSet
+      assert(served(cfg.statePath) == served(bmSt))
+      assert(served(cfg.statePath).nonEmpty)
+      // k-anonymity window report
+      assert(r1.kanonReport.collect().map(_.toSeq).toSet ==
+        soloKanon.collect().map(_.toSeq).toSet)
+      // semantic labels + grown IVF assignment deltas
+      assert(pairsOf(r1.semLabels) == pairsOf(soloSem))
+      assert(pairsOf(r1.semLabels).nonEmpty)
+      def asg(st: String) = spark.read.parquet(s"$st/ivf_assign")
+        .select(col("id"), col("centroid_id"), col("batch_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(asg(cfg.statePath) == asg(ivfSt))
+      assert(asg(cfg.statePath).size == 4, "all four wave docs assigned")
+      // replay idempotence of the whole composed wave: re-running the
+      // newest wave reads only state < 1 and overwrites its own partitions
+      val again = StreamOps.deployGatesBatch(waveDf(wave1), cfg, 1L)
+      assert(pairsOf(again.labels) == pairsOf(r1.labels))
+      assert(again.repState.collect().map(_.toSeq).toSet ==
+        r1.repState.collect().map(_.toSeq).toSet)
+      assert(pairsOf(again.semLabels) == pairsOf(r1.semLabels))
+      assert(landedIds(cfg.outPath) == Set(101L))
+    } finally idx.close()
+    spark.catalog.clearCache()
+  }
+
+  test("deployGatesBatch scans the arriving batch exactly once per wave") {
+    import java.nio.file.Files
+    import DeployFixture._
+    val root = Files.createTempDirectory("deployscan")
+    val idx = graft.operators.IvfSearch.buildIndex(staticVecs, "vec_id",
+      "embedding", k = 2, iters = 2, roundDecimals = 6)
+    try {
+      val cfg = config(idx, root)
+      val scanned = spark.sparkContext.longAccumulator("batch_rows_scanned")
+      val schema = waveDf(wave0).schema
+      val rows = wave0.map { case (id, t, s, l, e) =>
+        org.apache.spark.sql.Row(id, t, s, l, e) }
+      val rdd = spark.sparkContext.parallelize(rows, 2)
+        .mapPartitions(_.map { r => scanned.add(1); r })
+      val batch = spark.createDataFrame(rdd, schema)
+      StreamOps.deployGatesBatch(batch, cfg, 0L)
+      // six gates consumed the batch; the persist means ONE source pass
+      assert(scanned.value == wave0.size.toLong,
+        s"batch source scanned ${scanned.value} rows for ${wave0.size} inputs " +
+          "— a gate is re-reading the source instead of the cache")
+    } finally idx.close()
+    spark.catalog.clearCache()
+  }
+
+  test("deployGatesPerBatch streams all gates and halts on k-anonymity degradation") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    import DeployFixture._
+    val root = Files.createTempDirectory("deploystream")
+    val idx = graft.operators.IvfSearch.buildIndex(staticVecs, "vec_id",
+      "embedding", k = 2, iters = 2, roundDecimals = 6)
+    try {
+      val cfg = config(idx, root)
+      // first wave: 5 same-source docs keep the frozen level-2 class at
+      // k; the violating wave lands ONE doc of a brand-new source
+      val ok = (0 until 5).map(i => DeployDoc(300L + i,
+        s"wholly original streaming arrival number $i with its own text body",
+        "web", "en", Seq(0.1 * i, 1.0, 0.2, 0.0)))
+      val bad = Seq(DeployDoc(400L,
+        "a single forum arrival that breaks the frozen anonymity level",
+        "forum", "en", Seq(0.5, 0.5, 0.5, 0.5)))
+      val reports = scala.collection.mutable.Map[Long, StreamOps.DeployGatesReport]()
+      val ms = MemoryStream[DeployDoc]
+      val q = StreamOps.deployGatesPerBatch(ms.toDF(), cfg,
+        root.resolve("ck").toString) { (r, id) => reports(id) = r }
+      try {
+        ms.addData(ok: _*); q.processAllAvailable()
+        assert(reports(0L).kanonReport.filter(col("level") === 2)
+          .collect().head.getBoolean(3), "5 same-class docs satisfy k=5")
+        ms.addData(bad: _*)
+        val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(err.getMessage.contains("k-anonymity degraded") ||
+          Option(err.getCause).exists(_.getMessage.contains("k-anonymity degraded")))
+      } finally q.stop()
+      // the sink saw the violating report before the halt, and the other
+      // gates' state from the violating wave landed durably first
+      assert(reports(1L).kanonReport.filter(col("level") === 2)
+        .collect().exists(!_.getBoolean(3)))
+      assert(spark.read.parquet(s"${cfg.statePath}/ivf_assign")
+        .filter(col("batch_id") === 1L).count() == 1L)
+    } finally idx.close()
+    spark.catalog.clearCache()
+  }
+
   test("withBatchShuffleWidth tracks batch size, restores conf, skips at scale") {
     val PartsKey = "spark.sql.shuffle.partitions"
     val AqeKey = "spark.sql.adaptive.enabled"
@@ -1612,6 +1829,11 @@ class StreamOpsSpec extends AnyFunSuite {
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
 case class StreamDoc(doc_id: Long, text: String)
+
+/** Arriving document for the composed deployment stream: text,
+  * provenance, and an embedding in one row. */
+case class DeployDoc(doc_id: Long, text: String, source: String,
+    lang: String, embedding: Seq[Double])
 
 /** Arriving document's quasi-identifier projection (kAnonPerBatch). */
 case class KDoc(source: String, lang: String, n_chars: Long)
