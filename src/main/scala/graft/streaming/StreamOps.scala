@@ -1509,11 +1509,24 @@ object StreamOps {
     * partition-prune to the query terms' shards across every segment),
     * and the two corpus scalars BM25 needs (N, Σdl) advance as a
     * mergeable snapshot (the k-anon count mold: previous snapshot + the
-    * batch's contribution, pruned to latest+previous). Per-term df
-    * needs no table at all — it is the count of the term's postings
-    * rows, and a doc lands in exactly one batch, so (term, id) stays
-    * unique across segments. Serving ([[bm25ServeRolling]]) reads ONLY
-    * the query terms' shard directories + the 1-row stats snapshot and
+    * batch's contribution, pruned to latest+previous).
+    *
+    * Doc UPDATES (and at-least-once redelivery) are SUPERSEDE-ON-LAND —
+    * the Lucene delete-bitmap move: each land finds the batch docs'
+    * previous live version (via the `bm25_doclens` delta the land also
+    * appends), tombstones it ((id, dead_batch) at `bm25_tombstones`),
+    * and subtracts its (1, dli) from the stats merge. Serving anti-joins
+    * the tombstone log, so per-term df is the count of the term's LIVE
+    * postings rows and a re-ingested doc scores exactly as if only its
+    * latest version ever landed (spec-pinned vs a from-scratch scan of
+    * the final corpus). The tombstone log stays bounded: it only grows
+    * on re-ingest, and [[mergeBm25Segments]] physically reclaims dead
+    * rows and clears it. Within one batch a doc id must appear at most
+    * once — two versions would mix their term frequencies in the same
+    * segment — and the land fails loudly if not (the one upstream
+    * requirement; across batches anything goes). Serving
+    * ([[bm25ServeRolling]]) reads ONLY the query terms' shard
+    * directories + the 1-row stats snapshot + the tombstone log and
     * builds the EXACT k1/k6 scoring expression — scores are
     * bit-identical to a from-scratch corpus scan (spec + oracle). */
   def bm25IndexPerBatch(docs: DataFrame, idCol: String, textCol: String,
@@ -1539,6 +1552,19 @@ object StreamOps {
   private def bm25IndexBatchImpl(batch: DataFrame, idCol: String,
       textCol: String, shards: Int, statePath: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val idType = batch.schema(idCol).dataType
+    // the one per-batch invariant, guarded loudly: a doc id appearing
+    // twice in ONE batch would mix both versions' term frequencies in
+    // the same segment's groupBy — undetectable downstream
+    val lens = batch.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("dli"))
+    val dup = lens.groupBy(col("id")).agg(count(lit(1)).as("nv"))
+      .filter(col("nv") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      sys.error(s"bm25IndexBatch: doc id ${dup.head.get(0)} appears " +
+        s"${dup.head.getLong(1)} times in batch $batchId — a batch may " +
+        "carry at most one version of a doc (re-ingest it in a LATER " +
+        "batch to supersede)")
     val posted = batch
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .select(col("id"), size(col("toks")).as("dli"),
@@ -1553,6 +1579,34 @@ object StreamOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "shard")
       .parquet(s"$statePath/bm25_postings")
+    // supersede-on-land: each batch doc's previous LIVE version (its
+    // largest earlier doclens row not already tombstoned — exactly one
+    // by induction, max kept as a defensive tie-break) dies now. The
+    // frame is consumed twice (tombstone land + stats subtraction) and
+    // must not lazily re-read state mid-write — checkpoint eagerly.
+    val dlSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType).add("dli", org.apache.spark.sql.types.LongType)
+    val tsSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType)
+      .add("dead_batch", org.apache.spark.sql.types.LongType)
+    val earlierLens = readDelta(spark, s"$statePath/bm25_doclens", dlSchema)
+      .filter(col("batch_id") < batchId)
+    val earlierTombs = readDelta(spark, s"$statePath/bm25_tombstones", tsSchema)
+      .filter(col("batch_id") < batchId)
+      .select(col("id"), col("dead_batch"))
+    val superseded = earlierLens
+      .join(earlierTombs,
+        earlierLens("id") === earlierTombs("id") &&
+          earlierLens("batch_id") === earlierTombs("dead_batch"), "left_anti")
+      .join(lens.select(col("id")), Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(max(struct(col("batch_id"), col("dli"))).as("v"))
+      .select(col("id"), col("v.batch_id").as("dead_batch"),
+        col("v.dli").as("dead_dli"))
+      .localCheckpoint()
+    landDelta(superseded.select(col("id"), col("dead_batch")),
+      s"$statePath/bm25_tombstones", batchId)
+    landDelta(lens, s"$statePath/bm25_doclens", batchId)
     val statsSchema = new org.apache.spark.sql.types.StructType()
       .add("n", org.apache.spark.sql.types.LongType)
       .add("sumdl", org.apache.spark.sql.types.LongType)
@@ -1565,7 +1619,12 @@ object StreamOps {
     }
     val batchStats = batch.agg(count(lit(1)).as("n"),
       sum(size(split(col(textCol), " ")).cast("long")).as("sumdl"))
-    val merged = prev.unionByName(batchStats)
+    // the superseded versions leave the corpus scalars as they enter
+    // the tombstone log — N and Σdl always describe live docs only
+    val deadStats = superseded.agg(
+      (-count(lit(1))).as("n"),
+      (-coalesce(sum(col("dead_dli")), lit(0L))).as("sumdl"))
+    val merged = prev.unionByName(batchStats).unionByName(deadStats)
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("sumdl")), lit(0L)).as("sumdl"))
     landDelta(merged, s"$statePath/bm25_stats", batchId)
@@ -1601,8 +1660,22 @@ object StreamOps {
     if (!hasParquetData(spark, s"$statePath/bm25_postings"))
       sys.error(s"bm25ServeRolling: no postings landed at $statePath — " +
         "run bm25IndexPerBatch (or bm25IndexBatch) first")
-    val post = spark.read.parquet(s"$statePath/bm25_postings")
+    val probed = spark.read.parquet(s"$statePath/bm25_postings")
       .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*))
+    // supersede-on-land: a (id, batch_id) named by a tombstone is a dead
+    // version's posting — drop it before df/tf. The log is bounded by
+    // re-ingests since the last [[mergeBm25Segments]], so it broadcasts;
+    // when no doc was ever re-ingested this is a no-op on an empty side.
+    val post =
+      if (!hasParquetData(spark, s"$statePath/bm25_tombstones")) probed
+      else {
+        val tombs = spark.read.parquet(s"$statePath/bm25_tombstones")
+          .select(col("id").as("t_id"), col("dead_batch"))
+        probed.join(broadcast(tombs),
+          probed("id") === col("t_id") &&
+            probed("batch_id").cast("long") === col("dead_batch"),
+          "left_anti")
+      }
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i") }
     val byDoc = post.groupBy(col("id"), col("dli"))
@@ -1838,6 +1911,81 @@ object StreamOps {
     val path = s"$statePath/bm25_postings"
     if (!pathExists(spark, path)) (0L, 0L)
     else graft.sources.Sources.compactParquet(spark, path, targetBytes)
+  }
+
+  /** Physical reclaim of SUPERSEDED postings — the Lucene segment merge
+    * that applies the delete bitmap: rewrite only the `batch_id=`
+    * partitions the tombstone log names, dropping each dead (id, batch)
+    * version's postings and doclens rows, then clear the log. Serving
+    * needs no tombstone anti-join again until the next re-ingest.
+    *
+    * Crash-ordering safe at every step because the tombstones are
+    * deleted LAST: a crash after the live rewrite (or mid leaf-dir
+    * delete) leaves tombstones naming rows that are partly or wholly
+    * gone — [[bm25ServeRolling]]'s anti-join treats both states
+    * correctly, and a re-run recomputes from whatever survived. Leaf
+    * directories whose every row died are deleted explicitly (dynamic
+    * overwrite only replaces partitions present in the written data —
+    * an all-dead leaf would otherwise resurrect once the log clears).
+    * Single-writer quiet window assumed, like every compaction here.
+    * Returns (tombstoned versions reclaimed, live postings rewritten). */
+  def mergeBm25Segments(spark: SparkSession, statePath: String): (Long, Long) = {
+    val postPath = s"$statePath/bm25_postings"
+    val lensPath = s"$statePath/bm25_doclens"
+    val tombPath = s"$statePath/bm25_tombstones"
+    if (!hasParquetData(spark, tombPath)) return (0L, 0L)
+    val tombs = spark.read.parquet(tombPath)
+      .select(col("id").as("t_id"), col("dead_batch")).localCheckpoint()
+    val nDead = tombs.count()
+    val deadBatches = tombs.select(col("dead_batch")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    def isDead(df: DataFrame) =
+      df("id") === col("t_id") && df("batch_id").cast("long") === col("dead_batch")
+    // postings: live rows of the affected batch partitions, materialized
+    // BEFORE the overwrite that replaces the files they were read from
+    val affected = spark.read.parquet(postPath)
+      .filter(col("batch_id").isin(deadBatches: _*))
+    val livePost = affected.join(tombs, isDead(affected), "left_anti")
+      .select(col("term"), col("id"), col("dli"), col("tf"),
+        col("shard"), col("batch_id"))
+      .localCheckpoint()
+    val nLive = livePost.count()
+    // leaf dirs where EVERY row died — enumerate before the rewrite
+    val deadLeaves = affected.join(tombs, isDead(affected), "left_semi")
+      .select(col("batch_id").cast("long"), col("shard").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val liveLeaves = livePost
+      .select(col("batch_id").cast("long"), col("shard").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    livePost.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "shard")
+      .parquet(postPath)
+    val fs = new org.apache.hadoop.fs.Path(postPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (deadLeaves -- liveLeaves).foreach { case (b, s) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$postPath/batch_id=$b/shard=$s"), true)
+    }
+    // doclens: same move, partitioned by batch_id only
+    val affectedLens = spark.read.parquet(lensPath)
+      .filter(col("batch_id").isin(deadBatches: _*))
+    val liveLens = affectedLens.join(tombs, isDead(affectedLens), "left_anti")
+      .select(col("id"), col("dli"), col("batch_id"))
+      .localCheckpoint()
+    val liveLensBatches = liveLens.select(col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    liveLens.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(lensPath)
+    deadBatches.filterNot(liveLensBatches).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$lensPath/batch_id=$b"), true)
+    }
+    // the log clears LAST — every earlier crash point leaves a state the
+    // serve anti-join and a merge re-run both handle
+    fs.delete(new org.apache.hadoop.fs.Path(tombPath), true)
+    (nDead, nLive)
   }
 
   /** Streaming twin of a4's SEMANTIC dedup (SemDeDup) — the

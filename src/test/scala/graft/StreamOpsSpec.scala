@@ -1577,6 +1577,67 @@ class StreamOpsSpec extends AnyFunSuite {
       "at least one leaky val/test arrival expected")
   }
 
+  test("bm25 supersede-on-land: re-ingested docs serve as their latest version only") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("bm25sup")
+    val state = root.resolve("state").toString
+    val terms = Seq("fox", "dog")
+    def land(id: Long, docs: Seq[(Long, String)]): Unit =
+      StreamOps.bm25IndexBatch(docs.toDF("doc_id", "text"), "doc_id",
+        "text", 8, state, id)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def served() = scores(StreamOps.bm25ServeRolling(spark, state, terms, 8)
+      .filter(col("score") > 0))
+    def rescan(corpus: Seq[(Long, String)]) = scores(
+      graft.operators.KeywordSearch
+        .bm25(corpus.toDF("doc_id", "text"), "doc_id", "text", terms)
+        .filter(col("score") > 0))
+    val d1v0 = 1L -> "the quick brown fox jumps over the lazy dog"
+    val d3v0 = 3L -> "wholly unrelated text body here"
+    land(0L, Seq(d1v0, 2L -> "a dog and another dog bark", d3v0))
+    land(1L, Seq(2L -> "the dog sleeps all day",
+      4L -> "fox cubs play near the den"))
+    // wave 2 supersedes EVERYTHING batch 1 landed (2 again — its third
+    // version drops both query terms, so any stale posting would
+    // surface —, 4), plus an identical at-least-once redelivery of 1
+    val d2v2 = 2L -> "no relevant animals remain in this text"
+    val d4v1 = 4L -> "fox cubs play by the river"
+    val w2 = Seq(d2v2, d4v1, d1v0)
+    land(2L, w2)
+    val finalCorpus = Seq(d1v0, d2v2, d3v0, d4v1)
+    assert(served() == rescan(finalCorpus) && served().nonEmpty,
+      s"${served()} vs ${rescan(finalCorpus)}")
+    assert(!served().contains(2L), "doc 2's dead 'dog' postings surfaced")
+    // replay of the newest wave recomputes the same tombstones and stats
+    land(2L, w2)
+    assert(served() == rescan(finalCorpus))
+    // the segment merge physically reclaims the 4 dead versions (2@b0;
+    // 2@b1, 4@b1, 1@b0), deletes batch 1's now-empty leaf dirs, clears
+    // the log — and serving is unchanged
+    val (dead, live) = StreamOps.mergeBm25Segments(spark, state)
+    assert(dead == 4L, s"reclaimed $dead versions")
+    assert(served() == rescan(finalCorpus))
+    assert(!root.resolve("state").resolve("bm25_tombstones").toFile.exists())
+    val b1dirs = Option(root.resolve("state").resolve("bm25_postings")
+      .resolve("batch_id=1").toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("shard="))
+    assert(b1dirs.isEmpty, s"batch 1 was fully superseded: $b1dirs")
+    // a merge with nothing to do is a no-op
+    assert(StreamOps.mergeBm25Segments(spark, state) == ((0L, 0L)))
+    // supersede keeps working after the merge cleared the log
+    val d4v2 = 4L -> "the fox returned to the den yesterday"
+    land(3L, Seq(d4v2))
+    assert(served() == rescan(Seq(d1v0, d2v2, d3v0, d4v2)))
+    // two versions of a doc in ONE batch is the guarded invariant
+    val err = intercept[RuntimeException] {
+      land(9L, Seq(7L -> "dup a", 7L -> "dup b"))
+    }
+    assert(err.getMessage.contains("appears"), err.getMessage)
+    spark.catalog.clearCache()
+  }
+
   // ---- composed deployment stream (deployGatesBatch / deployGatesPerBatch)
 
   /** Shared fixture for the composed-gate specs: frozen artifacts + two
