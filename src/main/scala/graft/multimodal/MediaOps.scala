@@ -1102,13 +1102,105 @@ object MediaOps {
        |FROM d CROSS JOIN sm
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // mm4 audio-FEATURE geometry. The sample mapping recenters on 64
+  // (not mm3's 128) so ASCII bytes produce BOTH signs and the
+  // zero-crossing feature genuinely moves.
+  private val Mm4Samples = 480
+  private val Mm4Rate = 8000
+
+  /** mm4: the audio FEATURE tier's oracle row — mm3 stops at decode
+    * arithmetic; this extracts three features from the decoded PCM16
+    * stream, each chosen to be EXACTLY replayable by DuckDB in integer
+    * arithmetic (a float FFT never is):
+    *
+    *   - `zero_crossings`: count of consecutive-sample sign changes
+    *     (sign convention pinned as `x < 0`);
+    *   - `energy`: Σ x² over the clip;
+    *   - `g_power`: a Goertzel single-bin power at rate/6 — THE pinned
+    *     frequency, because 2·cos(2π/6) = 1 makes the Goertzel
+    *     recurrence sₙ = xₙ + sₙ₋₁ − sₙ₋₂ coefficient-free and the whole
+    *     filter (and its power s₁² + s₂² − s₁·s₂) runs in BIGINT on
+    *     both sides; the oracle replays the recurrence with a recursive
+    *     CTE. |sₙ| ≤ N·32768 ≈ 1.6e7, so the squares fit comfortably.
+    *
+    * The Spark side starts from REAL RIFF-WAVE container bytes: render
+    * text → PCM16 → [[AudioCodec.encodeWav]] → [[AudioCodec.decode]]
+    * (full container parse) → features, so any one-bit drift in the
+    * writer, header parse, or PCM conversion shows up as a red row. */
+  def mm4AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val bytes = asciiBytes(docId, text)
+        val samples = Array.tabulate(Mm4Samples)(i =>
+          (((bytes(i % bytes.length) & 0xff) - 64) * 256).toShort)
+        val wav = AudioCodec.encodeWav(samples, Mm4Rate)
+        val (_, _, pcm) = AudioCodec.decode(wav).getOrElse(
+          sys.error(s"mm4: WAV round-trip failed for doc $docId"))
+        var zcr = 0L
+        var energy = 0L
+        var s1 = 0L
+        var s2 = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < pcm.length) {
+          val x = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toLong
+          val neg = x < 0
+          if (i > 0 && neg != prevNeg) zcr += 1
+          prevNeg = neg
+          energy += x * x
+          val s0 = x + s1 - s2
+          s2 = s1
+          s1 = s0
+          i += 2
+        }
+        (docId, zcr, energy, s1 * s1 + s2 * s2 - s1 * s2)
+      }
+    }.toDF("doc_id", "zero_crossings", "energy", "g_power")
+      .orderBy("doc_id")
+  }
+
+  private val mm4Sql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id < $MmDocs),
+       |sm AS (SELECT CAST(i AS BIGINT) AS i FROM range($Mm4Samples) t(i)),
+       |x AS (
+       |  SELECT doc_id, i,
+       |    CAST((ord(substr(text, CAST(i % len AS INTEGER) + 1, 1)) - 64) * 256
+       |      AS BIGINT) AS v
+       |  FROM d CROSS JOIN sm),
+       |g(doc_id, i, s1, s2) AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT), v, CAST(0 AS BIGINT)
+       |  FROM x WHERE i = 0
+       |  UNION ALL
+       |  SELECT g.doc_id, g.i + 1, x.v + g.s1 - g.s2, g.s1
+       |  FROM g JOIN x ON x.doc_id = g.doc_id AND x.i = g.i + 1),
+       |feats AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN i > 0 AND ((v < 0) <> (pv < 0))
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       |    CAST(SUM(v * v) AS BIGINT) AS energy
+       |  FROM (SELECT doc_id, i, v,
+       |          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM x)
+       |  GROUP BY doc_id)
+       |SELECT f.doc_id, f.zero_crossings, f.energy,
+       |  CAST(g.s1 * g.s1 + g.s2 * g.s2 - g.s1 * g.s2 AS BIGINT) AS g_power
+       |FROM feats f JOIN g ON g.doc_id = f.doc_id AND g.i = ${Mm4Samples - 1}
+       |ORDER BY f.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_video_luma" -> (mm1VideoLuma _),
     "mm2_image_luma" -> (mm2ImageLuma _),
-    "mm3_audio_sum" -> (mm3AudioSum _))
+    "mm3_audio_sum" -> (mm3AudioSum _),
+    "mm4_audio_features" -> (mm4AudioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
     "mm2_image_luma" -> mm2Sql,
-    "mm3_audio_sum" -> mm3Sql)
+    "mm3_audio_sum" -> mm3Sql,
+    "mm4_audio_features" -> mm4Sql)
 }

@@ -410,4 +410,25 @@ class MediaOpsSpec extends AnyFunSuite {
     }
     assert(aud.sorted.toSeq == expAud.sorted.toSeq)
   }
+
+  test("mm4: WAV-decoded features agree bit-for-bit with the byte arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 40).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val got = MediaOps.mm4AudioFeatures(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = texts.map { case (id, b) =>
+      val xs = (0 until 480).map(i => (((b(i % b.length) & 0xff) - 64) * 256).toLong)
+      val zcr = xs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong
+      val energy = xs.map(x => x * x).sum
+      // Goertzel at rate/6: 2cos(2π/6) = 1 → sₙ = xₙ + sₙ₋₁ − sₙ₋₂
+      val (s1, s2) = xs.foldLeft((0L, 0L)) { case ((a, b2), x) => (x + a - b2, a) }
+      (id, zcr, energy, s1 * s1 + s2 * s2 - s1 * s2)
+    }
+    assert(got.sorted.toSeq == exp.sorted.toSeq)
+    // the features genuinely move: both signs occur, so crossings exist
+    assert(got.forall(_._2 > 0) && got.map(_._4).distinct.length > 1)
+  }
 }
