@@ -149,7 +149,7 @@ object SearchOps {
     * the SymSpell blocking key shared by k7 (built per run) and k8
     * (persisted at rest). Typed Column lambdas throughout (no string-
     * built expr): safe for any column name or term content. */
-  private def deletionVariants(c: org.apache.spark.sql.Column)
+  private[graft] def deletionVariants(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = array_union(
     array(c),
     transform(sequence(lit(1), length(c)), i =>
@@ -500,9 +500,41 @@ object SearchOps {
     }
   }
 
+  /** k12: k7/k8's typo-tolerant resolution maintained ROLLING — the
+    * deletion-variant index grown per ingest wave instead of rebuilt
+    * per corpus fingerprint (k8's one gap: arriving docs didn't extend
+    * it): each wave lands its vocabulary's (variant, term, df) rows as
+    * a batch_id×shard segment ([[graft.streaming.StreamOps
+    * .fuzzyIndexBatch]]); serving expands the query terms driver-side,
+    * probes only their variants' shards across the segments, and sums
+    * the per-segment df contributions — the answer equals k7's
+    * from-scratch vocabulary scan exactly, so the oracle is k7's own
+    * SQL (the k8 convention). The search tier's second rolling
+    * artifact, beside k11's postings segments. */
+  def k12RollingFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_k12_").toString
+    try {
+      (0 until 3).foreach { b =>
+        StreamOps.fuzzyIndexBatch(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b.toLong),
+          "doc_id", "text", K8Shards, s"$root/state", b.toLong)
+      }
+      val res = StreamOps
+        .fuzzyServeRolling(s, s"$root/state", TypoTerms, K8Shards)
+        .orderBy("query_term", "matched_term")
+      // bounded (a few suggestion rows): materialize before state delete
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_bm25_topk" -> (k1Bm25TopK _),
     "k11_rolling_bm25" -> (k11RollingBm25 _),
+    "k12_rolling_fuzzy" -> (k12RollingFuzzy _),
     "k6_search_at_rest" -> (k6SearchAtRest _),
     "k4_phrase_search" -> (k4PhraseSearch _),
     "k5_proximity_search" -> (k5ProximitySearch _),
@@ -525,6 +557,8 @@ object SearchOps {
     "k7_fuzzy_search" -> k7Sql,
     // same answer, served from the persisted variant shards
     "k8_fuzzy_at_rest" -> k7Sql,
+    // same answer, served from the rolling variant segments
+    "k12_rolling_fuzzy" -> k7Sql,
     // same answers, served from the persisted positional index
     "k9_proximity_at_rest" -> k5Sql,
     "k10_phrase_at_rest" -> k4Sql)

@@ -1913,6 +1913,106 @@ object StreamOps {
     else graft.sources.Sources.compactParquet(spark, path, targetBytes)
   }
 
+  /** Streaming maintenance of the k8 deletion-variant (SymSpell) index —
+    * the search tier's SECOND rolling artifact, under the k11 segment
+    * discipline: each arriving batch lands its vocabulary's
+    * (variant, term, df) rows as a `batch_id=<b>/shard=<hex60(variant)
+    * mod shards>` segment (dynamic overwrite — replay-idempotent, and a
+    * probe partition-prunes to its query variants' shards across every
+    * segment). A term's total document frequency is the SUM of its
+    * per-segment df contributions, which equals the one-shot count
+    * exactly when each doc lands in exactly one batch — the gate's one
+    * upstream requirement (append-only ingest; an update story would be
+    * the [[bm25IndexBatchImpl]] supersede move, not needed for the
+    * spellchecker artifact whose df only ranks suggestions). Serving
+    * ([[fuzzyServeRolling]]) answers k7/k8's typo resolution without
+    * ever re-reading corpus text. */
+  def fuzzyIndexPerBatch(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fuzzyIndexBatch(batch, idCol, textCol, shards, statePath, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[fuzzyIndexPerBatch]] — package-visible so the
+    * spec can force a replay and k12 can drive batch waves. */
+  private[graft] def fuzzyIndexBatch(batch: DataFrame, idCol: String,
+      textCol: String, shards: Int, statePath: String, batchId: Long): Unit =
+    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+      val df = batch
+        .select(col(idCol).as("id"),
+          explode(split(col(textCol), " ")).as("term"))
+        .distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      df.select(col("term"), col("df"),
+          explode(graft.queries.SearchOps.deletionVariants(col("term")))
+            .as("variant"))
+        .withColumn("shard",
+          pmod(graft.operators.PortableHash.hex60(col("variant")),
+            lit(shards.toLong)).cast("int"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "shard")
+        .parquet(s"$statePath/fuzzy_variants")
+    }
+
+  /** Typo-tolerant term resolution served from the ROLLING variant
+    * segments — k8's serving plan over [[fuzzyIndexPerBatch]]'s state:
+    * expand the query terms driver-side with the same identity-∪-
+    * deletions rule the index was built with, probe only the matching
+    * variants' shard directories (partition-pruned across every
+    * batch_id), collapse multi-variant matches WITHIN a segment, sum
+    * each term's per-segment df contributions, and verify `levenshtein`
+    * on the blocked candidates. Returns k7's (query_term, matched_term,
+    * lev, df) — equal to the one-shot resolution over everything
+    * arrived (spec + oracle). */
+  def fuzzyServeRolling(spark: SparkSession, statePath: String,
+      queryTerms: Seq[String], shards: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "fuzzy search needs at least one query term")
+    val qv = queryTerms.flatMap { t =>
+      (t +: (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1)))
+        .distinct.map(v => (t, v))
+    }
+    val shardIds = qv
+      .map(v => (graft.operators.PortableHash.hex60(v._2) % shards).toInt)
+      .distinct
+    if (!hasParquetData(spark, s"$statePath/fuzzy_variants"))
+      sys.error(s"fuzzyServeRolling: no variant segments landed at $statePath " +
+        "— run fuzzyIndexPerBatch (or fuzzyIndexBatch) first")
+    val vvar = spark.read.parquet(s"$statePath/fuzzy_variants")
+      .filter(col("shard").isin(shardIds: _*) &&
+        col("variant").isin(qv.map(_._2).distinct: _*))
+    import spark.implicits._
+    broadcast(qv.toDF("query_term", "variant"))
+      .join(vvar, "variant")
+      // a term can match through several variants of one query term —
+      // collapse within the segment (its df is one value per segment),
+      // then sum the per-segment contributions
+      .select(col("query_term"), col("term"),
+        col("batch_id").cast("long").as("b"), col("df"))
+      .distinct()
+      .groupBy(col("query_term"), col("term"))
+      .agg(sum(col("df")).as("df"))
+      .filter(levenshtein(col("query_term"), col("term")) <= 1)
+      .select(col("query_term"), col("term").as("matched_term"),
+        levenshtein(col("query_term"), col("term")).cast("int").as("lev"),
+        col("df"))
+  }
+
+  /** Delta-log compaction for [[fuzzyIndexPerBatch]]'s variant segments
+    * — per-leaf file merge like [[compactBm25Postings]]; probes'
+    * partition pruning and the per-segment df sums are untouched. */
+  def compactFuzzyVariants(spark: SparkSession, statePath: String,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    val path = s"$statePath/fuzzy_variants"
+    if (!pathExists(spark, path)) (0L, 0L)
+    else graft.sources.Sources.compactParquet(spark, path, targetBytes)
+  }
+
   /** Physical reclaim of SUPERSEDED postings — the Lucene segment merge
     * that applies the delete bitmap: rewrite only the `batch_id=`
     * partitions the tombstone log names, dropping each dead (id, batch)

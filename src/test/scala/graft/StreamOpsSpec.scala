@@ -1577,6 +1577,50 @@ class StreamOpsSpec extends AnyFunSuite {
       "at least one leaky val/test arrival expected")
   }
 
+  test("fuzzyIndexPerBatch (k12 twin): rolling variant segments equal the one-shot resolution; replay idempotent") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("fuzzyroll")
+    val state = root.resolve("state").toString
+    val queryTerms = Seq("vektor", "streem")
+    val w0 = Seq(StreamDoc(1L, "a vector engine with stream processing"),
+      StreamDoc(2L, "vectors and streams everywhere"))
+    val w1 = Seq(StreamDoc(3L, "the vector stream restores state"),
+      StreamDoc(4L, "wholly unrelated prose body"))
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamOps.fuzzyIndexPerBatch(ms.toDF(), "doc_id", "text", 16,
+      state, root.resolve("ck").toString)
+    ms.addData(w0: _*); q.processAllAvailable()
+    ms.addData(w1: _*); q.processAllAvailable()
+    q.stop()
+    type Sug = Set[(String, String, Int, Long)]
+    def rows(df: org.apache.spark.sql.DataFrame): Sug = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val served = rows(StreamOps.fuzzyServeRolling(spark, state, queryTerms, 16))
+    // one-shot resolution: direct lev <= 1 over the union's vocabulary
+    val vocabDf = (w0 ++ w1).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val oneShot = rows(queryTerms.toDF("query_term").crossJoin(vocabDf)
+      .filter(levenshtein(col("query_term"), col("term")) <= 1)
+      .select(col("query_term"), col("term"),
+        levenshtein(col("query_term"), col("term")).cast("int"), col("df")))
+    assert(served == oneShot && served.nonEmpty, s"$served vs $oneShot")
+    // the cross-batch df sum genuinely fired: 'stream' appears in both waves
+    assert(served.exists(s => s._2 == "stream" && s._4 == 2L), s"$served")
+    // replay idempotence: re-landing the newest wave overwrites its segment
+    StreamOps.fuzzyIndexBatch(w1.toDF("doc_id", "text"), "doc_id", "text",
+      16, state, 1L)
+    assert(rows(StreamOps.fuzzyServeRolling(spark, state, queryTerms, 16)) == oneShot)
+    // segment compaction leaves answers unchanged
+    val (fb, fa) = StreamOps.compactFuzzyVariants(spark, state)
+    assert(fb >= fa && fa > 0, s"compaction: $fb -> $fa")
+    assert(rows(StreamOps.fuzzyServeRolling(spark, state, queryTerms, 16)) == oneShot)
+    spark.catalog.clearCache()
+  }
+
   test("bm25 supersede-on-land: re-ingested docs serve as their latest version only") {
     import spark.implicits._
     import java.nio.file.Files
