@@ -1095,18 +1095,75 @@ object ScaleOps {
         .select(col("nprobe"), col("recall_ppm").as("grown_ppm"))
       val f = recallAuditAgainst(s, e, full, brute)
         .select(col("nprobe"), col("recall_ppm").as("retrained_ppm"))
-      val joined = g.join(f, "nprobe")
-        .withColumn("gap_ppm", col("retrained_ppm") - col("grown_ppm"))
-      // the trigger: one scalar off an IvfNprobe-row table (both audits
-      // are already materialized — this head() reads 3 local rows)
-      val fired = joined.agg(coalesce(max(col("gap_ppm")), lit(0L)))
-        .head.getLong(0) > RetrainGapPpm
-      joined
-        .withColumn("retrain_fired", lit(if (fired) 1L else 0L))
-        .withColumn("recovered_ppm",
-          if (fired) col("retrained_ppm") else col("grown_ppm"))
-        .orderBy("nprobe")
+      retrainDecision(g, f)
     } finally { full.close(); idx0.close() }
+  }
+
+  /** The trigger tail both i10 forms share: join the grown audit to the
+    * baseline, measure the per-nprobe gap, fire past $RetrainGapPpm,
+    * emit the recovery. One scalar off an IvfNprobe-row table (both
+    * audits are already materialized — the head() reads 3 local rows). */
+  private def retrainDecision(g: DataFrame, f: DataFrame): DataFrame = {
+    val joined = g.join(f, "nprobe")
+      .withColumn("gap_ppm", col("retrained_ppm") - col("grown_ppm"))
+    val fired = joined.agg(coalesce(max(col("gap_ppm")), lit(0L)))
+      .head.getLong(0) > RetrainGapPpm
+    joined
+      .withColumn("retrain_fired", lit(if (fired) 1L else 0L))
+      .withColumn("recovered_ppm",
+        if (fired) col("retrained_ppm") else col("grown_ppm"))
+      .orderBy("nprobe")
+  }
+
+  /** i10's DEPLOYMENT form: the full-retrain baseline recall table and
+    * the brute-force ground truth are READ FROM AT-REST state — the
+    * artifacts the LAST training landed (built here once per corpus
+    * fingerprint in a sibling session, marker-last — the k8/i5
+    * discipline) — so the recurring per-audit cost is ONE grown-index
+    * recall audit plus a 3-row join, never an in-query full retrain.
+    * The self-contained [[i10RetrainLoop]] prices the training in the
+    * same plan to stay oracle-portable; the answers are identical
+    * (spec-pinned, and this row replays the same i10 oracle SQL). */
+  def i10RetrainAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = artifactRoot("i10",
+      dataFingerprint(dir, Seq("embeddings")))
+    val done = root.resolve("_BASELINE_OK")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(root)
+      val t = s.newSession()
+      val e = Tables(t, dir, "embeddings")
+      val full = IvfSearch.buildIndex(e, "vec_id", "embedding",
+        k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+      try {
+        val brute = bruteTopK(t, e).localCheckpoint()
+        brute.write.mode("overwrite")
+          .parquet(root.resolve("brute").toString)
+        recallAuditAgainst(t, e, full, brute)
+          .select(col("nprobe"), col("recall_ppm").as("retrained_ppm"))
+          .write.mode("overwrite")
+          .parquet(root.resolve("baseline").toString)
+      } finally full.close()
+      // marker LAST: a crash mid-write leaves no marker and the next
+      // call re-lands (overwrite mode cleans partial output)
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    val e = Tables(s, dir, "embeddings")
+    // the serving index a deployment already has: frozen quantizer
+    // grown by the arrived assignments (i8's shape, priced here)
+    val idx0 = IvfSearch.buildIndex(e.filter(col("vec_id") < I8TrainEnd),
+      "vec_id", "embedding", k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      val late = e.filter(col("vec_id") >= I8TrainEnd)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val grown = IvfSearch.Index(idx0.centroids,
+        idx0.assignments.unionByName(IvfSearch.assign(late, idx0.centroids)))
+      val brute = s.read.parquet(root.resolve("brute").toString)
+      val g = recallAuditAgainst(s, e, grown, brute)
+        .select(col("nprobe"), col("recall_ppm").as("grown_ppm"))
+      val f = s.read.parquet(root.resolve("baseline").toString)
+      retrainDecision(g, f)
+    } finally idx0.close()
   }
 
   /** The i10 oracle composes BOTH quantizer chains in one WITH — the
@@ -1764,6 +1821,7 @@ object ScaleOps {
     "i8_incremental_ivf" -> (i8IncrementalIvf _),
     "i9_grown_recall" -> (i9GrownRecall _),
     "i10_retrain_loop" -> (i10RetrainLoop _),
+    "i10b_retrain_at_rest" -> (i10RetrainAtRest _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
@@ -1793,6 +1851,8 @@ object ScaleOps {
     "i8_incremental_ivf" -> i8Sql,
     "i9_grown_recall" -> i9Sql,
     "i10_retrain_loop" -> i10Sql,
+    // same answer, baseline audit read from the at-rest artifact
+    "i10b_retrain_at_rest" -> i10Sql,
     "s1_skew_agg" -> s1Sql,
     "s2_skew_join" -> s2Sql,
     "s3_adaptive_skew_join" -> s3Sql,

@@ -300,6 +300,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ps == AnnSearch.planes) // pure function of seeds
   }
 
+  test("i10 at-rest baseline variant equals the self-contained retrain loop") {
+    val self = graft.queries.ScaleOps.queries("i10_retrain_loop")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val atRest = graft.queries.ScaleOps.queries("i10b_retrain_at_rest")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(atRest == self, s"$atRest vs $self")
+    // the artifact landed marker-last and is reused on the second call
+    val again = graft.queries.ScaleOps.queries("i10b_retrain_at_rest")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == self)
+    spark.catalog.clearCache()
+  }
+
   test("v9 top eigen: PSD spectrum, unit-ish eigenvector, deterministic reruns") {
     val rows = graft.queries.VectorOps.v9TopEigen(spark, sfDir).collect()
     assert(rows.length == 8)
