@@ -1942,23 +1942,30 @@ object StreamOps {
   private[graft] def fuzzyIndexBatch(batch: DataFrame, idCol: String,
       textCol: String, shards: Int, statePath: String, batchId: Long): Unit =
     withBatchShuffleWidth(batch.sparkSession, batch.count()) {
-      val df = batch
-        .select(col(idCol).as("id"),
-          explode(split(col(textCol), " ")).as("term"))
-        .distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      df.select(col("term"), col("df"),
-          explode(graft.queries.SearchOps.deletionVariants(col("term")))
-            .as("variant"))
-        .withColumn("shard",
-          pmod(graft.operators.PortableHash.hex60(col("variant")),
-            lit(shards.toLong)).cast("int"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "shard")
-        .parquet(s"$statePath/fuzzy_variants")
+      fuzzyIndexBatchImpl(batch, idCol, textCol, shards, statePath, batchId)
     }
+
+  /** [[fuzzyIndexBatch]] without the width wrapper — the composed gate
+    * calls it inside its own already-narrowed region. */
+  private def fuzzyIndexBatchImpl(batch: DataFrame, idCol: String,
+      textCol: String, shards: Int, statePath: String, batchId: Long): Unit = {
+    val df = batch
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    df.select(col("term"), col("df"),
+        explode(graft.queries.SearchOps.deletionVariants(col("term")))
+          .as("variant"))
+      .withColumn("shard",
+        pmod(graft.operators.PortableHash.hex60(col("variant")),
+          lit(shards.toLong)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "shard")
+      .parquet(s"$statePath/fuzzy_variants")
+  }
 
   /** Typo-tolerant term resolution served from the ROLLING variant
     * segments — k8's serving plan over [[fuzzyIndexPerBatch]]'s state:
@@ -2228,7 +2235,7 @@ object StreamOps {
       semSeedLabels: DataFrame,
       idCol: String, textCol: String, embCol: String,
       threshold: Double, semThreshold: Double,
-      decontamN: Int, bm25Shards: Int, frozenLevel: Int,
+      decontamN: Int, bm25Shards: Int, fuzzyShards: Int, frozenLevel: Int,
       outPath: String, statePath: String)
 
   /** What the composed gate hands the sink after each wave — every
@@ -2253,15 +2260,16 @@ object StreamOps {
     *   - frozen-quantizer assignment: ONE [[graft.operators.IvfSearch
     *     .assign]] lands the IVF growth delta AND drives the semantic
     *     dedup sweep ([[semAdvance]]);
-    *   - the BM25 segment land and the k-anonymity monitor (n_chars is
-    *     computed from `textCol` here) read the cached batch directly.
+    *   - the BM25 and fuzzy-variant segment lands and the k-anonymity
+    *     monitor (n_chars is computed from `textCol` here) read the
+    *     cached batch directly.
     *
     * At 100 TB this is the difference between one scan of each arriving
-    * batch and six. State lands under ONE `statePath` in exactly the
+    * batch and seven. State lands under ONE `statePath` in exactly the
     * per-gate layouts, so every solo read path serves unchanged from a
-    * composed deployment: [[bm25ServeRolling]], [[grownIvfIndex]],
-    * [[compactLanded]], and the per-gate compactors all point at the
-    * same directories — and each gate's output equals its solo run's
+    * composed deployment: [[bm25ServeRolling]], [[fuzzyServeRolling]],
+    * [[grownIvfIndex]], [[compactLanded]], [[maintain]], and the
+    * per-gate compactors all point at the same directories — and each gate's output equals its solo run's
     * after any number of waves (spec-pinned, including a batch-scanned-
     * once accumulator audit). The k-anonymity fail-fast contract is
     * [[kAnonPerBatch]]'s: the sink sees the violating report, then the
@@ -2317,6 +2325,8 @@ object StreamOps {
         // token side
         bm25IndexBatchImpl(cached, cfg.idCol, cfg.textCol, cfg.bm25Shards,
           cfg.statePath, batchId)
+        fuzzyIndexBatchImpl(cached, cfg.idCol, cfg.textCol, cfg.fuzzyShards,
+          cfg.statePath, batchId)
         // profile side — the quasi-identifier projection kAnon expects
         val kanonReport = kAnonBatchImpl(
           cached.select(col("source"), col("lang"),
@@ -2364,6 +2374,122 @@ object StreamOps {
         .select(col("id_a").as("id")))
       .distinct()
     landed.join(drops, landed(idCol) === drops("id"), "left_anti")
+  }
+
+  /** [[compactLanded]] applied IN PLACE: rewrite the landed corpus's
+    * batch partitions dropping the retro-dropped docs, so the at-rest
+    * files themselves shrink to the compacted view (the read-time form
+    * stays available for callers that prefer it). Partition-wise like
+    * [[mergeBm25Segments]]: only the batch partitions that lost a doc
+    * are rewritten (materialized first — the overwrite replaces the
+    * files they were read from), all-dead partitions are deleted
+    * explicitly, and a crash at any point leaves partitions that are
+    * each either compacted or in their pre-compaction state — both
+    * correct, because the pair log the drops derive from is untouched
+    * and a re-run (or the read-time [[compactLanded]]) re-derives them.
+    * Returns (docs dropped, live docs rewritten). */
+  def compactLandedInPlace(spark: SparkSession, outPath: String,
+      statePath: String, staticCorpusIds: DataFrame, idCol: String)
+      : (Long, Long) = {
+    if (!hasParquetData(spark, outPath) ||
+        !pathExists(spark, s"$statePath/pairs")) return (0L, 0L)
+    val landed = spark.read.parquet(outPath)
+    val pairs = spark.read.parquet(s"$statePath/pairs")
+    val staticIds = staticCorpusIds.select(col(idCol).as("cid"))
+    val drops = pairs.select(col("id_b").as("id"))
+      .unionByName(pairs.join(staticIds, col("id_b") === col("cid"))
+        .select(col("id_a").as("id")))
+      .distinct()
+    val deadBatches = landed.join(drops, landed(idCol) === drops("id"), "left_semi")
+      .select(col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (deadBatches.isEmpty) return (0L, 0L)
+    val affected = landed.filter(col("batch_id").isin(deadBatches: _*))
+    val nAffected = affected.count()
+    val live = affected.join(drops, affected(idCol) === drops("id"), "left_anti")
+      .localCheckpoint()
+    val nLive = live.count()
+    val liveBatches = live.select(col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    live.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    deadBatches.filterNot(liveBatches).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/batch_id=$b"), true)
+    }
+    (nAffected - nLive, nLive)
+  }
+
+  /** The landed-corpus half of [[maintain]]'s input — present when the
+    * maintenance window should also apply retro-drops to the promoted
+    * corpus ([[compactLandedInPlace]]). */
+  case class LandedCorpus(outPath: String, staticCorpusIds: DataFrame,
+      idCol: String)
+
+  /** ONE maintenance entry point for a gate `statePath` (composed or
+    * solo — the layouts are identical): every retention and compaction
+    * primitive this module ships, run on one cadence instead of five
+    * separate calls. Steps, in order: re-prune the snapshot families
+    * (labels, rep, sem_labels, kanon, bm25_stats — normally pruned
+    * inline per land; this is the safety net for lands that crashed
+    * after the write and before the prune), apply the BM25 delete
+    * bitmap ([[mergeBm25Segments]]), retro-drop the landed corpus when
+    * `landed` is given ([[compactLandedInPlace]]), then merge small
+    * files across every append-only delta family
+    * ([[graft.sources.Sources.compactParquet]] per directory; absent
+    * directories are skipped). Single-writer quiet window assumed,
+    * like each primitive alone.
+    *
+    * Every step is individually idempotent and crash-safe, and the
+    * composition adds no new failure mode: a crash BETWEEN steps is
+    * exactly a prefix run, every read path is green at every prefix,
+    * and the next maintenance (or the next wave) picks up where it
+    * died (spec-pinned by replaying all prefixes). Returns one
+    * (task, before, after) row per step — counts mean partitions for
+    * prunes, reclaimed/kept rows for the two rewrites, and data files
+    * for the merges. */
+  def maintain(spark: SparkSession, statePath: String,
+      landed: Option[LandedCorpus] = None,
+      targetBytes: Long = 128L << 20): Seq[(String, Long, Long)] =
+    maintainSteps(spark, statePath, landed, targetBytes)
+      .map { case (name, step) => val (b, a) = step(); (name, b, a) }
+
+  /** [[maintain]]'s ordered step list — package-visible so the spec can
+    * replay every crash prefix. */
+  private[graft] def maintainSteps(spark: SparkSession, statePath: String,
+      landed: Option[LandedCorpus], targetBytes: Long)
+      : Seq[(String, () => (Long, Long))] = {
+    def partitions(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id=")).toLong
+    }
+    def prune(name: String) = s"prune_$name" -> { () =>
+      val dir = s"$statePath/$name"
+      val before = partitions(dir)
+      pruneSupersededBatches(spark, dir)
+      (before, partitions(dir))
+    }
+    def merge(name: String) = s"compact_$name" -> { () =>
+      val dir = s"$statePath/$name"
+      if (!pathExists(spark, dir)) (0L, 0L)
+      else graft.sources.Sources.compactParquet(spark, dir, targetBytes)
+    }
+    Seq(
+      prune("labels"), prune("rep"), prune("sem_labels"),
+      prune("kanon"), prune("bm25_stats"),
+      "merge_bm25_segments" -> (() => mergeBm25Segments(spark, statePath))) ++
+      landed.map { lc =>
+        "compact_landed" -> (() => compactLandedInPlace(spark, lc.outPath,
+          statePath, lc.staticCorpusIds, lc.idCol))
+      } ++
+      Seq("ivf_assign", "sem_assign", "bm25_postings", "bm25_doclens",
+        "fuzzy_variants", "pairs", "bands", "shingles", "sizes").map(merge)
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

@@ -1703,8 +1703,8 @@ class StreamOpsSpec extends AnyFunSuite {
       graft.operators.MinHashDedup
         .nearDuplicates(corpus, "doc_id", "text", threshold)
         .select(col("id_a"), col("id_b"))).localCheckpoint()
-    lazy val scores = (Seq(10L -> 40L, 11L -> 55L, 100L -> 30L, 101L -> 90L,
-      102L -> 20L, 103L -> 10L) ++
+    lazy val scores = (Seq(10L -> 40L, 11L -> 55L, 50L -> 60L, 100L -> 30L,
+      101L -> 90L, 102L -> 20L, 103L -> 10L) ++
       // the streaming test's arrivals (their texts near-dup each other,
       // so they enter the label table and the rep guard demands scores)
       (300L to 304L).map(_ -> 15L) :+ (400L -> 5L)).toDF("id", "q_e6")
@@ -1735,7 +1735,7 @@ class StreamOpsSpec extends AnyFunSuite {
       StreamOps.DeployGatesConfig(staticIndex, corpusIds, evalSet, sources,
         seed, seedState, scores, idx.centroids, idx.assignments, semSeed,
         "doc_id", "text", "embedding", threshold, semThreshold,
-        decontamN = 5, bm25Shards = 8, frozenLevel = 2,
+        decontamN = 5, bm25Shards = 8, fuzzyShards = 16, frozenLevel = 2,
         root.resolve("out").toString, root.resolve("state").toString)
   }
 
@@ -1761,6 +1761,7 @@ class StreamOpsSpec extends AnyFunSuite {
         (soloRoot("s_ov"), soloRoot("s_ing"), soloRoot("s_rep"),
           soloRoot("s_bm"), soloRoot("s_ka"), soloRoot("s_sem"),
           soloRoot("s_ivf"))
+      val fzSt = soloRoot("s_fz")
       val ingOut = soloRoot("s_ing_out") + "/landed"
       var soloOverlap = Map.empty[Long, Set[(String, String, Long)]]
       var soloLabels: org.apache.spark.sql.DataFrame = null
@@ -1780,6 +1781,7 @@ class StreamOpsSpec extends AnyFunSuite {
           seedState, scores, "doc_id", "text", threshold, repSt, id)
         soloLabels = l; soloState = s
         StreamOps.bm25IndexBatch(b, "doc_id", "text", 8, bmSt, id)
+        StreamOps.fuzzyIndexBatch(b, "doc_id", "text", 16, fzSt, id)
         soloKanon = StreamOps.kAnonBatch(b.select(col("source"), col("lang"),
           length(col("text")).cast("long").as("n_chars")), kaSt, id)
         soloSem = StreamOps.semDedupBatch(b, idx.centroids, idx.assignments,
@@ -1809,6 +1811,13 @@ class StreamOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.get(0), r.getDouble(1))).toSet
       assert(served(cfg.statePath) == served(bmSt))
       assert(served(cfg.statePath).nonEmpty)
+      // fuzzy suggestions from the composed state equal the solo index
+      def fuzzy(st: String) = StreamOps
+        .fuzzyServeRolling(spark, st, Seq("foxx", "dok"), 16)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getLong(3))).toSet
+      assert(fuzzy(cfg.statePath) == fuzzy(fzSt))
+      assert(fuzzy(cfg.statePath).exists(_._2 == "fox"), s"${fuzzy(fzSt)}")
       // k-anonymity window report
       assert(r1.kanonReport.collect().map(_.toSeq).toSet ==
         soloKanon.collect().map(_.toSeq).toSet)
@@ -1895,6 +1904,81 @@ class StreamOpsSpec extends AnyFunSuite {
         .collect().exists(!_.getBoolean(3)))
       assert(spark.read.parquet(s"${cfg.statePath}/ivf_assign")
         .filter(col("batch_id") === 1L).count() == 1L)
+    } finally idx.close()
+    spark.catalog.clearCache()
+  }
+
+  test("maintain: every read path stays green at every crash prefix") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import DeployFixture._
+    val root = Files.createTempDirectory("maintain")
+    val idx = graft.operators.IvfSearch.buildIndex(staticVecs, "vec_id",
+      "embedding", k = 2, iters = 2, roundDecimals = 6)
+    try {
+      val cfg = config(idx, root)
+      StreamOps.deployGatesBatch(waveDf(wave0), cfg, 0L)
+      StreamOps.deployGatesBatch(waveDf(wave1), cfg, 1L)
+      // wave 2: doc 50 near-dups LANDED doc 101 with a smaller id — the
+      // one retro-drop case, so compact_landed has real work
+      StreamOps.deployGatesBatch(waveDf(Seq((50L,
+        t101.replace("gates", "sluices"), "web", "en",
+        Seq(0.0, 0.0, 0.99, 0.01)))), cfg, 2L)
+      // two bm25-only lands that supersede a doc, so merge_bm25_segments
+      // has real work (independent state family under the same root)
+      StreamOps.bm25IndexBatch(Seq(500L -> "extra fox document for bm25")
+        .toDF("doc_id", "text"), "doc_id", "text", 8, cfg.statePath, 3L)
+      StreamOps.bm25IndexBatch(Seq(500L -> "extra dog document for bm25")
+        .toDF("doc_id", "text"), "doc_id", "text", 8, cfg.statePath, 4L)
+      // every public read path, captured before any maintenance
+      def reads(): Seq[Set[Seq[Any]]] = {
+        def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+          df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+        def latest(name: String): Set[Seq[Any]] = {
+          val d = spark.read.parquet(s"${cfg.statePath}/$name")
+          rows(d.filter(col("batch_id") ===
+            d.agg(max(col("batch_id"))).head.get(0)).drop("batch_id"))
+        }
+        Seq(
+          rows(StreamOps.bm25ServeRolling(spark, cfg.statePath,
+            Seq("document", "fox"), 8)),
+          rows(StreamOps.fuzzyServeRolling(spark, cfg.statePath,
+            Seq("foxx", "dok"), 16)),
+          rows(StreamOps.compactLanded(spark, cfg.outPath, cfg.statePath,
+            corpusIds, "doc_id").select("doc_id")),
+          rows(spark.read.parquet(s"${cfg.statePath}/ivf_assign")
+            .select(col("id"), col("centroid_id"))),
+          latest("labels"), latest("rep"), latest("sem_labels"),
+          latest("kanon"))
+      }
+      val baseline = reads()
+      assert(baseline.forall(_.nonEmpty), s"empty read-path fixture: $baseline")
+      // the retro-drop genuinely fires: 101 is landed now, dropped in view
+      assert(baseline(2).contains(Vector(50L)) && !baseline(2).contains(Vector(101L)))
+      assert(spark.read.parquet(cfg.outPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet.contains(101L))
+      // run the steps one at a time — the state after steps 0..k IS the
+      // crash-between-steps state at prefix k+1; every read path must be
+      // green and unchanged at each of them
+      val landedCfg = Some(StreamOps.LandedCorpus(cfg.outPath, corpusIds, "doc_id"))
+      val steps = StreamOps.maintainSteps(spark, cfg.statePath, landedCfg,
+        128L << 20)
+      val report = steps.map { case (name, step) =>
+        val (b, a) = step()
+        assert(reads() == baseline, s"read path diverged after step $name")
+        (name, b, a)
+      }
+      // the two rewrites had real work
+      val merged = report.find(_._1 == "merge_bm25_segments").get
+      assert(merged._2 == 1L, s"bm25 merge: $merged")
+      val landedStep = report.find(_._1 == "compact_landed").get
+      assert(landedStep._2 == 1L, s"landed compaction: $landedStep")
+      // the at-rest corpus itself now matches the compacted view
+      assert(spark.read.parquet(cfg.outPath).select("doc_id")
+        .collect().map(r => Vector[Any](r.getLong(0))).toSet == baseline(2))
+      // a second full maintenance is a no-op on every answer
+      StreamOps.maintain(spark, cfg.statePath, landedCfg)
+      assert(reads() == baseline)
     } finally idx.close()
     spark.catalog.clearCache()
   }
