@@ -141,6 +141,22 @@ object CorpusOps {
   private def driveIngestWaves(s: SparkSession, dir: String,
       body: (DataFrame, MinHashDedup.DedupIndex, DataFrame, String, Long)
         => DataFrame,
+      finish: DataFrame => DataFrame): DataFrame =
+    driveIngestWavesSeeded[Unit](s, dir, _ => (),
+      (batch, idx, seed, _, state, b) => body(batch, idx, seed, state, b),
+      finish)
+
+  /** [[driveIngestWaves]] with a TYPED caller seed: `seedOf` derives the
+    * caller's seed bundle from the shared seed labels exactly once,
+    * before the first wave, and the scaffold threads it to every wave —
+    * so a rolling consumer that needs per-wave seed state (c17's
+    * representative monoid) cannot forget to initialize it or
+    * accidentally rebuild it per wave (the previous shape was a
+    * `var _: DataFrame = null` closure capture). */
+  private def driveIngestWavesSeeded[S](s: SparkSession, dir: String,
+      seedOf: DataFrame => S,
+      body: (DataFrame, MinHashDedup.DedupIndex, DataFrame, S, String, Long)
+        => DataFrame,
       finish: DataFrame => DataFrame): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val corpus = docs
@@ -155,11 +171,12 @@ object CorpusOps {
         MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
           .select(col("id_a"), col("id_b")))
         .localCheckpoint()
+      val seedBundle = seedOf(seed)
       var carry = seed
       (0 until C9Batches).foreach { b =>
         val batch = stream
           .filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong)
-        carry = body(batch, staticIndex, seed, s"$root/state", b.toLong)
+        carry = body(batch, staticIndex, seed, seedBundle, s"$root/state", b.toLong)
       }
       val res = finish(carry)
       // bounded result: materialize before the temp state is deleted —
@@ -315,17 +332,14 @@ object CorpusOps {
     import graft.streaming.StreamOps
     val scores = Tables(s, dir, "documents")
       .select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
-    // seed state derives from the shared driver's seed on the first
-    // wave (built once, materialized — the seed labels themselves are
+    // seed state derives from the shared driver's seed, once, via the
+    // scaffold's typed seed slot (the seed labels themselves are
     // already localCheckpointed by the driver)
-    var seedState: DataFrame = null
-    driveIngestWaves(s, dir,
-      (batch, idx, seed, state, b) => {
-        if (seedState == null)
-          seedState = StreamOps.repStateOf(seed, scores).localCheckpoint()
+    driveIngestWavesSeeded[DataFrame](s, dir,
+      seed => StreamOps.repStateOf(seed, scores).localCheckpoint(),
+      (batch, idx, seed, seedState, state, b) =>
         StreamOps.rollingRepBatch(batch, idx, seed, seedState, scores,
-          "doc_id", "text", NearDupThreshold, state, b)._2
-      },
+          "doc_id", "text", NearDupThreshold, state, b)._2,
       state => state.filter(col("n_docs") >= 2)
         .select(col("component"), col("n_docs"), col("best_doc"),
           col("best_q_e6"), expr("q_sum div n_docs").as("mean_q_e6"))
