@@ -292,7 +292,10 @@ object CorpusOps {
     * it — shared verbatim by c16 (full corpus) and c17 (the c14 ingest
     * window), so the rolling path's oracle replays the SAME score
     * arithmetic and window. */
-  private val repSelectSql: String =
+  /** The sc/m/r/agg CTE block of the c16 selection — split from the
+    * final SELECT so c18's composed-gate metrics can reuse the exact
+    * same score arithmetic and ranking. */
+  private val repCtesSql: String =
     s"""sc AS (
        |  SELECT doc_id, CAST(ROUND(ROUND(
        |    least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
@@ -308,7 +311,10 @@ object CorpusOps {
        |      FROM m),
        |agg AS (SELECT component, COUNT(*) AS n_docs,
        |          CAST(SUM(q_e6) AS BIGINT) AS q_sum
-       |        FROM m GROUP BY component)
+       |        FROM m GROUP BY component)""".stripMargin
+
+  private val repSelectSql: String =
+    s"""$repCtesSql
        |SELECT a.component, a.n_docs, r.doc_id AS best_doc,
        |  r.q_e6 AS best_q_e6, a.q_sum // a.n_docs AS mean_q_e6
        |FROM agg a JOIN r ON r.component = a.component AND r.rk = 1
@@ -352,6 +358,159 @@ object CorpusOps {
     s"""WITH RECURSIVE ${clustersCtesAt(
            s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
        |$repSelectSql""".stripMargin
+
+  /** c18: the COMPOSED deployment stream oracle-gated end to end — the
+    * c9 ingest scenario driven through [[graft.streaming.StreamOps
+    * .deployGatesBatch]] (ONE cached pass per wave feeding promotion,
+    * source overlap, rolling CC, representatives, BM25 segments, fuzzy
+    * variants, k-anonymity, and the two embedding gates), then one
+    * metric row per text-side gate read back from the AT-REST state the
+    * waves landed. The oracle replays every metric from the documents
+    * table with the same CTE machinery the solo rows use (c9's
+    * drop/decontamination chain, c14's cluster CTEs, c16's score
+    * ranking) — so a composed runtime that diverged from the one-shot
+    * semantics in ANY gate goes red in one row. The embedding gates run
+    * on a deterministic synthetic vector column (their semantics are
+    * oracle-gated by a4/a5/i8 and solo-equality spec-pinned; no metric
+    * is emitted for them because DuckDB cannot replay the k-means
+    * chain over a column that is not in the table). */
+  def c18DeployGates(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val emb = array((col("doc_id") % 7 + 1).cast("double"),
+      (col("doc_id") % 11).cast("double"),
+      (col("doc_id") % 13).cast("double"), lit(1.0))
+    val corpus = docs
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"), col("text"))
+    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") < EvalSplit)
+      .select(col("doc_id"), col("text"))
+    val corpusIds = corpus.select(col("doc_id"))
+    val sources = docs.select(col("doc_id"), col("source"))
+    val seed = ConnectedComponents.components(
+      MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
+        .select(col("id_a"), col("id_b"))).localCheckpoint()
+    val scores = docs.select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
+    val seedState = graft.streaming.StreamOps.repStateOf(seed, scores)
+      .localCheckpoint()
+    val idx = graft.operators.IvfSearch.buildIndex(
+      docs.filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+        .select(col("doc_id").as("vec_id"), emb.as("embedding")),
+      "vec_id", "embedding", k = 4, iters = 2, roundDecimals = 6)
+    val semSeed = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("component", org.apache.spark.sql.types.LongType))
+    val stream = docs
+      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"),
+        emb.as("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_c18_").toString
+    try {
+      val cfg = StreamOps.DeployGatesConfig(staticIndex, corpusIds, evalSet,
+        sources, seed, seedState, scores, idx.centroids, idx.assignments,
+        semSeed, "doc_id", "text", "embedding", NearDupThreshold,
+        semThreshold = 0.9, decontamN = 5, bm25Shards = 16,
+        fuzzyShards = 16, frozenLevel = 2,
+        outPath = s"$root/landed", statePath = s"$root/state")
+      (0 until C9Batches).foreach { b =>
+        StreamOps.deployGatesBatch(
+          stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
+          cfg, b.toLong)
+      }
+      // every metric reads the AT-REST state the waves landed
+      def latest(name: String): DataFrame = {
+        val d = s.read.parquet(s"$root/state/$name")
+        d.filter(col("batch_id").cast("long") ===
+          d.agg(max(col("batch_id").cast("long"))).head.getLong(0))
+      }
+      val nLanded = StreamOps.compactLanded(s, s"$root/landed",
+        s"$root/state", corpusIds, "doc_id").count()
+      val labels = latest("labels")
+      val nLabeled = labels.count()
+      val nClusters = labels.select(col("component")).distinct().count()
+      val sumBestQ = latest("rep").filter(col("n_docs") >= 2)
+        .agg(coalesce(sum(col("best_q_e6")), lit(0L))).head.getLong(0)
+      val st = latest("bm25_stats").select(col("n"), col("sumdl")).head
+      val nPostings = s.read.parquet(s"$root/state/bm25_postings").count()
+      val nVariantRows = s.read.parquet(s"$root/state/fuzzy_variants").count()
+      val kanon = latest("kanon").groupBy(col("level"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      import s.implicits._
+      Seq(
+        ("bm25", "n_docs", st.getLong(0)),
+        ("bm25", "n_postings", nPostings),
+        ("bm25", "sum_dl", st.getLong(1)),
+        ("dedup", "n_clusters", nClusters),
+        ("dedup", "n_labeled", nLabeled),
+        ("fuzzy", "n_variant_rows", nVariantRows),
+        ("kanon", "n_classes_l0", kanon.getOrElse(0, 0L)),
+        ("kanon", "n_classes_l1", kanon.getOrElse(1, 0L)),
+        ("kanon", "n_classes_l2", kanon.getOrElse(2, 0L)),
+        ("promotion", "n_landed", nLanded),
+        ("rep", "sum_best_q", sumBestQ))
+        .toDF("gate", "metric", "value")
+    } finally {
+      idx.close()
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  // lazy: C9CorpusEnd/C9StreamEnd and c9DropsCtesSql are declared
+  // further down the object (the c14Sql initialization-order trap)
+  private lazy val c18Sql: String =
+    s"""WITH RECURSIVE ${clustersCtesAt(
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
+       |$c9DropsCtesSql,
+       |$repCtesSql,
+       |w AS (SELECT * FROM documents
+       |      WHERE doc_id >= $C9CorpusEnd AND doc_id < $C9StreamEnd),
+       |wtok AS (SELECT DISTINCT doc_id,
+       |           unnest(string_split(text, ' ')) AS term FROM w),
+       |vterms AS (SELECT DISTINCT doc_id % $C9Batches AS b, term FROM wtok),
+       |vexp AS (SELECT b, term,
+       |           unnest(generate_series(0, length(term))) AS i FROM vterms),
+       |vvar AS (SELECT DISTINCT b, term,
+       |           CASE WHEN i = 0 THEN term
+       |                ELSE substr(term, 1, CAST(i AS INT) - 1) ||
+       |                     substr(term, CAST(i AS INT) + 1) END AS variant
+       |         FROM vexp),
+       |kcls AS (
+       |  SELECT 0 AS level, source, lang, length(text) // 10 AS len_class
+       |  FROM w GROUP BY 1, 2, 3, 4
+       |  UNION ALL
+       |  SELECT 1, source, lang, length(text) // 100 FROM w GROUP BY 1, 2, 3, 4
+       |  UNION ALL
+       |  SELECT 2, source, lang, -1 FROM w GROUP BY 1, 2, 3, 4)
+       |SELECT gate, metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'bm25' AS gate, 'n_docs' AS metric,
+       |    (SELECT COUNT(*) FROM w) AS value
+       |  UNION ALL SELECT 'bm25', 'n_postings', (SELECT COUNT(*) FROM wtok)
+       |  UNION ALL SELECT 'bm25', 'sum_dl',
+       |    (SELECT SUM(len(string_split(text, ' '))) FROM w)
+       |  UNION ALL SELECT 'dedup', 'n_clusters',
+       |    (SELECT COUNT(DISTINCT component) FROM clusters)
+       |  UNION ALL SELECT 'dedup', 'n_labeled', (SELECT COUNT(*) FROM clusters)
+       |  UNION ALL SELECT 'fuzzy', 'n_variant_rows', (SELECT COUNT(*) FROM vvar)
+       |  UNION ALL SELECT 'kanon', 'n_classes_l0',
+       |    (SELECT COUNT(*) FROM kcls WHERE level = 0)
+       |  UNION ALL SELECT 'kanon', 'n_classes_l1',
+       |    (SELECT COUNT(*) FROM kcls WHERE level = 1)
+       |  UNION ALL SELECT 'kanon', 'n_classes_l2',
+       |    (SELECT COUNT(*) FROM kcls WHERE level = 2)
+       |  UNION ALL SELECT 'promotion', 'n_landed',
+       |    (SELECT COUNT(*) FROM documents
+       |     WHERE doc_id >= $C9CorpusEnd AND doc_id < $C9StreamEnd
+       |       AND doc_id NOT IN (SELECT id FROM drops)
+       |       AND doc_id NOT IN (SELECT id FROM contaminated))
+       |  UNION ALL SELECT 'rep', 'sum_best_q',
+       |    (SELECT SUM(r.q_e6) FROM r
+       |     JOIN agg a ON a.component = r.component
+       |     WHERE r.rk = 1 AND a.n_docs >= 2)
+       |) ORDER BY gate, metric""".stripMargin
 
   /** d14: the near-dup keep/drop decision composed end-to-end — MinHash
     * pairs → connected components → drop every non-representative
@@ -607,12 +766,13 @@ object CorpusOps {
        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
        |GROUP BY source ORDER BY source""".stripMargin
 
-  private val c9Sql: String = {
+  /** The drop/decontamination CTE block of the c9 chain — expects the
+    * window's `fpairs` CTE to precede it. Shared by c9's per-language
+    * rollup and c18's composed-gate promotion metric. */
+  private val c9DropsCtesSql: String = {
     val n = 5
     val gram = (1 to n).map(j => s"string_split(text,' ')[i+$j]").mkString(" || ' ' || ")
-    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
-           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
-       |drops AS (
+    s"""drops AS (
        |  SELECT DISTINCT id FROM (
        |    SELECT id_b AS id FROM fpairs
        |    UNION ALL
@@ -632,7 +792,13 @@ object CorpusOps {
        |  FROM (SELECT id, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
        |        FROM gr WHERE id >= $C9CorpusEnd) c
        |  JOIN (SELECT CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
-       |        FROM gr WHERE id < $EvalSplit) e ON c.gh = e.gh)
+       |        FROM gr WHERE id < $EvalSplit) e ON c.gh = e.gh)""".stripMargin
+  }
+
+  private val c9Sql: String =
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
+       |$c9DropsCtesSql
        |SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
        |FROM documents
@@ -640,7 +806,6 @@ object CorpusOps {
        |  AND doc_id NOT IN (SELECT id FROM drops)
        |  AND doc_id NOT IN (SELECT id FROM contaminated)
        |GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   /** c6: CROSS-SPLIT leakage audit — d9's content-hash split composed
     * with the c2 gram-overlap machinery, run INTERNALLY: how many val
@@ -1431,6 +1596,7 @@ object CorpusOps {
     "c15_cluster_purity" -> (c15ClusterPurity _),
     "c16_best_representative" -> (c16BestRepresentative _),
     "c17_rolling_rep" -> (c17RollingRep _),
+    "c18_deploy_gates" -> (c18DeployGates _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1462,6 +1628,7 @@ object CorpusOps {
     "c15_cluster_purity" -> c15Sql,
     "c16_best_representative" -> c16Sql,
     "c17_rolling_rep" -> c17Sql,
+    "c18_deploy_gates" -> c18Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,
