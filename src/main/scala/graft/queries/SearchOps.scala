@@ -155,6 +155,18 @@ object SearchOps {
     transform(sequence(lit(1), length(c)), i =>
       concat(c.substr(lit(1), i - lit(1)), c.substr(i + lit(1), length(c)))))
 
+  /** Driver-side {identity} ∪ one-char deletions per query term — the
+    * same rule as [[deletionVariants]] applied to literal terms, so
+    * every serve path (k8's at-rest probe, the rolling gate's
+    * [[graft.streaming.StreamOps.fuzzyServeRolling]]) expands queries
+    * with EXACTLY the rule the index was built with. Returns
+    * (query_term, variant) pairs. */
+  private[graft] def queryVariants(terms: Seq[String]): Seq[(String, String)] =
+    terms.flatMap { t =>
+      (t +: (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1)))
+        .distinct.map(v => (t, v))
+    }
+
   /** SQL single-quoted literal with quote escaping. */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -341,10 +353,7 @@ object SearchOps {
     }
     // query-side expansion runs on the driver (tiny, literal terms) with
     // the same identity-∪-deletions rule the index was built with
-    val qv = TypoTerms.flatMap { t =>
-      (t +: (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1)))
-        .distinct.map(v => (t, v))
-    }
+    val qv = queryVariants(TypoTerms)
     val shards = qv
       .map(v => (graft.operators.PortableHash.hex60(v._2) % K8Shards).toInt)
       .distinct

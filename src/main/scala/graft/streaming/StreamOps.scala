@@ -1048,6 +1048,21 @@ object StreamOps {
       .foreach { case (_, dir) => fs.delete(dir, true) }
   }
 
+  /** The latest landed snapshot strictly below `batchId`, or `seed` on
+    * a cold start — the ONE snapshot-selection rule every rolling state
+    * family shares (labels, representatives, sem labels, k-anon counts,
+    * BM25 stats). The latest batch id comes from the partition
+    * DIRECTORY listing (pure metadata; a row-level max would scan every
+    * wave), and the read partition-prunes to the chosen directory. */
+  private def latestSnapshotOr(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      seed: => DataFrame, batchId: Long): DataFrame =
+    latestLandedBatch(spark, path, batchId) match {
+      case None => seed
+      case Some(last) => readDelta(spark, path, schema)
+        .filter(col("batch_id") === last).drop("batch_id")
+    }
+
   /** Land a batch-scoped delta: batch_id-partitioned with dynamic
     * partition overwrite, so a checkpoint replay rewrites its own
     * partition instead of appending a duplicate. */
@@ -1064,35 +1079,73 @@ object StreamOps {
     * carry text or embeddings and so run heavier per row. */
   private val BatchRowsPerPartition = 100000L
 
+  /** At-rest state bytes per shuffle partition — the corpus-side width
+    * signal. The narrowed region also shuffles ACCUMULATED state (index
+    * deltas, label tables, doclens history), whose size tracks the
+    * deployment, not the batch; a small batch against a large at-rest
+    * state must not squeeze that state through a handful of tasks. */
+  private val StateBytesPerPartition = 64L << 20
+
+  /** The untouched session width, recorded at each session's FIRST gate
+    * call — restores always target this value, so an interleaved
+    * save/restore across threads can never pin the session at a
+    * narrowed width. */
+  private val recordedWidth =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** JVM-wide guard for the narrowed region: taken ONLY when narrowing
+    * applies, so at-scale batches (which never narrow) never serialize. */
+  private object NarrowLock
+
   /** Auto-narrowed shuffle width for ONE micro-batch body, sized from
-    * the batch's row count. A demo-scale micro-batch (hundreds of rows)
-    * otherwise runs every sweep/pair/advance join as session-width
-    * stages of near-empty tasks — pure scheduler overhead, measured as
-    * the dominant cost of the c14/c17/a5 wave family at sf0.1 — where
-    * [[graft.operators.ConnectedComponents]] already adapts its own
-    * loop. AQE is opted out INSIDE the narrowed region for the same
-    * reason CC opts out (per-shuffle-stage materialize-and-replan costs
-    * more than the narrow stages themselves at this size); when the
-    * derived width reaches the session width — every at-scale batch —
-    * NOTHING is touched: width, AQE, and plan behavior are exactly the
-    * untouched deployment configuration. The extra `count()` the
-    * callers pay prunes to one column and is noise next to the sweep
-    * itself. Nested narrowing (CC's loop inside a narrowed body)
-    * composes: each layer restores what it found. */
+    * the batch's row count AND the at-rest state's byte size (the
+    * larger wins — a 500-row batch sweeping against 100 GB of
+    * accumulated deltas keeps a state-proportional width). A demo-scale
+    * micro-batch otherwise runs every sweep/pair/advance join as
+    * session-width stages of near-empty tasks — pure scheduler
+    * overhead, measured as the dominant cost of the c14/c17/a5 wave
+    * family at sf0.1 — where [[graft.operators.ConnectedComponents]]
+    * already adapts its own loop. AQE is opted out INSIDE the narrowed
+    * region for the same reason CC opts out (per-shuffle-stage
+    * materialize-and-replan costs more than the narrow stages
+    * themselves at this size); when the derived width reaches the
+    * session width — every at-scale batch — NOTHING is touched: width,
+    * AQE, and plan behavior are exactly the untouched deployment
+    * configuration. The extra `count()` the callers pay prunes to one
+    * column and is noise next to the sweep itself. Nested narrowing
+    * (CC's loop inside a narrowed body) composes: each layer restores
+    * what it found.
+    *
+    * Conf mutation is session-global, so the narrowed region holds a
+    * JVM lock and every restore targets the session's RECORDED
+    * untouched width — concurrent narrowing streams on one session
+    * serialize their (tiny) narrowed bodies and can never leave the
+    * session pinned narrow. A deployment running MIXED demo-scale and
+    * at-scale streams should give each stream its own `newSession()`
+    * (the standard per-stream-conf idiom); sharing one session there
+    * risks an at-scale batch transiently observing a narrowed width. */
   private[graft] def withBatchShuffleWidth[T](spark: SparkSession,
-      rows: Long)(f: => T): T = {
+      rows: Long, statePath: String = "")(f: => T): T = {
     val PartsKey = "spark.sql.shuffle.partitions"
     val AqeKey = "spark.sql.adaptive.enabled"
-    val prevParts = spark.conf.get(PartsKey)
+    val prevParts =
+      recordedWidth.computeIfAbsent(spark, s => s.conf.get(PartsKey))
+    val stateBytes = if (statePath.isEmpty) 0L else {
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
     // non-numeric session width (some deployments set "auto") → leave
     // the session untouched, exactly the CC guard
     val narrowed = scala.util.Try(prevParts.toLong).toOption.flatMap { p =>
-      val w = math.max(1L, math.min(p, rows / BatchRowsPerPartition + 1))
+      val w = math.max(
+        math.max(1L, math.min(p, rows / BatchRowsPerPartition + 1)),
+        math.min(p, stateBytes / StateBytesPerPartition + 1))
       if (w >= p) None else Some(w.toString)
     }
     narrowed match {
       case None => f
-      case Some(w) =>
+      case Some(w) => NarrowLock.synchronized {
         val prevAqe = spark.conf.get(AqeKey)
         try {
           spark.conf.set(PartsKey, w)
@@ -1102,6 +1155,7 @@ object StreamOps {
           spark.conf.set(PartsKey, prevParts)
           spark.conf.set(AqeKey, prevAqe)
         }
+      }
     }
   }
 
@@ -1160,7 +1214,7 @@ object StreamOps {
       staticCorpusIds: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, threshold: Double, n: Int,
       outPath: String, statePath: String, batchId: Long): Unit =
-    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+    withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
       threshold, statePath, batchId)
     try promoteClean(batch, pairs, staticCorpusIds, evalSet, idCol,
@@ -1211,7 +1265,7 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+        withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
           val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
             threshold, statePath, batchId)
           try sink(rollupSourcePairs(pairs, sources, idCol), batchId)
@@ -1294,19 +1348,15 @@ object StreamOps {
       batchId: Long): DataFrame = {
     val labSchema = new org.apache.spark.sql.types.StructType()
       .add("id", idType).add("component", idType)
-    latestLandedBatch(spark, s"$statePath/labels", batchId) match {
-      case None => seedLabels.select(col("id"), col("component"))
-      case Some(last) =>
-        readDelta(spark, s"$statePath/labels", labSchema)
-          .filter(col("batch_id") === last).drop("batch_id")
-    }
+    latestSnapshotOr(spark, s"$statePath/labels", labSchema,
+      seedLabels.select(col("id"), col("component")), batchId)
   }
 
   private[graft] def rollingCcBatch(batch: DataFrame,
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       seedLabels: DataFrame, idCol: String, textCol: String,
       threshold: Double, statePath: String, batchId: Long): DataFrame =
-    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+    withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
       rollingCcBatchFrom(batch, staticIndex,
         landedLabelsBefore(batch.sparkSession, statePath, seedLabels,
           batch.schema(idCol).dataType, batchId),
@@ -1406,7 +1456,7 @@ object StreamOps {
       seedLabels: DataFrame, seedState: DataFrame, scores: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       statePath: String, batchId: Long): (DataFrame, DataFrame) =
-    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+    withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
     val spark = batch.sparkSession
     val idType = batch.schema(idCol).dataType
     // the PRE-advance label table — read ONCE and passed through to the
@@ -1433,13 +1483,9 @@ object StreamOps {
       .add("q_sum", org.apache.spark.sql.types.LongType)
       .add("best_q_e6", org.apache.spark.sql.types.LongType)
       .add("best_doc", idType)
-    latestLandedBatch(spark, s"$statePath/rep", batchId) match {
-      case None => seedState.select(col("component"), col("n_docs"),
-        col("q_sum"), col("best_q_e6"), col("best_doc"))
-      case Some(last) =>
-        readDelta(spark, s"$statePath/rep", stSchema)
-          .filter(col("batch_id") === last).drop("batch_id")
-    }
+    latestSnapshotOr(spark, s"$statePath/rep", stSchema,
+      seedState.select(col("component"), col("n_docs"), col("q_sum"),
+        col("best_q_e6"), col("best_doc")), batchId)
   }
 
   /** The representative-state ADVANCE half of [[rollingRepBatch]] given
@@ -1540,12 +1586,16 @@ object StreamOps {
       .start()
 
   /** One micro-batch of [[bm25IndexPerBatch]] — package-visible so the
-    * spec can force a replay and k11 can drive batch waves. */
+    * spec can force a replay and k11 can drive batch waves. The batch
+    * is cached for the body's four passes (duplicate guard, postings,
+    * doclens, stats) — one source scan, the composed gate's discipline. */
   private[graft] def bm25IndexBatch(batch: DataFrame, idCol: String,
-      textCol: String, shards: Int, statePath: String, batchId: Long): Unit =
-    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
-      bm25IndexBatchImpl(batch, idCol, textCol, shards, statePath, batchId)
-    }
+      textCol: String, shards: Int, statePath: String, batchId: Long): Unit = {
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try withBatchShuffleWidth(batch.sparkSession, cached.count(), statePath) {
+      bm25IndexBatchImpl(cached, idCol, textCol, shards, statePath, batchId)
+    } finally cached.unpersist()
+  }
 
   /** [[bm25IndexBatch]] without the width wrapper — the composed gate
     * calls it inside its own already-narrowed region. */
@@ -1610,13 +1660,10 @@ object StreamOps {
     val statsSchema = new org.apache.spark.sql.types.StructType()
       .add("n", org.apache.spark.sql.types.LongType)
       .add("sumdl", org.apache.spark.sql.types.LongType)
-    val prev = latestLandedBatch(spark, s"$statePath/bm25_stats", batchId) match {
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema)
-      case Some(last) =>
-        readDelta(spark, s"$statePath/bm25_stats", statsSchema)
-          .filter(col("batch_id") === last).drop("batch_id")
-    }
+    val prev = latestSnapshotOr(spark, s"$statePath/bm25_stats", statsSchema,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], statsSchema),
+      batchId)
     val batchStats = batch.agg(count(lit(1)).as("n"),
       sum(size(split(col(textCol), " ")).cast("long")).as("sumdl"))
     // the superseded versions leave the corpus scalars as they enter
@@ -1722,26 +1769,31 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val report = kAnonBatch(batch, statePath, batchId)
         sink(report, batchId)
-        // an empty window (cold start, no-data trigger) has no classes
-        // and nothing to degrade — skip the gate, don't crash on head()
-        report.filter(col("level") === frozenLevel)
-          .collect().headOption.foreach { row =>
-            if (!row.getBoolean(3))
-              throw new IllegalStateException(
-                s"k-anonymity degraded at frozen release level $frozenLevel: " +
-                  s"min class size ${row.getLong(2)} < " +
-                  s"${graft.queries.TextOps.KAnon} " +
-                  s"(${row.getLong(4)} rows at risk) — release halted")
-          }
+        enforceKAnon(report, frozenLevel)
       }
       .start()
   }
+
+  /** The release gate both k-anonymity monitors share: throw when the
+    * FROZEN level's report row no longer satisfies k. An empty window
+    * (cold start, no-data trigger) has no classes and nothing to
+    * degrade — skip the gate, don't crash on head(). */
+  private def enforceKAnon(report: DataFrame, frozenLevel: Int): Unit =
+    report.filter(col("level") === frozenLevel)
+      .collect().headOption.foreach { row =>
+        if (!row.getBoolean(3))
+          throw new IllegalStateException(
+            s"k-anonymity degraded at frozen release level $frozenLevel: " +
+              s"min class size ${row.getLong(2)} < " +
+              s"${graft.queries.TextOps.KAnon} " +
+              s"(${row.getLong(4)} rows at risk) — release halted")
+      }
 
   /** One micro-batch of [[kAnonPerBatch]] — package-visible so the spec
     * can force a replay. Returns the accumulated-window d43 report. */
   private[graft] def kAnonBatch(batch: DataFrame, statePath: String,
       batchId: Long): DataFrame =
-    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+    withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
       kAnonBatchImpl(batch, statePath, batchId)
     }
 
@@ -1756,13 +1808,10 @@ object StreamOps {
       .add("lang", org.apache.spark.sql.types.StringType)
       .add("len_class", org.apache.spark.sql.types.LongType)
       .add("sz", org.apache.spark.sql.types.LongType)
-    val prev = latestLandedBatch(spark, s"$statePath/kanon", batchId) match {
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cntSchema)
-      case Some(last) =>
-        readDelta(spark, s"$statePath/kanon", cntSchema)
-          .filter(col("batch_id") === last).drop("batch_id")
-    }
+    val prev = latestSnapshotOr(spark, s"$statePath/kanon", cntSchema,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cntSchema),
+      batchId)
     val merged = prev
       .unionByName(graft.queries.TextOps.kAnonClassCounts(batch))
       .groupBy(col("level"), col("source"), col("lang"), col("len_class"))
@@ -1941,7 +1990,7 @@ object StreamOps {
     * spec can force a replay and k12 can drive batch waves. */
   private[graft] def fuzzyIndexBatch(batch: DataFrame, idCol: String,
       textCol: String, shards: Int, statePath: String, batchId: Long): Unit =
-    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+    withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
       fuzzyIndexBatchImpl(batch, idCol, textCol, shards, statePath, batchId)
     }
 
@@ -1980,10 +2029,7 @@ object StreamOps {
   def fuzzyServeRolling(spark: SparkSession, statePath: String,
       queryTerms: Seq[String], shards: Int): DataFrame = {
     require(queryTerms.nonEmpty, "fuzzy search needs at least one query term")
-    val qv = queryTerms.flatMap { t =>
-      (t +: (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1)))
-        .distinct.map(v => (t, v))
-    }
+    val qv = graft.queries.SearchOps.queryVariants(queryTerms)
     val shardIds = qv
       .map(v => (graft.operators.PortableHash.hex60(v._2) % shards).toInt)
       .distinct
@@ -2141,7 +2187,7 @@ object StreamOps {
       centroids: Seq[(Int, Seq[Double])], staticAssign: DataFrame,
       seedLabels: DataFrame, idCol: String, embCol: String,
       threshold: Double, statePath: String, batchId: Long): DataFrame =
-    withBatchShuffleWidth(batch.sparkSession, batch.count()) {
+    withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
     val spark = batch.sparkSession
     graft.functions.DotProduct.register(spark)
     val dot = graft.functions.DotProduct.dotProduct _
@@ -2201,12 +2247,8 @@ object StreamOps {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    val prev = latestLandedBatch(spark, s"$statePath/sem_labels", batchId) match {
-      case None => seedLabels.select(col("id"), col("component"))
-      case Some(last) =>
-        readDelta(spark, s"$statePath/sem_labels", labSchema)
-          .filter(col("batch_id") === last).drop("batch_id")
-    }
+    val prev = latestSnapshotOr(spark, s"$statePath/sem_labels", labSchema,
+      seedLabels.select(col("id"), col("component")), batchId)
     val labels = graft.operators.ConnectedComponents
       .incrementalStepWith(prev, pairs)(_.localCheckpoint())
     landDelta(asg.select(col("id"), col("emb"), col("centroid_id")),
@@ -2236,7 +2278,10 @@ object StreamOps {
       idCol: String, textCol: String, embCol: String,
       threshold: Double, semThreshold: Double,
       decontamN: Int, bm25Shards: Int, fuzzyShards: Int, frozenLevel: Int,
-      outPath: String, statePath: String)
+      outPath: String, statePath: String,
+      // the k-anonymity quasi-identifier columns (n_chars derives from
+      // textCol); defaulted so existing call sites read unchanged
+      sourceCol: String = "source", langCol: String = "lang")
 
   /** What the composed gate hands the sink after each wave — every
     * frame already materialized (localCheckpointed), so the sink can
@@ -2284,15 +2329,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val report = deployGatesBatch(batch, cfg, batchId)
         sink(report, batchId)
-        report.kanonReport.filter(col("level") === cfg.frozenLevel)
-          .collect().headOption.foreach { row =>
-            if (!row.getBoolean(3))
-              throw new IllegalStateException(
-                s"k-anonymity degraded at frozen release level ${cfg.frozenLevel}: " +
-                  s"min class size ${row.getLong(2)} < " +
-                  s"${graft.queries.TextOps.KAnon} " +
-                  s"(${row.getLong(4)} rows at risk) — release halted")
-          }
+        enforceKAnon(report.kanonReport, cfg.frozenLevel)
       }
       .start()
   }
@@ -2305,7 +2342,7 @@ object StreamOps {
     // the ONE batch materialization every gate reads back from cache —
     // count() is both the caching action and the width signal
     val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try withBatchShuffleWidth(spark, cached.count()) {
+    try withBatchShuffleWidth(spark, cached.count(), cfg.statePath) {
       val idType = cached.schema(cfg.idCol).dataType
       // text side: the one shingle sweep four gates share
       val pairs = sweepBatchAccum(cached, cfg.staticIndex, cfg.idCol,
@@ -2329,7 +2366,8 @@ object StreamOps {
           cfg.statePath, batchId)
         // profile side — the quasi-identifier projection kAnon expects
         val kanonReport = kAnonBatchImpl(
-          cached.select(col("source"), col("lang"),
+          cached.select(col(cfg.sourceCol).as("source"),
+            col(cfg.langCol).as("lang"),
             length(col(cfg.textCol)).cast("long").as("n_chars")),
           cfg.statePath, batchId)
         // embedding side: the one frozen-quantizer assignment two gates
@@ -2411,6 +2449,20 @@ object StreamOps {
     val nLive = live.count()
     val liveBatches = live.select(col("batch_id").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
+    // if the rewrite would leave outPath with NO data files (every
+    // landed doc is a retro-drop loser), skip it: a data-file-less
+    // partitioned directory fails schema inference for every later
+    // reader, and the read-time [[compactLanded]] view already excludes
+    // the rows — the reclaim just waits for a wave that lands survivors
+    if (nLive == 0L) {
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      val allBatches = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+        .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
+        .toSet
+      if (allBatches.subsetOf(deadBatches.toSet)) return (0L, 0L)
+    }
     live.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
