@@ -419,6 +419,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0)
   }
 
+  test("k12 rolling fuzzy serve: probe partition-prunes to the variants' shards, broadcast join") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pa_fuzzy")
+    graft.streaming.StreamOps.fuzzyIndexBatch(
+      Seq(1L -> "a vector engine with stream processing",
+        2L -> "vectors and streams everywhere").toDF("doc_id", "text"),
+      "doc_id", "text", 16, root.toString, 0L)
+    val s = formatted(graft.streaming.StreamOps.fuzzyServeRolling(
+      spark, root.toString, Seq("vektor"), 16))
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(variant, ["),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(s.contains("BroadcastHashJoin"), s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("bm25 rolling serve with tombstones: shard-pruned probe, broadcast anti-join, no cartesian") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pa_bm25")
+    def land(id: Long, docs: Seq[(Long, String)]): Unit =
+      graft.streaming.StreamOps.bm25IndexBatch(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 8, root.toString, id)
+    land(0L, Seq(1L -> "the quick brown fox", 2L -> "a lazy dog sleeps"))
+    land(1L, Seq(2L -> "the dog barks at the fox")) // supersede -> tombstone
+    val s = formatted(graft.streaming.StreamOps.bm25ServeRolling(
+      spark, root.toString, Seq("fox", "dog"), 8))
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(term, ["),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // the dead-version drop is a BROADCAST anti-join on the (tiny)
+    // tombstone log — a shuffled anti-join here would move every probed
+    // posting for a lookaside table
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s.take(1500))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") <= 2, // the two 1-row stat frames
+      s.take(1500))
+    spark.catalog.clearCache()
+  }
+
   test("mm1 media bridge: the doc window is pushed to the scan, read schema pruned") {
     val s = formatted(SparkEntry.queries("mm1_video_luma")(spark, sfDir))
     // the synthesis/decode mapPartitions must sit on a scan that already
