@@ -105,6 +105,42 @@ object MediaOps {
       out
     }
 
+    /** Integer box-filter downsample by an exact factor: each output
+      * pixel is `floor(Σ block / factor²)` per channel. Unlike the
+      * bilinear [[resize]] (whose Graphics2D filter taps are
+      * JVM-version-dependent), this is pure integer arithmetic — the
+      * same value on every platform, and exactly replayable by an
+      * external oracle. Width and height must be multiples of factor. */
+    def boxDownsample(img: java.awt.image.BufferedImage, factor: Int): java.awt.image.BufferedImage = {
+      require(factor > 0 && img.getWidth % factor == 0 && img.getHeight % factor == 0,
+        s"boxDownsample: ${img.getWidth}x${img.getHeight} not divisible by $factor")
+      val w = img.getWidth / factor
+      val h = img.getHeight / factor
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val area = factor * factor
+      var yo = 0
+      while (yo < h) {
+        var xo = 0
+        while (xo < w) {
+          var r = 0; var g = 0; var b = 0
+          var dy = 0
+          while (dy < factor) {
+            var dx = 0
+            while (dx < factor) {
+              val rgb = img.getRGB(xo * factor + dx, yo * factor + dy)
+              r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          out.setRGB(xo, yo, ((r / area) << 16) | ((g / area) << 8) | (b / area))
+          xo += 1
+        }
+        yo += 1
+      }
+      out
+    }
+
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)
@@ -1192,15 +1228,102 @@ object MediaOps {
        |FROM feats f JOIN g ON g.doc_id = f.doc_id AND g.i = ${Mm4Samples - 1}
        |ORDER BY f.doc_id""".stripMargin
 
+  // mm5 resize geometry: mm2's 24×16 image box-downsampled by 4 → 6×4
+  private val Mm5W = 24
+  private val Mm5H = 16
+  private val Mm5F = 4
+
+  /** mm5: the RESIZE tier's oracle row — mm2 checks decode; this checks
+    * the downscale arithmetic and the re-encode of its output. Each
+    * small document's ASCII bytes tile a ${Mm5W}×${Mm5H} gray image,
+    * which round-trips through a REAL PNG encode/decode, is resized by
+    * the integer box filter ([[ImageCodec.boxDownsample]], out pixel =
+    * ⌊Σ 4×4 block / 16⌋ — exact arithmetic, unlike the Graphics2D
+    * bilinear path whose taps vary by JVM), and the RESIZED image
+    * round-trips through a SECOND PNG encode/decode before features are
+    * read — so the resize output itself is container-checked, not just
+    * computed. Features: the downsampled pixel sum and a
+    * position-weighted sum Σ out·(idx+1) that goes red if the resize
+    * transposes, flips, or mis-strides even though the plain sum would
+    * still match. The oracle replays both from text bytes with integer
+    * division. */
+  def mm5ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val bytes = asciiBytes(docId, text)
+        val img = new java.awt.image.BufferedImage(Mm5W, Mm5H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < Mm5W * Mm5H) {
+          val v = bytes(i % bytes.length) & 0xff
+          img.setRGB(i % Mm5W, i / Mm5W, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val full = ImageCodec.decode(ImageCodec.encodePng(img)).getOrElse(
+          sys.error(s"mm5: PNG round-trip failed for doc $docId"))
+        val small = ImageCodec.boxDownsample(full, Mm5F)
+        val back = ImageCodec.decode(ImageCodec.encodePng(small)).getOrElse(
+          sys.error(s"mm5: resized PNG round-trip failed for doc $docId"))
+        var sum = 0L
+        var wsum = 0L
+        var y = 0
+        while (y < back.getHeight) {
+          var x = 0
+          while (x < back.getWidth) {
+            val v = (back.getRGB(x, y) & 0xff).toLong
+            sum += v
+            wsum += v * (y * back.getWidth + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        (docId, back.getWidth, back.getHeight, sum, wsum)
+      }
+    }.toDF("doc_id", "w2", "h2", "ds_sum", "ds_wsum")
+      .orderBy("doc_id")
+  }
+
+  private val mm5Sql: String = {
+    val outW = Mm5W / Mm5F
+    val outH = Mm5H / Mm5F
+    val outPx = outW * outH
+    val blk = Mm5F * Mm5F
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id < $MmDocs),
+       |o AS (SELECT CAST(i AS BIGINT) AS o FROM range($outPx) t(i)),
+       |b AS (SELECT CAST(i AS BIGINT) AS b FROM range($blk) t(i)),
+       |px AS (
+       |  SELECT d.doc_id, o.o,
+       |    ((o.o // $outW) * $Mm5F + b.b // $Mm5F) * $Mm5W
+       |      + (o.o % $outW) * $Mm5F + b.b % $Mm5F AS i,
+       |    d.text, d.len
+       |  FROM d CROSS JOIN o CROSS JOIN b),
+       |ds AS (
+       |  SELECT doc_id, o,
+       |    SUM(ord(substr(text, CAST(i % len AS INTEGER) + 1, 1))) // $blk AS v
+       |  FROM px GROUP BY doc_id, o)
+       |SELECT doc_id, CAST($outW AS INTEGER) AS w2, CAST($outH AS INTEGER) AS h2,
+       |  CAST(SUM(v) AS BIGINT) AS ds_sum,
+       |  CAST(SUM(v * (o + 1)) AS BIGINT) AS ds_wsum
+       |FROM ds GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_video_luma" -> (mm1VideoLuma _),
     "mm2_image_luma" -> (mm2ImageLuma _),
     "mm3_audio_sum" -> (mm3AudioSum _),
-    "mm4_audio_features" -> (mm4AudioFeatures _))
+    "mm4_audio_features" -> (mm4AudioFeatures _),
+    "mm5_image_resize" -> (mm5ImageResize _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
     "mm2_image_luma" -> mm2Sql,
     "mm3_audio_sum" -> mm3Sql,
-    "mm4_audio_features" -> mm4Sql)
+    "mm4_audio_features" -> mm4Sql,
+    "mm5_image_resize" -> mm5Sql)
 }

@@ -291,14 +291,20 @@ object SearchOps {
     * table") work because the two slots vote independently. Equivalent
     * to k4's space-boundary substring containment on space-tokenized
     * text, so the oracle is k4's own SQL. */
-  def k10PhraseAtRest(s: SparkSession, dir: String): DataFrame = {
+  def k10PhraseAtRest(s: SparkSession, dir: String): DataFrame =
+    phraseRollup(s, probePositions(positionalIndex(s, dir), PhraseTerms))
+
+  private def PhraseTerms: Seq[String] = Phrases.flatMap(_.split(" ")).distinct
+
+  /** The slot-aligned voting itself, shared by the at-rest k10 and the
+    * rolling k13 — `pos` must carry (doc_id, pos, term) rows covering
+    * [[PhraseTerms]] (probed from either index form). */
+  private def phraseRollup(s: SparkSession, pos: DataFrame): DataFrame = {
     import s.implicits._
     val pterms = Phrases.flatMap { p =>
       val ts = p.split(" ")
       ts.zipWithIndex.map { case (t, i) => (p, i, t, ts.length) }
     }
-    val pos = probePositions(positionalIndex(s, dir),
-      pterms.map(_._3).distinct)
     pos.join(broadcast(pterms.toDF("phrase", "i", "term", "n")), "term")
       .groupBy(col("phrase"), col("doc_id"),
         (col("pos") - col("i")).as("start"), col("n"))
@@ -540,10 +546,68 @@ object SearchOps {
     }
   }
 
+  /** The rolling positional state k13/k14 share: built at most once per
+    * corpus fingerprint (marker-last, the k8/k9 artifact discipline) by
+    * a 3-wave ingest protocol that deliberately exercises the UPDATE
+    * story inside the oracle rows, not just a spec — wave 0 lands a
+    * third of the corpus plus a STALE one-token version of the last
+    * third, wave 1 the middle third, wave 2 re-lands the last third's
+    * full text, superseding the stale version
+    * ([[graft.streaming.StreamOps.posIndexBatch]]'s tombstone land).
+    * Any query over the live rows must therefore equal the one-shot
+    * answer over the FINAL corpus — if supersede-on-land leaked one
+    * stale posting or dropped a live one, the rollups diverge and the
+    * rows go red. A crash mid-build leaves no marker and the rebuild is
+    * exactly a replay (dynamic-overwrite lands, recomputed tombstones). */
+  private def rollingPosState(s: SparkSession, dir: String): String = {
+    import graft.streaming.StreamOps
+    val root = ScaleOps.artifactRoot("k13",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    val done = root.resolve("_STATE_OK")
+    val state = root.resolve("state").toString
+    if (!java.nio.file.Files.exists(done)) {
+      val t = s.newSession()
+      val docs = Tables(t, dir, "documents")
+      val third = pmod(col("doc_id"), lit(3L))
+      val stale = docs.filter(third === 2L)
+        .withColumn("text", split(col("text"), " ").getItem(0))
+      StreamOps.posIndexBatch(docs.filter(third === 0L).unionByName(stale),
+        "doc_id", "text", K9Shards, state, 0L)
+      StreamOps.posIndexBatch(docs.filter(third === 1L),
+        "doc_id", "text", K9Shards, state, 1L)
+      StreamOps.posIndexBatch(docs.filter(third === 2L),
+        "doc_id", "text", K9Shards, state, 2L)
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    state
+  }
+
+  /** k13: k4/k10's exact-phrase search served from the ROLLING
+    * positional index — the identical [[phraseRollup]] over
+    * [[graft.streaming.StreamOps.posServeRolling]]'s partition-pruned
+    * live probe of [[rollingPosState]]'s supersede-exercising waves. */
+  def k13RollingPhrase(s: SparkSession, dir: String): DataFrame =
+    phraseRollup(s, graft.streaming.StreamOps.posServeRolling(
+      s, rollingPosState(s, dir), PhraseTerms, K9Shards))
+
+  /** k14: k5/k9's NEAR/k proximity served from the SAME rolling
+    * positional state as k13 — one rolling artifact, many query shapes
+    * (the k9/k10 pairing replayed for the rolling form). */
+  def k14RollingNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = NearPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    proximityRollup(graft.streaming.StreamOps.posServeRolling(
+      s, rollingPosState(s, dir), terms, K9Shards),
+      NearPairs.toDF("ta", "tb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_bm25_topk" -> (k1Bm25TopK _),
     "k11_rolling_bm25" -> (k11RollingBm25 _),
     "k12_rolling_fuzzy" -> (k12RollingFuzzy _),
+    "k13_rolling_phrase" -> (k13RollingPhrase _),
+    "k14_rolling_near" -> (k14RollingNear _),
     "k6_search_at_rest" -> (k6SearchAtRest _),
     "k4_phrase_search" -> (k4PhraseSearch _),
     "k5_proximity_search" -> (k5ProximitySearch _),
@@ -570,5 +634,9 @@ object SearchOps {
     "k12_rolling_fuzzy" -> k7Sql,
     // same answers, served from the persisted positional index
     "k9_proximity_at_rest" -> k5Sql,
-    "k10_phrase_at_rest" -> k4Sql)
+    "k10_phrase_at_rest" -> k4Sql,
+    // same answers, served from the rolling positional segments after
+    // a stale version is superseded — the final live corpus IS the table
+    "k13_rolling_phrase" -> k4Sql,
+    "k14_rolling_near" -> k5Sql)
 }

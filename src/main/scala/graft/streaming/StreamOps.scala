@@ -1073,6 +1073,83 @@ object StreamOps {
       .partitionBy("batch_id")
       .parquet(path)
 
+  /** The per-batch invariant every versioned rolling index shares: a doc
+    * id appearing twice in ONE batch would mix both versions' rows in
+    * the same segment — undetectable downstream. Fails loudly instead.
+    * `rows` must carry the batch's doc list in an `id` column. */
+  private def requireUniqueIds(rows: DataFrame, what: String,
+      batchId: Long): Unit = {
+    val dup = rows.groupBy(col("id")).agg(count(lit(1)).as("nv"))
+      .filter(col("nv") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      sys.error(s"$what: doc id ${dup.head.get(0)} appears " +
+        s"${dup.head.getLong(1)} times in batch $batchId — a batch may " +
+        "carry at most one version of a doc (re-ingest it in a LATER " +
+        "batch to supersede)")
+  }
+
+  /** Supersede-on-land shared by the versioned rolling indexes (BM25
+    * postings, positional postings) — the Lucene delete-bitmap move:
+    * each batch doc's previous LIVE version (its largest earlier
+    * `docsPath` delta row not already tombstoned — exactly one by
+    * induction, max kept as a defensive tie-break) dies now:
+    * tombstoned at `tombsPath` as (id, dead_batch), then the batch's
+    * own doc rows land at `docsPath`. Returns the superseded
+    * (id, dead_batch[, dead_<payload>…]) frame for callers that must
+    * subtract per-version aggregates (BM25's corpus scalars). The frame
+    * is consumed again after the tombstone land and must not lazily
+    * re-read state mid-write — checkpointed eagerly. Replay-safe: both
+    * lands are batch_id-partitioned dynamic overwrites, and a replayed
+    * batch recomputes the same superseded set (its own earlier land is
+    * excluded by `batch_id < batchId`). */
+  private def supersedeOnLand(spark: SparkSession,
+      idType: org.apache.spark.sql.types.DataType, docRows: DataFrame,
+      docsPath: String, tombsPath: String, batchId: Long,
+      payload: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    val docSchema = payload.foldLeft(
+      new org.apache.spark.sql.types.StructType().add("id", idType)) {
+      case (st, (n, t)) => st.add(n, t)
+    }
+    val tsSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType)
+      .add("dead_batch", org.apache.spark.sql.types.LongType)
+    val earlier = readDelta(spark, docsPath, docSchema)
+      .filter(col("batch_id") < batchId)
+    val earlierTombs = readDelta(spark, tombsPath, tsSchema)
+      .filter(col("batch_id") < batchId)
+      .select(col("id"), col("dead_batch"))
+    val superseded = earlier
+      .join(earlierTombs,
+        earlier("id") === earlierTombs("id") &&
+          earlier("batch_id") === earlierTombs("dead_batch"), "left_anti")
+      .join(docRows.select(col("id")), Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(max(struct(col("batch_id") +: payload.map(p => col(p._1)): _*)).as("v"))
+      .select(col("id") +: col("v.batch_id").as("dead_batch") +:
+        payload.map(p => col(s"v.${p._1}").as(s"dead_${p._1}")): _*)
+      .localCheckpoint()
+    landDelta(superseded.select(col("id"), col("dead_batch")),
+      tombsPath, batchId)
+    landDelta(docRows, docsPath, batchId)
+    superseded
+  }
+
+  /** The live-rows probe every versioned rolling serve shares: drop any
+    * (id, batch_id) named by the tombstone log before aggregation. The
+    * log is bounded by re-ingests since the last segment merge, so it
+    * broadcasts; with no tombstones landed this is a no-op. */
+  private def dropDeadVersions(spark: SparkSession, probed: DataFrame,
+      tombsPath: String): DataFrame =
+    if (!hasParquetData(spark, tombsPath)) probed
+    else {
+      val tombs = spark.read.parquet(tombsPath)
+        .select(col("id").as("t_id"), col("dead_batch"))
+      probed.join(broadcast(tombs),
+        probed("id") === col("t_id") &&
+          probed("batch_id").cast("long") === col("dead_batch"),
+        "left_anti")
+    }
+
   /** Rows per shuffle partition for the per-wave batch bodies — the
     * [[graft.operators.ConnectedComponents]] discipline (500k edges per
     * partition there) applied to document/vector batches, whose rows
@@ -1608,13 +1685,7 @@ object StreamOps {
     // the same segment's groupBy — undetectable downstream
     val lens = batch.select(col(idCol).as("id"),
       size(split(col(textCol), " ")).cast("long").as("dli"))
-    val dup = lens.groupBy(col("id")).agg(count(lit(1)).as("nv"))
-      .filter(col("nv") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      sys.error(s"bm25IndexBatch: doc id ${dup.head.get(0)} appears " +
-        s"${dup.head.getLong(1)} times in batch $batchId — a batch may " +
-        "carry at most one version of a doc (re-ingest it in a LATER " +
-        "batch to supersede)")
+    requireUniqueIds(lens, "bm25IndexBatch", batchId)
     val posted = batch
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .select(col("id"), size(col("toks")).as("dli"),
@@ -1629,34 +1700,9 @@ object StreamOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "shard")
       .parquet(s"$statePath/bm25_postings")
-    // supersede-on-land: each batch doc's previous LIVE version (its
-    // largest earlier doclens row not already tombstoned — exactly one
-    // by induction, max kept as a defensive tie-break) dies now. The
-    // frame is consumed twice (tombstone land + stats subtraction) and
-    // must not lazily re-read state mid-write — checkpoint eagerly.
-    val dlSchema = new org.apache.spark.sql.types.StructType()
-      .add("id", idType).add("dli", org.apache.spark.sql.types.LongType)
-    val tsSchema = new org.apache.spark.sql.types.StructType()
-      .add("id", idType)
-      .add("dead_batch", org.apache.spark.sql.types.LongType)
-    val earlierLens = readDelta(spark, s"$statePath/bm25_doclens", dlSchema)
-      .filter(col("batch_id") < batchId)
-    val earlierTombs = readDelta(spark, s"$statePath/bm25_tombstones", tsSchema)
-      .filter(col("batch_id") < batchId)
-      .select(col("id"), col("dead_batch"))
-    val superseded = earlierLens
-      .join(earlierTombs,
-        earlierLens("id") === earlierTombs("id") &&
-          earlierLens("batch_id") === earlierTombs("dead_batch"), "left_anti")
-      .join(lens.select(col("id")), Seq("id"), "left_semi")
-      .groupBy(col("id"))
-      .agg(max(struct(col("batch_id"), col("dli"))).as("v"))
-      .select(col("id"), col("v.batch_id").as("dead_batch"),
-        col("v.dli").as("dead_dli"))
-      .localCheckpoint()
-    landDelta(superseded.select(col("id"), col("dead_batch")),
-      s"$statePath/bm25_tombstones", batchId)
-    landDelta(lens, s"$statePath/bm25_doclens", batchId)
+    val superseded = supersedeOnLand(spark, idType, lens,
+      s"$statePath/bm25_doclens", s"$statePath/bm25_tombstones", batchId,
+      payload = Seq("dli" -> org.apache.spark.sql.types.LongType))
     val statsSchema = new org.apache.spark.sql.types.StructType()
       .add("n", org.apache.spark.sql.types.LongType)
       .add("sumdl", org.apache.spark.sql.types.LongType)
@@ -1710,19 +1756,8 @@ object StreamOps {
     val probed = spark.read.parquet(s"$statePath/bm25_postings")
       .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*))
     // supersede-on-land: a (id, batch_id) named by a tombstone is a dead
-    // version's posting — drop it before df/tf. The log is bounded by
-    // re-ingests since the last [[mergeBm25Segments]], so it broadcasts;
-    // when no doc was ever re-ingested this is a no-op on an empty side.
-    val post =
-      if (!hasParquetData(spark, s"$statePath/bm25_tombstones")) probed
-      else {
-        val tombs = spark.read.parquet(s"$statePath/bm25_tombstones")
-          .select(col("id").as("t_id"), col("dead_batch"))
-        probed.join(broadcast(tombs),
-          probed("id") === col("t_id") &&
-            probed("batch_id").cast("long") === col("dead_batch"),
-          "left_anti")
-      }
+    // version's posting — drop it before df/tf ([[dropDeadVersions]])
+    val post = dropDeadVersions(spark, probed, s"$statePath/bm25_tombstones")
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i") }
     val byDoc = post.groupBy(col("id"), col("dli"))
@@ -2066,6 +2101,103 @@ object StreamOps {
     else graft.sources.Sources.compactParquet(spark, path, targetBytes)
   }
 
+  /** Streaming maintenance of the POSITIONAL index (k9/k10's at-rest
+    * artifact) — the search tier's third rolling artifact, beside
+    * [[bm25IndexPerBatch]]'s postings and [[fuzzyIndexPerBatch]]'s
+    * variants: each arriving micro-batch tokenizes its docs to
+    * (id, pos, term) rows and lands them as a batch_id×shard segment,
+    * term-sharded exactly like the one-shot index so probes
+    * partition-prune identically. Doc UPDATES (and at-least-once
+    * redelivery) are supersede-on-land ([[supersedeOnLand]], the BM25
+    * discipline): a re-ingested doc tombstones its previous live
+    * version, serving anti-joins the log, and [[mergePosSegments]]
+    * physically reclaims. After any number of waves, phrase/NEAR
+    * queries over [[posServeRolling]]'s live rows equal the one-shot
+    * positional index over each doc's LATEST version (spec + the k13
+    * oracle, whose waves deliberately land a stale version first). */
+  def posIndexPerBatch(docs: DataFrame, idCol: String, textCol: String,
+      shards: Int, statePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        posIndexBatch(batch, idCol, textCol, shards, statePath, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[posIndexPerBatch]] — package-visible so the
+    * spec can force a replay and k13 can drive batch waves. */
+  private[graft] def posIndexBatch(batch: DataFrame, idCol: String,
+      textCol: String, shards: Int, statePath: String, batchId: Long): Unit = {
+    val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try withBatchShuffleWidth(batch.sparkSession, cached.count(), statePath) {
+      posIndexBatchImpl(cached, idCol, textCol, shards, statePath, batchId)
+    } finally cached.unpersist()
+  }
+
+  /** [[posIndexBatch]] without the width wrapper — the composed gate
+    * calls it inside its own already-narrowed region. */
+  private def posIndexBatchImpl(batch: DataFrame, idCol: String,
+      textCol: String, shards: Int, statePath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val idType = batch.schema(idCol).dataType
+    val ids = batch.select(col(idCol).as("id"))
+    requireUniqueIds(ids, "posIndexBatch", batchId)
+    batch
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")))
+      .toDF("id", "pos", "term")
+      .withColumn("shard",
+        pmod(graft.operators.PortableHash.hex60(col("term")),
+          lit(shards.toLong)).cast("int"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "shard")
+      .parquet(s"$statePath/pos_postings")
+    supersedeOnLand(spark, idType, ids, s"$statePath/pos_docs",
+      s"$statePath/pos_tombstones", batchId, payload = Nil)
+    ()
+  }
+
+  /** Live (doc_id, pos, term) rows for `terms` from the ROLLING
+    * positional segments: probe only the query terms' shard
+    * directories (partition-pruned across every batch_id), push the
+    * term filter to the scan, then drop tombstoned versions
+    * ([[dropDeadVersions]]). The frame feeds the SAME slot-aligned
+    * phrase voting and NEAR rollup the at-rest k9/k10 use, so answers
+    * equal the one-shot index over each doc's latest version. */
+  def posServeRolling(spark: SparkSession, statePath: String,
+      terms: Seq[String], shards: Int): DataFrame = {
+    require(terms.nonEmpty, "positional probe needs at least one term")
+    val shardIds = terms
+      .map(t => (graft.operators.PortableHash.hex60(t) % shards).toInt).distinct
+    if (!hasParquetData(spark, s"$statePath/pos_postings"))
+      sys.error(s"posServeRolling: no positions landed at $statePath — " +
+        "run posIndexPerBatch (or posIndexBatch) first")
+    val probed = spark.read.parquet(s"$statePath/pos_postings")
+      .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*))
+    dropDeadVersions(spark, probed, s"$statePath/pos_tombstones")
+      .select(col("id").as("doc_id"), col("pos"), col("term"))
+  }
+
+  /** [[mergeBm25Segments]] for the positional family: rewrite the
+    * tombstoned `batch_id=` partitions live-rows-only and clear the
+    * log — same crash ordering, same leaf-dir reclaim. */
+  def mergePosSegments(spark: SparkSession, statePath: String): (Long, Long) =
+    reclaimDeadVersions(spark, s"$statePath/pos_tombstones", Seq(
+      s"$statePath/pos_postings" -> Seq("batch_id", "shard"),
+      s"$statePath/pos_docs" -> Seq("batch_id")))
+
+  /** Delta-log compaction for [[posIndexPerBatch]]'s segments —
+    * per-leaf file merge like [[compactBm25Postings]]; probes'
+    * partition pruning is untouched. */
+  def compactPosPostings(spark: SparkSession, statePath: String,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    val path = s"$statePath/pos_postings"
+    if (!pathExists(spark, path)) (0L, 0L)
+    else graft.sources.Sources.compactParquet(spark, path, targetBytes)
+  }
+
   /** Physical reclaim of SUPERSEDED postings — the Lucene segment merge
     * that applies the delete bitmap: rewrite only the `batch_id=`
     * partitions the tombstone log names, dropping each dead (id, batch)
@@ -2082,63 +2214,61 @@ object StreamOps {
     * an all-dead leaf would otherwise resurrect once the log clears).
     * Single-writer quiet window assumed, like every compaction here.
     * Returns (tombstoned versions reclaimed, live postings rewritten). */
-  def mergeBm25Segments(spark: SparkSession, statePath: String): (Long, Long) = {
-    val postPath = s"$statePath/bm25_postings"
-    val lensPath = s"$statePath/bm25_doclens"
-    val tombPath = s"$statePath/bm25_tombstones"
-    if (!hasParquetData(spark, tombPath)) return (0L, 0L)
-    val tombs = spark.read.parquet(tombPath)
+  def mergeBm25Segments(spark: SparkSession, statePath: String): (Long, Long) =
+    reclaimDeadVersions(spark, s"$statePath/bm25_tombstones", Seq(
+      s"$statePath/bm25_postings" -> Seq("batch_id", "shard"),
+      s"$statePath/bm25_doclens" -> Seq("batch_id")))
+
+  /** The segment merge shared by [[mergeBm25Segments]] and
+    * [[mergePosSegments]]: physically reclaim the dead versions named
+    * by `tombsPath` across the given parquet families (path → its
+    * partition columns, `batch_id` first). For each family, only the
+    * `batch_id=` partitions the log names are rewritten live-rows-only
+    * (materialized BEFORE the overwrite replaces the files they were
+    * read from), leaf directories whose EVERY row died are deleted
+    * explicitly (dynamic overwrite only replaces partitions present in
+    * the written data — an all-dead leaf would otherwise resurrect once
+    * the log clears), and the tombstone log clears LAST — every crash
+    * point leaves a state the serve anti-join and a re-run both handle.
+    * Returns (tombstoned versions reclaimed, live rows rewritten in the
+    * first — postings — family). */
+  private def reclaimDeadVersions(spark: SparkSession, tombsPath: String,
+      families: Seq[(String, Seq[String])]): (Long, Long) = {
+    if (!hasParquetData(spark, tombsPath)) return (0L, 0L)
+    val tombs = spark.read.parquet(tombsPath)
       .select(col("id").as("t_id"), col("dead_batch")).localCheckpoint()
     val nDead = tombs.count()
     val deadBatches = tombs.select(col("dead_batch")).distinct()
       .collect().map(_.getLong(0)).toSeq
     def isDead(df: DataFrame) =
       df("id") === col("t_id") && df("batch_id").cast("long") === col("dead_batch")
-    // postings: live rows of the affected batch partitions, materialized
-    // BEFORE the overwrite that replaces the files they were read from
-    val affected = spark.read.parquet(postPath)
-      .filter(col("batch_id").isin(deadBatches: _*))
-    val livePost = affected.join(tombs, isDead(affected), "left_anti")
-      .select(col("term"), col("id"), col("dli"), col("tf"),
-        col("shard"), col("batch_id"))
-      .localCheckpoint()
-    val nLive = livePost.count()
-    // leaf dirs where EVERY row died — enumerate before the rewrite
-    val deadLeaves = affected.join(tombs, isDead(affected), "left_semi")
-      .select(col("batch_id").cast("long"), col("shard").cast("long"))
-      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val liveLeaves = livePost
-      .select(col("batch_id").cast("long"), col("shard").cast("long"))
-      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    livePost.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "shard")
-      .parquet(postPath)
-    val fs = new org.apache.hadoop.fs.Path(postPath)
+    val fs = new org.apache.hadoop.fs.Path(tombsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (deadLeaves -- liveLeaves).foreach { case (b, s) =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$postPath/batch_id=$b/shard=$s"), true)
+    var firstLive = 0L
+    families.zipWithIndex.foreach { case ((path, parts), fi) =>
+      val affected = spark.read.parquet(path)
+        .filter(col("batch_id").isin(deadBatches: _*))
+      val live = affected.join(tombs, isDead(affected), "left_anti")
+        .localCheckpoint()
+      if (fi == 0) firstLive = live.count()
+      def leaves(df: DataFrame): Set[Seq[Long]] =
+        df.select(parts.map(c => col(c).cast("long")): _*)
+          .distinct().collect()
+          .map(r => parts.indices.map(r.getLong(_)): Seq[Long]).toSet
+      // leaf dirs where EVERY row died — enumerate before the rewrite
+      val deadLeaves = leaves(affected.join(tombs, isDead(affected), "left_semi"))
+      val liveLeaves = leaves(live)
+      live.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(parts: _*)
+        .parquet(path)
+      (deadLeaves -- liveLeaves).foreach { vals =>
+        val leaf = parts.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$leaf"), true)
+      }
     }
-    // doclens: same move, partitioned by batch_id only
-    val affectedLens = spark.read.parquet(lensPath)
-      .filter(col("batch_id").isin(deadBatches: _*))
-    val liveLens = affectedLens.join(tombs, isDead(affectedLens), "left_anti")
-      .select(col("id"), col("dli"), col("batch_id"))
-      .localCheckpoint()
-    val liveLensBatches = liveLens.select(col("batch_id").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    liveLens.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(lensPath)
-    deadBatches.filterNot(liveLensBatches).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$lensPath/batch_id=$b"), true)
-    }
-    // the log clears LAST — every earlier crash point leaves a state the
-    // serve anti-join and a merge re-run both handle
-    fs.delete(new org.apache.hadoop.fs.Path(tombPath), true)
-    (nDead, nLive)
+    fs.delete(new org.apache.hadoop.fs.Path(tombsPath), true)
+    (nDead, firstLive)
   }
 
   /** Streaming twin of a4's SEMANTIC dedup (SemDeDup) — the
@@ -2281,7 +2411,10 @@ object StreamOps {
       outPath: String, statePath: String,
       // the k-anonymity quasi-identifier columns (n_chars derives from
       // textCol); defaulted so existing call sites read unchanged
-      sourceCol: String = "source", langCol: String = "lang")
+      sourceCol: String = "source", langCol: String = "lang",
+      // positional-index shard count ([[posIndexPerBatch]]'s artifact —
+      // phrase/NEAR serving); defaulted like the columns above
+      posShards: Int = 16)
 
   /** What the composed gate hands the sink after each wave — every
     * frame already materialized (localCheckpointed), so the sink can
@@ -2305,15 +2438,16 @@ object StreamOps {
     *   - frozen-quantizer assignment: ONE [[graft.operators.IvfSearch
     *     .assign]] lands the IVF growth delta AND drives the semantic
     *     dedup sweep ([[semAdvance]]);
-    *   - the BM25 and fuzzy-variant segment lands and the k-anonymity
-    *     monitor (n_chars is computed from `textCol` here) read the
-    *     cached batch directly.
+    *   - the BM25, fuzzy-variant, and positional segment lands and the
+    *     k-anonymity monitor (n_chars is computed from `textCol` here)
+    *     read the cached batch directly.
     *
     * At 100 TB this is the difference between one scan of each arriving
     * batch and seven. State lands under ONE `statePath` in exactly the
     * per-gate layouts, so every solo read path serves unchanged from a
     * composed deployment: [[bm25ServeRolling]], [[fuzzyServeRolling]],
-    * [[grownIvfIndex]], [[compactLanded]], [[maintain]], and the
+    * [[posServeRolling]], [[grownIvfIndex]], [[compactLanded]],
+    * [[maintain]], and the
     * per-gate compactors all point at the same directories — and each gate's output equals its solo run's
     * after any number of waves (spec-pinned, including a batch-scanned-
     * once accumulator audit). The k-anonymity fail-fast contract is
@@ -2363,6 +2497,8 @@ object StreamOps {
         bm25IndexBatchImpl(cached, cfg.idCol, cfg.textCol, cfg.bm25Shards,
           cfg.statePath, batchId)
         fuzzyIndexBatchImpl(cached, cfg.idCol, cfg.textCol, cfg.fuzzyShards,
+          cfg.statePath, batchId)
+        posIndexBatchImpl(cached, cfg.idCol, cfg.textCol, cfg.posShards,
           cfg.statePath, batchId)
         // profile side — the quasi-identifier projection kAnon expects
         val kanonReport = kAnonBatchImpl(
@@ -2535,13 +2671,15 @@ object StreamOps {
     Seq(
       prune("labels"), prune("rep"), prune("sem_labels"),
       prune("kanon"), prune("bm25_stats"),
-      "merge_bm25_segments" -> (() => mergeBm25Segments(spark, statePath))) ++
+      "merge_bm25_segments" -> (() => mergeBm25Segments(spark, statePath)),
+      "merge_pos_segments" -> (() => mergePosSegments(spark, statePath))) ++
       landed.map { lc =>
         "compact_landed" -> (() => compactLandedInPlace(spark, lc.outPath,
           statePath, lc.staticCorpusIds, lc.idCol))
       } ++
       Seq("ivf_assign", "sem_assign", "bm25_postings", "bm25_doclens",
-        "fuzzy_variants", "pairs", "bands", "shingles", "sizes").map(merge)
+        "fuzzy_variants", "pos_postings", "pos_docs",
+        "pairs", "bands", "shingles", "sizes").map(merge)
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

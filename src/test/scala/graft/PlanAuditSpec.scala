@@ -462,6 +462,29 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("k13 rolling positions serve: shard-pruned probe, pushed term filter, broadcast anti-join") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pa_pos")
+    graft.streaming.StreamOps.posIndexBatch(
+      Seq(1L -> "a vector engine with stream processing",
+        2L -> "vectors and streams everywhere").toDF("doc_id", "text"),
+      "doc_id", "text", 16, root.toString, 0L)
+    // re-land doc 2 so the tombstone anti-join participates in the plan
+    graft.streaming.StreamOps.posIndexBatch(
+      Seq(2L -> "vector streams again").toDF("doc_id", "text"),
+      "doc_id", "text", 16, root.toString, 1L)
+    val s = formatted(graft.streaming.StreamOps.posServeRolling(
+      spark, root.toString, Seq("vector", "stream"), 16))
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(term, ["),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s.take(1500))
+    assert(nodeCount(s, "CartesianProduct") == 0)
+    spark.catalog.clearCache()
+  }
+
   test("mm1 media bridge: the doc window is pushed to the scan, read schema pruned") {
     val s = formatted(SparkEntry.queries("mm1_video_luma")(spark, sfDir))
     // the synthesis/decode mapPartitions must sit on a scan that already

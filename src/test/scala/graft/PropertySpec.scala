@@ -428,4 +428,43 @@ class PropertySpec extends AnyFunSuite {
       got == want && estLaw
     }, _.withMinSuccessfulTests(15))
   }
+
+  test("posIndexBatch supersede: any land sequence serves each doc's latest version") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val versionGen: Gen[String] = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val waveGen: Gen[Map[Long, String]] = for {
+      ids <- Gen.atLeastOne(0L to 5L)
+      texts <- Gen.listOfN(ids.size, versionGen)
+    } yield ids.toList.zip(texts).toMap
+    // waves of doc versions with a coin-flipped segment merge after each
+    // land — serving must always see exactly the latest version of every
+    // doc, whatever the re-ingest pattern and wherever the merges fall
+    val scenarioGen: Gen[List[(Map[Long, String], Boolean)]] = for {
+      n <- Gen.choose(2, 4)
+      waves <- Gen.listOfN(n, waveGen)
+      merges <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield waves.zip(merges)
+    check(forAll(scenarioGen) { scenario =>
+      val root = java.nio.file.Files.createTempDirectory("posprop")
+      try {
+        val state = root.resolve("state").toString
+        scenario.zipWithIndex.foreach { case ((w, merge), i) =>
+          StreamOps.posIndexBatch(w.toSeq.toDF("doc_id", "text"),
+            "doc_id", "text", 4, state, i.toLong)
+          if (merge) StreamOps.mergePosSegments(spark, state)
+        }
+        val latest = scenario.map(_._1)
+          .foldLeft(Map.empty[Long, String])(_ ++ _)
+        val expected = latest.toSeq.flatMap { case (id, t) =>
+          t.split(" ").zipWithIndex.map { case (tm, p) => (id, p, tm) }
+        }.toSet
+        val served = StreamOps.posServeRolling(spark, state, vocab, 4)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+        served == expected
+      } finally graft.sources.Sources.deleteRecursively(root.toFile)
+    }, _.withMinSuccessfulTests(6))
+  }
 }

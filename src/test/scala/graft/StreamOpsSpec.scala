@@ -1682,6 +1682,78 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("positional rolling segments (k13 twin): live probe equals one-shot; supersede + merge") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("possup")
+    val state = root.resolve("state").toString
+    val terms = Seq("fox", "dog", "quick")
+    def land(id: Long, docs: Seq[(Long, String)]): Unit =
+      StreamOps.posIndexBatch(docs.toDF("doc_id", "text"), "doc_id",
+        "text", 8, state, id)
+    def positions(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def served() = positions(
+      StreamOps.posServeRolling(spark, state, terms, 8))
+    def oneShot(corpus: Seq[(Long, String)]): Set[(Long, Int, String)] =
+      positions(corpus.toDF("doc_id", "text")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "term")
+        .filter(col("term").isin(terms: _*)))
+    val d1v0 = 1L -> "quick fox meets dog"
+    val d3v0 = 3L -> "no animals in this text"
+    // the first two waves arrive through the streaming wrapper
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamOps.posIndexPerBatch(ms.toDF(), "doc_id", "text", 8,
+      state, root.resolve("ck").toString)
+    ms.addData(StreamDoc(d1v0._1, d1v0._2), StreamDoc(2L, "dog sleeps"),
+      StreamDoc(d3v0._1, d3v0._2))
+    q.processAllAvailable()
+    ms.addData(StreamDoc(2L, "the dog barks at the fox"),
+      StreamDoc(4L, "fox den"))
+    q.processAllAvailable()
+    q.stop()
+    // wave 2 supersedes everything wave 1 landed (doc 2's third version
+    // drops every query term, so any stale posting would surface) plus
+    // an identical at-least-once redelivery of doc 1
+    val d2v2 = 2L -> "nothing relevant here"
+    val d4v1 = 4L -> "quick dog"
+    val w2 = Seq(d2v2, d4v1, d1v0)
+    land(2L, w2)
+    val finalCorpus = Seq(d1v0, d2v2, d3v0, d4v1)
+    assert(served() == oneShot(finalCorpus) && served().nonEmpty,
+      s"${served()} vs ${oneShot(finalCorpus)}")
+    // replay of the newest wave recomputes the same tombstones
+    land(2L, w2)
+    assert(served() == oneShot(finalCorpus))
+    // the merge reclaims the 4 dead versions (2@b0; 2@b1, 4@b1, 1@b0),
+    // deletes batch 1's now-empty leaf dirs, clears the log
+    val (dead, _) = StreamOps.mergePosSegments(spark, state)
+    assert(dead == 4L, s"reclaimed $dead versions")
+    assert(served() == oneShot(finalCorpus))
+    assert(!root.resolve("state").resolve("pos_tombstones").toFile.exists())
+    val b1dirs = Option(root.resolve("state").resolve("pos_postings")
+      .resolve("batch_id=1").toFile.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("shard="))
+    assert(b1dirs.isEmpty, s"batch 1 was fully superseded: $b1dirs")
+    assert(StreamOps.mergePosSegments(spark, state) == ((0L, 0L)))
+    // supersede keeps working after the merge cleared the log
+    val d4v2 = 4L -> "the dog returned yesterday"
+    land(3L, Seq(d4v2))
+    assert(served() == oneShot(Seq(d1v0, d2v2, d3v0, d4v2)))
+    // file-merge compaction leaves the probe unchanged
+    val (cb, ca) = StreamOps.compactPosPostings(spark, state)
+    assert(cb >= ca && ca > 0, s"compaction: $cb -> $ca")
+    assert(served() == oneShot(Seq(d1v0, d2v2, d3v0, d4v2)))
+    // two versions of a doc in ONE batch is the guarded invariant
+    val err = intercept[RuntimeException] {
+      land(9L, Seq(7L -> "dup a", 7L -> "dup b"))
+    }
+    assert(err.getMessage.contains("appears"), err.getMessage)
+    spark.catalog.clearCache()
+  }
+
   // ---- composed deployment stream (deployGatesBatch / deployGatesPerBatch)
 
   /** Shared fixture for the composed-gate specs: frozen artifacts + two
@@ -1762,6 +1834,7 @@ class StreamOpsSpec extends AnyFunSuite {
           soloRoot("s_bm"), soloRoot("s_ka"), soloRoot("s_sem"),
           soloRoot("s_ivf"))
       val fzSt = soloRoot("s_fz")
+      val posSt = soloRoot("s_pos")
       val ingOut = soloRoot("s_ing_out") + "/landed"
       var soloOverlap = Map.empty[Long, Set[(String, String, Long)]]
       var soloLabels: org.apache.spark.sql.DataFrame = null
@@ -1782,6 +1855,7 @@ class StreamOpsSpec extends AnyFunSuite {
         soloLabels = l; soloState = s
         StreamOps.bm25IndexBatch(b, "doc_id", "text", 8, bmSt, id)
         StreamOps.fuzzyIndexBatch(b, "doc_id", "text", 16, fzSt, id)
+        StreamOps.posIndexBatch(b, "doc_id", "text", 16, posSt, id)
         soloKanon = StreamOps.kAnonBatch(b.select(col("source"), col("lang"),
           length(col("text")).cast("long").as("n_chars")), kaSt, id)
         soloSem = StreamOps.semDedupBatch(b, idx.centroids, idx.assignments,
@@ -1818,6 +1892,12 @@ class StreamOpsSpec extends AnyFunSuite {
           r.getLong(3))).toSet
       assert(fuzzy(cfg.statePath) == fuzzy(fzSt))
       assert(fuzzy(cfg.statePath).exists(_._2 == "fox"), s"${fuzzy(fzSt)}")
+      // positional probe from the composed state equals the solo index
+      def posRows(st: String) = StreamOps
+        .posServeRolling(spark, st, Seq("document", "gates"), 16)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(posRows(cfg.statePath) == posRows(posSt))
+      assert(posRows(cfg.statePath).nonEmpty)
       // k-anonymity window report
       assert(r1.kanonReport.collect().map(_.toSeq).toSet ==
         soloKanon.collect().map(_.toSeq).toSet)
@@ -1930,6 +2010,11 @@ class StreamOpsSpec extends AnyFunSuite {
         .toDF("doc_id", "text"), "doc_id", "text", 8, cfg.statePath, 3L)
       StreamOps.bm25IndexBatch(Seq(500L -> "extra dog document for bm25")
         .toDF("doc_id", "text"), "doc_id", "text", 8, cfg.statePath, 4L)
+      // and two positional lands that supersede, for merge_pos_segments
+      StreamOps.posIndexBatch(Seq(600L -> "extra fox phrase for positions")
+        .toDF("doc_id", "text"), "doc_id", "text", 8, cfg.statePath, 5L)
+      StreamOps.posIndexBatch(Seq(600L -> "extra dog phrase for positions")
+        .toDF("doc_id", "text"), "doc_id", "text", 8, cfg.statePath, 6L)
       // every public read path, captured before any maintenance
       def reads(): Seq[Set[Seq[Any]]] = {
         def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
@@ -1949,7 +2034,9 @@ class StreamOpsSpec extends AnyFunSuite {
           rows(spark.read.parquet(s"${cfg.statePath}/ivf_assign")
             .select(col("id"), col("centroid_id"))),
           latest("labels"), latest("rep"), latest("sem_labels"),
-          latest("kanon"))
+          latest("kanon"),
+          rows(StreamOps.posServeRolling(spark, cfg.statePath,
+            Seq("fox", "dog"), 8)))
       }
       val baseline = reads()
       assert(baseline.forall(_.nonEmpty), s"empty read-path fixture: $baseline")
@@ -1971,6 +2058,8 @@ class StreamOpsSpec extends AnyFunSuite {
       // the two rewrites had real work
       val merged = report.find(_._1 == "merge_bm25_segments").get
       assert(merged._2 == 1L, s"bm25 merge: $merged")
+      val posMerged = report.find(_._1 == "merge_pos_segments").get
+      assert(posMerged._2 == 1L, s"pos merge: $posMerged")
       val landedStep = report.find(_._1 == "compact_landed").get
       assert(landedStep._2 == 1L, s"landed compaction: $landedStep")
       // the at-rest corpus itself now matches the compacted view
