@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusOps, EventOps, Relational, ScaleOps, SearchOps, TextOps, VectorOps}
+import graft.queries.{CorpusOps, EventOps, HybridOps, Relational, ScaleOps, SearchOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,10 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ ScaleOps.queries ++ CorpusOps.queries ++
-      SearchOps.queries ++ graft.multimodal.MediaOps.queries
+      SearchOps.queries ++ HybridOps.queries ++
+      graft.multimodal.MediaOps.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ ScaleOps.oracles ++ CorpusOps.oracles ++
-      SearchOps.oracles ++ graft.multimodal.MediaOps.oracles
+      SearchOps.oracles ++ HybridOps.oracles ++
+      graft.multimodal.MediaOps.oracles
 }

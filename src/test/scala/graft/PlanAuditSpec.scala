@@ -764,6 +764,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s.take(1200))
   }
 
+  test("h1 hybrid RRF: legs are broadcast + top-k heaps; fusion never goes cartesian") {
+    val s = formatted(SparkEntry.queries("h1_hybrid_rrf")(spark, sfDir))
+    // each leg: corpus scan + 1-row broadcast (bm25 stats / query vec),
+    // cut by a TakeOrdered heap — no full sort of either corpus
+    assert(s.contains("BroadcastExchange"), s.take(1000))
+    assert(s.contains("TakeOrderedAndProject"), s.take(1000))
+    // the only unbounded-side join allowed is the 1-row query-vector
+    // broadcast; the rank windows and the fusion join sit above LIMITs
+    assert(nodeCount(s, "CartesianProduct") == 0, s.take(1500))
+    // embeddings scan reads only (vec_id, embedding) — label pruned
+    assert(!s.contains("label:int"),
+      "embeddings scan must prune the label column: " +
+        s.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
     val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
     finally spark.catalog.clearCache() // d25 persists its gram table
