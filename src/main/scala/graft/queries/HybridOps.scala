@@ -144,29 +144,45 @@ object HybridOps {
 
   private val HShards = 8
 
-  /** DuckDB replay of [[h1HybridRrf]]: k1's bm25 CTE chain for the
-    * keyword leg, v1's list_dot_product cosine for the dense leg, the
-    * same LIMIT-then-rank structure, and the RRF sum as two
-    * CASE-guarded double divisions on integer-added denominators. */
-  private val h1Sql: String =
-    s"""WITH ${KeywordSearch.bm25Ctes(HTerms)},
+  /** h3: the SCALE-PATH hybrid — the dense leg served by the real IVF
+    * index (i1's coarse-quantizer probe, [[graft.operators.IvfSearch
+    * .approxTopK]] at the shared nprobe) instead of the brute scan.
+    * This is what a 100 TB deployment actually runs: the keyword leg
+    * stays a scan+heap, the dense leg touches only the probed inverted
+    * lists, and fusion is unchanged. The oracle composes the shared
+    * ivfCtes k-means/probe replay under h1's fusion tail — an
+    * approximate leg whose every step is still bit-exact. */
+  def h3IvfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.operators.IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = ScaleOps.IvfK, iters = ScaleOps.IvfIters,
+      roundDecimals = ScaleOps.IvfRound)
+    try {
+      val denseLeg = graft.operators.IvfSearch
+        .approxTopK(e.filter(col("vec_id") === HQueryVec), idx,
+          "vec_id", "embedding", k = LegN, nprobe = ScaleOps.IvfNprobe)
+        .select(col("neighbor").as("id"), col("cos"))
+      val res = fuseRrf(bm25Leg(s, dir), denseLeg)
+      // bounded (HTopK rows): materialize before the index cache closes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
+  /** The keyword leg's CTEs (ending in `bmr(id, rb)`): k1's bm25 chain,
+    * the >0 cut, LIMIT-then-rank. */
+  private val bmLegSql: String =
+    s"""${KeywordSearch.bm25Ctes(HTerms)},
        |bml AS (SELECT id, score FROM sc WHERE score > 0
        |        ORDER BY score DESC, id LIMIT $LegN),
        |bmr AS (SELECT id,
        |          ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rb
-       |        FROM bml),
-       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = $HQueryVec),
-       |csl AS (SELECT vec_id AS id,
-       |          ROUND(list_dot_product(q_emb, emb) /
-       |            (sqrt(list_dot_product(q_emb, q_emb)) *
-       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
-       |        FROM e CROSS JOIN qv WHERE vec_id <> $HQueryVec
-       |        ORDER BY cos DESC, id LIMIT $LegN),
-       |csr AS (SELECT id,
-       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
-       |        FROM csl),
-       |fused AS (
+       |        FROM bml)""".stripMargin
+
+  /** The fusion tail shared by every hybrid oracle: full-outer join of
+    * `bmr`/`csr`, absent ranks as 0, the RRF sum as two CASE-guarded
+    * double divisions on integer-added denominators. */
+  private val fusedTailSql: String =
+    s"""fused AS (
        |  SELECT COALESCE(bmr.id, csr.id) AS doc_id,
        |    COALESCE(rb, 0) AS rb, COALESCE(rc, 0) AS rc,
        |    (CASE WHEN rb IS NULL THEN CAST(0.0 AS DOUBLE)
@@ -177,13 +193,55 @@ object HybridOps {
        |SELECT doc_id, rb, rc, rrf FROM fused
        |ORDER BY rrf DESC, doc_id LIMIT $HTopK""".stripMargin
 
+  /** DuckDB replay of [[h1HybridRrf]]: k1's bm25 CTE chain for the
+    * keyword leg, v1's list_dot_product cosine for the dense leg, the
+    * same LIMIT-then-rank structure, h1's fusion tail. */
+  private val h1Sql: String =
+    s"""WITH $bmLegSql,
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |csl AS (SELECT e.id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM e CROSS JOIN q WHERE e.id <> q.q_id
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |$fusedTailSql""".stripMargin
+
+  /** DuckDB replay of [[h3IvfHybrid]]: the dense leg rides the shared
+    * ivfCtes quantizer/probe chain (i1's replay) — candidates are the
+    * probed clusters' members, cosine-ranked, then h1's fusion tail. */
+  private val h3Sql: String =
+    s"""WITH $bmLegSql,
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |${ScaleOps.ivfCtes},
+       |cands AS (
+       |  SELECT pr.q_emb, a.id, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id),
+       |csl AS (SELECT id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM cands
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |$fusedTailSql""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hybrid_rrf" -> (h1HybridRrf _),
-    "h2_rolling_hybrid" -> (h2RollingHybrid _))
+    "h2_rolling_hybrid" -> (h2RollingHybrid _),
+    "h3_ivf_hybrid" -> (h3IvfHybrid _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
     // same answer: the rolling-served keyword leg is bit-identical to
     // the corpus scan after the stale version is superseded
-    "h2_rolling_hybrid" -> h1Sql)
+    "h2_rolling_hybrid" -> h1Sql,
+    "h3_ivf_hybrid" -> h3Sql)
 }

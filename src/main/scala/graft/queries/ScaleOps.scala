@@ -692,11 +692,11 @@ object ScaleOps {
        |GROUP BY af.cid ORDER BY af.cid""".stripMargin
 
   // i1 constants shared by the Spark query and its SQL replay
-  private val IvfK = 8       // coarse centroids
-  private val IvfIters = 2   // Lloyd iterations (unrolled in the oracle)
-  private val IvfNprobe = 3  // inverted lists probed per query
+  private[queries] val IvfK = 8       // coarse centroids
+  private[queries] val IvfIters = 2   // Lloyd iterations (unrolled in the oracle)
+  private[queries] val IvfNprobe = 3  // inverted lists probed per query
   private val IvfTopK = 5
-  private val IvfRound = 6   // centroid-mean rounding (engine portability)
+  private[queries] val IvfRound = 6   // centroid-mean rounding (engine portability)
 
   /** i1: IVF (k-means inverted-file) approximate cosine top-5 for the
     * same 3 query vectors as v1/a1. The deterministic Lloyd fit (lowest-id
@@ -730,7 +730,7 @@ object ScaleOps {
     * lists. Expects `e(id, emb)` and `q(q_id, q_emb)` CTEs upstream;
     * consumed by the i1 oracle and re-consumed verbatim by i3 so the
     * composed stack replays the SAME clustering text. */
-  private val ivfCtes: String = ivfCtesOver("e")
+  private[queries] val ivfCtes: String = ivfCtesOver("e")
 
   /** The same chain with a caller-chosen TRAINING table (i8 trains the
     * quantizer on `et`, the pre-increment corpus, while `af` still
