@@ -1313,17 +1313,159 @@ object MediaOps {
        |FROM ds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Luma difference below which a pixel counts as unchanged — the
+    * classic scene-cut detector's per-pixel gate. */
+  private val Mm6ChangeThr = 16
+
+  /** mm6: TEMPORAL video analysis — mm1 reads each frame in isolation;
+    * this reads adjacent-frame PAIRS from the same real Y4M container
+    * (identical synthesis, so the decode path is shared): per pair, the
+    * sum of absolute luma differences (SAD — the standard scene-change
+    * signal) and the count of pixels whose change exceeds
+    * [[Mm6ChangeThr]] (the cut detector's vote). Any drift in frame
+    * ORDER or frame offsets — which mm1's per-frame sums cannot see if
+    * two frames swap — flips the pairwise diffs and goes red. The
+    * oracle replays both from text bytes: pixel (f, i) is
+    * `ord(text[(f·px + i) mod len])`. */
+  def mm6SceneChange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.flatMap { case (docId, text) =>
+        val bytes = asciiBytes(docId, text)
+        val frames = (0 until MmF).map { f =>
+          val img = new java.awt.image.BufferedImage(MmW, MmH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < MmW * MmH) {
+            val v = bytes((f * MmW * MmH + i) % bytes.length) & 0xff
+            img.setRGB(i % MmW, i / MmW, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          img
+        }
+        val container = Y4mCodec.encodeY4m(frames, "mono") // REAL bytes
+        val v = Y4mCodec.decode(container).getOrElse(
+          sys.error(s"mm6: container round-trip failed for doc $docId"))
+        (0 until v.frames.length - 1).map { f =>
+          val a = v.frames(f)
+          val b = v.frames(f + 1)
+          var sad = 0L
+          var nch = 0L
+          var y = 0
+          while (y < v.height) {
+            var x = 0
+            while (x < v.width) {
+              val d = math.abs((b.getRGB(x, y) & 0xff) - (a.getRGB(x, y) & 0xff))
+              sad += d
+              if (d > Mm6ChangeThr) nch += 1
+              x += 1
+            }
+            y += 1
+          }
+          (docId, f, sad, nch)
+        }
+      }
+    }.toDF("doc_id", "pair_no", "sad", "n_changed")
+      .orderBy("doc_id", "pair_no")
+  }
+
+  private val mm6Sql: String = {
+    val px = MmW * MmH
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id < $MmDocs),
+       |fr AS (SELECT CAST(f AS INTEGER) AS pair_no FROM range(${MmF - 1}) t(f)),
+       |px AS (SELECT CAST(i AS BIGINT) AS i FROM range($px) t(i)),
+       |dv AS (
+       |  SELECT d.doc_id, fr.pair_no,
+       |    ABS(ord(substr(d.text,
+       |        CAST(((fr.pair_no + 1) * $px + px.i) % d.len AS INTEGER) + 1, 1))
+       |      - ord(substr(d.text,
+       |        CAST((fr.pair_no * $px + px.i) % d.len AS INTEGER) + 1, 1))) AS ad
+       |  FROM d CROSS JOIN fr CROSS JOIN px)
+       |SELECT doc_id, pair_no, CAST(SUM(ad) AS BIGINT) AS sad,
+       |  CAST(SUM(CASE WHEN ad > $Mm6ChangeThr THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+       |FROM dv GROUP BY doc_id, pair_no
+       |ORDER BY doc_id, pair_no""".stripMargin
+  }
+
+  /** Walsh–Hadamard transform length (power of two). */
+  private val Mm7N = 16
+
+  /** mm7: the SPECTRAL audio tier — mm4's Goertzel reads one frequency
+    * bin; this computes a full orthogonal transform. The FFT's float
+    * butterflies can't cross engines bit-exactly, so the spectrum here
+    * is the Walsh–Hadamard transform (the sequency-domain analogue used
+    * for exactly this reason in integer DSP): coefficient
+    * c_k = Σ_n s_n · (−1)^popcount(n AND k) over the clip's first
+    * [[Mm7N]] samples — pure ±1 integer arithmetic, so Spark (from REAL
+    * RIFF-WAVE bytes through the full parser, mm3's synthesis) and
+    * DuckDB (`bit_count(i & k)` parity over `ord`-derived PCM16) agree
+    * to the bit. c_0 is the DC sum; higher k = higher sequency. */
+  def mm7AudioWht(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.flatMap { case (docId, text) =>
+        val bytes = asciiBytes(docId, text)
+        val samples = Array.tabulate(Mm3Samples)(i =>
+          (((bytes(i % bytes.length) & 0xff) - 128) * 256).toShort)
+        val wav = AudioCodec.encodeWav(samples, Mm3Rate) // REAL bytes
+        val (_, _, pcm) = AudioCodec.decode(wav).getOrElse(
+          sys.error(s"mm7: WAV round-trip failed for doc $docId"))
+        val s16 = Array.tabulate(Mm7N)(i =>
+          ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong)
+        (0 until Mm7N).map { k =>
+          var c = 0L
+          var n = 0
+          while (n < Mm7N) {
+            val sign = 1L - 2L * (java.lang.Long.bitCount(n.toLong & k.toLong) % 2)
+            c += s16(n) * sign
+            n += 1
+          }
+          (docId, k.toLong, c)
+        }
+      }
+    }.toDF("doc_id", "k", "coef")
+      .orderBy("doc_id", "k")
+  }
+
+  private val mm7Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id < $MmDocs),
+       |sm AS (SELECT CAST(i AS BIGINT) AS i FROM range($Mm7N) t(i)),
+       |ks AS (SELECT CAST(j AS BIGINT) AS k FROM range($Mm7N) t(j)),
+       |s AS (
+       |  SELECT d.doc_id, sm.i,
+       |    CAST((ord(substr(d.text, CAST(sm.i % d.len AS INTEGER) + 1, 1))
+       |      - 128) * 256 AS BIGINT) AS v
+       |  FROM d CROSS JOIN sm)
+       |SELECT doc_id, k,
+       |  CAST(SUM(v * (1 - 2 * (bit_count(i & k) % 2))) AS BIGINT) AS coef
+       |FROM s CROSS JOIN ks GROUP BY doc_id, k
+       |ORDER BY doc_id, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_video_luma" -> (mm1VideoLuma _),
     "mm2_image_luma" -> (mm2ImageLuma _),
     "mm3_audio_sum" -> (mm3AudioSum _),
     "mm4_audio_features" -> (mm4AudioFeatures _),
-    "mm5_image_resize" -> (mm5ImageResize _))
+    "mm5_image_resize" -> (mm5ImageResize _),
+    "mm6_scene_change" -> (mm6SceneChange _),
+    "mm7_audio_wht" -> (mm7AudioWht _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
     "mm2_image_luma" -> mm2Sql,
     "mm3_audio_sum" -> mm3Sql,
     "mm4_audio_features" -> mm4Sql,
-    "mm5_image_resize" -> mm5Sql)
+    "mm5_image_resize" -> mm5Sql,
+    "mm6_scene_change" -> mm6Sql,
+    "mm7_audio_wht" -> mm7Sql)
 }
