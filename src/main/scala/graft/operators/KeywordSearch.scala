@@ -86,8 +86,11 @@ object KeywordSearch {
   }
 
   /** DuckDB replay of [[bm25]] ending in a `sc(id, score)` CTE — one SQL
-    * fragment per Column expression above, same operand order. */
-  def bm25Ctes(terms: Seq[String]): String = {
+    * fragment per Column expression above, same operand order.
+    * `textExpr` lets a caller replay a TRANSFORMED corpus (k15's as-of
+    * oracle scores the text each doc HAD at the time-travel point); the
+    * default replays the table column verbatim. */
+  def bm25Ctes(terms: Seq[String], textExpr: String = "text"): String = {
     // SQL-literal escaping: the Spark side takes terms via lit() which is
     // injection-safe by construction; the replay string must double any
     // single quote to stay parseable (and equivalent)
@@ -106,7 +109,7 @@ object KeywordSearch {
       s"CASE WHEN tf_$i > 0 THEN $idf * (($tf * 2.5) / $norm) ELSE 0.0 END"
     }.mkString("\n      + ")
     s"""base AS (
-       |  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+       |  SELECT doc_id AS id, string_split($textExpr, ' ') AS toks FROM documents),
        |tf AS (
        |  SELECT id, len(toks) AS dli,
        |    $tfDefs

@@ -546,7 +546,8 @@ object SearchOps {
     }
   }
 
-  /** The rolling positional state k13/k14 share: built at most once per
+  /** The rolling search state k13/k14 (positional, latest) and k15/k16
+    * (BM25 + positional, time-travel) share: built at most once per
     * corpus fingerprint (marker-last, the k8/k9 artifact discipline) by
     * a 3-wave ingest protocol that deliberately exercises the UPDATE
     * story inside the oracle rows, not just a spec — wave 0 lands a
@@ -561,7 +562,7 @@ object SearchOps {
     * exactly a replay (dynamic-overwrite lands, recomputed tombstones). */
   private def rollingPosState(s: SparkSession, dir: String): String = {
     import graft.streaming.StreamOps
-    val root = ScaleOps.artifactRoot("k13",
+    val root = ScaleOps.artifactRoot("k13s",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
     val done = root.resolve("_STATE_OK")
     val state = root.resolve("state").toString
@@ -571,12 +572,13 @@ object SearchOps {
       val third = pmod(col("doc_id"), lit(3L))
       val stale = docs.filter(third === 2L)
         .withColumn("text", split(col("text"), " ").getItem(0))
-      StreamOps.posIndexBatch(docs.filter(third === 0L).unionByName(stale),
-        "doc_id", "text", K9Shards, state, 0L)
-      StreamOps.posIndexBatch(docs.filter(third === 1L),
-        "doc_id", "text", K9Shards, state, 1L)
-      StreamOps.posIndexBatch(docs.filter(third === 2L),
-        "doc_id", "text", K9Shards, state, 2L)
+      def land(batch: DataFrame, id: Long): Unit = {
+        StreamOps.posIndexBatch(batch, "doc_id", "text", K9Shards, state, id)
+        StreamOps.bm25IndexBatch(batch, "doc_id", "text", K6Shards, state, id)
+      }
+      land(docs.filter(third === 0L).unionByName(stale), 0L)
+      land(docs.filter(third === 1L), 1L)
+      land(docs.filter(third === 2L), 2L)
       java.nio.file.Files.createDirectories(root)
       java.nio.file.Files.write(done, Array.emptyByteArray)
     }
@@ -602,12 +604,62 @@ object SearchOps {
       NearPairs.toDF("ta", "tb"))
   }
 
+  /** The time-travel point k15/k16 serve at: after wave 1, when thirds
+    * 0 and 1 carried full text and third 2 was still the STALE
+    * one-token version wave 0 landed (wave 2's superseding re-land —
+    * and the tombstone it wrote — are in this point's future). */
+  private val AsOfBatch = 1L
+
+  /** DuckDB's view of the corpus as it stood at [[AsOfBatch]]. */
+  private val AsOfTextExpr =
+    "(CASE WHEN doc_id % 3 = 2 THEN string_split(text, ' ')[1] ELSE text END)"
+
+  /** k15: TIME-TRAVEL keyword search — k1's BM25 served from the
+    * rolling segments AS OF [[AsOfBatch]] (reproducible retrieval
+    * lineage: the exact scores this query returned when batch 1 was
+    * the frontier). The later segment is partition-pruned, the
+    * later-landed tombstone ignored (the stale version was live
+    * then), and the corpus scalars come from batch 1's stats
+    * snapshot. The oracle scores the corpus each doc HAD at that
+    * point — full thirds 0/1, one-token third 2. */
+  def k15AsofBm25(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    StreamOps.bm25ServeRolling(s, rollingPosState(s, dir), QueryTerms,
+        K6Shards, asOf = AsOfBatch)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(TopK)
+      .select(col("id").as("doc_id"), col("score"))
+  }
+
+  private val k15Sql: String =
+    s"""WITH ${KeywordSearch.bm25Ctes(QueryTerms, AsOfTextExpr)}
+       |SELECT id AS doc_id, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, id LIMIT $TopK""".stripMargin
+
+  /** k16: time-travel PHRASE search — k13's slot-aligned voting over
+    * the positional rows AS OF [[AsOfBatch]], from the same artifact
+    * state as k15 (one time-travel point, two index families). */
+  def k16AsofPhrase(s: SparkSession, dir: String): DataFrame =
+    phraseRollup(s, graft.streaming.StreamOps.posServeRolling(
+      s, rollingPosState(s, dir), PhraseTerms, K9Shards, asOf = AsOfBatch))
+
+  private val k16Sql: String =
+    s"""WITH ph AS (SELECT unnest([${Phrases.map(p => s"'$p'").mkString(", ")}]) AS phrase),
+       |d AS (SELECT doc_id, $AsOfTextExpr AS text FROM documents)
+       |SELECT phrase, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM d CROSS JOIN ph
+       |WHERE ' ' || text || ' ' LIKE '% ' || phrase || ' %'
+       |GROUP BY phrase ORDER BY phrase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_bm25_topk" -> (k1Bm25TopK _),
     "k11_rolling_bm25" -> (k11RollingBm25 _),
     "k12_rolling_fuzzy" -> (k12RollingFuzzy _),
     "k13_rolling_phrase" -> (k13RollingPhrase _),
     "k14_rolling_near" -> (k14RollingNear _),
+    "k15_asof_bm25" -> (k15AsofBm25 _),
+    "k16_asof_phrase" -> (k16AsofPhrase _),
     "k6_search_at_rest" -> (k6SearchAtRest _),
     "k4_phrase_search" -> (k4PhraseSearch _),
     "k5_proximity_search" -> (k5ProximitySearch _),
@@ -638,5 +690,9 @@ object SearchOps {
     // same answers, served from the rolling positional segments after
     // a stale version is superseded — the final live corpus IS the table
     "k13_rolling_phrase" -> k4Sql,
-    "k14_rolling_near" -> k5Sql)
+    "k14_rolling_near" -> k5Sql,
+    // the time-travel point: scores/phrases over the corpus AS IT
+    // STOOD at batch 1 (stale third still live, future tombstone ignored)
+    "k15_asof_bm25" -> k15Sql,
+    "k16_asof_phrase" -> k16Sql)
 }

@@ -1139,10 +1139,14 @@ object StreamOps {
     * log is bounded by re-ingests since the last segment merge, so it
     * broadcasts; with no tombstones landed this is a no-op. */
   private def dropDeadVersions(spark: SparkSession, probed: DataFrame,
-      tombsPath: String): DataFrame =
+      tombsPath: String, asOf: Long = Long.MaxValue): DataFrame =
     if (!hasParquetData(spark, tombsPath)) probed
     else {
+      // a tombstone's OWN partition batch_id is the batch that landed the
+      // superseding version — time-travel must ignore tombstones from the
+      // served point's future (the old version was still live then)
       val tombs = spark.read.parquet(tombsPath)
+        .filter(col("batch_id").cast("long") <= asOf)
         .select(col("id").as("t_id"), col("dead_batch"))
       probed.join(broadcast(tombs),
         probed("id") === col("t_id") &&
@@ -1741,9 +1745,22 @@ object StreamOps {
     * chosen `batch_id=` partition may be gone (FileNotFoundException).
     * The default keep=2 protects a one-batch lag; a deployment serving
     * from continuously-written state should raise the writer's keep (or
-    * quiesce the stream for the read window), not retry blind. */
+    * quiesce the stream for the read window), not retry blind.
+    *
+    * Time travel: `asOf` serves the index AS OF the completion of that
+    * batch id (inclusive) — segments from later batches are partition-
+    * pruned away, tombstones LANDED later are ignored (the superseded
+    * version was still live then), and the corpus scalars come from
+    * that batch's stats snapshot. The answer is reproducible retrieval
+    * lineage: the exact scores a query returned when batch `asOf` was
+    * the frontier. Retention bounds the reach — [[pruneSupersededBatches]]
+    * keeps the last two stats snapshots, and [[mergeBm25Segments]]
+    * (like any VACUUM) collapses superseded history into the merged
+    * view; a deployment that needs deep time travel raises the keep and
+    * defers merges. */
   def bm25ServeRolling(spark: SparkSession, statePath: String,
-      terms: Seq[String], shards: Int): DataFrame = {
+      terms: Seq[String], shards: Int,
+      asOf: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val shardIds = terms
       .map(t => (graft.operators.PortableHash.hex60(t) % shards).toInt).distinct
@@ -1754,10 +1771,12 @@ object StreamOps {
       sys.error(s"bm25ServeRolling: no postings landed at $statePath — " +
         "run bm25IndexPerBatch (or bm25IndexBatch) first")
     val probed = spark.read.parquet(s"$statePath/bm25_postings")
-      .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*))
+      .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*) &&
+        col("batch_id").cast("long") <= asOf)
     // supersede-on-land: a (id, batch_id) named by a tombstone is a dead
     // version's posting — drop it before df/tf ([[dropDeadVersions]])
-    val post = dropDeadVersions(spark, probed, s"$statePath/bm25_tombstones")
+    val post = dropDeadVersions(spark, probed,
+      s"$statePath/bm25_tombstones", asOf)
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i") }
     val byDoc = post.groupBy(col("id"), col("dli"))
@@ -1768,8 +1787,11 @@ object StreamOps {
     val statsSchema = new org.apache.spark.sql.types.StructType()
       .add("n", org.apache.spark.sql.types.LongType)
       .add("sumdl", org.apache.spark.sql.types.LongType)
-    val last = latestLandedBatch(spark, s"$statePath/bm25_stats", Long.MaxValue)
-      .getOrElse(sys.error("bm25ServeRolling: no stats snapshot landed"))
+    val statsBound = if (asOf == Long.MaxValue) Long.MaxValue else asOf + 1
+    val last = latestLandedBatch(spark, s"$statePath/bm25_stats", statsBound)
+      .getOrElse(sys.error(s"bm25ServeRolling: no stats snapshot landed" +
+        (if (asOf != Long.MaxValue) s" at or before batch $asOf (pruned? " +
+          "retention keeps the last two snapshots)" else "")))
     val stats = readDelta(spark, s"$statePath/bm25_stats", statsSchema)
       .filter(col("batch_id") === last).drop("batch_id")
     byDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
@@ -2165,9 +2187,15 @@ object StreamOps {
     * term filter to the scan, then drop tombstoned versions
     * ([[dropDeadVersions]]). The frame feeds the SAME slot-aligned
     * phrase voting and NEAR rollup the at-rest k9/k10 use, so answers
-    * equal the one-shot index over each doc's latest version. */
+    * equal the one-shot index over each doc's latest version.
+    *
+    * Time travel: `asOf` replays the live rows as of that batch id
+    * (inclusive) — [[bm25ServeRolling]]'s contract: later segments
+    * pruned, later-landed tombstones ignored, [[mergePosSegments]]
+    * collapses history like any VACUUM. */
   def posServeRolling(spark: SparkSession, statePath: String,
-      terms: Seq[String], shards: Int): DataFrame = {
+      terms: Seq[String], shards: Int,
+      asOf: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "positional probe needs at least one term")
     val shardIds = terms
       .map(t => (graft.operators.PortableHash.hex60(t) % shards).toInt).distinct
@@ -2175,8 +2203,9 @@ object StreamOps {
       sys.error(s"posServeRolling: no positions landed at $statePath — " +
         "run posIndexPerBatch (or posIndexBatch) first")
     val probed = spark.read.parquet(s"$statePath/pos_postings")
-      .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*))
-    dropDeadVersions(spark, probed, s"$statePath/pos_tombstones")
+      .filter(col("shard").isin(shardIds: _*) && col("term").isin(terms: _*) &&
+        col("batch_id").cast("long") <= asOf)
+    dropDeadVersions(spark, probed, s"$statePath/pos_tombstones", asOf)
       .select(col("id").as("doc_id"), col("pos"), col("term"))
   }
 

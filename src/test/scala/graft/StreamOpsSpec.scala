@@ -1682,6 +1682,79 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("as-of serving (k15/k16 twin): every prefix replays; merge collapses history") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("asof")
+    val state = root.resolve("state").toString
+    val terms = Seq("fox", "dog")
+    def land(id: Long, docs: Seq[(Long, String)]): Unit = {
+      StreamOps.posIndexBatch(docs.toDF("doc_id", "text"), "doc_id",
+        "text", 8, state, id)
+      StreamOps.bm25IndexBatch(docs.toDF("doc_id", "text"), "doc_id",
+        "text", 8, state, id)
+    }
+    def positionsAt(asOf: Long): Set[(Long, Int, String)] =
+      StreamOps.posServeRolling(spark, state, terms, 8, asOf = asOf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def oneShotPos(corpus: Seq[(Long, String)]): Set[(Long, Int, String)] =
+      corpus.toDF("doc_id", "text")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "term")
+        .filter(col("term").isin(terms: _*))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def scoresAt(asOf: Long): Map[Long, Double] =
+      StreamOps.bm25ServeRolling(spark, state, terms, 8, asOf = asOf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the rescan path scores EVERY doc (0.0 without query terms); the
+    // serve path only sees posting-bearing docs — compare on those
+    def oneShotScores(corpus: Seq[(Long, String)]): Map[Long, Double] =
+      graft.operators.KeywordSearch.bm25(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+        .filter { case (id, _) =>
+          corpus.toMap.apply(id).split(" ").exists(terms.contains) }.toMap
+    val d1v0 = 1L -> "fox one"
+    val d2v0 = 2L -> "dog fox dog"        // superseded at wave 2
+    val d3v0 = 3L -> "quiet text"
+    val d2v1 = 2L -> "nothing here"
+    val d4v0 = 4L -> "dog den"
+    land(0L, Seq(d1v0, d2v0))
+    land(1L, Seq(d3v0))
+    land(2L, Seq(d2v1, d4v0))
+    val at0 = Seq(d1v0, d2v0)
+    val at1 = Seq(d1v0, d2v0, d3v0)
+    val at2 = Seq(d1v0, d2v1, d3v0, d4v0)
+    // every prefix replays exactly: wave-2's supersede of doc 2 must NOT
+    // leak into the asOf=0/1 views (its tombstone landed later), and the
+    // stats scalars (n, sumdl — d3 counts even with no query term) must
+    // come from the matching snapshot
+    assert(positionsAt(0L) == oneShotPos(at0))
+    assert(positionsAt(1L) == oneShotPos(at1))
+    assert(positionsAt(2L) == oneShotPos(at2))
+    assert(positionsAt(Long.MaxValue) == oneShotPos(at2))
+    assert(scoresAt(1L) == oneShotScores(at1))
+    assert(scoresAt(2L) == oneShotScores(at2))
+    // d2's score differs across prefixes (corpus scalars moved, then its
+    // text was superseded) — time travel is genuinely distinct, not a no-op
+    assert(scoresAt(1L)(2L) != scoresAt(2L).getOrElse(2L, 0.0))
+    // BM25 time travel is bounded by stats retention (keep=2): asOf
+    // older than the surviving snapshots fails LOUDLY, never guesses
+    val err = intercept[RuntimeException] { scoresAt(0L) }
+    assert(err.getMessage.contains("no stats snapshot"), err.getMessage)
+    // segment merge is VACUUM: superseded history collapses to the
+    // merged view — asOf older than the merge now serves doc 2's LIVE
+    // version only (documented truncation, pinned here)
+    StreamOps.mergeBm25Segments(spark, state)
+    StreamOps.mergePosSegments(spark, state)
+    val postMerge = positionsAt(1L)
+    assert(!postMerge.exists { case (id, _, t) => id == 2L && t == "fox" },
+      s"merged history must not resurrect doc 2's dead version: $postMerge")
+    assert(positionsAt(Long.MaxValue) == oneShotPos(at2))
+    graft.sources.Sources.deleteRecursively(root.toFile)
+    spark.catalog.clearCache()
+  }
+
   test("positional rolling segments (k13 twin): live probe equals one-shot; supersede + merge") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
