@@ -807,6 +807,85 @@ object CorpusOps {
        |  AND doc_id NOT IN (SELECT id FROM contaminated)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** c19: TIME-TRAVEL reads of the landed training corpus — the
+    * training-data lineage query: after the full c9 ingest (3 waves,
+    * per-wave dedup + decontamination, retro-drops logged), read the
+    * clean corpus AS OF each wave frontier via
+    * [[graft.streaming.StreamOps.compactLanded]]'s `asOf`: only batches
+    * landed by then, and only the retro-drops the pair log had
+    * SURFACED by then — a doc that a later wave revealed as a near-dup
+    * was still in the corpus at the earlier frontier, and reproducing
+    * that training run needs it back. One row per frontier
+    * (as_of, n_docs, total_tokens); the latest row equals c9's total.
+    * The oracle re-derives each frontier's drop set from first
+    * principles: a pair has surfaced by wave N iff BOTH its stream
+    * endpoints arrived by N (the sweep logs each pair at its later
+    * endpoint's wave). */
+  def c19AsofCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"), col("text"))
+    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") < EvalSplit)
+      .select(col("doc_id"), col("text"))
+    val stream = docs
+      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
+    val corpusIds = corpus.select(col("doc_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_c19_").toString
+    try {
+      (0 until C9Batches).foreach { b =>
+        StreamOps.ingestBatchCompact(
+          stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
+          staticIndex, corpusIds, evalSet, "doc_id", "text",
+          NearDupThreshold, n = 5,
+          outPath = s"$root/landed", statePath = s"$root/state",
+          batchId = b.toLong)
+      }
+      import s.implicits._
+      (0 until C9Batches).map { n =>
+        val at = StreamOps.compactLanded(s, s"$root/landed", s"$root/state",
+            corpusIds, "doc_id", asOf = n.toLong)
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum((length(col("text")) -
+                length(expr("replace(text, ' ', '')")) + 1).cast("long")),
+              lit(0L)).as("total_tokens"))
+          .head
+        (n.toLong, at.getLong(0), at.getLong(1))
+      }.toDF("as_of", "n_docs", "total_tokens").orderBy("as_of")
+    } finally {
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  private lazy val c19Sql: String = {
+    // the corpus as of wave N: docs whose wave arrived, minus drops whose
+    // pair had surfaced (both stream endpoints arrived), minus
+    // decontamination losers (dropped at their OWN landing wave)
+    def frontier(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS as_of, COUNT(*) AS n_docs,
+         |  COALESCE(CAST(SUM(length(text) - length(replace(text, ' ', ''))
+         |    + 1) AS BIGINT), 0) AS total_tokens
+         |FROM documents
+         |WHERE doc_id >= $C9CorpusEnd AND doc_id < $C9StreamEnd
+         |  AND doc_id % $C9Batches <= $n
+         |  AND doc_id NOT IN (
+         |    SELECT DISTINCT id FROM (
+         |      SELECT id_b AS id, id_a AS other FROM fpairs
+         |      UNION ALL
+         |      SELECT id_a AS id, id_b AS other FROM fpairs
+         |      WHERE id_b < $C9CorpusEnd) z
+         |    WHERE id >= $C9CorpusEnd AND id % $C9Batches <= $n
+         |      AND (other < $C9CorpusEnd OR other % $C9Batches <= $n))
+         |  AND doc_id NOT IN (SELECT id FROM contaminated)""".stripMargin
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
+       |$c9DropsCtesSql
+       |${(0 until C9Batches).map(frontier).mkString("\nUNION ALL\n")}
+       |ORDER BY as_of""".stripMargin
+  }
+
   /** c6: CROSS-SPLIT leakage audit — d9's content-hash split composed
     * with the c2 gram-overlap machinery, run INTERNALLY: how many val
     * and test documents share any word 5-gram with any train document?
@@ -1597,6 +1676,7 @@ object CorpusOps {
     "c16_best_representative" -> (c16BestRepresentative _),
     "c17_rolling_rep" -> (c17RollingRep _),
     "c18_deploy_gates" -> (c18DeployGates _),
+    "c19_asof_corpus" -> (c19AsofCorpus _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1629,6 +1709,7 @@ object CorpusOps {
     "c16_best_representative" -> c16Sql,
     "c17_rolling_rep" -> c17Sql,
     "c18_deploy_gates" -> c18Sql,
+    "c19_asof_corpus" -> c19Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,

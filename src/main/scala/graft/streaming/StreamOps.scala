@@ -2567,10 +2567,19 @@ object StreamOps {
     * Returns the compacted landed frame; callers persist it (or rewrite
     * `outPath`) as the corpus promotion step. */
   def compactLanded(spark: SparkSession, outPath: String, statePath: String,
-                    staticCorpusIds: DataFrame, idCol: String): DataFrame = {
+                    staticCorpusIds: DataFrame, idCol: String,
+                    asOf: Long = Long.MaxValue): DataFrame = {
+    // time travel (training-data lineage): `asOf` reads the clean corpus
+    // as it stood when that batch was the frontier — only batches landed
+    // by then, and only the retro-drops the pair log had surfaced by
+    // then (a doc a LATER wave revealed as a near-dup was still in the
+    // corpus at this point, and a reproducible training run needs it).
+    // compactLandedInPlace truncates this history like any VACUUM.
     val landed = spark.read.parquet(outPath)
+      .filter(col("batch_id").cast("long") <= asOf)
     if (!pathExists(spark, s"$statePath/pairs")) return landed
     val pairs = spark.read.parquet(s"$statePath/pairs")
+      .filter(col("batch_id").cast("long") <= asOf)
     val staticIds = staticCorpusIds.select(col(idCol).as("cid"))
     val drops = pairs.select(col("id_b").as("id"))
       .unionByName(pairs.join(staticIds, col("id_b") === col("cid"))

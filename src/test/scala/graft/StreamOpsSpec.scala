@@ -1003,6 +1003,16 @@ class StreamOpsSpec extends AnyFunSuite {
       "the smaller-id late arrival must land; its landed partner stays until compaction")
     assert(compactedIds() === Set(300L, 250L),
       "compaction must retro-drop the landed doc its later smaller-id near-dup outranks")
+    // time travel (c19's twin): as of batch 1, doc 311's killer pair had
+    // not surfaced — the lineage read must contain it, exactly as the
+    // corpus stood when batch 1 was the frontier; as of 2 it is gone
+    def asOfIds(n: Long): Set[Long] = StreamOps
+      .compactLanded(spark, outDir, stDir, corpusIds, "doc_id", asOf = n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(asOfIds(0L) === Set(300L), s"asOf 0: ${asOfIds(0L)}")
+    assert(asOfIds(1L) === Set(300L, 311L),
+      "the retro-dropped doc must still be in the as-of-1 lineage view")
+    assert(asOfIds(2L) === Set(300L, 250L))
     // one-shot equivalence: the whole stream as a SINGLE batch through
     // the same gate + compaction must land exactly the compacted set
     val oneRoot = Files.createTempDirectory("ingestc1")
