@@ -807,6 +807,82 @@ object CorpusOps {
        |  AND doc_id NOT IN (SELECT id FROM contaminated)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** c20: time-travel read of the DEDUP-CLUSTER state — c14's rolling
+    * CC driven through all three waves, then the label table AS OF
+    * wave 1 ([[graft.streaming.StreamOps.labelsAsOf]] — a snapshot
+    * pick, within the keep=2 retention) rolled up per cluster. The
+    * oracle recomputes connected components over the corpus as it
+    * stood at that frontier (static corpus + waves 0..1), so a
+    * snapshot that leaked any wave-2 edge goes red. With c19 (corpus)
+    * and k15/k16 (search indexes), every rolling text-side state
+    * family now has a lineage read. */
+  def c20AsofClusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"), col("text"))
+    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    val stream = docs
+      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
+    val seed = ConnectedComponents.components(
+      MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
+        .select(col("id_a"), col("id_b"))).localCheckpoint()
+    val root = java.nio.file.Files.createTempDirectory("graft_c20_").toString
+    try {
+      (0 until C9Batches).foreach { b =>
+        StreamOps.rollingCcBatch(
+          stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
+          staticIndex, seed, "doc_id", "text", NearDupThreshold,
+          s"$root/state", b.toLong)
+      }
+      def frontier(n: Long) = StreamOps.labelsAsOf(s, s"$root/state", seed,
+          org.apache.spark.sql.types.LongType, asOf = n)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(n).as("as_of"), col("component"), col("n_docs"))
+      val res = frontier(1L).unionByName(frontier(2L))
+        .orderBy("as_of", "component")
+      // bounded (|clusters| rows): materialize before the state deletes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  private lazy val c20Sql: String = {
+    // ONE minhash chain over the full window; each frontier's edge set
+    // is the arrival-filtered fpairs (a pair surfaced by wave N iff both
+    // its stream endpoints arrived — the c19 derivation), each with its
+    // own transitive closure
+    def closure(n: Int): String =
+      s"""f$n AS (
+         |  SELECT id_a, id_b FROM fpairs
+         |  WHERE (id_a < $C9CorpusEnd OR id_a % $C9Batches <= $n)
+         |    AND (id_b < $C9CorpusEnd OR id_b % $C9Batches <= $n)),
+         |sym$n AS (
+         |  SELECT id_a AS src, id_b AS dst FROM f$n
+         |  UNION
+         |  SELECT id_b, id_a FROM f$n),
+         |reach$n(id, r) AS (
+         |  SELECT src, src FROM sym$n
+         |  UNION
+         |  SELECT reach$n.id, sym$n.dst
+         |  FROM reach$n JOIN sym$n ON reach$n.r = sym$n.src),
+         |cl$n AS (SELECT id, MIN(r) AS component FROM reach$n GROUP BY id)""".stripMargin
+    def rollup(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS as_of, component, COUNT(*) AS n_docs
+         |FROM cl$n GROUP BY component""".stripMargin
+    s"""WITH RECURSIVE ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
+       |${closure(1)},
+       |${closure(2)}
+       |${rollup(1)}
+       |UNION ALL
+       |${rollup(2)}
+       |ORDER BY as_of, component""".stripMargin
+  }
+
   /** c19: TIME-TRAVEL reads of the landed training corpus — the
     * training-data lineage query: after the full c9 ingest (3 waves,
     * per-wave dedup + decontamination, retro-drops logged), read the
@@ -1677,6 +1753,7 @@ object CorpusOps {
     "c17_rolling_rep" -> (c17RollingRep _),
     "c18_deploy_gates" -> (c18DeployGates _),
     "c19_asof_corpus" -> (c19AsofCorpus _),
+    "c20_asof_clusters" -> (c20AsofClusters _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1710,6 +1787,7 @@ object CorpusOps {
     "c17_rolling_rep" -> c17Sql,
     "c18_deploy_gates" -> c18Sql,
     "c19_asof_corpus" -> c19Sql,
+    "c20_asof_clusters" -> c20Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,

@@ -1433,6 +1433,20 @@ object StreamOps {
       seedLabels.select(col("id"), col("component")), batchId)
   }
 
+  /** The rolling CC label table AS OF a batch frontier (inclusive) —
+    * [[bm25ServeRolling]]'s time-travel contract for the dedup-cluster
+    * state: which docs were clustered together when batch `asOf` was
+    * the frontier. Labels are per-batch SNAPSHOTS (not deltas), so
+    * as-of is a snapshot pick, and [[pruneSupersededBatches]]'s keep=2
+    * bounds the reach — beyond it, the seed fallback would silently
+    * answer from the wrong epoch, so callers should stay within the
+    * retention window (c20 serves the latest-but-one). */
+  def labelsAsOf(spark: SparkSession, statePath: String,
+      seedLabels: DataFrame,
+      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame =
+    landedLabelsBefore(spark, statePath, seedLabels, idType,
+      if (asOf == Long.MaxValue) Long.MaxValue else asOf + 1)
+
   private[graft] def rollingCcBatch(batch: DataFrame,
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       seedLabels: DataFrame, idCol: String, textCol: String,
