@@ -1239,6 +1239,78 @@ object ScaleOps {
        |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= $IvfTopK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** i11: TIME-TRAVEL probe of the grown ANN index — the vector-side
+    * lineage read beside c19/c20/k15/k16: i8's late arrivals stream in
+    * as TWO [[graft.streaming.StreamOps.ivfAssignBatch]] delta waves,
+    * and the same top-k query probes the index AS OF each frontier
+    * ([[graft.streaming.StreamOps.grownIvfIndex]]'s `asOf` — later
+    * deltas partition-pruned). The as-of-0 answers can only rank
+    * vectors that had ARRIVED (base + wave 0); any wave-1 neighbor
+    * leaking back in time goes red. The oracle runs i8's frozen-
+    * quantizer chain once and restricts the assigned set per frontier. */
+  def i11AsofAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val e = Tables(s, dir, "embeddings")
+    val idx0 = IvfSearch.buildIndex(e.filter(col("vec_id") < I8TrainEnd),
+      "vec_id", "embedding", k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    val root = java.nio.file.Files.createTempDirectory("graft_i11_").toString
+    try {
+      val late = e.filter(col("vec_id") >= I8TrainEnd)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+      (0 until 2).foreach { b =>
+        StreamOps.ivfAssignBatch(
+          late.filter(pmod(col("id"), lit(2L)) === b.toLong),
+          idx0.centroids, "id", "emb", s"$root/state", b.toLong)
+      }
+      def frontier(n: Long) = IvfSearch.approxTopK(
+          e.filter(col("vec_id") < 3),
+          StreamOps.grownIvfIndex(s, idx0, s"$root/state", asOf = n),
+          "vec_id", "embedding", k = IvfTopK, nprobe = IvfNprobe)
+        .select(lit(n).as("as_of"), col("q_id"), col("neighbor"),
+          col("cos"), col("rk"))
+      val res = frontier(0L).unionByName(frontier(1L))
+        .orderBy("as_of", "q_id", "rk")
+      // bounded (2·|q|·k = 30 rows): materialize before the index closes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      idx0.close()
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  private val i11Sql: String = {
+    def frontier(n: Int): String = {
+      // vectors visible at frontier n: the trained base plus the delta
+      // waves that had landed (wave = id % 2)
+      s"""af$n AS (SELECT * FROM af WHERE id < $I8TrainEnd OR id % 2 <= $n),
+         |cands$n AS (
+         |  SELECT pr.q_id, pr.q_emb, a.id AS neighbor, a.emb
+         |  FROM pr JOIN af$n a ON a.cid = pr.cid AND a.id <> pr.q_id),
+         |ranked$n AS (
+         |  SELECT q_id, neighbor, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+         |  FROM (SELECT q_id, neighbor,
+         |      ROUND(list_dot_product(q_emb, emb) /
+         |        (sqrt(list_dot_product(q_emb, q_emb)) *
+         |         sqrt(list_dot_product(emb, emb))), 6) AS cos
+         |    FROM cands$n) z)""".stripMargin
+    }
+    def sel(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS as_of, q_id, neighbor, cos, rk
+         |FROM ranked$n WHERE rk <= $IvfTopK""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |et AS (SELECT id, emb FROM e WHERE id < $I8TrainEnd),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |${ivfCtesOver("et")},
+       |${frontier(0)},
+       |${frontier(1)}
+       |${sel(0)}
+       |UNION ALL
+       |${sel(1)}
+       |ORDER BY as_of, q_id, rk""".stripMargin
+  }
+
   // i2 constants shared by the Spark query and its SQL replay
   private val PqM = 4       // subspaces
   private val PqK = 16      // codewords per subspace (codes are 4 bits)
@@ -1822,6 +1894,7 @@ object ScaleOps {
     "i9_grown_recall" -> (i9GrownRecall _),
     "i10_retrain_loop" -> (i10RetrainLoop _),
     "i10b_retrain_at_rest" -> (i10RetrainAtRest _),
+    "i11_asof_ann" -> (i11AsofAnn _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
@@ -1851,6 +1924,7 @@ object ScaleOps {
     "i8_incremental_ivf" -> i8Sql,
     "i9_grown_recall" -> i9Sql,
     "i10_retrain_loop" -> i10Sql,
+    "i11_asof_ann" -> i11Sql,
     // same answer, baseline audit read from the at-rest artifact
     "i10b_retrain_at_rest" -> i10Sql,
     "s1_skew_agg" -> s1Sql,

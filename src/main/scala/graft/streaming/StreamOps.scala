@@ -1979,14 +1979,22 @@ object StreamOps {
 
   /** The grown IVF index after any number of [[ivfAssignPerBatch]]
     * waves: the frozen centroids over base ∪ landed assignment deltas.
-    * Reads lazily — probes prune to the routed lists as usual. */
+    * Reads lazily — probes prune to the routed lists as usual.
+    *
+    * Time travel: `asOf` serves the index as of that batch frontier
+    * (inclusive) — later deltas are partition-pruned away, so a probe
+    * answers exactly what it answered when that batch was the frontier
+    * (reproducible ANN lineage; the centroids are frozen, so unlike the
+    * text indexes there is no stats snapshot to bound the reach —
+    * as-of works for every batch still in the append-only log). */
   def grownIvfIndex(spark: SparkSession,
-      base: graft.operators.IvfSearch.Index, statePath: String)
-      : graft.operators.IvfSearch.Index = {
+      base: graft.operators.IvfSearch.Index, statePath: String,
+      asOf: Long = Long.MaxValue): graft.operators.IvfSearch.Index = {
     val path = s"$statePath/ivf_assign"
     if (!pathExists(spark, path)) base
     else graft.operators.IvfSearch.Index(base.centroids,
       base.assignments.unionByName(spark.read.parquet(path)
+        .filter(col("batch_id").cast("long") <= asOf)
         .select(col("id"), col("emb"), col("centroid_id"))))
   }
 
