@@ -2106,7 +2106,10 @@ object StreamOps {
     * lev, df) — equal to the one-shot resolution over everything
     * arrived (spec + oracle). */
   def fuzzyServeRolling(spark: SparkSession, statePath: String,
-      queryTerms: Seq[String], shards: Int): DataFrame = {
+      queryTerms: Seq[String], shards: Int,
+      // time travel: suggestions as of a batch frontier (inclusive) —
+      // the variant log is append-only, so this is one partition filter
+      asOf: Long = Long.MaxValue): DataFrame = {
     require(queryTerms.nonEmpty, "fuzzy search needs at least one query term")
     val qv = graft.queries.SearchOps.queryVariants(queryTerms)
     val shardIds = qv
@@ -2117,7 +2120,8 @@ object StreamOps {
         "— run fuzzyIndexPerBatch (or fuzzyIndexBatch) first")
     val vvar = spark.read.parquet(s"$statePath/fuzzy_variants")
       .filter(col("shard").isin(shardIds: _*) &&
-        col("variant").isin(qv.map(_._2).distinct: _*))
+        col("variant").isin(qv.map(_._2).distinct: _*) &&
+        col("batch_id").cast("long") <= asOf)
     import spark.implicits._
     broadcast(qv.toDF("query_term", "variant"))
       .join(vvar, "variant")

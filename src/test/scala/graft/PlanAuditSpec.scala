@@ -482,6 +482,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
       s.take(1500))
     assert(nodeCount(s, "CartesianProduct") == 0)
+    // time travel (k15/k16): the asOf bound must reach the scan as a
+    // batch_id PARTITION filter — as-of never reads future segments
+    val t = formatted(graft.streaming.StreamOps.posServeRolling(
+      spark, root.toString, Seq("vector", "stream"), 16, asOf = 0L))
+    val pf = t.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("batch_id") && pf.contains("shard"), pf)
     spark.catalog.clearCache()
   }
 

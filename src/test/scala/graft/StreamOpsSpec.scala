@@ -1620,6 +1620,20 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(served == oneShot && served.nonEmpty, s"$served vs $oneShot")
     // the cross-batch df sum genuinely fired: 'stream' appears in both waves
     assert(served.exists(s => s._2 == "stream" && s._4 == 2L), s"$served")
+    // time travel: as of wave 0, wave-1's segment must not contribute —
+    // 'stream''s df drops back to 1 and wave-1-only vocabulary vanishes
+    val asOf0 = rows(StreamOps.fuzzyServeRolling(spark, state, queryTerms,
+      16, asOf = 0L))
+    val oneShotW0 = rows(queryTerms.toDF("query_term").crossJoin(
+        w0.toDF("doc_id", "text")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .filter(levenshtein(col("query_term"), col("term")) <= 1)
+      .select(col("query_term"), col("term"),
+        levenshtein(col("query_term"), col("term")).cast("int"), col("df")))
+    assert(asOf0 == oneShotW0 && asOf0 != served, s"$asOf0 vs $oneShotW0")
+    assert(asOf0.exists(s => s._2 == "stream" && s._4 == 1L), s"$asOf0")
     // replay idempotence: re-landing the newest wave overwrites its segment
     StreamOps.fuzzyIndexBatch(w1.toDF("doc_id", "text"), "doc_id", "text",
       16, state, 1L)
