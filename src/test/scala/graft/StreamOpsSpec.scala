@@ -1995,6 +1995,19 @@ class StreamOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
       assert(posRows(cfg.statePath) == posRows(posSt))
       assert(posRows(cfg.statePath).nonEmpty)
+      // time travel works from the COMPOSED state too (identical
+      // layouts): as of wave 0 the serves equal the solo as-of views,
+      // and the frontier genuinely differs from the latest view
+      def posAt(st: String, n: Long) = StreamOps
+        .posServeRolling(spark, st, Seq("document", "gates"), 16, asOf = n)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(posAt(cfg.statePath, 0L) == posAt(posSt, 0L))
+      assert(posAt(cfg.statePath, 0L) != posRows(cfg.statePath),
+        "wave 1 landed new positions; the as-of-0 view must not see them")
+      def servedAt(st: String, n: Long) = StreamOps
+        .bm25ServeRolling(spark, st, terms, 8, asOf = n)
+        .collect().map(r => (r.get(0), r.getDouble(1))).toSet
+      assert(servedAt(cfg.statePath, 0L) == servedAt(bmSt, 0L))
       // k-anonymity window report
       assert(r1.kanonReport.collect().map(_.toSeq).toSet ==
         soloKanon.collect().map(_.toSeq).toSet)
