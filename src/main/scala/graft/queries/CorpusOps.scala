@@ -144,7 +144,7 @@ object CorpusOps {
       finish: DataFrame => DataFrame): DataFrame =
     driveIngestWavesSeeded[Unit](s, dir, _ => (),
       (batch, idx, seed, _, state, b) => body(batch, idx, seed, state, b),
-      finish)
+      (_, carry, _) => finish(carry))
 
   /** [[driveIngestWaves]] with a TYPED caller seed: `seedOf` derives the
     * caller's seed bundle from the shared seed labels exactly once,
@@ -157,7 +157,10 @@ object CorpusOps {
       seedOf: DataFrame => S,
       body: (DataFrame, MinHashDedup.DedupIndex, DataFrame, S, String, Long)
         => DataFrame,
-      finish: DataFrame => DataFrame): DataFrame = {
+      // (seed labels, final carry, state path) — the state path lets an
+      // as-of consumer (c20) read frontier snapshots before the temp
+      // root deletes; most finishes only shape the carry
+      finish: (DataFrame, DataFrame, String) => DataFrame): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val corpus = docs
       .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
@@ -178,7 +181,7 @@ object CorpusOps {
           .filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong)
         carry = body(batch, staticIndex, seed, seedBundle, s"$root/state", b.toLong)
       }
-      val res = finish(carry)
+      val res = finish(seed, carry, s"$root/state")
       // bounded result: materialize before the temp state is deleted —
       // the returned frame must not lazily re-read it
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
@@ -346,7 +349,7 @@ object CorpusOps {
       (batch, idx, seed, seedState, state, b) =>
         StreamOps.rollingRepBatch(batch, idx, seed, seedState, scores,
           "doc_id", "text", NearDupThreshold, state, b)._2,
-      state => state.filter(col("n_docs") >= 2)
+      (_, state, _) => state.filter(col("n_docs") >= 2)
         .select(col("component"), col("n_docs"), col("best_doc"),
           col("best_q_e6"), expr("q_sum div n_docs").as("mean_q_e6"))
         .orderBy("component"))
@@ -630,7 +633,25 @@ object CorpusOps {
     * through `StreamOps.ingestBatchCompact` against `staticIndex`, then
     * the compaction replay and the d14-shaped per-language rollup. */
   private def ingestCompactionRun(s: SparkSession, dir: String,
-      staticIndex: MinHashDedup.DedupIndex): DataFrame = {
+      staticIndex: MinHashDedup.DedupIndex): DataFrame =
+    ingestWavesThen(s, dir, staticIndex) { (root, corpusIds) =>
+      graft.streaming.StreamOps
+        .compactLanded(s, s"$root/landed", s"$root/state", corpusIds, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+            .cast("long")).as("total_tokens"))
+        .orderBy("lang")
+    }
+
+  /** The c9 ingest protocol (3 waves through [[graft.streaming.StreamOps
+    * .ingestBatchCompact]] under a temp root) followed by a caller read
+    * over (root, corpusIds) — shared by c9/c12's compacted rollup and
+    * c19's per-frontier lineage reads, so the protocol cannot diverge
+    * between the corpus and the time-travel view of it. */
+  private def ingestWavesThen(s: SparkSession, dir: String,
+      staticIndex: MinHashDedup.DedupIndex)(
+      finish: (String, DataFrame) => DataFrame): DataFrame = {
     import graft.streaming.StreamOps
     val docs = Tables(s, dir, "documents")
     val evalSet = docs.filter(col("doc_id") < EvalSplit)
@@ -650,15 +671,9 @@ object CorpusOps {
           outPath = s"$root/landed", statePath = s"$root/state",
           batchId = b.toLong)
       }
-      val res = StreamOps
-        .compactLanded(s, s"$root/landed", s"$root/state", corpusIds, "doc_id")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum((length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
-            .cast("long")).as("total_tokens"))
-        .orderBy("lang")
-      // bounded (|langs| rows): materialize before the temp state is
-      // deleted — the returned frame must not lazily re-read it
+      val res = finish(root, corpusIds)
+      // bounded result: materialize before the temp state is deleted —
+      // the returned frame must not lazily re-read it
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally {
       graft.sources.Sources.deleteRecursively(new java.io.File(root))
@@ -818,36 +833,20 @@ object CorpusOps {
     * family now has a lineage read. */
   def c20AsofClusters(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val docs = Tables(s, dir, "documents")
-    val corpus = docs
-      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
-      .select(col("doc_id"), col("text"))
-    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-    val stream = docs
-      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
-    val seed = ConnectedComponents.components(
-      MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
-        .select(col("id_a"), col("id_b"))).localCheckpoint()
-    val root = java.nio.file.Files.createTempDirectory("graft_c20_").toString
-    try {
-      (0 until C9Batches).foreach { b =>
-        StreamOps.rollingCcBatch(
-          stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
-          staticIndex, seed, "doc_id", "text", NearDupThreshold,
-          s"$root/state", b.toLong)
-      }
-      def frontier(n: Long) = StreamOps.labelsAsOf(s, s"$root/state", seed,
-          org.apache.spark.sql.types.LongType, asOf = n)
-        .groupBy(col("component"))
-        .agg(count(lit(1)).as("n_docs"))
-        .select(lit(n).as("as_of"), col("component"), col("n_docs"))
-      val res = frontier(1L).unionByName(frontier(2L))
-        .orderBy("as_of", "component")
-      // bounded (|clusters| rows): materialize before the state deletes
-      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
-    } finally {
-      graft.sources.Sources.deleteRecursively(new java.io.File(root))
-    }
+    driveIngestWavesSeeded[Unit](s, dir, _ => (),
+      (batch, idx, seed, _, state, b) =>
+        StreamOps.rollingCcBatch(batch, idx, seed, "doc_id", "text",
+          NearDupThreshold, state, b),
+      // the as-of reads happen in the scaffold's finish slot, before
+      // the temp state deletes
+      (seed, _, state) => {
+        def frontier(n: Long) = StreamOps.labelsAsOf(s, state, seed,
+            org.apache.spark.sql.types.LongType, asOf = n)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit(n).as("as_of"), col("component"), col("n_docs"))
+        frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
+      })
   }
 
   private lazy val c20Sql: String = {
@@ -899,26 +898,11 @@ object CorpusOps {
     * endpoint's wave). */
   def c19AsofCorpus(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val docs = Tables(s, dir, "documents")
-    val corpus = docs
+    val corpus = Tables(s, dir, "documents")
       .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
       .select(col("doc_id"), col("text"))
     val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-    val evalSet = docs.filter(col("doc_id") < EvalSplit)
-      .select(col("doc_id"), col("text"))
-    val stream = docs
-      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
-    val corpusIds = corpus.select(col("doc_id"))
-    val root = java.nio.file.Files.createTempDirectory("graft_c19_").toString
-    try {
-      (0 until C9Batches).foreach { b =>
-        StreamOps.ingestBatchCompact(
-          stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
-          staticIndex, corpusIds, evalSet, "doc_id", "text",
-          NearDupThreshold, n = 5,
-          outPath = s"$root/landed", statePath = s"$root/state",
-          batchId = b.toLong)
-      }
+    ingestWavesThen(s, dir, staticIndex) { (root, corpusIds) =>
       import s.implicits._
       (0 until C9Batches).map { n =>
         val at = StreamOps.compactLanded(s, s"$root/landed", s"$root/state",
@@ -930,8 +914,6 @@ object CorpusOps {
           .head
         (n.toLong, at.getLong(0), at.getLong(1))
       }.toDF("as_of", "n_docs", "total_tokens").orderBy("as_of")
-    } finally {
-      graft.sources.Sources.deleteRecursively(new java.io.File(root))
     }
   }
 

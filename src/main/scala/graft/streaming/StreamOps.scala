@@ -1438,14 +1438,21 @@ object StreamOps {
     * state: which docs were clustered together when batch `asOf` was
     * the frontier. Labels are per-batch SNAPSHOTS (not deltas), so
     * as-of is a snapshot pick, and [[pruneSupersededBatches]]'s keep=2
-    * bounds the reach — beyond it, the seed fallback would silently
-    * answer from the wrong epoch, so callers should stay within the
-    * retention window (c20 serves the latest-but-one). */
+    * bounds the reach — a pruned frontier fails LOUDLY
+    * ([[bm25ServeRolling]]'s contract; the seed fallback would silently
+    * answer from the wrong epoch). The seed still serves the genuine
+    * cold start (no snapshot has landed at all). */
   def labelsAsOf(spark: SparkSession, statePath: String,
       seedLabels: DataFrame,
-      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame =
-    landedLabelsBefore(spark, statePath, seedLabels, idType,
-      if (asOf == Long.MaxValue) Long.MaxValue else asOf + 1)
+      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame = {
+    val bound = if (asOf == Long.MaxValue) Long.MaxValue else asOf + 1
+    val path = s"$statePath/labels"
+    if (latestLandedBatch(spark, path, bound).isEmpty &&
+        latestLandedBatch(spark, path, Long.MaxValue).nonEmpty)
+      sys.error(s"labelsAsOf: no label snapshot at or before batch $asOf " +
+        "(pruned? retention keeps the last two snapshots)")
+    landedLabelsBefore(spark, statePath, seedLabels, idType, bound)
+  }
 
   private[graft] def rollingCcBatch(batch: DataFrame,
       staticIndex: graft.operators.MinHashDedup.DedupIndex,

@@ -1215,6 +1215,17 @@ class StreamOpsSpec extends AnyFunSuite {
     // earlier survivor — identical labels out, retention state unchanged
     assert(wave(2L, w2docs) == w2)
     assert(labelParts() == Set(1L, 2L), s"partitions: ${labelParts()}")
+    // labelsAsOf within retention serves the snapshot; past it, the
+    // pruned frontier fails LOUDLY instead of silently answering from
+    // the seed's epoch (c20's contract)
+    def labelsAt(n: Long) = StreamOps.labelsAsOf(spark, state, seed,
+        org.apache.spark.sql.types.LongType, asOf = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelsAt(2L) == w2)
+    assert(labelsAt(1L) != w2 && labelsAt(1L).exists(_._1 == 101L),
+      s"asOf 1: ${labelsAt(1L)}")
+    val pruned = intercept[RuntimeException] { labelsAt(0L) }
+    assert(pruned.getMessage.contains("no label snapshot"), pruned.getMessage)
     spark.catalog.clearCache()
   }
 
@@ -1766,14 +1777,18 @@ class StreamOpsSpec extends AnyFunSuite {
     // older than the surviving snapshots fails LOUDLY, never guesses
     val err = intercept[RuntimeException] { scoresAt(0L) }
     assert(err.getMessage.contains("no stats snapshot"), err.getMessage)
-    // segment merge is VACUUM: superseded history collapses to the
-    // merged view — asOf older than the merge now serves doc 2's LIVE
-    // version only (documented truncation, pinned here)
+    // segment merge is VACUUM: it rewrites doc 2's dead version OUT of
+    // its original batch-0 partition, and the live version stays where
+    // it landed (batch 2, which the asOf=1 partition filter prunes) —
+    // so post-merge the as-of-1 view has NO doc-2 version at all, not a
+    // live-version substitution (documented truncation, pinned here)
     StreamOps.mergeBm25Segments(spark, state)
     StreamOps.mergePosSegments(spark, state)
     val postMerge = positionsAt(1L)
-    assert(!postMerge.exists { case (id, _, t) => id == 2L && t == "fox" },
-      s"merged history must not resurrect doc 2's dead version: $postMerge")
+    assert(!postMerge.exists(_._1 == 2L),
+      s"merged history truncates doc 2 from the as-of-1 view entirely: $postMerge")
+    assert(postMerge == oneShotPos(Seq(d1v0, d3v0)),
+      s"the other docs' as-of-1 rows survive the merge: $postMerge")
     assert(positionsAt(Long.MaxValue) == oneShotPos(at2))
     graft.sources.Sources.deleteRecursively(root.toFile)
     spark.catalog.clearCache()
