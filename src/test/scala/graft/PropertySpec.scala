@@ -429,7 +429,7 @@ class PropertySpec extends AnyFunSuite {
     }, _.withMinSuccessfulTests(15))
   }
 
-  test("posIndexBatch supersede: any land sequence serves each doc's latest version") {
+  test("posIndexBatch supersede: any land sequence serves the latest version; every post-merge frontier replays") {
     import spark.implicits._
     import graft.streaming.StreamOps
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
@@ -456,14 +456,24 @@ class PropertySpec extends AnyFunSuite {
             "doc_id", "text", 4, state, i.toLong)
           if (merge) StreamOps.mergePosSegments(spark, state)
         }
-        val latest = scenario.map(_._1)
-          .foldLeft(Map.empty[Long, String])(_ ++ _)
-        val expected = latest.toSeq.flatMap { case (id, t) =>
-          t.split(" ").zipWithIndex.map { case (tm, p) => (id, p, tm) }
-        }.toSet
+        def prefixExpected(upTo: Int): Set[(Long, Int, String)] =
+          scenario.take(upTo + 1).map(_._1)
+            .foldLeft(Map.empty[Long, String])(_ ++ _)
+            .toSeq.flatMap { case (id, t) =>
+              t.split(" ").zipWithIndex.map { case (tm, p) => (id, p, tm) }
+            }.toSet
         val served = StreamOps.posServeRolling(spark, state, vocab, 4)
           .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
-        served == expected
+        // time travel: every frontier at or after the LAST merge serves
+        // exactly its prefix corpus (earlier frontiers are truncated by
+        // the merge's physical reclaim — the documented VACUUM bound)
+        val lastMerge = scenario.lastIndexWhere(_._2) max 0
+        val asOfExact = (lastMerge until scenario.length).forall { i =>
+          StreamOps.posServeRolling(spark, state, vocab, 4, asOf = i.toLong)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+            .toSet == prefixExpected(i)
+        }
+        served == prefixExpected(scenario.length - 1) && asOfExact
       } finally graft.sources.Sources.deleteRecursively(root.toFile)
     }, _.withMinSuccessfulTests(6))
   }
