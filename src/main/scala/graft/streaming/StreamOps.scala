@@ -1113,6 +1113,22 @@ object StreamOps {
     val tsSchema = new org.apache.spark.sql.types.StructType()
       .add("id", idType)
       .add("dead_batch", org.apache.spark.sql.types.LongType)
+    val deadSchema = payload.foldLeft(new org.apache.spark.sql.types.StructType()
+        .add("id", idType)
+        .add("dead_batch", org.apache.spark.sql.types.LongType)) {
+      case (st, (n, t)) => st.add(s"dead_$n", t)
+    }
+    def emptySuperseded = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deadSchema)
+    // mostly-new-docs fast path: with nothing landed before this batch
+    // (the common 100 TB shape — and always wave 0) there is nothing to
+    // supersede, so skip the join/checkpoint/tombstone jobs entirely;
+    // the per-batch overhead of update support must be ~zero when no
+    // doc is updated
+    if (!hasParquetData(spark, docsPath)) {
+      landDelta(docRows, docsPath, batchId)
+      return emptySuperseded
+    }
     val earlier = readDelta(spark, docsPath, docSchema)
       .filter(col("batch_id") < batchId)
     val earlierTombs = readDelta(spark, tombsPath, tsSchema)
@@ -1128,8 +1144,11 @@ object StreamOps {
       .select(col("id") +: col("v.batch_id").as("dead_batch") +:
         payload.map(p => col(s"v.${p._1}").as(s"dead_${p._1}")): _*)
       .localCheckpoint()
-    landDelta(superseded.select(col("id"), col("dead_batch")),
-      tombsPath, batchId)
+    // an all-new batch landed nothing to tombstone — skip the write (a
+    // replay recomputes the same empty set, so the skip is idempotent)
+    if (superseded.head(1).nonEmpty)
+      landDelta(superseded.select(col("id"), col("dead_batch")),
+        tombsPath, batchId)
     landDelta(docRows, docsPath, batchId)
     superseded
   }
