@@ -477,4 +477,49 @@ class PropertySpec extends AnyFunSuite {
       } finally graft.sources.Sources.deleteRecursively(root.toFile)
     }, _.withMinSuccessfulTests(6))
   }
+
+  test("bm25IndexBatch supersede: rolling scores equal the corpus rescan for any land/merge sequence") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val terms = Seq("alpha", "gamma")
+    val versionGen: Gen[String] = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val waveGen: Gen[Map[Long, String]] = for {
+      ids <- Gen.atLeastOne(0L to 5L)
+      texts <- Gen.listOfN(ids.size, versionGen)
+    } yield ids.toList.zip(texts).toMap
+    val scenarioGen: Gen[List[(Map[Long, String], Boolean)]] = for {
+      n <- Gen.choose(2, 4)
+      waves <- Gen.listOfN(n, waveGen)
+      merges <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield waves.zip(merges)
+    // the stats snapshot (n, sum dl) is maintained by per-land ADDITION
+    // and per-supersede SUBTRACTION — the one piece of rolling BM25 a
+    // stale-version leak corrupts invisibly (scores drift, no row count
+    // changes). Random re-ingest patterns with merges anywhere must
+    // serve scores bit-identical to a from-scratch corpus rescan of
+    // each doc's latest version.
+    check(forAll(scenarioGen) { scenario =>
+      val root = java.nio.file.Files.createTempDirectory("bmprop")
+      try {
+        val state = root.resolve("state").toString
+        scenario.zipWithIndex.foreach { case ((w, merge), i) =>
+          StreamOps.bm25IndexBatch(w.toSeq.toDF("doc_id", "text"),
+            "doc_id", "text", 4, state, i.toLong)
+          if (merge) StreamOps.mergeBm25Segments(spark, state)
+        }
+        val latest = scenario.map(_._1)
+          .foldLeft(Map.empty[Long, String])(_ ++ _)
+        val expected = graft.operators.KeywordSearch
+          .bm25(latest.toSeq.toDF("doc_id", "text"), "doc_id", "text", terms)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1))
+          .filter { case (id, _) =>
+            latest(id).split(" ").exists(terms.contains) }.toMap
+        val served = StreamOps.bm25ServeRolling(spark, state, terms, 4)
+          .collect().map(r => (r.get(0).toString.toLong, r.getDouble(1))).toMap
+        served == expected
+      } finally graft.sources.Sources.deleteRecursively(root.toFile)
+    }, _.withMinSuccessfulTests(6))
+  }
 }
