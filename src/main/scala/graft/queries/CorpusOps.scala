@@ -298,14 +298,19 @@ object CorpusOps {
   /** The sc/m/r/agg CTE block of the c16 selection — split from the
     * final SELECT so c18's composed-gate metrics can reuse the exact
     * same score arithmetic and ranking. */
-  private val repCtesSql: String =
+  /** The c16 quality score as a standalone `sc(doc_id, q_e6)` CTE —
+    * shared by the full-window rep chain and c21's per-frontier ones. */
+  private val qScoreCteSql: String =
     s"""sc AS (
        |  SELECT doc_id, CAST(ROUND(ROUND(
        |    least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
        |      * (1.0 - least(1.0,
        |          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
        |          / CAST(length(text) AS DOUBLE) * 10)), 6) * 1e6, 0) AS BIGINT) AS q_e6
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+
+  private val repCtesSql: String =
+    s"""$qScoreCteSql,
        |m AS (SELECT c.component, c.id AS doc_id, sc.q_e6
        |      FROM clusters c JOIN sc ON sc.doc_id = c.id),
        |r AS (SELECT component, doc_id, q_e6,
@@ -849,36 +854,98 @@ object CorpusOps {
       })
   }
 
+  /** Per-frontier transitive closure over ONE minhash chain: the
+    * frontier's edge set is the arrival-filtered fpairs (a pair
+    * surfaced by wave N iff both its stream endpoints arrived — the
+    * c19 derivation), closed into a `cl$n(id, component)` CTE. Shared
+    * by the c20 (clusters) and c21 (representatives) lineage oracles. */
+  private def frontierClosureCtes(n: Int): String =
+    s"""f$n AS (
+       |  SELECT id_a, id_b FROM fpairs
+       |  WHERE (id_a < $C9CorpusEnd OR id_a % $C9Batches <= $n)
+       |    AND (id_b < $C9CorpusEnd OR id_b % $C9Batches <= $n)),
+       |sym$n AS (
+       |  SELECT id_a AS src, id_b AS dst FROM f$n
+       |  UNION
+       |  SELECT id_b, id_a FROM f$n),
+       |reach$n(id, r) AS (
+       |  SELECT src, src FROM sym$n
+       |  UNION
+       |  SELECT reach$n.id, sym$n.dst
+       |  FROM reach$n JOIN sym$n ON reach$n.r = sym$n.src),
+       |cl$n AS (SELECT id, MIN(r) AS component FROM reach$n GROUP BY id)""".stripMargin
+
   private lazy val c20Sql: String = {
-    // ONE minhash chain over the full window; each frontier's edge set
-    // is the arrival-filtered fpairs (a pair surfaced by wave N iff both
-    // its stream endpoints arrived — the c19 derivation), each with its
-    // own transitive closure
-    def closure(n: Int): String =
-      s"""f$n AS (
-         |  SELECT id_a, id_b FROM fpairs
-         |  WHERE (id_a < $C9CorpusEnd OR id_a % $C9Batches <= $n)
-         |    AND (id_b < $C9CorpusEnd OR id_b % $C9Batches <= $n)),
-         |sym$n AS (
-         |  SELECT id_a AS src, id_b AS dst FROM f$n
-         |  UNION
-         |  SELECT id_b, id_a FROM f$n),
-         |reach$n(id, r) AS (
-         |  SELECT src, src FROM sym$n
-         |  UNION
-         |  SELECT reach$n.id, sym$n.dst
-         |  FROM reach$n JOIN sym$n ON reach$n.r = sym$n.src),
-         |cl$n AS (SELECT id, MIN(r) AS component FROM reach$n GROUP BY id)""".stripMargin
     def rollup(n: Int): String =
       s"""SELECT CAST($n AS BIGINT) AS as_of, component, COUNT(*) AS n_docs
          |FROM cl$n GROUP BY component""".stripMargin
     s"""WITH RECURSIVE ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
            s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
-       |${closure(1)},
-       |${closure(2)}
+       |${frontierClosureCtes(1)},
+       |${frontierClosureCtes(2)}
        |${rollup(1)}
        |UNION ALL
        |${rollup(2)}
+       |ORDER BY as_of, component""".stripMargin
+  }
+
+  /** c21: time-travel read of the REPRESENTATIVE state — c17's rolling
+    * argmax monoid driven through all three waves, then the rep table
+    * AS OF waves 1 and 2 ([[graft.streaming.StreamOps.repAsOf]], the
+    * labelsAsOf contract) shaped like c17's report. The oracle closes
+    * each frontier's clusters over arrival-filtered pairs and re-ranks
+    * representatives inside them with c16's exact score arithmetic —
+    * a snapshot whose argmax saw any wave-2 doc goes red. */
+  def c21AsofReps(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val scores = Tables(s, dir, "documents")
+      .select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
+    driveIngestWavesSeeded[DataFrame](s, dir,
+      seed => StreamOps.repStateOf(seed, scores).localCheckpoint(),
+      (batch, idx, seed, seedState, state, b) =>
+        StreamOps.rollingRepBatch(batch, idx, seed, seedState, scores,
+          "doc_id", "text", NearDupThreshold, state, b)._2,
+      (seed, _, state) => {
+        // the seed fallback is by-name and never evaluated here (both
+        // frontiers have landed snapshots within keep=2)
+        def frontier(n: Long) = StreamOps.repAsOf(s, state,
+            StreamOps.repStateOf(seed, scores),
+            org.apache.spark.sql.types.LongType, asOf = n)
+          .filter(col("n_docs") >= 2)
+          .select(lit(n).as("as_of"), col("component"), col("n_docs"),
+            col("best_doc"), col("best_q_e6"),
+            expr("q_sum div n_docs").as("mean_q_e6"))
+        frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
+      })
+  }
+
+  private lazy val c21Sql: String = {
+    def repFrontier(n: Int): String =
+      s"""m$n AS (SELECT c.component, c.id AS doc_id, sc.q_e6
+         |      FROM cl$n c JOIN sc ON sc.doc_id = c.id),
+         |r$n AS (SELECT component, doc_id, q_e6,
+         |        ROW_NUMBER() OVER (PARTITION BY component
+         |          ORDER BY q_e6 DESC, doc_id) AS rk
+         |      FROM m$n),
+         |agg$n AS (SELECT component, COUNT(*) AS n_docs,
+         |          CAST(SUM(q_e6) AS BIGINT) AS q_sum
+         |        FROM m$n GROUP BY component)""".stripMargin
+    def sel(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS as_of, a.component, a.n_docs,
+         |  r$n.doc_id AS best_doc, r$n.q_e6 AS best_q_e6,
+         |  a.q_sum // a.n_docs AS mean_q_e6
+         |FROM agg$n a JOIN r$n ON r$n.component = a.component AND r$n.rk = 1
+         |WHERE a.n_docs >= 2""".stripMargin
+    s"""WITH RECURSIVE ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
+       |${frontierClosureCtes(1)},
+       |${frontierClosureCtes(2)},
+       |$qScoreCteSql,
+       |${repFrontier(1)},
+       |${repFrontier(2)}
+       |${sel(1)}
+       |UNION ALL
+       |${sel(2)}
        |ORDER BY as_of, component""".stripMargin
   }
 
@@ -1736,6 +1803,7 @@ object CorpusOps {
     "c18_deploy_gates" -> (c18DeployGates _),
     "c19_asof_corpus" -> (c19AsofCorpus _),
     "c20_asof_clusters" -> (c20AsofClusters _),
+    "c21_asof_reps" -> (c21AsofReps _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
     "c11_label_prop" -> (c11LabelProp _),
     "d35_source_scorecard" -> (d35SourceScorecard _),
@@ -1770,6 +1838,7 @@ object CorpusOps {
     "c18_deploy_gates" -> c18Sql,
     "c19_asof_corpus" -> c19Sql,
     "c20_asof_clusters" -> c20Sql,
+    "c21_asof_reps" -> c21Sql,
     "c10_source_dup_factor" -> c10Sql,
     "c11_label_prop" -> c11Sql,
     "d35_source_scorecard" -> d35Sql,

@@ -1063,6 +1063,21 @@ object StreamOps {
         .filter(col("batch_id") === last).drop("batch_id")
     }
 
+  /** [[landDelta]] for SNAPSHOT families with as-of readers (labels,
+    * rep): dynamic overwrite of an EMPTY frame writes no partition at
+    * all, which would make a legitimately-empty frontier look exactly
+    * like a pruned one to [[labelsAsOf]]/[[repAsOf]]'s loud check — so
+    * the `batch_id=` directory is materialized even when the snapshot
+    * is empty (partition listing sees it; a data-file-less partition
+    * reads as zero rows under the explicit schema; replay mkdir is
+    * idempotent). */
+  private def landSnapshot(df: DataFrame, path: String, batchId: Long): Unit = {
+    landDelta(df, path, batchId)
+    val part = new org.apache.hadoop.fs.Path(s"$path/batch_id=$batchId")
+    val fs = part.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(part)) fs.mkdirs(part)
+  }
+
   /** Land a batch-scoped delta: batch_id-partitioned with dynamic
     * partition overwrite, so a checkpoint replay rewrites its own
     * partition instead of appending a duplicate. */
@@ -1509,7 +1524,7 @@ object StreamOps {
     // before the caches are released — and pairs right after.
     val labels = graft.operators.ConnectedComponents
       .incrementalStepWith(prev, pairs)(_.localCheckpoint())
-    landDelta(labels, s"$statePath/labels", batchId)
+    landSnapshot(labels, s"$statePath/labels", batchId)
     // label snapshots below latest+previous are superseded — prune
     // them now that the new land is durable (bounds at-rest state to
     // 2·|labels| rows however many waves have run)
@@ -1594,6 +1609,21 @@ object StreamOps {
   /** The PRE-advance representative state a wave reads: the latest
     * landed snapshot strictly below `batchId`, or the seed on a cold
     * start — the label-table read's twin. */
+  /** [[labelsAsOf]] for the representative monoid state — same snapshot
+    * pick, same loud failure past the keep=2 retention, same seed
+    * fallback for the genuine cold start. */
+  def repAsOf(spark: SparkSession, statePath: String,
+      seedState: DataFrame,
+      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame = {
+    val bound = if (asOf == Long.MaxValue) Long.MaxValue else asOf + 1
+    val path = s"$statePath/rep"
+    if (latestLandedBatch(spark, path, bound).isEmpty &&
+        latestLandedBatch(spark, path, Long.MaxValue).nonEmpty)
+      sys.error(s"repAsOf: no representative snapshot at or before batch " +
+        s"$asOf (pruned? retention keeps the last two snapshots)")
+    repStateBefore(spark, statePath, seedState, idType, bound)
+  }
+
   private def repStateBefore(spark: SparkSession, statePath: String,
       seedState: DataFrame,
       idType: org.apache.spark.sql.types.DataType,
@@ -1663,7 +1693,7 @@ object StreamOps {
       .select(col("component"), col("n_docs"), col("q_sum"),
         (-col("b.nq")).as("best_q_e6"), col("b.bd").as("best_doc"))
       .localCheckpoint() // eager — same plan-stacking trap as the labels
-    landDelta(state, s"$statePath/rep", batchId)
+    landSnapshot(state, s"$statePath/rep", batchId)
     pruneSupersededBatches(spark, s"$statePath/rep")
     state
   }
