@@ -906,8 +906,9 @@ object CorpusOps {
         StreamOps.rollingRepBatch(batch, idx, seed, seedState, scores,
           "doc_id", "text", NearDupThreshold, state, b)._2,
       (seed, _, state) => {
-        // the seed fallback is by-name and never evaluated here (both
-        // frontiers have landed snapshots within keep=2)
+        // the seed fallback is by-name through repAsOf/repStateBefore/
+        // latestSnapshotOr and never built here (both frontiers have
+        // landed snapshots within keep=2)
         def frontier(n: Long) = StreamOps.repAsOf(s, state,
             StreamOps.repStateOf(seed, scores),
             org.apache.spark.sql.types.LongType, asOf = n)

@@ -1128,9 +1128,7 @@ object StreamOps {
     val tsSchema = new org.apache.spark.sql.types.StructType()
       .add("id", idType)
       .add("dead_batch", org.apache.spark.sql.types.LongType)
-    val deadSchema = payload.foldLeft(new org.apache.spark.sql.types.StructType()
-        .add("id", idType)
-        .add("dead_batch", org.apache.spark.sql.types.LongType)) {
+    val deadSchema = payload.foldLeft(tsSchema) {
       case (st, (n, t)) => st.add(s"dead_$n", t)
     }
     def emptySuperseded = spark.createDataFrame(
@@ -1458,7 +1456,7 @@ object StreamOps {
     * the one chosen directory. Shared by [[rollingCcBatch]] and
     * [[rollingRepBatch]] so the composed path reads it ONCE. */
   private def landedLabelsBefore(spark: SparkSession, statePath: String,
-      seedLabels: DataFrame,
+      seedLabels: => DataFrame,
       idType: org.apache.spark.sql.types.DataType,
       batchId: Long): DataFrame = {
     val labSchema = new org.apache.spark.sql.types.StructType()
@@ -1477,15 +1475,25 @@ object StreamOps {
     * answer from the wrong epoch). The seed still serves the genuine
     * cold start (no snapshot has landed at all). */
   def labelsAsOf(spark: SparkSession, statePath: String,
-      seedLabels: DataFrame,
-      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame = {
+      seedLabels: => DataFrame,
+      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame =
+    landedLabelsBefore(spark, statePath, seedLabels, idType,
+      snapshotReachBound(spark, s"$statePath/labels", asOf, "label"))
+
+  /** The shared as-of guard for snapshot families (labels, rep): a
+    * frontier with no snapshot at-or-before it while LATER snapshots
+    * exist was pruned — fail loudly rather than silently answer from
+    * the seed's epoch ([[landSnapshot]] makes empty epochs visible, so
+    * this check never misfires on a legitimately-empty frontier).
+    * Returns the exclusive before-bound for [[latestSnapshotOr]]. */
+  private def snapshotReachBound(spark: SparkSession, path: String,
+      asOf: Long, what: String): Long = {
     val bound = if (asOf == Long.MaxValue) Long.MaxValue else asOf + 1
-    val path = s"$statePath/labels"
     if (latestLandedBatch(spark, path, bound).isEmpty &&
         latestLandedBatch(spark, path, Long.MaxValue).nonEmpty)
-      sys.error(s"labelsAsOf: no label snapshot at or before batch $asOf " +
+      sys.error(s"${what}AsOf: no $what snapshot at or before batch $asOf " +
         "(pruned? retention keeps the last two snapshots)")
-    landedLabelsBefore(spark, statePath, seedLabels, idType, bound)
+    bound
   }
 
   private[graft] def rollingCcBatch(batch: DataFrame,
@@ -1613,19 +1621,13 @@ object StreamOps {
     * pick, same loud failure past the keep=2 retention, same seed
     * fallback for the genuine cold start. */
   def repAsOf(spark: SparkSession, statePath: String,
-      seedState: DataFrame,
-      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame = {
-    val bound = if (asOf == Long.MaxValue) Long.MaxValue else asOf + 1
-    val path = s"$statePath/rep"
-    if (latestLandedBatch(spark, path, bound).isEmpty &&
-        latestLandedBatch(spark, path, Long.MaxValue).nonEmpty)
-      sys.error(s"repAsOf: no representative snapshot at or before batch " +
-        s"$asOf (pruned? retention keeps the last two snapshots)")
-    repStateBefore(spark, statePath, seedState, idType, bound)
-  }
+      seedState: => DataFrame,
+      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame =
+    repStateBefore(spark, statePath, seedState, idType,
+      snapshotReachBound(spark, s"$statePath/rep", asOf, "rep"))
 
   private def repStateBefore(spark: SparkSession, statePath: String,
-      seedState: DataFrame,
+      seedState: => DataFrame,
       idType: org.apache.spark.sql.types.DataType,
       batchId: Long): DataFrame = {
     val stSchema = new org.apache.spark.sql.types.StructType()
