@@ -109,6 +109,13 @@ object ConnectedComponents {
     val AqeKey = "spark.sql.adaptive.enabled"
     val PartsKey = "spark.sql.shuffle.partitions"
     val prevAqe = session.conf.get(AqeKey)
+    // Record the session's untouched width in the shared registry
+    // BEFORE the first conf.set: a concurrent stream's FIRST
+    // StreamOps.withBatchShuffleWidth call on this session must never
+    // capture this loop's transient narrow as the deployment default.
+    // The restore below still targets what THIS call found (prevParts),
+    // so nesting inside an already-narrowed StreamOps body composes.
+    graft.operators.ShuffleWidth.untouched(session)
     val prevParts = session.conf.get(PartsKey)
     // With AQE opted out, the loop also sizes its own shuffle width from
     // the edge count the eager persist just measured (~500k edges per

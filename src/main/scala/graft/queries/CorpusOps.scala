@@ -428,12 +428,12 @@ object CorpusOps {
           stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
           cfg, b.toLong)
       }
-      // every metric reads the AT-REST state the waves landed
-      def latest(name: String): DataFrame = {
-        val d = s.read.parquet(s"$root/state/$name")
-        d.filter(col("batch_id").cast("long") ===
-          d.agg(max(col("batch_id").cast("long"))).head.getLong(0))
-      }
+      // every metric reads the AT-REST state the waves landed; snapshot
+      // selection is the DIRECTORY-listing rule (latestLandedBatch), not
+      // a row-level max — an empty final frontier lands a data-file-less
+      // partition that a row max would silently skip for the prior epoch
+      def latest(name: String): DataFrame =
+        StreamOps.latestSnapshot(s, s"$root/state/$name")
       val nLanded = StreamOps.compactLanded(s, s"$root/landed",
         s"$root/state", corpusIds, "doc_id").count()
       val labels = latest("labels")

@@ -558,8 +558,15 @@ object SearchOps {
     * Any query over the live rows must therefore equal the one-shot
     * answer over the FINAL corpus — if supersede-on-land leaked one
     * stale posting or dropped a live one, the rollups diverge and the
-    * rows go red. A crash mid-build leaves no marker and the rebuild is
-    * exactly a replay (dynamic-overwrite lands, recomputed tombstones). */
+    * rows go red. A crash mid-build leaves no marker and the rebuild
+    * starts from a DELETED state dir — a multi-batch re-drive over
+    * surviving later-batch snapshots is NOT a replay: wave 2's inline
+    * keep-2 prune of `bm25_stats` may have already deleted batch 0's
+    * snapshot, so re-landing wave 0 and pruning again would leave wave 1
+    * reading prev=None and the final corpus scalars silently short by
+    * wave 0's contribution. Deleting `state` first makes the rebuild
+    * exactly a first run (the generic rule for any marker-guarded
+    * multi-batch builder over snapshot-family state). */
   private def rollingPosState(s: SparkSession, dir: String): String = {
     import graft.streaming.StreamOps
     val root = ScaleOps.artifactRoot("k13s",
@@ -567,6 +574,7 @@ object SearchOps {
     val done = root.resolve("_STATE_OK")
     val state = root.resolve("state").toString
     if (!java.nio.file.Files.exists(done)) {
+      graft.sources.Sources.deleteRecursively(new java.io.File(state))
       val t = s.newSession()
       val docs = Tables(t, dir, "documents")
       val third = pmod(col("doc_id"), lit(3L))

@@ -1048,6 +1048,21 @@ object StreamOps {
       .foreach { case (_, dir) => fs.delete(dir, true) }
   }
 
+  /** The latest landed snapshot of a whole state family, selected by
+    * the partition DIRECTORY listing ([[latestLandedBatch]]'s rule,
+    * shared with the as-of readers) — never a row-level max, which
+    * would both scan every surviving wave and silently skip a
+    * legitimately-EMPTY frontier ([[landSnapshot]] materializes a
+    * data-file-less `batch_id=` dir precisely so the listing sees it).
+    * For at-rest metric reads over a finished stream's state. */
+  private[graft] def latestSnapshot(spark: SparkSession,
+      path: String): DataFrame = {
+    val last = latestLandedBatch(spark, path, Long.MaxValue).getOrElse(
+      throw new IllegalStateException(
+        s"latestSnapshot: no landed batch_id= partition under $path"))
+    spark.read.parquet(path).filter(col("batch_id").cast("long") === last)
+  }
+
   /** The latest landed snapshot strictly below `batchId`, or `seed` on
     * a cold start — the ONE snapshot-selection rule every rolling state
     * family shares (labels, representatives, sem labels, k-anon counts,
@@ -1199,12 +1214,12 @@ object StreamOps {
     * state must not squeeze that state through a handful of tasks. */
   private val StateBytesPerPartition = 64L << 20
 
-  /** The untouched session width, recorded at each session's FIRST gate
-    * call — restores always target this value, so an interleaved
-    * save/restore across threads can never pin the session at a
-    * narrowed width. */
-  private val recordedWidth =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // The untouched session width lives in the shared weak-keyed
+  // [[graft.operators.ShuffleWidth]] registry (ConnectedComponents
+  // records there too, BEFORE its own unlocked narrow) — restores
+  // always target that value, so neither an interleaved save/restore
+  // across threads nor a first gate call racing a concurrent CC narrow
+  // can pin the session at a narrowed width.
 
   /** JVM-wide guard for the narrowed region: taken ONLY when narrowing
     * applies, so at-scale batches (which never narrow) never serialize. */
@@ -1234,15 +1249,16 @@ object StreamOps {
     * untouched width — concurrent narrowing streams on one session
     * serialize their (tiny) narrowed bodies and can never leave the
     * session pinned narrow. A deployment running MIXED demo-scale and
-    * at-scale streams should give each stream its own `newSession()`
+    * at-scale streams MUST give each stream its own `newSession()`
     * (the standard per-stream-conf idiom); sharing one session there
-    * risks an at-scale batch transiently observing a narrowed width. */
+    * makes an at-scale batch observe a narrowed width for the duration
+    * of the other stream's narrowed body — a real throughput loss, not
+    * just a cosmetic race. */
   private[graft] def withBatchShuffleWidth[T](spark: SparkSession,
       rows: Long, statePath: String = "")(f: => T): T = {
     val PartsKey = "spark.sql.shuffle.partitions"
     val AqeKey = "spark.sql.adaptive.enabled"
-    val prevParts =
-      recordedWidth.computeIfAbsent(spark, s => s.conf.get(PartsKey))
+    val prevParts = graft.operators.ShuffleWidth.untouched(spark)
     val stateBytes = if (statePath.isEmpty) 0L else {
       val p = new org.apache.hadoop.fs.Path(statePath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

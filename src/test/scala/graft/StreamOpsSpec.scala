@@ -2228,6 +2228,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.conf.get(PartsKey) == sessionParts)
     assert(spark.conf.get(AqeKey) == sessionAqe)
   }
+
+  test("first gate call during another component's narrow restores the " +
+      "recorded untouched width, never the transient one") {
+    val PartsKey = "spark.sql.shuffle.partitions"
+    val t = spark.newSession()
+    t.conf.set(PartsKey, "8")
+    // ConnectedComponents records the untouched width in the shared
+    // registry BEFORE its first conf.set — replay that ordering, then
+    // simulate its in-flight narrow racing this session's FIRST
+    // withBatchShuffleWidth call
+    graft.operators.ShuffleWidth.untouched(t)
+    t.conf.set(PartsKey, "1")
+    StreamOps.withBatchShuffleWidth(t, 1L) { () }
+    // the restore targeted the RECORDED width: the session is repaired
+    // to 8, not pinned at the narrowed 1 it happened to show on entry
+    assert(t.conf.get(PartsKey) == "8")
+  }
 }
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
