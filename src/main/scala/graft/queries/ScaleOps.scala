@@ -581,7 +581,32 @@ object ScaleOps {
     * from-scratch a4-style clustering of the whole block under the
     * frozen quantizer — the oracle is a4's recursive-CTE SQL over the
     * `et`-trained chain. Output: a4's per-cluster histogram shape. */
-  def a5RollingSemDedup(s: SparkSession, dir: String): DataFrame = {
+  def a5RollingSemDedup(s: SparkSession, dir: String): DataFrame =
+    driveSemWaves(s, dir) { (e, idx, _, labels, _) =>
+      val dropped = labels.filter(col("id") =!= col("component"))
+        .select(col("id"), lit(1L).as("drp"))
+      val all = IvfSearch.assign(
+        e.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb")), idx.centroids)
+      all.select(col("id"), col("centroid_id"))
+        .join(dropped, Seq("id"), "left")
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
+        .orderBy("centroid_id")
+    }
+
+  /** The a5/a6 wave-driver scaffold (the c14/c17 factoring replayed in
+    * embedding space): frozen quantizer trained on the static block,
+    * seed labels from the static block's own within-cluster pairs,
+    * [[A5Waves]] [[graft.streaming.StreamOps.semDedupBatch]] waves over
+    * the arrivals — then `finish(e, idx, seed, finalLabels, statePath)`
+    * shapes the bounded result, MATERIALIZED before the temp state
+    * deletes (an as-of finish reads frontier snapshots from
+    * `statePath`, the c20 convention). */
+  private def driveSemWaves(s: SparkSession, dir: String)(
+      finish: (DataFrame, IvfSearch.Index, DataFrame, DataFrame, String)
+        => DataFrame): DataFrame = {
     import graft.streaming.StreamOps
     graft.functions.DotProduct.register(s)
     val dot = graft.functions.DotProduct.dotProduct _
@@ -611,24 +636,34 @@ object ScaleOps {
           idx.assignments, seed, "vec_id", "embedding", A4Threshold,
           s"$root/state", b.toLong)
       }
-      val dropped = labels.filter(col("id") =!= col("component"))
-        .select(col("id"), lit(1L).as("drp"))
-      val all = IvfSearch.assign(
-        e.select(col("vec_id").as("id"),
-          col("embedding").cast("array<double>").as("emb")), idx.centroids)
-      val res = all.select(col("id"), col("centroid_id"))
-        .join(dropped, Seq("id"), "left")
-        .groupBy(col("centroid_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
-        .orderBy("centroid_id")
-      // bounded (IvfK rows): materialize before temp state is deleted
+      val res = finish(e, idx, seed, labels, s"$root/state")
+      // bounded result: materialize before temp state is deleted
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally {
       idx.close()
       graft.sources.Sources.deleteRecursively(new java.io.File(root))
     }
   }
+
+  /** a6: TIME-TRAVEL read of the semantic dedup state — a5's rolling
+    * labels driven through all three waves, then the `sem_labels`
+    * table AS OF waves 1 and 2 ([[graft.streaming.StreamOps
+    * .semLabelsAsOf]] — a snapshot pick within the keep=2 retention)
+    * rolled up per dedup group, the c20 shape in embedding space:
+    * which vectors were semantic duplicates when batch N was the
+    * frontier. The oracle closes each frontier's arrival-filtered
+    * cosine pairs (a pair surfaces once BOTH endpoints arrived; static
+    * ids are always live) over the frozen-quantizer chain — a snapshot
+    * that leaked any wave-2 pair goes red. */
+  def a6AsofSemDedup(s: SparkSession, dir: String): DataFrame =
+    driveSemWaves(s, dir) { (_, _, seed, _, state) =>
+      def frontier(n: Long) = graft.streaming.StreamOps.semLabelsAsOf(
+          s, state, seed, org.apache.spark.sql.types.LongType, asOf = n)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(n).as("as_of"), col("component"), col("n_docs"))
+      frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
+    }
 
   /** a4's oracle over the `et`-trained (frozen-quantizer) chain — the
     * labels the rolling path must reproduce from scratch. */
@@ -660,6 +695,50 @@ object ScaleOps {
        |    AS n_dropped
        |FROM af LEFT JOIN drp ON af.id = drp.id
        |GROUP BY af.cid ORDER BY af.cid""".stripMargin
+
+  /** a6's oracle: a5's frozen-quantizer cosine-pair chain, closed PER
+    * FRONTIER over arrival-filtered pairs (the c20 frontier-closure
+    * convention in embedding space) — a pair has surfaced by wave N iff
+    * both endpoints arrived (static ids below [[A5Split]] are always
+    * live; a stream id arrives at wave id mod [[A5Waves]]). */
+  private lazy val a6Sql: String = {
+    def frontier(n: Int): String =
+      s"""f$n AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  WHERE (id_a < $A5Split OR id_a % $A5Waves <= $n)
+         |    AND (id_b < $A5Split OR id_b % $A5Waves <= $n)),
+         |sym$n AS (
+         |  SELECT id_a AS src, id_b AS dst FROM f$n
+         |  UNION
+         |  SELECT id_b, id_a FROM f$n),
+         |reach$n(id, r) AS (
+         |  SELECT src, src FROM sym$n
+         |  UNION
+         |  SELECT reach$n.id, sym$n.dst
+         |  FROM reach$n JOIN sym$n ON reach$n.r = sym$n.src),
+         |cl$n AS (SELECT id, MIN(r) AS component FROM reach$n GROUP BY id)""".stripMargin
+    def rollup(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS as_of, component, COUNT(*) AS n_docs
+         |FROM cl$n GROUP BY component""".stripMargin
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings
+       |  WHERE vec_id < 500),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |et AS (SELECT id, emb FROM e WHERE id < $A5Split),
+       |${ivfCtesOver("et")},
+       |nr AS (SELECT id, cid, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM af),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM nr a JOIN nr b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+       |    >= $A4Threshold),
+       |${frontier(1)},
+       |${frontier(2)}
+       |${rollup(1)}
+       |UNION ALL
+       |${rollup(2)}
+       |ORDER BY as_of, component""".stripMargin
+  }
 
   // lazy: ivfCtes is declared further down the object — an eager val
   // here would interpolate its pre-initialization null (the c14Sql trap)
@@ -1883,6 +1962,7 @@ object ScaleOps {
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "a4_semdedup" -> (a4SemDedup _),
     "a5_rolling_semdedup" -> (a5RollingSemDedup _),
+    "a6_asof_semdedup" -> (a6AsofSemDedup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
     "i2_pq_topk" -> (i2PqTopk _),
     "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
@@ -1914,6 +1994,7 @@ object ScaleOps {
     "a2_embedding_neardup" -> a2Sql,
     "a4_semdedup" -> a4Sql,
     "a5_rolling_semdedup" -> a5Sql,
+    "a6_asof_semdedup" -> a6Sql,
     "i1_ivf_topk" -> i1Sql,
     "i2_pq_topk" -> i2Sql,
     "i3_ivf_pq_rerank" -> i3Sql,

@@ -583,6 +583,61 @@ object TextOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY level")
   }
 
+  /** d45 wave count: the k-anon monitor accumulates the documents table
+    * in three ingest waves split by doc_id mod this. */
+  private val D45Waves = 3L
+
+  /** d45: TIME-TRAVEL read of the k-anonymity monitor state — d43's
+    * class-count accumulation driven through three ingest waves (the
+    * SAME [[graft.streaming.StreamOps.kAnonBatch]] additive merge the
+    * streaming monitor runs), then the accumulated class table AS OF
+    * waves 1 and 2 ([[graft.streaming.StreamOps.kanonAsOf]], the
+    * labelsAsOf contract) shaped with the same [[kAnonReport]] rollup:
+    * the exact class profile the release gate saw when batch N was the
+    * frontier — the lineage a privacy audit of a PAST release decision
+    * needs. The oracle replays d43's SQL over only the documents
+    * arrived by each frontier; a snapshot that leaked any wave-2 count
+    * goes red. */
+  def d45AsofKanon(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val docs = Tables(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_d45_").toString
+    try {
+      (0L until D45Waves).foreach { b =>
+        StreamOps.kAnonBatch(
+          docs.filter(pmod(col("doc_id"), lit(D45Waves)) === b),
+          s"$root/state", b)
+      }
+      def frontier(n: Long) =
+        kAnonReport(StreamOps.kanonAsOf(s, s"$root/state", asOf = n))
+          .select(lit(n).as("as_of"), col("level"), col("n_classes"),
+            col("min_class_size"), col("k_satisfied"), col("rows_at_risk"))
+      val res = frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "level")
+      // bounded (6 rows): materialize before the temp state deletes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  private val d45Sql: String = {
+    def level(n: Int, lv: Int, g: String): String =
+      s"""SELECT CAST($n AS BIGINT) AS as_of, $lv AS level,
+         |  COUNT(*) AS n_classes, MIN(sz) AS min_class_size,
+         |  MIN(sz) >= $KAnon AS k_satisfied,
+         |  CAST(SUM(CASE WHEN sz < $KAnon THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk
+         |FROM (
+         |  SELECT source, lang, $g AS len_class, COUNT(*) AS sz
+         |  FROM documents WHERE doc_id % $D45Waves <= $n
+         |  GROUP BY source, lang, $g) z""".stripMargin
+    (for {
+      n <- Seq(1, 2)
+      (lv, g) <- Seq(0 -> "n_chars // 10", 1 -> "n_chars // 100",
+        2 -> "CAST(-1 AS BIGINT)")
+    } yield level(n, lv, g))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY as_of, level")
+  }
+
   /** d34: length-bucketed batch shaping — assign each document to the
     * smallest power-of-two token bucket that holds it and report bucket
     * occupancy plus PADDING WASTE (tokens burned if every member pads to
@@ -1515,6 +1570,7 @@ object TextOps {
     "d42_unicode_audit" -> (d42UnicodeAudit _),
     "d43_k_anonymity" -> (d43KAnonymity _),
     "d44_bpe_fertility" -> (d44BpeFertility _),
+    "d45_asof_kanon" -> (d45AsofKanon _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1550,5 +1606,6 @@ object TextOps {
     "d42_unicode_audit" -> d42Sql,
     "d43_k_anonymity" -> d43Sql,
     "d44_bpe_fertility" -> d44Sql,
+    "d45_asof_kanon" -> d45Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

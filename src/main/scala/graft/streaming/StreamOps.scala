@@ -1944,28 +1944,47 @@ object StreamOps {
 
   /** [[kAnonBatch]] without the width wrapper — the composed gate calls
     * it inside its own already-narrowed region. */
+  /** Schema of the accumulated k-anonymity class-count snapshots —
+    * shared by the per-batch merge and [[kanonAsOf]]. */
+  private val KanonSchema = new org.apache.spark.sql.types.StructType()
+    .add("level", org.apache.spark.sql.types.IntegerType)
+    .add("source", org.apache.spark.sql.types.StringType)
+    .add("lang", org.apache.spark.sql.types.StringType)
+    .add("len_class", org.apache.spark.sql.types.LongType)
+    .add("sz", org.apache.spark.sql.types.LongType)
+
+  private def emptyKanon(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], KanonSchema)
+
   private def kAnonBatchImpl(batch: DataFrame, statePath: String,
       batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    val cntSchema = new org.apache.spark.sql.types.StructType()
-      .add("level", org.apache.spark.sql.types.IntegerType)
-      .add("source", org.apache.spark.sql.types.StringType)
-      .add("lang", org.apache.spark.sql.types.StringType)
-      .add("len_class", org.apache.spark.sql.types.LongType)
-      .add("sz", org.apache.spark.sql.types.LongType)
-    val prev = latestSnapshotOr(spark, s"$statePath/kanon", cntSchema,
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cntSchema),
-      batchId)
+    val prev = latestSnapshotOr(spark, s"$statePath/kanon", KanonSchema,
+      emptyKanon(spark), batchId)
     val merged = prev
       .unionByName(graft.queries.TextOps.kAnonClassCounts(batch))
       .groupBy(col("level"), col("source"), col("lang"), col("len_class"))
       .agg(sum(col("sz")).as("sz"))
       .localCheckpoint() // eager — the snapshot-per-wave plan trap
-    landDelta(merged, s"$statePath/kanon", batchId)
+    landSnapshot(merged, s"$statePath/kanon", batchId)
     pruneSupersededBatches(spark, s"$statePath/kanon")
     graft.queries.TextOps.kAnonReport(merged)
   }
+
+  /** [[labelsAsOf]] for the k-anonymity class-count state — the
+    * accumulated (level, source, lang, len_class, sz) table as it stood
+    * when batch `asOf` was the frontier. Same snapshot pick, same loud
+    * failure past the keep=2 retention; the cold start is an empty
+    * count table (the monitor accumulates from nothing). The caller
+    * shapes it with [[graft.queries.TextOps.kAnonReport]] — lineage for
+    * a release decision: the exact class profile the gate saw when it
+    * passed or failed batch `asOf`. */
+  def kanonAsOf(spark: SparkSession, statePath: String,
+      asOf: Long): DataFrame =
+    latestSnapshotOr(spark, s"$statePath/kanon", KanonSchema,
+      emptyKanon(spark),
+      snapshotReachBound(spark, s"$statePath/kanon", asOf, "kanon"))
 
   /** Streaming twin of c6's split-leakage audit, in its DEPLOYMENT
     * orientation: c6 audits a finished corpus's own split internally;
@@ -2512,9 +2531,28 @@ object StreamOps {
       .incrementalStepWith(prev, pairs)(_.localCheckpoint())
     landDelta(asg.select(col("id"), col("emb"), col("centroid_id")),
       s"$statePath/sem_assign", batchId)
-    landDelta(labels, s"$statePath/sem_labels", batchId)
+    // landSnapshot, not landDelta: an empty label frontier must stay
+    // visible to semLabelsAsOf's pruned-vs-empty check
+    landSnapshot(labels, s"$statePath/sem_labels", batchId)
     pruneSupersededBatches(spark, s"$statePath/sem_labels")
     labels
+  }
+
+  /** [[labelsAsOf]] for the SEMANTIC dedup label table (`sem_labels`,
+    * [[semDedupPerBatch]]'s snapshot family) — which vectors were in
+    * the same embedding-space dedup group when batch `asOf` was the
+    * frontier. Same snapshot pick, same loud failure past the keep=2
+    * retention, same seed fallback for the genuine cold start. With
+    * this and [[kanonAsOf]], every rolling state family the deployment
+    * stream maintains is time-travelable. */
+  def semLabelsAsOf(spark: SparkSession, statePath: String,
+      seedLabels: => DataFrame,
+      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame = {
+    val labSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType).add("component", idType)
+    latestSnapshotOr(spark, s"$statePath/sem_labels", labSchema,
+      seedLabels.select(col("id"), col("component")),
+      snapshotReachBound(spark, s"$statePath/sem_labels", asOf, "semLabels"))
   }
 
   /** Everything the composed deployment stream's gates need, bundled:

@@ -491,6 +491,37 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a6/d45 as-of snapshots: the frontier pick is a batch_id partition filter") {
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    val root = java.nio.file.Files.createTempDirectory("pa_asof").toString
+    // kanon: two accumulated class-count snapshots
+    def kdocs(ids: Seq[Long]) = ids
+      .map(i => (i, s"src${i % 2}", "en", 10 * i))
+      .toDF("doc_id", "source", "lang", "n_chars")
+    StreamOps.kAnonBatch(kdocs(Seq(1L, 2L)), s"$root/state", 0L)
+    StreamOps.kAnonBatch(kdocs(Seq(3L, 4L)), s"$root/state", 1L)
+    val k = formatted(StreamOps.kanonAsOf(spark, s"$root/state", asOf = 0L))
+    val kpf = k.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(kpf.contains("batch_id"), kpf)
+    // sem labels: two landed label snapshots (drive semDedupBatch waves)
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val statics = Seq((1L, Seq(1.0, 0.0), 0))
+      .toDF("id", "emb", "centroid_id")
+    val seed = Seq.empty[(Long, Long)].toDF("id", "component")
+    def wave(id: Long, vid: Long): Unit =
+      StreamOps.semDedupBatch(Seq((vid, Seq(1.0, 0.0)))
+          .toDF("vec_id", "embedding"),
+        cents, statics, seed, "vec_id", "embedding", 0.9,
+        s"$root/state", id)
+    wave(0L, 10L); wave(1L, 11L)
+    val m = formatted(StreamOps.semLabelsAsOf(spark, s"$root/state", seed,
+      org.apache.spark.sql.types.LongType, asOf = 0L))
+    val mpf = m.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(mpf.contains("batch_id"), mpf)
+    spark.catalog.clearCache()
+  }
+
   test("mm1 media bridge: the doc window is pushed to the scan, read schema pruned") {
     val s = formatted(SparkEntry.queries("mm1_video_luma")(spark, sfDir))
     // the synthesis/decode mapPartitions must sit on a scan that already
