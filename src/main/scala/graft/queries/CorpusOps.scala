@@ -158,8 +158,10 @@ object CorpusOps {
       body: (DataFrame, MinHashDedup.DedupIndex, DataFrame, S, String, Long)
         => DataFrame,
       // (seed labels, final carry, state path) — the state path lets an
-      // as-of consumer (c20) read frontier snapshots before the temp
-      // root deletes; most finishes only shape the carry
+      // as-of consumer read frontier snapshots before the temp root
+      // deletes; most finishes only shape the carry (the c-family
+      // lineage reads themselves serve from the persistent c18s
+      // artifact instead of this scaffold)
       finish: (DataFrame, DataFrame, String) => DataFrame): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val corpus = docs
@@ -384,88 +386,127 @@ object CorpusOps {
     * chain over a column that is not in the table). */
   def c18DeployGates(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val docs = Tables(s, dir, "documents")
-    val emb = array((col("doc_id") % 7 + 1).cast("double"),
-      (col("doc_id") % 11).cast("double"),
-      (col("doc_id") % 13).cast("double"), lit(1.0))
-    val corpus = docs
+    val root = c18SharedRoot(s, dir)
+    val corpusIds = Tables(s, dir, "documents")
       .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
-      .select(col("doc_id"), col("text"))
-    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-    val evalSet = docs.filter(col("doc_id") < EvalSplit)
-      .select(col("doc_id"), col("text"))
-    val corpusIds = corpus.select(col("doc_id"))
-    val sources = docs.select(col("doc_id"), col("source"))
-    val seed = ConnectedComponents.components(
-      MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
-        .select(col("id_a"), col("id_b"))).localCheckpoint()
-    val scores = docs.select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
-    val seedState = graft.streaming.StreamOps.repStateOf(seed, scores)
-      .localCheckpoint()
-    val idx = graft.operators.IvfSearch.buildIndex(
-      docs.filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
-        .select(col("doc_id").as("vec_id"), emb.as("embedding")),
-      "vec_id", "embedding", k = 4, iters = 2, roundDecimals = 6)
-    val semSeed = s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      new org.apache.spark.sql.types.StructType()
-        .add("id", org.apache.spark.sql.types.LongType)
-        .add("component", org.apache.spark.sql.types.LongType))
-    val stream = docs
-      .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
-      .select(col("doc_id"), col("text"), col("source"), col("lang"),
-        emb.as("embedding"))
-    val root = java.nio.file.Files.createTempDirectory("graft_c18_").toString
-    try {
-      val cfg = StreamOps.DeployGatesConfig(staticIndex, corpusIds, evalSet,
-        sources, seed, seedState, scores, idx.centroids, idx.assignments,
-        semSeed, "doc_id", "text", "embedding", NearDupThreshold,
-        semThreshold = 0.9, decontamN = 5, bm25Shards = 16,
-        fuzzyShards = 16, frozenLevel = 2,
-        outPath = s"$root/landed", statePath = s"$root/state")
-      (0 until C9Batches).foreach { b =>
-        StreamOps.deployGatesBatch(
-          stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
-          cfg, b.toLong)
-      }
-      // every metric reads the AT-REST state the waves landed; snapshot
-      // selection is the DIRECTORY-listing rule (latestLandedBatch), not
-      // a row-level max — an empty final frontier lands a data-file-less
-      // partition that a row max would silently skip for the prior epoch
-      def latest(name: String): DataFrame =
-        StreamOps.latestSnapshot(s, s"$root/state/$name")
-      val nLanded = StreamOps.compactLanded(s, s"$root/landed",
-        s"$root/state", corpusIds, "doc_id").count()
-      val labels = latest("labels")
-      val nLabeled = labels.count()
-      val nClusters = labels.select(col("component")).distinct().count()
-      val sumBestQ = latest("rep").filter(col("n_docs") >= 2)
-        .agg(coalesce(sum(col("best_q_e6")), lit(0L))).head.getLong(0)
-      val st = latest("bm25_stats").select(col("n"), col("sumdl")).head
-      val nPostings = s.read.parquet(s"$root/state/bm25_postings").count()
-      val nVariantRows = s.read.parquet(s"$root/state/fuzzy_variants").count()
-      val kanon = latest("kanon").groupBy(col("level"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      import s.implicits._
-      Seq(
-        ("bm25", "n_docs", st.getLong(0)),
-        ("bm25", "n_postings", nPostings),
-        ("bm25", "sum_dl", st.getLong(1)),
-        ("dedup", "n_clusters", nClusters),
-        ("dedup", "n_labeled", nLabeled),
-        ("fuzzy", "n_variant_rows", nVariantRows),
-        ("kanon", "n_classes_l0", kanon.getOrElse(0, 0L)),
-        ("kanon", "n_classes_l1", kanon.getOrElse(1, 0L)),
-        ("kanon", "n_classes_l2", kanon.getOrElse(2, 0L)),
-        ("promotion", "n_landed", nLanded),
-        ("rep", "sum_best_q", sumBestQ))
-        .toDF("gate", "metric", "value")
-    } finally {
-      idx.close()
-      graft.sources.Sources.deleteRecursively(new java.io.File(root))
-    }
+      .select(col("doc_id"))
+    // every metric reads the AT-REST state the waves landed; snapshot
+    // selection is the DIRECTORY-listing rule (latestLandedBatch), not
+    // a row-level max — an empty final frontier lands a data-file-less
+    // partition that a row max would silently skip for the prior epoch
+    def latest(name: String): DataFrame =
+      StreamOps.latestSnapshot(s, s"$root/state/$name")
+    val nLanded = StreamOps.compactLanded(s, s"$root/landed",
+      s"$root/state", corpusIds, "doc_id").count()
+    val labels = latest("labels")
+    val nLabeled = labels.count()
+    val nClusters = labels.select(col("component")).distinct().count()
+    val sumBestQ = latest("rep").filter(col("n_docs") >= 2)
+      .agg(coalesce(sum(col("best_q_e6")), lit(0L))).head.getLong(0)
+    val st = latest("bm25_stats").select(col("n"), col("sumdl")).head
+    val nPostings = s.read.parquet(s"$root/state/bm25_postings").count()
+    val nVariantRows = s.read.parquet(s"$root/state/fuzzy_variants").count()
+    val kanon = latest("kanon").groupBy(col("level"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    Seq(
+      ("bm25", "n_docs", st.getLong(0)),
+      ("bm25", "n_postings", nPostings),
+      ("bm25", "sum_dl", st.getLong(1)),
+      ("dedup", "n_clusters", nClusters),
+      ("dedup", "n_labeled", nLabeled),
+      ("fuzzy", "n_variant_rows", nVariantRows),
+      ("kanon", "n_classes_l0", kanon.getOrElse(0, 0L)),
+      ("kanon", "n_classes_l1", kanon.getOrElse(1, 0L)),
+      ("kanon", "n_classes_l2", kanon.getOrElse(2, 0L)),
+      ("promotion", "n_landed", nLanded),
+      ("rep", "sum_best_q", sumBestQ))
+      .toDF("gate", "metric", "value")
   }
+
+  /** The c-family's SHARED landed deployment state ("c18s") — the c18
+    * composed 3-wave protocol driven AT MOST ONCE per corpus
+    * fingerprint in a sibling session (marker-last, the k8/i10b
+    * discipline), then served by c18's at-rest metrics AND the c19/c20/
+    * c21 lineage reads. Before this artifact, those four queries each
+    * re-drove a near-identical ingest per call (~34 s of the sf0.1
+    * bench) — the deployment answer is one stream, many readers, and
+    * the one statePath layout [[graft.streaming.StreamOps
+    * .deployGatesBatch]] lands makes every solo read path (compactLanded,
+    * labelsAsOf, repAsOf) serve from the same directories. The static
+    * MinHash index, seed clusters, and coarse quantizer are build-time
+    * inputs only — nothing reaches the serving side except through the
+    * landed files. */
+  private def c18SharedRoot(s: SparkSession, dir: String): String = {
+    import graft.streaming.StreamOps
+    val root = ScaleOps.artifactRoot("c18s",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    val done = root.resolve("_STATE_OK")
+    if (!java.nio.file.Files.exists(done)) {
+      // multi-batch builder over snapshot-family state: a marker-less
+      // root may hold a partial drive, and re-driving over surviving
+      // later-batch snapshots is NOT a replay (the k13s rule) — start
+      // from nothing
+      graft.sources.Sources.deleteRecursively(root.toFile)
+      val t = s.newSession()
+      val docs = Tables(t, dir, "documents")
+      val emb = array((col("doc_id") % 7 + 1).cast("double"),
+        (col("doc_id") % 11).cast("double"),
+        (col("doc_id") % 13).cast("double"), lit(1.0))
+      val corpus = docs
+        .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+        .select(col("doc_id"), col("text"))
+      val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+      val evalSet = docs.filter(col("doc_id") < EvalSplit)
+        .select(col("doc_id"), col("text"))
+      val corpusIds = corpus.select(col("doc_id"))
+      val sources = docs.select(col("doc_id"), col("source"))
+      val seed = ConnectedComponents.components(
+        MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
+          .select(col("id_a"), col("id_b"))).localCheckpoint()
+      val scores = docs.select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
+      val seedState = StreamOps.repStateOf(seed, scores).localCheckpoint()
+      val idx = graft.operators.IvfSearch.buildIndex(
+        docs.filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+          .select(col("doc_id").as("vec_id"), emb.as("embedding")),
+        "vec_id", "embedding", k = 4, iters = 2, roundDecimals = 6)
+      try {
+        val semSeed = t.createDataFrame(
+          t.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new org.apache.spark.sql.types.StructType()
+            .add("id", org.apache.spark.sql.types.LongType)
+            .add("component", org.apache.spark.sql.types.LongType))
+        val stream = docs
+          .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
+          .select(col("doc_id"), col("text"), col("source"), col("lang"),
+            emb.as("embedding"))
+        val cfg = StreamOps.DeployGatesConfig(staticIndex, corpusIds, evalSet,
+          sources, seed, seedState, scores, idx.centroids, idx.assignments,
+          semSeed, "doc_id", "text", "embedding", NearDupThreshold,
+          semThreshold = 0.9, decontamN = 5, bm25Shards = 16,
+          fuzzyShards = 16, frozenLevel = 2,
+          outPath = root.resolve("landed").toString,
+          statePath = root.resolve("state").toString)
+        (0 until C9Batches).foreach { b =>
+          StreamOps.deployGatesBatch(
+            stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
+            cfg, b.toLong)
+        }
+      } finally idx.close()
+      java.nio.file.Files.createDirectories(root)
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    root.toString
+  }
+
+  /** The seed fallback the c18s lineage reads pass by-name: with the
+    * marker present, snapshot frontiers 1 and 2 exist, so a triggered
+    * fallback means the artifact is corrupt — fail loudly instead of
+    * silently rebuilding a seed and answering from the wrong epoch. */
+  private def c18sSeedUnreachable(what: String): DataFrame =
+    sys.error(s"c18s: $what seed fallback triggered — snapshot state " +
+      "missing under a marked artifact (corrupt c18s root?)")
 
   // lazy: C9CorpusEnd/C9StreamEnd and c9DropsCtesSql are declared
   // further down the object (the c14Sql initialization-order trap)
@@ -838,20 +879,18 @@ object CorpusOps {
     * family now has a lineage read. */
   def c20AsofClusters(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    driveIngestWavesSeeded[Unit](s, dir, _ => (),
-      (batch, idx, seed, _, state, b) =>
-        StreamOps.rollingCcBatch(batch, idx, seed, "doc_id", "text",
-          NearDupThreshold, state, b),
-      // the as-of reads happen in the scaffold's finish slot, before
-      // the temp state deletes
-      (seed, _, state) => {
-        def frontier(n: Long) = StreamOps.labelsAsOf(s, state, seed,
-            org.apache.spark.sql.types.LongType, asOf = n)
-          .groupBy(col("component"))
-          .agg(count(lit(1)).as("n_docs"))
-          .select(lit(n).as("as_of"), col("component"), col("n_docs"))
-        frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
-      })
+    // served from the SHARED c18s artifact — the composed stream's CC
+    // advance lands the identical label snapshots a solo rollingCcBatch
+    // drive would (the one-sweep-many-gates equality c18's oracle pins),
+    // so the lineage read needs no re-drive of its own
+    val state = s"${c18SharedRoot(s, dir)}/state"
+    def frontier(n: Long) = StreamOps.labelsAsOf(s, state,
+        c18sSeedUnreachable("label"),
+        org.apache.spark.sql.types.LongType, asOf = n)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit(n).as("as_of"), col("component"), col("n_docs"))
+    frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
   }
 
   /** Per-frontier transitive closure over ONE minhash chain: the
@@ -898,26 +937,18 @@ object CorpusOps {
     * a snapshot whose argmax saw any wave-2 doc goes red. */
   def c21AsofReps(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val scores = Tables(s, dir, "documents")
-      .select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
-    driveIngestWavesSeeded[DataFrame](s, dir,
-      seed => StreamOps.repStateOf(seed, scores).localCheckpoint(),
-      (batch, idx, seed, seedState, state, b) =>
-        StreamOps.rollingRepBatch(batch, idx, seed, seedState, scores,
-          "doc_id", "text", NearDupThreshold, state, b)._2,
-      (seed, _, state) => {
-        // the seed fallback is by-name through repAsOf/repStateBefore/
-        // latestSnapshotOr and never built here (both frontiers have
-        // landed snapshots within keep=2)
-        def frontier(n: Long) = StreamOps.repAsOf(s, state,
-            StreamOps.repStateOf(seed, scores),
-            org.apache.spark.sql.types.LongType, asOf = n)
-          .filter(col("n_docs") >= 2)
-          .select(lit(n).as("as_of"), col("component"), col("n_docs"),
-            col("best_doc"), col("best_q_e6"),
-            expr("q_sum div n_docs").as("mean_q_e6"))
-        frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
-      })
+    // the c20 serving shape for the representative monoid: the composed
+    // stream's repAdvance landed the same snapshots a solo
+    // rollingRepBatch drive would — read, don't re-drive
+    val state = s"${c18SharedRoot(s, dir)}/state"
+    def frontier(n: Long) = StreamOps.repAsOf(s, state,
+        c18sSeedUnreachable("rep"),
+        org.apache.spark.sql.types.LongType, asOf = n)
+      .filter(col("n_docs") >= 2)
+      .select(lit(n).as("as_of"), col("component"), col("n_docs"),
+        col("best_doc"), col("best_q_e6"),
+        expr("q_sum div n_docs").as("mean_q_e6"))
+    frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
   }
 
   private lazy val c21Sql: String = {
@@ -966,23 +997,25 @@ object CorpusOps {
     * endpoint's wave). */
   def c19AsofCorpus(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val corpus = Tables(s, dir, "documents")
+    // served from the SHARED c18s artifact: the composed stream's
+    // promotion gate is the same sweep + promoteClean chain the solo
+    // ingest ran, so the landed corpus and its pair log are identical —
+    // each frontier read is a partition-pruned compactLanded(asOf)
+    val root = c18SharedRoot(s, dir)
+    val corpusIds = Tables(s, dir, "documents")
       .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
-      .select(col("doc_id"), col("text"))
-    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-    ingestWavesThen(s, dir, staticIndex) { (root, corpusIds) =>
-      import s.implicits._
-      (0 until C9Batches).map { n =>
-        val at = StreamOps.compactLanded(s, s"$root/landed", s"$root/state",
-            corpusIds, "doc_id", asOf = n.toLong)
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum((length(col("text")) -
-                length(expr("replace(text, ' ', '')")) + 1).cast("long")),
-              lit(0L)).as("total_tokens"))
-          .head
-        (n.toLong, at.getLong(0), at.getLong(1))
-      }.toDF("as_of", "n_docs", "total_tokens").orderBy("as_of")
-    }
+      .select(col("doc_id"))
+    import s.implicits._
+    (0 until C9Batches).map { n =>
+      val at = StreamOps.compactLanded(s, s"$root/landed", s"$root/state",
+          corpusIds, "doc_id", asOf = n.toLong)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum((length(col("text")) -
+              length(expr("replace(text, ' ', '')")) + 1).cast("long")),
+            lit(0L)).as("total_tokens"))
+        .head
+      (n.toLong, at.getLong(0), at.getLong(1))
+    }.toDF("as_of", "n_docs", "total_tokens").orderBy("as_of")
   }
 
   private lazy val c19Sql: String = {

@@ -313,6 +313,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("c18s shared artifact: lineage reads reuse one landed drive; second call builds nothing") {
+    import graft.queries.{CorpusOps, ScaleOps}
+    val q = CorpusOps.queries
+    val first = q("c20_asof_clusters")(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(first.nonEmpty)
+    // the drive landed marker-last under the shared c18s root
+    val root = ScaleOps.artifactRoot("c18s",
+      ScaleOps.dataFingerprint(sfDir, Seq("documents")))
+    val marker = root.resolve("_STATE_OK")
+    assert(java.nio.file.Files.exists(marker))
+    val markerTime = java.nio.file.Files.getLastModifiedTime(marker)
+    def stateMtimes(): Map[String, Long] = {
+      val st = new java.io.File(root.resolve("state").toString)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(st).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = stateMtimes()
+    // c21 and c19 serve from the SAME artifact — no second drive, no
+    // state rewrite; c20 re-read answers identically
+    val reps = q("c21_asof_reps")(spark, sfDir).collect()
+    assert(reps.nonEmpty)
+    val corpus = q("c19_asof_corpus")(spark, sfDir).collect()
+    assert(corpus.length == 3)
+    val again = q("c20_asof_clusters")(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(again == first)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == markerTime,
+      "the marker was rewritten — a second call re-drove the waves")
+    assert(stateMtimes() == before,
+      "serving reads must not rewrite any landed state file")
+    spark.catalog.clearCache()
+  }
+
   test("v9 top eigen: PSD spectrum, unit-ish eigenvector, deterministic reruns") {
     val rows = graft.queries.VectorOps.v9TopEigen(spark, sfDir).collect()
     assert(rows.length == 8)
