@@ -75,30 +75,46 @@ object HybridOps {
       .limit(LegN)
   }
 
-  /** The fusion itself, shared by h1 (at-rest) and h2 (rolling-served
-    * keyword leg): rank each ≤[[LegN]]-row leg (windows over already-
-    * limited frames — bounded single partitions), full-outer join on
-    * doc id, RRF-sum the two contributions, top-[[HTopK]]. Absent-leg
-    * ranks surface as 0 (never null — the oracle compare is exact on
-    * representation, and 0 is unambiguous since real ranks start at 1). */
-  private def fuseRrf(bmLeg: DataFrame, csLeg: DataFrame): DataFrame = {
-    val bm = bmLeg.withColumn("rb", row_number()
-        .over(Window.orderBy(col("score").desc, col("id"))))
-      .select(col("id"), col("rb"))
-    val cs = csLeg.withColumn("rc", row_number()
-        .over(Window.orderBy(col("cos").desc, col("id"))))
-      .select(col("id"), col("rc"))
+  /** Rank one ≤[[LegN]]-row leg: a window over an already-limited
+    * frame — a bounded single partition, never a corpus sort. */
+  private def rankLeg(leg: DataFrame, by: Column, rankCol: String): DataFrame =
+    leg.withColumn(rankCol, row_number()
+        .over(Window.orderBy(by.desc, col("id"))))
+      .select(col("id"), col(rankCol))
+
+  /** N-leg RRF fusion over already-RANKED legs (each `(rankCol,
+    * frame(id, rankCol))`): full-outer join the ≤[[LegN]]-row frames on
+    * doc id in declaration order, RRF-sum the contributions, top-
+    * [[HTopK]]. Absent-leg ranks surface as 0 (never null — the oracle
+    * compare is exact on representation, and 0 is unambiguous since
+    * real ranks start at 1).
+    *
+    * Exactness: TWO-addend IEEE addition is order-free, but three or
+    * more doubles are NOT (rounding makes + non-associative) — so the
+    * sum is a CANONICAL left-to-right fold in leg declaration order,
+    * and every oracle parenthesizes the same fold explicitly (the
+    * DECIMAL-interior-sum discipline applied to fusion). */
+  private def fuseRrfN(legs: Seq[(String, DataFrame)]): DataFrame = {
+    require(legs.size >= 2, "RRF fusion needs at least two legs")
     def contrib(r: Column): Column =
       when(r.isNull, lit(0.0))
         .otherwise(lit(1.0) / (lit(RrfK) + r).cast("double"))
-    bm.join(cs, Seq("id"), "full_outer")
-      .select(col("id").as("doc_id"),
-        coalesce(col("rb").cast("long"), lit(0L)).as("rb"),
-        coalesce(col("rc").cast("long"), lit(0L)).as("rc"),
-        (contrib(col("rb")) + contrib(col("rc"))).as("rrf"))
+    val joined = legs.map(_._2)
+      .reduceLeft((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = legs.map { case (rc, _) => contrib(col(rc)) }.reduceLeft(_ + _)
+    val rankCols = legs.map { case (rc, _) =>
+      coalesce(col(rc).cast("long"), lit(0L)).as(rc) }
+    joined.select(col("id").as("doc_id") +: rankCols :+ rrf.as("rrf"): _*)
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(HTopK)
   }
+
+  /** The two-leg fusion h1–h4 share (keyword + dense), expressed as
+    * [[fuseRrfN]] with the bm-then-cosine declaration order. */
+  private def fuseRrf(bmLeg: DataFrame, csLeg: DataFrame): DataFrame =
+    fuseRrfN(Seq(
+      "rb" -> rankLeg(bmLeg, col("score"), "rb"),
+      "rc" -> rankLeg(csLeg, col("cos"), "rc")))
 
   /** h1: hybrid search at rest — BM25 keyword leg + brute-force cosine
     * leg, RRF-fused. The answer interleaves docs only one leg surfaced
@@ -168,15 +184,113 @@ object HybridOps {
     } finally idx.close()
   }
 
-  /** The keyword leg's CTEs (ending in `bmr(id, rb)`): k1's bm25 chain,
-    * the >0 cut, LIMIT-then-rank. */
-  private val bmLegSql: String =
-    s"""${KeywordSearch.bm25Ctes(HTerms)},
+  /** h4: TIME-TRAVEL of the WHOLE hybrid serving stack — h2 proves a
+    * superseded doc cannot leak into fusion; h4 answers the lineage
+    * question "what did retrieval return when batch [[SearchOps
+    * .AsOfBatch]] was the keyword frontier and wave 0 the vector
+    * frontier": the keyword leg is k15's as-of BM25 over the SHARED
+    * rolling search artifact ([[SearchOps.rollingPosState]] — the
+    * stale one-token third was still live then, its superseding
+    * re-land in the future), the dense leg probes the grown IVF index
+    * AS OF wave 0 ([[graft.streaming.StreamOps.grownIvfIndex]], i11's
+    * machinery — odd late vectors not yet arrived), and the fusion
+    * tail is h1's. The oracle scores the corpus each leg HAD at its
+    * frontier (k15's CASE text, i11's visibility filter). The fused
+    * as-of answer provably differs from h2's final-frontier answer
+    * (spec-pinned) — retrieval lineage, not a re-ranking of today. */
+  def h4AsofHybrid(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val bmLeg = StreamOps.bm25ServeRolling(s,
+        SearchOps.rollingPosState(s, dir), HTerms, SearchOps.K6Shards,
+        asOf = SearchOps.AsOfBatch)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(LegN)
+    val e = Tables(s, dir, "embeddings")
+    val idx0 = graft.operators.IvfSearch.buildIndex(
+      e.filter(col("vec_id") < ScaleOps.I8TrainEnd), "vec_id", "embedding",
+      k = ScaleOps.IvfK, iters = ScaleOps.IvfIters,
+      roundDecimals = ScaleOps.IvfRound)
+    val root = java.nio.file.Files.createTempDirectory("graft_h4_").toString
+    try {
+      val late = e.filter(col("vec_id") >= ScaleOps.I8TrainEnd)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+      (0 until 2).foreach { b =>
+        StreamOps.ivfAssignBatch(
+          late.filter(pmod(col("id"), lit(2L)) === b.toLong),
+          idx0.centroids, "id", "emb", s"$root/state", b.toLong)
+      }
+      val denseLeg = graft.operators.IvfSearch.approxTopK(
+          e.filter(col("vec_id") === HQueryVec),
+          StreamOps.grownIvfIndex(s, idx0, s"$root/state", asOf = 0L),
+          "vec_id", "embedding", k = LegN, nprobe = ScaleOps.IvfNprobe)
+        .select(col("neighbor").as("id"), col("cos"))
+      val res = fuseRrf(bmLeg, denseLeg)
+      // bounded (HTopK rows): materialize before the temp state deletes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      idx0.close()
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  /** The FUZZY leg: k7's typo-tolerant term matching lifted to a
+    * document ranking — every corpus token within edit distance 1 of a
+    * query typo ([[SearchOps.TypoTerms]]) counts one hit per matching
+    * (query term, occurrence); docs rank by total hits. The match set
+    * is blocked by the SymSpell deletion-variant key (complete for
+    * distance ≤ 1 — k7's contract) and verified by `levenshtein`, so
+    * the corpus side touches |distinct terms| variant rows, never a
+    * |terms|·|queries| edit-distance cross; the per-doc score is one
+    * broadcast join + hash aggregate on the token explode. */
+  private def fuzzyLeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        explode(split(col("text"), " ")).as("term"))
+    val vvar = toks.select(col("term")).distinct()
+      .select(col("term"),
+        explode(SearchOps.deletionVariants(col("term"))).as("variant"))
+    val qvar = SearchOps.TypoTerms.toDF("query_term")
+      .select(col("query_term"),
+        explode(SearchOps.deletionVariants(col("query_term"))).as("variant"))
+    val matched = broadcast(qvar).join(vvar, "variant")
+      .select(col("query_term"), col("term")).distinct()
+      .filter(levenshtein(col("query_term"), col("term")) <= 1)
+    toks.join(broadcast(matched), "term")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("fscore"))
+      .orderBy(col("fscore").desc, col("id"))
+      .limit(LegN)
+  }
+
+  /** h5: THREE-leg RRF — production stacks fuse more than two rankers
+    * (sparse + dense + a typo-tolerant recall leg, here k7's fuzzy
+    * matching as a doc ranking). Exercises [[fuseRrfN]]'s N-leg
+    * generalization: with three contributions the IEEE sum is order-
+    * sensitive, so Spark folds left-to-right in declaration order and
+    * the oracle parenthesizes the identical fold — bit-green by
+    * construction, not by luck. */
+  def h5TriRrf(s: SparkSession, dir: String): DataFrame =
+    fuseRrfN(Seq(
+      "rb" -> rankLeg(bm25Leg(s, dir), col("score"), "rb"),
+      "rc" -> rankLeg(cosineLeg(s, dir), col("cos"), "rc"),
+      "rf" -> rankLeg(fuzzyLeg(s, dir), col("fscore"), "rf")))
+
+  /** The keyword leg's CTEs (ending in `bmr(id, rb)`): k1's bm25 chain
+    * over `textExpr`'s view of the corpus, the >0 cut, LIMIT-then-rank.
+    * `textExpr` defaults to the live text; h4 passes k15's CASE
+    * expression for the as-of corpus. */
+  private def bmLegSqlOver(textExpr: String): String =
+    s"""${KeywordSearch.bm25Ctes(HTerms, textExpr)},
        |bml AS (SELECT id, score FROM sc WHERE score > 0
        |        ORDER BY score DESC, id LIMIT $LegN),
        |bmr AS (SELECT id,
        |          ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rb
        |        FROM bml)""".stripMargin
+
+  private val bmLegSql: String = bmLegSqlOver("text")
 
   /** The fusion tail shared by every hybrid oracle: full-outer join of
     * `bmr`/`csr`, absent ranks as 0, the RRF sum as two CASE-guarded
@@ -233,15 +347,89 @@ object HybridOps {
        |        FROM csl),
        |$fusedTailSql""".stripMargin
 
+  /** DuckDB replay of [[h4AsofHybrid]]: the keyword leg over the AS-OF
+    * corpus (k15's CASE text — third 2 one-token), the dense leg over
+    * the wave-0 grown index (i11's visibility filter on the et-trained
+    * probe chain), h1's fusion tail. */
+  private lazy val h4Sql: String =
+    s"""WITH ${bmLegSqlOver(SearchOps.AsOfTextExpr)},
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |et AS (SELECT id, emb FROM e WHERE id < ${ScaleOps.I8TrainEnd}),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |${ScaleOps.ivfCtesOver("et")},
+       |af0 AS (SELECT * FROM af WHERE id < ${ScaleOps.I8TrainEnd} OR id % 2 <= 0),
+       |cands AS (
+       |  SELECT pr.q_emb, a.id, a.emb
+       |  FROM pr JOIN af0 a ON a.cid = pr.cid AND a.id <> pr.q_id),
+       |csl AS (SELECT id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM cands
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |$fusedTailSql""".stripMargin
+
+  /** DuckDB replay of [[h5TriRrf]]: h1's keyword and cosine legs, the
+    * fuzzy leg as a plain levenshtein join (the blocking is an
+    * optimization, not a semantic), and the 3-leg fusion with the SAME
+    * explicit left-to-right parenthesization as [[fuseRrfN]]'s fold —
+    * 3-double addition is order-sensitive, so the grouping is part of
+    * the contract. */
+  private val h5Sql: String = {
+    val vals = SearchOps.TypoTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH $bmLegSql,
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |csl AS (SELECT e.id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM e CROSS JOIN q WHERE e.id <> q.q_id
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+       |        FROM documents),
+       |fq AS (SELECT * FROM (VALUES $vals) v(query_term)),
+       |hit AS (SELECT id, COUNT(*) AS fscore
+       |        FROM tok JOIN fq ON levenshtein(fq.query_term, tok.term) <= 1
+       |        GROUP BY id),
+       |fzl AS (SELECT id, fscore FROM hit
+       |        ORDER BY fscore DESC, id LIMIT $LegN),
+       |fzr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY fscore DESC, id) AS rf
+       |        FROM fzl),
+       |fused AS (
+       |  SELECT id AS doc_id,
+       |    COALESCE(rb, 0) AS rb, COALESCE(rc, 0) AS rc, COALESCE(rf, 0) AS rf,
+       |    ((CASE WHEN rb IS NULL THEN CAST(0.0 AS DOUBLE)
+       |           ELSE CAST(1.0 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE) END
+       |      + CASE WHEN rc IS NULL THEN CAST(0.0 AS DOUBLE)
+       |             ELSE CAST(1.0 AS DOUBLE) / CAST($RrfK + rc AS DOUBLE) END)
+       |     + CASE WHEN rf IS NULL THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(1.0 AS DOUBLE) / CAST($RrfK + rf AS DOUBLE) END) AS rrf
+       |  FROM bmr FULL OUTER JOIN csr USING (id) FULL OUTER JOIN fzr USING (id))
+       |SELECT doc_id, rb, rc, rf, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT $HTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hybrid_rrf" -> (h1HybridRrf _),
     "h2_rolling_hybrid" -> (h2RollingHybrid _),
-    "h3_ivf_hybrid" -> (h3IvfHybrid _))
+    "h3_ivf_hybrid" -> (h3IvfHybrid _),
+    "h4_asof_hybrid" -> (h4AsofHybrid _),
+    "h5_tri_rrf" -> (h5TriRrf _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
     // same answer: the rolling-served keyword leg is bit-identical to
     // the corpus scan after the stale version is superseded
     "h2_rolling_hybrid" -> h1Sql,
-    "h3_ivf_hybrid" -> h3Sql)
+    "h3_ivf_hybrid" -> h3Sql,
+    "h4_asof_hybrid" -> h4Sql,
+    "h5_tri_rrf" -> h5Sql)
 }

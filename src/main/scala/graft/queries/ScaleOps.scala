@@ -816,7 +816,7 @@ object ScaleOps {
     * assigns every row of `e` — the frozen-centroid incremental-index
     * form). `ivfCtes` (train == assign == `e`) is the zero-arg instance
     * every earlier consumer replays verbatim. */
-  private def ivfCtesOver(train: String, prefix: String = ""): String = {
+  private[queries] def ivfCtesOver(train: String, prefix: String = ""): String = {
     // `prefix` namespaces every CTE this chain declares (${prefix}c0 …
     // ${prefix}af/${prefix}pr) so TWO quantizer chains can coexist in
     // one WITH — i10 composes the full-retrain chain and the `et`-frozen
@@ -1067,7 +1067,7 @@ object ScaleOps {
 
   /** i8 arrival split: the coarse quantizer trains on vectors below this
     * id; everything at or above arrives AFTER the index is built. */
-  private val I8TrainEnd = 400L
+  private[queries] val I8TrainEnd = 400L
 
   /** i8: INCREMENTAL IVF indexing — late-arriving vectors are ASSIGNED
     * to the frozen coarse quantizer (one broadcast-centroid argmin pass,

@@ -143,7 +143,7 @@ object SearchOps {
   /** Misspelled query forms of real corpus terms (substitution,
     * substitution, insertion) — each must resolve through the typo
     * expansion, never by exact match. */
-  private val TypoTerms = Seq("vektor", "streem", "windoww")
+  private[queries] val TypoTerms = Seq("vektor", "streem", "windoww")
 
   /** {identity} ∪ one-char deletions as a row-local generated column —
     * the SymSpell blocking key shared by k7 (built per run) and k8
@@ -417,7 +417,7 @@ object SearchOps {
     * shard directory (`shard = hex60(term) mod 16`), so a probe reads
     * |query-term shards| / 16 of the index via PARTITION pruning — the
     * scan never lists, let alone reads, the other shards' files. */
-  private val K6Shards = 16
+  private[queries] val K6Shards = 16
 
   /** k6: BM25 served from an AT-REST inverted index — k1's exact answer
     * (same oracle) with the corpus rescan replaced by the layout a search
@@ -567,7 +567,7 @@ object SearchOps {
     * wave 0's contribution. Deleting `state` first makes the rebuild
     * exactly a first run (the generic rule for any marker-guarded
     * multi-batch builder over snapshot-family state). */
-  private def rollingPosState(s: SparkSession, dir: String): String = {
+  private[queries] def rollingPosState(s: SparkSession, dir: String): String = {
     import graft.streaming.StreamOps
     val root = ScaleOps.artifactRoot("k13s",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
@@ -616,10 +616,10 @@ object SearchOps {
     * 0 and 1 carried full text and third 2 was still the STALE
     * one-token version wave 0 landed (wave 2's superseding re-land —
     * and the tombstone it wrote — are in this point's future). */
-  private val AsOfBatch = 1L
+  private[queries] val AsOfBatch = 1L
 
   /** DuckDB's view of the corpus as it stood at [[AsOfBatch]]. */
-  private val AsOfTextExpr =
+  private[queries] val AsOfTextExpr =
     "(CASE WHEN doc_id % 3 = 2 THEN string_split(text, ' ')[1] ELSE text END)"
 
   /** k15: TIME-TRAVEL keyword search — k1's BM25 served from the

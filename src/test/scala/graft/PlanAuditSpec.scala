@@ -814,6 +814,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("label:int"),
       "embeddings scan must prune the label column: " +
         s.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    // three-leg fusion (h5): the extra fuzzy leg must not change the
+    // shape — broadcast variant match, top-k heaps, no cartesian
+    val t = formatted(SparkEntry.queries("h5_tri_rrf")(spark, sfDir))
+    assert(nodeCount(t, "CartesianProduct") == 0, t.take(1500))
+    assert(t.contains("TakeOrderedAndProject"), t.take(1000))
   }
 
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {

@@ -347,6 +347,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("h4 as-of hybrid differs from the final-frontier fusion (real lineage, not a re-rank)") {
+    val q = graft.queries.HybridOps.queries
+    val asOf = q("h4_asof_hybrid")(spark, sfDir).collect().map(_.toSeq).toSeq
+    val now = q("h2_rolling_hybrid")(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(asOf.length == now.length) // both HTopK rows
+    assert(asOf != now,
+      "the as-of fusion must answer from the earlier frontier — equal " +
+        "answers mean the stale keyword corpus or the wave-0 index " +
+        "visibility leaked to the final frontier")
+    spark.catalog.clearCache()
+  }
+
   test("v9 top eigen: PSD spectrum, unit-ish eigenvector, deterministic reruns") {
     val rows = graft.queries.VectorOps.v9TopEigen(spark, sfDir).collect()
     assert(rows.length == 8)
