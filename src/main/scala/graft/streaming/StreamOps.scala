@@ -2379,7 +2379,17 @@ object StreamOps {
     * the log clears), and the tombstone log clears LAST — every crash
     * point leaves a state the serve anti-join and a re-run both handle.
     * Returns (tombstoned versions reclaimed, live rows rewritten in the
-    * first — postings — family). */
+    * first — postings — family).
+    *
+    * Driver-side bounds: the two collects here are (1) the distinct
+    * `dead_batch` values — at most the number of tombstone-NAMED
+    * `batch_id=` partitions, and (2) [[distinctPartitionTuples]] over
+    * the affected rows — at most the number of (batch_id, shard) leaf
+    * DIRECTORIES under those batches (spec-pinned: partition count, not
+    * row count). Both are bounded by the on-disk partition layout
+    * (#re-ingested batches × shard fan-out), never by postings volume —
+    * at 100 TB the collect stays a few thousand tuples while the
+    * rewrite itself remains fully distributed. */
   private def reclaimDeadVersions(spark: SparkSession, tombsPath: String,
       families: Seq[(String, Seq[String])]): (Long, Long) = {
     if (!hasParquetData(spark, tombsPath)) return (0L, 0L)
@@ -2399,13 +2409,10 @@ object StreamOps {
       val live = affected.join(tombs, isDead(affected), "left_anti")
         .localCheckpoint()
       if (fi == 0) firstLive = live.count()
-      def leaves(df: DataFrame): Set[Seq[Long]] =
-        df.select(parts.map(c => col(c).cast("long")): _*)
-          .distinct().collect()
-          .map(r => parts.indices.map(r.getLong(_)): Seq[Long]).toSet
       // leaf dirs where EVERY row died — enumerate before the rewrite
-      val deadLeaves = leaves(affected.join(tombs, isDead(affected), "left_semi"))
-      val liveLeaves = leaves(live)
+      val deadLeaves = distinctPartitionTuples(
+        affected.join(tombs, isDead(affected), "left_semi"), parts)
+      val liveLeaves = distinctPartitionTuples(live, parts)
       live.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(parts: _*)
@@ -2418,6 +2425,17 @@ object StreamOps {
     fs.delete(new org.apache.hadoop.fs.Path(tombsPath), true)
     (nDead, firstLive)
   }
+
+  /** The distinct partition-column tuples present in `df` — the leaf-
+    * directory enumeration [[reclaimDeadVersions]] collects. Its size
+    * is bounded by the PARTITION layout (one tuple per `parts`-named
+    * leaf dir), never by row count: a million postings under one
+    * (batch_id, shard) leaf collect as ONE tuple (spec-pinned). */
+  private[graft] def distinctPartitionTuples(df: DataFrame,
+      parts: Seq[String]): Set[Seq[Long]] =
+    df.select(parts.map(c => col(c).cast("long")): _*)
+      .distinct().collect()
+      .map(r => parts.indices.map(r.getLong(_)): Seq[Long]).toSet
 
   /** Streaming twin of a4's SEMANTIC dedup (SemDeDup) — the
     * embedding-space trio composed the way [[rollingCcPerBatch]]
@@ -2581,7 +2599,13 @@ object StreamOps {
       sourceCol: String = "source", langCol: String = "lang",
       // positional-index shard count ([[posIndexPerBatch]]'s artifact —
       // phrase/NEAR serving); defaulted like the columns above
-      posShards: Int = 16)
+      posShards: Int = 16,
+      // auto-maintenance cadence: [[deployGatesPerBatch]] runs
+      // [[maintain]] over this config's state after every N committed-
+      // side batches ((batchId+1) % N == 0); 0 disables. A long-running
+      // stream otherwise accumulates small delta files and superseded
+      // segments that only a manually-scheduled maintain would reclaim.
+      maintainEvery: Int = 8)
 
   /** What the composed gate hands the sink after each wave — every
     * frame already materialized (localCheckpointed), so the sink can
@@ -2625,12 +2649,25 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(cfg.frozenLevel >= 0 && cfg.frozenLevel <= 2,
       s"frozenLevel must be one of d43's generalization levels 0..2, got ${cfg.frozenLevel}")
+    require(cfg.maintainEvery >= 0,
+      s"maintainEvery must be >= 0 (0 disables), got ${cfg.maintainEvery}")
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val report = deployGatesBatch(batch, cfg, batchId)
         sink(report, batchId)
         enforceKAnon(report.kanonReport, cfg.frozenLevel)
+        // auto-maintenance INSIDE the uncommitted batch: a crash mid-
+        // maintain replays the whole foreachBatch body (idempotent
+        // lands, then the full maintain) — every maintain step is
+        // individually crash-safe (the prefix-replay spec), so the
+        // half-done pass is just extra retention work, never a
+        // serving-visible state
+        if (cfg.maintainEvery > 0 && (batchId + 1) % cfg.maintainEvery == 0) {
+          maintain(batch.sparkSession, cfg.statePath,
+            Some(LandedCorpus(cfg.outPath, cfg.staticCorpusIds, cfg.idCol)))
+          ()
+        }
       }
       .start()
   }

@@ -2113,6 +2113,97 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("deployGatesPerBatch auto-maintain: cadence equals manual maintain, crash mid-maintain replays clean") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    import DeployFixture._
+    val idx = graft.operators.IvfSearch.buildIndex(staticVecs, "vec_id",
+      "embedding", k = 2, iters = 2, roundDecimals = 6)
+    def docsOf(w: Seq[(Long, String, String, String, Seq[Double])]) =
+      w.map(d => DeployDoc(d._1, d._2, d._3, d._4, d._5))
+    // waves that SATISFY the frozen k=5 release level (the streaming
+    // path enforces it; the manual baseline drives the same batches):
+    // wave 0 is the k-anon spec's 5-near-dup web/en cohort (scored in
+    // the fixture, so the rep guard is fed); wave 1's five web/en texts
+    // are mutually dissimilar — no new label entries, class size 10
+    val w0 = (0 until 5).map(i => (300L + i,
+      s"wholly original streaming arrival number $i with its own text body",
+      "web", "en", Seq(0.1 * i, 1.0, 0.2, 0.0)))
+    val w1 = Seq(
+      (310L, "completely unrelated treatise on medieval falconry techniques and equipment"),
+      (311L, "a recipe describing slow fermentation of sourdough with rye flour"),
+      (312L, "notes from the tuesday standup regarding quarterly planning milestones"),
+      (313L, "observations of tidal patterns near the estuary during spring floods"),
+      (314L, "short fable about a tortoise negotiating passage with river otters"))
+      .zipWithIndex.map { case ((id, t), i) =>
+        (id, t, "web", "en", Seq(0.3, 0.2 + 0.1 * i, 0.9, 0.1)) }
+    def readsOf(cfg: StreamOps.DeployGatesConfig): Seq[Set[Seq[Any]]] = {
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+      def latest(name: String): Set[Seq[Any]] =
+        rows(StreamOps.latestSnapshot(spark, s"${cfg.statePath}/$name")
+          .drop("batch_id"))
+      Seq(
+        rows(StreamOps.bm25ServeRolling(spark, cfg.statePath,
+          Seq("streaming", "fermentation"), 8)),
+        rows(StreamOps.compactLanded(spark, cfg.outPath, cfg.statePath,
+          corpusIds, "doc_id").select("doc_id")),
+        latest("labels"), latest("rep"), latest("kanon"),
+        latest("sem_labels"),
+        rows(StreamOps.posServeRolling(spark, cfg.statePath,
+          Seq("arrival", "falconry"), 16)))
+    }
+    try {
+      // MANUAL baseline: batch waves + maintain after each (cadence 1)
+      val rootB = Files.createTempDirectory("automaint_b")
+      val cfgB = config(idx, rootB)
+      val landedB = Some(StreamOps.LandedCorpus(cfgB.outPath, corpusIds, "doc_id"))
+      StreamOps.deployGatesBatch(waveDf(w0), cfgB, 0L)
+      StreamOps.maintain(spark, cfgB.statePath, landedB)
+      StreamOps.deployGatesBatch(waveDf(w1), cfgB, 1L)
+      StreamOps.maintain(spark, cfgB.statePath, landedB)
+      val baseline = readsOf(cfgB)
+      assert(baseline.forall(_.nonEmpty))
+      // AUTO: the streaming gate with maintainEvery = 1 fires the same
+      // maintenance inside foreachBatch — identical read paths after
+      val rootA = Files.createTempDirectory("automaint_a")
+      val cfgA = config(idx, rootA).copy(maintainEvery = 1)
+      val ms = MemoryStream[DeployDoc]
+      val q = StreamOps.deployGatesPerBatch(ms.toDF(), cfgA,
+        rootA.resolve("ck").toString) { (_, _) => () }
+      try {
+        ms.addData(docsOf(w0): _*); q.processAllAvailable()
+        ms.addData(docsOf(w1): _*); q.processAllAvailable()
+      } finally q.stop()
+      assert(readsOf(cfgA) == baseline,
+        "auto-maintained stream diverged from batch waves + manual maintain")
+      // CRASH during the auto-maintain between waves: the batch is
+      // uncommitted, so the replay re-runs the whole foreachBatch body —
+      // wave 0's idempotent lands, then a FULL maintain — and wave 1
+      // proceeds; every prefix depth must converge to the same answers
+      val stepCount = StreamOps.maintainSteps(spark, "unused", None,
+        128L << 20).size
+      Seq(0, stepCount / 2, stepCount - 1).foreach { k =>
+        val rootC = Files.createTempDirectory(s"automaint_c$k")
+        val cfgC = config(idx, rootC)
+        val landedC = Some(StreamOps.LandedCorpus(cfgC.outPath, corpusIds, "doc_id"))
+        StreamOps.deployGatesBatch(waveDf(w0), cfgC, 0L)
+        // crash: only the first k maintain steps ran
+        StreamOps.maintainSteps(spark, cfgC.statePath, landedC, 128L << 20)
+          .take(k).foreach { case (_, step) => step() }
+        // replay of the uncommitted batch: lands again, maintains fully
+        StreamOps.deployGatesBatch(waveDf(w0), cfgC, 0L)
+        StreamOps.maintain(spark, cfgC.statePath, landedC)
+        StreamOps.deployGatesBatch(waveDf(w1), cfgC, 1L)
+        StreamOps.maintain(spark, cfgC.statePath, landedC)
+        assert(readsOf(cfgC) == baseline,
+          s"crash at maintain prefix $k diverged after replay")
+      }
+    } finally idx.close()
+    spark.catalog.clearCache()
+  }
+
   test("maintain: every read path stays green at every crash prefix") {
     import spark.implicits._
     import java.nio.file.Files
@@ -2195,6 +2286,30 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(reads() == baseline)
     } finally idx.close()
     spark.catalog.clearCache()
+  }
+
+  test("reclaim's leaf enumeration collects partition tuples, not rows") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("leafenum").toString
+    // 5000 rows spread over exactly 2 batches x 2 shards = 4 leaf dirs
+    (0L until 5000L).map(i => (i, i % 2, i % 4 / 2, s"payload $i"))
+      .toDF("id", "batch_id", "shard", "term")
+      .write.mode("overwrite").partitionBy("batch_id", "shard")
+      .parquet(root)
+    val tuples = StreamOps.distinctPartitionTuples(
+      spark.read.parquet(root), Seq("batch_id", "shard"))
+    // the driver-side bound reclaimDeadVersions relies on: the collect
+    // equals the on-disk leaf count (4), independent of the 5000 rows
+    assert(tuples == Set(Seq(0L, 0L), Seq(0L, 1L), Seq(1L, 0L), Seq(1L, 1L)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .flatMap(b => fs.listStatus(b.getPath)
+        .filter(s2 => s2.isDirectory && s2.getPath.getName.startsWith("shard=")))
+      .length
+    assert(tuples.size == onDisk)
   }
 
   test("withBatchShuffleWidth tracks batch size, restores conf, skips at scale") {
