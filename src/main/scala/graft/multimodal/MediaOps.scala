@@ -1451,6 +1451,137 @@ object MediaOps {
        |FROM s CROSS JOIN ks GROUP BY doc_id, k
        |ORDER BY doc_id, k""".stripMargin
 
+  /** mm8 block-motion geometry: [[Mm8B]]×[[Mm8B]] blocks over the
+    * mm1 clip ([[MmW]]×[[MmH]] divides evenly into 4×3 blocks), each
+    * searched over displacements in [−[[Mm8Search]], [[Mm8Search]]]². */
+  private val Mm8B = 4
+  private val Mm8Search = 2
+
+  /** mm8: BLOCK MOTION ESTIMATION — the video-codec primitive one step
+    * past mm6's cut detector: for every [[Mm8B]]² block of each LATER
+    * frame, the integer-SAD argmin displacement into the EARLIER frame
+    * over a (2·[[Mm8Search]]+1)² search window (candidates clamped to
+    * the frame; ties break to the smallest (sad, dy, dx) — the
+    * deterministic raster convention both engines share). Frames come
+    * from the REAL Y4M container (mm1's synthesis, full decode path);
+    * the oracle replays every candidate SAD from text bytes with mm5's
+    * index arithmetic and picks the same argmin by window rank — a
+    * one-pixel drift in frame offsets, block addressing, or the clamp
+    * moves some block's best vector and goes red. Scale shape: decode
+    * per-partition, then row-local integer loops; one bounded row per
+    * (doc, pair, block). */
+  def mm8BlockMotion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.flatMap { case (docId, text) =>
+        val bytes = asciiBytes(docId, text)
+        val frames = (0 until MmF).map { f =>
+          val img = new java.awt.image.BufferedImage(MmW, MmH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < MmW * MmH) {
+            val v = bytes((f * MmW * MmH + i) % bytes.length) & 0xff
+            img.setRGB(i % MmW, i / MmW, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          img
+        }
+        val container = Y4mCodec.encodeY4m(frames, "mono") // REAL bytes
+        val v = Y4mCodec.decode(container).getOrElse(
+          sys.error(s"mm8: container round-trip failed for doc $docId"))
+        def px(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+          img.getRGB(x, y) & 0xff
+        (0 until v.frames.length - 1).flatMap { f =>
+          val a = v.frames(f)
+          val b = v.frames(f + 1)
+          for {
+            blkY <- 0 until MmH / Mm8B
+            blkX <- 0 until MmW / Mm8B
+          } yield {
+            var bestSad = Long.MaxValue
+            var bestDx = 0
+            var bestDy = 0
+            var dy = -Mm8Search
+            while (dy <= Mm8Search) {
+              var dx = -Mm8Search
+              while (dx <= Mm8Search) {
+                val x0 = blkX * Mm8B + dx
+                val y0 = blkY * Mm8B + dy
+                if (x0 >= 0 && y0 >= 0 &&
+                    x0 + Mm8B <= v.width && y0 + Mm8B <= v.height) {
+                  var sad = 0L
+                  var u = 0
+                  while (u < Mm8B) {
+                    var w = 0
+                    while (w < Mm8B) {
+                      sad += math.abs(
+                        px(b, blkX * Mm8B + w, blkY * Mm8B + u) -
+                          px(a, x0 + w, y0 + u))
+                      w += 1
+                    }
+                    u += 1
+                  }
+                  // strict < keeps the FIRST (dy, dx) among ties — the
+                  // ascending scan order the oracle's rank replays
+                  if (sad < bestSad) { bestSad = sad; bestDx = dx; bestDy = dy }
+                }
+                dx += 1
+              }
+              dy += 1
+            }
+            (docId, f, blkX, blkY, bestDx, bestDy, bestSad)
+          }
+        }
+      }
+    }.toDF("doc_id", "pair_no", "blk_x", "blk_y", "dx", "dy", "sad")
+      .orderBy("doc_id", "pair_no", "blk_y", "blk_x")
+  }
+
+  private val mm8Sql: String = {
+    val px = MmW * MmH
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE doc_id < $MmDocs),
+       |fr AS (SELECT CAST(f AS INTEGER) AS pair_no FROM range(${MmF - 1}) t(f)),
+       |bl AS (SELECT CAST(x AS INTEGER) AS blk_x, CAST(y AS INTEGER) AS blk_y
+       |       FROM range(${MmW / Mm8B}) t(x) CROSS JOIN range(${MmH / Mm8B}) t2(y)),
+       |dp AS (SELECT CAST(x AS INTEGER) AS dx, CAST(y AS INTEGER) AS dy
+       |       FROM range(-$Mm8Search, ${Mm8Search + 1}) t(x)
+       |       CROSS JOIN range(-$Mm8Search, ${Mm8Search + 1}) t2(y)),
+       |off AS (SELECT CAST(u AS INTEGER) AS u, CAST(v AS INTEGER) AS v
+       |        FROM range($Mm8B) t(u) CROSS JOIN range($Mm8B) t2(v)),
+       |cand AS (
+       |  SELECT d.doc_id, d.text, d.len, fr.pair_no, bl.blk_x, bl.blk_y,
+       |    dp.dx, dp.dy
+       |  FROM d CROSS JOIN fr CROSS JOIN bl CROSS JOIN dp
+       |  WHERE bl.blk_x * $Mm8B + dp.dx >= 0
+       |    AND bl.blk_x * $Mm8B + dp.dx + $Mm8B <= $MmW
+       |    AND bl.blk_y * $Mm8B + dp.dy >= 0
+       |    AND bl.blk_y * $Mm8B + dp.dy + $Mm8B <= $MmH),
+       |sadt AS (
+       |  SELECT doc_id, pair_no, blk_x, blk_y, dx, dy,
+       |    SUM(ABS(
+       |      ord(substr(text, CAST(((pair_no + 1) * $px
+       |        + (blk_y * $Mm8B + v) * $MmW + blk_x * $Mm8B + u)
+       |        % len AS INTEGER) + 1, 1))
+       |      - ord(substr(text, CAST((pair_no * $px
+       |        + (blk_y * $Mm8B + v + dy) * $MmW + blk_x * $Mm8B + u + dx)
+       |        % len AS INTEGER) + 1, 1)))) AS sad
+       |  FROM cand CROSS JOIN off
+       |  GROUP BY doc_id, pair_no, blk_x, blk_y, dx, dy),
+       |best AS (
+       |  SELECT doc_id, pair_no, blk_x, blk_y, dx, dy, sad,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, pair_no, blk_x, blk_y
+       |      ORDER BY sad, dy, dx) AS rk
+       |  FROM sadt)
+       |SELECT doc_id, pair_no, blk_x, blk_y, dx, dy, CAST(sad AS BIGINT) AS sad
+       |FROM best WHERE rk = 1
+       |ORDER BY doc_id, pair_no, blk_y, blk_x""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_video_luma" -> (mm1VideoLuma _),
     "mm2_image_luma" -> (mm2ImageLuma _),
@@ -1458,7 +1589,8 @@ object MediaOps {
     "mm4_audio_features" -> (mm4AudioFeatures _),
     "mm5_image_resize" -> (mm5ImageResize _),
     "mm6_scene_change" -> (mm6SceneChange _),
-    "mm7_audio_wht" -> (mm7AudioWht _))
+    "mm7_audio_wht" -> (mm7AudioWht _),
+    "mm8_block_motion" -> (mm8BlockMotion _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -1467,5 +1599,6 @@ object MediaOps {
     "mm4_audio_features" -> mm4Sql,
     "mm5_image_resize" -> mm5Sql,
     "mm6_scene_change" -> mm6Sql,
-    "mm7_audio_wht" -> mm7Sql)
+    "mm7_audio_wht" -> mm7Sql,
+    "mm8_block_motion" -> mm8Sql)
 }
