@@ -133,32 +133,22 @@ object HybridOps {
     * guarantee), so the oracle is h1's own SQL. */
   def h2RollingHybrid(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
-    val docs = Tables(s, dir, "documents")
-    val root = java.nio.file.Files.createTempDirectory("graft_h2_").toString
-    try {
-      val third = pmod(col("doc_id"), lit(3L))
-      val stale = docs.filter(third === 2L)
-        .withColumn("text", split(col("text"), " ").getItem(0))
-      StreamOps.bm25IndexBatch(docs.filter(third === 0L).unionByName(stale),
-        "doc_id", "text", HShards, s"$root/state", 0L)
-      StreamOps.bm25IndexBatch(docs.filter(third === 1L),
-        "doc_id", "text", HShards, s"$root/state", 1L)
-      StreamOps.bm25IndexBatch(docs.filter(third === 2L),
-        "doc_id", "text", HShards, s"$root/state", 2L)
-      val bmLeg = StreamOps
-        .bm25ServeRolling(s, s"$root/state", HTerms, HShards)
-        .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("id"))
-        .limit(LegN)
-      val res = fuseRrf(bmLeg, cosineLeg(s, dir))
-      // bounded (HTopK rows): materialize before the temp state is deleted
-      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
-    } finally {
-      graft.sources.Sources.deleteRecursively(new java.io.File(root))
-    }
+    // the SHARED rolling search artifact ([[SearchOps.rollingPosState]],
+    // built once per corpus fingerprint) already landed exactly this
+    // protocol — wave 0 carries a STALE one-token version of the last
+    // third, wave 2's re-land supersedes it (tombstone + stats
+    // subtraction) — so the fused ranking is an end-to-end check that
+    // doc updates cannot leak into hybrid serving, without re-driving
+    // the ingest per call (one stream, many readers: k11/k13-k16 and
+    // h4 serve from the same directories)
+    val bmLeg = StreamOps
+      .bm25ServeRolling(s, SearchOps.rollingPosState(s, dir), HTerms,
+        SearchOps.K6Shards)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(LegN)
+    fuseRrf(bmLeg, cosineLeg(s, dir))
   }
-
-  private val HShards = 8
 
   /** h3: the SCALE-PATH hybrid — the dense leg served by the real IVF
     * index (i1's coarse-quantizer probe, [[graft.operators.IvfSearch
