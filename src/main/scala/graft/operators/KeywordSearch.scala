@@ -89,8 +89,13 @@ object KeywordSearch {
     * fragment per Column expression above, same operand order.
     * `textExpr` lets a caller replay a TRANSFORMED corpus (k15's as-of
     * oracle scores the text each doc HAD at the time-travel point); the
-    * default replays the table column verbatim. */
-  def bm25Ctes(terms: Seq[String], textExpr: String = "text"): String = {
+    * default replays the table column verbatim. `docsWhere` restricts
+    * the corpus to a metadata SLICE — the stats (n, sumdl, df) then
+    * describe the slice, matching [[bm25]] over a filtered frame (h6's
+    * "search this tenant's collection" semantic). */
+  def bm25Ctes(terms: Seq[String], textExpr: String = "text",
+      docsWhere: String = ""): String = {
+    val where = if (docsWhere.isEmpty) "" else s" WHERE $docsWhere"
     // SQL-literal escaping: the Spark side takes terms via lit() which is
     // injection-safe by construction; the replay string must double any
     // single quote to stay parseable (and equivalent)
@@ -109,7 +114,8 @@ object KeywordSearch {
       s"CASE WHEN tf_$i > 0 THEN $idf * (($tf * 2.5) / $norm) ELSE 0.0 END"
     }.mkString("\n      + ")
     s"""base AS (
-       |  SELECT doc_id AS id, string_split($textExpr, ' ') AS toks FROM documents),
+       |  SELECT doc_id AS id, string_split($textExpr, ' ') AS toks
+       |  FROM documents$where),
        |tf AS (
        |  SELECT id, len(toks) AS dli,
        |    $tfDefs

@@ -337,6 +337,71 @@ object HybridOps {
        |        FROM csl),
        |$fusedTailSql""".stripMargin
 
+  /** h6's metadata slice: retrieval restricted to English documents —
+    * the tenant/ACL/language filter every production RAG stack applies
+    * BEFORE ranking, not after. */
+  private val H6Lang = "en"
+
+  /** h6: FILTERED hybrid — both legs search only the [[H6Lang]] slice.
+    * The keyword leg's BM25 statistics (n, avgdl, df) describe the
+    * SLICE, not the whole corpus ("search this tenant's collection" —
+    * post-filtering a global ranking both leaks cross-slice idf into
+    * the scores and under-fills the top-k); the dense leg semi-joins
+    * candidates against the slice ids before the cosine (at 100 TB the
+    * metadata rides with the vectors and this is a pushed predicate —
+    * here it lives on `documents`, so the semi-join is the honest
+    * shape; the query vector itself is looked up unfiltered). Fusion
+    * unchanged. */
+  def h6FilteredHybrid(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val docs = Tables(s, dir, "documents")
+    val slice = docs.filter(col("lang") === H6Lang)
+    val bmLeg = KeywordSearch.bm25(slice, "doc_id", "text", HTerms)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(LegN)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") === HQueryVec)
+      .select(col("emb").as("q_emb"))
+    val csLeg = e
+      .join(slice.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .filter(col("vec_id") =!= HQueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) *
+            sqrt(dot(col("emb"), col("emb")))), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(LegN)
+    fuseRrf(bmLeg, csLeg)
+  }
+
+  /** DuckDB replay of [[h6FilteredHybrid]]: the bm25 chain over the
+    * sliced corpus (stats from the slice), the cosine leg joined to the
+    * slice ids, h1's fusion tail. */
+  private val h6Sql: String =
+    s"""WITH ${KeywordSearch.bm25Ctes(HTerms, "text", s"lang = '$H6Lang'")},
+       |bml AS (SELECT id, score FROM sc WHERE score > 0
+       |        ORDER BY score DESC, id LIMIT $LegN),
+       |bmr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rb
+       |        FROM bml),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |sl AS (SELECT doc_id FROM documents WHERE lang = '$H6Lang'),
+       |csl AS (SELECT e.id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM e JOIN sl ON sl.doc_id = e.id CROSS JOIN q
+       |        WHERE e.id <> q.q_id
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |$fusedTailSql""".stripMargin
+
   /** DuckDB replay of [[h4AsofHybrid]]: the keyword leg over the AS-OF
     * corpus (k15's CASE text — third 2 one-token), the dense leg over
     * the wave-0 grown index (i11's visibility filter on the et-trained
@@ -412,7 +477,8 @@ object HybridOps {
     "h2_rolling_hybrid" -> (h2RollingHybrid _),
     "h3_ivf_hybrid" -> (h3IvfHybrid _),
     "h4_asof_hybrid" -> (h4AsofHybrid _),
-    "h5_tri_rrf" -> (h5TriRrf _))
+    "h5_tri_rrf" -> (h5TriRrf _),
+    "h6_filtered_hybrid" -> (h6FilteredHybrid _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
@@ -421,5 +487,6 @@ object HybridOps {
     "h2_rolling_hybrid" -> h1Sql,
     "h3_ivf_hybrid" -> h3Sql,
     "h4_asof_hybrid" -> h4Sql,
-    "h5_tri_rrf" -> h5Sql)
+    "h5_tri_rrf" -> h5Sql,
+    "h6_filtered_hybrid" -> h6Sql)
 }

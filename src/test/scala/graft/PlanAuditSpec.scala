@@ -819,6 +819,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val t = formatted(SparkEntry.queries("h5_tri_rrf")(spark, sfDir))
     assert(nodeCount(t, "CartesianProduct") == 0, t.take(1500))
     assert(t.contains("TakeOrderedAndProject"), t.take(1000))
+    // filtered hybrid (h6): the lang slice reaches the documents scan
+    // as a pushed filter and the dense leg joins the slice semi, never
+    // post-filters a global ranking
+    val u = formatted(SparkEntry.queries("h6_filtered_hybrid")(spark, sfDir))
+    assert(u.contains("EqualTo(lang,en)"),
+      u.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(u.contains("LeftSemi"), u.take(1500))
+    assert(nodeCount(u, "CartesianProduct") == 0, u.take(1500))
   }
 
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
