@@ -35,6 +35,78 @@ object CorpusOps {
         Tables(s, dir, "documents"), "doc_id", "text", NearDupThreshold)
       .select(col("id_a"), col("id_b"))
 
+  /** PageRank damping on the ppm grid and the unrolled iteration count
+    * — shared by the Spark loop and the oracle's CTE chain. */
+  private val PrDampPpm = 850000L
+  private val PrIters = 3
+
+  /** g1: PAGERANK over the near-dup graph — the iterative graph-RANKING
+    * family one step past [[ConnectedComponents]]' connectivity: inside
+    * a mirroring/syndication web, which documents sit at the CENTER
+    * (everyone copies them) versus the leaves (they copy one thing)?
+    * CC answers "same cluster"; this ranks within and across clusters —
+    * the signal a curation pass uses to pick canonical sources rather
+    * than arbitrary survivors.
+    *
+    * Exactness: float PageRank cannot cross engines (per-node neighbor
+    * sums are order-sensitive doubles). This is the INTEGER-GRID
+    * variant: scores live in ppm, each neighbor contribution is
+    * `pr div deg` (floored once, per EDGE source), integer SUMS are
+    * order-free, and the damping step floors once per iteration —
+    * pr' = 150000 + (850000·Σ contrib) div 1000000 — so three unrolled
+    * iterations land on identical longs in both engines. Scale shape:
+    * per iteration one equi-join on the symmetric edge list (hash-
+    * partitioned on src) + one dst-keyed aggregate — O(|E|) shuffle
+    * bytes, the CC discipline; the edge list is derived ONCE and
+    * checkpointed (never re-runs the MinHash chain per iteration). */
+  def g1PagerankNeardup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupEdges(s, dir)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var pr = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
+    (1 to PrIters).foreach { _ =>
+      val contrib = sym.join(pr, sym("src") === pr("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      pr = deg.select(col("src").as("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"150000 + ($PrDampPpm * coalesce(c, 0)) div 1000000").as("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("id"))
+      .select(col("id").as("doc_id"), col("pr").as("pr_ppm"))
+  }
+
+  private lazy val g1Sql: String = {
+    def iter(t: Int): String =
+      s"""c$t AS (
+         |  SELECT s.dst AS id, SUM(p.pr // d.deg) AS c
+         |  FROM sym s JOIN pr${t - 1} p ON p.id = s.src
+         |  JOIN deg d ON d.src = s.src
+         |  GROUP BY s.dst),
+         |pr$t AS (
+         |  SELECT deg.src AS id,
+         |    150000 + ($PrDampPpm * COALESCE(c$t.c, 0)) // 1000000 AS pr
+         |  FROM deg LEFT JOIN c$t ON c$t.id = deg.src)""".stripMargin
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold)},
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM fpairs
+       |  UNION
+       |  SELECT id_b, id_a FROM fpairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+       |pr0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_ppm FROM pr$PrIters
+       |ORDER BY pr_ppm DESC, doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[ConnectedComponents]] over the m1 pair set
     * (optionally restricted by `where` — c14 clusters only the corpus ∪
     * stream window): the symmetric edge list, a recursive transitive
@@ -1823,6 +1895,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
+    "g1_pagerank_neardup" -> (g1PagerankNeardup _),
     "c2_decontaminate" -> (c2Decontaminate _),
     "c6_split_leakage" -> (c6SplitLeakage _),
     "c7_source_overlap" -> (c7SourceOverlap _),
@@ -1857,6 +1930,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
+    "g1_pagerank_neardup" -> g1Sql,
     "c2_decontaminate" -> c2Sql,
     "c6_split_leakage" -> c6Sql,
     "c7_source_overlap" -> c7Sql,
