@@ -213,6 +213,41 @@ object IvfSearch {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Approximate cosine top-k WITHIN an allowed id set ("metadata-
+    * filtered vector search"): [[approxTopK]]'s probe, with the
+    * candidate set cut to `allowed` (any frame carrying an `idCol`
+    * column — a tenant's collection, a language slice, an ACL grant)
+    * by a semi-join BETWEEN probe and scoring. Like
+    * [[approxTopKFiltered]] this is the PRE-filter strategy — the top-k
+    * budget is spent entirely inside the allowed subset, where a
+    * post-filter silently returns < k rows whenever the filter bites —
+    * but the constraint is an arbitrary id SET rather than equality on
+    * the query's own metadata value ("search these docs" vs "search my
+    * class"). Scale shape: the probed inverted lists are the only
+    * corpus rows touched; the semi-join is left unhinted so Catalyst/
+    * AQE broadcast a small slice and shuffle a huge one — at deployment
+    * the hot filter columns denormalize INTO the inverted file at build
+    * time (the k6 postings pattern) and the join becomes a pushed
+    * predicate on the list scan. */
+  def approxTopKWithin(queries: DataFrame, index: Index, idCol: String,
+                       embCol: String, k: Int, nprobe: Int,
+                       allowed: DataFrame): DataFrame = {
+    DotProduct.register(queries.sparkSession)
+    val probed = route(queries, index, idCol, embCol, nprobe)
+    val cands = broadcast(probed)
+      .join(index.assignments, Seq("centroid_id"))
+      .join(allowed.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .filter(col("id") =!= col("q_id"))
+    val scored = cands.withColumn("cos",
+      round(dot(col("q_emb"), col("emb")) /
+        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("neighbor"), col("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Approximate cosine top-k: probe the `nprobe` nearest inverted lists
     * per query, exact cosine within them. */
   def approxTopK(queries: DataFrame, index: Index, idCol: String, embCol: String,

@@ -59,11 +59,33 @@ object CorpusOps {
     * partitioned on src) + one dst-keyed aggregate — O(|E|) shuffle
     * bytes, the CC discipline; the edge list is derived ONCE and
     * checkpointed (never re-runs the MinHash chain per iteration). */
+  /** g1's symmetric near-dup edge list landed AT MOST ONCE per corpus
+    * fingerprint (the c18s/k13s artifact discipline applied to the
+    * graph family): the MinHash chain — the expensive part of g1 —
+    * runs in a sibling session and its pair set lands as parquet;
+    * every later PageRank call reads the edges instead of re-deriving
+    * them. At 100 TB this is exactly how a graph pipeline runs: the
+    * near-dup sweep (c12's banded index) already produced the pairs —
+    * ranking must consume that artifact, never re-shingle the corpus. */
+  private def g1EdgeRoot(s: SparkSession, dir: String): String = {
+    val root = ScaleOps.artifactRoot("g1s",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    ScaleOps.buildOnce("g1s", root) {
+      val t = s.newSession()
+      val pairs = nearDupEdges(t, dir)
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+        .write.mode("overwrite").parquet(root.resolve("edges").toString)
+    }
+    root.toString
+  }
+
   def g1PagerankNeardup(s: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupEdges(s, dir)
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
+    // localCheckpoint is EAGER: the edge bytes move off the artifact
+    // files immediately (no lazy read a concurrent fingerprint prune
+    // could invalidate) and the per-iteration plans stay flat
+    val sym = s.read.parquet(s"${g1EdgeRoot(s, dir)}/edges")
       .localCheckpoint()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
@@ -105,6 +127,132 @@ object CorpusOps {
        |${iter(3)}
        |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_ppm FROM pr$PrIters
        |ORDER BY pr_ppm DESC, doc_id""".stripMargin
+  }
+
+  /** g2's rolling drive landed AT MOST ONCE per corpus fingerprint (the
+    * c18s discipline for the graph family): a sibling session drives
+    * [[graft.streaming.StreamOps.pagerankBatch]] waves over the c9
+    * stream slice — wave 0 additionally lands the static corpus's
+    * internal pair set, so frontier edge sets follow the c20 arrival
+    * convention — and the g2 lineage read serves from the landed score
+    * snapshots. A marker-less root is deleted before rebuild (the k13s
+    * rule for multi-batch builders over snapshot-family state). */
+  private def g2SharedRoot(s: SparkSession, dir: String): String = {
+    import graft.streaming.StreamOps
+    val root = ScaleOps.artifactRoot("g2s",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    ScaleOps.buildOnce("g2s", root) {
+      graft.sources.Sources.deleteRecursively(root.toFile)
+      val t = s.newSession()
+      val docs = Tables(t, dir, "documents")
+      val corpus = docs
+        .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+        .select(col("doc_id"), col("text"))
+      val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+      val corpusPairs = MinHashDedup
+        .nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
+        .select(col("id_a"), col("id_b"))
+      val noPairs = t.createDataFrame(
+        t.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("id_a", org.apache.spark.sql.types.LongType)
+          .add("id_b", org.apache.spark.sql.types.LongType))
+      val stream = docs
+        .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
+        .select(col("doc_id"), col("text"))
+      val state = root.resolve("state").toString
+      (0 until C9Batches).foreach { b =>
+        StreamOps.pagerankBatch(
+          stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
+          staticIndex, if (b == 0) corpusPairs else noPairs,
+          "doc_id", "text", NearDupThreshold, PrIters, PrDampPpm,
+          state, b.toLong)
+      }
+    }
+    root.toString
+  }
+
+  /** g2: ROLLING PageRank over the near-dup graph — g1's integer-grid
+    * ranking maintained ACROSS ingest waves instead of recomputed from
+    * scratch: each wave's sweep extends the landed edge list by its
+    * pair delta, and the scores advance by [[PrIters]] warm-started
+    * iterations from the previous frontier's landed snapshot (new
+    * vertices enter at the 1 000 000 ppm init). The read is the
+    * lineage question — the score table AS OF waves 1 and 2
+    * ([[graft.streaming.StreamOps.prAsOf]], the labelsAsOf contract):
+    * what did the ranking say when batch N was the frontier. Scores
+    * are a pure function of the delta HISTORY (frontier 2's answer
+    * warm-starts from frontier 1's), so the oracle replays the whole
+    * warm-started chain — per-frontier arrival-filtered edges, the
+    * same floor-once integer arithmetic, [[PrIters]] unrolled
+    * iterations per frontier — and a snapshot that leaked any wave-2
+    * edge into wave 1's scores goes red. */
+  def g2RollingPagerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val state = s"${g2SharedRoot(s, dir)}/state"
+    def frontier(n: Long) = StreamOps.prAsOf(s, state,
+        sys.error("g2s: seed fallback triggered — snapshot state missing " +
+          "under a marked artifact (corrupt g2s root?)"),
+        org.apache.spark.sql.types.LongType, asOf = n)
+      .select(lit(n).as("as_of"), col("id").as("doc_id"),
+        col("pr").as("pr_ppm"))
+    val res = frontier(1L).unionByName(frontier(2L))
+      .orderBy(col("as_of"), col("pr_ppm").desc, col("doc_id"))
+    // bounded (|graph vertices| per frontier): materialize before
+    // returning (the c20 rule for artifact-served lazy frames)
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+  }
+
+  /** DuckDB replay of [[g2RollingPagerank]]: the m1 pair chain over the
+    * corpus ∪ stream window, per-frontier arrival-filtered edge sets
+    * (a pair is live once BOTH endpoints arrived — the c20 convention),
+    * and the warm-started score chain: frontier 0 initializes at 1M
+    * ppm, every later frontier seeds from the previous frontier's
+    * final scores (new vertices at 1M), [[PrIters]] g1-exact integer
+    * iterations each. */
+  private lazy val g2Sql: String = {
+    def edges(n: Int): String =
+      s"""f$n AS (
+         |  SELECT id_a, id_b FROM fpairs
+         |  WHERE (id_a < $C9CorpusEnd OR id_a % $C9Batches <= $n)
+         |    AND (id_b < $C9CorpusEnd OR id_b % $C9Batches <= $n)),
+         |e$n AS (
+         |  SELECT id_a AS src, id_b AS dst FROM f$n
+         |  UNION
+         |  SELECT id_b, id_a FROM f$n),
+         |d$n AS (SELECT src, COUNT(*) AS deg FROM e$n GROUP BY src)""".stripMargin
+    def init(n: Int): String =
+      if (n == 0)
+        "s0_0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM d0)"
+      else
+        s"""s${n}_0 AS (
+           |  SELECT d.src AS id, COALESCE(p.pr, CAST(1000000 AS BIGINT)) AS pr
+           |  FROM d$n d LEFT JOIN s${n - 1}_$PrIters p ON p.id = d.src)""".stripMargin
+    def iter(n: Int, t: Int): String =
+      s"""c${n}_$t AS (
+         |  SELECT e.dst AS id, SUM(p.pr // d.deg) AS c
+         |  FROM e$n e JOIN s${n}_${t - 1} p ON p.id = e.src
+         |  JOIN d$n d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |s${n}_$t AS (
+         |  SELECT d.src AS id,
+         |    150000 + ($PrDampPpm * COALESCE(c.c, 0)) // 1000000 AS pr
+         |  FROM d$n d LEFT JOIN c${n}_$t c ON c.id = d.src)""".stripMargin
+    def chain(n: Int): String =
+      (Seq(edges(n), init(n)) ++ (1 to PrIters).map(t => iter(n, t)))
+        .mkString(",\n")
+    def sel(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS as_of, id AS doc_id,
+         |  CAST(pr AS BIGINT) AS pr_ppm FROM s${n}_$PrIters""".stripMargin
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
+       |${chain(0)},
+       |${chain(1)},
+       |${chain(2)}
+       |${sel(1)}
+       |UNION ALL
+       |${sel(2)}
+       |ORDER BY as_of, pr_ppm DESC, doc_id""".stripMargin
   }
 
   /** DuckDB replay of [[ConnectedComponents]] over the m1 pair set
@@ -514,8 +662,7 @@ object CorpusOps {
     import graft.streaming.StreamOps
     val root = ScaleOps.artifactRoot("c18s",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
-    val done = root.resolve("_STATE_OK")
-    if (!java.nio.file.Files.exists(done)) {
+    ScaleOps.buildOnce("c18s", root) {
       // multi-batch builder over snapshot-family state: a marker-less
       // root may hold a partial drive, and re-driving over surviving
       // later-batch snapshots is NOT a replay (the k13s rule) — start
@@ -566,8 +713,6 @@ object CorpusOps {
             cfg, b.toLong)
         }
       } finally idx.close()
-      java.nio.file.Files.createDirectories(root)
-      java.nio.file.Files.write(done, Array.emptyByteArray)
     }
     root.toString
   }
@@ -827,34 +972,35 @@ object CorpusOps {
       s.catalog.tableExists(s"${prefix}_$t"))
     if (registered && !java.nio.file.Files.exists(marker))
       bucketCols.keys.foreach(t => s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t"))
-    if (!registered || !java.nio.file.Files.exists(marker)) {
-      if (java.nio.file.Files.exists(marker)) {
-        // files landed by an earlier process: re-attach by DDL, no rewrite
-        bucketCols.foreach { case (t, cols) =>
-          val p = root.resolve(t)
-          val cl = cols.mkString(", ")
-          s.sql(s"CREATE TABLE ${prefix}_$t " +
-            s"(${s.read.parquet(p.toString).schema.toDDL}) USING PARQUET " +
-            s"CLUSTERED BY ($cl) SORTED BY ($cl) INTO 8 BUCKETS LOCATION '$p'")
-        }
-      } else {
-        // train in a sibling session: nothing reaches the serving side
-        // except through the landed files + their catalog registrations
-        val t = s.newSession()
-        val corpus = Tables(t, dir, "documents")
-          .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
-          .select(col("doc_id"), col("text"))
-        val idx = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-        Seq("bands" -> idx.bands, "shingles" -> idx.shingleHashes,
-          "sizes" -> idx.sizes).foreach { case (tn, df) =>
-          val cols = bucketCols(tn)
-          df.write.mode("overwrite").format("parquet")
-            .bucketBy(8, cols.head, cols.tail: _*)
-            .sortBy(cols.head, cols.tail: _*)
-            .option("path", root.resolve(tn).toString)
-            .saveAsTable(s"${prefix}_$tn")
-        }
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
+    // train at most once per fingerprint, under the family lock (marker
+    // LAST via buildOnce), in a sibling session: nothing reaches the
+    // serving side except through the landed files + their catalog
+    // registrations (saveAsTable registers in the shared catalog)
+    ScaleOps.buildOnce("c12", root, "_INDEX_OK") {
+      val t = s.newSession()
+      val corpus = Tables(t, dir, "documents")
+        .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+        .select(col("doc_id"), col("text"))
+      val idx = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+      Seq("bands" -> idx.bands, "shingles" -> idx.shingleHashes,
+        "sizes" -> idx.sizes).foreach { case (tn, df) =>
+        val cols = bucketCols(tn)
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(8, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .option("path", root.resolve(tn).toString)
+          .saveAsTable(s"${prefix}_$tn")
+      }
+    }
+    if (!bucketCols.keys.forall(t => s.catalog.tableExists(s"${prefix}_$t"))) {
+      // files landed by an earlier process/session: re-attach by DDL,
+      // no rewrite
+      bucketCols.foreach { case (t, cols) =>
+        val p = root.resolve(t)
+        val cl = cols.mkString(", ")
+        s.sql(s"CREATE TABLE IF NOT EXISTS ${prefix}_$t " +
+          s"(${s.read.parquet(p.toString).schema.toDDL}) USING PARQUET " +
+          s"CLUSTERED BY ($cl) SORTED BY ($cl) INTO 8 BUCKETS LOCATION '$p'")
       }
     }
     MinHashDedup.loadDedupIndex(s, prefix)
@@ -962,7 +1108,12 @@ object CorpusOps {
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"))
       .select(lit(n).as("as_of"), col("component"), col("n_docs"))
-    frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
+    val res = frontier(1L).unionByName(frontier(2L))
+      .orderBy("as_of", "component")
+    // bounded (per-cluster rollup): materialize before returning — a
+    // lazy frame over the shared c18s directory could have its files
+    // pruned by a corpus-fingerprint change before the caller executes
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
   }
 
   /** Per-frontier transitive closure over ONE minhash chain: the
@@ -1020,7 +1171,11 @@ object CorpusOps {
       .select(lit(n).as("as_of"), col("component"), col("n_docs"),
         col("best_doc"), col("best_q_e6"),
         expr("q_sum div n_docs").as("mean_q_e6"))
-    frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
+    val res = frontier(1L).unionByName(frontier(2L))
+      .orderBy("as_of", "component")
+    // bounded (per-cluster reps): materialize before returning (the c20
+    // rule — lazy frames over the shared c18s directory can outlive it)
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
   }
 
   private lazy val c21Sql: String = {
@@ -1896,6 +2051,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "g1_pagerank_neardup" -> (g1PagerankNeardup _),
+    "g2_rolling_pagerank" -> (g2RollingPagerank _),
     "c2_decontaminate" -> (c2Decontaminate _),
     "c6_split_leakage" -> (c6SplitLeakage _),
     "c7_source_overlap" -> (c7SourceOverlap _),
@@ -1931,6 +2087,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "c1_dedup_clusters" -> c1Sql,
     "g1_pagerank_neardup" -> g1Sql,
+    "g2_rolling_pagerank" -> g2Sql,
     "c2_decontaminate" -> c2Sql,
     "c6_split_leakage" -> c6Sql,
     "c7_source_overlap" -> c7Sql,

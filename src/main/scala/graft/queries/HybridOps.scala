@@ -377,6 +377,41 @@ object HybridOps {
     fuseRrf(bmLeg, csLeg)
   }
 
+  /** h7: the SCALE-PATH filtered hybrid — h6's semantics (both legs
+    * search only the [[H6Lang]] slice, keyword statistics from the
+    * slice) with the dense leg served by the REAL index instead of a
+    * brute scan over the slice: [[graft.operators.IvfSearch
+    * .approxTopKWithin]] probes i1's coarse quantizer and cuts the
+    * probed inverted lists to the slice ids BETWEEN probe and scoring
+    * (the pre-filter strategy — the top-[[LegN]] budget is spent
+    * entirely inside the slice). This is what a 100 TB tenant-filtered
+    * RAG stack actually runs: h6's brute slice scan prices the exact
+    * answer, h7 touches only probed lists — the h3-vs-h1 relationship
+    * under a metadata filter. The oracle composes the shared ivfCtes
+    * probe replay with h6's slice join under h1's fusion tail. */
+  def h7FilteredIvfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val slice = docs.filter(col("lang") === H6Lang)
+    val bmLeg = KeywordSearch.bm25(slice, "doc_id", "text", HTerms)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(LegN)
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.operators.IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = ScaleOps.IvfK, iters = ScaleOps.IvfIters,
+      roundDecimals = ScaleOps.IvfRound)
+    try {
+      val denseLeg = graft.operators.IvfSearch
+        .approxTopKWithin(e.filter(col("vec_id") === HQueryVec), idx,
+          "vec_id", "embedding", k = LegN, nprobe = ScaleOps.IvfNprobe,
+          allowed = slice.select(col("doc_id").as("vec_id")))
+        .select(col("neighbor").as("id"), col("cos"))
+      val res = fuseRrf(bmLeg, denseLeg)
+      // bounded (HTopK rows): materialize before the index cache closes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
   /** DuckDB replay of [[h6FilteredHybrid]]: the bm25 chain over the
     * sliced corpus (stats from the slice), the cosine leg joined to the
     * slice ids, h1's fusion tail. */
@@ -396,6 +431,37 @@ object HybridOps {
        |             sqrt(list_dot_product(emb, emb))), 6) AS cos
        |        FROM e JOIN sl ON sl.doc_id = e.id CROSS JOIN q
        |        WHERE e.id <> q.q_id
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |$fusedTailSql""".stripMargin
+
+  /** DuckDB replay of [[h7FilteredIvfHybrid]]: h6's sliced keyword leg;
+    * the dense leg rides the shared ivfCtes quantizer/probe chain (i1's
+    * replay) with the slice join applied to the probed candidates
+    * (pre-filter: the LIMIT ranks only slice members); h1's fusion
+    * tail. */
+  private val h7Sql: String =
+    s"""WITH ${KeywordSearch.bm25Ctes(HTerms, "text", s"lang = '$H6Lang'")},
+       |bml AS (SELECT id, score FROM sc WHERE score > 0
+       |        ORDER BY score DESC, id LIMIT $LegN),
+       |bmr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rb
+       |        FROM bml),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |${ScaleOps.ivfCtes},
+       |sl AS (SELECT doc_id FROM documents WHERE lang = '$H6Lang'),
+       |cands AS (
+       |  SELECT pr.q_emb, a.id, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id
+       |  JOIN sl ON sl.doc_id = a.id),
+       |csl AS (SELECT id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM cands
        |        ORDER BY cos DESC, id LIMIT $LegN),
        |csr AS (SELECT id,
        |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
@@ -478,7 +544,8 @@ object HybridOps {
     "h3_ivf_hybrid" -> (h3IvfHybrid _),
     "h4_asof_hybrid" -> (h4AsofHybrid _),
     "h5_tri_rrf" -> (h5TriRrf _),
-    "h6_filtered_hybrid" -> (h6FilteredHybrid _))
+    "h6_filtered_hybrid" -> (h6FilteredHybrid _),
+    "h7_filtered_ivf_hybrid" -> (h7FilteredIvfHybrid _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
@@ -488,5 +555,6 @@ object HybridOps {
     "h3_ivf_hybrid" -> h3Sql,
     "h4_asof_hybrid" -> h4Sql,
     "h5_tri_rrf" -> h5Sql,
-    "h6_filtered_hybrid" -> h6Sql)
+    "h6_filtered_hybrid" -> h6Sql,
+    "h7_filtered_ivf_hybrid" -> h7Sql)
 }

@@ -624,7 +624,10 @@ object ScaleOps {
   /** The wave-drive core shared by [[driveSemWaves]] (temp state, the
     * a5 pricing run) and [[a5SharedRoot]] (persistent state, the a6
     * lineage artifact). Returns (vectors, frozen index, seed labels,
-    * final labels); the CALLER closes the index. */
+    * final labels); the CALLER closes the index on SUCCESS — on any
+    * failure after the index is built (a wave throwing mid-drive) this
+    * closes it itself, so the caller never holds a handle it cannot
+    * reach. */
   private def driveSemWavesInto(s: SparkSession, dir: String,
       statePath: String): (DataFrame, IvfSearch.Index, DataFrame, DataFrame) = {
     import graft.streaming.StreamOps
@@ -633,28 +636,32 @@ object ScaleOps {
     val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 500)
     val idx = IvfSearch.buildIndex(e.filter(col("vec_id") < A5Split),
       "vec_id", "embedding", k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
-    // seed: the static block's own within-cluster groups (norms once)
-    val asg = idx.assignments
-      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val seedPairs = asg.as("a")
-      .join(asg.as("b"),
-        col("a.centroid_id") === col("b.centroid_id") &&
-          col("a.id") < col("b.id"))
-      .withColumn("cos", round(
-        dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
-      .filter(col("cos") >= A4Threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val seed = graft.operators.ConnectedComponents.components(seedPairs)
-      .localCheckpoint()
-    var labels = seed
-    (0 until A5Waves).foreach { b =>
-      val batch = e.filter(col("vec_id") >= A5Split &&
-        pmod(col("vec_id"), lit(A5Waves.toLong)) === b.toLong)
-      labels = StreamOps.semDedupBatch(batch, idx.centroids,
-        idx.assignments, seed, "vec_id", "embedding", A4Threshold,
-        statePath, b.toLong)
+    try {
+      // seed: the static block's own within-cluster groups (norms once)
+      val asg = idx.assignments
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      val seedPairs = asg.as("a")
+        .join(asg.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.id") < col("b.id"))
+        .withColumn("cos", round(
+          dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("cos") >= A4Threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val seed = graft.operators.ConnectedComponents.components(seedPairs)
+        .localCheckpoint()
+      var labels = seed
+      (0 until A5Waves).foreach { b =>
+        val batch = e.filter(col("vec_id") >= A5Split &&
+          pmod(col("vec_id"), lit(A5Waves.toLong)) === b.toLong)
+        labels = StreamOps.semDedupBatch(batch, idx.centroids,
+          idx.assignments, seed, "vec_id", "embedding", A4Threshold,
+          statePath, b.toLong)
+      }
+      (e, idx, seed, labels)
+    } catch {
+      case t: Throwable => idx.close(); throw t
     }
-    (e, idx, seed, labels)
   }
 
   /** a5's wave protocol landed AT MOST ONCE per corpus fingerprint (the
@@ -668,15 +675,12 @@ object ScaleOps {
     * multi-batch builders over snapshot-family state). */
   private def a5SharedRoot(s: SparkSession, dir: String): String = {
     val root = artifactRoot("a5s", dataFingerprint(dir, Seq("embeddings")))
-    val done = root.resolve("_STATE_OK")
-    if (!java.nio.file.Files.exists(done)) {
+    buildOnce("a5s", root) {
       graft.sources.Sources.deleteRecursively(root.toFile)
       val t = s.newSession()
       val (_, idx, _, _) =
         driveSemWavesInto(t, dir, root.resolve("state").toString)
       idx.close()
-      java.nio.file.Files.createDirectories(root)
-      java.nio.file.Files.write(done, Array.emptyByteArray)
     }
     root.toString
   }
@@ -703,7 +707,12 @@ object ScaleOps {
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"))
       .select(lit(n).as("as_of"), col("component"), col("n_docs"))
-    frontier(1L).unionByName(frontier(2L)).orderBy("as_of", "component")
+    val res = frontier(1L).unionByName(frontier(2L))
+      .orderBy("as_of", "component")
+    // bounded (per-cluster rollup): materialize before returning — a
+    // lazy frame over the shared a5s directory could have its files
+    // pruned by a corpus-fingerprint change before the caller executes
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
   }
 
   /** a4's oracle over the `et`-trained (frozen-quantizer) chain — the
@@ -1247,13 +1256,13 @@ object ScaleOps {
   def i10RetrainAtRest(s: SparkSession, dir: String): DataFrame = {
     val root = artifactRoot("i10",
       dataFingerprint(dir, Seq("embeddings")))
-    val done = root.resolve("_BASELINE_OK")
-    if (!java.nio.file.Files.exists(done)) {
-      java.nio.file.Files.createDirectories(root)
+    buildOnce("i10", root, "_BASELINE_OK") {
       val t = s.newSession()
       val e = Tables(t, dir, "embeddings")
       val full = IvfSearch.buildIndex(e, "vec_id", "embedding",
         k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+      // marker written LAST by buildOnce: a crash mid-write leaves no
+      // marker and the next call re-lands (overwrite mode cleans partials)
       try {
         val brute = bruteTopK(t, e).localCheckpoint()
         brute.write.mode("overwrite")
@@ -1263,9 +1272,6 @@ object ScaleOps {
           .write.mode("overwrite")
           .parquet(root.resolve("baseline").toString)
       } finally full.close()
-      // marker LAST: a crash mid-write leaves no marker and the next
-      // call re-lands (overwrite mode cleans partial output)
-      java.nio.file.Files.write(done, Array.emptyByteArray)
     }
     val e = Tables(s, dir, "embeddings")
     // the serving index a deployment already has: frozen quantizer
@@ -1598,22 +1604,93 @@ object ScaleOps {
       sys.props("user.home") + java.io.File.separator + ".cache" +
         java.io.File.separator + "graft_artifacts"))
 
+  /** One JVM monitor per artifact family, guarding every FileLock
+    * acquisition on that family's lock file — FileLocks are per-PROCESS
+    * (a second acquisition from the same JVM throws Overlapping-
+    * FileLockException rather than blocking), so in-process callers must
+    * serialize on the monitor BEFORE reaching for the file lock. */
+  private val familyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` holding the family's JVM monitor and an exclusive
+    * cross-process [[java.nio.channels.FileLock]] on
+    * `artifactBase/.lock_<family>` (a sibling of the roots — never
+    * deleted with them). Everything that mutates a family's on-disk
+    * layout (the stale-fingerprint prune, the check→delete→drive→mark
+    * build sequence) runs under this lock: without it two concurrent
+    * first callers both see a missing `_OK` marker, both delete the
+    * root, and interleave drives into the same state dir — one then
+    * writes the marker over mixed partial state that serves silently
+    * corrupt answers; and a second process pruning a different
+    * fingerprint can delete a sibling's in-flight build out from under
+    * it. Locks are per-FAMILY (not per-fingerprint) precisely so the
+    * prune and a concurrent build of another fingerprint exclude each
+    * other. */
+  private def withFamilyLock[T](family: String)(body: => T): T = {
+    val monitor = familyLocks.computeIfAbsent(family, _ => new Object)
+    monitor.synchronized {
+      java.nio.file.Files.createDirectories(artifactBase)
+      val ch = java.nio.channels.FileChannel.open(
+        artifactBase.resolve(s".lock_$family"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try body finally fl.release()
+      } finally ch.close()
+    }
+  }
+
   /** Artifact root for one (family, corpus-fingerprint) pair, e.g.
     * `i5_3fa9…`. Creating a root PRUNES stale sibling fingerprints of
-    * the same family (best-effort): the driver regenerates testdata
-    * mid-round, and without the sweep every regeneration strands the
-    * old fingerprint's trained artifacts forever. A pruned-but-live
-    * fingerprint is only ever a re-train on next touch — the `_OK`
-    * markers are written last, so partial state never serves. */
+    * the same family (under [[withFamilyLock]], so the sweep can never
+    * delete a sibling fingerprint's IN-FLIGHT build — it blocks until
+    * the builder releases the family lock): the driver regenerates
+    * testdata mid-round, and without the sweep every regeneration
+    * strands the old fingerprint's trained artifacts forever. A
+    * pruned-but-live fingerprint is only ever a re-train on next touch —
+    * the `_OK` markers are written last, so partial state never
+    * serves. */
   private[graft] def artifactRoot(family: String, fp: String): java.nio.file.Path = {
     val dir = artifactBase.resolve(s"${family}_$fp")
-    Option(artifactBase.toFile.listFiles).foreach(_.foreach { f =>
-      if (f.isDirectory && f.getName.startsWith(s"${family}_") &&
-          f.getName != s"${family}_$fp") {
-        graft.sources.Sources.deleteRecursively(f)
-      }
-    })
+    val stale = Option(artifactBase.toFile.listFiles).toSeq.flatten.exists { f =>
+      f.isDirectory && f.getName.startsWith(s"${family}_") &&
+        f.getName != s"${family}_$fp"
+    }
+    // lock only when there is something to prune: the common path (same
+    // fingerprint, already built) stays lock-free
+    if (stale) withFamilyLock(family) {
+      Option(artifactBase.toFile.listFiles).foreach(_.foreach { f =>
+        if (f.isDirectory && f.getName.startsWith(s"${family}_") &&
+            f.getName != s"${family}_$fp") {
+          graft.sources.Sources.deleteRecursively(f)
+        }
+      })
+    }
     dir
+  }
+
+  /** Serialize a marker-guarded artifact build: if `root/<marker>` is
+    * absent, run `build` and write the marker LAST — all under
+    * [[withFamilyLock]], across threads AND processes. The marker is
+    * re-checked under the lock, so losers of a first-call race see the
+    * winner's completed marker and build nothing; a crash mid-`build`
+    * leaves no marker and the next caller rebuilds (each builder's own
+    * delete-state-first / overwrite-mode discipline makes that rebuild
+    * exactly a first run). The fast path (marker already present) takes
+    * no lock: markers are only ever written over COMPLETE state, under
+    * the lock, so their presence needs no further synchronization. */
+  private[graft] def buildOnce(family: String, root: java.nio.file.Path,
+      marker: String = "_STATE_OK")(build: => Unit): Unit = {
+    val done = root.resolve(marker)
+    if (java.nio.file.Files.exists(done)) return
+    withFamilyLock(family) {
+      if (!java.nio.file.Files.exists(done)) {
+        build
+        java.nio.file.Files.createDirectories(root)
+        java.nio.file.Files.write(done, Array.emptyByteArray)
+      }
+    }
   }
 
   /** Artifact root for i5, keyed by a fingerprint of the embeddings
@@ -1642,13 +1719,14 @@ object ScaleOps {
   def i5AnnAtRest(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(s)
     val root = i5ArtifactRoot(dir)
-    val done = root.resolve("_ARTIFACTS_OK")
-    if (!java.nio.file.Files.exists(done)) {
+    buildOnce("i5", root, "_ARTIFACTS_OK") {
       val t = s.newSession()
       graft.functions.DotProduct.register(t)
       val te = Tables(t, dir, "embeddings")
       val idx = IvfSearch.buildIndex(te, "vec_id", "embedding",
         k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+      // marker written LAST by buildOnce: a crash mid-write leaves no
+      // marker and the next call retrains (all writes overwrite)
       try {
         IvfSearch.saveIndex(idx, root.resolve("ivf").toString)
         val cb = PqSearch.train(te, "vec_id", "embedding",
@@ -1656,9 +1734,6 @@ object ScaleOps {
         PqSearch.saveCodebooks(cb, t, root.resolve("codebooks").toString)
         PqSearch.encode(te, "vec_id", "embedding", cb)
           .write.mode("overwrite").parquet(root.resolve("codes").toString)
-        // marker LAST: a crash mid-write leaves no marker and the next
-        // call retrains over the partial artifacts (all writes overwrite)
-        java.nio.file.Files.write(done, Array.emptyByteArray)
       } finally idx.close()
     }
     val idx = IvfSearch.loadIndex(s, root.resolve("ivf").toString)
@@ -1877,21 +1952,24 @@ object ScaleOps {
       if (java.nio.file.Files.exists(marker)) return
       s.sql(s"DROP TABLE IF EXISTS $name")
     }
-    if (java.nio.file.Files.exists(marker)) {
-      val cols = bucketCols.mkString(", ")
-      s.sql(s"CREATE TABLE $name (${s.read.parquet(path.toString).schema.toDDL}) " +
-        s"USING PARQUET CLUSTERED BY ($cols) SORTED BY ($cols) " +
-        s"INTO $n BUCKETS LOCATION '$path'")
-    } else {
+    // the write races under the family lock (marker LAST via buildOnce:
+    // a crash mid-write leaves no marker and the next session rewrites —
+    // overwrite mode cleans partial output); saveAsTable also registers
+    // the table, so the DDL re-attach below only fires when the marker
+    // pre-existed (files landed by an earlier session or process)
+    buildOnce("s4", path, "_BUCKETS_OK") {
       java.nio.file.Files.createDirectories(path.getParent)
       source.write.mode("overwrite").format("parquet")
         .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .option("path", path.toString)
         .saveAsTable(name)
-      // marker LAST: a crash mid-write leaves no marker and the next
-      // session rewrites (overwrite mode cleans partial output)
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    if (!s.catalog.tableExists(name)) {
+      val cols = bucketCols.mkString(", ")
+      s.sql(s"CREATE TABLE $name (${s.read.parquet(path.toString).schema.toDDL}) " +
+        s"USING PARQUET CLUSTERED BY ($cols) SORTED BY ($cols) " +
+        s"INTO $n BUCKETS LOCATION '$path'")
     }
   }
 

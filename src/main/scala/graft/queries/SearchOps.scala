@@ -239,8 +239,7 @@ object SearchOps {
   private def positionalIndex(s: SparkSession, dir: String): DataFrame = {
     val root = ScaleOps.artifactRoot("k9",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
-    val done = root.resolve("_INDEX_OK")
-    if (!java.nio.file.Files.exists(done)) {
+    ScaleOps.buildOnce("k9", root, "_INDEX_OK") {
       val t = s.newSession()
       Tables(t, dir, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -250,7 +249,6 @@ object SearchOps {
             lit(K9Shards.toLong)).cast("int"))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(root.resolve("positions").toString)
-      java.nio.file.Files.write(done, Array.emptyByteArray)
     }
     s.read.parquet(root.resolve("positions").toString)
   }
@@ -339,8 +337,10 @@ object SearchOps {
     import s.implicits._
     val root = ScaleOps.artifactRoot("k8",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
-    val done = root.resolve("_INDEX_OK")
-    if (!java.nio.file.Files.exists(done)) {
+    // marker LAST (via buildOnce, under the family lock): a crash
+    // mid-write leaves no marker and the next call rebuilds (overwrite
+    // mode cleans partial output)
+    ScaleOps.buildOnce("k8", root, "_INDEX_OK") {
       val t = s.newSession()
       val df = Tables(t, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -353,9 +353,6 @@ object SearchOps {
             lit(K8Shards.toLong)).cast("int"))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(root.resolve("variants").toString)
-      // marker LAST: a crash mid-write leaves no marker and the next
-      // call rebuilds (overwrite mode cleans partial output)
-      java.nio.file.Files.write(done, Array.emptyByteArray)
     }
     // query-side expansion runs on the driver (tiny, literal terms) with
     // the same identity-∪-deletions rule the index was built with
@@ -439,8 +436,10 @@ object SearchOps {
   def k6SearchAtRest(s: SparkSession, dir: String): DataFrame = {
     val root = ScaleOps.artifactRoot("k6",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
-    val done = root.resolve("_INDEX_OK")
-    if (!java.nio.file.Files.exists(done)) {
+    // marker LAST (via buildOnce, under the family lock): a crash
+    // mid-write leaves no marker and the next call rebuilds (overwrite
+    // mode cleans partial output)
+    ScaleOps.buildOnce("k6", root, "_INDEX_OK") {
       val t = s.newSession()
       val docs = Tables(t, dir, "documents")
       val posted = docs
@@ -456,9 +455,6 @@ object SearchOps {
       docs.agg(count(lit(1)).as("n"),
           sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
         .write.mode("overwrite").parquet(root.resolve("stats").toString)
-      // marker LAST: a crash mid-write leaves no marker and the next
-      // call rebuilds (overwrite mode cleans partial output)
-      java.nio.file.Files.write(done, Array.emptyByteArray)
     }
     val shards = QueryTerms
       .map(t => (graft.operators.PortableHash.hex60(t) % K6Shards).toInt).distinct
@@ -571,9 +567,8 @@ object SearchOps {
     import graft.streaming.StreamOps
     val root = ScaleOps.artifactRoot("k13s",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
-    val done = root.resolve("_STATE_OK")
     val state = root.resolve("state").toString
-    if (!java.nio.file.Files.exists(done)) {
+    ScaleOps.buildOnce("k13s", root) {
       graft.sources.Sources.deleteRecursively(new java.io.File(state))
       val t = s.newSession()
       val docs = Tables(t, dir, "documents")
@@ -587,8 +582,6 @@ object SearchOps {
       land(docs.filter(third === 0L).unionByName(stale), 0L)
       land(docs.filter(third === 1L), 1L)
       land(docs.filter(third === 2L), 2L)
-      java.nio.file.Files.createDirectories(root)
-      java.nio.file.Files.write(done, Array.emptyByteArray)
     }
     state
   }

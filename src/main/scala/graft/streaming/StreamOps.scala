@@ -1716,6 +1716,120 @@ object StreamOps {
     state
   }
 
+  /** The integer-ppm PageRank advance (g1's iteration, factored pure):
+    * `iters` warm-started iterations over a SYMMETRIC edge list. `prev`
+    * carries (id, pr) from the previous frontier; vertices of `sym`
+    * absent from it enter at the 1_000_000 ppm init. Exactness is g1's
+    * discipline — per-edge contributions floor once (`pr div deg`),
+    * integer sums are order-free, damping floors once per iteration —
+    * so the warm-started chain lands on identical longs in both
+    * engines. Scale shape per iteration: one equi-join on the edge list
+    * (hash-partitioned on src) + one dst-keyed aggregate — O(|E|)
+    * shuffle bytes, the CC discipline. Shared by [[pagerankEdgesBatch]]
+    * and its batch twin in the spec. */
+  private[graft] def pagerankAdvance(prev: DataFrame, sym: DataFrame,
+      iters: Int, dampPpm: Long): DataFrame = {
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var pr = deg.select(col("src").as("id"))
+      .join(prev.select(col("id"), col("pr").as("ppr")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("ppr"), lit(1000000L)).as("pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = sym.join(pr, sym("src") === pr("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      pr = deg.select(col("src").as("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"150000 + ($dampPpm * coalesce(c, 0)) div 1000000").as("pr"))
+    }
+    pr
+  }
+
+  /** One micro-batch of ROLLING integer-grid PageRank — g1's graph
+    * ranking kept current across ingest waves: the wave's symmetric
+    * edge delta appends to the landed edge list (`pr_edges`, batch_id-
+    * partitioned, replay-idempotent), and the scores advance by
+    * [[pagerankAdvance]] — warm-started from the PREVIOUS frontier's
+    * landed score snapshot over the ACCUMULATED edges — then land
+    * snapshot-style at `pr`, pruned to latest+previous ([[prAsOf]]
+    * time-travels them). Warm-starting is the incremental point: a
+    * from-scratch ranking pays its full iteration budget per refresh;
+    * the rolling one spends `iters` per wave and carries convergence
+    * forward in the landed scores — the answer is a pure function of
+    * the delta HISTORY (spec-pinned against the batch twin), so the
+    * oracle replays the same warm-started chain per frontier. */
+  private[graft] def pagerankEdgesBatch(symDelta: DataFrame,
+      iters: Int, dampPpm: Long, statePath: String,
+      batchId: Long): DataFrame = {
+    val spark = symDelta.sparkSession
+    withBatchShuffleWidth(spark, symDelta.count(), statePath) {
+      val idType = symDelta.schema("src").dataType
+      landDelta(symDelta, s"$statePath/pr_edges", batchId)
+      val edgeSchema = new org.apache.spark.sql.types.StructType()
+        .add("src", idType).add("dst", idType)
+      // the frontier's full edge list: <= batchId so a checkpoint replay
+      // never sees a LATER wave's edges; the eager checkpoint keeps the
+      // per-iteration plans flat (the CC plan-growth rule)
+      val sym = readDelta(spark, s"$statePath/pr_edges", edgeSchema)
+        .filter(col("batch_id") <= batchId).drop("batch_id")
+        .localCheckpoint()
+      val prSchema = new org.apache.spark.sql.types.StructType()
+        .add("id", idType)
+        .add("pr", org.apache.spark.sql.types.LongType)
+      // cold start seeds EMPTY (not a caller frame): every vertex of the
+      // first frontier enters at the uniform init inside the advance
+      val prev = latestSnapshotOr(spark, s"$statePath/pr", prSchema,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], prSchema),
+        batchId)
+      val pr = pagerankAdvance(prev, sym, iters, dampPpm).localCheckpoint()
+      landSnapshot(pr, s"$statePath/pr", batchId)
+      pruneSupersededBatches(spark, s"$statePath/pr")
+      pr
+    }
+  }
+
+  /** [[pagerankEdgesBatch]] driven by the near-dup sweep: ONE
+    * [[sweepBatchAccum]] probe of the static index ∪ earlier deltas
+    * derives the wave's pair set (the ingest gate's own sweep — never a
+    * per-wave re-shingle of the corpus), and `extraPairs` lets the
+    * cold-start wave land the static corpus's INTERNAL pair set
+    * alongside wave 0's arrivals (the frontier-0 edge set includes
+    * corpus-internal edges — the c20 arrival-filter convention). */
+  private[graft] def pagerankBatch(batch: DataFrame,
+      staticIndex: graft.operators.MinHashDedup.DedupIndex,
+      extraPairs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, iters: Int, dampPpm: Long,
+      statePath: String, batchId: Long): DataFrame = {
+    val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
+      threshold, statePath, batchId)
+    try {
+      val delta = pairs.select(col("id_a"), col("id_b"))
+        .unionByName(extraPairs.select(col("id_a"), col("id_b")))
+      val symDelta = delta
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(delta.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+      pagerankEdgesBatch(symDelta, iters, dampPpm, statePath, batchId)
+    } finally pairs.unpersist()
+  }
+
+  /** [[labelsAsOf]] for the rolling PageRank scores — same snapshot
+    * pick, same loud failure past the keep=2 retention, same seed
+    * fallback for the genuine cold start. */
+  def prAsOf(spark: SparkSession, statePath: String,
+      seedScores: => DataFrame,
+      idType: org.apache.spark.sql.types.DataType, asOf: Long): DataFrame = {
+    val prSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", idType)
+      .add("pr", org.apache.spark.sql.types.LongType)
+    latestSnapshotOr(spark, s"$statePath/pr", prSchema,
+      seedScores.select(col("id"), col("pr")),
+      snapshotReachBound(spark, s"$statePath/pr", asOf, "pagerank"))
+  }
+
   /** Streaming maintenance of the k6 BM25 inverted index — the Lucene
     * segment model expressed as delta partitions: each arriving batch
     * lands its postings (term, id, dli, tf) under

@@ -191,6 +191,67 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally idx.close()
   }
 
+  test("h7 filtered ivf dense leg: reads only probed inverted lists — no full embeddings scan") {
+    // audit the raw operator (the h7 query wrapper materializes and
+    // closes the index, leaving a LocalRelation): the only parquet
+    // scans in the dense leg must be the query-vector lookup
+    // (embeddings, pushed vec_id filter) and the slice ids (documents,
+    // pushed lang filter) — the corpus side is the cached inverted
+    // lists (InMemoryTableScan), cut to the slice by a semi-join. A
+    // brute slice scan would surface as a third parquet scan.
+    val e = Tables(spark, sfDir, "embeddings")
+    val docs = Tables(spark, sfDir, "documents")
+    val idx = graft.operators.IvfSearch.buildIndex(
+      e, "vec_id", "embedding", k = 8, iters = 2, roundDecimals = 6)
+    try {
+      val probe = graft.operators.IvfSearch.approxTopKWithin(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") < 3), idx,
+        "vec_id", "embedding", k = 5, nprobe = 3,
+        allowed = docs
+          .filter(org.apache.spark.sql.functions.col("lang") === "en")
+          .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id")))
+      assert(probe.count() > 0, "filtered probe returned nothing")
+      val s = formatted(probe)
+      // parquet scans that EXECUTE: nodes in the final tree outside any
+      // InMemoryRelation subtree (a cache definition re-prints its
+      // source scan, but the TableCacheQueryStage serves from memory)
+      val nodeRe = raw"([A-Za-z][A-Za-z ]*[A-Za-z]) *\((\d+)\)".r
+      val live = scala.collection.mutable.Set[String]()
+      var imrCol = -1
+      s.split(raw"== Initial Plan ==").head.linesIterator.foreach { l =>
+        nodeRe.findFirstMatchIn(l).foreach { m =>
+          val c = l.indexOf(m.group(1))
+          if (imrCol >= 0 && c <= imrCol) imrCol = -1
+          if (imrCol < 0) {
+            if (m.group(1).trim.startsWith("InMemoryRelation")) imrCol = c
+            else if (m.group(1).trim == "Scan parquet") live += m.group(2)
+          }
+        }
+      }
+      def detail(id: String): String =
+        (raw"(?s)\(" + id + raw"\) Scan parquet.*?(?=\n\(\d+\) |\z)").r
+          .findFirstIn(s).getOrElse("")
+      assert(live.size == 2,
+        s"expected exactly 2 EXECUTING parquet scans (query lookup + " +
+          s"slice ids), got ${live.size}: ${live.map(detail).mkString("\n")}")
+      // ...and each of the two is the bounded read it claims to be: the
+      // query-vector lookup (pushed vec_id) and the slice ids (pushed
+      // lang) — a brute dense leg would add an UNfiltered embeddings scan
+      assert(live.map(detail).exists(d => d.contains("embeddings.parquet") &&
+          d.contains("IsNotNull(vec_id)")),
+        "query-vector lookup must push its vec_id filter")
+      assert(live.map(detail).exists(d => d.contains("documents.parquet") &&
+          d.contains("EqualTo(lang,en)")),
+        "the slice predicate must push to the documents scan")
+      assert(nodeCount(s, "InMemoryTableScan") >= 1,
+        "corpus candidates must come from the cached inverted lists")
+      assert(nodeCount(s, "BroadcastHashJoin") >= 1,
+        "probe->assignments join should broadcast the tiny probe side")
+      assert(!s.contains("CartesianProduct"),
+        "filtered IVF probing must stay equi/semi joins")
+    } finally idx.close()
+  }
+
   test("e8 as-of join is join-free: window carry, no Join operator, no pair explosion") {
     val s = formatted(SparkEntry.queries("e8_asof_join")(spark, sfDir))
     val tree = s.split(raw"== Initial Plan ==").head

@@ -347,6 +347,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("g1s edge artifact: PageRank reuses the landed pair set; second call builds nothing") {
+    import graft.queries.{CorpusOps, ScaleOps}
+    val first = CorpusOps.queries("g1_pagerank_neardup")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(first.nonEmpty)
+    val root = ScaleOps.artifactRoot("g1s",
+      ScaleOps.dataFingerprint(sfDir, Seq("documents")))
+    val marker = root.resolve("_STATE_OK")
+    assert(java.nio.file.Files.exists(marker))
+    val markerTime = java.nio.file.Files.getLastModifiedTime(marker)
+    def edgeMtimes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(root.resolve("edges").toFile).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = edgeMtimes()
+    val again = CorpusOps.queries("g1_pagerank_neardup")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == first)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == markerTime,
+      "the marker was rewritten — a second call re-derived the pairs")
+    assert(edgeMtimes() == before,
+      "a PageRank read must not rewrite the landed edge list")
+    spark.catalog.clearCache()
+  }
+
   test("h4 as-of hybrid differs from the final-frontier fusion (real lineage, not a re-rank)") {
     val q = graft.queries.HybridOps.queries
     val asOf = q("h4_asof_hybrid")(spark, sfDir).collect().map(_.toSeq).toSeq
@@ -357,6 +384,66 @@ class ScaleOpsSpec extends AnyFunSuite {
         "answers mean the stale keyword corpus or the wave-0 index " +
         "visibility leaked to the final frontier")
     spark.catalog.clearCache()
+  }
+
+  test("buildOnce: concurrent first callers build exactly once, losers see the marker") {
+    import graft.queries.ScaleOps
+    val fam = s"specbo${System.nanoTime()}"
+    val root = ScaleOps.artifactRoot(fam, "fp0")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() =>
+        try ScaleOps.buildOnce(fam, root) {
+          // no two builders may ever overlap inside the guarded section
+          assert(inside.incrementAndGet() == 1, "two builds interleaved")
+          Thread.sleep(50)
+          builds.incrementAndGet()
+          inside.decrementAndGet()
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing builder threw: ${Option(errs.peek())}")
+    assert(builds.get() == 1, s"${builds.get()} builds ran — the race fired")
+    assert(java.nio.file.Files.exists(root.resolve("_STATE_OK")))
+    graft.sources.Sources.deleteRecursively(root.toFile)
+  }
+
+  test("family lock: a concurrent stale-fingerprint prune blocks until an in-flight build lands") {
+    import graft.queries.ScaleOps
+    val fam = s"specfl${System.nanoTime()}"
+    val rootA = ScaleOps.artifactRoot(fam, "fpa")
+    val payload = rootA.resolve("state").resolve("part.bin")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val pruneReturned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val builder = new Thread(() =>
+      try ScaleOps.buildOnce(fam, rootA) {
+        java.nio.file.Files.createDirectories(payload.getParent)
+        java.nio.file.Files.write(payload, Array[Byte](1))
+        entered.countDown()
+        Thread.sleep(300)
+        // the other session's artifactRoot(fpb) is already underway: if
+        // its prune were not excluded by the family lock, the payload
+        // would be gone and the prune call already returned
+        assert(!pruneReturned.get,
+          "the prune ran while this build held the family lock")
+        assert(java.nio.file.Files.exists(payload),
+          "the prune deleted in-flight build state")
+      } catch { case t: Throwable => errs.add(t) })
+    builder.start()
+    entered.await()
+    // a second "session" touches the family with a NEW fingerprint: its
+    // stale-sibling prune must block until the build completes, then
+    // leave exactly one survivor per family
+    val rootB = ScaleOps.artifactRoot(fam, "fpb")
+    pruneReturned.set(true)
+    builder.join()
+    assert(errs.isEmpty, s"builder thread failed: ${Option(errs.peek())}")
+    assert(!java.nio.file.Files.exists(rootA),
+      "stale fingerprint must be pruned once the build released the lock")
+    graft.sources.Sources.deleteRecursively(rootB.toFile)
   }
 
   test("v9 top eigen: PSD spectrum, unit-ish eigenvector, deterministic reruns") {

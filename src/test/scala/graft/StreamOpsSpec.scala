@@ -2360,6 +2360,64 @@ class StreamOpsSpec extends AnyFunSuite {
     // to 8, not pinned at the narrowed 1 it happened to show on entry
     assert(t.conf.get(PartsKey) == "8")
   }
+
+  test("rolling pagerank: warm-started snapshots equal the batch twin, " +
+      "as-of reads time-travel them, pruned frontiers fail loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pr_").toString
+    try {
+      // three edge-delta waves: a path graph growing a tail, then a
+      // cycle-closing edge — degrees and warm-start inits all shift
+      val deltas = Seq(
+        Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)),
+        Seq((3L, 4L), (4L, 3L)),
+        Seq((1L, 4L), (4L, 1L), (4L, 5L), (5L, 4L)))
+        .map(_.toDF("src", "dst"))
+      deltas.zipWithIndex.foreach { case (d, b) =>
+        StreamOps.pagerankEdgesBatch(d, iters = 3, dampPpm = 850000L,
+          root, b.toLong)
+      }
+      // batch twin: fold the SAME advance over in-memory accumulated
+      // edges — the rolling state machinery (deltas, snapshots,
+      // retention) must be invisible in the numbers
+      var acc: org.apache.spark.sql.DataFrame = null
+      var prev = Seq.empty[(Long, Long)].toDF("id", "pr")
+      val expected = deltas.map { d =>
+        acc = if (acc == null) d else acc.unionByName(d)
+        prev = StreamOps.pagerankAdvance(prev, acc.localCheckpoint(),
+          iters = 3, dampPpm = 850000L).localCheckpoint()
+        prev.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      def asOf(n: Long): Set[(Long, Long)] = StreamOps.prAsOf(spark, root,
+          sys.error("seed fallback must not trigger with landed snapshots"),
+          org.apache.spark.sql.types.LongType, asOf = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(asOf(1L) == expected(1), "frontier-1 scores diverge from twin")
+      assert(asOf(2L) == expected(2), "frontier-2 scores diverge from twin")
+      assert(asOf(2L) != asOf(1L), "frontiers must differ on this graph")
+      // frontier 0's snapshot is past the keep=2 retention: loud failure,
+      // never a silent seed answer from the wrong epoch
+      val e = intercept[RuntimeException](asOf(0L))
+      assert(e.getMessage.contains("pagerank"), e.getMessage)
+    } finally {
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  test("ShuffleWidth.invalidate lets a deliberate application width change " +
+      "survive later graft restores") {
+    val PartsKey = "spark.sql.shuffle.partitions"
+    val t = spark.newSession()
+    t.conf.set(PartsKey, "8")
+    StreamOps.withBatchShuffleWidth(t, 1L) { () } // records 8, restores 8
+    // the application re-sizes the session on purpose; without
+    // invalidate the next restore would silently revert to the stale 8
+    t.conf.set(PartsKey, "16")
+    graft.operators.ShuffleWidth.invalidate(t)
+    StreamOps.withBatchShuffleWidth(t, 1L) { () }
+    assert(t.conf.get(PartsKey) == "16",
+      "restore reverted a deliberate application width change")
+  }
 }
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
