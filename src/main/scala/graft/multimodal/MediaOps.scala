@@ -1470,6 +1470,76 @@ object MediaOps {
     * moves some block's best vector and goes red. Scale shape: decode
     * per-partition, then row-local integer loops; one bounded row per
     * (doc, pair, block). */
+  /** The block scan mm8 and mm9 share: decode the doc's REAL Y4M clip
+    * and for every (pair, block) return the SAD-argmin displacement,
+    * its SAD, and the ZERO-motion SAD (the dx=dy=0 candidate — always
+    * in frame, so it is defined for every block). One row per
+    * (doc, pair, block): (docId, pair, blkX, blkY, dx, dy, bestSad,
+    * zeroSad). */
+  private def blockMotionScan(docId: Long, text: String)
+      : Seq[(Long, Int, Int, Int, Int, Int, Long, Long)] = {
+    val bytes = asciiBytes(docId, text)
+    val frames = (0 until MmF).map { f =>
+      val img = new java.awt.image.BufferedImage(MmW, MmH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < MmW * MmH) {
+        val v = bytes((f * MmW * MmH + i) % bytes.length) & 0xff
+        img.setRGB(i % MmW, i / MmW, (v << 16) | (v << 8) | v)
+        i += 1
+      }
+      img
+    }
+    val container = Y4mCodec.encodeY4m(frames, "mono") // REAL bytes
+    val v = Y4mCodec.decode(container).getOrElse(
+      sys.error(s"mm8: container round-trip failed for doc $docId"))
+    def px(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+      img.getRGB(x, y) & 0xff
+    (0 until v.frames.length - 1).flatMap { f =>
+      val a = v.frames(f)
+      val b = v.frames(f + 1)
+      for {
+        blkY <- 0 until MmH / Mm8B
+        blkX <- 0 until MmW / Mm8B
+      } yield {
+        var bestSad = Long.MaxValue
+        var bestDx = 0
+        var bestDy = 0
+        var zeroSad = 0L
+        var dy = -Mm8Search
+        while (dy <= Mm8Search) {
+          var dx = -Mm8Search
+          while (dx <= Mm8Search) {
+            val x0 = blkX * Mm8B + dx
+            val y0 = blkY * Mm8B + dy
+            if (x0 >= 0 && y0 >= 0 &&
+                x0 + Mm8B <= v.width && y0 + Mm8B <= v.height) {
+              var sad = 0L
+              var u = 0
+              while (u < Mm8B) {
+                var w = 0
+                while (w < Mm8B) {
+                  sad += math.abs(
+                    px(b, blkX * Mm8B + w, blkY * Mm8B + u) -
+                      px(a, x0 + w, y0 + u))
+                  w += 1
+                }
+                u += 1
+              }
+              if (dx == 0 && dy == 0) zeroSad = sad
+              // strict < keeps the FIRST (dy, dx) among ties — the
+              // ascending scan order the oracle's rank replays
+              if (sad < bestSad) { bestSad = sad; bestDx = dx; bestDy = dy }
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        (docId, f, blkX, blkY, bestDx, bestDy, bestSad, zeroSad)
+      }
+    }
+  }
+
   def mm8BlockMotion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = graft.Tables(s, dir, "documents")
@@ -1477,70 +1547,49 @@ object MediaOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     docs.mapPartitions { it =>
       it.flatMap { case (docId, text) =>
-        val bytes = asciiBytes(docId, text)
-        val frames = (0 until MmF).map { f =>
-          val img = new java.awt.image.BufferedImage(MmW, MmH,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var i = 0
-          while (i < MmW * MmH) {
-            val v = bytes((f * MmW * MmH + i) % bytes.length) & 0xff
-            img.setRGB(i % MmW, i / MmW, (v << 16) | (v << 8) | v)
-            i += 1
-          }
-          img
-        }
-        val container = Y4mCodec.encodeY4m(frames, "mono") // REAL bytes
-        val v = Y4mCodec.decode(container).getOrElse(
-          sys.error(s"mm8: container round-trip failed for doc $docId"))
-        def px(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
-          img.getRGB(x, y) & 0xff
-        (0 until v.frames.length - 1).flatMap { f =>
-          val a = v.frames(f)
-          val b = v.frames(f + 1)
-          for {
-            blkY <- 0 until MmH / Mm8B
-            blkX <- 0 until MmW / Mm8B
-          } yield {
-            var bestSad = Long.MaxValue
-            var bestDx = 0
-            var bestDy = 0
-            var dy = -Mm8Search
-            while (dy <= Mm8Search) {
-              var dx = -Mm8Search
-              while (dx <= Mm8Search) {
-                val x0 = blkX * Mm8B + dx
-                val y0 = blkY * Mm8B + dy
-                if (x0 >= 0 && y0 >= 0 &&
-                    x0 + Mm8B <= v.width && y0 + Mm8B <= v.height) {
-                  var sad = 0L
-                  var u = 0
-                  while (u < Mm8B) {
-                    var w = 0
-                    while (w < Mm8B) {
-                      sad += math.abs(
-                        px(b, blkX * Mm8B + w, blkY * Mm8B + u) -
-                          px(a, x0 + w, y0 + u))
-                      w += 1
-                    }
-                    u += 1
-                  }
-                  // strict < keeps the FIRST (dy, dx) among ties — the
-                  // ascending scan order the oracle's rank replays
-                  if (sad < bestSad) { bestSad = sad; bestDx = dx; bestDy = dy }
-                }
-                dx += 1
-              }
-              dy += 1
-            }
-            (docId, f, blkX, blkY, bestDx, bestDy, bestSad)
-          }
+        blockMotionScan(docId, text).map { case (d, f, bx, by, dx, dy, sad, _) =>
+          (d, f, bx, by, dx, dy, sad)
         }
       }
     }.toDF("doc_id", "pair_no", "blk_x", "blk_y", "dx", "dy", "sad")
       .orderBy("doc_id", "pair_no", "blk_y", "blk_x")
   }
 
-  private val mm8Sql: String = {
+  /** mm9: MOTION-COMPENSATED RESIDUAL GAIN — the codec primitive one
+    * step past mm8's vector search: per block, the SAD residual AFTER
+    * compensation (mm8's argmin SAD) against the ZERO-motion residual
+    * (the dx=dy=0 candidate — what a codec pays if it skips motion
+    * search), and their difference `gain` — the bits-saved signal every
+    * encoder's rate control weighs against the vector's own cost.
+    * `gain >= 0` by construction (the zero candidate is always in the
+    * search window, so the argmin can never lose to it) — an engine
+    * whose clamp or tie-break drifts breaks that invariant before it
+    * even reaches the oracle. Same real Y4M decode path as mm8; the
+    * oracle reuses mm8's candidate-SAD CTEs and joins the rank-1 row
+    * with the zero-displacement row per block. */
+  def mm9MotionGain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") < MmDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.flatMap { case (docId, text) =>
+        blockMotionScan(docId, text).map {
+          case (d, f, bx, by, _, _, best, zero) =>
+            (d, f, bx, by, zero, best, zero - best)
+        }
+      }
+    }.toDF("doc_id", "pair_no", "blk_x", "blk_y",
+        "sad_zero", "sad_best", "gain")
+      .orderBy("doc_id", "pair_no", "blk_y", "blk_x")
+  }
+
+  /** The candidate-SAD CTE chain mm8 and mm9 share: every in-frame
+    * (doc, pair, block, displacement) SAD from text bytes via mm5's
+    * index arithmetic, ranked per block by (sad, dy, dx). Ends in
+    * `best` (rk = 1 is the argmin) with `sadt` still addressable for
+    * the zero-displacement row. */
+  private lazy val mm8Ctes: String = {
     val px = MmW * MmH
     s"""WITH d AS (
        |  SELECT doc_id, text, length(text) AS len FROM documents
@@ -1576,11 +1625,32 @@ object MediaOps {
        |  SELECT doc_id, pair_no, blk_x, blk_y, dx, dy, sad,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id, pair_no, blk_x, blk_y
        |      ORDER BY sad, dy, dx) AS rk
-       |  FROM sadt)
+       |  FROM sadt)""".stripMargin
+  }
+
+  private lazy val mm8Sql: String =
+    s"""$mm8Ctes
        |SELECT doc_id, pair_no, blk_x, blk_y, dx, dy, CAST(sad AS BIGINT) AS sad
        |FROM best WHERE rk = 1
        |ORDER BY doc_id, pair_no, blk_y, blk_x""".stripMargin
-  }
+
+  /** DuckDB replay of [[mm9MotionGain]]: mm8's candidate chain, the
+    * rank-1 argmin joined with the zero-displacement candidate per
+    * block, gain as their difference. */
+  private lazy val mm9Sql: String =
+    s"""$mm8Ctes,
+       |zero AS (
+       |  SELECT doc_id, pair_no, blk_x, blk_y, sad FROM sadt
+       |  WHERE dx = 0 AND dy = 0)
+       |SELECT b.doc_id, b.pair_no, b.blk_x, b.blk_y,
+       |  CAST(z.sad AS BIGINT) AS sad_zero,
+       |  CAST(b.sad AS BIGINT) AS sad_best,
+       |  CAST(z.sad - b.sad AS BIGINT) AS gain
+       |FROM best b JOIN zero z
+       |  ON z.doc_id = b.doc_id AND z.pair_no = b.pair_no
+       |  AND z.blk_x = b.blk_x AND z.blk_y = b.blk_y
+       |WHERE b.rk = 1
+       |ORDER BY b.doc_id, b.pair_no, b.blk_y, b.blk_x""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_video_luma" -> (mm1VideoLuma _),
@@ -1590,7 +1660,8 @@ object MediaOps {
     "mm5_image_resize" -> (mm5ImageResize _),
     "mm6_scene_change" -> (mm6SceneChange _),
     "mm7_audio_wht" -> (mm7AudioWht _),
-    "mm8_block_motion" -> (mm8BlockMotion _))
+    "mm8_block_motion" -> (mm8BlockMotion _),
+    "mm9_motion_gain" -> (mm9MotionGain _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -1600,5 +1671,6 @@ object MediaOps {
     "mm5_image_resize" -> mm5Sql,
     "mm6_scene_change" -> mm6Sql,
     "mm7_audio_wht" -> mm7Sql,
-    "mm8_block_motion" -> mm8Sql)
+    "mm8_block_motion" -> mm8Sql,
+    "mm9_motion_gain" -> mm9Sql)
 }

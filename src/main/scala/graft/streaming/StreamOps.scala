@@ -1962,6 +1962,25 @@ object StreamOps {
     * defers merges. */
   def bm25ServeRolling(spark: SparkSession, statePath: String,
       terms: Seq[String], shards: Int,
+      asOf: Long = Long.MaxValue): DataFrame =
+    // the eager localCheckpoint PINS the resolved read version: the
+    // scored rows (bounded by the query terms' shards, never the
+    // corpus) move off the segment files at serve time, so a
+    // [[maintain]] window rewriting those files between a reader's
+    // resolve and its read (merge_bm25_segments, compact_bm25_postings)
+    // can neither fail the read nor change its answer — maintain-while-
+    // serving isolation, spec-pinned in both interleave orders. The
+    // plan audits inspect [[bm25ServeRollingPlan]] — the plan that
+    // executes inside this pin.
+    bm25ServeRollingPlan(spark, statePath, terms, shards, asOf)
+      .localCheckpoint()
+
+  /** [[bm25ServeRolling]]'s lazy plan — package-visible so the plan
+    * audits can assert the probe shape (shard pruning, pushed term
+    * filter, broadcast tombstone anti-join) that executes inside the
+    * public wrapper's pin. */
+  private[graft] def bm25ServeRollingPlan(spark: SparkSession,
+      statePath: String, terms: Seq[String], shards: Int,
       asOf: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val shardIds = terms
@@ -2316,6 +2335,18 @@ object StreamOps {
       queryTerms: Seq[String], shards: Int,
       // time travel: suggestions as of a batch frontier (inclusive) —
       // the variant log is append-only, so this is one partition filter
+      asOf: Long = Long.MaxValue): DataFrame =
+    // pinned read version (the bm25ServeRolling rule): the suggestion
+    // table is tiny; a compact_fuzzy_variants between resolve and read
+    // cannot break or change the answer; plan audits inspect
+    // [[fuzzyServeRollingPlan]]
+    fuzzyServeRollingPlan(spark, statePath, queryTerms, shards, asOf)
+      .localCheckpoint()
+
+  /** [[fuzzyServeRolling]]'s lazy plan — package-visible for the plan
+    * audits (probe shape executing inside the public pin). */
+  private[graft] def fuzzyServeRollingPlan(spark: SparkSession,
+      statePath: String, queryTerms: Seq[String], shards: Int,
       asOf: Long = Long.MaxValue): DataFrame = {
     require(queryTerms.nonEmpty, "fuzzy search needs at least one query term")
     val qv = graft.queries.SearchOps.queryVariants(queryTerms)
@@ -2428,6 +2459,18 @@ object StreamOps {
     * collapses history like any VACUUM. */
   def posServeRolling(spark: SparkSession, statePath: String,
       terms: Seq[String], shards: Int,
+      asOf: Long = Long.MaxValue): DataFrame =
+    // pinned read version (the bm25ServeRolling rule): the probed live
+    // positions move off the segment files at serve time, so a
+    // maintenance window between resolve and read cannot break or
+    // change the answer; plan audits inspect [[posServeRollingPlan]]
+    posServeRollingPlan(spark, statePath, terms, shards, asOf)
+      .localCheckpoint()
+
+  /** [[posServeRolling]]'s lazy plan — package-visible for the plan
+    * audits (probe shape executing inside the public pin). */
+  private[graft] def posServeRollingPlan(spark: SparkSession,
+      statePath: String, terms: Seq[String], shards: Int,
       asOf: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "positional probe needs at least one term")
     val shardIds = terms
@@ -2955,8 +2998,22 @@ object StreamOps {
     * `landed` is given ([[compactLandedInPlace]]), then merge small
     * files across every append-only delta family
     * ([[graft.sources.Sources.compactParquet]] per directory; absent
-    * directories are skipped). Single-writer quiet window assumed,
-    * like each primitive alone.
+    * directories are skipped). Single-WRITER quiet window assumed,
+    * like each primitive alone. READERS are isolated by the pinned-
+    * read-version rule: the text serving paths ([[bm25ServeRolling]],
+    * [[posServeRolling]], [[fuzzyServeRolling]]) eagerly pin their
+    * probed rows at resolve time, the as-of snapshot readers
+    * ([[labelsAsOf]], [[repAsOf]], [[semLabelsAsOf]], [[kanonAsOf]],
+    * [[prAsOf]]) target exactly the latest+previous snapshots the
+    * prunes retain and those families are never file-compacted here —
+    * so a reader resolved BEFORE a maintenance window answers
+    * identically after it (spec-pinned, both interleave orders). The
+    * one reader still requiring the quiet window is [[grownIvfIndex]]:
+    * its lazy union over the ivf_assign delta log would re-list files
+    * `compact_ivf_assign` rewrites — resolve it after maintenance, or
+    * schedule maintenance between queries (the documented posture for
+    * the ANN tier, where pinning the whole delta log per query would
+    * copy the grown corpus, not a probe).
     *
     * Every step is individually idempotent and crash-safe, and the
     * composition adds no new failure mode: a crash BETWEEN steps is

@@ -487,7 +487,8 @@ class PlanAuditSpec extends AnyFunSuite {
       Seq(1L -> "a vector engine with stream processing",
         2L -> "vectors and streams everywhere").toDF("doc_id", "text"),
       "doc_id", "text", 16, root.toString, 0L)
-    val s = formatted(graft.streaming.StreamOps.fuzzyServeRolling(
+    // Plan variant: the probe shape executing inside the public pin
+    val s = formatted(graft.streaming.StreamOps.fuzzyServeRollingPlan(
       spark, root.toString, Seq("vektor"), 16))
     assert(s.contains("PartitionFilters") && s.contains("shard"),
       s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
@@ -506,7 +507,10 @@ class PlanAuditSpec extends AnyFunSuite {
         "doc_id", "text", 8, root.toString, id)
     land(0L, Seq(1L -> "the quick brown fox", 2L -> "a lazy dog sleeps"))
     land(1L, Seq(2L -> "the dog barks at the fox")) // supersede -> tombstone
-    val s = formatted(graft.streaming.StreamOps.bm25ServeRolling(
+    // the Plan variant: the public serve pins its result (maintain-
+    // while-serving isolation), so the probe shape to audit is the
+    // plan that executes INSIDE that pin
+    val s = formatted(graft.streaming.StreamOps.bm25ServeRollingPlan(
       spark, root.toString, Seq("fox", "dog"), 8))
     assert(s.contains("PartitionFilters") && s.contains("shard"),
       s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
@@ -534,7 +538,8 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.streaming.StreamOps.posIndexBatch(
       Seq(2L -> "vector streams again").toDF("doc_id", "text"),
       "doc_id", "text", 16, root.toString, 1L)
-    val s = formatted(graft.streaming.StreamOps.posServeRolling(
+    // Plan variant: the probe shape executing inside the public pin
+    val s = formatted(graft.streaming.StreamOps.posServeRollingPlan(
       spark, root.toString, Seq("vector", "stream"), 16))
     assert(s.contains("PartitionFilters") && s.contains("shard"),
       s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
@@ -545,7 +550,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0)
     // time travel (k15/k16): the asOf bound must reach the scan as a
     // batch_id PARTITION filter — as-of never reads future segments
-    val t = formatted(graft.streaming.StreamOps.posServeRolling(
+    val t = formatted(graft.streaming.StreamOps.posServeRollingPlan(
       spark, root.toString, Seq("vector", "stream"), 16, asOf = 0L))
     val pf = t.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
     assert(pf.contains("batch_id") && pf.contains("shard"), pf)

@@ -2361,6 +2361,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(t.conf.get(PartsKey) == "8")
   }
 
+  test("maintain-while-serving: a reader resolved before the maintenance " +
+      "window answers identically (both interleave orders)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_msv_").toString
+    try {
+      val terms = Seq("alpha", "beta")
+      def land(rows: Seq[(Long, String)], b: Long): Unit =
+        StreamOps.bm25IndexBatch(rows.toDF("doc_id", "text"),
+          "doc_id", "text", 4, root, b)
+      land(Seq(1L -> "alpha beta gamma", 2L -> "alpha alpha delta",
+        3L -> "stale"), 0L)
+      land(Seq(4L -> "beta beta beta", 5L -> "gamma delta"), 1L)
+      // re-ingest doc 3: tombstones its batch-0 version, so the window's
+      // segment merge below does REAL file surgery, not a no-op
+      land(Seq(3L -> "alpha beta beta full text"), 2L)
+      def serve() = StreamOps.bm25ServeRolling(spark, root, terms, 4)
+      val baseline = serve().collect().map(_.toSeq).toSet
+      assert(baseline.nonEmpty)
+      // order A: resolve BEFORE maintenance, read AFTER — the pinned
+      // read version must survive the merge + compactions untouched
+      val resolved = serve()
+      val steps = StreamOps.maintain(spark, root)
+      assert(steps.exists { case (n, b, _) =>
+        n == "merge_bm25_segments" && b > 0 },
+        s"the window must reclaim the superseded version, got $steps")
+      assert(resolved.collect().map(_.toSeq).toSet == baseline,
+        "a pre-window resolve answered differently after maintenance")
+      // order B: resolve and read entirely after the window
+      assert(serve().collect().map(_.toSeq).toSet == baseline,
+        "a post-window resolve answered differently")
+    } finally {
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
   test("rolling pagerank: warm-started snapshots equal the batch twin, " +
       "as-of reads time-travel them, pruned frontiers fail loudly") {
     import spark.implicits._
