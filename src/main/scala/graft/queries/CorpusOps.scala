@@ -70,13 +70,26 @@ object CorpusOps {
   private def g1EdgeRoot(s: SparkSession, dir: String): String = {
     val root = ScaleOps.artifactRoot("g1s",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
-    ScaleOps.buildOnce("g1s", root) {
+    val edges = root.resolve("edges").toString
+    // schema-upgrade guard: fingerprints track DATA, not layout — a
+    // marked artifact written before the weight column (g4) must
+    // rebuild (checked under the family lock via buildOnce)
+    def missingWeights(): Boolean =
+      !s.read.parquet(edges).columns.contains("w_ppm")
+    ScaleOps.buildOnce("g1s", root, rebuildIf = () => missingWeights()) {
+      graft.sources.Sources.deleteRecursively(root.toFile)
       val t = s.newSession()
-      val pairs = nearDupEdges(t, dir)
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      // the pair's exact round-6 Jaccard rides along on the ppm grid:
+      // g1/g3 ignore it, g4's votes are proportional to it
+      val pairs = MinHashDedup.nearDuplicates(
+          Tables(t, dir, "documents"), "doc_id", "text", NearDupThreshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard") * 1e6).cast("long").as("w_ppm"))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("w_ppm"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+          col("w_ppm")))
         .distinct()
-        .write.mode("overwrite").parquet(root.resolve("edges").toString)
+        .write.mode("overwrite").parquet(edges)
     }
     root.toString
   }
@@ -127,6 +140,154 @@ object CorpusOps {
        |${iter(3)}
        |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_ppm FROM pr$PrIters
        |ORDER BY pr_ppm DESC, doc_id""".stripMargin
+  }
+
+  /** g3's teleport set: the quality core — graph vertices whose exact
+    * d3-style quality score clears this bound (~the top quartile at
+    * both test SFs, checked against the data). */
+  private val G3SeedMinE6 = 400000L
+
+  /** g3: PERSONALIZED PageRank over the near-dup graph — g1 ranks by
+    * pure centrality (every vertex teleports to itself); g3 teleports
+    * ONLY to the quality core ([[G3SeedMinE6]]), so the stationary mass
+    * flows outward from the high-quality documents and each vertex's
+    * score reads "how reachable am I from quality" — the canonical-
+    * source pick that weighs quality AND mirroring structure together,
+    * where c16's argmax weighs quality alone and g1 centrality alone.
+    * Integer-grid exactness (g1's discipline, teleport made per-vertex):
+    * pr0 = seed·1e6; pr' = seed·150000 + (850000·Σ(pr div deg)) div 1e6
+    * — floor once per edge, floor once per iteration, seeds as 0/1
+    * integers, so both engines land on identical longs. Non-seed
+    * vertices unreachable from any seed legitimately converge to 0 (the
+    * personalization's whole point). Edges come from the landed
+    * [[g1EdgeRoot]] artifact — one sweep, two ranking consumers. */
+  def g3PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val sym = s.read.parquet(s"${g1EdgeRoot(s, dir)}/edges")
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val verts = deg.select(col("src").as("id"))
+      .join(Tables(s, dir, "documents")
+          .select(col("doc_id").as("id"), qScoreE6.as("q_e6")),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("q_e6") >= G3SeedMinE6, lit(1L)).otherwise(lit(0L))
+          .as("is_seed"))
+      .localCheckpoint()
+    var pr = verts.select(col("id"), (col("is_seed") * 1000000L).as("pr"))
+    (1 to PrIters).foreach { _ =>
+      val contrib = sym.join(pr, sym("src") === pr("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      pr = verts
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"is_seed * 150000 + " +
+            s"($PrDampPpm * coalesce(c, 0)) div 1000000").as("pr"))
+    }
+    verts.join(pr, "id")
+      .orderBy(col("pr").desc, col("id"))
+      .select(col("id").as("doc_id"), col("is_seed").cast("int").as("is_seed"),
+        col("pr").as("ppr_ppm"))
+  }
+
+  /** DuckDB replay of [[g3PersonalizedPagerank]]: the m1 pair chain,
+    * the exact quality CTE deciding seeds, and [[PrIters]] unrolled
+    * personalized iterations with the identical integer grid. */
+  private lazy val g3Sql: String = {
+    def iter(t: Int): String =
+      s"""gc$t AS (
+         |  SELECT s.dst AS id, SUM(p.pr // d.deg) AS c
+         |  FROM sym s JOIN gp${t - 1} p ON p.id = s.src
+         |  JOIN deg d ON d.src = s.src
+         |  GROUP BY s.dst),
+         |gp$t AS (
+         |  SELECT sd.id,
+         |    sd.is_seed * 150000 +
+         |      ($PrDampPpm * COALESCE(gc$t.c, 0)) // 1000000 AS pr
+         |  FROM sd LEFT JOIN gc$t ON gc$t.id = sd.id)""".stripMargin
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold)},
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM fpairs
+       |  UNION
+       |  SELECT id_b, id_a FROM fpairs),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+       |$qScoreCteSql,
+       |sd AS (
+       |  SELECT d.src AS id,
+       |    CASE WHEN q.q_e6 >= $G3SeedMinE6 THEN 1 ELSE 0 END AS is_seed
+       |  FROM deg d JOIN sc q ON q.doc_id = d.src),
+       |gp0 AS (SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS pr FROM sd),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT sd.id AS doc_id, CAST(sd.is_seed AS INTEGER) AS is_seed,
+       |  CAST(gp$PrIters.pr AS BIGINT) AS ppr_ppm
+       |FROM sd JOIN gp$PrIters ON gp$PrIters.id = sd.id
+       |ORDER BY ppr_ppm DESC, doc_id""".stripMargin
+  }
+
+  /** g4: WEIGHTED PageRank — mirror-strength centrality: an edge's vote
+    * is proportional to the pair's exact Jaccard instead of the uniform
+    * 1/deg, so a document surrounded by NEAR-IDENTICAL copies outranks
+    * one with the same number of weakly-similar neighbors — the signal
+    * that separates true mirror hubs from loose topical clusters, which
+    * g1's unweighted walk cannot see. Integer grid throughout: weights
+    * are the round-6 Jaccard on the ppm grid (integer-valued by
+    * construction, so the cast is exact in both engines), per-edge
+    * contribution is `(pr · w) div sumw` (floored once; `sumw` the
+    * source's exact out-weight sum), damping floors once per iteration.
+    * Same landed [[g1EdgeRoot]] edge list — one sweep, three ranking
+    * consumers (g1 centrality, g3 quality proximity, g4 strength). */
+  def g4WeightedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val sym = s.read.parquet(s"${g1EdgeRoot(s, dir)}/edges")
+      .localCheckpoint()
+    val sw = sym.groupBy(col("src")).agg(sum(col("w_ppm")).as("sumw"))
+      .localCheckpoint()
+    var pr = sw.select(col("src").as("id"), lit(1000000L).as("pr"))
+    (1 to PrIters).foreach { _ =>
+      val contrib = sym.join(pr, sym("src") === pr("id"))
+        .join(sw, "src")
+        .select(col("dst"), expr("(pr * w_ppm) div sumw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      pr = sw.select(col("src").as("id"))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          expr(s"150000 + ($PrDampPpm * coalesce(c, 0)) div 1000000").as("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("id"))
+      .select(col("id").as("doc_id"), col("pr").as("wpr_ppm"))
+  }
+
+  /** DuckDB replay of [[g4WeightedPagerank]]: the m1 pair chain with
+    * the round-6 Jaccard lifted to ppm weights, [[PrIters]] unrolled
+    * weighted iterations on the identical integer grid. */
+  private lazy val g4Sql: String = {
+    def iter(t: Int): String =
+      s"""wc$t AS (
+         |  SELECT s.dst AS id, SUM((p.pr * s.w) // w2.sumw) AS c
+         |  FROM sym s JOIN wp${t - 1} p ON p.id = s.src
+         |  JOIN sw w2 ON w2.src = s.src
+         |  GROUP BY s.dst),
+         |wp$t AS (
+         |  SELECT sw.src AS id,
+         |    150000 + ($PrDampPpm * COALESCE(wc$t.c, 0)) // 1000000 AS pr
+         |  FROM sw LEFT JOIN wc$t ON wc$t.id = sw.src)""".stripMargin
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold)},
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst,
+       |    CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) AS w FROM fpairs
+       |  UNION
+       |  SELECT id_b, id_a,
+       |    CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) FROM fpairs),
+       |sw AS (SELECT src, SUM(w) AS sumw FROM sym GROUP BY src),
+       |wp0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM sw),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id AS doc_id, CAST(pr AS BIGINT) AS wpr_ppm FROM wp$PrIters
+       |ORDER BY wpr_ppm DESC, doc_id""".stripMargin
   }
 
   /** g2's rolling drive landed AT MOST ONCE per corpus fingerprint (the
@@ -2052,6 +2213,8 @@ object CorpusOps {
     "c1_dedup_clusters" -> (c1DedupClusters _),
     "g1_pagerank_neardup" -> (g1PagerankNeardup _),
     "g2_rolling_pagerank" -> (g2RollingPagerank _),
+    "g3_personalized_pagerank" -> (g3PersonalizedPagerank _),
+    "g4_weighted_pagerank" -> (g4WeightedPagerank _),
     "c2_decontaminate" -> (c2Decontaminate _),
     "c6_split_leakage" -> (c6SplitLeakage _),
     "c7_source_overlap" -> (c7SourceOverlap _),
@@ -2088,6 +2251,8 @@ object CorpusOps {
     "c1_dedup_clusters" -> c1Sql,
     "g1_pagerank_neardup" -> g1Sql,
     "g2_rolling_pagerank" -> g2Sql,
+    "g3_personalized_pagerank" -> g3Sql,
+    "g4_weighted_pagerank" -> g4Sql,
     "c2_decontaminate" -> c2Sql,
     "c6_split_leakage" -> c6Sql,
     "c7_source_overlap" -> c7Sql,

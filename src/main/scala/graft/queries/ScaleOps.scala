@@ -1679,13 +1679,23 @@ object ScaleOps {
     * delete-state-first / overwrite-mode discipline makes that rebuild
     * exactly a first run). The fast path (marker already present) takes
     * no lock: markers are only ever written over COMPLETE state, under
-    * the lock, so their presence needs no further synchronization. */
+    * the lock, so their presence needs no further synchronization.
+    *
+    * `rebuildIf` is the SCHEMA-upgrade hook: fingerprints track DATA
+    * (file listing), not layout, so a marked artifact written by an
+    * older build can lack a column a newer reader needs. When the
+    * marker exists, `rebuildIf()` decides whether to invalidate it
+    * (checked again under the lock — losers of a rebuild race see the
+    * winner's fresh marker and the predicate passing); the builder's
+    * own delete-first discipline then makes the rebuild a first run. */
   private[graft] def buildOnce(family: String, root: java.nio.file.Path,
-      marker: String = "_STATE_OK")(build: => Unit): Unit = {
+      marker: String = "_STATE_OK",
+      rebuildIf: () => Boolean = () => false)(build: => Unit): Unit = {
     val done = root.resolve(marker)
-    if (java.nio.file.Files.exists(done)) return
+    if (java.nio.file.Files.exists(done) && !rebuildIf()) return
     withFamilyLock(family) {
-      if (!java.nio.file.Files.exists(done)) {
+      if (!java.nio.file.Files.exists(done) || rebuildIf()) {
+        java.nio.file.Files.deleteIfExists(done)
         build
         java.nio.file.Files.createDirectories(root)
         java.nio.file.Files.write(done, Array.emptyByteArray)
