@@ -44,27 +44,99 @@ object MmrRerank {
   def diversifiedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, poolSize: Int, k: Int,
                       lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val (pool, sims) = poolAndSims(queries, corpus, idCol, vecCol,
       poolSize, k, lambdaNum, lambdaDen)
-    // one shuffle on q_id gathers a query's relevances (is_sim = false)
-    // and pairwise similarities (is_sim = true) into one group; the
-    // greedy recurrence then runs where the group lives. A group is
-    // pool + pool² integer rows — bounded by construction.
+    selectFrom(pool, sims, k, lambdaNum, lambdaDen)
+  }
+
+  /** MMR over a CALLER-SUPPLIED candidate pool — the serving-stack
+    * composition: an upstream retrieval/fusion stage decides WHAT is
+    * relevant (`relppm` already on an integer grid — hybrid RRF ranks,
+    * a keyword score, anything total-ordered), and this diversifies it.
+    * `pool` carries (q_id, nid, relppm, emb); zero-norm embeddings are
+    * excluded up front (no cosine — the [[poolAndSims]] rule). Pairwise
+    * pool similarity and the greedy recurrence are exactly
+    * [[diversifiedTopK]]'s, so the oracle text is shared too
+    * ([[greedySelSql]]). */
+  def diversifiedFromPool(pool: DataFrame, k: Int,
+                          lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    require(lambdaNum > 0 && lambdaNum <= lambdaDen,
+      s"need 0 < lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
+    val spark = pool.sparkSession
+    graft.functions.DotProduct.register(spark)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct.dotProduct(a, b)
+    val p = pool.select(col("q_id"), col("nid"), col("relppm"), col("emb"))
+      .filter(dot(col("emb"), col("emb")) > 0.0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    val a = p.select(col("q_id"), col("nid").as("id_a"), col("emb").as("ea"))
+    val b = p.select(col("q_id"), col("nid").as("id_b"), col("emb").as("eb"))
+    val sims = a.join(b, Seq("q_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("q_id"), col("id_a"), col("id_b"),
+        round(round(dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
+          * 1e6).cast("long").as("simppm"))
+    selectFrom(p, sims, k, lambdaNum, lambdaDen)
+  }
+
+  /** The selection stage shared by both entry points: one shuffle on
+    * q_id gathers a query's relevances (is_sim = false) and pairwise
+    * similarities (is_sim = true) into one group; the greedy recurrence
+    * then runs where the group lives. A group is pool + pool² integer
+    * rows — bounded by construction. */
+  private def selectFrom(pool: DataFrame, sims: DataFrame, k: Int,
+                         lambdaNum: Int, lambdaDen: Int): DataFrame = {
+    val spark = pool.sparkSession
+    import spark.implicits._
     val tagged = pool
       .select(col("q_id"), col("nid").as("a"), lit(-1L).as("b"),
         col("relppm").as("v"), lit(false).as("is_sim"))
       .unionByName(sims.select(col("q_id"), col("id_a").as("a"),
         col("id_b").as("b"), col("simppm").as("v"), lit(true).as("is_sim")))
       .as[(Long, Long, Long, Long, Boolean)]
-    val out = tagged.groupByKey(_._1).flatMapGroups { (qid, it) =>
+    tagged.groupByKey(_._1).flatMapGroups { (qid, it) =>
       val rows = it.toSeq
       val rels = rows.collect { case (_, a, _, v, false) => a -> v }.toMap
       val simMap = rows.collect { case (_, a, b, v, true) => (a, b) -> v }.toMap
       greedy(qid, rels, simMap, k, lambdaNum, lambdaDen)
     }.toDF("q_id", "rk", "neighbor", "mmr_e7")
-    out
+  }
+
+  /** The greedy selection as SQL CTE text over `pool(q_id, nid,
+    * relppm, …)` and `sims(q_id, id_a, id_b, simppm)` — `sel1..sel<k>`,
+    * each holding that step's pick. Shared by every MMR oracle (v7, h8)
+    * so the recurrence text cannot drift between rows. */
+  private[graft] def greedySelSql(k: Int, lambdaNum: Int,
+                                  lambdaDen: Int): String = {
+    val num = lambdaNum
+    val rest = lambdaDen - lambdaNum
+    val steps = (2 to k).map { i =>
+      s"""prev$i AS (${(1 until i).map(j => s"SELECT q_id, nid FROM sel$j")
+            .mkString(" UNION ALL ")}),
+         |sel$i AS (
+         |  SELECT q_id, nid, CAST($i AS BIGINT) AS rk, score AS mmr_e7 FROM (
+         |    SELECT m.*, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nid) AS rn
+         |    FROM (
+         |      SELECT p.q_id, p.nid,
+         |        $num * p.relppm - $rest * MAX(s.simppm) AS score
+         |      FROM pool p
+         |      JOIN prev$i t ON t.q_id = p.q_id
+         |      JOIN sims s ON s.q_id = p.q_id AND s.id_a = p.nid AND s.id_b = t.nid
+         |      WHERE NOT EXISTS (SELECT 1 FROM prev$i x
+         |                        WHERE x.q_id = p.q_id AND x.nid = p.nid)
+         |      GROUP BY p.q_id, p.nid, p.relppm) m) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""sel1 AS (
+       |  SELECT q_id, nid, CAST(1 AS BIGINT) AS rk,
+       |    $num * relppm AS mmr_e7 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY relppm DESC, nid) AS rn
+       |    FROM pool) z
+       |  WHERE rn = 1),
+       |$steps""".stripMargin
   }
 
   /** Driver-side reference implementation — identical pool, sims, and

@@ -282,10 +282,10 @@ object HybridOps {
 
   private val bmLegSql: String = bmLegSqlOver("text")
 
-  /** The fusion tail shared by every hybrid oracle: full-outer join of
+  /** The fusion CTE shared by every hybrid oracle: full-outer join of
     * `bmr`/`csr`, absent ranks as 0, the RRF sum as two CASE-guarded
     * double divisions on integer-added denominators. */
-  private val fusedTailSql: String =
+  private val fusedCteSql: String =
     s"""fused AS (
        |  SELECT COALESCE(bmr.id, csr.id) AS doc_id,
        |    COALESCE(rb, 0) AS rb, COALESCE(rc, 0) AS rc,
@@ -293,7 +293,13 @@ object HybridOps {
        |          ELSE CAST(1.0 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE) END
        |     + CASE WHEN rc IS NULL THEN CAST(0.0 AS DOUBLE)
        |            ELSE CAST(1.0 AS DOUBLE) / CAST($RrfK + rc AS DOUBLE) END) AS rrf
-       |  FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)
+       |  FROM bmr FULL OUTER JOIN csr ON bmr.id = csr.id)""".stripMargin
+
+  /** [[fusedCteSql]] plus the final top-[[HTopK]] cut — the closing
+    * statement of h1–h4/h6/h7; h8 instead keeps fusing as a CTE and
+    * diversifies the cut. */
+  private val fusedTailSql: String =
+    s"""$fusedCteSql
        |SELECT doc_id, rb, rc, rrf FROM fused
        |ORDER BY rrf DESC, doc_id LIMIT $HTopK""".stripMargin
 
@@ -538,6 +544,77 @@ object HybridOps {
        |ORDER BY rrf DESC, doc_id LIMIT $HTopK""".stripMargin
   }
 
+  /** h8's diversified page size. */
+  private val H8K = 5
+
+  /** h8: DIVERSIFIED hybrid serving — the full modern stack: retrieve
+    * (both legs), fuse (RRF), then DIVERSIFY the page with MMR
+    * ([[graft.operators.MmrRerank]]) so a near-dup-ridden fused top-20
+    * doesn't hand the user 5 copies of one passage. Relevance enters
+    * MMR as the RANK-inverted fused position on the ppm grid
+    * ((HTopK+1−rank)·50000 — ranks are RRF's own exact currency; the
+    * raw RRF double is not integer-liftable), diversity as the round-6
+    * embedding cosine in micro-units, λ = 7/10 rational — v7's
+    * integer-exact greedy recurrence end to end. Zero-norm embeddings
+    * drop from the pool on both sides (no cosine — the v7 rule). The
+    * oracle composes h1's fusion chain under the SHARED greedy CTE
+    * generator ([[graft.operators.MmrRerank.greedySelSql]]), so the
+    * recurrence text cannot drift between the v7 and h8 rows. */
+  def h8DiversifiedHybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = fuseRrf(bm25Leg(s, dir), cosineLeg(s, dir))
+      .withColumn("frank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pool = fused
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(lit(HQueryVec).as("q_id"), col("doc_id").as("nid"),
+        ((lit(HTopK + 1) - col("frank")) * 50000L).cast("long").as("relppm"),
+        col("emb"))
+    graft.operators.MmrRerank.diversifiedFromPool(pool, k = H8K)
+      .select(col("rk"), col("neighbor").as("doc_id"), col("mmr_e7"))
+      .orderBy("rk")
+  }
+
+  /** DuckDB replay of [[h8DiversifiedHybrid]]: h1's legs and fusion as
+    * CTEs, the rank-inverted pool, v7's sims lift, and the shared
+    * greedy selection CTEs. */
+  private val h8Sql: String =
+    s"""WITH $bmLegSql,
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |csl AS (SELECT e.id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM e CROSS JOIN q WHERE e.id <> q.q_id
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |$fusedCteSql,
+       |ftop AS (SELECT doc_id, rrf FROM fused
+       |         ORDER BY rrf DESC, doc_id LIMIT $HTopK),
+       |frk AS (SELECT doc_id,
+       |          ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frank
+       |        FROM ftop),
+       |pool AS (
+       |  SELECT CAST($HQueryVec AS BIGINT) AS q_id, f.doc_id AS nid,
+       |    CAST(($HTopK + 1 - f.frank) * 50000 AS BIGINT) AS relppm, e.emb
+       |  FROM frk f JOIN e ON e.id = f.doc_id
+       |  WHERE list_dot_product(e.emb, e.emb) > 0),
+       |sims AS (
+       |  SELECT a.q_id, a.nid AS id_a, b.nid AS id_b,
+       |    CAST(ROUND(ROUND(list_dot_product(a.emb, b.emb) /
+       |      (sqrt(list_dot_product(a.emb, a.emb)) *
+       |       sqrt(list_dot_product(b.emb, b.emb))), 6) * 1000000.0) AS BIGINT) AS simppm
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.nid <> b.nid),
+       |${graft.operators.MmrRerank.greedySelSql(H8K, 7, 10)}
+       |SELECT rk, nid AS doc_id, CAST(mmr_e7 AS BIGINT) AS mmr_e7
+       |FROM (${(1 to H8K).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+       |ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hybrid_rrf" -> (h1HybridRrf _),
     "h2_rolling_hybrid" -> (h2RollingHybrid _),
@@ -545,7 +622,8 @@ object HybridOps {
     "h4_asof_hybrid" -> (h4AsofHybrid _),
     "h5_tri_rrf" -> (h5TriRrf _),
     "h6_filtered_hybrid" -> (h6FilteredHybrid _),
-    "h7_filtered_ivf_hybrid" -> (h7FilteredIvfHybrid _))
+    "h7_filtered_ivf_hybrid" -> (h7FilteredIvfHybrid _),
+    "h8_diversified_hybrid" -> (h8DiversifiedHybrid _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
@@ -556,5 +634,6 @@ object HybridOps {
     "h4_asof_hybrid" -> h4Sql,
     "h5_tri_rrf" -> h5Sql,
     "h6_filtered_hybrid" -> h6Sql,
-    "h7_filtered_ivf_hybrid" -> h7Sql)
+    "h7_filtered_ivf_hybrid" -> h7Sql,
+    "h8_diversified_hybrid" -> h8Sql)
 }

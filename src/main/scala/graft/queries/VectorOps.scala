@@ -286,26 +286,9 @@ object VectorOps {
   private val v7Sql: String = {
     // integer scoring: λ = 7/10 as a rational, cosines lifted to exact
     // micro-units — `score = 7·relppm − 3·max(simppm)` is pure BIGINT
-    // arithmetic, no FP rounding boundary can diverge between engines
-    val num = MmrLambdaNum
-    val rest = MmrLambdaDen - MmrLambdaNum
-    val steps = (2 to MmrK).map { i =>
-      s"""prev$i AS (${(1 until i).map(j => s"SELECT q_id, nid FROM sel$j")
-            .mkString(" UNION ALL ")}),
-         |sel$i AS (
-         |  SELECT q_id, nid, CAST($i AS BIGINT) AS rk, score AS mmr_e7 FROM (
-         |    SELECT m.*, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nid) AS rn
-         |    FROM (
-         |      SELECT p.q_id, p.nid,
-         |        $num * p.relppm - $rest * MAX(s.simppm) AS score
-         |      FROM pool p
-         |      JOIN prev$i t ON t.q_id = p.q_id
-         |      JOIN sims s ON s.q_id = p.q_id AND s.id_a = p.nid AND s.id_b = t.nid
-         |      WHERE NOT EXISTS (SELECT 1 FROM prev$i x
-         |                        WHERE x.q_id = p.q_id AND x.nid = p.nid)
-         |      GROUP BY p.q_id, p.nid, p.relppm) m) z
-         |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+    // arithmetic, no FP rounding boundary can diverge between engines.
+    // The greedy CTEs come from the shared generator so the recurrence
+    // text cannot drift between the MMR oracles (v7, h8)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
        |sc AS (
@@ -327,14 +310,7 @@ object VectorOps {
        |      (sqrt(list_dot_product(a.emb, a.emb)) *
        |       sqrt(list_dot_product(b.emb, b.emb))), 6) * 1000000.0) AS BIGINT) AS simppm
        |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.nid <> b.nid),
-       |sel1 AS (
-       |  SELECT q_id, nid, CAST(1 AS BIGINT) AS rk,
-       |    $num * relppm AS mmr_e7 FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY relppm DESC, nid) AS rn
-       |    FROM pool) z
-       |  WHERE rn = 1),
-       |$steps
+       |${graft.operators.MmrRerank.greedySelSql(MmrK, MmrLambdaNum, MmrLambdaDen)}
        |SELECT q_id, rk, nid AS neighbor, CAST(mmr_e7 AS BIGINT) AS mmr_e7
        |FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
        |ORDER BY q_id, rk""".stripMargin
