@@ -615,6 +615,70 @@ object HybridOps {
        |FROM (${(1 to H8K).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
        |ORDER BY rk""".stripMargin
 
+  /** h9: FUSION ABLATION — the report every hybrid deployment publishes
+    * before keeping the second leg: for each single-leg top-[[HTopK]]
+    * page (keyword-only, dense-only), how many of its documents survive
+    * into the FUSED page and how many fused picks neither... i.e. the
+    * overlap of h1's fused top-20 with each leg's own top-20, plus the
+    * count of fused docs OUTSIDE that leg's page (the other leg's
+    * contribution). All integer set arithmetic over already-bounded
+    * rank windows — if fusion merely reordered one leg, overlap = 20
+    * and the second leg bought nothing. */
+  def h9FusionAblation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fusedIds = fuseRrf(bm25Leg(s, dir), cosineLeg(s, dir))
+      .select(col("doc_id").as("id"))
+    def legTop(leg: DataFrame, by: Column): DataFrame =
+      leg.withColumn("rk", row_number()
+          .over(Window.orderBy(by.desc, col("id"))))
+        .filter(col("rk") <= HTopK)
+        .select(col("id"))
+    def row(name: String, legPage: DataFrame): DataFrame = {
+      val overlap = legPage.join(fusedIds, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      val outside = fusedIds.join(legPage, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_from_other"))
+      overlap.crossJoin(outside)
+        .select(lit(name).as("leg"), col("n_overlap"), col("n_from_other"),
+          expr(s"(1000000 * n_overlap) div $HTopK").as("kept_ppm"))
+    }
+    row("bm25", legTop(bm25Leg(s, dir), col("score")))
+      .unionByName(row("cosine", legTop(cosineLeg(s, dir), col("cos"))))
+      .orderBy("leg")
+  }
+
+  /** DuckDB replay of [[h9FusionAblation]]: h1's legs and fusion, each
+    * leg's own top-[[HTopK]] window, integer set arithmetic. */
+  private val h9Sql: String =
+    s"""WITH $bmLegSql,
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |csl AS (SELECT e.id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM e CROSS JOIN q WHERE e.id <> q.q_id
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |$fusedCteSql,
+       |ftop AS (SELECT doc_id AS id FROM fused
+       |         ORDER BY rrf DESC, doc_id LIMIT $HTopK),
+       |bp AS (SELECT id FROM bmr WHERE rb <= $HTopK),
+       |cp AS (SELECT id FROM csr WHERE rc <= $HTopK),
+       |rows_ AS (
+       |  SELECT 'bm25' AS leg,
+       |    (SELECT COUNT(*) FROM bp WHERE id IN (SELECT id FROM ftop)) AS n_overlap,
+       |    (SELECT COUNT(*) FROM ftop WHERE id NOT IN (SELECT id FROM bp)) AS n_from_other
+       |  UNION ALL
+       |  SELECT 'cosine',
+       |    (SELECT COUNT(*) FROM cp WHERE id IN (SELECT id FROM ftop)),
+       |    (SELECT COUNT(*) FROM ftop WHERE id NOT IN (SELECT id FROM cp)))
+       |SELECT leg, n_overlap, n_from_other,
+       |  (1000000 * n_overlap) // $HTopK AS kept_ppm
+       |FROM rows_ ORDER BY leg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hybrid_rrf" -> (h1HybridRrf _),
     "h2_rolling_hybrid" -> (h2RollingHybrid _),
@@ -623,7 +687,8 @@ object HybridOps {
     "h5_tri_rrf" -> (h5TriRrf _),
     "h6_filtered_hybrid" -> (h6FilteredHybrid _),
     "h7_filtered_ivf_hybrid" -> (h7FilteredIvfHybrid _),
-    "h8_diversified_hybrid" -> (h8DiversifiedHybrid _))
+    "h8_diversified_hybrid" -> (h8DiversifiedHybrid _),
+    "h9_fusion_ablation" -> (h9FusionAblation _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
@@ -635,5 +700,6 @@ object HybridOps {
     "h5_tri_rrf" -> h5Sql,
     "h6_filtered_hybrid" -> h6Sql,
     "h7_filtered_ivf_hybrid" -> h7Sql,
-    "h8_diversified_hybrid" -> h8Sql)
+    "h8_diversified_hybrid" -> h8Sql,
+    "h9_fusion_ablation" -> h9Sql)
 }

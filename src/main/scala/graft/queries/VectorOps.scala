@@ -316,6 +316,83 @@ object VectorOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // v11 constants shared by the Spark query and its SQL replay
+  private val V11Dims = 16
+  private val V11K = 5
+
+  /** v11: MATRYOSHKA truncation audit — recall@[[V11K]] of cosine
+    * retrieval over the FIRST [[V11Dims]] of 64 dimensions against the
+    * full-dimension ranking (Kusupati et al. 2022: MRL-style prefix
+    * truncation is the production storage/latency lever — 4× fewer
+    * bytes scanned per candidate — and this table is the evidence for
+    * choosing the truncation point, exactly as i6's recall table is
+    * for nprobe). Both rankings are exact brute-force windows with id
+    * tie-breaks; recall is an integer ppm floor — fully deterministic,
+    * so the oracle replays both rankings rather than tolerating
+    * approximation. */
+  def v11MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("temb", slice(col("emb"), 1, V11Dims))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("temb").as("q_temb"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cf",
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) *
+            sqrt(dot(col("emb"), col("emb")))), 6))
+      .withColumn("ct",
+        round(dot(col("q_temb"), col("temb")) /
+          (sqrt(dot(col("q_temb"), col("q_temb"))) *
+            sqrt(dot(col("temb"), col("temb")))), 6))
+    def win(c: String) = Window.partitionBy(col("q_id"))
+      .orderBy(col(c).desc, col("vec_id"))
+    val full = scored.withColumn("rk", row_number().over(win("cf")))
+      .filter(col("rk") <= V11K).select(col("q_id"), col("vec_id"))
+    val trunc = scored.withColumn("rk", row_number().over(win("ct")))
+      .filter(col("rk") <= V11K).select(col("q_id"), col("vec_id"))
+    val overlap = full.join(trunc, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("q_id"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm",
+        expr(s"(1000000 * n_overlap) div $V11K"))
+      .orderBy("q_id")
+  }
+
+  private val v11Sql: String = {
+    def cos(a: String, b: String) =
+      s"ROUND(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |  (embedding::DOUBLE[])[1:$V11Dims] AS temb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, temb AS q_temb
+       |      FROM e WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    ${cos("q_emb", "emb")} AS cf, ${cos("q_temb", "temb")} AS ct
+       |  FROM q CROSS JOIN e WHERE vec_id <> q_id),
+       |fw AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cf DESC, vec_id) AS rk
+       |  FROM scored) z WHERE rk <= $V11K),
+       |tw AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY ct DESC, vec_id) AS rk
+       |  FROM scored) z WHERE rk <= $V11K),
+       |ov AS (SELECT fw.q_id, COUNT(*) AS n_overlap
+       |       FROM fw JOIN tw ON tw.q_id = fw.q_id AND tw.vec_id = fw.vec_id
+       |       GROUP BY fw.q_id)
+       |SELECT q.q_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  (1000000 * COALESCE(ov.n_overlap, 0)) // $V11K AS recall_ppm
+       |FROM q LEFT JOIN ov ON ov.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin
+  }
+
   // v8 constants shared by the Spark query and its SQL replay
   private val Sq8Pool = 20
   private val Sq8K = 5
@@ -651,6 +728,7 @@ object VectorOps {
     "v12_hard_negatives" -> (v12HardNegatives _),
     "v8_sq8_rerank" -> (v8Sq8Rerank _),
     "v9_top_eigen" -> (v9TopEigen _),
+    "v11_matryoshka_recall" -> (v11MatryoshkaRecall _),
     "v10_norm_audit" -> (v10NormAudit _),
     "a3_quality_typicality_corr" -> (a3QualityTypicalityCorr _),
     "v7_mmr_rerank" -> (v7MmrRerank _),
@@ -665,6 +743,7 @@ object VectorOps {
     "v12_hard_negatives" -> v12Sql,
     "v8_sq8_rerank" -> v8Sql,
     "v9_top_eigen" -> v9Sql,
+    "v11_matryoshka_recall" -> v11Sql,
     "v10_norm_audit" -> v10Sql,
     "a3_quality_typicality_corr" -> a3Sql,
     "v7_mmr_rerank" -> v7Sql,
