@@ -433,12 +433,15 @@ object SearchOps {
     * scoring expression tree k1 uses, so the two paths are bit-equal by
     * construction. At 100 TB the difference is a full-corpus scan per
     * query vs reading 3 shard directories of a write-once index. */
-  def k6SearchAtRest(s: SparkSession, dir: String): DataFrame = {
+  /** The k6 at-rest inverted index, built AT MOST ONCE per corpus
+    * fingerprint and shared by every at-rest query shape over it (k6's
+    * ranked BM25 search, k17's boolean retrieval) — one write-once
+    * index, many readers. Marker LAST via buildOnce, under the family
+    * lock: a crash mid-write leaves no marker and the next call
+    * rebuilds (overwrite mode cleans partial output). */
+  private def k6PostingsRoot(s: SparkSession, dir: String): java.nio.file.Path = {
     val root = ScaleOps.artifactRoot("k6",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
-    // marker LAST (via buildOnce, under the family lock): a crash
-    // mid-write leaves no marker and the next call rebuilds (overwrite
-    // mode cleans partial output)
     ScaleOps.buildOnce("k6", root, "_INDEX_OK") {
       val t = s.newSession()
       val docs = Tables(t, dir, "documents")
@@ -456,6 +459,11 @@ object SearchOps {
           sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
         .write.mode("overwrite").parquet(root.resolve("stats").toString)
     }
+    root
+  }
+
+  def k6SearchAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = k6PostingsRoot(s, dir)
     val shards = QueryTerms
       .map(t => (graft.operators.PortableHash.hex60(t) % K6Shards).toInt).distinct
     val post = s.read.parquet(root.resolve("postings").toString)
@@ -474,6 +482,58 @@ object SearchOps {
       .orderBy(col("score").desc, col("id"))
       .limit(TopK)
       .select(col("id").as("doc_id"), col("score"))
+  }
+
+  /** k17's boolean query, fixed on both sides:
+    * ((dup AND spark) OR vector) AND NOT stream — a conjunction, a
+    * disjunction, and a negation in one expression, every connective
+    * exercised. */
+  private val BoolTerms = Seq("dup", "spark", "vector", "stream")
+
+  /** k17: BOOLEAN retrieval over the k6 at-rest inverted index — the
+    * search-engine primitive BM25 ranking sits on top of: per-term doc
+    * presence comes from the PROBED postings (|query terms| shard
+    * directories listed, never a corpus scan), the connectives evaluate
+    * as integer indicator arithmetic, and NOT is an indicator over the
+    * probed set — never an anti-join against the corpus (a doc with
+    * NONE of the query's terms can't satisfy the positive clause, so
+    * the probe universe is complete by construction). At 100 TB the
+    * query touches 4 shard directories of a write-once index. */
+  def k17BooleanRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val root = k6PostingsRoot(s, dir)
+    val shards = BoolTerms
+      .map(t => (graft.operators.PortableHash.hex60(t) % K6Shards).toInt).distinct
+    val post = s.read.parquet(root.resolve("postings").toString)
+      .filter(col("shard").isin(shards: _*) && col("term").isin(BoolTerms: _*))
+    val flagAggs = BoolTerms.map(t =>
+      max(when(col("term") === t, 1).otherwise(0)).as(s"has_$t"))
+    post.groupBy(col("id"))
+      .agg(flagAggs.head, flagAggs.tail: _*)
+      .filter(((col("has_dup") === 1 && col("has_spark") === 1) ||
+          col("has_vector") === 1) && col("has_stream") === 0)
+      .select(col("id").as("doc_id"),
+        col("has_dup"), col("has_spark"), col("has_vector"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[k17BooleanRetrieval]]: per-doc term indicators
+    * from the token explode, the same connective arithmetic. */
+  private val k17Sql: String = {
+    val flags = BoolTerms.map(t =>
+      s"MAX(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS has_$t").mkString(",\n    ")
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |flags AS (
+       |  SELECT doc_id,
+       |    $flags
+       |  FROM tok
+       |  WHERE term IN (${BoolTerms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id)
+       |SELECT doc_id, has_dup, has_spark, has_vector FROM flags
+       |WHERE ((has_dup = 1 AND has_spark = 1) OR has_vector = 1)
+       |  AND has_stream = 0
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** k11: k1/k6's BM25 maintained ROLLING — the inverted index grown
@@ -662,6 +722,7 @@ object SearchOps {
     "k15_asof_bm25" -> (k15AsofBm25 _),
     "k16_asof_phrase" -> (k16AsofPhrase _),
     "k6_search_at_rest" -> (k6SearchAtRest _),
+    "k17_boolean_retrieval" -> (k17BooleanRetrieval _),
     "k4_phrase_search" -> (k4PhraseSearch _),
     "k5_proximity_search" -> (k5ProximitySearch _),
     "k2_tfidf_term" -> (k2TfidfTerm _),
@@ -676,6 +737,7 @@ object SearchOps {
     // same answer, served from the rolling segment index
     "k11_rolling_bm25" -> k1Sql,
     "k6_search_at_rest" -> k1Sql, // same answer, served from the index
+    "k17_boolean_retrieval" -> k17Sql,
     "k4_phrase_search" -> k4Sql,
     "k5_proximity_search" -> k5Sql,
     "k2_tfidf_term" -> k2Sql,

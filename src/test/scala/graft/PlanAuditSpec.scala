@@ -444,6 +444,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "CartesianProduct") == 0)
   }
 
+  test("k17 boolean retrieval: probe partition-prunes to the query terms' shards") {
+    val s = formatted(SparkEntry.queries("k17_boolean_retrieval")(spark, sfDir))
+    // boolean connectives must evaluate over the PROBED postings only:
+    // shard partition pruning + pushed term filter, and NOT must be an
+    // indicator (no anti-join against a corpus scan)
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(term, ["),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(nodeCount(s, "Scan parquet") == 1,
+      "boolean retrieval must read ONLY the probed postings")
+    assert(!s.contains("Join"), "NOT must be an indicator, not an anti-join")
+  }
+
   test("k8 at-rest fuzzy search: probe partition-prunes to the query variants' shards") {
     val s = formatted(SparkEntry.queries("k8_fuzzy_at_rest")(spark, sfDir))
     // the shard filter must land as PARTITION pruning on the variant-
