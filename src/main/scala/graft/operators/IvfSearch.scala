@@ -187,6 +187,21 @@ object IvfSearch {
     * filter columns INTO the inverted file at build time (the k6
     * postings pattern) and the join disappears; keeping `meta` separate
     * here means one index serves any metadata without rebuild. */
+  /** The exact-cosine scoring and per-query ranking tail every probe
+    * variant shares (candidates carry q_id, q_emb, id, emb): round-6
+    * cosine, (cos desc, id) window, rk <= k. ONE copy so the three
+    * entry points cannot drift in rounding or tie semantics. */
+  private def scoreAndRank(cands: DataFrame, k: Int): DataFrame = {
+    val scored = cands.withColumn("cos",
+      round(dot(col("q_emb"), col("emb")) /
+        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("id").as("neighbor"), col("cos"),
+        col("rk").cast("long").as("rk"))
+  }
+
   def approxTopKFiltered(queries: DataFrame, index: Index, idCol: String,
                          embCol: String, k: Int, nprobe: Int,
                          meta: DataFrame, matchCol: String): DataFrame = {
@@ -203,14 +218,7 @@ object IvfSearch {
       .join(index.assignments, Seq("centroid_id"))
       .join(m, Seq("id"))
       .filter(col("id") =!= col("q_id") && col("m_match") === col("q_match"))
-    val scored = cands.withColumn("cos",
-      round(dot(col("q_emb"), col("emb")) /
-        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("id").as("neighbor"), col("cos"),
-        col("rk").cast("long").as("rk"))
+    scoreAndRank(cands, k)
   }
 
   /** Approximate cosine top-k WITHIN an allowed id set ("metadata-
@@ -238,14 +246,7 @@ object IvfSearch {
       .join(index.assignments, Seq("centroid_id"))
       .join(allowed.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .filter(col("id") =!= col("q_id"))
-    val scored = cands.withColumn("cos",
-      round(dot(col("q_emb"), col("emb")) /
-        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("id").as("neighbor"), col("cos"),
-        col("rk").cast("long").as("rk"))
+    scoreAndRank(cands, k)
   }
 
   /** Approximate cosine top-k: probe the `nprobe` nearest inverted lists
@@ -257,13 +258,6 @@ object IvfSearch {
     val cands = broadcast(probed)
       .join(index.assignments, Seq("centroid_id"))
       .filter(col("id") =!= col("q_id"))
-    val scored = cands.withColumn("cos",
-      round(dot(col("q_emb"), col("emb")) /
-        (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("emb"), col("emb")))), 6))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("id").as("neighbor"), col("cos"),
-        col("rk").cast("long").as("rk"))
+    scoreAndRank(cands, k)
   }
 }

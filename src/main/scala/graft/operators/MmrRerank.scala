@@ -70,15 +70,32 @@ object MmrRerank {
       .filter(dot(col("emb"), col("emb")) > 0.0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     p.count()
-    val a = p.select(col("q_id"), col("nid").as("id_a"), col("emb").as("ea"))
-    val b = p.select(col("q_id"), col("nid").as("id_b"), col("emb").as("eb"))
-    val sims = a.join(b, Seq("q_id"))
+    // eager pin of the (<= |q|·k row) result, then release the pool —
+    // a long-lived serving session calling this per request must not
+    // accumulate cache entries (diversifiedTopK's pool release is the
+    // caller's clearCache by documented contract; this entry point owns
+    // its own pool, so it cleans up itself)
+    val out = selectFrom(p, pairwiseSims(p), k, lambdaNum, lambdaDen)
+      .localCheckpoint()
+    p.unpersist()
+    out
+  }
+
+  /** The pairwise pool-similarity lift both entry points share: the
+    * round-6 cosine of every same-query candidate pair in exact
+    * micro-units — the integer-exactness contract every MMR oracle
+    * replays, kept in ONE place so the two paths cannot drift. */
+  private def pairwiseSims(pool: DataFrame): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct.dotProduct(a, b)
+    val a = pool.select(col("q_id"), col("nid").as("id_a"), col("emb").as("ea"))
+    val b = pool.select(col("q_id"), col("nid").as("id_b"), col("emb").as("eb"))
+    a.join(b, Seq("q_id"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("q_id"), col("id_a"), col("id_b"),
         round(round(dot(col("ea"), col("eb")) /
           (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
           * 1e6).cast("long").as("simppm"))
-    selectFrom(p, sims, k, lambdaNum, lambdaDen)
   }
 
   /** The selection stage shared by both entry points: one shuffle on
@@ -110,6 +127,7 @@ object MmrRerank {
     * so the recurrence text cannot drift between rows. */
   private[graft] def greedySelSql(k: Int, lambdaNum: Int,
                                   lambdaDen: Int): String = {
+    require(k >= 1, s"greedy selection needs k >= 1, got $k")
     val num = lambdaNum
     val rest = lambdaDen - lambdaNum
     val steps = (2 to k).map { i =>
@@ -128,15 +146,17 @@ object MmrRerank {
          |                        WHERE x.q_id = p.q_id AND x.nid = p.nid)
          |      GROUP BY p.q_id, p.nid, p.relppm) m) z
          |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    s"""sel1 AS (
-       |  SELECT q_id, nid, CAST(1 AS BIGINT) AS rk,
-       |    $num * relppm AS mmr_e7 FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY relppm DESC, nid) AS rn
-       |    FROM pool) z
-       |  WHERE rn = 1),
-       |$steps""".stripMargin
+    }
+    // mkString over sel1 ∪ steps: k = 1 emits sel1 alone with no
+    // dangling comma (steps is empty there)
+    (Seq(
+      s"""sel1 AS (
+         |  SELECT q_id, nid, CAST(1 AS BIGINT) AS rk,
+         |    $num * relppm AS mmr_e7 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY relppm DESC, nid) AS rn
+         |    FROM pool) z
+         |  WHERE rn = 1)""".stripMargin) ++ steps).mkString(",\n")
   }
 
   /** Driver-side reference implementation — identical pool, sims, and
@@ -205,15 +225,7 @@ object MmrRerank {
         round(col("rel") * 1e6).cast("long").as("relppm"), col("emb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     pool.count()
-    val a = pool.select(col("q_id"), col("nid").as("id_a"), col("emb").as("ea"))
-    val b = pool.select(col("q_id"), col("nid").as("id_b"), col("emb").as("eb"))
-    val sims = a.join(b, Seq("q_id"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("q_id"), col("id_a"), col("id_b"),
-        round(round(dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))), 6)
-          * 1e6).cast("long").as("simppm"))
-    (pool, sims)
+    (pool, pairwiseSims(pool))
   }
 
   /** The integer greedy recurrence, shared verbatim by the executor and

@@ -40,6 +40,11 @@ object CorpusOps {
   private val PrDampPpm = 850000L
   private val PrIters = 3
 
+  /** g1s roots whose edge schema has been verified current — see
+    * `missingWeights` in [[g1EdgeRoot]]. */
+  private val g1sVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** g1: PAGERANK over the near-dup graph — the iterative graph-RANKING
     * family one step past [[ConnectedComponents]]' connectivity: inside
     * a mirroring/syndication web, which documents sit at the CENTER
@@ -73,9 +78,21 @@ object CorpusOps {
     val edges = root.resolve("edges").toString
     // schema-upgrade guard: fingerprints track DATA, not layout — a
     // marked artifact written before the weight column (g4) must
-    // rebuild (checked under the family lock via buildOnce)
+    // rebuild (checked under the family lock via buildOnce). An
+    // UNREADABLE marked root (edges dir missing after a crash between
+    // the marker delete and the rebuild) also rebuilds — the guard must
+    // self-heal, never wedge every later call on an AnalysisException.
+    // The verified set memoizes per root so the steady-state fast path
+    // stays a pure Files.exists check, not a per-call footer read.
     def missingWeights(): Boolean =
-      !s.read.parquet(edges).columns.contains("w_ppm")
+      if (g1sVerified.contains(root.toString)) false
+      else {
+        val missing =
+          try !s.read.parquet(edges).columns.contains("w_ppm")
+          catch { case scala.util.control.NonFatal(_) => true }
+        if (!missing) g1sVerified.add(root.toString)
+        missing
+      }
     ScaleOps.buildOnce("g1s", root, rebuildIf = () => missingWeights()) {
       graft.sources.Sources.deleteRecursively(root.toFile)
       val t = s.newSession()

@@ -625,15 +625,17 @@ object HybridOps {
     * rank windows — if fusion merely reordered one leg, overlap = 20
     * and the second leg bought nothing. */
   def h9FusionAblation(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fusedIds = fuseRrf(bm25Leg(s, dir), cosineLeg(s, dir))
+    // rank each leg ONCE (eagerly pinned — <= LegN rows) and derive
+    // BOTH the fusion input and the leg's own page from the same
+    // materialized frame: Spark does not dedupe duplicate scan
+    // subtrees, so building the legs twice would run the BM25 corpus
+    // scan and the brute cosine cross-join twice per call
+    val bmr = rankLeg(bm25Leg(s, dir), col("score"), "rb").localCheckpoint()
+    val csr = rankLeg(cosineLeg(s, dir), col("cos"), "rc").localCheckpoint()
+    val fusedIds = fuseRrfN(Seq("rb" -> bmr, "rc" -> csr))
       .select(col("doc_id").as("id"))
-    def legTop(leg: DataFrame, by: Column): DataFrame =
-      leg.withColumn("rk", row_number()
-          .over(Window.orderBy(by.desc, col("id"))))
-        .filter(col("rk") <= HTopK)
-        .select(col("id"))
-    def row(name: String, legPage: DataFrame): DataFrame = {
+    def row(name: String, ranked: DataFrame, rankCol: String): DataFrame = {
+      val legPage = ranked.filter(col(rankCol) <= HTopK).select(col("id"))
       val overlap = legPage.join(fusedIds, Seq("id"), "left_semi")
         .agg(count(lit(1)).as("n_overlap"))
       val outside = fusedIds.join(legPage, Seq("id"), "left_anti")
@@ -642,8 +644,8 @@ object HybridOps {
         .select(lit(name).as("leg"), col("n_overlap"), col("n_from_other"),
           expr(s"(1000000 * n_overlap) div $HTopK").as("kept_ppm"))
     }
-    row("bm25", legTop(bm25Leg(s, dir), col("score")))
-      .unionByName(row("cosine", legTop(cosineLeg(s, dir), col("cos"))))
+    row("bm25", bmr, "rb")
+      .unionByName(row("cosine", csr, "rc"))
       .orderBy("leg")
   }
 

@@ -1977,7 +1977,11 @@ object ScaleOps {
     }
     if (!s.catalog.tableExists(name)) {
       val cols = bucketCols.mkString(", ")
-      s.sql(s"CREATE TABLE $name (${s.read.parquet(path.toString).schema.toDDL}) " +
+      // IF NOT EXISTS: two threads can both pass the unlocked
+      // tableExists check above (buildOnce's fast path takes no lock)
+      // — the loser must be a no-op, not a TableAlreadyExistsException
+      s.sql(s"CREATE TABLE IF NOT EXISTS $name " +
+        s"(${s.read.parquet(path.toString).schema.toDDL}) " +
         s"USING PARQUET CLUSTERED BY ($cols) SORTED BY ($cols) " +
         s"INTO $n BUCKETS LOCATION '$path'")
     }

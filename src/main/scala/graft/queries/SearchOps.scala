@@ -438,7 +438,17 @@ object SearchOps {
     * ranked BM25 search, k17's boolean retrieval) — one write-once
     * index, many readers. Marker LAST via buildOnce, under the family
     * lock: a crash mid-write leaves no marker and the next call
-    * rebuilds (overwrite mode cleans partial output). */
+    * rebuilds (overwrite mode cleans partial output).
+    *
+    * Caller contract for frames served from this root (k6, k17): they
+    * are LAZY over the artifact files and must be consumed before the
+    * corpus fingerprint can change — a fingerprint change (testdata
+    * regeneration) prunes this root, and a frame held across it fails
+    * with FileNotFoundException rather than a staleness error. (The
+    * query entry points are collected immediately by the driver
+    * contract; the c20-style eager materialization is reserved for
+    * frames over artifacts ANOTHER family member can rebuild
+    * mid-session.) */
   private def k6PostingsRoot(s: SparkSession, dir: String): java.nio.file.Path = {
     val root = ScaleOps.artifactRoot("k6",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
