@@ -85,7 +85,15 @@ object CorpusOps {
     // The verified set memoizes per root so the steady-state fast path
     // stays a pure Files.exists check, not a per-call footer read.
     def missingWeights(): Boolean =
-      if (g1sVerified.contains(root.toString)) false
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(edges))) {
+        // edges dir lost AFTER an earlier verification (manual cache
+        // cleanup, partial eviction): drop the memo so the guard keeps
+        // self-healing for the JVM's whole life, not just until the
+        // first success — the existence probe is the same cost class
+        // as the marker check, so the fast path stays cheap
+        g1sVerified.remove(root.toString)
+        true
+      } else if (g1sVerified.contains(root.toString)) false
       else {
         val missing =
           try !s.read.parquet(edges).columns.contains("w_ppm")
@@ -117,20 +125,17 @@ object CorpusOps {
     // could invalidate) and the per-iteration plans stay flat
     val sym = s.read.parquet(s"${g1EdgeRoot(s, dir)}/edges")
       .localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    var pr = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
-    (1 to PrIters).foreach { _ =>
-      val contrib = sym.join(pr, sym("src") === pr("id"))
-        .join(deg, "src")
-        .select(col("dst"), expr("pr div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      pr = deg.select(col("src").as("id"))
-        .join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"),
-          expr(s"150000 + ($PrDampPpm * coalesce(c, 0)) div 1000000").as("pr"))
-    }
-    pr.orderBy(col("pr").desc, col("id"))
+    // the SHARED iteration ([[graft.streaming.StreamOps.pagerankAdvance]],
+    // g2's advance): an empty previous-score frame makes every vertex
+    // enter at the uniform 1M ppm init — exactly the from-scratch run,
+    // and ONE copy of the exactness-critical integer-grid recurrence
+    val emptyPr = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("pr", org.apache.spark.sql.types.LongType))
+    graft.streaming.StreamOps.pagerankAdvance(emptyPr, sym, PrIters, PrDampPpm)
+      .orderBy(col("pr").desc, col("id"))
       .select(col("id").as("doc_id"), col("pr").as("pr_ppm"))
   }
 

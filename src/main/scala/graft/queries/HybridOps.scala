@@ -632,8 +632,11 @@ object HybridOps {
     // scan and the brute cosine cross-join twice per call
     val bmr = rankLeg(bm25Leg(s, dir), col("score"), "rb").localCheckpoint()
     val csr = rankLeg(cosineLeg(s, dir), col("cos"), "rc").localCheckpoint()
+    // pinned too (<= HTopK rows): four aggregate jobs consume it, and
+    // an unpinned frame would re-run the fusion join in each
     val fusedIds = fuseRrfN(Seq("rb" -> bmr, "rc" -> csr))
       .select(col("doc_id").as("id"))
+      .localCheckpoint()
     def row(name: String, ranked: DataFrame, rankCol: String): DataFrame = {
       val legPage = ranked.filter(col(rankCol) <= HTopK).select(col("id"))
       val overlap = legPage.join(fusedIds, Seq("id"), "left_semi")

@@ -1764,9 +1764,13 @@ object StreamOps {
       iters: Int, dampPpm: Long, statePath: String,
       batchId: Long): DataFrame = {
     val spark = symDelta.sparkSession
-    withBatchShuffleWidth(spark, symDelta.count(), statePath) {
-      val idType = symDelta.schema("src").dataType
-      landDelta(symDelta, s"$statePath/pr_edges", batchId)
+    // eager checkpoint: the caller's delta derivation (a union+distinct
+    // shuffle in pagerankBatch) runs ONCE — the width gate's count and
+    // landDelta's write both read the materialized rows
+    val delta = symDelta.localCheckpoint()
+    withBatchShuffleWidth(spark, delta.count(), statePath) {
+      val idType = delta.schema("src").dataType
+      landDelta(delta, s"$statePath/pr_edges", batchId)
       val edgeSchema = new org.apache.spark.sql.types.StructType()
         .add("src", idType).add("dst", idType)
       // the frontier's full edge list: <= batchId so a checkpoint replay

@@ -408,6 +408,10 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(builds.get() == 1, s"${builds.get()} builds ran — the race fired")
     assert(java.nio.file.Files.exists(root.resolve("_STATE_OK")))
     graft.sources.Sources.deleteRecursively(root.toFile)
+    // the per-run-unique family would otherwise leak one lock file into
+    // the user-global artifact cache per test execution, forever
+    java.nio.file.Files.deleteIfExists(
+      ScaleOps.artifactBase.resolve(s".lock_$fam"))
   }
 
   test("family lock: a concurrent stale-fingerprint prune blocks until an in-flight build lands") {
@@ -444,6 +448,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(rootA),
       "stale fingerprint must be pruned once the build released the lock")
     graft.sources.Sources.deleteRecursively(rootB.toFile)
+    java.nio.file.Files.deleteIfExists(
+      ScaleOps.artifactBase.resolve(s".lock_$fam"))
   }
 
   test("v9 top eigen: PSD spectrum, unit-ish eigenvector, deterministic reruns") {
