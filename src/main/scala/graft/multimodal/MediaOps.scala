@@ -1652,6 +1652,291 @@ object MediaOps {
        |WHERE b.rk = 1
        |ORDER BY b.doc_id, b.pair_no, b.blk_y, b.blk_x""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm10/mm11: perceptual near-duplicate detection over the MEDIA columns —
+  // the dedup tier (MinHash/SimHash/semantic) crossing into image and audio.
+  // Both rows share one discipline: a 64-bit perceptual fingerprint computed
+  // from REAL decoded container bytes, exact all-pairs-at-Hamming≤4 via the
+  // SimHash pigeonhole banding (never all-pairs), and a DuckDB oracle that
+  // replays the fingerprint from text bytes with integer arithmetic.
+
+  /** Bands per fingerprint; Hamming ≤ NumBands−1 keeps exact recall. */
+  private val MmNdBands = 5
+  private val MmNdMaxHamming = MmNdBands - 1
+
+  /** 64 fingerprint bits → [[MmNdBands]] disjoint band values, INTERLEAVED
+    * (band t = bits with j % 5 == t, LSB = smallest j). Interleaving, not
+    * contiguous 13-bit slices, because the fingerprint's tail bits cover
+    * the synthesis' padded region: short docs pin those bits to 0, and a
+    * contiguous last band then degenerates into one giant join bucket
+    * (measured: a 1382-doc bucket → ~950k candidate pairs at sf0.1, vs a
+    * 15-doc max bucket interleaved). Pigeonhole recall is unaffected — any
+    * 5 DISJOINT bit classes guarantee a clean band at Hamming ≤ 4. */
+  private[graft] def ndBands(bits: Array[Int]): Array[Long] = {
+    val out = new Array[Long](MmNdBands)
+    var j = 0
+    while (j < 64) {
+      out(j % MmNdBands) |= bits(j).toLong << (j / MmNdBands)
+      j += 1
+    }
+    out
+  }
+
+  /** The banded pair join mm10 and mm11 share: input is one row per doc
+    * with the five band values (b0..b4); output is every pair (doc_a <
+    * doc_b) within Hamming ≤ [[MmNdMaxHamming]], found by equi-joining on
+    * (band index, band value) — a pair within that radius differs in fewer
+    * bits than there are bands, so at least one band matches exactly
+    * (recall 1.0, [[graft.operators.SimHash]]'s argument). Scale shape:
+    * the banded table is 5× the (tiny) fingerprint table, the join
+    * shuffles on (t, bv) band buckets, and the Hamming filter runs only
+    * inside buckets — the corpus is never self-joined. */
+  private def ndPairs(hashes: DataFrame): DataFrame = {
+    // persist before self-joining: both sides would otherwise recompute
+    // the full decode+fingerprint chain. Read lazily by the returned plan;
+    // loop callers clearCache between runs (Bench/Verify do).
+    val banded = hashes.select(
+        (col("doc_id") +: (0 until MmNdBands).map(t => col(s"b$t"))) :+
+          explode(array((0 until MmNdBands).map(t =>
+            struct(lit(t).as("t"), col(s"b$t").as("bv"))): _*)).as("band"): _*)
+      .select((col("doc_id") +: (0 until MmNdBands).map(t => col(s"b$t"))) :+
+          col("band.t").as("t") :+ col("band.bv").as("bv"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hamming = (0 until MmNdBands).map(t =>
+      bit_count(col(s"a.b$t").bitwiseXOR(col(s"b.b$t")))).reduce(_ + _)
+    // a pair can agree on several bands → distinct AFTER scoring (hamming
+    // is a pure function of the pair, so dedup order is immaterial)
+    banded.as("a").join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= MmNdMaxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // mm10 geometry: 8 rows × 9 columns of B-pixel cells, B = ceil(len/72) —
+  // the image WIDTH scales with the text so content always fills the frame
+  // (a fixed canvas leaves short docs mostly padding, which collapses
+  // unrelated fingerprints together). Pixels PAST the text pad with 32
+  // (space) instead of wrapping (mm2's `i % len`): wrapping re-phases every
+  // byte after the first wrap when two near-identical docs differ in
+  // length, destroying exactly the pairs a perceptual hash exists to find —
+  // padding keeps edits LOCAL in the bit pattern.
+  private val Mm10Rows = 8
+  private val Mm10Cols = 9
+  private val Mm10Cells = Mm10Rows * Mm10Cols
+  private val Mm10Pad = 32
+
+  /** mm10: PERCEPTUAL-HASH IMAGE NEAR-DUP — dedup crossing into the image
+    * column. Each document renders as a real 9B×8 gray raster (B =
+    * ⌈len/72⌉), round-trips through the REAL PNG codec
+    * ([[ImageCodec.encodePng]]/[[ImageCodec.decode]] — lossless, so the
+    * decoded pixels are bit-exact), is box-reduced to a 9×8 luma grid
+    * (cell = ⌊Σ B horizontal px / B⌋ — the classic dHash downsample in
+    * exact integer form), and fingerprinted with 64 dHash bits (bit = 1
+    * iff the right cell outshines the left, 8 comparisons × 8 rows). Near
+    * duplicates are all pairs within Hamming ≤ 4, found EXACTLY by the
+    * banded join ([[ndPairs]]) — never an all-pairs scan. The oracle
+    * replays pixels, cells, bits, bands, and the band join from text bytes
+    * with integer arithmetic; one bit of drift in the PNG writer, the IDAT
+    * inflate, `getRGB`, or the cell floor moves a band value and goes red. */
+  def mm10ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val hashes = docs.mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val bytes = asciiBytes(docId, text)
+        val b = (bytes.length + Mm10Cells - 1) / Mm10Cells
+        val w = Mm10Cols * b
+        val img = new java.awt.image.BufferedImage(w, Mm10Rows,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < w * Mm10Rows) {
+          val v = if (i < bytes.length) bytes(i) & 0xff else Mm10Pad
+          img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val back = ImageCodec.decode(ImageCodec.encodePng(img)).getOrElse(
+          sys.error(s"mm10: PNG round-trip failed for doc $docId"))
+        // 9×8 luma grid from the DECODED pixels: floor-mean of B-px runs
+        val cells = Array.ofDim[Long](Mm10Rows, Mm10Cols)
+        var y = 0
+        while (y < Mm10Rows) {
+          var c = 0
+          while (c < Mm10Cols) {
+            var sum = 0L
+            var dx = 0
+            while (dx < b) {
+              sum += back.getRGB(c * b + dx, y) & 0xff
+              dx += 1
+            }
+            cells(y)(c) = sum / b
+            c += 1
+          }
+          y += 1
+        }
+        val bits = new Array[Int](64)
+        y = 0
+        while (y < Mm10Rows) {
+          var c = 0
+          while (c < Mm10Cols - 1) {
+            bits(y * (Mm10Cols - 1) + c) =
+              if (cells(y)(c + 1) > cells(y)(c)) 1 else 0
+            c += 1
+          }
+          y += 1
+        }
+        val bd = ndBands(bits)
+        (docId, bd(0), bd(1), bd(2), bd(3), bd(4))
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3", "b4")
+    ndPairs(hashes)
+  }
+
+  /** The band-assembly + banded-join SQL tail mm10 and mm11 share: takes a
+    * `bits` CTE of (doc_id, j ∈ [0,64), bit ∈ {0,1}) and emits the final
+    * near-dup pair rows. Bit → band arithmetic mirrors [[ndBands]]
+    * (t = j % 5, position = j / 5); hamming is summed per-band popcounts
+    * (never materializing the full 64-bit value, whose sign bit would
+    * overflow a BIGINT power-of-two sum). */
+  private def ndSqlTail: String =
+    s"""bands AS (
+       |  SELECT doc_id, CAST(j % $MmNdBands AS INTEGER) AS t,
+       |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(j // $MmNdBands AS INTEGER)))
+       |      AS BIGINT) AS bv
+       |  FROM bits GROUP BY doc_id, t),
+       |hv AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN t=0 THEN bv END) AS b0,
+       |    MAX(CASE WHEN t=1 THEN bv END) AS b1,
+       |    MAX(CASE WHEN t=2 THEN bv END) AS b2,
+       |    MAX(CASE WHEN t=3 THEN bv END) AS b3,
+       |    MAX(CASE WHEN t=4 THEN bv END) AS b4
+       |  FROM bands GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.t = b.t AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |     + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+       |     + bit_count(xor(x.b4, y.b4)) AS INTEGER) AS hamming
+       |FROM cand c JOIN hv x ON x.doc_id = c.doc_a
+       |  JOIN hv y ON y.doc_id = c.doc_b
+       |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+       |    + bit_count(xor(x.b4, y.b4)) <= $MmNdMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private lazy val mm10Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |    (length(text) + ${Mm10Cells - 1}) // $Mm10Cells AS bb
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, len, bb, text,
+       |    unnest(generate_series(0, $Mm10Cells * bb - 1)) AS i
+       |  FROM d),
+       |cell AS (
+       |  SELECT doc_id, bb,
+       |    (i // ($Mm10Cols * bb)) * $Mm10Cols + (i % ($Mm10Cols * bb)) // bb AS k,
+       |    SUM(CASE WHEN i < len
+       |        THEN ord(substr(text, CAST(i AS INTEGER) + 1, 1))
+       |        ELSE $Mm10Pad END) AS s
+       |  FROM px GROUP BY doc_id, bb, k),
+       |cv AS (SELECT doc_id, k, s // bb AS v FROM cell),
+       |bits AS (
+       |  SELECT c1.doc_id,
+       |    CAST((c1.k // $Mm10Cols) * ${Mm10Cols - 1} + (c1.k % $Mm10Cols)
+       |      AS INTEGER) AS j,
+       |    CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
+       |  FROM cv c1 JOIN cv c2 ON c2.doc_id = c1.doc_id AND c2.k = c1.k + 1
+       |  WHERE c1.k % $Mm10Cols < ${Mm10Cols - 1}),
+       |$ndSqlTail""".stripMargin
+
+  // mm11 geometry: 65 frames of B = ceil(len/65) samples (64 adjacent-
+  // frame comparisons); samples past the text pad with SILENCE (0) —
+  // same pad-not-wrap rationale as mm10.
+  private val Mm11Frames = 65
+
+  /** mm11: AUDIO-FINGERPRINT NEAR-DUP — dedup crossing into the audio
+    * column. Each document renders as 65·B PCM16 samples (mm4's mapping,
+    * `(byte − 64) · 256`, silence-padded), round-trips through the REAL
+    * RIFF/WAVE codec ([[AudioCodec.encodeWav]]/[[AudioCodec.decode]] —
+    * PCM16→PCM16 is bit-exact), and fingerprints as 64 adjacent-frame
+    * energy comparisons (frame energy = Σ x² over its B decoded samples —
+    * the coarse loudness-contour fingerprint, integer-exact unlike a
+    * float FFT). Near duplicates are all pairs within Hamming ≤ 4 via the
+    * same exact banded join as mm10; the oracle replays energies, bits,
+    * and bands from text bytes in BIGINT. */
+  def mm11AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val hashes = docs.mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val bytes = asciiBytes(docId, text)
+        val b = (bytes.length + Mm11Frames - 1) / Mm11Frames
+        val samples = Array.tabulate(Mm11Frames * b)(i =>
+          if (i < bytes.length) (((bytes(i) & 0xff) - 64) * 256).toShort
+          else 0.toShort)
+        val wav = AudioCodec.encodeWav(samples, Mm3Rate) // REAL bytes
+        val (_, _, pcm) = AudioCodec.decode(wav).getOrElse(
+          sys.error(s"mm11: WAV round-trip failed for doc $docId"))
+        val energies = new Array[Long](Mm11Frames)
+        var f = 0
+        while (f < Mm11Frames) {
+          var e = 0L
+          var j = 0
+          while (j < b) {
+            val idx = (f * b + j) * 2
+            val x = ((pcm(idx) & 0xff) | (pcm(idx + 1) << 8)).toShort.toLong
+            e += x * x
+            j += 1
+          }
+          energies(f) = e
+          f += 1
+        }
+        val bits = new Array[Int](64)
+        f = 0
+        while (f < Mm11Frames - 1) {
+          bits(f) = if (energies(f + 1) > energies(f)) 1 else 0
+          f += 1
+        }
+        val bd = ndBands(bits)
+        (docId, bd(0), bd(1), bd(2), bd(3), bd(4))
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3", "b4")
+    ndPairs(hashes)
+  }
+
+  private lazy val mm11Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |    (length(text) + ${Mm11Frames - 1}) // $Mm11Frames AS bb
+       |  FROM documents),
+       |sm AS (
+       |  SELECT doc_id, len, bb, text,
+       |    unnest(generate_series(0, $Mm11Frames * bb - 1)) AS i
+       |  FROM d),
+       |fe AS (
+       |  SELECT doc_id, i // bb AS f,
+       |    SUM(CASE WHEN i < len THEN
+       |        CAST((ord(substr(text, CAST(i AS INTEGER) + 1, 1)) - 64) * 256
+       |          AS BIGINT)
+       |        * ((ord(substr(text, CAST(i AS INTEGER) + 1, 1)) - 64) * 256)
+       |        ELSE 0 END) AS e
+       |  FROM sm GROUP BY doc_id, f),
+       |bits AS (
+       |  SELECT a.doc_id, CAST(a.f AS INTEGER) AS j,
+       |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  WHERE a.f < ${Mm11Frames - 1}),
+       |$ndSqlTail""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_video_luma" -> (mm1VideoLuma _),
     "mm2_image_luma" -> (mm2ImageLuma _),
@@ -1661,7 +1946,9 @@ object MediaOps {
     "mm6_scene_change" -> (mm6SceneChange _),
     "mm7_audio_wht" -> (mm7AudioWht _),
     "mm8_block_motion" -> (mm8BlockMotion _),
-    "mm9_motion_gain" -> (mm9MotionGain _))
+    "mm9_motion_gain" -> (mm9MotionGain _),
+    "mm10_image_neardup" -> (mm10ImageNearDup _),
+    "mm11_audio_neardup" -> (mm11AudioNearDup _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -1672,5 +1959,7 @@ object MediaOps {
     "mm6_scene_change" -> mm6Sql,
     "mm7_audio_wht" -> mm7Sql,
     "mm8_block_motion" -> mm8Sql,
-    "mm9_motion_gain" -> mm9Sql)
+    "mm9_motion_gain" -> mm9Sql,
+    "mm10_image_neardup" -> mm10Sql,
+    "mm11_audio_neardup" -> mm11Sql)
 }

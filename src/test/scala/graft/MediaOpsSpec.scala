@@ -431,4 +431,85 @@ class MediaOpsSpec extends AnyFunSuite {
     // the features genuinely move: both signs occur, so crossings exist
     assert(got.forall(_._2 > 0) && got.map(_._4).distinct.length > 1)
   }
+
+  /** Independent replay of mm10's dHash bits from text bytes (PNG is
+    * lossless, so pre-encode pixels equal decoded pixels). */
+  private def mm10Bits(text: String): Array[Int] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val b = (bytes.length + 71) / 72
+    val w = 9 * b
+    val cells = Array.ofDim[Long](8, 9)
+    for (y <- 0 until 8; c <- 0 until 9)
+      cells(y)(c) = (0 until b).map { dx =>
+        val i = y * w + c * b + dx
+        (if (i < bytes.length) bytes(i) & 0xff else 32).toLong
+      }.sum / b
+    (for (y <- 0 until 8; c <- 0 until 8)
+      yield if (cells(y)(c + 1) > cells(y)(c)) 1 else 0).toArray
+  }
+
+  /** Independent replay of mm11's energy-contour bits from text bytes
+    * (PCM16 → WAV → PCM16 is a bit-exact pass-through). */
+  private def mm11Bits(text: String): Array[Int] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val b = (bytes.length + 64) / 65
+    val e = (0 until 65).map { f =>
+      (0 until b).map { j =>
+        val i = f * b + j
+        val x = if (i < bytes.length) (((bytes(i) & 0xff) - 64) * 256).toLong else 0L
+        x * x
+      }.sum
+    }
+    (0 until 64).map(f => if (e(f + 1) > e(f)) 1 else 0).toArray
+  }
+
+  private def bruteForcePairs(bits: Map[Long, Array[Int]]): Set[(Long, Long, Int)] = {
+    val ids = bits.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = bits(ids(i)).zip(bits(ids(j))).count { case (a, b) => a != b }
+      if h <= 4
+    } yield (ids(i), ids(j), h)).toSet
+  }
+
+  test("mm10/mm11: banded join finds EXACTLY the brute-force Hamming<=4 pairs") {
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // image: banded result == all-pairs ground truth (completeness AND
+    // precision of the pigeonhole blocking at the chosen radius)
+    val gotImg = MediaOps.mm10ImageNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantImg = bruteForcePairs(texts.map { case (id, t) => id -> mm10Bits(t) })
+    assert(gotImg == wantImg, s"image pairs: got ${gotImg.size}, want ${wantImg.size}")
+    assert(gotImg.nonEmpty, "fixture must exercise the match path")
+    // audio: same contract over the energy-contour fingerprint
+    val gotAud = MediaOps.mm11AudioNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantAud = bruteForcePairs(texts.map { case (id, t) => id -> mm11Bits(t) })
+    assert(gotAud == wantAud, s"audio pairs: got ${gotAud.size}, want ${wantAud.size}")
+    assert(gotAud.nonEmpty, "fixture must exercise the match path")
+  }
+
+  test("interleaved banding is pigeonhole-complete at Hamming<=4 (property)") {
+    // any pair of 64-bit fingerprints within Hamming 4 shares at least one
+    // of the 5 interleaved bands — deterministic sweep over seeded draws
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 0 until 500) {
+      val base = Array.fill(64)(rnd.nextInt(2))
+      val flipped = base.clone()
+      val nFlips = 1 + rnd.nextInt(4) // 1..4 bit flips
+      rnd.shuffle((0 until 64).toList).take(nFlips)
+        .foreach(j => flipped(j) = 1 - flipped(j))
+      val a = MediaOps.ndBands(base)
+      val b = MediaOps.ndBands(flipped)
+      assert((0 until 5).exists(t => a(t) == b(t)),
+        s"no shared band after $nFlips flips: ${a.toSeq} vs ${b.toSeq}")
+    }
+    // and bands reassemble exactly the 64 input bits (disjoint cover)
+    val bits = Array.fill(64)(rnd.nextInt(2))
+    val bands = MediaOps.ndBands(bits)
+    val back = (0 until 64).map(j => ((bands(j % 5) >> (j / 5)) & 1L).toInt)
+    assert(back.toSeq == bits.toSeq)
+  }
 }
