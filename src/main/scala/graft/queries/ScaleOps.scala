@@ -821,11 +821,11 @@ object ScaleOps {
        |GROUP BY af.cid ORDER BY af.cid""".stripMargin
 
   // i1 constants shared by the Spark query and its SQL replay
-  private[queries] val IvfK = 8       // coarse centroids
-  private[queries] val IvfIters = 2   // Lloyd iterations (unrolled in the oracle)
-  private[queries] val IvfNprobe = 3  // inverted lists probed per query
-  private val IvfTopK = 5
-  private[queries] val IvfRound = 6   // centroid-mean rounding (engine portability)
+  private[graft] val IvfK = 8       // coarse centroids
+  private[graft] val IvfIters = 2   // Lloyd iterations (unrolled in the oracle)
+  private[graft] val IvfNprobe = 3  // inverted lists probed per query
+  private[graft] val IvfTopK = 5
+  private[graft] val IvfRound = 6   // centroid-mean rounding (engine portability)
 
   /** i1: IVF (k-means inverted-file) approximate cosine top-5 for the
     * same 3 query vectors as v1/a1. The deterministic Lloyd fit (lowest-id
@@ -859,7 +859,7 @@ object ScaleOps {
     * lists. Expects `e(id, emb)` and `q(q_id, q_emb)` CTEs upstream;
     * consumed by the i1 oracle and re-consumed verbatim by i3 so the
     * composed stack replays the SAME clustering text. */
-  private[queries] val ivfCtes: String = ivfCtesOver("e")
+  private[graft] val ivfCtes: String = ivfCtesOver("e")
 
   /** The same chain with a caller-chosen TRAINING table (i8 trains the
     * quantizer on `et`, the pre-increment corpus, while `af` still
@@ -1612,6 +1612,18 @@ object ScaleOps {
   private val familyLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Families whose [[withFamilyLock]] this thread currently holds.
+    * The lock is NOT re-entrant — the JVM monitor would self-deadlock
+    * and the FileLock would throw OverlappingFileLockException from a
+    * nested same-family acquisition (e.g. a build body calling
+    * buildOnce/artifactRoot for its OWN family) — so re-entry fails
+    * fast here with a message that names the bug instead of an opaque
+    * lock exception or a hang. */
+  private val heldFamilyLocks = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
+
   /** Run `body` holding the family's JVM monitor and an exclusive
     * cross-process [[java.nio.channels.FileLock]] on
     * `artifactBase/.lock_<family>` (a sibling of the roots — never
@@ -1627,6 +1639,11 @@ object ScaleOps {
     * prune and a concurrent build of another fingerprint exclude each
     * other. */
   private def withFamilyLock[T](family: String)(body: => T): T = {
+    val held = heldFamilyLocks.get()
+    require(!held.contains(family),
+      s"withFamilyLock('$family') re-entered on the same thread — the " +
+        "family lock is not re-entrant (a build body must not call " +
+        "buildOnce/artifactRoot for its OWN family)")
     val monitor = familyLocks.computeIfAbsent(family, _ => new Object)
     monitor.synchronized {
       java.nio.file.Files.createDirectories(artifactBase)
@@ -1636,7 +1653,8 @@ object ScaleOps {
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val fl = ch.lock()
-        try body finally fl.release()
+        held += family
+        try body finally { held -= family; fl.release() }
       } finally ch.close()
     }
   }

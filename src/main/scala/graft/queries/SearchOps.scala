@@ -546,6 +546,77 @@ object SearchOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** k18: RANKED BOOLEAN retrieval — the composition k17 and k6 imply,
+    * and the shape every real search engine serves: the boolean
+    * expression FILTERS the candidate set, BM25 RANKS within it, and
+    * both are fed by ONE probe of the k6 write-once index. The probed
+    * postings (|query terms| shard directories, never a corpus scan)
+    * are persisted so a single executing parquet scan feeds (a) the
+    * per-doc flag + tf aggregation — connectives as integer indicators,
+    * NOT as an indicator never an anti-join (k17's argument: the probe
+    * universe is complete for the positive clause by construction) —
+    * and (b) the per-term df aggregate. n/Σdl ride the index's 1-row
+    * stats table as a broadcast; the score is [[KeywordSearch
+    * .scoreColumn]]'s IDENTICAL expression tree over the same
+    * corpus-level stats as k6, so each returned doc's score is k6's
+    * score restricted to the boolean result set. */
+  def k18RankedBoolean(s: SparkSession, dir: String): DataFrame = {
+    val root = k6PostingsRoot(s, dir)
+    val shards = BoolTerms
+      .map(t => (graft.operators.PortableHash.hex60(t) % K6Shards).toInt).distinct
+    // ONE index probe feeds both consumers: Spark does not dedupe
+    // duplicate scan subtrees, so without the persist the flag/tf
+    // aggregation and the df aggregate would each scan the shards.
+    // Lifecycle: read lazily by the returned plan; Bench/Verify
+    // clearCache between runs.
+    val post = s.read.parquet(root.resolve("postings").toString)
+      .filter(col("shard").isin(shards: _*) && col("term").isin(BoolTerms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = BoolTerms.map(t =>
+        max(when(col("term") === t, 1).otherwise(0)).as(s"has_$t")) ++
+      QueryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i") }
+    val byDoc = post.groupBy(col("id"), col("dli"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(((col("has_dup") === 1 && col("has_spark") === 1) ||
+          col("has_vector") === 1) && col("has_stream") === 0)
+    // df over the probe = corpus-level df (the probe holds EVERY posting
+    // of these terms); the negated term is filtered by, never scored
+    val dfAggs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, lit(1L)).otherwise(lit(0L))).as(s"df_$i") }
+    val dfs = post.agg(dfAggs.head, dfAggs.tail: _*)
+    val stats = s.read.parquet(root.resolve("stats").toString)
+    byDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .select(col("id").as("doc_id"),
+        KeywordSearch.scoreColumn(QueryTerms).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** DuckDB replay of [[k18RankedBoolean]]: the k1 corpus-rescan BM25
+    * chain (ending in `sc(id, score)`) joined to k17's indicator filter —
+    * the index-served filter-then-rank must equal the from-scratch
+    * compose bit for bit. CTE names `btok`/`bflags` avoid colliding with
+    * [[KeywordSearch.bm25Ctes]]'s `tok`-less base/tf/st/sc chain. */
+  private val k18Sql: String = {
+    val flags = BoolTerms.map(t =>
+      s"MAX(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS has_$t").mkString(",\n    ")
+    s"""WITH ${KeywordSearch.bm25Ctes(QueryTerms)},
+       |btok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |bflags AS (
+       |  SELECT doc_id,
+       |    $flags
+       |  FROM btok
+       |  WHERE term IN (${BoolTerms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id)
+       |SELECT f.doc_id, sc.score
+       |FROM bflags f JOIN sc ON sc.id = f.doc_id
+       |WHERE ((f.has_dup = 1 AND f.has_spark = 1) OR f.has_vector = 1)
+       |  AND f.has_stream = 0
+       |ORDER BY sc.score DESC, f.doc_id""".stripMargin
+  }
+
   /** k11: k1/k6's BM25 maintained ROLLING — the inverted index grown
     * per ingest wave instead of rebuilt (the Lucene segment model the
     * at-rest tier implies): each wave lands its postings as a
@@ -733,6 +804,7 @@ object SearchOps {
     "k16_asof_phrase" -> (k16AsofPhrase _),
     "k6_search_at_rest" -> (k6SearchAtRest _),
     "k17_boolean_retrieval" -> (k17BooleanRetrieval _),
+    "k18_ranked_boolean" -> (k18RankedBoolean _),
     "k4_phrase_search" -> (k4PhraseSearch _),
     "k5_proximity_search" -> (k5ProximitySearch _),
     "k2_tfidf_term" -> (k2TfidfTerm _),
@@ -748,6 +820,7 @@ object SearchOps {
     "k11_rolling_bm25" -> k1Sql,
     "k6_search_at_rest" -> k1Sql, // same answer, served from the index
     "k17_boolean_retrieval" -> k17Sql,
+    "k18_ranked_boolean" -> k18Sql,
     "k4_phrase_search" -> k4Sql,
     "k5_proximity_search" -> k5Sql,
     "k2_tfidf_term" -> k2Sql,

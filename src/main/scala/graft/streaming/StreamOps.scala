@@ -3059,6 +3059,11 @@ object StreamOps {
     Seq(
       prune("labels"), prune("rep"), prune("sem_labels"),
       prune("kanon"), prune("bm25_stats"),
+      // pr snapshots are pruned inline by pagerankEdgesBatch; repeating
+      // the prune here keeps maintain() the one complete retention sweep
+      // (a stream killed between land and inline prune leaves a
+      // superseded snapshot behind until the next wave)
+      prune("pr"),
       "merge_bm25_segments" -> (() => mergeBm25Segments(spark, statePath)),
       "merge_pos_segments" -> (() => mergePosSegments(spark, statePath))) ++
       landed.map { lc =>
@@ -3067,7 +3072,12 @@ object StreamOps {
       } ++
       Seq("ivf_assign", "sem_assign", "bm25_postings", "bm25_doclens",
         "fuzzy_variants", "pos_postings", "pos_docs",
-        "pairs", "bands", "shingles", "sizes").map(merge)
+        "pairs", "bands", "shingles", "sizes",
+        // pr_edges is the append-only edge delta pagerankEdgesBatch lands
+        // per wave — without compaction a long-running stream accumulates
+        // unbounded small files, contrary to the documented posture that
+        // append-only deltas are bounded by compactParquet
+        "pr_edges").map(merge)
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

@@ -458,6 +458,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Join"), "NOT must be an indicator, not an anti-join")
   }
 
+  test("k18 ranked boolean: ONE postings probe feeds filter and rank; no corpus scan") {
+    val s = formatted(SparkEntry.queries("k18_ranked_boolean")(spark, sfDir))
+    // the probe must partition-prune to the query terms' shards with the
+    // term filter pushed (same contract as k17)
+    assert(s.contains("PartitionFilters") && s.contains("shard"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(s.contains("In(term, ["),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // EXECUTING parquet scans (outside any InMemoryRelation cache
+    // definition, the h7 counting rule): exactly ONE — the 1-row stats
+    // table. The postings probe is persisted so the flag/tf aggregation
+    // and the df aggregate share one scan; a second executing postings
+    // scan (or any documents.parquet scan) means the probe is being
+    // recomputed per consumer.
+    val nodeRe = raw"([A-Za-z][A-Za-z ]*[A-Za-z]) *\((\d+)\)".r
+    val live = scala.collection.mutable.Set[String]()
+    var imrCol = -1
+    s.split(raw"== Initial Plan ==").head.linesIterator.foreach { l =>
+      nodeRe.findFirstMatchIn(l).foreach { m =>
+        val c = l.indexOf(m.group(1))
+        if (imrCol >= 0 && c <= imrCol) imrCol = -1
+        if (imrCol < 0) {
+          if (m.group(1).trim.startsWith("InMemoryRelation")) imrCol = c
+          else if (m.group(1).trim == "Scan parquet") live += m.group(2)
+        }
+      }
+    }
+    def detail(id: String): String =
+      (raw"(?s)\(" + id + raw"\) Scan parquet.*?(?=\n\(\d+\) |\z)").r
+        .findFirstIn(s).getOrElse("")
+    assert(live.size == 1,
+      s"expected exactly 1 EXECUTING parquet scan (the stats table), " +
+        s"got ${live.size}: ${live.map(detail).mkString("\n")}")
+    assert(live.map(detail).forall(d => d.contains("stats")),
+      "the one executing scan must be the index's stats table")
+    assert(!s.contains("documents.parquet"),
+      "ranked boolean must never rescan the corpus")
+    assert(nodeCount(s, "InMemoryTableScan") >= 2,
+      "both probe consumers (flag/tf agg, df agg) must read the cached probe")
+    assert(!s.contains("SortMergeJoin"),
+      "stats/dfs attach as broadcasts, never a shuffled join")
+  }
+
   test("k8 at-rest fuzzy search: probe partition-prunes to the query variants' shards") {
     val s = formatted(SparkEntry.queries("k8_fuzzy_at_rest")(spark, sfDir))
     // the shard filter must land as PARTITION pruning on the variant-

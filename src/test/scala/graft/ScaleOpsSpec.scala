@@ -347,6 +347,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("d32s merge-table artifact: encode and fertility reuse ONE landed training") {
+    import graft.queries.{ScaleOps, TextOps}
+    val first = TextOps.queries("d33_bpe_encode")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(first.nonEmpty)
+    val root = ScaleOps.artifactRoot("d32s",
+      ScaleOps.dataFingerprint(sfDir, Seq("documents")))
+    val marker = root.resolve("_STATE_OK")
+    assert(java.nio.file.Files.exists(marker))
+    val markerTime = java.nio.file.Files.getLastModifiedTime(marker)
+    def tableMtimes(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(root.resolve("merges").toFile).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = tableMtimes()
+    // a DIFFERENT family member must serve from the same landed table...
+    assert(TextOps.queries("d44_bpe_fertility")(spark, sfDir).collect().nonEmpty)
+    // ...and a repeat of the first builds nothing either
+    val again = TextOps.queries("d33_bpe_encode")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == first)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == markerTime,
+      "the marker was rewritten — a second call re-trained the tokenizer")
+    assert(tableMtimes() == before,
+      "an encode read must not rewrite the landed merge table")
+    // the landed table IS the from-scratch training, bit for bit — the
+    // artifact short-cuts cost, never the answer
+    val landed = spark.read.parquet(root.resolve("merges").toString)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("weight"))).sortBy(_._1).toSeq
+    val fresh = graft.operators.BpeTrain
+      .learnMerges(Tables(spark, sfDir, "documents"), "text", TextOps.BpeMerges)
+      .map(m => (m.rank, m.left, m.right, m.weight))
+    assert(landed == fresh, "landed merge table diverges from a fresh training")
+    spark.catalog.clearCache()
+  }
+
   test("g1s edge artifact: PageRank reuses the landed pair set; second call builds nothing") {
     import graft.queries.{CorpusOps, ScaleOps}
     val first = CorpusOps.queries("g1_pagerank_neardup")(spark, sfDir)
