@@ -1937,6 +1937,130 @@ object MediaOps {
        |  WHERE a.f < ${Mm11Frames - 1}),
        |$ndSqlTail""".stripMargin
 
+  // mm12 feature geometry: the mm2 canvas (24×16, pad-not-wrap like
+  // mm10) reduced to an 8×8 grid of 3×2-pixel cells — 64 integer
+  // floor-means, the same dimensionality as the embeddings table, so
+  // the ANN machinery applies with zero changes.
+  private val Mm12W = 24
+  private val Mm12H = 16
+  private val Mm12CellW = 3
+  private val Mm12CellH = 2
+
+  /** Per-document 64-dim image feature vectors from the REAL decode
+    * path: render (pad 32), PNG round-trip ([[ImageCodec]]), 8×8
+    * integer floor-mean grid over the DECODED pixels. Integer-valued
+    * floats, so every downstream double op (distances, centroid means)
+    * is exact on both engines. */
+  private def mm12ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, text) =>
+          val bytes = asciiBytes(docId, text)
+          val img = new java.awt.image.BufferedImage(Mm12W, Mm12H,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < Mm12W * Mm12H) {
+            val v = if (i < bytes.length) bytes(i) & 0xff else Mm10Pad
+            img.setRGB(i % Mm12W, i / Mm12W, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          val back = ImageCodec.decode(ImageCodec.encodePng(img)).getOrElse(
+            sys.error(s"mm12: PNG round-trip failed for doc $docId"))
+          val area = Mm12CellW * Mm12CellH
+          val emb = new Array[Float](64)
+          var k = 0
+          while (k < 64) {
+            val r = k / 8; val c = k % 8
+            var sum = 0L
+            var dy = 0
+            while (dy < Mm12CellH) {
+              var dx = 0
+              while (dx < Mm12CellW) {
+                sum += back.getRGB(c * Mm12CellW + dx, r * Mm12CellH + dy) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            emb(k) = (sum / area).toFloat // integer floor — exact in float
+            k += 1
+          }
+          (docId, emb)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** mm12: IMAGE-ANN COMPOSITION — the media features routed through the
+    * REAL IVF machinery, proving the ANN tier is modality-agnostic (the
+    * a4-is-m1's-sibling argument, now for images): the index is built on
+    * [[mm12ImageFeatures]] of docs ≥ 3 ([[graft.operators.IvfSearch
+    * .buildIndex]], the i1 quantizer — lowest-id init, cid tie-break,
+    * round-6 means), and docs 0–2 probe it as HELD-OUT queries (their
+    * vectors are not in the index — the deployment shape, where a query
+    * image was never indexed). The oracle rebuilds the features from
+    * text bytes in integer arithmetic and replays the ENTIRE i1 CTE
+    * chain ([[graft.queries.ScaleOps.ivfCtes]] verbatim — unrolled
+    * Lloyd iterations, probe routing, cosine re-rank), so the composed
+    * stack (real PNG decode → features → clustering → probe → rank) is
+    * hash-verified end to end. */
+  def mm12ImageAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IvfSearch
+    import graft.queries.ScaleOps
+    val feats = mm12ImageFeatures(s, dir)
+    val idx = IvfSearch.buildIndex(feats.filter(col("vec_id") >= 3),
+      "vec_id", "embedding",
+      k = ScaleOps.IvfK, iters = ScaleOps.IvfIters,
+      roundDecimals = ScaleOps.IvfRound)
+    try {
+      val res = IvfSearch.approxTopK(feats.filter(col("vec_id") < 3), idx,
+          "vec_id", "embedding",
+          k = ScaleOps.IvfTopK, nprobe = ScaleOps.IvfNprobe)
+        .orderBy("q_id", "rk")
+      // bounded (|queries|·k rows): materialize before closing the index
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
+  private lazy val mm12Sql: String = {
+    val px = Mm12W * Mm12H
+    val area = Mm12CellW * Mm12CellH
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len FROM documents),
+       |px AS (
+       |  SELECT doc_id, len, text,
+       |    unnest(generate_series(0, ${px - 1})) AS i
+       |  FROM d),
+       |cf AS (
+       |  SELECT doc_id,
+       |    ((i // $Mm12W) // $Mm12CellH) * 8 + (i % $Mm12W) // $Mm12CellW AS k,
+       |    SUM(CASE WHEN i < len
+       |        THEN ord(substr(text, CAST(i AS INTEGER) + 1, 1))
+       |        ELSE $Mm10Pad END) // $area AS v
+       |  FROM px GROUP BY doc_id, k),
+       |feats AS (
+       |  SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY k) AS emb
+       |  FROM cf GROUP BY doc_id),
+       |e AS (SELECT doc_id AS id, emb FROM feats WHERE doc_id >= 3),
+       |q AS (SELECT doc_id AS q_id, emb AS q_emb FROM feats WHERE doc_id < 3),
+       |${graft.queries.ScaleOps.ivfCtes},
+       |cands AS (
+       |  SELECT pr.q_id, pr.q_emb, a.id AS neighbor, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id),
+       |scored AS (
+       |  SELECT q_id, neighbor,
+       |    ROUND(list_dot_product(q_emb, emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT q_id, neighbor, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+       |  FROM scored)
+       |SELECT q_id, neighbor, cos, rk FROM ranked
+       |WHERE rk <= ${graft.queries.ScaleOps.IvfTopK}
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_video_luma" -> (mm1VideoLuma _),
     "mm2_image_luma" -> (mm2ImageLuma _),
@@ -1948,7 +2072,8 @@ object MediaOps {
     "mm8_block_motion" -> (mm8BlockMotion _),
     "mm9_motion_gain" -> (mm9MotionGain _),
     "mm10_image_neardup" -> (mm10ImageNearDup _),
-    "mm11_audio_neardup" -> (mm11AudioNearDup _))
+    "mm11_audio_neardup" -> (mm11AudioNearDup _),
+    "mm12_image_ann" -> (mm12ImageAnn _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -1961,5 +2086,6 @@ object MediaOps {
     "mm8_block_motion" -> mm8Sql,
     "mm9_motion_gain" -> mm9Sql,
     "mm10_image_neardup" -> mm10Sql,
-    "mm11_audio_neardup" -> mm11Sql)
+    "mm11_audio_neardup" -> mm11Sql,
+    "mm12_image_ann" -> mm12Sql)
 }

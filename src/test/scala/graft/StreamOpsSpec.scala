@@ -2396,6 +2396,79 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("maintain-while-serving, graph/ANN families: pr as-of reads survive " +
+      "the window; grown-index probes are stable across compaction") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.IvfSearch
+    val root = Files.createTempDirectory("graft_msv2_").toString
+    try {
+      // rolling-PageRank state: 3 waves of symmetric edge deltas, written
+      // WIDE so the pr_edges compaction below does real file surgery
+      def wave(rows: Seq[(Long, Long)], b: Long): Unit =
+        StreamOps.pagerankEdgesBatch(rows.toDF("src", "dst").repartition(8),
+          iters = 2, dampPpm = 850000L, root, b)
+      wave(Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L), 0L)
+      wave(Seq(3L -> 4L, 4L -> 3L), 1L)
+      wave(Seq(1L -> 5L, 5L -> 1L), 2L)
+      def prServe(asOf: Long) = StreamOps.prAsOf(spark, root,
+        sys.error("seed fallback must not fire: snapshots exist"),
+        org.apache.spark.sql.types.LongType, asOf)
+      val prBase = prServe(1L).collect().map(_.toSeq).toSet
+      assert(prBase.nonEmpty)
+      // ANN delta state in the same state dir: frozen quantizer, 2 waves
+      val e = graft.Tables(spark, sfDir, "embeddings")
+      val split = 250L
+      val base = IvfSearch.buildIndex(e.filter(col("vec_id") < split),
+        "vec_id", "embedding", k = 4, iters = 2, roundDecimals = 6)
+      try {
+        val late = e.filter(col("vec_id") >= split)
+        StreamOps.ivfAssignBatch(late.filter(col("vec_id") % 2 === 0)
+          .repartition(8), base.centroids, "vec_id", "embedding", root, 0L)
+        StreamOps.ivfAssignBatch(late.filter(col("vec_id") % 2 === 1)
+          .repartition(8), base.centroids, "vec_id", "embedding", root, 1L)
+        def probe(): Seq[Seq[Any]] =
+          IvfSearch.approxTopK(e.filter(col("vec_id") < 3),
+              StreamOps.grownIvfIndex(spark, base, root),
+              "vec_id", "embedding", k = 5, nprobe = 2)
+            .orderBy("q_id", "rk").collect().map(_.toSeq).toSeq
+        val probeBase = probe()
+        assert(probeBase.exists(r => r(1).asInstanceOf[Long] >= split),
+          "deltas not probe-reachable before the window")
+        // order A: pr reader resolved BEFORE the window, read AFTER —
+        // snapshot as-of readers target latest+previous, which every
+        // prune retains, and the pr snapshot family is never
+        // file-compacted (the maintain() isolation contract)
+        val resolved = prServe(1L)
+        val steps = StreamOps.maintain(spark, root)
+        assert(steps.exists { case (n, b, a) =>
+          n == "compact_pr_edges" && b > a },
+          s"the window must compact the wide pr_edges log, got $steps")
+        assert(resolved.collect().map(_.toSeq).toSet == prBase,
+          "a pre-window pr resolve answered differently after maintenance")
+        // order B: resolve and read entirely after the window
+        assert(prServe(1L).collect().map(_.toSeq).toSet == prBase,
+          "a post-window pr resolve answered differently")
+        // ...and the pruned-frontier contract still fails loudly
+        val gone = intercept[RuntimeException] { prServe(0L).collect() }
+        assert(gone.getMessage.contains("no pagerank snapshot"))
+        // the grown-index probe: resolved FRESH after the compaction
+        // window (grownIvfIndex's documented posture — its lazy delta
+        // union re-lists files), answers must be bit-identical
+        assert(probe() == probeBase,
+          "grown-index probe diverged across ivf_assign compaction")
+        // a further wave lands cleanly on the compacted log and the
+        // next frontier's pr read sees it (maintenance never wedges
+        // the writer side)
+        wave(Seq(4L -> 5L, 5L -> 4L), 3L)
+        assert(prServe(3L).collect().nonEmpty)
+      } finally base.close()
+    } finally {
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("rolling pagerank: warm-started snapshots equal the batch twin, " +
       "as-of reads time-travel them, pruned frontiers fail loudly") {
     import spark.implicits._
