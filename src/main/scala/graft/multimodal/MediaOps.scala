@@ -1796,66 +1796,76 @@ object MediaOps {
     ndPairs(hashes)
   }
 
-  /** The band-assembly + banded-join SQL tail mm10 and mm11 share: takes a
-    * `bits` CTE of (doc_id, j ∈ [0,64), bit ∈ {0,1}) and emits the final
-    * near-dup pair rows. Bit → band arithmetic mirrors [[ndBands]]
-    * (t = j % 5, position = j / 5); hamming is summed per-band popcounts
-    * (never materializing the full 64-bit value, whose sign bit would
-    * overflow a BIGINT power-of-two sum). */
-  private def ndSqlTail: String =
-    s"""bands AS (
+  /** The band-assembly + banded-join CTE block mm10, mm11, and the mm13
+    * composition share: takes a `${p}bits` CTE of (doc_id, j ∈ [0,64),
+    * bit ∈ {0,1}) and ends in `${p}nd(doc_a, doc_b, hamming)` — the
+    * pairs within Hamming ≤ [[MmNdMaxHamming]]. Bit → band arithmetic
+    * mirrors [[ndBands]] (t = j % 5, position = j / 5); hamming is
+    * summed per-band popcounts (never materializing the full 64-bit
+    * value, whose sign bit would overflow a BIGINT power-of-two sum).
+    * `p` namespaces the CTEs so the image and audio chains can coexist
+    * in one WITH (mm13); "" keeps the solo oracles' zero-prefix text. */
+  private def ndSqlPairsCtes(p: String): String =
+    s"""${p}bands AS (
        |  SELECT doc_id, CAST(j % $MmNdBands AS INTEGER) AS t,
        |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(j // $MmNdBands AS INTEGER)))
        |      AS BIGINT) AS bv
-       |  FROM bits GROUP BY doc_id, t),
-       |hv AS (
+       |  FROM ${p}bits GROUP BY doc_id, t),
+       |${p}hv AS (
        |  SELECT doc_id,
        |    MAX(CASE WHEN t=0 THEN bv END) AS b0,
        |    MAX(CASE WHEN t=1 THEN bv END) AS b1,
        |    MAX(CASE WHEN t=2 THEN bv END) AS b2,
        |    MAX(CASE WHEN t=3 THEN bv END) AS b3,
        |    MAX(CASE WHEN t=4 THEN bv END) AS b4
-       |  FROM bands GROUP BY doc_id),
-       |cand AS (
+       |  FROM ${p}bands GROUP BY doc_id),
+       |${p}cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.t = b.t AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |SELECT c.doc_a, c.doc_b,
-       |  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-       |     + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
-       |     + bit_count(xor(x.b4, y.b4)) AS INTEGER) AS hamming
-       |FROM cand c JOIN hv x ON x.doc_id = c.doc_a
-       |  JOIN hv y ON y.doc_id = c.doc_b
-       |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
-       |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
-       |    + bit_count(xor(x.b4, y.b4)) <= $MmNdMaxHamming
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM ${p}bands a JOIN ${p}bands b
+       |    ON a.t = b.t AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |${p}nd AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+       |       + bit_count(xor(x.b4, y.b4)) AS INTEGER) AS hamming
+       |  FROM ${p}cand c JOIN ${p}hv x ON x.doc_id = c.doc_a
+       |    JOIN ${p}hv y ON y.doc_id = c.doc_b
+       |  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+       |      + bit_count(xor(x.b4, y.b4)) <= $MmNdMaxHamming)""".stripMargin
 
-  private lazy val mm10Sql: String =
-    s"""WITH d AS (
+  /** mm10's fingerprint-bit CTE chain (`${p}bits`), prefixable for the
+    * mm13 composition. */
+  private def mm10BitsCtes(p: String): String =
+    s"""${p}d AS (
        |  SELECT doc_id, text, length(text) AS len,
        |    (length(text) + ${Mm10Cells - 1}) // $Mm10Cells AS bb
        |  FROM documents),
-       |px AS (
+       |${p}px AS (
        |  SELECT doc_id, len, bb, text,
        |    unnest(generate_series(0, $Mm10Cells * bb - 1)) AS i
-       |  FROM d),
-       |cell AS (
+       |  FROM ${p}d),
+       |${p}cell AS (
        |  SELECT doc_id, bb,
        |    (i // ($Mm10Cols * bb)) * $Mm10Cols + (i % ($Mm10Cols * bb)) // bb AS k,
        |    SUM(CASE WHEN i < len
        |        THEN ord(substr(text, CAST(i AS INTEGER) + 1, 1))
        |        ELSE $Mm10Pad END) AS s
-       |  FROM px GROUP BY doc_id, bb, k),
-       |cv AS (SELECT doc_id, k, s // bb AS v FROM cell),
-       |bits AS (
+       |  FROM ${p}px GROUP BY doc_id, bb, k),
+       |${p}cv AS (SELECT doc_id, k, s // bb AS v FROM ${p}cell),
+       |${p}bits AS (
        |  SELECT c1.doc_id,
        |    CAST((c1.k // $Mm10Cols) * ${Mm10Cols - 1} + (c1.k % $Mm10Cols)
        |      AS INTEGER) AS j,
        |    CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS bit
-       |  FROM cv c1 JOIN cv c2 ON c2.doc_id = c1.doc_id AND c2.k = c1.k + 1
-       |  WHERE c1.k % $Mm10Cols < ${Mm10Cols - 1}),
-       |$ndSqlTail""".stripMargin
+       |  FROM ${p}cv c1 JOIN ${p}cv c2
+       |    ON c2.doc_id = c1.doc_id AND c2.k = c1.k + 1
+       |  WHERE c1.k % $Mm10Cols < ${Mm10Cols - 1})""".stripMargin
+
+  private lazy val mm10Sql: String =
+    s"""WITH ${mm10BitsCtes("")},
+       |${ndSqlPairsCtes("")}
+       |SELECT doc_a, doc_b, hamming FROM nd ORDER BY doc_a, doc_b""".stripMargin
 
   // mm11 geometry: 65 frames of B = ceil(len/65) samples (64 adjacent-
   // frame comparisons); samples past the text pad with SILENCE (0) —
@@ -1913,29 +1923,36 @@ object MediaOps {
     ndPairs(hashes)
   }
 
-  private lazy val mm11Sql: String =
-    s"""WITH d AS (
+  /** mm11's fingerprint-bit CTE chain (`${p}bits`), prefixable for the
+    * mm13 composition. */
+  private def mm11BitsCtes(p: String): String =
+    s"""${p}d AS (
        |  SELECT doc_id, text, length(text) AS len,
        |    (length(text) + ${Mm11Frames - 1}) // $Mm11Frames AS bb
        |  FROM documents),
-       |sm AS (
+       |${p}sm AS (
        |  SELECT doc_id, len, bb, text,
        |    unnest(generate_series(0, $Mm11Frames * bb - 1)) AS i
-       |  FROM d),
-       |fe AS (
+       |  FROM ${p}d),
+       |${p}fe AS (
        |  SELECT doc_id, i // bb AS f,
        |    SUM(CASE WHEN i < len THEN
        |        CAST((ord(substr(text, CAST(i AS INTEGER) + 1, 1)) - 64) * 256
        |          AS BIGINT)
        |        * ((ord(substr(text, CAST(i AS INTEGER) + 1, 1)) - 64) * 256)
        |        ELSE 0 END) AS e
-       |  FROM sm GROUP BY doc_id, f),
-       |bits AS (
+       |  FROM ${p}sm GROUP BY doc_id, f),
+       |${p}bits AS (
        |  SELECT a.doc_id, CAST(a.f AS INTEGER) AS j,
        |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
-       |  FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f + 1
-       |  WHERE a.f < ${Mm11Frames - 1}),
-       |$ndSqlTail""".stripMargin
+       |  FROM ${p}fe a JOIN ${p}fe b
+       |    ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  WHERE a.f < ${Mm11Frames - 1})""".stripMargin
+
+  private lazy val mm11Sql: String =
+    s"""WITH ${mm11BitsCtes("")},
+       |${ndSqlPairsCtes("")}
+       |SELECT doc_a, doc_b, hamming FROM nd ORDER BY doc_a, doc_b""".stripMargin
 
   // mm12 feature geometry: the mm2 canvas (24×16, pad-not-wrap like
   // mm10) reduced to an 8×8 grid of 3×2-pixel cells — 64 integer
@@ -2061,6 +2078,95 @@ object MediaOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** mm13's text-leg threshold — m1's own (the corpus near-dup
+    * convention every dedup row shares). */
+  private val Mm13TextThreshold = 0.3
+
+  /** mm13: MULTIMODAL DUP CLUSTERS — the keep/drop unit ACROSS
+    * modalities: text near-dup edges (m1's MinHash sweep), image
+    * near-dup edges (mm10's banded dHash), and audio near-dup edges
+    * (mm11's banded energy fingerprint) union into ONE graph, and
+    * [[graft.operators.ConnectedComponents]] resolves it into clusters
+    * — a 100 TB multimodal training set dedups its images and audio the
+    * same way it dedups text, and a pair invisible to one modality
+    * (paraphrased caption, same artwork) still collapses when another
+    * modality links it. Per cluster: member count plus the per-modality
+    * edge evidence (which signals hold the cluster together — the
+    * reviewer's first question about any cross-modal merge). Scale
+    * shape: each leg is its own banded/blocked sweep (never all-pairs),
+    * the union is edge-count-sized, and CC is the star-collapse loop
+    * every c-family row already rides. The oracle replays ALL THREE
+    * pair chains (m1's MinHash CTEs, the prefixed mm10/mm11 chains),
+    * the union, a recursive transitive closure, and the evidence
+    * rollup. */
+  def mm13MultimodalClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(s, dir, "documents")
+    val text = graft.operators.MinHashDedup
+      .nearDuplicates(docs, "doc_id", "text", Mm13TextThreshold)
+      .select(col("id_a"), col("id_b"), lit("text").as("modality"))
+    val img = mm10ImageNearDup(s, dir)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        lit("image").as("modality"))
+    val aud = mm11AudioNearDup(s, dir)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        lit("audio").as("modality"))
+    // persisted: the edge union feeds BOTH the CC loop and the evidence
+    // rollup (Spark does not dedupe duplicate subtrees — unpersisted,
+    // all three sweeps would run twice). Read lazily by the returned
+    // plan; Bench/Verify clearCache between runs.
+    val edges = text.unionByName(img).unionByName(aud)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comps = graft.operators.ConnectedComponents
+      .components(edges.select(col("id_a"), col("id_b")))
+    val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
+    // an edge's component is either endpoint's (same by construction)
+    val evidence = edges
+      .join(comps.select(col("id").as("id_a"), col("component")), Seq("id_a"))
+      .groupBy(col("component"))
+      .agg(
+        sum(when(col("modality") === "text", 1L).otherwise(0L)).as("n_text_edges"),
+        sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image_edges"),
+        sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio_edges"))
+    sizes.join(evidence, Seq("component")).orderBy("component")
+  }
+
+  private lazy val mm13Sql: String =
+    s"""WITH RECURSIVE ${graft.queries.ScaleOps.m1PairsCtesAt(Mm13TextThreshold)},
+       |${mm10BitsCtes("i_")},
+       |${ndSqlPairsCtes("i_")},
+       |${mm11BitsCtes("a_")},
+       |${ndSqlPairsCtes("a_")},
+       |med AS (
+       |  SELECT id_a, id_b, 'text' AS modality FROM fpairs
+       |  UNION ALL
+       |  SELECT doc_a, doc_b, 'image' FROM i_nd
+       |  UNION ALL
+       |  SELECT doc_a, doc_b, 'audio' FROM a_nd),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM med
+       |  UNION
+       |  SELECT id_b, id_a FROM med),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+       |clusters AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |cnt AS (SELECT component, COUNT(*) AS n_docs FROM clusters GROUP BY component),
+       |em AS (
+       |  SELECT c.component,
+       |    CAST(SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_text_edges,
+       |    CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_image_edges,
+       |    CAST(SUM(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_audio_edges
+       |  FROM med m JOIN clusters c ON c.id = m.id_a
+       |  GROUP BY c.component)
+       |SELECT cnt.component, cnt.n_docs,
+       |  em.n_text_edges, em.n_image_edges, em.n_audio_edges
+       |FROM cnt JOIN em USING (component)
+       |ORDER BY component""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_video_luma" -> (mm1VideoLuma _),
     "mm2_image_luma" -> (mm2ImageLuma _),
@@ -2073,7 +2179,8 @@ object MediaOps {
     "mm9_motion_gain" -> (mm9MotionGain _),
     "mm10_image_neardup" -> (mm10ImageNearDup _),
     "mm11_audio_neardup" -> (mm11AudioNearDup _),
-    "mm12_image_ann" -> (mm12ImageAnn _))
+    "mm12_image_ann" -> (mm12ImageAnn _),
+    "mm13_multimodal_clusters" -> (mm13MultimodalClusters _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -2087,5 +2194,6 @@ object MediaOps {
     "mm9_motion_gain" -> mm9Sql,
     "mm10_image_neardup" -> mm10Sql,
     "mm11_audio_neardup" -> mm11Sql,
-    "mm12_image_ann" -> mm12Sql)
+    "mm12_image_ann" -> mm12Sql,
+    "mm13_multimodal_clusters" -> mm13Sql)
 }

@@ -35,7 +35,7 @@ object ScaleOps {
     * calibration sweep uses 0.0 — every banded candidate, unthresholded)
     * and an optional WHERE restricting the document universe (c9 pairs
     * only the corpus ∪ stream split, excluding the eval docs). */
-  private[queries] def m1PairsCtesAt(threshold: Double, where: String = ""): String = {
+  private[graft] def m1PairsCtesAt(threshold: Double, where: String = ""): String = {
     val K = MinHashDedup.K
     val R = MinHashDedup.R
     val P = MinHashDedup.P

@@ -491,6 +491,55 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(gotAud.nonEmpty, "fixture must exercise the match path")
   }
 
+  test("mm13: multimodal clusters equal an independent union-find over the three edge sets") {
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent edge replays: image/audio from the spec's own bit
+    // functions, text from the m1 operator (its own oracle pins it)
+    val imgPairs = bruteForcePairs(texts.map { case (id, t) => id -> mm10Bits(t) })
+      .map(p => (p._1, p._2))
+    val audPairs = bruteForcePairs(texts.map { case (id, t) => id -> mm11Bits(t) })
+      .map(p => (p._1, p._2))
+    val txtPairs = graft.operators.MinHashDedup
+      .nearDuplicates(graft.Tables(spark, sfDir, "documents"), "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side union-find ground truth over the union graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val all = txtPairs.toSeq ++ imgPairs.toSeq ++ audPairs.toSeq
+    all.foreach { case (a, b) => union(a, b) }
+    val members = all.flatMap(p => Seq(p._1, p._2)).distinct
+    val wantSizes = members.groupBy(find).map { case (c, ms) => c -> ms.size.toLong }
+    def edgeCount(pairs: Set[(Long, Long)]): Map[Long, Long] =
+      pairs.toSeq.groupBy(p => find(p._1)).map { case (c, es) => c -> es.size.toLong }
+    val (wt, wi, wa) = (edgeCount(txtPairs), edgeCount(imgPairs), edgeCount(audPairs))
+    val got = MediaOps.queries("mm13_multimodal_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == wantSizes.keySet,
+      s"components differ: got ${got.keySet.toSeq.sorted}, want ${wantSizes.keySet.toSeq.sorted}")
+    got.foreach { case (c, (n, t, i, a)) =>
+      assert(n == wantSizes(c), s"component $c size: got $n want ${wantSizes(c)}")
+      assert(t == wt.getOrElse(c, 0L) && i == wi.getOrElse(c, 0L) &&
+        a == wa.getOrElse(c, 0L),
+        s"component $c evidence: got ($t,$i,$a), want " +
+          s"(${wt.getOrElse(c, 0L)},${wi.getOrElse(c, 0L)},${wa.getOrElse(c, 0L)})")
+    }
+    // the fixture must exercise a genuinely CROSS-MODAL merge: some
+    // cluster holds evidence from more than one modality
+    assert(got.values.exists { case (_, t, i, a) =>
+      Seq(t, i, a).count(_ > 0) >= 2 }, "no cross-modal cluster in fixture")
+    spark.catalog.clearCache()
+  }
+
   test("interleaved banding is pigeonhole-complete at Hamming<=4 (property)") {
     // any pair of 64-bit fingerprints within Hamming 4 shares at least one
     // of the 5 interleaved bands — deterministic sweep over seeded draws
