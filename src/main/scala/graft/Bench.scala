@@ -32,8 +32,9 @@ import org.apache.spark.sql.SparkSession
   * rounds 14–15 pinned a hand-picked high-variance list, but judged
   * runs showed contention MOVES — each round flagged six different
   * queries): if the measured reps span more than [[VarianceFlagRatio]]
-  * (max/min), up to [[ExtraRepsOnVariance]] extra reps run, stopping
-  * early once the spread drops back under the ratio. Every query plays
+  * (max/min), [[ExtraRepsOnVariance]] bonus reps run (fewer only if a
+  * bonus draw fails — a bonus failure stops drawing but never
+  * invalidates the already-valid base measurement). Every query plays
   * by the same rule, so no query's official min is drawn from a
   * systematically deeper pool (the round-15 protocol-asymmetry note);
   * the per-query `rep_secs` arrays record exactly how many draws each
@@ -144,16 +145,23 @@ object Bench {
         .takeWhile(_.isDefined) // a None (failure) ends the sequence
         .toVector
       var measured = base.drop(1).flatten
-      var ok = base.length == reps + 1
+      val ok = base.length == reps + 1
       // adaptive variance reps: a spread over the flag ratio means some
-      // rep was contention-polluted — grant extra draws (bounded), and
-      // stop early once the spread is back under the ratio
-      var extra = 0
-      while (ok && extra < ExtraRepsOnVariance && measured.min > 0 &&
+      // rep was contention-polluted — grant the bonus draws (bounded).
+      // No early-stop condition: max/min over an accumulating set is
+      // monotone, so "the spread dropped back under" can never happen.
+      // A FAILED bonus draw only stops drawing — the base reps already
+      // measured a valid min, and the bonus exists to deepen that pool,
+      // never to invalidate it.
+      if (ok && measured.min > 0 &&
           measured.max / measured.min > VarianceFlagRatio) {
-        once() match {
-          case Some(t) => measured :+= t; extra += 1
-          case None => ok = false
+        var extra = 0
+        var drawing = true
+        while (drawing && extra < ExtraRepsOnVariance) {
+          once() match {
+            case Some(t) => measured :+= t; extra += 1
+            case None => drawing = false
+          }
         }
       }
       // official value: min of reps (contention only adds time); median

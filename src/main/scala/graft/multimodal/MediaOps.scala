@@ -1692,9 +1692,14 @@ object MediaOps {
     * shuffles on (t, bv) band buckets, and the Hamming filter runs only
     * inside buckets — the corpus is never self-joined. */
   private def ndPairs(hashes: DataFrame): DataFrame = {
-    // persist before self-joining: both sides would otherwise recompute
-    // the full decode+fingerprint chain. Read lazily by the returned plan;
-    // loop callers clearCache between runs (Bench/Verify do).
+    // persist + EAGER count before self-joining: both join sides would
+    // otherwise recompute the full decode+fingerprint chain — and a
+    // lazy persist alone does not prevent it, because the self-join's
+    // two shuffle-map stages are scheduled concurrently and can both
+    // compute the same uncached partition on first touch (the profiled
+    // ConnectedComponents trap; its fix — materialize first — applies).
+    // Cache lifecycle: read lazily by the returned plan; loop callers
+    // clearCache between runs (Bench/Verify do).
     val banded = hashes.select(
         (col("doc_id") +: (0 until MmNdBands).map(t => col(s"b$t"))) :+
           explode(array((0 until MmNdBands).map(t =>
@@ -1702,6 +1707,7 @@ object MediaOps {
       .select((col("doc_id") +: (0 until MmNdBands).map(t => col(s"b$t"))) :+
           col("band.t").as("t") :+ col("band.bv").as("bv"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count() // materialize ONCE before the two map stages race
     val hamming = (0 until MmNdBands).map(t =>
       bit_count(col(s"a.b$t").bitwiseXOR(col(s"b.b$t")))).reduce(_ + _)
     // a pair can agree on several bands → distinct AFTER scoring (hamming
@@ -2024,7 +2030,13 @@ object MediaOps {
   def mm12ImageAnn(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.IvfSearch
     import graft.queries.ScaleOps
+    // persisted: the corpus side (buildIndex) and the query side
+    // (approxTopK's 3 probe rows) both consume the feature frame, and
+    // the filters cannot push below the opaque mapPartitions — without
+    // the persist the full PNG encode/decode chain runs TWICE per call.
+    // Read lazily by the returned plan; Bench/Verify clearCache.
     val feats = mm12ImageFeatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = IvfSearch.buildIndex(feats.filter(col("vec_id") >= 3),
       "vec_id", "embedding",
       k = ScaleOps.IvfK, iters = ScaleOps.IvfIters,

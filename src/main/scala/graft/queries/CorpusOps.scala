@@ -312,14 +312,6 @@ object CorpusOps {
        |ORDER BY wpr_ppm DESC, doc_id""".stripMargin
   }
 
-  /** g2's rolling drive landed AT MOST ONCE per corpus fingerprint (the
-    * c18s discipline for the graph family): a sibling session drives
-    * [[graft.streaming.StreamOps.pagerankBatch]] waves over the c9
-    * stream slice — wave 0 additionally lands the static corpus's
-    * internal pair set, so frontier edge sets follow the c20 arrival
-    * convention — and the g2 lineage read serves from the landed score
-    * snapshots. A marker-less root is deleted before rebuild (the k13s
-    * rule for multi-batch builders over snapshot-family state). */
   /** g2's OWN stream-window end — wider than the c9 families'
     * $C9StreamEnd (600) because the near-dup graph inside [50, 600) is
     * nearly empty at sf0.1 (1–2 vertices per frontier), which left the
@@ -329,6 +321,15 @@ object CorpusOps {
     * caps at 500, so the window is unchanged there. */
   private val G2StreamEnd = 2000L
 
+  /** g2's rolling drive landed AT MOST ONCE per corpus fingerprint (the
+    * c18s discipline for the graph family): a sibling session drives
+    * [[graft.streaming.StreamOps.pagerankBatch]] waves over the
+    * [$EvalSplit, $G2StreamEnd) stream slice — wave 0 additionally lands
+    * the static corpus's internal pair set, so frontier edge sets follow
+    * the c20 arrival convention — and the g2 lineage read serves from
+    * the landed score snapshots. A marker-less root is deleted before
+    * rebuild (the k13s rule for multi-batch builders over
+    * snapshot-family state). */
   private def g2SharedRoot(s: SparkSession, dir: String): String = {
     import graft.streaming.StreamOps
     val root = ScaleOps.artifactRoot("g2s",

@@ -472,12 +472,22 @@ object SearchOps {
     root
   }
 
+  /** The shard-pruned probe of the k6 index every at-rest reader (k6,
+    * k17, k18) shares: list the query terms' shard directories (the
+    * write-once index's partition column — PartitionFilters, plan-
+    * audited), push the term filter, never scan the corpus. Factored so
+    * a sharding-scheme change lands in exactly one place. */
+  private def probePostings(s: SparkSession, root: java.nio.file.Path,
+      terms: Seq[String]): DataFrame = {
+    val shards = terms
+      .map(t => (graft.operators.PortableHash.hex60(t) % K6Shards).toInt).distinct
+    s.read.parquet(root.resolve("postings").toString)
+      .filter(col("shard").isin(shards: _*) && col("term").isin(terms: _*))
+  }
+
   def k6SearchAtRest(s: SparkSession, dir: String): DataFrame = {
     val root = k6PostingsRoot(s, dir)
-    val shards = QueryTerms
-      .map(t => (graft.operators.PortableHash.hex60(t) % K6Shards).toInt).distinct
-    val post = s.read.parquet(root.resolve("postings").toString)
-      .filter(col("shard").isin(shards: _*) && col("term").isin(QueryTerms: _*))
+    val post = probePostings(s, root, QueryTerms)
     val tfAggs = QueryTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i") }
     val byDoc = post.groupBy(col("id"), col("dli"))
@@ -511,10 +521,7 @@ object SearchOps {
     * query touches 4 shard directories of a write-once index. */
   def k17BooleanRetrieval(s: SparkSession, dir: String): DataFrame = {
     val root = k6PostingsRoot(s, dir)
-    val shards = BoolTerms
-      .map(t => (graft.operators.PortableHash.hex60(t) % K6Shards).toInt).distinct
-    val post = s.read.parquet(root.resolve("postings").toString)
-      .filter(col("shard").isin(shards: _*) && col("term").isin(BoolTerms: _*))
+    val post = probePostings(s, root, BoolTerms)
     val flagAggs = BoolTerms.map(t =>
       max(when(col("term") === t, 1).otherwise(0)).as(s"has_$t"))
     post.groupBy(col("id"))
@@ -562,15 +569,12 @@ object SearchOps {
     * score restricted to the boolean result set. */
   def k18RankedBoolean(s: SparkSession, dir: String): DataFrame = {
     val root = k6PostingsRoot(s, dir)
-    val shards = BoolTerms
-      .map(t => (graft.operators.PortableHash.hex60(t) % K6Shards).toInt).distinct
     // ONE index probe feeds both consumers: Spark does not dedupe
     // duplicate scan subtrees, so without the persist the flag/tf
     // aggregation and the df aggregate would each scan the shards.
     // Lifecycle: read lazily by the returned plan; Bench/Verify
     // clearCache between runs.
-    val post = s.read.parquet(root.resolve("postings").toString)
-      .filter(col("shard").isin(shards: _*) && col("term").isin(BoolTerms: _*))
+    val post = probePostings(s, root, BoolTerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = BoolTerms.map(t =>
         max(when(col("term") === t, 1).otherwise(0)).as(s"has_$t")) ++

@@ -474,17 +474,6 @@ object TextOps {
       .sortBy(_.rank).toSeq
   }
 
-  /** d33: BPE ENCODE — the learned d32 merge table applied back to the
-    * corpus, reported as per-document word and subword counts. Spark
-    * applies the merges row-locally to each word occurrence (literal
-    * replace cascade, no join); the oracle maps word types through the
-    * same training chain (carrying the word) and joins per-doc words to
-    * their final symbol strings — two routes to the same counts, both
-    * hash-verified. The train→encode pair completes the tokenizer
-    * lifecycle the way i2's train→encode→ADC does for PQ. The merge
-    * table is SERVED from the d32s artifact (train-once posture); the
-    * oracle still unrolls the full training chain, so the landed table
-    * is hash-checked against a from-scratch replay every run. */
   /** The encode applied at the word-TYPE level: the merge cascade (3
     * replaces × [[BpeMerges]] ranks = a 96-deep expression) evaluates
     * once per DISTINCT word, and occurrences join back to their type's
@@ -505,6 +494,18 @@ object TextOps {
       .withColumn("n_sym", size(split(trim(encoded), " ")).cast("long"))
   }
 
+  /** d33: BPE ENCODE — the learned d32 merge table applied back to the
+    * corpus, reported as per-document word and subword counts. Spark
+    * applies the merges once per word TYPE with a broadcast join back
+    * to occurrences ([[bpeSubwordsPerType]]); the oracle maps word
+    * types through the same training chain (carrying the word) and
+    * joins per-doc words to their final symbol strings — two routes to
+    * the same counts, both hash-verified. The train→encode pair
+    * completes the tokenizer lifecycle the way i2's train→encode→ADC
+    * does for PQ. The merge table is SERVED from the d32s artifact
+    * (train-once posture); the oracle still unrolls the full training
+    * chain, so the landed table is hash-checked against a from-scratch
+    * replay every run. */
   def d33BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val words = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
