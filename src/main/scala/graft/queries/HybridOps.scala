@@ -474,6 +474,78 @@ object HybridOps {
        |        FROM csl),
        |$fusedTailSql""".stripMargin
 
+  /** h10: the RETRIEVAL STACK end to end — boolean filter + BM25 rank +
+    * ANN dense leg + RRF fusion, every stage served from its index: the
+    * boolean clause (k17, probed from the k6 inverted index) defines the
+    * candidate universe; the keyword leg is k18's ranked boolean
+    * (corpus-stats BM25 WITHIN the set, same index probe); the dense leg
+    * probes the IVF index with the candidate set as the
+    * [[graft.operators.IvfSearch.approxTopKWithin]] pre-filter (h7's
+    * machinery with a BOOLEAN slice instead of a metadata slice — the
+    * top-[[LegN]] budget never leaves the set); fusion is h1's RRF,
+    * unchanged. This is what "search (dup AND spark) OR vector, NOT
+    * stream" runs on a 100 TB stack: |terms| postings shards + probed
+    * inverted lists, never a corpus scan. The oracle composes the k1
+    * BM25 chain + the shared boolean candidate CTEs + the shared ivfCtes
+    * probe under h1's fusion tail. */
+  def h10BooleanHybrid(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val bmLeg = SearchOps.k18RankedBoolean(s, dir)
+      .select(col("doc_id").as("id"), col("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(LegN)
+    val allowed = SearchOps.k17BooleanRetrieval(s, dir)
+      .select(col("doc_id").as("vec_id"))
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.operators.IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = ScaleOps.IvfK, iters = ScaleOps.IvfIters,
+      roundDecimals = ScaleOps.IvfRound)
+    try {
+      val denseLeg = graft.operators.IvfSearch
+        .approxTopKWithin(e.filter(col("vec_id") === HQueryVec), idx,
+          "vec_id", "embedding", k = LegN, nprobe = ScaleOps.IvfNprobe,
+          allowed = allowed)
+        .select(col("neighbor").as("id"), col("cos"))
+      val res = fuseRrf(bmLeg, denseLeg)
+      // bounded (HTopK rows): materialize before the index cache closes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
+  /** DuckDB replay of [[h10BooleanHybrid]]: the k1 BM25 chain joined to
+    * the shared boolean candidate set for the keyword leg (k18's own
+    * oracle shape), the shared ivfCtes probe with the candidate join
+    * applied BETWEEN probe and scoring for the dense leg (h7's pre-
+    * filter shape over a boolean slice), h1's fusion tail. */
+  private val h10Sql: String =
+    s"""WITH ${KeywordSearch.bm25Ctes(HTerms)},
+       |${SearchOps.boolSelCtes},
+       |bml AS (SELECT sc.id, sc.score FROM sc
+       |        JOIN bsel b ON b.doc_id = sc.id
+       |        WHERE sc.score > 0
+       |        ORDER BY sc.score DESC, sc.id LIMIT $LegN),
+       |bmr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rb
+       |        FROM bml),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |${ScaleOps.ivfCtes},
+       |cands AS (
+       |  SELECT pr.q_emb, a.id, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id
+       |  JOIN bsel ON bsel.doc_id = a.id),
+       |csl AS (SELECT id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM cands
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |$fusedTailSql""".stripMargin
+
   /** DuckDB replay of [[h4AsofHybrid]]: the keyword leg over the AS-OF
     * corpus (k15's CASE text — third 2 one-token), the dense leg over
     * the wave-0 grown index (i11's visibility filter on the et-trained
@@ -693,7 +765,8 @@ object HybridOps {
     "h6_filtered_hybrid" -> (h6FilteredHybrid _),
     "h7_filtered_ivf_hybrid" -> (h7FilteredIvfHybrid _),
     "h8_diversified_hybrid" -> (h8DiversifiedHybrid _),
-    "h9_fusion_ablation" -> (h9FusionAblation _))
+    "h9_fusion_ablation" -> (h9FusionAblation _),
+    "h10_boolean_hybrid" -> (h10BooleanHybrid _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
@@ -706,5 +779,6 @@ object HybridOps {
     "h6_filtered_hybrid" -> h6Sql,
     "h7_filtered_ivf_hybrid" -> h7Sql,
     "h8_diversified_hybrid" -> h8Sql,
-    "h9_fusion_ablation" -> h9Sql)
+    "h9_fusion_ablation" -> h9Sql,
+    "h10_boolean_hybrid" -> h10Sql)
 }

@@ -508,7 +508,36 @@ object SearchOps {
     * ((dup AND spark) OR vector) AND NOT stream — a conjunction, a
     * disjunction, and a negation in one expression, every connective
     * exercised. */
-  private val BoolTerms = Seq("dup", "spark", "vector", "stream")
+  private[queries] val BoolTerms = Seq("dup", "spark", "vector", "stream")
+
+  /** The boolean clause over the per-doc indicator columns — ONE copy
+    * shared by k17's and k18's Spark filters (the exactness-critical-
+    * single-copy rule: the clause IS the query's semantics). */
+  private val BoolClause: org.apache.spark.sql.Column =
+    ((col("has_dup") === 1 && col("has_spark") === 1) ||
+      col("has_vector") === 1) && col("has_stream") === 0
+
+  /** The boolean candidate-set CTE chain k17/k18/h10 replay: `btok`
+    * term indicators, `bflags` per-doc flags, `bsel(doc_id)` = the docs
+    * satisfying the fixed clause — the SQL clause text lives here and
+    * only here. */
+  private[queries] val boolSelCtes: String = {
+    val flags = BoolTerms.map(t =>
+      s"MAX(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS has_$t").mkString(",\n    ")
+    s"""btok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |bflags AS (
+       |  SELECT doc_id,
+       |    $flags
+       |  FROM btok
+       |  WHERE term IN (${BoolTerms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id),
+       |bsel AS (
+       |  SELECT doc_id FROM bflags
+       |  WHERE ((has_dup = 1 AND has_spark = 1) OR has_vector = 1)
+       |    AND has_stream = 0)""".stripMargin
+  }
 
   /** k17: BOOLEAN retrieval over the k6 at-rest inverted index — the
     * search-engine primitive BM25 ranking sits on top of: per-term doc
@@ -526,32 +555,20 @@ object SearchOps {
       max(when(col("term") === t, 1).otherwise(0)).as(s"has_$t"))
     post.groupBy(col("id"))
       .agg(flagAggs.head, flagAggs.tail: _*)
-      .filter(((col("has_dup") === 1 && col("has_spark") === 1) ||
-          col("has_vector") === 1) && col("has_stream") === 0)
+      .filter(BoolClause)
       .select(col("id").as("doc_id"),
         col("has_dup"), col("has_spark"), col("has_vector"))
       .orderBy("doc_id")
   }
 
-  /** DuckDB replay of [[k17BooleanRetrieval]]: per-doc term indicators
-    * from the token explode, the same connective arithmetic. */
-  private val k17Sql: String = {
-    val flags = BoolTerms.map(t =>
-      s"MAX(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS has_$t").mkString(",\n    ")
-    s"""WITH tok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-       |  FROM documents),
-       |flags AS (
-       |  SELECT doc_id,
-       |    $flags
-       |  FROM tok
-       |  WHERE term IN (${BoolTerms.map(t => s"'$t'").mkString(", ")})
-       |  GROUP BY doc_id)
-       |SELECT doc_id, has_dup, has_spark, has_vector FROM flags
-       |WHERE ((has_dup = 1 AND has_spark = 1) OR has_vector = 1)
-       |  AND has_stream = 0
-       |ORDER BY doc_id""".stripMargin
-  }
+  /** DuckDB replay of [[k17BooleanRetrieval]]: the shared candidate-set
+    * chain ([[boolSelCtes]] — indicators + the clause), flags re-joined
+    * for the output columns. */
+  private val k17Sql: String =
+    s"""WITH $boolSelCtes
+       |SELECT f.doc_id, f.has_dup, f.has_spark, f.has_vector
+       |FROM bflags f JOIN bsel b ON b.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
 
   /** k18: RANKED BOOLEAN retrieval — the composition k17 and k6 imply,
     * and the shape every real search engine serves: the boolean
@@ -582,8 +599,7 @@ object SearchOps {
         sum(when(col("term") === t, col("tf")).otherwise(lit(0L))).as(s"tf_$i") }
     val byDoc = post.groupBy(col("id"), col("dli"))
       .agg(aggs.head, aggs.tail: _*)
-      .filter(((col("has_dup") === 1 && col("has_spark") === 1) ||
-          col("has_vector") === 1) && col("has_stream") === 0)
+      .filter(BoolClause)
     // df over the probe = corpus-level df (the probe holds EVERY posting
     // of these terms); the negated term is filtered by, never scored
     val dfAggs = QueryTerms.zipWithIndex.map { case (t, i) =>
@@ -597,29 +613,15 @@ object SearchOps {
   }
 
   /** DuckDB replay of [[k18RankedBoolean]]: the k1 corpus-rescan BM25
-    * chain (ending in `sc(id, score)`) joined to k17's indicator filter —
-    * the index-served filter-then-rank must equal the from-scratch
-    * compose bit for bit. CTE names `btok`/`bflags` avoid colliding with
-    * [[KeywordSearch.bm25Ctes]]'s `tok`-less base/tf/st/sc chain. */
-  private val k18Sql: String = {
-    val flags = BoolTerms.map(t =>
-      s"MAX(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS has_$t").mkString(",\n    ")
+    * chain (ending in `sc(id, score)`) joined to the shared boolean
+    * candidate set ([[boolSelCtes]]) — the index-served filter-then-rank
+    * must equal the from-scratch compose bit for bit. */
+  private val k18Sql: String =
     s"""WITH ${KeywordSearch.bm25Ctes(QueryTerms)},
-       |btok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-       |  FROM documents),
-       |bflags AS (
-       |  SELECT doc_id,
-       |    $flags
-       |  FROM btok
-       |  WHERE term IN (${BoolTerms.map(t => s"'$t'").mkString(", ")})
-       |  GROUP BY doc_id)
-       |SELECT f.doc_id, sc.score
-       |FROM bflags f JOIN sc ON sc.id = f.doc_id
-       |WHERE ((f.has_dup = 1 AND f.has_spark = 1) OR f.has_vector = 1)
-       |  AND f.has_stream = 0
-       |ORDER BY sc.score DESC, f.doc_id""".stripMargin
-  }
+       |$boolSelCtes
+       |SELECT b.doc_id, sc.score
+       |FROM bsel b JOIN sc ON sc.id = b.doc_id
+       |ORDER BY sc.score DESC, b.doc_id""".stripMargin
 
   /** k11: k1/k6's BM25 maintained ROLLING — the inverted index grown
     * per ingest wave instead of rebuilt (the Lucene segment model the
