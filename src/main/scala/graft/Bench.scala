@@ -153,6 +153,7 @@ object Bench {
       // A FAILED bonus draw only stops drawing — the base reps already
       // measured a valid min, and the bonus exists to deepen that pool,
       // never to invalidate it.
+      var bonusFailed = false
       if (ok && measured.min > 0 &&
           measured.max / measured.min > VarianceFlagRatio) {
         var extra = 0
@@ -160,7 +161,7 @@ object Bench {
         while (drawing && extra < ExtraRepsOnVariance) {
           once() match {
             case Some(t) => measured :+= t; extra += 1
-            case None => drawing = false
+            case None => drawing = false; bonusFailed = true
           }
         }
       }
@@ -176,19 +177,23 @@ object Bench {
           if (n % 2 == 1) sorted(n / 2)
           else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
         }
-      (name, best, med, measured)
+      (name, best, med, measured, bonusFailed)
     }
-    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
+    // queries whose official min is valid (base reps complete) but whose
+    // variance-triggered BONUS draw crashed — visible in the artifact, not
+    // only on stderr: a flaky query must not read as fully green
+    val flaky = results.collect { case (k, v, _, _, bf) if v >= 0 && bf => "\"" + k + "\"" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val medians = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+    val medians = results.map { case (k, _, m, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val repSecs = results.map { case (k, _, _, rs) =>
+    val repSecs = results.map { case (k, _, _, rs, _) =>
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // max/min across measured reps: ~1 on a quiet machine; >>1 means an
     // external load hit some reps (min-of-reps absorbs it, this shows it)
-    val varRatios = results.map { case (k, _, _, rs) =>
+    val varRatios = results.map { case (k, _, _, rs, _) =>
       val r = if (rs.isEmpty || rs.min <= 0) -1.0
         else (rs.max / rs.min * 1000).round / 1000.0
       if (r > VarianceFlagRatio)
@@ -198,12 +203,13 @@ object Bench {
     }
     val variance = varRatios.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$medians,"rep_secs":$repSecs,""" +
         s""""variance_ratio":$variance,""" +
-        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+        s""""failed":${failed.mkString("[", ",", "]")},""" +
+        s""""flaky":${flaky.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),

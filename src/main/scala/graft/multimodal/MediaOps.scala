@@ -2128,6 +2128,7 @@ object MediaOps {
     // plan; Bench/Verify clearCache between runs.
     val edges = text.unionByName(img).unionByName(aud)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize ONCE before CC's union stages race (ndPairs rule)
     val comps = graft.operators.ConnectedComponents
       .components(edges.select(col("id_a"), col("id_b")))
     val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))

@@ -393,6 +393,84 @@ object VectorOps {
        |ORDER BY q.q_id""".stripMargin
   }
 
+  // v13 constants shared by the Spark query and its SQL replay
+  private val V13K = 5
+
+  /** v13: BINARY-QUANTIZATION recall audit — recall@[[V13K]] of sign-bit
+    * retrieval (1 bit/dim: bit_d = emb[d] > 0, Hamming distance ranked
+    * ASCENDING with id tie-break) against the full-precision cosine
+    * ranking. BQ is the extreme point of the quantization spectrum the
+    * tier already covers (v8's SQ8 at 8 bits, i2/i3's PQ at ~4, v11's
+    * MRL at fewer dims): 64× fewer bytes scanned per candidate, and
+    * this table is the evidence for whether the BQ scan can serve alone
+    * or needs a rerank stage — the audit-before-adopting discipline of
+    * i6/v11. Both rankings are exact (integer Hamming, 6dp cosine, id
+    * tie-breaks), so the oracle replays both rather than tolerating
+    * approximation; recall is an integer ppm floor. */
+  def v13BqRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cf",
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) *
+            sqrt(dot(col("emb"), col("emb")))), 6))
+      // Hamming over the sign bits: count of dims whose signs disagree —
+      // a row-local codegen'd zip/filter, the 1-bit analogue of v8's
+      // integer coarse dot
+      .withColumn("ham", size(filter(
+        zip_with(col("q_emb"), col("emb"),
+          (a, b) => (a > lit(0.0)) =!= (b > lit(0.0))),
+        x => x)).cast("long"))
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("cf").desc, col("vec_id"))
+    val wb = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("vec_id"))
+    val full = scored.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= V13K).select(col("q_id"), col("vec_id"))
+    val bq = scored.withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= V13K).select(col("q_id"), col("vec_id"))
+    val overlap = full.join(bq, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("q_id"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm",
+        expr(s"(1000000 * n_overlap) div $V13K"))
+      .orderBy("q_id")
+  }
+
+  private val v13Sql: String = {
+    def cos(a: String, b: String) =
+      s"ROUND(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q_id, vec_id, ${cos("q_emb", "emb")} AS cf,
+       |    CAST(len(list_filter(range(1, ${graft.operators.AnnSearch.Dim} + 1),
+       |      i -> (q_emb[CAST(i AS INTEGER)] > 0) <> (emb[CAST(i AS INTEGER)] > 0)))
+       |      AS BIGINT) AS ham
+       |  FROM q CROSS JOIN e WHERE vec_id <> q_id),
+       |fw AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cf DESC, vec_id) AS rk
+       |  FROM scored) z WHERE rk <= $V13K),
+       |bw AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY ham ASC, vec_id) AS rk
+       |  FROM scored) z WHERE rk <= $V13K),
+       |ov AS (SELECT fw.q_id, COUNT(*) AS n_overlap
+       |       FROM fw JOIN bw ON bw.q_id = fw.q_id AND bw.vec_id = fw.vec_id
+       |       GROUP BY fw.q_id)
+       |SELECT q.q_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  (1000000 * COALESCE(ov.n_overlap, 0)) // $V13K AS recall_ppm
+       |FROM q LEFT JOIN ov ON ov.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin
+  }
+
   // v8 constants shared by the Spark query and its SQL replay
   private val Sq8Pool = 20
   private val Sq8K = 5
@@ -729,6 +807,7 @@ object VectorOps {
     "v8_sq8_rerank" -> (v8Sq8Rerank _),
     "v9_top_eigen" -> (v9TopEigen _),
     "v11_matryoshka_recall" -> (v11MatryoshkaRecall _),
+    "v13_bq_recall" -> (v13BqRecall _),
     "v10_norm_audit" -> (v10NormAudit _),
     "a3_quality_typicality_corr" -> (a3QualityTypicalityCorr _),
     "v7_mmr_rerank" -> (v7MmrRerank _),
@@ -744,6 +823,7 @@ object VectorOps {
     "v8_sq8_rerank" -> v8Sql,
     "v9_top_eigen" -> v9Sql,
     "v11_matryoshka_recall" -> v11Sql,
+    "v13_bq_recall" -> v13Sql,
     "v10_norm_audit" -> v10Sql,
     "a3_quality_typicality_corr" -> a3Sql,
     "v7_mmr_rerank" -> v7Sql,

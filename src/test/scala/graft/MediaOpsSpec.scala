@@ -489,6 +489,7 @@ class MediaOpsSpec extends AnyFunSuite {
     val wantAud = bruteForcePairs(texts.map { case (id, t) => id -> mm11Bits(t) })
     assert(gotAud == wantAud, s"audio pairs: got ${gotAud.size}, want ${wantAud.size}")
     assert(gotAud.nonEmpty, "fixture must exercise the match path")
+    spark.catalog.clearCache() // release the two eagerly-built banded caches
   }
 
   test("mm13: multimodal clusters equal an independent union-find over the three edge sets") {
