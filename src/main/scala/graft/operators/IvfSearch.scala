@@ -249,6 +249,31 @@ object IvfSearch {
     scoreAndRank(cands, k)
   }
 
+  /** Two-stage probe over the BINARY-QUANTIZED storage tier: probe the
+    * `nprobe` nearest lists, COARSE-rank the candidates by sign-bit
+    * Hamming distance (1 bit/dim — the 64×-compressed scan a BQ-encoded
+    * inverted file runs, integer-exact on both engines), keep the top
+    * `pool` per query (ham asc, id tie-break), then EXACT-rerank the
+    * pool through the shared [[scoreAndRank]] tail. The IVF face of the
+    * v8 SQ8 two-stage shape: at deployment the lists store 8 bytes per
+    * 64-dim vector for the coarse pass, and full precision is touched
+    * for `pool` rows per query only. */
+  def approxTopKBq(queries: DataFrame, index: Index, idCol: String,
+                   embCol: String, k: Int, nprobe: Int, pool: Int): DataFrame = {
+    DotProduct.register(queries.sparkSession)
+    val probed = route(queries, index, idCol, embCol, nprobe)
+    val cands = broadcast(probed)
+      .join(index.assignments, Seq("centroid_id"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("ham", size(filter(
+        zip_with(col("q_emb"), col("emb"),
+          (a, b) => (a > lit(0.0)) =!= (b > lit(0.0))), x => x)).cast("long"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("id"))
+    val shortlist = cands.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= pool)
+    scoreAndRank(shortlist, k)
+  }
+
   /** Approximate cosine top-k: probe the `nprobe` nearest inverted lists
     * per query, exact cosine within them. */
   def approxTopK(queries: DataFrame, index: Index, idCol: String, embCol: String,

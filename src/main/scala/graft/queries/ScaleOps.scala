@@ -848,6 +848,65 @@ object ScaleOps {
     } finally idx.close()
   }
 
+  /** i12 shortlist size: full precision is touched for this many rows
+    * per query after the 1-bit coarse pass (v8's pool convention). */
+  private val I12Pool = 20
+
+  /** i12: IVF + BINARY QUANTIZATION + exact rerank — the quantization ×
+    * index matrix completed: i3 runs PQ-ADC inside the probed lists,
+    * v8 runs SQ8 over the whole corpus, v13 audits raw BQ recall; this
+    * row serves the production composition — probe the nprobe nearest
+    * inverted lists, coarse-rank the candidates by sign-bit Hamming
+    * (the 64×-compressed scan a BQ-encoded inverted file runs), keep
+    * [[I12Pool]] per query, exact-rerank with the shared cosine tail
+    * ([[IvfSearch.approxTopKBq]]). Every stage deterministic (integer
+    * Hamming, round-6 cosine, id tie-breaks), so the oracle replays the
+    * full quantizer→probe→shortlist→rerank chain. */
+  def i12IvfBqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      val res = IvfSearch.approxTopKBq(e.filter(col("vec_id") < 3), idx,
+          "vec_id", "embedding", k = IvfTopK, nprobe = IvfNprobe,
+          pool = I12Pool)
+        .orderBy("q_id", "rk")
+      // bounded (|q|·k rows): materialize before closing the index
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
+  private lazy val i12Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |$ivfCtes,
+       |cands AS (
+       |  SELECT pr.q_id, pr.q_emb, a.id, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id),
+       |hs AS (
+       |  SELECT q_id, q_emb, id, emb,
+       |    CAST(len(list_filter(range(1, ${AnnSearch.Dim} + 1),
+       |      i -> (q_emb[CAST(i AS INTEGER)] > 0) <> (emb[CAST(i AS INTEGER)] > 0)))
+       |      AS BIGINT) AS ham
+       |  FROM cands),
+       |pool AS (
+       |  SELECT q_id, q_emb, id, emb FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ham ASC, id) AS crk
+       |    FROM hs) z
+       |  WHERE crk <= $I12Pool),
+       |scored AS (
+       |  SELECT q_id, id AS neighbor,
+       |    ROUND(list_dot_product(q_emb, emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM pool),
+       |ranked AS (
+       |  SELECT q_id, neighbor, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+       |  FROM scored)
+       |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= $IvfTopK
+       |ORDER BY q_id, rk""".stripMargin
+
   /** Sequential-fold squared-L2 expansion both engines compute
     * identically (shared by the i1/i2/i3 oracle fragments). */
   private def sqlDist2(a: String, b: String) =
@@ -2115,6 +2174,7 @@ object ScaleOps {
     "a5_rolling_semdedup" -> (a5RollingSemDedup _),
     "a6_asof_semdedup" -> (a6AsofSemDedup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
+    "i12_ivf_bq_rerank" -> (i12IvfBqRerank _),
     "i2_pq_topk" -> (i2PqTopk _),
     "i3_ivf_pq_rerank" -> (i3IvfPqRerank _),
     "i4_pq_distortion" -> (i4PqDistortion _),
@@ -2147,6 +2207,7 @@ object ScaleOps {
     "a5_rolling_semdedup" -> a5Sql,
     "a6_asof_semdedup" -> a6Sql,
     "i1_ivf_topk" -> i1Sql,
+    "i12_ivf_bq_rerank" -> i12Sql,
     "i2_pq_topk" -> i2Sql,
     "i3_ivf_pq_rerank" -> i3Sql,
     "i4_pq_distortion" -> i4Sql,

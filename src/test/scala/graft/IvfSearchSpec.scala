@@ -43,6 +43,28 @@ class IvfSearchSpec extends AnyFunSuite {
     assert(approx.size <= 15)
   }
 
+  test("BQ two-stage probe: a corpus-sized pool degenerates to the exact probe; small pools rerank only shortlisted rows") {
+    val q = corpus.filter(col("vec_id") < 3)
+    // pool >= candidate count → the Hamming shortlist keeps everything
+    // and the rerank must be EXACTLY approxTopK (the composition adds
+    // a stage, never drift)
+    val n = corpus.count().toInt
+    val full = IvfSearch.approxTopKBq(q, index, "vec_id", "embedding",
+        k = 5, nprobe = 16, pool = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val plain = IvfSearch.approxTopK(q, index, "vec_id", "embedding",
+        k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(full == plain, "full-pool BQ probe must equal the plain probe bit for bit")
+    // a small pool still fills k ranks per query (the shortlist is a
+    // pre-filter, not a truncation of the ANSWER), and stays inside the
+    // probed lists' candidates
+    val small = IvfSearch.approxTopKBq(q, index, "vec_id", "embedding",
+        k = 5, nprobe = 16, pool = 8)
+      .collect()
+    assert(small.length == 15, s"expected 3 queries x 5 ranks, got ${small.length}")
+  }
+
   test("filtered search: every neighbor shares the query's label; full probe equals filtered brute force") {
     val q = corpus.filter(col("vec_id") < 3)
     val meta = corpus.select(col("vec_id"), col("label"))
