@@ -562,6 +562,80 @@ object ScaleOps {
     } finally idx.close()
   }
 
+  /** a7's eval/train split inside the a2/a4 demo block: ids below are
+    * the held-out benchmark, at-or-above the training corpus. */
+  private val A7EvalCut = 50L
+
+  /** a7: SEMANTIC decontamination — the embedding-space complement of
+    * c2's n-gram sweep: an eval item whose MEANING appears in the
+    * training corpus (paraphrase, translation, re-render) leaks the
+    * benchmark even when no n-gram overlaps, so modern pipelines run
+    * both. Each eval vector probes the IVF index (i1's route — the
+    * [[IvfNprobe]] nearest inverted lists) and compares against the
+    * TRAIN members of the probed lists only; a train neighbor at
+    * cosine ≥ [[A4Threshold]] marks contamination. Output per eval
+    * item: candidates checked and contaminated-neighbor count — the
+    * audit a release gate reads before publishing a benchmark split.
+    * Scale shape: identical to serving ANN queries (eval sets are
+    * tiny → broadcast probe; only probed lists are touched); at 100 TB
+    * this is THE way to decontaminate against a corpus too large to
+    * pair-join. Oracle replays the quantizer, the routing, the train
+    * filter, and the threshold count through the shared ivfCtes chain. */
+  def a7SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val dot = graft.functions.DotProduct.dotProduct _
+    val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 500)
+    val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
+      k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    try {
+      val evalQ = e.filter(col("vec_id") < A7EvalCut)
+      val probed = IvfSearch.route(evalQ, idx, "vec_id", "embedding", IvfNprobe)
+      val cands = broadcast(probed)
+        .join(idx.assignments, Seq("centroid_id"))
+        .filter(col("id") >= A7EvalCut) // only TRAIN docs can contaminate
+        .withColumn("cos", round(
+          dot(col("q_emb"), col("emb")) /
+            (sqrt(dot(col("q_emb"), col("q_emb"))) *
+              sqrt(dot(col("emb"), col("emb")))), 6))
+      val agg = cands.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("cos") >= A4Threshold, 1L).otherwise(0L))
+            .as("n_contaminated"))
+      val res = evalQ.select(col("vec_id").as("eval_id"))
+        .join(agg.withColumnRenamed("q_id", "eval_id"), Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_checked"), lit(0L)).as("n_checked"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy("eval_id")
+      // bounded (|eval| rows): materialize before closing the index
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally idx.close()
+  }
+
+  private lazy val a7Sql: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings WHERE vec_id < 500),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < $A7EvalCut),
+       |$ivfCtes,
+       |cands AS (
+       |  SELECT pr.q_id, pr.q_emb, a.id, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id >= $A7EvalCut),
+       |scored AS (
+       |  SELECT q_id,
+       |    ROUND(list_dot_product(q_emb, emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM cands),
+       |agg AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_checked,
+       |    CAST(SUM(CASE WHEN cos >= $A4Threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_contaminated
+       |  FROM scored GROUP BY q_id)
+       |SELECT q.q_id AS eval_id,
+       |  COALESCE(agg.n_checked, 0) AS n_checked,
+       |  COALESCE(agg.n_contaminated, 0) AS n_contaminated
+       |FROM q LEFT JOIN agg ON agg.q_id = q.q_id
+       |ORDER BY eval_id""".stripMargin
+
   /** a5 arrival split: the coarse quantizer trains on vectors below
     * this id; everything at or above arrives across the waves. */
   private val A5Split = 350L
@@ -2171,6 +2245,7 @@ object ScaleOps {
     "a1_ann_topk" -> (a1AnnTopk _),
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "a4_semdedup" -> (a4SemDedup _),
+    "a7_semantic_decontam" -> (a7SemanticDecontam _),
     "a5_rolling_semdedup" -> (a5RollingSemDedup _),
     "a6_asof_semdedup" -> (a6AsofSemDedup _),
     "i1_ivf_topk" -> (i1IvfTopk _),
@@ -2204,6 +2279,7 @@ object ScaleOps {
     "a1_ann_topk" -> a1Sql,
     "a2_embedding_neardup" -> a2Sql,
     "a4_semdedup" -> a4Sql,
+    "a7_semantic_decontam" -> a7Sql,
     "a5_rolling_semdedup" -> a5Sql,
     "a6_asof_semdedup" -> a6Sql,
     "i1_ivf_topk" -> i1Sql,
