@@ -567,6 +567,69 @@ object TextOps {
        |FROM dw JOIN wt USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** d46 gram size — c2's decontamination convention (word 5-grams). */
+  private val D46N = 5
+
+  /** d46: cross-document duplicated-n-gram FRACTION — the Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better")
+    * exact-substring signal at n-gram granularity: for each document,
+    * the share of its distinct word [[D46N]]-grams that appear in at
+    * least one OTHER document, on the integer ppm grid. MinHash (m1)
+    * answers "which documents are near-duplicates"; this answers "how
+    * much of THIS document is copied text" — the per-document memorization
+    * risk that survives even when no single partner crosses the pair
+    * threshold (boilerplate, license headers, quoted passages). Scale
+    * shape: one shuffle keyed on gram hash (the inverted-gram posting
+    * list — per-key rows bounded by a gram's document frequency), one
+    * semi-join back, never a pair join; the gram table is persisted so
+    * the df-aggregate and the per-doc rollup share one derivation.
+    * Oracle replays grams (c2's chain), hashes, the ≥2-doc filter, and
+    * the ppm division. */
+  def d46DupGramFraction(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchFunctions.register(s)
+    val grams = graft.operators.Decontaminate
+      .gramHashes(Tables(s, dir, "documents"), "doc_id", "text", D46N)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // materialize ONCE: three consumers below (ndPairs rule)
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val perDoc = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val dupPerDoc = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("(1000000 * n_dup) div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val d46Sql: String = {
+    val gram = (1 to D46N).map(j => s"string_split(text,' ')[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH gr AS (
+       |  SELECT doc_id AS id,
+       |    unnest(list_distinct(
+       |      CASE WHEN len(string_split(text,' ')) >= $D46N
+       |        THEN list_transform(range(0, len(string_split(text,' ')) - ${D46N - 1}),
+       |          i -> $gram)
+       |        ELSE [text] END)) AS g
+       |  FROM documents),
+       |ghs AS (SELECT id, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh FROM gr),
+       |dg AS (SELECT gh FROM (
+       |    SELECT gh, COUNT(DISTINCT id) AS nd FROM ghs GROUP BY gh) z
+       |  WHERE nd >= 2),
+       |pd AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM ghs GROUP BY id),
+       |dd AS (SELECT ghs.id, CAST(COUNT(*) AS BIGINT) AS n_dup
+       |       FROM ghs JOIN dg USING (gh) GROUP BY ghs.id)
+       |SELECT pd.id AS doc_id, pd.n_grams,
+       |  COALESCE(dd.n_dup, 0) AS n_dup,
+       |  (1000000 * COALESCE(dd.n_dup, 0)) // pd.n_grams AS dup_ppm
+       |FROM pd LEFT JOIN dd ON dd.id = pd.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** d43 anonymity threshold: classes smaller than this are
     * re-identification risks. Package-visible: the streaming monitor
     * ([[graft.streaming.StreamOps.kAnonPerBatch]]) enforces the SAME
@@ -1620,6 +1683,7 @@ object TextOps {
     "d43_k_anonymity" -> (d43KAnonymity _),
     "d44_bpe_fertility" -> (d44BpeFertility _),
     "d45_asof_kanon" -> (d45AsofKanon _),
+    "d46_dup_gram_fraction" -> (d46DupGramFraction _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1656,5 +1720,6 @@ object TextOps {
     "d43_k_anonymity" -> d43Sql,
     "d44_bpe_fertility" -> d44Sql,
     "d45_asof_kanon" -> d45Sql,
+    "d46_dup_gram_fraction" -> d46Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
