@@ -1700,12 +1700,7 @@ object MediaOps {
     // ConnectedComponents trap; its fix — materialize first — applies).
     // Cache lifecycle: read lazily by the returned plan; loop callers
     // clearCache between runs (Bench/Verify do).
-    val banded = hashes.select(
-        (col("doc_id") +: (0 until MmNdBands).map(t => col(s"b$t"))) :+
-          explode(array((0 until MmNdBands).map(t =>
-            struct(lit(t).as("t"), col(s"b$t").as("bv"))): _*)).as("band"): _*)
-      .select((col("doc_id") +: (0 until MmNdBands).map(t => col(s"b$t"))) :+
-          col("band.t").as("t") :+ col("band.bv").as("bv"): _*)
+    val banded = ndBanded(hashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.count() // materialize ONCE before the two map stages race
     val hamming = (0 until MmNdBands).map(t =>
@@ -1748,11 +1743,12 @@ object MediaOps {
     * replays pixels, cells, bits, bands, and the band join from text bytes
     * with integer arithmetic; one bit of drift in the PNG writer, the IDAT
     * inflate, `getRGB`, or the cell floor moves a band value and goes red. */
-  def mm10ImageNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = graft.Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    val hashes = docs.mapPartitions { it =>
+  /** The per-doc dHash band computation mm10 and mm14 share: render,
+    * REAL PNG round-trip, 9×8 floor-mean grid, 64 comparison bits,
+    * [[ndBands]]. One row per doc: (doc_id, b0..b4). */
+  private def mm10Fingerprints(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
       it.map { case (docId, text) =>
         val bytes = asciiBytes(docId, text)
         val b = (bytes.length + Mm10Cells - 1) / Mm10Cells
@@ -1799,7 +1795,23 @@ object MediaOps {
         (docId, bd(0), bd(1), bd(2), bd(3), bd(4))
       }
     }.toDF("doc_id", "b0", "b1", "b2", "b3", "b4")
-    ndPairs(hashes)
+  }
+
+  /** The banded explosion ndPairs and the mm14 index share: one row per
+    * (doc, band) carrying the full band vector for the Hamming check. */
+  private def ndBanded(hashes: DataFrame): DataFrame =
+    hashes.select(
+        (col("doc_id") +: (0 until MmNdBands).map(t => col(s"b$t"))) :+
+          explode(array((0 until MmNdBands).map(t =>
+            struct(lit(t).as("t"), col(s"b$t").as("bv"))): _*)).as("band"): _*)
+      .select((col("doc_id") +: (0 until MmNdBands).map(t => col(s"b$t"))) :+
+          col("band.t").as("t") :+ col("band.bv").as("bv"): _*)
+
+  def mm10ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    ndPairs(mm10Fingerprints(docs))
   }
 
   /** The band-assembly + banded-join CTE block mm10, mm11, and the mm13
@@ -2090,6 +2102,68 @@ object MediaOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** mm14 arrival split: fingerprints below land in the at-rest index;
+    * at-or-above arrive later and PROBE it (non-trivial mass on both
+    * sides at every SF — 400/100 at sf0.01, 400/4600 at sf0.1). */
+  private val Mm14Split = 400L
+
+  /** mm14: the image near-dup gate AT REST — mm10's banded fingerprint
+    * table landed ONCE per corpus fingerprint ([[graft.queries.ScaleOps
+    * .buildOnce]]: family lock, marker-last, stale-fingerprint prune)
+    * and PROBED by arriving documents, the c12/k6 deployment posture
+    * crossed into the media tier: an ingest gate asks "is this image a
+    * near-dup of anything already landed?" without re-fingerprinting
+    * the corpus — the corpus text is never re-read, only the arrival
+    * batch is decoded, and the probe is an equi-join of the (tiny)
+    * arrival band rows against the landed band table (broadcast —
+    * arrival batches are small by definition; recall stays EXACT at
+    * Hamming ≤ 4 by the pigeonhole argument, per band class). Output:
+    * (landed doc_a, arriving doc_b, hamming) — the gate's drop list.
+    * Oracle: mm10's full pair chain restricted to cross-split pairs
+    * (doc_a < split ≤ doc_b — the banded index finds exactly the
+    * all-pairs answer on that slice). */
+  def mm14ImageNeardupAtRest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.queries.ScaleOps
+    val root = ScaleOps.artifactRoot("mm14s",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    val table = root.resolve("bands").toString
+    ScaleOps.buildOnce("mm14s", root) {
+      val t = s.newSession()
+      import t.implicits._
+      val corpus = graft.Tables(t, dir, "documents")
+        .filter(col("doc_id") < Mm14Split)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      ndBanded(mm10Fingerprints(corpus))
+        .write.mode("overwrite").partitionBy("t").parquet(table)
+    }
+    val landed = s.read.parquet(table)
+    val arrivals = graft.Tables(s, dir, "documents")
+      .filter(col("doc_id") >= Mm14Split)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // arrival side: persist + eager count — it feeds every band bucket
+    // of the join and would otherwise re-decode per shuffle-map stage
+    val probe = ndBanded(mm10Fingerprints(arrivals))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probe.count()
+    val hamming = (0 until MmNdBands).map(t =>
+      bit_count(col(s"a.b$t").bitwiseXOR(col(s"b.b$t")))).reduce(_ + _)
+    landed.as("a").join(broadcast(probe.as("b")),
+        col("a.t") === col("b.t") && col("a.bv") === col("b.bv"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= MmNdMaxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private lazy val mm14Sql: String =
+    s"""WITH ${mm10BitsCtes("")},
+       |${ndSqlPairsCtes("")}
+       |SELECT doc_a, doc_b, hamming FROM nd
+       |WHERE doc_a < $Mm14Split AND doc_b >= $Mm14Split
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** mm13's text-leg threshold — m1's own (the corpus near-dup
     * convention every dedup row shares). */
   private val Mm13TextThreshold = 0.3
@@ -2193,7 +2267,8 @@ object MediaOps {
     "mm10_image_neardup" -> (mm10ImageNearDup _),
     "mm11_audio_neardup" -> (mm11AudioNearDup _),
     "mm12_image_ann" -> (mm12ImageAnn _),
-    "mm13_multimodal_clusters" -> (mm13MultimodalClusters _))
+    "mm13_multimodal_clusters" -> (mm13MultimodalClusters _),
+    "mm14_image_neardup_at_rest" -> (mm14ImageNeardupAtRest _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -2208,5 +2283,6 @@ object MediaOps {
     "mm10_image_neardup" -> mm10Sql,
     "mm11_audio_neardup" -> mm11Sql,
     "mm12_image_ann" -> mm12Sql,
-    "mm13_multimodal_clusters" -> mm13Sql)
+    "mm13_multimodal_clusters" -> mm13Sql,
+    "mm14_image_neardup_at_rest" -> mm14Sql)
 }

@@ -541,6 +541,32 @@ class MediaOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("mm14: at-rest probe equals cross-split brute force; second call builds nothing") {
+    import graft.queries.ScaleOps
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = MediaOps.queries("mm14_image_neardup_at_rest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ground truth: all-pairs Hamming<=4 restricted to (landed, arrival)
+    val want = bruteForcePairs(texts.map { case (id, t) => id -> mm10Bits(t) })
+      .filter(p => p._1 < 400L && p._2 >= 400L)
+    assert(got == want, s"at-rest probe: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty, "fixture must exercise the cross-split match path")
+    // reuse: a second call must serve from the landed index untouched
+    val root = ScaleOps.artifactRoot("mm14s",
+      ScaleOps.dataFingerprint(sfDir, Seq("documents")))
+    val marker = root.resolve("_STATE_OK")
+    assert(java.nio.file.Files.exists(marker))
+    val markerTime = java.nio.file.Files.getLastModifiedTime(marker)
+    val again = MediaOps.queries("mm14_image_neardup_at_rest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == markerTime,
+      "the marker was rewritten — a second call re-fingerprinted the corpus")
+    spark.catalog.clearCache()
+  }
+
   test("interleaved banding is pigeonhole-complete at Hamming<=4 (property)") {
     // any pair of 64-bit fingerprints within Hamming 4 shares at least one
     // of the 5 interleaved bands — deterministic sweep over seeded draws
