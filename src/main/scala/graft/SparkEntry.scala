@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusOps, EventOps, HybridOps, Relational, ScaleOps, SearchOps, TextOps, VectorOps}
+import graft.queries.{CorpusOps, EventOps, HybridOps, PipelineOps, Relational, ScaleOps, SearchOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ ScaleOps.queries ++ CorpusOps.queries ++
-      SearchOps.queries ++ HybridOps.queries ++
+      SearchOps.queries ++ HybridOps.queries ++ PipelineOps.queries ++
       graft.multimodal.MediaOps.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ ScaleOps.oracles ++ CorpusOps.oracles ++
-      SearchOps.oracles ++ HybridOps.oracles ++
+      SearchOps.oracles ++ HybridOps.oracles ++ PipelineOps.oracles ++
       graft.multimodal.MediaOps.oracles
 }

@@ -1814,6 +1814,40 @@ object MediaOps {
     ndPairs(mm10Fingerprints(docs))
   }
 
+  /** One (doc, band) row per dHash fingerprint band — [[ndBanded]] over
+    * the shared mm10 fingerprints, exposed for the streaming tier's
+    * rolling image family ([[graft.streaming.StreamOps.imageNdBatch]]). */
+  private[graft] def imageBandRows(
+      docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame =
+    ndBanded(mm10Fingerprints(docs))
+
+  /** The ROLLING sweep join of the image family: every Hamming ≤
+    * [[MmNdMaxHamming]] pair between the accumulated `landed` band rows
+    * and the arriving `batch` band rows (cross — the arrival side is a
+    * micro-batch, so it broadcasts), plus within the batch itself — so
+    * each pair is found exactly ONCE, at its later endpoint's wave (the
+    * c7 sweep identity: per-wave pair sets sum to mm10's one-shot
+    * answer). Output normalized to (doc_a < doc_b, hamming). One copy
+    * of the banding/Hamming arithmetic shared with [[ndPairs]] and the
+    * at-rest gate. */
+  private[graft] def ndSweepBatch(landed: DataFrame, batch: DataFrame): DataFrame = {
+    val hamming = (0 until MmNdBands).map(t =>
+      bit_count(col(s"a.b$t").bitwiseXOR(col(s"b.b$t")))).reduce(_ + _)
+    val cross = landed.as("a").join(broadcast(batch.as("b")),
+        col("a.t") === col("b.t") && col("a.bv") === col("b.bv"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        hamming.as("hamming"))
+    val within = batch.as("a").join(batch.as("b"),
+        col("a.t") === col("b.t") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+    cross.unionByName(within)
+      .filter(col("hamming") <= MmNdMaxHamming)
+      .distinct()
+  }
+
   /** The band-assembly + banded-join CTE block mm10, mm11, and the mm13
     * composition share: takes a `${p}bits` CTE of (doc_id, j ∈ [0,64),
     * bit ∈ {0,1}) and ends in `${p}nd(doc_a, doc_b, hamming)` — the
@@ -1904,7 +1938,15 @@ object MediaOps {
     import s.implicits._
     val docs = graft.Tables(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
-    val hashes = docs.mapPartitions { it =>
+    ndPairs(mm11Fingerprints(docs))
+  }
+
+  /** The per-doc audio fingerprint mm11 and mm15 share: render to PCM16,
+    * REAL RIFF/WAVE round-trip, 65 frame energies, 64 adjacent-frame
+    * comparison bits, [[ndBands]]. One row per doc: (doc_id, b0..b4). */
+  private def mm11Fingerprints(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
       it.map { case (docId, text) =>
         val bytes = asciiBytes(docId, text)
         val b = (bytes.length + Mm11Frames - 1) / Mm11Frames
@@ -1938,7 +1980,6 @@ object MediaOps {
         (docId, bd(0), bd(1), bd(2), bd(3), bd(4))
       }
     }.toDF("doc_id", "b0", "b1", "b2", "b3", "b4")
-    ndPairs(hashes)
   }
 
   /** mm11's fingerprint-bit CTE chain (`${p}bits`), prefixable for the
@@ -1986,7 +2027,7 @@ object MediaOps {
     * integer floor-mean grid over the DECODED pixels. Integer-valued
     * floats, so every downstream double op (distances, centroid means)
     * is exact on both engines. */
-  private def mm12ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mm12ImageFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.Tables(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -2063,10 +2104,15 @@ object MediaOps {
     } finally idx.close()
   }
 
-  private lazy val mm12Sql: String = {
+  /** The mm12 feature replay CTE chain (ends in `feats(doc_id, emb)`):
+    * pixels, 8×8 cell floor-means, and the ordered double list, all in
+    * integer arithmetic from text bytes — shared by mm12's oracle and
+    * HybridOps' h11 cross-modal visual leg so the feature definition
+    * exists in exactly one SQL place. */
+  private[graft] lazy val mm12FeatsCtes: String = {
     val px = Mm12W * Mm12H
     val area = Mm12CellW * Mm12CellH
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, text, length(text) AS len FROM documents),
        |px AS (
        |  SELECT doc_id, len, text,
@@ -2081,7 +2127,11 @@ object MediaOps {
        |  FROM px GROUP BY doc_id, k),
        |feats AS (
        |  SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY k) AS emb
-       |  FROM cf GROUP BY doc_id),
+       |  FROM cf GROUP BY doc_id)""".stripMargin
+  }
+
+  private lazy val mm12Sql: String = {
+    s"""WITH $mm12FeatsCtes,
        |e AS (SELECT doc_id AS id, emb FROM feats WHERE doc_id >= 3),
        |q AS (SELECT doc_id AS q_id, emb AS q_emb FROM feats WHERE doc_id < 3),
        |${graft.queries.ScaleOps.ivfCtes},
@@ -2102,9 +2152,9 @@ object MediaOps {
        |ORDER BY q_id, rk""".stripMargin
   }
 
-  /** mm14 arrival split: fingerprints below land in the at-rest index;
-    * at-or-above arrive later and PROBE it (non-trivial mass on both
-    * sides at every SF — 400/100 at sf0.01, 400/4600 at sf0.1). */
+  /** mm14/mm15 arrival split: fingerprints below land in the at-rest
+    * index; at-or-above arrive later and PROBE it (non-trivial mass on
+    * both sides at every SF — 400/100 at sf0.01, 400/4600 at sf0.1). */
   private val Mm14Split = 400L
 
   /** mm14: the image near-dup gate AT REST — mm10's banded fingerprint
@@ -2122,19 +2172,29 @@ object MediaOps {
     * Oracle: mm10's full pair chain restricted to cross-split pairs
     * (doc_a < split ≤ doc_b — the banded index finds exactly the
     * all-pairs answer on that slice). */
-  def mm14ImageNeardupAtRest(s: SparkSession, dir: String): DataFrame = {
+  def mm14ImageNeardupAtRest(s: SparkSession, dir: String): DataFrame =
+    ndGateAtRest(s, dir, "mm14s", mm10Fingerprints)
+
+  /** The at-rest near-dup gate mm14 (image) and mm15 (audio) share:
+    * the banded fingerprint table of docs below [[Mm14Split]] landed
+    * once per corpus fingerprint under `family`, probed by the
+    * at-or-above arrivals via a broadcast band equi-join. One copy of
+    * the land/probe/Hamming logic — the fingerprint function is the
+    * only thing that differs between modalities. */
+  private def ndGateAtRest(s: SparkSession, dir: String, family: String,
+      fingerprints: org.apache.spark.sql.Dataset[(Long, String)] => DataFrame): DataFrame = {
     import s.implicits._
     import graft.queries.ScaleOps
-    val root = ScaleOps.artifactRoot("mm14s",
+    val root = ScaleOps.artifactRoot(family,
       ScaleOps.dataFingerprint(dir, Seq("documents")))
     val table = root.resolve("bands").toString
-    ScaleOps.buildOnce("mm14s", root) {
+    ScaleOps.buildOnce(family, root) {
       val t = s.newSession()
       import t.implicits._
       val corpus = graft.Tables(t, dir, "documents")
         .filter(col("doc_id") < Mm14Split)
         .select(col("doc_id"), col("text")).as[(Long, String)]
-      ndBanded(mm10Fingerprints(corpus))
+      ndBanded(fingerprints(corpus))
         .write.mode("overwrite").partitionBy("t").parquet(table)
     }
     val landed = s.read.parquet(table)
@@ -2143,7 +2203,7 @@ object MediaOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     // arrival side: persist + eager count — it feeds every band bucket
     // of the join and would otherwise re-decode per shuffle-map stage
-    val probe = ndBanded(mm10Fingerprints(arrivals))
+    val probe = ndBanded(fingerprints(arrivals))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     probe.count()
     val hamming = (0 until MmNdBands).map(t =>
@@ -2163,6 +2223,84 @@ object MediaOps {
        |SELECT doc_a, doc_b, hamming FROM nd
        |WHERE doc_a < $Mm14Split AND doc_b >= $Mm14Split
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** mm15: the AUDIO near-dup gate AT REST — mm14's deployment posture
+    * for the audio modality: mm11's banded energy-contour fingerprints
+    * of the landed corpus built once per corpus fingerprint
+    * ([[graft.queries.ScaleOps.buildOnce]] via [[ndGateAtRest]] — one
+    * copy of the gate shared with mm14), probed by arriving documents.
+    * Only the arrival batch renders/round-trips PCM; recall stays EXACT
+    * at Hamming ≤ 4 by the per-band pigeonhole. Output: (landed doc_a,
+    * arriving doc_b, hamming). Oracle: mm11's full pair chain
+    * restricted to cross-split pairs. */
+  def mm15AudioNeardupAtRest(s: SparkSession, dir: String): DataFrame =
+    ndGateAtRest(s, dir, "mm15s", mm11Fingerprints)
+
+  private lazy val mm15Sql: String =
+    s"""WITH ${mm11BitsCtes("")},
+       |${ndSqlPairsCtes("")}
+       |SELECT doc_a, doc_b, hamming FROM nd
+       |WHERE doc_a < $Mm14Split AND doc_b >= $Mm14Split
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** mm16 wave count — c9's three-wave convention (doc_id mod 3, so
+    * near-dup partners arrive in different waves and in both orders). */
+  private val Mm16Batches = 3
+
+  /** mm16: ROLLING image near-dup — the continuous form of the whole
+    * image-dedup tier (mm10's sweep + mm14's gate as a STREAM): three
+    * ingest waves drive [[graft.streaming.StreamOps.imageNdBatch]] —
+    * each wave decodes only its arrivals, sweeps them against the
+    * accumulated band state, and lands pair + fingerprint deltas — and
+    * the read is the lineage question: the pair log AS OF waves 1 and 2
+    * ([[graft.streaming.StreamOps.imageNdAsOf]]). Because the sweep
+    * finds each pair exactly once at its later endpoint's wave, the
+    * as-of sets are found_at-prefixes of mm10's one-shot answer — which
+    * is precisely what the oracle replays (the full nd chain plus
+    * found_at = greatest(doc_a mod 3, doc_b mod 3)). The wave drive
+    * lands AT MOST ONCE per corpus fingerprint (the g2s discipline);
+    * serving reads only the landed pair log. */
+  def mm16RollingImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.ScaleOps
+    import graft.streaming.StreamOps
+    val root = ScaleOps.artifactRoot("mm16s",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    val state = root.resolve("state").toString
+    ScaleOps.buildOnce("mm16s", root) {
+      // marker-less root deleted before rebuild (the k13s rule for
+      // multi-batch builders over delta-family state)
+      graft.sources.Sources.deleteRecursively(root.toFile)
+      val t = s.newSession()
+      val docs = graft.Tables(t, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      (0 until Mm16Batches).foreach { b =>
+        StreamOps.imageNdBatch(
+          docs.filter(pmod(col("doc_id"), lit(Mm16Batches.toLong)) === b.toLong),
+          state, b.toLong)
+      }
+    }
+    def frontier(n: Long) = StreamOps.imageNdAsOf(s, state, n)
+      .select(lit(n).as("as_of"), col("doc_a"), col("doc_b"), col("hamming"))
+    val res = frontier(1L).unionByName(frontier(2L))
+      .orderBy(col("as_of"), col("doc_a"), col("doc_b"))
+    // bounded (the pair log): materialize before returning (the c20 rule
+    // for artifact-served lazy frames)
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+  }
+
+  private lazy val mm16Sql: String =
+    s"""WITH ${mm10BitsCtes("")},
+       |${ndSqlPairsCtes("")},
+       |fa AS (
+       |  SELECT doc_a, doc_b, hamming,
+       |    greatest(doc_a % $Mm16Batches, doc_b % $Mm16Batches) AS found_at
+       |  FROM nd)
+       |SELECT CAST(1 AS BIGINT) AS as_of, doc_a, doc_b, hamming
+       |FROM fa WHERE found_at <= 1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), doc_a, doc_b, hamming
+       |FROM fa WHERE found_at <= 2
+       |ORDER BY as_of, doc_a, doc_b""".stripMargin
 
   /** mm13's text-leg threshold — m1's own (the corpus near-dup
     * convention every dedup row shares). */
@@ -2268,7 +2406,9 @@ object MediaOps {
     "mm11_audio_neardup" -> (mm11AudioNearDup _),
     "mm12_image_ann" -> (mm12ImageAnn _),
     "mm13_multimodal_clusters" -> (mm13MultimodalClusters _),
-    "mm14_image_neardup_at_rest" -> (mm14ImageNeardupAtRest _))
+    "mm14_image_neardup_at_rest" -> (mm14ImageNeardupAtRest _),
+    "mm15_audio_neardup_at_rest" -> (mm15AudioNeardupAtRest _),
+    "mm16_rolling_image_neardup" -> (mm16RollingImageNeardup _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -2284,5 +2424,7 @@ object MediaOps {
     "mm11_audio_neardup" -> mm11Sql,
     "mm12_image_ann" -> mm12Sql,
     "mm13_multimodal_clusters" -> mm13Sql,
-    "mm14_image_neardup_at_rest" -> mm14Sql)
+    "mm14_image_neardup_at_rest" -> mm14Sql,
+    "mm15_audio_neardup_at_rest" -> mm15Sql,
+    "mm16_rolling_image_neardup" -> mm16Sql)
 }

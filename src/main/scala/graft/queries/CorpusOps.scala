@@ -27,8 +27,9 @@ object CorpusOps {
   private val NearDupThreshold = 0.3
 
   /** Eval/corpus boundary for the c2 sweep: doc_id < 50 plays the held-out
-    * benchmark, the rest the training corpus. */
-  private val EvalSplit = 50L
+    * benchmark, the rest the training corpus (shared with PipelineOps'
+    * funnel, whose training universe and decontamination stage are c2's). */
+  private[queries] val EvalSplit = 50L
 
   private def nearDupEdges(s: SparkSession, dir: String): DataFrame =
     MinHashDedup.nearDuplicates(
@@ -1024,10 +1025,14 @@ object CorpusOps {
       .orderBy("id")
   }
 
-  private val c2Sql: String = {
+  /** The c2 gram-hash CTE block (`gr`/`ch`/`eh`: per-doc distinct word
+    * 5-gram hex60 hashes, split into the training and eval sides) —
+    * shared by the c2 oracle and PipelineOps' decontamination stage so
+    * the contamination rule exists in exactly one SQL place. */
+  private[queries] val c2GramCtes: String = {
     val n = 5
     val gram = (1 to n).map(j => s"string_split(text,' ')[i+$j]").mkString(" || ' ' || ")
-    s"""WITH gr AS (
+    s"""gr AS (
        |  SELECT doc_id AS id,
        |    unnest(list_distinct(
        |      CASE WHEN len(string_split(text,' ')) >= $n
@@ -1038,13 +1043,16 @@ object CorpusOps {
        |ch AS (SELECT id, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
        |       FROM gr WHERE id >= $EvalSplit),
        |eh AS (SELECT id AS eval_id, CAST(('0x' || substr(md5(g),1,15)) AS BIGINT) AS gh
-       |       FROM gr WHERE id < $EvalSplit)
+       |       FROM gr WHERE id < $EvalSplit)""".stripMargin
+  }
+
+  private val c2Sql: String =
+    s"""WITH $c2GramCtes
        |SELECT c.id,
        |  COUNT(DISTINCT c.gh) AS n_shared,
        |  COUNT(DISTINCT e.eval_id) AS n_eval_docs
        |FROM ch c JOIN eh e ON c.gh = e.gh
        |GROUP BY c.id ORDER BY c.id""".stripMargin
-  }
 
   // c9 scenario split: eval [0, EvalSplit), static corpus
   // [EvalSplit, C9CorpusEnd), stream [C9CorpusEnd, C9StreamEnd) in
@@ -2082,8 +2090,9 @@ object CorpusOps {
   }
 
   /** d18 pack budget: 512 tokens ≈ 8-10 of the synthetic ~54-token docs
-    * per pack — enough packs (≈60 at sf0.01) to exercise boundaries. */
-  private val PackBudget = 512
+    * per pack — enough packs (≈60 at sf0.01) to exercise boundaries.
+    * Shared with PipelineOps' pipe3 (packing the funnel survivors). */
+  private[queries] val PackBudget = 512
 
   /** d18: cross-document sequence packing — documents laid end-to-end in
     * id order, cut into 512-token packs ([[CorpusShaping.packSequences]]'s

@@ -756,6 +756,97 @@ object HybridOps {
        |  (1000000 * n_overlap) // $HTopK AS kept_ppm
        |FROM rows_ ORDER BY leg""".stripMargin
 
+  /** h11: CROSS-MODAL hybrid — the multimodal serving stack: the same
+    * document ranked by what it SAYS (h1's keyword BM25 leg), what it
+    * MEANS (the text-embedding cosine leg), and what it LOOKS LIKE (the
+    * mm12 image-feature leg, served by the REAL IVF machinery — an
+    * index built on [[graft.multimodal.MediaOps.mm12ImageFeatures]] of
+    * every other document, probed with the query document's held-out
+    * feature vector, the deployment shape where the query image was
+    * never indexed). Three-leg RRF fusion in declaration order (h5's
+    * canonical left-to-right fold — IEEE addition of 3+ doubles is not
+    * associative). A 100 TB multimodal corpus serves retrieval this
+    * way: keyword shards + text-vector inverted lists + image-vector
+    * inverted lists, fused by rank so no leg's score scale dominates.
+    * The oracle replays the bm25 chain, the brute cosine chain, the
+    * mm12 feature replay + shared ivfCtes probe, and the parenthesized
+    * fold. */
+  def h11CrossModalHybrid(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    // persisted: the index build and the probe both consume the opaque
+    // PNG decode chain (filters cannot push below mapPartitions; the
+    // mm12 rule). Read lazily by buildIndex's eager Lloyd jobs first —
+    // single-threaded first touch — then the probe reads the cache.
+    val feats = graft.multimodal.MediaOps.mm12ImageFeatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = graft.operators.IvfSearch.buildIndex(
+      feats.filter(col("vec_id") =!= HQueryVec), "vec_id", "embedding",
+      k = ScaleOps.IvfK, iters = ScaleOps.IvfIters,
+      roundDecimals = ScaleOps.IvfRound)
+    try {
+      val visLeg = graft.operators.IvfSearch
+        .approxTopK(feats.filter(col("vec_id") === HQueryVec), idx,
+          "vec_id", "embedding", k = LegN, nprobe = ScaleOps.IvfNprobe)
+        .select(col("neighbor").as("id"), col("cos").as("vcos"))
+      val res = fuseRrfN(Seq(
+        "rb" -> rankLeg(bm25Leg(s, dir), col("score"), "rb"),
+        "rc" -> rankLeg(cosineLeg(s, dir), col("cos"), "rc"),
+        "rv" -> rankLeg(visLeg, col("vcos"), "rv")))
+      // bounded (HTopK rows): materialize before the index cache closes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      idx.close()
+      feats.unpersist()
+    }
+  }
+
+  /** DuckDB replay of [[h11CrossModalHybrid]]: the k1 BM25 chain, h1's
+    * brute cosine leg (CTEs renamed te/tq — the zero-prefix ivfCtes
+    * chain owns the `e`/`q` names for the IMAGE side), the mm12 feature
+    * replay + shared ivfCtes probe for the visual leg, h5's 3-leg
+    * parenthesized RRF fold. */
+  private lazy val h11Sql: String =
+    s"""WITH $bmLegSql,
+       |te AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |tq AS (SELECT id AS q_id, emb AS q_emb FROM te WHERE id = $HQueryVec),
+       |csl AS (SELECT te.id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |        FROM te CROSS JOIN tq WHERE te.id <> tq.q_id
+       |        ORDER BY cos DESC, id LIMIT $LegN),
+       |csr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rc
+       |        FROM csl),
+       |${graft.multimodal.MediaOps.mm12FeatsCtes},
+       |e AS (SELECT doc_id AS id, emb FROM feats WHERE doc_id <> $HQueryVec),
+       |q AS (SELECT doc_id AS q_id, emb AS q_emb FROM feats WHERE doc_id = $HQueryVec),
+       |${ScaleOps.ivfCtes},
+       |vcands AS (
+       |  SELECT pr.q_emb, a.id, a.emb
+       |  FROM pr JOIN af a ON a.cid = pr.cid AND a.id <> pr.q_id),
+       |vsl AS (SELECT id,
+       |          ROUND(list_dot_product(q_emb, emb) /
+       |            (sqrt(list_dot_product(q_emb, q_emb)) *
+       |             sqrt(list_dot_product(emb, emb))), 6) AS vcos
+       |        FROM vcands
+       |        ORDER BY vcos DESC, id LIMIT $LegN),
+       |vsr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY vcos DESC, id) AS rv
+       |        FROM vsl),
+       |fused AS (
+       |  SELECT id AS doc_id,
+       |    COALESCE(rb, 0) AS rb, COALESCE(rc, 0) AS rc, COALESCE(rv, 0) AS rv,
+       |    ((CASE WHEN rb IS NULL THEN CAST(0.0 AS DOUBLE)
+       |           ELSE CAST(1.0 AS DOUBLE) / CAST($RrfK + rb AS DOUBLE) END
+       |      + CASE WHEN rc IS NULL THEN CAST(0.0 AS DOUBLE)
+       |             ELSE CAST(1.0 AS DOUBLE) / CAST($RrfK + rc AS DOUBLE) END)
+       |     + CASE WHEN rv IS NULL THEN CAST(0.0 AS DOUBLE)
+       |            ELSE CAST(1.0 AS DOUBLE) / CAST($RrfK + rv AS DOUBLE) END) AS rrf
+       |  FROM bmr FULL OUTER JOIN csr USING (id) FULL OUTER JOIN vsr USING (id))
+       |SELECT doc_id, rb, rc, rv, rrf FROM fused
+       |ORDER BY rrf DESC, doc_id LIMIT $HTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hybrid_rrf" -> (h1HybridRrf _),
     "h2_rolling_hybrid" -> (h2RollingHybrid _),
@@ -766,7 +857,8 @@ object HybridOps {
     "h7_filtered_ivf_hybrid" -> (h7FilteredIvfHybrid _),
     "h8_diversified_hybrid" -> (h8DiversifiedHybrid _),
     "h9_fusion_ablation" -> (h9FusionAblation _),
-    "h10_boolean_hybrid" -> (h10BooleanHybrid _))
+    "h10_boolean_hybrid" -> (h10BooleanHybrid _),
+    "h11_crossmodal_hybrid" -> (h11CrossModalHybrid _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
@@ -780,5 +872,6 @@ object HybridOps {
     "h7_filtered_ivf_hybrid" -> h7Sql,
     "h8_diversified_hybrid" -> h8Sql,
     "h9_fusion_ablation" -> h9Sql,
-    "h10_boolean_hybrid" -> h10Sql)
+    "h10_boolean_hybrid" -> h10Sql,
+    "h11_crossmodal_hybrid" -> h11Sql)
 }

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Decontaminate, MinHashDedup}
+
+/** The training-data BUILD funnel — the composition every LLM data
+  * pipeline actually ships: exact dedup → near-dedup → benchmark
+  * decontamination → quality floor, applied in order over the training
+  * split, with per-stage attrition accounting. Each stage's rule is an
+  * operator this engine already serves on its own (d1's hash dedup,
+  * m1's MinHash/LSH sweep, c2's 5-gram contamination, d3's quality
+  * score) — what pipe adds is the COMPOSITION: one pass that attributes
+  * every document to the FIRST stage that drops it and reports the
+  * funnel (docs in/dropped/out, surviving tokens) a data-build review
+  * reads before training starts.
+  *
+  * Scale shape: no stage is all-pairs (exact dedup is a hash shuffle on
+  * the text, near-dedup is the banded LSH sweep, decontamination
+  * broadcasts the tiny eval-gram side, quality is row-local); the
+  * attribution joins are on doc_id against drop lists that are corpus-
+  * subset-sized; and the funnel itself aggregates to ≤ 5 rows before
+  * any window runs. Reference behavior composed here:
+  * `Optimized-Climate-Data-Integration`'s cleaning notebooks run these
+  * stages as separate passes — the funnel is the single-plan form.
+  */
+object PipelineOps {
+
+  /** Stage order: 1 exact dedup, 2 MinHash near-dedup, 3 benchmark
+    * decontamination, 4 quality floor. First drop wins attribution. */
+  private val Stages = Seq((1, "exact"), (2, "neardup"), (3, "decontam"), (4, "quality"))
+
+  /** m1's own near-dup verification threshold — the corpus convention
+    * every dedup row shares. */
+  private val NearDupThreshold = 0.3
+
+  /** Quality floor for stage 4: the d3 composite score below which a
+    * document is dropped (~10% of the synthetic corpus — a realistic
+    * quality-filter cut; the d3 score is round-6 on both engines, so
+    * the strict `<` compare is deterministic). */
+  private val QualityFloor = 0.1
+
+  /** Per-training-document funnel attribution: (doc_id, lang, toks,
+    * dropped_at) where dropped_at ∈ 0..4 is the FIRST stage that drops
+    * the document (0 = survives the whole funnel). Shared by pipe1
+    * (the funnel rows) and pipe2 (the per-language retention cut). */
+  private def attributed(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables(s, dir, "documents")
+    val train = all.filter(col("doc_id") >= CorpusOps.EvalSplit)
+    val base = train.select(col("doc_id"), col("text"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    // stage 1 — exact: a lower-id training doc has byte-identical text
+    // (d1's min-id-wins rule; one hash shuffle on the text)
+    val exact = base
+      .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id"), lit(1).as("fx"))
+    // stage 2 — near-dedup: m1's banded MinHash sweep over the TRAINING
+    // universe; the greedy larger-id pair member drops (the c9 gate rule)
+    val near = MinHashDedup
+      .nearDuplicates(train, "doc_id", "text", NearDupThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("fn", lit(1))
+    // stage 3 — decontamination: c2's 5-gram contamination report IS the
+    // drop list (eval side broadcast; output already distinct per id)
+    val contam = Decontaminate.contamination(
+        train, all.filter(col("doc_id") < CorpusOps.EvalSplit),
+        "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), lit(1).as("fc"))
+    base
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("toks"),
+        when(col("fx") === 1, 1)
+          .when(col("fn") === 1, 2)
+          .when(col("fc") === 1, 3)
+          .when(TextOps.qualityScore < QualityFloor, 4)
+          .otherwise(0).as("dropped_at"))
+  }
+
+  /** pipe1: the funnel itself — one row per stage with the documents
+    * entering it, dropped by it, surviving it, and the whitespace-token
+    * mass of the survivors (the number the training-budget conversation
+    * is actually about). Telescopes by construction: stage i's docs_out
+    * is stage i+1's docs_in. */
+  def pipe1TrainingFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val att = attributed(s, dir)
+    // ≤ 5 rows from here on: the window cum-sums run on the funnel, not
+    // the corpus
+    val agg = att.groupBy(col("dropped_at"))
+      .agg(count(lit(1)).as("n_drop"), sum(col("toks")).as("t_drop"))
+    val tot = att.agg(count(lit(1)).as("n_tot"), sum(col("toks")).as("t_tot"))
+    val stages = Stages.toDF("stage_ord", "stage")
+    val wOrd = Window.orderBy(col("stage_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stages
+      .join(agg, col("stage_ord") === col("dropped_at"), "left")
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("n_drop"), lit(0L)).as("n_drop"),
+        coalesce(col("t_drop"), lit(0L)).as("t_drop"))
+      .crossJoin(tot) // 4×1: the totals row
+      .withColumn("cum_n", sum(col("n_drop")).over(wOrd))
+      .withColumn("cum_t", sum(col("t_drop")).over(wOrd))
+      .select(col("stage_ord"), col("stage"),
+        (col("n_tot") - col("cum_n") + col("n_drop")).as("docs_in"),
+        col("n_drop").as("docs_dropped"),
+        (col("n_tot") - col("cum_n")).as("docs_out"),
+        (col("t_tot") - col("cum_t")).as("tokens_out"))
+      .orderBy("stage_ord")
+  }
+
+  /** pipe2: the funnel's per-language retention cut — what the same
+    * build did to the corpus MIX (the question after "how much survived"
+    * is always "did it survive evenly"): per language, documents in,
+    * documents kept, and the kept fraction on the integer ppm grid. */
+  def pipe2FunnelByLang(s: SparkSession, dir: String): DataFrame =
+    attributed(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped_at") === 0, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        expr("(1000000 * n_kept) div n_docs").as("kept_ppm"))
+      .orderBy("lang")
+
+  /** pipe3: the funnel's OUTPUT SHAPE — the surviving documents laid
+    * end-to-end in id order and cut into [[CorpusOps.PackBudget]]-token
+    * packs (d18's two-phase distributed prefix sum), with per-pack
+    * occupancy stats: dedup → decontaminate → filter → PACK, the
+    * tokenizer-ready composition a pre-training data build actually
+    * emits. The survivor set is persisted and counted once before
+    * packing — [[graft.operators.CorpusShaping.packSequences]] reads
+    * its input in two passes (offset collect + label), and the funnel
+    * must not re-derive per pass. */
+  def pipe3FunnelPacking(s: SparkSession, dir: String): DataFrame = {
+    val kept = attributed(s, dir)
+      .filter(col("dropped_at") === 0)
+      .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept.count() // materialize ONCE before packSequences' two passes
+    val docs = Tables(s, dir, "documents").join(kept, Seq("doc_id"))
+    graft.operators.CorpusShaping
+      .packSequences(docs, "doc_id", "text", CorpusOps.PackBudget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("pack_tokens"))
+      .orderBy("pack_id")
+  }
+
+  /** The shared attribution CTE chain (`att(doc_id, lang, toks,
+    * dropped_at)`): the m1 pair CTEs restricted to the training
+    * universe, c2's gram CTEs, d1's window rule, d3's score — each
+    * stage's SQL is the SAME text its own oracle replays. */
+  private lazy val attCtes: String = {
+    val split = CorpusOps.EvalSplit
+    s"""tr AS (
+       |  SELECT doc_id, text, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents WHERE doc_id >= $split),
+       |exd AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS mn FROM tr) z
+       |  WHERE doc_id > mn),
+       |${ScaleOps.m1PairsCtesAt(NearDupThreshold, s"WHERE doc_id >= $split")},
+       |ndd AS (SELECT DISTINCT id_b AS doc_id FROM fpairs),
+       |${CorpusOps.c2GramCtes},
+       |ctd AS (SELECT DISTINCT c.id AS doc_id FROM ch c JOIN eh e ON c.gh = e.gh),
+       |att AS (
+       |  SELECT t.doc_id, t.lang, t.toks,
+       |    CASE WHEN t.doc_id IN (SELECT doc_id FROM exd) THEN 1
+       |         WHEN t.doc_id IN (SELECT doc_id FROM ndd) THEN 2
+       |         WHEN t.doc_id IN (SELECT doc_id FROM ctd) THEN 3
+       |         WHEN ${TextOps.qualityScoreSqlExpr} < $QualityFloor THEN 4
+       |         ELSE 0 END AS dropped_at
+       |  FROM tr t)""".stripMargin
+  }
+
+  private lazy val pipe1Sql: String = {
+    val vals = Stages.map { case (o, n) => s"($o, '$n')" }.mkString(", ")
+    s"""WITH $attCtes,
+       |agg AS (
+       |  SELECT dropped_at, COUNT(*) AS n_drop,
+       |    CAST(SUM(toks) AS BIGINT) AS t_drop
+       |  FROM att GROUP BY dropped_at),
+       |st AS (SELECT * FROM (VALUES $vals) v(stage_ord, stage)),
+       |j AS (
+       |  SELECT st.stage_ord, st.stage,
+       |    COALESCE(agg.n_drop, 0) AS n_drop, COALESCE(agg.t_drop, 0) AS t_drop
+       |  FROM st LEFT JOIN agg ON agg.dropped_at = st.stage_ord),
+       |tot AS (SELECT COUNT(*) AS n_tot,
+       |        CAST(SUM(toks) AS BIGINT) AS t_tot FROM att),
+       |cum AS (
+       |  SELECT stage_ord, stage, n_drop, t_drop,
+       |    CAST(SUM(n_drop) OVER (ORDER BY stage_ord) AS BIGINT) AS cum_n,
+       |    CAST(SUM(t_drop) OVER (ORDER BY stage_ord) AS BIGINT) AS cum_t
+       |  FROM j)
+       |SELECT CAST(c.stage_ord AS INTEGER) AS stage_ord, c.stage,
+       |  n_tot - cum_n + n_drop AS docs_in,
+       |  n_drop AS docs_dropped,
+       |  n_tot - cum_n AS docs_out,
+       |  t_tot - cum_t AS tokens_out
+       |FROM cum c CROSS JOIN tot
+       |ORDER BY stage_ord""".stripMargin
+  }
+
+  private lazy val pipe2Sql: String =
+    s"""WITH $attCtes
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dropped_at = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST((1000000 * CAST(SUM(CASE WHEN dropped_at = 0 THEN 1 ELSE 0 END) AS BIGINT))
+       |    // COUNT(*) AS BIGINT) AS kept_ppm
+       |FROM att GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** DuckDB replay of [[pipe3FunnelPacking]]: the shared attribution
+    * chain filtered to survivors, then d18's single-window cumsum pack
+    * rule — the same integer arithmetic the distributed prefix sum
+    * computes. */
+  private lazy val pipe3Sql: String =
+    s"""WITH $attCtes,
+       |t AS (SELECT doc_id AS id, toks AS nt FROM att WHERE dropped_at = 0),
+       |c AS (
+       |  SELECT id, nt, SUM(nt) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT CAST((cum - nt) // ${CorpusOps.PackBudget} AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS pack_tokens
+       |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe1_training_funnel" -> (pipe1TrainingFunnel _),
+    "pipe2_funnel_by_lang" -> (pipe2FunnelByLang _),
+    "pipe3_funnel_packing" -> (pipe3FunnelPacking _))
+
+  val oracles: Map[String, String] = Map(
+    "pipe1_training_funnel" -> pipe1Sql,
+    "pipe2_funnel_by_lang" -> pipe2Sql,
+    "pipe3_funnel_packing" -> pipe3Sql)
+}

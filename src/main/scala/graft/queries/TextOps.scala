@@ -93,13 +93,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  private val d3Sql =
-    """WITH q AS (
-      |  SELECT doc_id,
-      |    ROUND(least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
+  /** The d3 quality score as a DuckDB scalar expression over a `text`
+    * column — the SQL twin of [[qualityScore]], shared by the d3 oracle
+    * and PipelineOps' quality stage (one SQL place, like the Scala). */
+  private[queries] val qualityScoreSqlExpr: String =
+    """ROUND(least(1.0, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 200.0)
       |      * (1.0 - least(1.0,
       |          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-      |          / CAST(length(text) AS DOUBLE) * 10)), 6) AS quality_score
+      |          / CAST(length(text) AS DOUBLE) * 10)), 6)""".stripMargin
+
+  private val d3Sql =
+    s"""WITH q AS (
+      |  SELECT doc_id,
+      |    $qualityScoreSqlExpr AS quality_score
       |  FROM documents)
       |SELECT doc_id, quality_score,
       |  CASE WHEN quality_score > 0.8 THEN 'high'

@@ -1834,6 +1834,69 @@ object StreamOps {
       snapshotReachBound(spark, s"$statePath/pr", asOf, "pagerank"))
   }
 
+  /** The band-row schema of the rolling image family: the mm10 dHash
+    * banding — (doc_id, b0..b4) plus the exploded (t, bv) probe key. */
+  private val imgBandSchema = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    (0 until 5).foldLeft(new StructType().add("doc_id", LongType)) {
+      (st, t) => st.add(s"b$t", LongType)
+    }.add("t", IntegerType).add("bv", LongType)
+  }
+
+  /** ROLLING image near-dup — dedup's media crossing in CONTINUOUS form
+    * (mm10/mm14's banded dHash sweep as a stream): per micro-batch, ONLY
+    * the batch renders and PNG-round-trips (landed documents are never
+    * re-decoded — their banded fingerprints ARE the accumulated state);
+    * the batch sweeps against landed ∪ itself through the banding
+    * pigeonhole (exact at Hamming ≤ 4 — [[graft.multimodal.MediaOps
+    * .ndSweepBatch]]); and two append-only deltas land batch_id-
+    * partitioned (dynamic overwrite, replay-idempotent): the discovered
+    * pairs — each found exactly ONCE, at its later endpoint's wave, so
+    * the per-wave logs sum to mm10's one-shot answer (spec-pinned) —
+    * and the batch's band rows. At-rest growth is bounded by
+    * [[maintain]]'s compaction (img_fp / img_nd in the merge list).
+    * Returns the wave's pair delta. */
+  private[graft] def imageNdBatch(batch: DataFrame, statePath: String,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bands = graft.multimodal.MediaOps.imageBandRows(
+        batch.select(col("doc_id"), col("text")).as[(Long, String)])
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // decode ONCE: the eager count materializes the PNG round-trip
+    // before the sweep's two join sides race the cache (the ndPairs rule)
+    val n = bands.count()
+    withBatchShuffleWidth(spark, n, statePath) {
+      try {
+        // replay guard: a re-run batch must not see its own landed bands
+        // (its docs would cross-match themselves)
+        val landed = readDelta(spark, s"$statePath/img_fp", imgBandSchema)
+          .filter(col("batch_id") < batchId).drop("batch_id")
+        // eager checkpoint: the pair land below and the caller's read
+        // both consume the sweep exactly once
+        val pairs = graft.multimodal.MediaOps.ndSweepBatch(landed, bands)
+          .localCheckpoint()
+        landDelta(pairs, s"$statePath/img_nd", batchId)
+        landDelta(bands, s"$statePath/img_fp", batchId)
+        pairs
+      } finally bands.unpersist()
+    }
+  }
+
+  /** The image near-dup pair log AS OF a wave: every pair discovered by
+    * batches ≤ `asOf` — an append-only delta read (partition-pruned on
+    * batch_id), not a snapshot pick, because a discovered pair is an
+    * immutable fact stamped at its discovery wave (nothing supersedes
+    * it; retention is compaction, which preserves every row). */
+  def imageNdAsOf(spark: SparkSession, statePath: String, asOf: Long): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val pairSchema = new StructType()
+      .add("doc_a", LongType).add("doc_b", LongType)
+      .add("hamming", IntegerType)
+    readDelta(spark, s"$statePath/img_nd", pairSchema)
+      .filter(col("batch_id").cast("long") <= asOf).drop("batch_id")
+  }
+
   /** Streaming maintenance of the k6 BM25 inverted index — the Lucene
     * segment model expressed as delta partitions: each arriving batch
     * lands its postings (term, id, dli, tf) under
@@ -3077,7 +3140,10 @@ object StreamOps {
         // per wave — without compaction a long-running stream accumulates
         // unbounded small files, contrary to the documented posture that
         // append-only deltas are bounded by compactParquet
-        "pr_edges").map(merge)
+        "pr_edges",
+        // the rolling image family's two append-only deltas (fingerprint
+        // bands + discovered pairs) — same unbounded-small-files argument
+        "img_fp", "img_nd").map(merge)
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

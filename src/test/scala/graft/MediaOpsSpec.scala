@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.MediaOps
@@ -565,6 +566,67 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(java.nio.file.Files.getLastModifiedTime(marker) == markerTime,
       "the marker was rewritten — a second call re-fingerprinted the corpus")
     spark.catalog.clearCache()
+  }
+
+  test("mm15: at-rest audio probe equals cross-split brute force; second call builds nothing") {
+    import graft.queries.ScaleOps
+    val texts = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = MediaOps.queries("mm15_audio_neardup_at_rest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ground truth: all-pairs Hamming<=4 restricted to (landed, arrival)
+    val want = bruteForcePairs(texts.map { case (id, t) => id -> mm11Bits(t) })
+      .filter(p => p._1 < 400L && p._2 >= 400L)
+    assert(got == want, s"at-rest audio probe: got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty, "fixture must exercise the cross-split match path")
+    // reuse: a second call must serve from the landed index untouched
+    val root = ScaleOps.artifactRoot("mm15s",
+      ScaleOps.dataFingerprint(sfDir, Seq("documents")))
+    val marker = root.resolve("_STATE_OK")
+    assert(java.nio.file.Files.exists(marker))
+    val markerTime = java.nio.file.Files.getLastModifiedTime(marker)
+    val again = MediaOps.queries("mm15_audio_neardup_at_rest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == got)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == markerTime,
+      "the marker was rewritten — a second call re-fingerprinted the corpus")
+    spark.catalog.clearCache()
+  }
+
+  test("mm16/imageNdBatch: per-wave logs partition the one-shot answer; as-of reads are prefixes") {
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm16_").toString
+    try {
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val perWave = (0 until 3).map { b =>
+        StreamOps.imageNdBatch(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b.toLong), tmp, b.toLong)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      }
+      // exactly-once: the wave logs are pairwise disjoint...
+      for (i <- 0 until 3; j <- i + 1 until 3)
+        assert(perWave(i).intersect(perWave(j)).isEmpty,
+          s"waves $i/$j both logged a pair")
+      // ...and sum to mm10's one-shot answer
+      val oneShot = MediaOps.mm10ImageNearDup(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(perWave.reduce(_ ++ _) == oneShot,
+        s"rolled ${perWave.map(_.size).sum} pairs != one-shot ${oneShot.size}")
+      // every pair lands at its LATER endpoint's wave
+      perWave.zipWithIndex.foreach { case (ps, b) =>
+        ps.foreach { case (a, c, _) =>
+          assert(math.max(a % 3, c % 3) == b, s"pair ($a,$c) logged at wave $b")
+        }
+      }
+      // as-of reads are found_at prefixes
+      val asOf1 = StreamOps.imageNdAsOf(spark, tmp, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(asOf1 == perWave(0) ++ perWave(1), "as-of 1 != waves 0+1")
+      assert(perWave.exists(_.nonEmpty), "fixture found no pairs")
+      spark.catalog.clearCache()
+    } finally graft.sources.Sources.deleteRecursively(new java.io.File(tmp))
   }
 
   test("interleaved banding is pigeonhole-complete at Hamming<=4 (property)") {
