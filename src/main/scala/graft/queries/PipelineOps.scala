@@ -82,6 +82,23 @@ object PipelineOps {
           .otherwise(0).as("dropped_at"))
   }
 
+  /** [[attributed]] landed AT MOST ONCE per corpus fingerprint (the
+    * d32s/g1s buildOnce discipline — family lock, marker-last, stale-
+    * fingerprint prune): at deployment the funnel runs once and many
+    * consumers read its verdicts, so pipe1 stays the PRICING run that
+    * re-derives the attribution while pipe2/pipe3 serve from the landed
+    * table. Stable for a given corpus fingerprint — no maintenance ever
+    * rewrites it — so lazy frames over it are safe (the k6 contract). */
+  private def attributedAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = ScaleOps.artifactRoot("pipe1s",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    val table = root.resolve("att").toString
+    ScaleOps.buildOnce("pipe1s", root) {
+      attributed(s.newSession(), dir).write.mode("overwrite").parquet(table)
+    }
+    s.read.parquet(table)
+  }
+
   /** pipe1: the funnel itself — one row per stage with the documents
     * entering it, dropped by it, surviving it, and the whitespace-token
     * mass of the survivors (the number the training-budget conversation
@@ -119,7 +136,7 @@ object PipelineOps {
     * is always "did it survive evenly"): per language, documents in,
     * documents kept, and the kept fraction on the integer ppm grid. */
   def pipe2FunnelByLang(s: SparkSession, dir: String): DataFrame =
-    attributed(s, dir)
+    attributedAtRest(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("dropped_at") === 0, 1L).otherwise(0L)).as("n_kept"))
@@ -132,16 +149,15 @@ object PipelineOps {
     * packs (d18's two-phase distributed prefix sum), with per-pack
     * occupancy stats: dedup → decontaminate → filter → PACK, the
     * tokenizer-ready composition a pre-training data build actually
-    * emits. The survivor set is persisted and counted once before
-    * packing — [[graft.operators.CorpusShaping.packSequences]] reads
-    * its input in two passes (offset collect + label), and the funnel
-    * must not re-derive per pass. */
+    * emits. The survivor set comes from the LANDED attribution artifact
+    * ([[attributedAtRest]]) — [[graft.operators.CorpusShaping
+    * .packSequences]] reads its input in two passes (offset collect +
+    * label), and a parquet-backed survivor set keeps both passes
+    * deterministic without re-deriving the funnel per pass. */
   def pipe3FunnelPacking(s: SparkSession, dir: String): DataFrame = {
-    val kept = attributed(s, dir)
+    val kept = attributedAtRest(s, dir)
       .filter(col("dropped_at") === 0)
       .select(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kept.count() // materialize ONCE before packSequences' two passes
     val docs = Tables(s, dir, "documents").join(kept, Seq("doc_id"))
     graft.operators.CorpusShaping
       .packSequences(docs, "doc_id", "text", CorpusOps.PackBudget)

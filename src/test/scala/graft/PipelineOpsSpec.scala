@@ -116,4 +116,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byLang.length > 1, "fixture must span several languages")
     spark.catalog.clearCache()
   }
+
+  test("pipe2/pipe3 serve from the landed attribution artifact; second call builds nothing") {
+    import graft.queries.ScaleOps
+    val first = PipelineOps.queries("pipe2_funnel_by_lang")(spark, sfDir).collect()
+    val root = ScaleOps.artifactRoot("pipe1s",
+      ScaleOps.dataFingerprint(sfDir, Seq("documents")))
+    val marker = root.resolve("_STATE_OK")
+    assert(java.nio.file.Files.exists(marker))
+    val markerTime = java.nio.file.Files.getLastModifiedTime(marker)
+    val again = PipelineOps.queries("pipe2_funnel_by_lang")(spark, sfDir).collect()
+    assert(again.map(_.toString).toSeq == first.map(_.toString).toSeq)
+    PipelineOps.queries("pipe3_funnel_packing")(spark, sfDir).collect()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == markerTime,
+      "a later pipe call re-derived the funnel artifact")
+    spark.catalog.clearCache()
+  }
 }
