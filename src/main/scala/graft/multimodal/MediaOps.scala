@@ -1821,6 +1821,13 @@ object MediaOps {
       docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame =
     ndBanded(mm10Fingerprints(docs))
 
+  /** [[imageBandRows]] for the audio modality — [[ndBanded]] over mm11's
+    * energy-contour fingerprints ([[graft.streaming.StreamOps
+    * .audioNdBatch]]). */
+  private[graft] def audioBandRows(
+      docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame =
+    ndBanded(mm11Fingerprints(docs))
+
   /** The ROLLING sweep join of the image family: every Hamming ≤
     * [[MmNdMaxHamming]] pair between the accumulated `landed` band rows
     * and the arriving `batch` band rows (cross — the arrival side is a
@@ -2302,6 +2309,51 @@ object MediaOps {
        |FROM fa WHERE found_at <= 2
        |ORDER BY as_of, doc_a, doc_b""".stripMargin
 
+  /** mm17: mm16's protocol for the AUDIO modality — the rolling
+    * energy-contour near-dup stream ([[graft.streaming.StreamOps
+    * .audioNdBatch]], one shared land/sweep body with the image
+    * family): three waves, only arrivals render PCM, pair log as of
+    * waves 1 and 2. The oracle is mm11's chain plus the same found_at
+    * arithmetic. */
+  def mm17RollingAudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.ScaleOps
+    import graft.streaming.StreamOps
+    val root = ScaleOps.artifactRoot("mm17s",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    val state = root.resolve("state").toString
+    ScaleOps.buildOnce("mm17s", root) {
+      graft.sources.Sources.deleteRecursively(root.toFile)
+      val t = s.newSession()
+      val docs = graft.Tables(t, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      (0 until Mm16Batches).foreach { b =>
+        StreamOps.audioNdBatch(
+          docs.filter(pmod(col("doc_id"), lit(Mm16Batches.toLong)) === b.toLong),
+          state, b.toLong)
+      }
+    }
+    def frontier(n: Long) = StreamOps.audioNdAsOf(s, state, n)
+      .select(lit(n).as("as_of"), col("doc_a"), col("doc_b"), col("hamming"))
+    val res = frontier(1L).unionByName(frontier(2L))
+      .orderBy(col("as_of"), col("doc_a"), col("doc_b"))
+    // bounded (the pair log): materialize before returning (the c20 rule)
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+  }
+
+  private lazy val mm17Sql: String =
+    s"""WITH ${mm11BitsCtes("")},
+       |${ndSqlPairsCtes("")},
+       |fa AS (
+       |  SELECT doc_a, doc_b, hamming,
+       |    greatest(doc_a % $Mm16Batches, doc_b % $Mm16Batches) AS found_at
+       |  FROM nd)
+       |SELECT CAST(1 AS BIGINT) AS as_of, doc_a, doc_b, hamming
+       |FROM fa WHERE found_at <= 1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), doc_a, doc_b, hamming
+       |FROM fa WHERE found_at <= 2
+       |ORDER BY as_of, doc_a, doc_b""".stripMargin
+
   /** mm13's text-leg threshold — m1's own (the corpus near-dup
     * convention every dedup row shares). */
   private val Mm13TextThreshold = 0.3
@@ -2408,7 +2460,8 @@ object MediaOps {
     "mm13_multimodal_clusters" -> (mm13MultimodalClusters _),
     "mm14_image_neardup_at_rest" -> (mm14ImageNeardupAtRest _),
     "mm15_audio_neardup_at_rest" -> (mm15AudioNeardupAtRest _),
-    "mm16_rolling_image_neardup" -> (mm16RollingImageNeardup _))
+    "mm16_rolling_image_neardup" -> (mm16RollingImageNeardup _),
+    "mm17_rolling_audio_neardup" -> (mm17RollingAudioNeardup _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -2426,5 +2479,6 @@ object MediaOps {
     "mm13_multimodal_clusters" -> mm13Sql,
     "mm14_image_neardup_at_rest" -> mm14Sql,
     "mm15_audio_neardup_at_rest" -> mm15Sql,
-    "mm16_rolling_image_neardup" -> mm16Sql)
+    "mm16_rolling_image_neardup" -> mm16Sql,
+    "mm17_rolling_audio_neardup" -> mm17Sql)
 }

@@ -1855,29 +1855,48 @@ object StreamOps {
     * the per-wave logs sum to mm10's one-shot answer (spec-pinned) —
     * and the batch's band rows. At-rest growth is bounded by
     * [[maintain]]'s compaction (img_fp / img_nd in the merge list).
-    * Returns the wave's pair delta. */
+    * Returns the wave's pair delta.
+    *
+    * [[audioNdBatch]] is the same protocol over mm11's energy-contour
+    * fingerprints (aud_fp / aud_nd) — one copy of the land/sweep body
+    * ([[mediaNdBatch]]); the fingerprint function is the only
+    * per-modality difference, exactly as in the at-rest gates. */
   private[graft] def imageNdBatch(batch: DataFrame, statePath: String,
-      batchId: Long): DataFrame = {
+      batchId: Long): DataFrame =
+    mediaNdBatch(batch, statePath, batchId,
+      graft.multimodal.MediaOps.imageBandRows, "img_fp", "img_nd")
+
+  /** [[imageNdBatch]] for the AUDIO modality: mm11's banded
+    * energy-contour fingerprints, same exactly-once sweep identity. */
+  private[graft] def audioNdBatch(batch: DataFrame, statePath: String,
+      batchId: Long): DataFrame =
+    mediaNdBatch(batch, statePath, batchId,
+      graft.multimodal.MediaOps.audioBandRows, "aud_fp", "aud_nd")
+
+  private def mediaNdBatch(batch: DataFrame, statePath: String,
+      batchId: Long,
+      bandRows: org.apache.spark.sql.Dataset[(Long, String)] => DataFrame,
+      fpName: String, ndName: String): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val bands = graft.multimodal.MediaOps.imageBandRows(
+    val bands = bandRows(
         batch.select(col("doc_id"), col("text")).as[(Long, String)])
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // decode ONCE: the eager count materializes the PNG round-trip
+    // decode ONCE: the eager count materializes the codec round-trip
     // before the sweep's two join sides race the cache (the ndPairs rule)
     val n = bands.count()
     withBatchShuffleWidth(spark, n, statePath) {
       try {
         // replay guard: a re-run batch must not see its own landed bands
         // (its docs would cross-match themselves)
-        val landed = readDelta(spark, s"$statePath/img_fp", imgBandSchema)
+        val landed = readDelta(spark, s"$statePath/$fpName", imgBandSchema)
           .filter(col("batch_id") < batchId).drop("batch_id")
         // eager checkpoint: the pair land below and the caller's read
         // both consume the sweep exactly once
         val pairs = graft.multimodal.MediaOps.ndSweepBatch(landed, bands)
           .localCheckpoint()
-        landDelta(pairs, s"$statePath/img_nd", batchId)
-        landDelta(bands, s"$statePath/img_fp", batchId)
+        landDelta(pairs, s"$statePath/$ndName", batchId)
+        landDelta(bands, s"$statePath/$fpName", batchId)
         pairs
       } finally bands.unpersist()
     }
@@ -1888,12 +1907,20 @@ object StreamOps {
     * batch_id), not a snapshot pick, because a discovered pair is an
     * immutable fact stamped at its discovery wave (nothing supersedes
     * it; retention is compaction, which preserves every row). */
-  def imageNdAsOf(spark: SparkSession, statePath: String, asOf: Long): DataFrame = {
+  def imageNdAsOf(spark: SparkSession, statePath: String, asOf: Long): DataFrame =
+    mediaNdAsOf(spark, statePath, "img_nd", asOf)
+
+  /** [[imageNdAsOf]] for the audio pair log. */
+  def audioNdAsOf(spark: SparkSession, statePath: String, asOf: Long): DataFrame =
+    mediaNdAsOf(spark, statePath, "aud_nd", asOf)
+
+  private def mediaNdAsOf(spark: SparkSession, statePath: String,
+      ndName: String, asOf: Long): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
     val pairSchema = new StructType()
       .add("doc_a", LongType).add("doc_b", LongType)
       .add("hamming", IntegerType)
-    readDelta(spark, s"$statePath/img_nd", pairSchema)
+    readDelta(spark, s"$statePath/$ndName", pairSchema)
       .filter(col("batch_id").cast("long") <= asOf).drop("batch_id")
   }
 
@@ -3141,9 +3168,10 @@ object StreamOps {
         // unbounded small files, contrary to the documented posture that
         // append-only deltas are bounded by compactParquet
         "pr_edges",
-        // the rolling image family's two append-only deltas (fingerprint
-        // bands + discovered pairs) — same unbounded-small-files argument
-        "img_fp", "img_nd").map(merge)
+        // the rolling image/audio families' append-only deltas
+        // (fingerprint bands + discovered pairs) — same unbounded-small-
+        // files argument
+        "img_fp", "img_nd", "aud_fp", "aud_nd").map(merge)
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

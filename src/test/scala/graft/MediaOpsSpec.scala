@@ -629,6 +629,33 @@ class MediaOpsSpec extends AnyFunSuite {
     } finally graft.sources.Sources.deleteRecursively(new java.io.File(tmp))
   }
 
+  test("mm17/audioNdBatch: rolled waves survive interleaved maintain() compaction") {
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mm17_").toString
+    try {
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val perWave = (0 until 3).map { b =>
+        val p = StreamOps.audioNdBatch(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b.toLong), tmp, b.toLong)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        // maintenance BETWEEN waves: compaction of the aud_fp/aud_nd
+        // deltas must not change what later waves sweep against or read
+        StreamOps.maintain(spark, tmp)
+        p
+      }
+      val oneShot = MediaOps.mm11AudioNearDup(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(perWave.reduce(_ ++ _) == oneShot,
+        s"rolled-with-maintain ${perWave.map(_.size).sum} pairs != one-shot ${oneShot.size}")
+      val asOf1 = StreamOps.audioNdAsOf(spark, tmp, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(asOf1 == perWave(0) ++ perWave(1), "as-of 1 != waves 0+1 after compaction")
+      assert(perWave.exists(_.nonEmpty), "fixture found no pairs")
+      spark.catalog.clearCache()
+    } finally graft.sources.Sources.deleteRecursively(new java.io.File(tmp))
+  }
+
   test("interleaved banding is pigeonhole-complete at Hamming<=4 (property)") {
     // any pair of 64-bit fingerprints within Hamming 4 shares at least one
     // of the 5 interleaved bands — deterministic sweep over seeded draws
