@@ -2,7 +2,7 @@ package graft.multimodal
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north-star extension): image/audio/video
@@ -1661,8 +1661,15 @@ object MediaOps {
   // replays the fingerprint from text bytes with integer arithmetic.
 
   /** Bands per fingerprint; Hamming ≤ NumBands−1 keeps exact recall. */
-  private val MmNdBands = 5
+  private[graft] val MmNdBands = 5
   private val MmNdMaxHamming = MmNdBands - 1
+
+  /** The banded Hamming distance between the `a`- and `b`-aliased sides
+    * of a band join — THE one copy of the scoring arithmetic, consumed
+    * by [[ndPairs]], [[ndSweepBatch]], and the at-rest gate. */
+  private def ndHamming: Column =
+    (0 until MmNdBands).map(t =>
+      bit_count(col(s"a.b$t").bitwiseXOR(col(s"b.b$t")))).reduce(_ + _)
 
   /** 64 fingerprint bits → [[MmNdBands]] disjoint band values, INTERLEAVED
     * (band t = bits with j % 5 == t, LSB = smallest j). Interleaving, not
@@ -1703,8 +1710,7 @@ object MediaOps {
     val banded = ndBanded(hashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.count() // materialize ONCE before the two map stages race
-    val hamming = (0 until MmNdBands).map(t =>
-      bit_count(col(s"a.b$t").bitwiseXOR(col(s"b.b$t")))).reduce(_ + _)
+    val hamming = ndHamming
     // a pair can agree on several bands → distinct AFTER scoring (hamming
     // is a pure function of the pair, so dedup order is immaterial)
     banded.as("a").join(banded.as("b"),
@@ -1838,8 +1844,7 @@ object MediaOps {
     * of the banding/Hamming arithmetic shared with [[ndPairs]] and the
     * at-rest gate. */
   private[graft] def ndSweepBatch(landed: DataFrame, batch: DataFrame): DataFrame = {
-    val hamming = (0 until MmNdBands).map(t =>
-      bit_count(col(s"a.b$t").bitwiseXOR(col(s"b.b$t")))).reduce(_ + _)
+    val hamming = ndHamming
     val cross = landed.as("a").join(broadcast(batch.as("b")),
         col("a.t") === col("b.t") && col("a.bv") === col("b.bv"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
@@ -2213,8 +2218,7 @@ object MediaOps {
     val probe = ndBanded(fingerprints(arrivals))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     probe.count()
-    val hamming = (0 until MmNdBands).map(t =>
-      bit_count(col(s"a.b$t").bitwiseXOR(col(s"b.b$t")))).reduce(_ + _)
+    val hamming = ndHamming
     landed.as("a").join(broadcast(probe.as("b")),
         col("a.t") === col("b.t") && col("a.bv") === col("b.bv"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -2268,12 +2272,22 @@ object MediaOps {
     * lands AT MOST ONCE per corpus fingerprint (the g2s discipline);
     * serving reads only the landed pair log. */
   def mm16RollingImageNeardup(s: SparkSession, dir: String): DataFrame = {
-    import graft.queries.ScaleOps
     import graft.streaming.StreamOps
-    val root = ScaleOps.artifactRoot("mm16s",
+    rollingNd(s, dir, "mm16s", StreamOps.imageNdBatch, StreamOps.imageNdAsOf)
+  }
+
+  /** The rolling-drive protocol mm16 (image) and mm17 (audio) share —
+    * one copy of the wave loop, the k13s delete-before-rebuild rule,
+    * the as-of frontier read, and the c20 materialize rule; the
+    * per-batch and as-of functions are the only modality difference. */
+  private def rollingNd(s: SparkSession, dir: String, family: String,
+      batchFn: (DataFrame, String, Long) => DataFrame,
+      asOfFn: (SparkSession, String, Long) => DataFrame): DataFrame = {
+    import graft.queries.ScaleOps
+    val root = ScaleOps.artifactRoot(family,
       ScaleOps.dataFingerprint(dir, Seq("documents")))
     val state = root.resolve("state").toString
-    ScaleOps.buildOnce("mm16s", root) {
+    ScaleOps.buildOnce(family, root) {
       // marker-less root deleted before rebuild (the k13s rule for
       // multi-batch builders over delta-family state)
       graft.sources.Sources.deleteRecursively(root.toFile)
@@ -2281,12 +2295,12 @@ object MediaOps {
       val docs = graft.Tables(t, dir, "documents")
         .select(col("doc_id"), col("text"))
       (0 until Mm16Batches).foreach { b =>
-        StreamOps.imageNdBatch(
+        batchFn(
           docs.filter(pmod(col("doc_id"), lit(Mm16Batches.toLong)) === b.toLong),
           state, b.toLong)
       }
     }
-    def frontier(n: Long) = StreamOps.imageNdAsOf(s, state, n)
+    def frontier(n: Long) = asOfFn(s, state, n)
       .select(lit(n).as("as_of"), col("doc_a"), col("doc_b"), col("hamming"))
     val res = frontier(1L).unionByName(frontier(2L))
       .orderBy(col("as_of"), col("doc_a"), col("doc_b"))
@@ -2295,8 +2309,11 @@ object MediaOps {
     s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
   }
 
-  private lazy val mm16Sql: String =
-    s"""WITH ${mm10BitsCtes("")},
+  /** The found_at replay tail mm16Sql/mm17Sql share, parameterized on
+    * the modality's fingerprint-bit CTE chain (the ndSqlPairsCtes
+    * pattern): the full pair chain plus per-frontier found_at cuts. */
+  private def ndRollingSql(bitsCtes: String): String =
+    s"""WITH $bitsCtes,
        |${ndSqlPairsCtes("")},
        |fa AS (
        |  SELECT doc_a, doc_b, hamming,
@@ -2308,6 +2325,8 @@ object MediaOps {
        |SELECT CAST(2 AS BIGINT), doc_a, doc_b, hamming
        |FROM fa WHERE found_at <= 2
        |ORDER BY as_of, doc_a, doc_b""".stripMargin
+
+  private lazy val mm16Sql: String = ndRollingSql(mm10BitsCtes(""))
 
   /** mm17: mm16's protocol for the AUDIO modality — the rolling
     * energy-contour near-dup stream ([[graft.streaming.StreamOps
@@ -2316,43 +2335,11 @@ object MediaOps {
     * waves 1 and 2. The oracle is mm11's chain plus the same found_at
     * arithmetic. */
   def mm17RollingAudioNeardup(s: SparkSession, dir: String): DataFrame = {
-    import graft.queries.ScaleOps
     import graft.streaming.StreamOps
-    val root = ScaleOps.artifactRoot("mm17s",
-      ScaleOps.dataFingerprint(dir, Seq("documents")))
-    val state = root.resolve("state").toString
-    ScaleOps.buildOnce("mm17s", root) {
-      graft.sources.Sources.deleteRecursively(root.toFile)
-      val t = s.newSession()
-      val docs = graft.Tables(t, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      (0 until Mm16Batches).foreach { b =>
-        StreamOps.audioNdBatch(
-          docs.filter(pmod(col("doc_id"), lit(Mm16Batches.toLong)) === b.toLong),
-          state, b.toLong)
-      }
-    }
-    def frontier(n: Long) = StreamOps.audioNdAsOf(s, state, n)
-      .select(lit(n).as("as_of"), col("doc_a"), col("doc_b"), col("hamming"))
-    val res = frontier(1L).unionByName(frontier(2L))
-      .orderBy(col("as_of"), col("doc_a"), col("doc_b"))
-    // bounded (the pair log): materialize before returning (the c20 rule)
-    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    rollingNd(s, dir, "mm17s", StreamOps.audioNdBatch, StreamOps.audioNdAsOf)
   }
 
-  private lazy val mm17Sql: String =
-    s"""WITH ${mm11BitsCtes("")},
-       |${ndSqlPairsCtes("")},
-       |fa AS (
-       |  SELECT doc_a, doc_b, hamming,
-       |    greatest(doc_a % $Mm16Batches, doc_b % $Mm16Batches) AS found_at
-       |  FROM nd)
-       |SELECT CAST(1 AS BIGINT) AS as_of, doc_a, doc_b, hamming
-       |FROM fa WHERE found_at <= 1
-       |UNION ALL
-       |SELECT CAST(2 AS BIGINT), doc_a, doc_b, hamming
-       |FROM fa WHERE found_at <= 2
-       |ORDER BY as_of, doc_a, doc_b""".stripMargin
+  private lazy val mm17Sql: String = ndRollingSql(mm11BitsCtes(""))
 
   /** mm13's text-leg threshold — m1's own (the corpus near-dup
     * convention every dedup row shares). */

@@ -106,7 +106,10 @@ object PipelineOps {
     * is stage i+1's docs_in. */
   def pipe1TrainingFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val att = attributed(s, dir)
+    // eager checkpoint: the attribution feeds BOTH the per-stage agg and
+    // the totals row — unpinned, the whole funnel chain (MinHash sweep +
+    // decontamination join) would execute twice
+    val att = attributed(s, dir).localCheckpoint()
     // ≤ 5 rows from here on: the window cum-sums run on the funnel, not
     // the corpus
     val agg = att.groupBy(col("dropped_at"))

@@ -1834,13 +1834,18 @@ object StreamOps {
       snapshotReachBound(spark, s"$statePath/pr", asOf, "pagerank"))
   }
 
-  /** The band-row schema of the rolling image family: the mm10 dHash
-    * banding — (doc_id, b0..b4) plus the exploded (t, bv) probe key. */
-  private val imgBandSchema = {
+  /** The band-row schema the rolling image AND audio families share:
+    * the banded fingerprint — (doc_id, b0..b{n-1}) plus the exploded
+    * (t, bv) probe key, with the band count taken from the ONE
+    * authority ([[graft.multimodal.MediaOps.MmNdBands]]) so a banding
+    * change cannot silently desynchronize the landed-delta read schema
+    * from what the fingerprint writer produces. */
+  private val ndBandSchema = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
-    (0 until 5).foldLeft(new StructType().add("doc_id", LongType)) {
-      (st, t) => st.add(s"b$t", LongType)
-    }.add("t", IntegerType).add("bv", LongType)
+    (0 until graft.multimodal.MediaOps.MmNdBands)
+      .foldLeft(new StructType().add("doc_id", LongType)) {
+        (st, t) => st.add(s"b$t", LongType)
+      }.add("t", IntegerType).add("bv", LongType)
   }
 
   /** ROLLING image near-dup — dedup's media crossing in CONTINUOUS form
@@ -1889,8 +1894,20 @@ object StreamOps {
       try {
         // replay guard: a re-run batch must not see its own landed bands
         // (its docs would cross-match themselves)
-        val landed = readDelta(spark, s"$statePath/$fpName", imgBandSchema)
+        val landed = readDelta(spark, s"$statePath/$fpName", ndBandSchema)
           .filter(col("batch_id") < batchId).drop("batch_id")
+        // a CROSS-batch re-arrival would also self-match (doc_a ==
+        // doc_b) and re-discover its old pairs, silently breaking the
+        // exactly-once pair-log identity — fail loudly instead (the
+        // requireDisjointIds convention; supersede-on-land is the
+        // versioned ingest families' job, not this fingerprint log's)
+        val clash = landed.select(col("doc_id")).distinct()
+          .join(bands.select(col("doc_id")).distinct(), Seq("doc_id"))
+          .limit(1).count()
+        require(clash == 0L,
+          s"mediaNdBatch: batch $batchId contains doc ids already landed " +
+            s"under $statePath/$fpName — re-ingest would corrupt the " +
+            "exactly-once pair log; dedup ids upstream")
         // eager checkpoint: the pair land below and the caller's read
         // both consume the sweep exactly once
         val pairs = graft.multimodal.MediaOps.ndSweepBatch(landed, bands)

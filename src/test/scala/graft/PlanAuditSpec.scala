@@ -952,6 +952,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(u, "CartesianProduct") == 0, u.take(1500))
   }
 
+  test("pipe2 serves from the landed attribution artifact: one scan, no funnel re-derivation") {
+    val s = formatted(SparkEntry.queries("pipe2_funnel_by_lang")(spark, sfDir))
+    // the per-language cut is a group-by over the landed pipe1s table —
+    // re-deriving the funnel would surface as a documents scan plus the
+    // whole MinHash/decontamination chain
+    assert(nodeCount(s, "Scan parquet") == 1,
+      "pipe2 must read ONLY the landed attribution table: " + s.take(1200))
+    assert(nodeCount(s, "Join") == 0 && nodeCount(s, "CartesianProduct") == 0,
+      "pipe2 is a hash aggregate over the artifact, no join: " + s.take(1200))
+  }
+
+  test("pipe3 packs survivors off the artifact: att + documents scans only") {
+    val s = formatted(SparkEntry.queries("pipe3_funnel_packing")(spark, sfDir))
+    // survivor ids come from the landed attribution table; the text
+    // joins in from documents — exactly two parquet sources, and the
+    // funnel's sweep chain must NOT re-run
+    assert(nodeCount(s, "Scan parquet") == 2,
+      "pipe3 must read the artifact + documents, nothing else: " + s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0, s.take(1200))
+  }
+
+  test("mm16 as-of pair-log read partition-prunes on batch_id") {
+    // run the query once so the mm16s artifact exists for this corpus
+    SparkEntry.queries("mm16_rolling_image_neardup")(spark, sfDir)
+    val root = graft.queries.ScaleOps.artifactRoot("mm16s",
+      graft.queries.ScaleOps.dataFingerprint(sfDir, Seq("documents")))
+    val s = formatted(graft.streaming.StreamOps.imageNdAsOf(
+      spark, root.resolve("state").toString, asOf = 1L))
+    // batch_id is the delta's partition column: the as-of cut must land
+    // as partition pruning, never a row filter over every wave
+    assert(s.contains("PartitionFilters") && s.contains("batch_id"),
+      s.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(nodeCount(s, "Scan parquet") == 1, s.take(800))
+  }
+
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
     val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
     finally spark.catalog.clearCache() // d25 persists its gram table
