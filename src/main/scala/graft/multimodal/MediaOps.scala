@@ -2283,6 +2283,21 @@ object MediaOps {
   private def rollingNd(s: SparkSession, dir: String, family: String,
       batchFn: (DataFrame, String, Long) => DataFrame,
       asOfFn: (SparkSession, String, Long) => DataFrame): DataFrame = {
+    val state = rollingNdState(s, dir, family, batchFn)
+    def frontier(n: Long) = asOfFn(s, state, n)
+      .select(lit(n).as("as_of"), col("doc_a"), col("doc_b"), col("hamming"))
+    val res = frontier(1L).unionByName(frontier(2L))
+      .orderBy(col("as_of"), col("doc_a"), col("doc_b"))
+    // bounded (the pair log): materialize before returning (the c20 rule
+    // for artifact-served lazy frames)
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+  }
+
+  /** The landed rolling-family state path for `family`, driving the
+    * waves first if this corpus fingerprint has none (buildOnce) —
+    * shared by the mm16/mm17 lineage reads and mm13's composition. */
+  private def rollingNdState(s: SparkSession, dir: String, family: String,
+      batchFn: (DataFrame, String, Long) => DataFrame): String = {
     import graft.queries.ScaleOps
     val root = ScaleOps.artifactRoot(family,
       ScaleOps.dataFingerprint(dir, Seq("documents")))
@@ -2300,13 +2315,7 @@ object MediaOps {
           state, b.toLong)
       }
     }
-    def frontier(n: Long) = asOfFn(s, state, n)
-      .select(lit(n).as("as_of"), col("doc_a"), col("doc_b"), col("hamming"))
-    val res = frontier(1L).unionByName(frontier(2L))
-      .orderBy(col("as_of"), col("doc_a"), col("doc_b"))
-    // bounded (the pair log): materialize before returning (the c20 rule
-    // for artifact-served lazy frames)
-    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    state
   }
 
   /** The found_at replay tail mm16Sql/mm17Sql share, parameterized on
@@ -2363,23 +2372,35 @@ object MediaOps {
     * the union, a recursive transitive closure, and the evidence
     * rollup. */
   def mm13MultimodalClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables(s, dir, "documents")
-    val text = graft.operators.MinHashDedup
-      .nearDuplicates(docs, "doc_id", "text", Mm13TextThreshold)
-      .select(col("id_a"), col("id_b"), lit("text").as("modality"))
-    val img = mm10ImageNearDup(s, dir)
+    import graft.streaming.StreamOps
+    // every leg reads a LANDED pair artifact — the sweeps themselves are
+    // priced by their own rows (m1, mm10/mm16, mm11/mm17); a composition
+    // that re-shingled and re-decoded the corpus per call would pay the
+    // whole dedup tier three times over (measured 7.0 s → sub-second).
+    // Text: g1s's symmetric m1 edge list at the SAME 0.3 threshold
+    // (Mm13TextThreshold == the corpus NearDupThreshold), folded back to
+    // the id_a < id_b pair form. Image/audio: the mm16s/mm17s rolling
+    // pair logs, whose full-frontier union IS the one-shot mm10/mm11
+    // answer (the exactly-once sweep identity, spec-pinned).
+    val text = s.read
+      .parquet(s"${graft.queries.CorpusOps.g1EdgeRoot(s, dir)}/edges")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        lit("text").as("modality"))
+    val img = StreamOps.imageNdAsOf(s,
+        rollingNdState(s, dir, "mm16s", StreamOps.imageNdBatch),
+        asOf = Mm16Batches - 1L)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         lit("image").as("modality"))
-    val aud = mm11AudioNearDup(s, dir)
+    val aud = StreamOps.audioNdAsOf(s,
+        rollingNdState(s, dir, "mm17s", StreamOps.audioNdBatch),
+        asOf = Mm16Batches - 1L)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         lit("audio").as("modality"))
-    // persisted: the edge union feeds BOTH the CC loop and the evidence
-    // rollup (Spark does not dedupe duplicate subtrees — unpersisted,
-    // all three sweeps would run twice). Read lazily by the returned
-    // plan; Bench/Verify clearCache between runs.
-    val edges = text.unionByName(img).unionByName(aud)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize ONCE before CC's union stages race (ndPairs rule)
+    // eager checkpoint: the edge union feeds BOTH the CC loop and the
+    // evidence rollup, and the rows must pin off the artifact files
+    // before any concurrent fingerprint prune (the c20 rule)
+    val edges = text.unionByName(img).unionByName(aud).localCheckpoint()
     val comps = graft.operators.ConnectedComponents
       .components(edges.select(col("id_a"), col("id_b")))
     val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))

@@ -73,7 +73,7 @@ object CorpusOps {
     * them. At 100 TB this is exactly how a graph pipeline runs: the
     * near-dup sweep (c12's banded index) already produced the pairs —
     * ranking must consume that artifact, never re-shingle the corpus. */
-  private def g1EdgeRoot(s: SparkSession, dir: String): String = {
+  private[graft] def g1EdgeRoot(s: SparkSession, dir: String): String = {
     val root = ScaleOps.artifactRoot("g1s",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
     val edges = root.resolve("edges").toString
