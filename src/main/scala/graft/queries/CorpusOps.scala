@@ -1454,26 +1454,100 @@ object CorpusOps {
     }.toDF("as_of", "n_docs", "total_tokens").orderBy("as_of")
   }
 
+  /** c22: the CORPUS CHANGELOG — the per-transition diff between
+    * consecutive c19 frontiers, the "what changed between build N−1 and
+    * build N" question a data platform answers before retraining: for
+    * each wave transition, the documents that ENTERED the clean corpus
+    * (landed at wave N and survived its gates) and the documents
+    * REMOVED from it (present at N−1, gone at N — a retro-drop whose
+    * near-dup partner only surfaced at wave N), each with its token
+    * mass. c19 nets these out into per-frontier totals; the changelog
+    * is the movement itself — entered − removed = c19's delta
+    * (spec-pinned). Served from the SHARED c18s artifact by two
+    * partition-pruned as-of reads per transition, diffed with one
+    * full-outer join on doc_id; the aggregate is 1 row per transition. */
+  def c22CorpusChangelog(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val root = c18SharedRoot(s, dir)
+    val corpusIds = Tables(s, dir, "documents")
+      .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
+      .select(col("doc_id"))
+    def member(n: Long) = StreamOps.compactLanded(s, s"$root/landed",
+        s"$root/state", corpusIds, "doc_id", asOf = n)
+      .select(col("doc_id"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long").as("toks"))
+    import s.implicits._
+    (1 until C9Batches).map { n =>
+      val j = member(n.toLong).as("c")
+        .join(member(n - 1L).as("p"),
+          col("c.doc_id") === col("p.doc_id"), "full_outer")
+      // bounded: one aggregate row per transition (the c19 .head rule)
+      val at = j.agg(
+        sum(when(col("p.doc_id").isNull, 1L).otherwise(0L)).as("n_entered"),
+        coalesce(sum(when(col("p.doc_id").isNull, col("c.toks"))), lit(0L))
+          .as("entered_tokens"),
+        sum(when(col("c.doc_id").isNull, 1L).otherwise(0L)).as("n_removed"),
+        coalesce(sum(when(col("c.doc_id").isNull, col("p.toks"))), lit(0L))
+          .as("removed_tokens")).head
+      (n.toLong, at.getLong(0), at.getLong(1), at.getLong(2), at.getLong(3))
+    }.toDF("to_wave", "n_entered", "entered_tokens", "n_removed",
+        "removed_tokens")
+      .orderBy("to_wave")
+  }
+
+  private lazy val c22Sql: String = {
+    def member(n: Int): String =
+      s"""mem$n AS (
+         |  SELECT doc_id, CAST(length(text) - length(replace(text, ' ', ''))
+         |    + 1 AS BIGINT) AS toks
+         |  FROM documents
+         |  WHERE ${c9FrontierWhere(n)})""".stripMargin
+    def trans(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS to_wave,
+         |  CAST(SUM(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_entered,
+         |  CAST(COALESCE(SUM(CASE WHEN p.doc_id IS NULL THEN c.toks END), 0)
+         |    AS BIGINT) AS entered_tokens,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(COALESCE(SUM(CASE WHEN c.doc_id IS NULL THEN p.toks END), 0)
+         |    AS BIGINT) AS removed_tokens
+         |FROM mem$n c FULL OUTER JOIN mem${n - 1} p ON c.doc_id = p.doc_id""".stripMargin
+    s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
+           s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
+       |$c9DropsCtesSql,
+       |${(0 until C9Batches).map(member).mkString(",\n")}
+       |${(1 until C9Batches).map(trans).mkString("\nUNION ALL\n")}
+       |ORDER BY to_wave""".stripMargin
+  }
+
+  /** The frontier-membership predicate of the c9 landed corpus as of
+    * wave `n` — docs whose wave arrived, minus drops whose pair had
+    * surfaced (both stream endpoints arrived), minus decontamination
+    * losers (dropped at their OWN landing wave). Expects `fpairs` and
+    * `contaminated` CTEs upstream; shared by the c19 lineage oracle and
+    * the c22 changelog oracle so the membership rule has one SQL copy. */
+  private def c9FrontierWhere(n: Int): String =
+    s"""doc_id >= $C9CorpusEnd AND doc_id < $C9StreamEnd
+       |  AND doc_id % $C9Batches <= $n
+       |  AND doc_id NOT IN (
+       |    SELECT DISTINCT id FROM (
+       |      SELECT id_b AS id, id_a AS other FROM fpairs
+       |      UNION ALL
+       |      SELECT id_a AS id, id_b AS other FROM fpairs
+       |      WHERE id_b < $C9CorpusEnd) z
+       |    WHERE id >= $C9CorpusEnd AND id % $C9Batches <= $n
+       |      AND (other < $C9CorpusEnd OR other % $C9Batches <= $n))
+       |  AND doc_id NOT IN (SELECT id FROM contaminated)""".stripMargin
+
   private lazy val c19Sql: String = {
-    // the corpus as of wave N: docs whose wave arrived, minus drops whose
-    // pair had surfaced (both stream endpoints arrived), minus
-    // decontamination losers (dropped at their OWN landing wave)
     def frontier(n: Int): String =
       s"""SELECT CAST($n AS BIGINT) AS as_of, COUNT(*) AS n_docs,
          |  COALESCE(CAST(SUM(length(text) - length(replace(text, ' ', ''))
          |    + 1) AS BIGINT), 0) AS total_tokens
          |FROM documents
-         |WHERE doc_id >= $C9CorpusEnd AND doc_id < $C9StreamEnd
-         |  AND doc_id % $C9Batches <= $n
-         |  AND doc_id NOT IN (
-         |    SELECT DISTINCT id FROM (
-         |      SELECT id_b AS id, id_a AS other FROM fpairs
-         |      UNION ALL
-         |      SELECT id_a AS id, id_b AS other FROM fpairs
-         |      WHERE id_b < $C9CorpusEnd) z
-         |    WHERE id >= $C9CorpusEnd AND id % $C9Batches <= $n
-         |      AND (other < $C9CorpusEnd OR other % $C9Batches <= $n))
-         |  AND doc_id NOT IN (SELECT id FROM contaminated)""".stripMargin
+         |WHERE ${c9FrontierWhere(n)}""".stripMargin
     s"""WITH ${ScaleOps.m1PairsCtesAt(NearDupThreshold,
            s"WHERE doc_id >= $EvalSplit AND doc_id < $C9StreamEnd")},
        |$c9DropsCtesSql
@@ -2277,6 +2351,7 @@ object CorpusOps {
     "c17_rolling_rep" -> (c17RollingRep _),
     "c18_deploy_gates" -> (c18DeployGates _),
     "c19_asof_corpus" -> (c19AsofCorpus _),
+    "c22_corpus_changelog" -> (c22CorpusChangelog _),
     "c20_asof_clusters" -> (c20AsofClusters _),
     "c21_asof_reps" -> (c21AsofReps _),
     "c10_source_dup_factor" -> (c10SourceDupFactor _),
@@ -2316,6 +2391,7 @@ object CorpusOps {
     "c17_rolling_rep" -> c17Sql,
     "c18_deploy_gates" -> c18Sql,
     "c19_asof_corpus" -> c19Sql,
+    "c22_corpus_changelog" -> c22Sql,
     "c20_asof_clusters" -> c20Sql,
     "c21_asof_reps" -> c21Sql,
     "c10_source_dup_factor" -> c10Sql,

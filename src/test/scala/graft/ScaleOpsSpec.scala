@@ -347,6 +347,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("c22 changelog: entered minus removed reconciles to c19's per-frontier deltas") {
+    val q = graft.queries.CorpusOps.queries
+    val corpus = q("c19_asof_corpus")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val log = q("c22_corpus_changelog")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(log.map(_._1).toSeq == Seq(1L, 2L))
+    log.foreach { case (n, ne, te, nr, tr) =>
+      val (dPrev, tPrev) = corpus(n - 1)
+      val (dCur, tCur) = corpus(n)
+      assert(ne - nr == dCur - dPrev,
+        s"transition $n: entered $ne - removed $nr != doc delta ${dCur - dPrev}")
+      assert(te - tr == tCur - tPrev,
+        s"transition $n: token movement $te-$tr != token delta ${tCur - tPrev}")
+    }
+    // the fixture must exercise BOTH directions of movement: arrivals
+    // every wave, and at least one retro-drop (the pair that surfaced
+    // only when its later endpoint arrived)
+    assert(log.forall(_._2 > 0), "a transition landed no documents")
+    assert(log.exists(_._4 > 0), "no retro-drop in the fixture")
+    spark.catalog.clearCache()
+  }
+
   test("d32s merge-table artifact: encode and fertility reuse ONE landed training") {
     import graft.queries.{ScaleOps, TextOps}
     val first = TextOps.queries("d33_bpe_encode")(spark, sfDir)
