@@ -847,6 +847,69 @@ object HybridOps {
        |SELECT doc_id, rb, rc, rv, rrf FROM fused
        |ORDER BY rrf DESC, doc_id LIMIT $HTopK""".stripMargin
 
+  /** h12's first-stage candidate budget: deep enough that the rerank
+    * genuinely reorders (cosine disagrees with BM25 inside the pool),
+    * small enough that stage 2 is candidate-sized, never corpus-sized. */
+  private val CascadeN = 100
+
+  /** h12: CASCADE retrieval — the two-stage ranker every production
+    * search stack runs (distinct from RRF fusion, which blends two FULL
+    * rankings): a CHEAP first stage (k1's BM25 scan+heap) keeps the top
+    * [[CascadeN]] candidates, and the EXPENSIVE signal (embedding
+    * cosine against the query vector) scores ONLY those candidates —
+    * the candidate ids broadcast into the embeddings join, so stage 2
+    * touches [[CascadeN]] vectors, never the corpus. Output: the final
+    * top-[[HTopK]] by (cos, id) with the stage-1 rank riding along as
+    * evidence of the reorder. At 100 TB this is the shape that makes
+    * expensive signals affordable: cost = corpus-linear cheap pass +
+    * candidate-sized expensive pass. */
+  def h12CascadeRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val bm = rankLeg(
+        bm25Leg(s, dir).limit(CascadeN), col("score"), "rb")
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") === HQueryVec)
+      .select(col("emb").as("q_emb"))
+    e.join(broadcast(bm), e("vec_id") === bm("id"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= HQueryVec)
+      .select(col("id").as("doc_id"), col("rb").cast("long").as("rb"),
+        round(dot(col("q_emb"), col("emb")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) *
+            sqrt(dot(col("emb"), col("emb")))), 6).as("cos"))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= HTopK)
+      .orderBy("rk")
+  }
+
+  /** DuckDB replay of [[h12CascadeRerank]]: the k1 BM25 chain cut to
+    * [[CascadeN]], joined to the embeddings for the cosine rerank, the
+    * same (cos desc, id) final window. */
+  private lazy val h12Sql: String =
+    s"""WITH ${KeywordSearch.bm25Ctes(HTerms)},
+       |bml AS (SELECT id, score FROM sc WHERE score > 0
+       |        ORDER BY score DESC, id LIMIT $CascadeN),
+       |bmr AS (SELECT id,
+       |          ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rb
+       |        FROM bml),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT emb AS q_emb FROM e WHERE id = $HQueryVec),
+       |scored AS (
+       |  SELECT bmr.id AS doc_id, bmr.rb,
+       |    ROUND(list_dot_product(q_emb, emb) /
+       |      (sqrt(list_dot_product(q_emb, q_emb)) *
+       |       sqrt(list_dot_product(emb, emb))), 6) AS cos
+       |  FROM bmr JOIN e ON e.id = bmr.id CROSS JOIN q
+       |  WHERE bmr.id <> $HQueryVec),
+       |ranked AS (
+       |  SELECT doc_id, rb, cos,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rb, cos, rk FROM ranked
+       |WHERE rk <= $HTopK ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h1_hybrid_rrf" -> (h1HybridRrf _),
     "h2_rolling_hybrid" -> (h2RollingHybrid _),
@@ -858,7 +921,8 @@ object HybridOps {
     "h8_diversified_hybrid" -> (h8DiversifiedHybrid _),
     "h9_fusion_ablation" -> (h9FusionAblation _),
     "h10_boolean_hybrid" -> (h10BooleanHybrid _),
-    "h11_crossmodal_hybrid" -> (h11CrossModalHybrid _))
+    "h11_crossmodal_hybrid" -> (h11CrossModalHybrid _),
+    "h12_cascade_rerank" -> (h12CascadeRerank _))
 
   val oracles: Map[String, String] = Map(
     "h1_hybrid_rrf" -> h1Sql,
@@ -873,5 +937,6 @@ object HybridOps {
     "h8_diversified_hybrid" -> h8Sql,
     "h9_fusion_ablation" -> h9Sql,
     "h10_boolean_hybrid" -> h10Sql,
-    "h11_crossmodal_hybrid" -> h11Sql)
+    "h11_crossmodal_hybrid" -> h11Sql,
+    "h12_cascade_rerank" -> h12Sql)
 }

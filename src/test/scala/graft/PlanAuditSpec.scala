@@ -987,6 +987,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nodeCount(s, "Scan parquet") == 1, s.take(800))
   }
 
+  test("h12 cascade: the expensive rerank is candidate-sized, candidates broadcast") {
+    val s = formatted(SparkEntry.queries("h12_cascade_rerank")(spark, sfDir))
+    // the 100-candidate stage-1 pool must BROADCAST into the embeddings
+    // join (a shuffled join would repartition the corpus for 100 rows),
+    // and nothing plans a cartesian pair — the 1-row query vector rides
+    // a broadcast too
+    assert(nodeCount(s, "BroadcastHashJoin") >= 1, s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0, s.take(1200))
+    // ...and the final cut is a bounded window over the candidate pool,
+    // not a corpus sort
+    assert(s.contains("Window"), s.take(1200))
+  }
+
   test("d25 dup passages: hash-join on gram hashes, no pairwise doc join") {
     val s = try formatted(SparkEntry.queries("d25_dup_passages")(spark, sfDir))
     finally spark.catalog.clearCache() // d25 persists its gram table
