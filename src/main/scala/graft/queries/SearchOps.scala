@@ -800,6 +800,104 @@ object SearchOps {
        |WHERE ' ' || text || ' ' LIKE '% ' || phrase || ' %'
        |GROUP BY phrase ORDER BY phrase""".stripMargin
 
+  /** k19 page/window geometry: top [[K19Docs]] BM25 hits, snippet
+    * window of [[K19Window]] tokens. */
+  private val K19Docs = 5
+  private val K19Window = 8
+
+  /** k19: SEARCH SNIPPETS — the result-page surface on top of k1's
+    * ranking: for each of the top [[K19Docs]] BM25 documents, the best
+    * [[K19Window]]-token window — the one covering the MOST DISTINCT
+    * query terms, earliest window on ties (a deterministic total order,
+    * so both engines pick the same snippet byte-for-byte). Candidate
+    * windows start at query-term occurrences only (an optimal window
+    * can always be shifted left onto one), so the search is |term
+    * occurrences|² within a doc, never |tokens|²; the snippet text
+    * joins back against only the [[K19Docs]] winning docs (broadcast).
+    * Output: (doc_id, rb, start_pos, n_terms, snippet). */
+  def k19SearchSnippets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = KeywordSearch
+      .bm25(Tables(s, dir, "documents"), "doc_id", "text", QueryTerms)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("id"))
+      .limit(K19Docs)
+      .withColumn("rb", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .select(col("id").as("doc_id"), col("rb"))
+    val docs = Tables(s, dir, "documents")
+      .join(broadcast(top), Seq("doc_id"))
+      .select(col("doc_id"), col("rb"), col("text"))
+      // the tiny top-page frame feeds positions AND the snippet join:
+      // pin it so the BM25 ranking runs once (bounded: K19Docs rows)
+      .localCheckpoint()
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "term")
+      .filter(col("term").isin(QueryTerms: _*))
+    val win = pos.as("c")
+      .join(pos.as("q"),
+        col("q.doc_id") === col("c.doc_id") &&
+          col("q.pos") >= col("c.pos") &&
+          col("q.pos") < col("c.pos") + K19Window)
+      .groupBy(col("c.doc_id").as("doc_id"), col("c.pos").as("start"))
+      .agg(countDistinct(col("q.term")).as("n_terms"))
+    val best = win.withColumn("rn", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("n_terms").desc, col("start"))))
+      .filter(col("rn") === 1)
+    best.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("rb"),
+        col("start").cast("long").as("start_pos"), col("n_terms"),
+        array_join(
+          slice(split(col("text"), " "), col("start") + 1, lit(K19Window)),
+          " ").as("snippet"))
+      .orderBy("rb")
+  }
+
+  /** DuckDB replay of [[k19SearchSnippets]]: the k1 BM25 chain cut to
+    * the page, k5's position derivation (0-based here — Spark's
+    * posexplode convention), the window self-join, and DuckDB's
+    * inclusive 1-based list slice for the snippet text. */
+  private lazy val k19Sql: String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${KeywordSearch.bm25Ctes(QueryTerms)},
+       |top AS (
+       |  SELECT id AS doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rb
+       |  FROM (SELECT id, score FROM sc WHERE score > 0
+       |        ORDER BY score DESC, id LIMIT $K19Docs) z),
+       |toks AS (
+       |  SELECT d.doc_id, top.rb, string_split(d.text, ' ') AS tk
+       |  FROM documents d JOIN top ON top.doc_id = d.doc_id),
+       |pos AS (
+       |  SELECT doc_id, pos, term FROM (
+       |    SELECT doc_id, u.p AS pos, u.t AS term FROM (
+       |      SELECT doc_id, unnest(list_transform(range(0, len(tk)),
+       |        i -> struct_pack(p := i, t := tk[CAST(i AS INTEGER) + 1]))) AS u
+       |      FROM toks) y) z
+       |  WHERE term IN ($termList)),
+       |win AS (
+       |  SELECT c.doc_id, c.pos AS start, COUNT(DISTINCT q.term) AS n_terms
+       |  FROM pos c JOIN pos q ON q.doc_id = c.doc_id
+       |    AND q.pos >= c.pos AND q.pos < c.pos + $K19Window
+       |  GROUP BY c.doc_id, c.pos),
+       |best AS (
+       |  SELECT doc_id, start, n_terms,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY n_terms DESC, start) AS rn
+       |  FROM win)
+       |SELECT b.doc_id, t.rb,
+       |  CAST(b.start AS BIGINT) AS start_pos,
+       |  CAST(b.n_terms AS BIGINT) AS n_terms,
+       |  array_to_string(tk[CAST(b.start + 1 AS INTEGER) :
+       |    CAST(b.start + $K19Window AS INTEGER)], ' ') AS snippet
+       |FROM best b JOIN toks t USING (doc_id)
+       |WHERE rn = 1 ORDER BY rb""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_bm25_topk" -> (k1Bm25TopK _),
     "k11_rolling_bm25" -> (k11RollingBm25 _),
@@ -811,6 +909,7 @@ object SearchOps {
     "k6_search_at_rest" -> (k6SearchAtRest _),
     "k17_boolean_retrieval" -> (k17BooleanRetrieval _),
     "k18_ranked_boolean" -> (k18RankedBoolean _),
+    "k19_search_snippets" -> (k19SearchSnippets _),
     "k4_phrase_search" -> (k4PhraseSearch _),
     "k5_proximity_search" -> (k5ProximitySearch _),
     "k2_tfidf_term" -> (k2TfidfTerm _),
@@ -827,6 +926,7 @@ object SearchOps {
     "k6_search_at_rest" -> k1Sql, // same answer, served from the index
     "k17_boolean_retrieval" -> k17Sql,
     "k18_ranked_boolean" -> k18Sql,
+    "k19_search_snippets" -> k19Sql,
     "k4_phrase_search" -> k4Sql,
     "k5_proximity_search" -> k5Sql,
     "k2_tfidf_term" -> k2Sql,

@@ -636,6 +636,52 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** d47: the CORPUS DATASHEET — the one-row data card a dataset ships
+    * with (the model-card convention applied to training data): size
+    * (docs, whitespace tokens), language spread, exact-duplicate rate,
+    * and the d3 quality profile (integer-ppm mean + the high/medium/low
+    * bucket counts). Every number is a single-pass aggregate — the
+    * datasheet is the CHEAP summary a build prints before the expensive
+    * sweeps run; the deep signals have their own rows (m1 near-dups,
+    * c2 contamination, d46 copied-text fraction). Exactness: the mean
+    * quality rides the micro-unit grid (round-6 score × 1e6 is integer-
+    * valued; integer sums are order-free where a double AVG is not). */
+  def d47CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val score = qualityScore
+    Tables(s, dir, "documents")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+        sum(round(score * 1000000).cast("long")).as("q_micro"),
+        sum(when(score > 0.8, 1L).otherwise(0L)).as("n_high"),
+        sum(when(score > 0.5 && score <= 0.8, 1L).otherwise(0L)).as("n_medium"),
+        sum(when(score <= 0.5, 1L).otherwise(0L)).as("n_low"))
+      .select(col("n_docs"), col("total_tokens"), col("n_langs"),
+        expr("(1000000 * n_exact_dups) div n_docs").as("exact_dup_ppm"),
+        expr("q_micro div n_docs").as("mean_quality_ppm"),
+        col("n_high"), col("n_medium"), col("n_low"))
+  }
+
+  private lazy val d47Sql: String =
+    s"""WITH q AS (
+       |  SELECT text, lang, $qualityScoreSqlExpr AS s,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents)
+       |SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST((1000000 * (COUNT(*) - COUNT(DISTINCT text))) // COUNT(*)
+       |    AS BIGINT) AS exact_dup_ppm,
+       |  CAST(CAST(SUM(CAST(ROUND(s * 1000000) AS BIGINT)) AS BIGINT)
+       |    // COUNT(*) AS BIGINT) AS mean_quality_ppm,
+       |  CAST(SUM(CASE WHEN s > 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |  CAST(SUM(CASE WHEN s > 0.5 AND s <= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_medium,
+       |  CAST(SUM(CASE WHEN s <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+       |FROM q""".stripMargin
+
   /** d43 anonymity threshold: classes smaller than this are
     * re-identification risks. Package-visible: the streaming monitor
     * ([[graft.streaming.StreamOps.kAnonPerBatch]]) enforces the SAME
@@ -1690,6 +1736,7 @@ object TextOps {
     "d44_bpe_fertility" -> (d44BpeFertility _),
     "d45_asof_kanon" -> (d45AsofKanon _),
     "d46_dup_gram_fraction" -> (d46DupGramFraction _),
+    "d47_corpus_datasheet" -> (d47CorpusDatasheet _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1727,5 +1774,6 @@ object TextOps {
     "d44_bpe_fertility" -> d44Sql,
     "d45_asof_kanon" -> d45Sql,
     "d46_dup_gram_fraction" -> d46Sql,
+    "d47_corpus_datasheet" -> d47Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
