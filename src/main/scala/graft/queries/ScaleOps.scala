@@ -1570,6 +1570,89 @@ object ScaleOps {
        |ORDER BY as_of, q_id, rk""".stripMargin
   }
 
+  /** i13's delete rule: every vector id ≡ [[I13DeleteRes]] (mod
+    * [[I13DeleteMod]]) is forgotten at wave 2 — deterministic, hits both
+    * base-trained and grown vectors, misses the probe queries (0–2). */
+  private val I13DeleteMod = 7L
+  private val I13DeleteRes = 3L
+
+  /** i13: ANN DELETES — the right-to-be-forgotten path through the
+    * grown index ([[graft.streaming.StreamOps.ivfDeleteBatch]], k11's
+    * tombstone model for vectors): after i11's two grow waves, wave 2
+    * deletes every id ≡ 3 (mod 7) — base-trained vectors tombstone as
+    * serve-suppressed-until-retrain, grown vectors as physically
+    * reclaimable log versions — and the probe answers the lineage pair:
+    * AS OF wave 1 the vectors are still retrievable (the audit trail a
+    * deletion review needs), AS OF wave 2 they are gone from every
+    * list. The oracle replays both frontiers over the shared
+    * `et`-trained quantizer chain: frontier 1 is i11's full-grown
+    * visibility, frontier 2 adds the modular delete cut. */
+  def i13AnnDeletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val e = Tables(s, dir, "embeddings")
+    val idx0 = IvfSearch.buildIndex(e.filter(col("vec_id") < I8TrainEnd),
+      "vec_id", "embedding", k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    val root = java.nio.file.Files.createTempDirectory("graft_i13_").toString
+    try {
+      val late = e.filter(col("vec_id") >= I8TrainEnd)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("emb"))
+      (0 until 2).foreach { b =>
+        StreamOps.ivfAssignBatch(
+          late.filter(pmod(col("id"), lit(2L)) === b.toLong),
+          idx0.centroids, "id", "emb", s"$root/state", b.toLong)
+      }
+      StreamOps.ivfDeleteBatch(
+        e.filter(pmod(col("vec_id"), lit(I13DeleteMod)) === I13DeleteRes)
+          .select(col("vec_id").as("id")),
+        s"$root/state", 2L)
+      def frontier(n: Long) = IvfSearch.approxTopK(
+          e.filter(col("vec_id") < 3),
+          StreamOps.grownIvfIndex(s, idx0, s"$root/state", asOf = n),
+          "vec_id", "embedding", k = IvfTopK, nprobe = IvfNprobe)
+        .select(lit(n).as("as_of"), col("q_id"), col("neighbor"),
+          col("cos"), col("rk"))
+      val res = frontier(1L).unionByName(frontier(2L))
+        .orderBy("as_of", "q_id", "rk")
+      // bounded (2·|q|·k = 30 rows): materialize before the index closes
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    } finally {
+      idx0.close()
+      graft.sources.Sources.deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  private lazy val i13Sql: String = {
+    // frontier 1: i11's full-grown visibility (both waves landed);
+    // frontier 2: the same minus the wave-2 modular delete cut
+    def frontier(n: Int, cut: String): String =
+      s"""af$n AS (SELECT * FROM af WHERE TRUE$cut),
+         |cands$n AS (
+         |  SELECT pr.q_id, pr.q_emb, a.id AS neighbor, a.emb
+         |  FROM pr JOIN af$n a ON a.cid = pr.cid AND a.id <> pr.q_id),
+         |ranked$n AS (
+         |  SELECT q_id, neighbor, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rk
+         |  FROM (SELECT q_id, neighbor,
+         |      ROUND(list_dot_product(q_emb, emb) /
+         |        (sqrt(list_dot_product(q_emb, q_emb)) *
+         |         sqrt(list_dot_product(emb, emb))), 6) AS cos
+         |    FROM cands$n) z)""".stripMargin
+    def sel(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS as_of, q_id, neighbor, cos, rk
+         |FROM ranked$n WHERE rk <= $IvfTopK""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |et AS (SELECT id, emb FROM e WHERE id < $I8TrainEnd),
+       |q AS (SELECT id AS q_id, emb AS q_emb FROM e WHERE id < 3),
+       |${ivfCtesOver("et")},
+       |${frontier(1, "")},
+       |${frontier(2, s" AND id % $I13DeleteMod <> $I13DeleteRes")}
+       |${sel(1)}
+       |UNION ALL
+       |${sel(2)}
+       |ORDER BY as_of, q_id, rk""".stripMargin
+  }
+
   // i2 constants shared by the Spark query and its SQL replay
   private val PqM = 4       // subspaces
   private val PqK = 16      // codewords per subspace (codes are 4 bits)
@@ -2261,6 +2344,7 @@ object ScaleOps {
     "i10_retrain_loop" -> (i10RetrainLoop _),
     "i10b_retrain_at_rest" -> (i10RetrainAtRest _),
     "i11_asof_ann" -> (i11AsofAnn _),
+    "i13_ann_deletes" -> (i13AnnDeletes _),
     "s1_skew_agg" -> (s1SkewAgg _),
     "s2_skew_join" -> (s2SkewJoin _),
     "s3_adaptive_skew_join" -> (s3AdaptiveSkewJoin _),
@@ -2294,6 +2378,7 @@ object ScaleOps {
     "i9_grown_recall" -> i9Sql,
     "i10_retrain_loop" -> i10Sql,
     "i11_asof_ann" -> i11Sql,
+    "i13_ann_deletes" -> i13Sql,
     // same answer, baseline audit read from the at-rest artifact
     "i10b_retrain_at_rest" -> i10Sql,
     "s1_skew_agg" -> s1Sql,

@@ -2323,17 +2323,78 @@ object StreamOps {
     * answers exactly what it answered when that batch was the frontier
     * (reproducible ANN lineage; the centroids are frozen, so unlike the
     * text indexes there is no stats snapshot to bound the reach —
-    * as-of works for every batch still in the append-only log). */
+    * as-of works for every batch still in the append-only log).
+    *
+    * Deletes: vectors tombstoned by [[ivfDeleteBatch]] at a wave ≤
+    * `asOf` are anti-joined out (both the log-row and base-row
+    * tombstone families), so a probe as of a frontier BEFORE the delete
+    * still sees the vector — the audit trail — until
+    * [[reclaimIvfDeleted]] physically removes the rows. */
   def grownIvfIndex(spark: SparkSession,
       base: graft.operators.IvfSearch.Index, statePath: String,
       asOf: Long = Long.MaxValue): graft.operators.IvfSearch.Index = {
     val path = s"$statePath/ivf_assign"
-    if (!pathExists(spark, path)) base
-    else graft.operators.IvfSearch.Index(base.centroids,
-      base.assignments.unionByName(spark.read.parquet(path)
+    val grown =
+      if (!pathExists(spark, path)) base.assignments
+      else base.assignments.unionByName(spark.read.parquet(path)
         .filter(col("batch_id").cast("long") <= asOf)
-        .select(col("id"), col("emb"), col("centroid_id"))))
+        .select(col("id"), col("emb"), col("centroid_id")))
+    val dead = Seq("ivf_tombstones", "ivf_base_tombstones")
+      .map(n => s"$statePath/$n")
+      .filter(pathExists(spark, _))
+      .map(p => spark.read.parquet(p)
+        .filter(col("batch_id").cast("long") <= asOf)
+        .select(col("id")))
+      .reduceOption(_.unionByName(_))
+    graft.operators.IvfSearch.Index(base.centroids,
+      dead.fold(grown)(d => grown.join(d.distinct(), Seq("id"), "left_anti")))
   }
+
+  /** DELETE vectors from the grown IVF index — k11's supersede/tombstone
+    * model applied to the vector store, the right-to-be-forgotten path a
+    * deployed embedding index must serve: ids with a landed assignment
+    * version tombstone as (id, dead_batch = their landed wave) under
+    * `ivf_tombstones` — physically reclaimable by [[reclaimIvfDeleted]]
+    * — while ids present only in the TRAINED BASE (no landed version to
+    * name) tombstone with dead_batch = −1 under `ivf_base_tombstones`:
+    * serve-suppressed immediately, physically gone at the next retrain
+    * (i10's loop), untouched by reclaim. Both logs are batch_id-
+    * partitioned on the DELETE wave (replay-idempotent), which is what
+    * [[grownIvfIndex]]'s as-of anti-join cuts on. Delete and grow waves
+    * share one batch counter — the caller's timeline. */
+  def ivfDeleteBatch(ids: DataFrame, statePath: String, batchId: Long): Unit = {
+    val spark = ids.sparkSession
+    // delete batches are request-sized: pin the id set once — the
+    // landed-version lookup and the base-only anti-join both read it
+    val del = ids.select(col("id")).distinct().localCheckpoint()
+    val assignPath = s"$statePath/ivf_assign"
+    val landed = (
+      if (pathExists(spark, assignPath))
+        spark.read.parquet(assignPath)
+          .join(broadcast(del), Seq("id"))
+          .select(col("id"), col("batch_id").cast("long").as("dead_batch"))
+      else
+        del.limit(0).select(col("id"), lit(-1L).as("dead_batch"))
+    ).localCheckpoint()
+    val baseOnly = del
+      .join(landed.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(-1L).as("dead_batch"))
+    landDelta(landed, s"$statePath/ivf_tombstones", batchId)
+    landDelta(baseOnly, s"$statePath/ivf_base_tombstones", batchId)
+  }
+
+  /** Physical reclaim of deleted GROWN vectors — [[mergeBm25Segments]]'
+    * machinery over the assignment log: only the batch partitions the
+    * tombstone log names rewrite (live rows only), and the log clears
+    * last. Reclaim TRADES the audit trail for physical deletion: as-of
+    * probes before the delete frontier no longer return the reclaimed
+    * vectors — which is the point of a forget request. Base-index
+    * tombstones stay (their rows live inside the trained base until the
+    * next retrain replaces it). Quiet-window single-writer, like every
+    * compaction. Returns (versions reclaimed, live rows rewritten). */
+  def reclaimIvfDeleted(spark: SparkSession, statePath: String): (Long, Long) =
+    reclaimDeadVersions(spark, s"$statePath/ivf_tombstones",
+      Seq(s"$statePath/ivf_assign" -> Seq("batch_id")))
 
   /** Retention for [[ivfAssignPerBatch]]'s delta log. Unlike the label
     * snapshots [[pruneSupersededBatches]] deletes, the assignments are

@@ -1265,6 +1265,59 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ivfDeleteBatch: as-of audit trail, then reclaim removes rows without changing current answers") {
+    import java.nio.file.Files
+    import graft.operators.IvfSearch
+    val root = Files.createTempDirectory("ivfdelete")
+    val state = root.resolve("state").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val split = 250L
+    val base = IvfSearch.buildIndex(e.filter(col("vec_id") < split),
+      "vec_id", "embedding", k = 4, iters = 2, roundDecimals = 6)
+    try {
+      val late = e.filter(col("vec_id") >= split)
+      StreamOps.ivfAssignBatch(late.filter(col("vec_id") % 2 === 0),
+        base.centroids, "vec_id", "embedding", state, 0L)
+      StreamOps.ivfAssignBatch(late.filter(col("vec_id") % 2 === 1),
+        base.centroids, "vec_id", "embedding", state, 1L)
+      def rows(asOf: Long): Seq[(Long, Long, Double, Long)] =
+        IvfSearch.approxTopK(e.filter(col("vec_id") < 3),
+            StreamOps.grownIvfIndex(spark, base, state, asOf),
+            "vec_id", "embedding", k = 5, nprobe = 2)
+          .orderBy("q_id", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSeq
+      val preDelete = rows(1L)
+      // forget EVERY current answer's neighbors — both base-trained
+      // (< split) and grown (>= split) ids, so both tombstone families
+      // carry rows — plus one grown id that is not a neighbor
+      val victims = preDelete.map(_._2).distinct :+
+        late.select("vec_id").head.getLong(0)
+      assert(victims.exists(_ < split) && victims.exists(_ >= split),
+        s"fixture must delete across both families: $victims")
+      import spark.implicits._
+      StreamOps.ivfDeleteBatch(victims.toDF("id"), state, 2L)
+      // lineage: the pre-delete frontier still answers with the victims
+      assert(rows(1L) == preDelete, "as-of 1 must still see deleted vectors")
+      val postDelete = rows(2L)
+      assert(postDelete.nonEmpty &&
+        !postDelete.exists(r => victims.contains(r._2)),
+        "a deleted vector is still retrievable at the delete frontier")
+      // physical reclaim: grown victims' rows leave the log, the current
+      // frontier's answers do not move, and base tombstones survive
+      val (reclaimed, _) = StreamOps.reclaimIvfDeleted(spark, state)
+      assert(reclaimed == victims.count(_ >= split).toLong,
+        s"reclaimed $reclaimed of ${victims.count(_ >= split)} grown victims")
+      assert(rows(2L) == postDelete, "reclaim changed the served answers")
+      val logged = spark.read.parquet(s"$state/ivf_assign")
+        .filter(col("id").isin(victims: _*)).count()
+      assert(logged == 0L, s"$logged deleted rows still in the assignment log")
+      // a second reclaim is a no-op (the log cleared)
+      assert(StreamOps.reclaimIvfDeleted(spark, state) == ((0L, 0L)))
+    } finally base.close()
+    spark.catalog.clearCache()
+  }
+
   test("ivfAssignPerBatch (i8 twin): probing the grown index equals the batch frozen-quantizer construction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
