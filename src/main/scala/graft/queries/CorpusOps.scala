@@ -1472,15 +1472,22 @@ object CorpusOps {
     val corpusIds = Tables(s, dir, "documents")
       .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
       .select(col("doc_id"))
-    def member(n: Long) = StreamOps.compactLanded(s, s"$root/landed",
-        s"$root/state", corpusIds, "doc_id", asOf = n)
-      .select(col("doc_id"),
-        (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
-          .cast("long").as("toks"))
+    // each INTERIOR frontier is both a transition's current side and the
+    // next one's previous side: pin every frontier once (eager, bounded
+    // to (id, toks) columns) instead of re-running compactLanded's
+    // distinct + anti-join chain twice per interior wave
+    val member = (0 until C9Batches).map { n =>
+      StreamOps.compactLanded(s, s"$root/landed",
+          s"$root/state", corpusIds, "doc_id", asOf = n.toLong)
+        .select(col("doc_id"),
+          (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+            .cast("long").as("toks"))
+        .localCheckpoint()
+    }
     import s.implicits._
     (1 until C9Batches).map { n =>
-      val j = member(n.toLong).as("c")
-        .join(member(n - 1L).as("p"),
+      val j = member(n).as("c")
+        .join(member(n - 1).as("p"),
           col("c.doc_id") === col("p.doc_id"), "full_outer")
       // bounded: one aggregate row per transition (the c19 .head rule)
       val at = j.agg(

@@ -2333,21 +2333,34 @@ object StreamOps {
   def grownIvfIndex(spark: SparkSession,
       base: graft.operators.IvfSearch.Index, statePath: String,
       asOf: Long = Long.MaxValue): graft.operators.IvfSearch.Index = {
-    val path = s"$statePath/ivf_assign"
-    val grown =
-      if (!pathExists(spark, path)) base.assignments
-      else base.assignments.unionByName(spark.read.parquet(path)
-        .filter(col("batch_id").cast("long") <= asOf)
-        .select(col("id"), col("emb"), col("centroid_id")))
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val idType = base.assignments.schema("id").dataType
+    // explicit-schema delta reads throughout: a data-file-less directory
+    // (an all-empty land, or reclaim draining every batch leaf) must read
+    // as zero rows, never throw schema inference into every later probe
+    val deltas = readDelta(spark, s"$statePath/ivf_assign",
+        StructType(base.assignments.schema.fields))
+      .filter(col("batch_id").cast("long") <= asOf)
+    // versions carry their landing wave so a tombstone suppresses only
+    // versions landed AT OR BEFORE its delete wave — a later re-ingest
+    // supersedes the delete (the k11 model); base rows predate every wave
+    val grown = base.assignments
+      .withColumn("src_batch", lit(-1L))
+      .unionByName(deltas.withColumnRenamed("batch_id", "src_batch")
+        .select(col("id"), col("emb"), col("centroid_id"),
+          col("src_batch").cast("long")))
+    val tombSchema = new StructType()
+      .add("id", idType).add("dead_batch", LongType)
     val dead = Seq("ivf_tombstones", "ivf_base_tombstones")
-      .map(n => s"$statePath/$n")
-      .filter(pathExists(spark, _))
-      .map(p => spark.read.parquet(p)
+      .map(n => readDelta(spark, s"$statePath/$n", tombSchema)
         .filter(col("batch_id").cast("long") <= asOf)
-        .select(col("id")))
-      .reduceOption(_.unionByName(_))
-    graft.operators.IvfSearch.Index(base.centroids,
-      dead.fold(grown)(d => grown.join(d.distinct(), Seq("id"), "left_anti")))
+        .select(col("id").as("t_id"), col("batch_id").cast("long").as("del_batch")))
+      .reduce(_.unionByName(_))
+    val live = grown.join(broadcast(dead),
+        grown("id") === col("t_id") && grown("src_batch") <= col("del_batch"),
+        "left_anti")
+      .select(col("id"), col("emb"), col("centroid_id"))
+    graft.operators.IvfSearch.Index(base.centroids, live)
   }
 
   /** DELETE vectors from the grown IVF index — k11's supersede/tombstone

@@ -1290,9 +1290,10 @@ class StreamOpsSpec extends AnyFunSuite {
       val preDelete = rows(1L)
       // forget EVERY current answer's neighbors — both base-trained
       // (< split) and grown (>= split) ids, so both tombstone families
-      // carry rows — plus one grown id that is not a neighbor
-      val victims = preDelete.map(_._2).distinct :+
-        late.select("vec_id").head.getLong(0)
+      // carry rows — plus one grown id (dedup: the arbitrary head may
+      // already be a neighbor, and the reclaim count below counts ids)
+      val victims = (preDelete.map(_._2) :+
+        late.select("vec_id").head.getLong(0)).distinct
       assert(victims.exists(_ < split) && victims.exists(_ >= split),
         s"fixture must delete across both families: $victims")
       import spark.implicits._
@@ -1314,6 +1315,21 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(logged == 0L, s"$logged deleted rows still in the assignment log")
       // a second reclaim is a no-op (the log cleared)
       assert(StreamOps.reclaimIvfDeleted(spark, state) == ((0L, 0L)))
+      // re-ingest SUPERSEDES the delete (the k11 model): a victim
+      // re-landed at a LATER wave is index-live again — the tombstone
+      // suppresses only versions landed at or before its delete wave
+      val back = victims.filter(_ >= split).max
+      StreamOps.ivfAssignBatch(e.filter(col("vec_id") === back),
+        base.centroids, "vec_id", "embedding", state, 3L)
+      def liveAt(asOf: Long): Long = StreamOps
+        .grownIvfIndex(spark, base, state, asOf)
+        .assignments.filter(col("id") === back).count()
+      assert(liveAt(3L) == 1L,
+        s"re-ingested vector $back still suppressed by its old tombstone")
+      assert(liveAt(2L) == 0L,
+        s"the delete frontier must not see the later re-ingest of $back")
+      // ...and the delete frontier's served answers are untouched
+      assert(rows(2L) == postDelete)
     } finally base.close()
     spark.catalog.clearCache()
   }
