@@ -1919,6 +1919,32 @@ object StreamOps {
     }
   }
 
+  /** The STREAMING form of the rolling image near-dup family: a
+    * checkpointed foreachBatch over a (doc_id, text) stream — replay of
+    * an uncommitted batch rewrites its own batch_id partitions
+    * ([[landDelta]]'s dynamic overwrite) and re-derives the same pairs
+    * (the landed state it sweeps against excludes its own wave), so the
+    * pair log is exactly-once under restart. [[audioNdPerBatch]] is the
+    * audio twin. */
+  def imageNdPerBatch(docs: DataFrame, statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imageNdBatch(batch, statePath, batchId); ()
+      }
+      .start()
+
+  /** [[imageNdPerBatch]] for the audio modality. */
+  def audioNdPerBatch(docs: DataFrame, statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        audioNdBatch(batch, statePath, batchId); ()
+      }
+      .start()
+
   /** The image near-dup pair log AS OF a wave: every pair discovered by
     * batches ≤ `asOf` — an append-only delta read (partition-pruned on
     * batch_id), not a snapshot pick, because a discovered pair is an

@@ -1334,6 +1334,44 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("imageNdPerBatch: streamed waves equal the direct batch drive; committed-wave replay is a no-op") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("imgndstream")
+    val streamState = root.resolve("s").toString
+    val twinState = root.resolve("t").toString
+    try {
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => StreamDoc(r.getLong(0), r.getString(1)))
+      val (w0, w1) = docs.partition(_.doc_id % 2 == 0)
+      val ms = MemoryStream[StreamDoc]
+      val q = StreamOps.imageNdPerBatch(ms.toDF(), streamState,
+        root.resolve("ck").toString)
+      ms.addData(w0.toSeq: _*); q.processAllAvailable()
+      ms.addData(w1.toSeq: _*); q.processAllAvailable()
+      q.stop()
+      def pairs(state: String): Set[(Long, Long, Int)] =
+        StreamOps.imageNdAsOf(spark, state, Long.MaxValue)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // the same waves driven directly (the mm16 batch twin)
+      StreamOps.imageNdBatch(w0.toSeq.toDF(), twinState, 0L)
+      StreamOps.imageNdBatch(w1.toSeq.toDF(), twinState, 1L)
+      val streamed = pairs(streamState)
+      assert(streamed == pairs(twinState),
+        "streamed pair log diverged from the direct batch drive")
+      assert(streamed.nonEmpty, "fixture found no pairs")
+      // a forced replay of the committed wave 0 (the at-least-once case
+      // a checkpoint restart re-runs) rewrites its own partitions and
+      // changes nothing
+      StreamOps.imageNdBatch(w0.toSeq.toDF(), streamState, 0L)
+      assert(pairs(streamState) == streamed,
+        "replaying a committed wave changed the pair log")
+      spark.catalog.clearCache()
+    } finally graft.sources.Sources.deleteRecursively(root.toFile)
+  }
+
   test("ivfAssignPerBatch (i8 twin): probing the grown index equals the batch frozen-quantizer construction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
