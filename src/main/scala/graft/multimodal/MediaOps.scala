@@ -2025,6 +2025,94 @@ object MediaOps {
        |${ndSqlPairsCtes("")}
        |SELECT doc_a, doc_b, hamming FROM nd ORDER BY doc_a, doc_b""".stripMargin
 
+  /** mm18: VIDEO fingerprint near-dup — dedup crossing into the video
+    * column, completing the modality matrix (text m1, image mm10, audio
+    * mm11): each document renders as [[Mm11Frames]] mono frames of
+    * B = ⌈len/65⌉ pixels (one row high — the luma-contour geometry;
+    * pixels past the text PAD with [[Mm10Pad]], mm10's pad-not-wrap
+    * rationale), round-trips through the REAL YUV4MPEG2 container
+    * ([[Y4mCodec.encodeY4m]]/[[Y4mCodec.decode]] — mono luma is
+    * bit-exact, the mm1 guarantee), and fingerprints as 64 adjacent-
+    * frame luma-sum comparisons; all pairs within Hamming ≤ 4 via the
+    * same exact banded join. One bit of drift anywhere in the container
+    * writer, header parser, frame offsets, or YUV matrix moves a band
+    * value and the oracle goes red. */
+  def mm18VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    ndPairs(mm18Fingerprints(docs))
+  }
+
+  private def mm18Fingerprints(
+      docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      it.map { case (docId, text) =>
+        val bytes = asciiBytes(docId, text)
+        val b = (bytes.length + Mm11Frames - 1) / Mm11Frames
+        val frames = (0 until Mm11Frames).map { f =>
+          val img = new java.awt.image.BufferedImage(b, 1,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < b) {
+            val idx = f * b + i
+            val v = if (idx < bytes.length) bytes(idx) & 0xff else Mm10Pad
+            img.setRGB(i, 0, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          img
+        }
+        val container = Y4mCodec.encodeY4m(frames, "mono") // REAL bytes
+        val v = Y4mCodec.decode(container).getOrElse(
+          sys.error(s"mm18: Y4M round-trip failed for doc $docId"))
+        val sums = v.frames.map { img =>
+          var s = 0L
+          var x = 0
+          while (x < v.width) { s += img.getRGB(x, 0) & 0xff; x += 1 }
+          s
+        }
+        val bits = new Array[Int](64)
+        var f = 0
+        while (f < Mm11Frames - 1) {
+          bits(f) = if (sums(f + 1) > sums(f)) 1 else 0
+          f += 1
+        }
+        val bd = ndBands(bits)
+        (docId, bd(0), bd(1), bd(2), bd(3), bd(4))
+      }
+    }.toDF("doc_id", "b0", "b1", "b2", "b3", "b4")
+  }
+
+  /** mm18's fingerprint-bit CTE chain — mm11's shape with raw byte luma
+    * (no PCM scaling, no squaring) and the pad-32 arm. */
+  private def mm18BitsCtes(p: String): String =
+    s"""${p}d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |    (length(text) + ${Mm11Frames - 1}) // $Mm11Frames AS bb
+       |  FROM documents),
+       |${p}sm AS (
+       |  SELECT doc_id, len, bb, text,
+       |    unnest(generate_series(0, $Mm11Frames * bb - 1)) AS i
+       |  FROM ${p}d),
+       |${p}fe AS (
+       |  SELECT doc_id, i // bb AS f,
+       |    SUM(CASE WHEN i < len THEN
+       |        CAST(ord(substr(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT)
+       |        ELSE $Mm10Pad END) AS e
+       |  FROM ${p}sm GROUP BY doc_id, f),
+       |${p}bits AS (
+       |  SELECT a.doc_id, CAST(a.f AS INTEGER) AS j,
+       |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}fe a JOIN ${p}fe b
+       |    ON b.doc_id = a.doc_id AND b.f = a.f + 1
+       |  WHERE a.f < ${Mm11Frames - 1})""".stripMargin
+
+  private lazy val mm18Sql: String =
+    s"""WITH ${mm18BitsCtes("")},
+       |${ndSqlPairsCtes("")}
+       |SELECT doc_a, doc_b, hamming FROM nd ORDER BY doc_a, doc_b""".stripMargin
+
   // mm12 feature geometry: the mm2 canvas (24×16, pad-not-wrap like
   // mm10) reduced to an 8×8 grid of 3×2-pixel cells — 64 integer
   // floor-means, the same dimensionality as the embeddings table, so
@@ -2469,7 +2557,8 @@ object MediaOps {
     "mm14_image_neardup_at_rest" -> (mm14ImageNeardupAtRest _),
     "mm15_audio_neardup_at_rest" -> (mm15AudioNeardupAtRest _),
     "mm16_rolling_image_neardup" -> (mm16RollingImageNeardup _),
-    "mm17_rolling_audio_neardup" -> (mm17RollingAudioNeardup _))
+    "mm17_rolling_audio_neardup" -> (mm17RollingAudioNeardup _),
+    "mm18_video_neardup" -> (mm18VideoNearDup _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -2488,5 +2577,6 @@ object MediaOps {
     "mm14_image_neardup_at_rest" -> mm14Sql,
     "mm15_audio_neardup_at_rest" -> mm15Sql,
     "mm16_rolling_image_neardup" -> mm16Sql,
-    "mm17_rolling_audio_neardup" -> mm17Sql)
+    "mm17_rolling_audio_neardup" -> mm17Sql,
+    "mm18_video_neardup" -> mm18Sql)
 }

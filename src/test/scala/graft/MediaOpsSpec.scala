@@ -464,6 +464,20 @@ class MediaOpsSpec extends AnyFunSuite {
     (0 until 64).map(f => if (e(f + 1) > e(f)) 1 else 0).toArray
   }
 
+  /** Independent replay of mm18's frame-luma-contour bits from text
+    * bytes (mono Y4M luma round-trips bit-exactly — the mm1 guarantee). */
+  private def mm18Bits(text: String): Array[Int] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val b = (bytes.length + 64) / 65
+    val e = (0 until 65).map { f =>
+      (0 until b).map { j =>
+        val i = f * b + j
+        (if (i < bytes.length) bytes(i) & 0xff else 32).toLong
+      }.sum
+    }
+    (0 until 64).map(f => if (e(f + 1) > e(f)) 1 else 0).toArray
+  }
+
   private def bruteForcePairs(bits: Map[Long, Array[Int]]): Set[(Long, Long, Int)] = {
     val ids = bits.keys.toSeq.sorted
     (for {
@@ -490,7 +504,13 @@ class MediaOpsSpec extends AnyFunSuite {
     val wantAud = bruteForcePairs(texts.map { case (id, t) => id -> mm11Bits(t) })
     assert(gotAud == wantAud, s"audio pairs: got ${gotAud.size}, want ${wantAud.size}")
     assert(gotAud.nonEmpty, "fixture must exercise the match path")
-    spark.catalog.clearCache() // release the two eagerly-built banded caches
+    // video: same contract over the frame-luma-contour fingerprint
+    val gotVid = MediaOps.mm18VideoNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantVid = bruteForcePairs(texts.map { case (id, t) => id -> mm18Bits(t) })
+    assert(gotVid == wantVid, s"video pairs: got ${gotVid.size}, want ${wantVid.size}")
+    assert(gotVid.nonEmpty, "fixture must exercise the match path")
+    spark.catalog.clearCache() // release the eagerly-built banded caches
   }
 
   test("mm13: multimodal clusters equal an independent union-find over the three edge sets") {
