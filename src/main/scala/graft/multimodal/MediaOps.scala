@@ -1834,6 +1834,13 @@ object MediaOps {
       docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame =
     ndBanded(mm11Fingerprints(docs))
 
+  /** [[imageBandRows]] for the video modality — [[ndBanded]] over mm18's
+    * frame-luma-contour fingerprints ([[graft.streaming.StreamOps
+    * .videoNdBatch]]). */
+  private[graft] def videoBandRows(
+      docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame =
+    ndBanded(mm18Fingerprints(docs))
+
   /** The ROLLING sweep join of the image family: every Hamming ≤
     * [[MmNdMaxHamming]] pair between the accumulated `landed` band rows
     * and the arriving `batch` band rows (cross — the arrival side is a
@@ -2438,38 +2445,54 @@ object MediaOps {
 
   private lazy val mm17Sql: String = ndRollingSql(mm11BitsCtes(""))
 
+  /** mm19: mm16's protocol for the VIDEO modality — the rolling
+    * frame-luma-contour near-dup stream ([[graft.streaming.StreamOps
+    * .videoNdBatch]], the same shared land/sweep body): three waves,
+    * only arrivals render and Y4M-round-trip, pair log as of waves 1
+    * and 2. With mm16/mm17 this lands ALL THREE media near-dup sweeps
+    * as rolling families — which is also what lets mm13 read every leg
+    * from landed state. */
+  def mm19RollingVideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    rollingNd(s, dir, "mm19s", StreamOps.videoNdBatch, StreamOps.videoNdAsOf)
+  }
+
+  private lazy val mm19Sql: String = ndRollingSql(mm18BitsCtes(""))
+
   /** mm13's text-leg threshold — m1's own (the corpus near-dup
     * convention every dedup row shares). */
   private val Mm13TextThreshold = 0.3
 
   /** mm13: MULTIMODAL DUP CLUSTERS — the keep/drop unit ACROSS
-    * modalities: text near-dup edges (m1's MinHash sweep), image
-    * near-dup edges (mm10's banded dHash), and audio near-dup edges
-    * (mm11's banded energy fingerprint) union into ONE graph, and
-    * [[graft.operators.ConnectedComponents]] resolves it into clusters
-    * — a 100 TB multimodal training set dedups its images and audio the
-    * same way it dedups text, and a pair invisible to one modality
-    * (paraphrased caption, same artwork) still collapses when another
-    * modality links it. Per cluster: member count plus the per-modality
-    * edge evidence (which signals hold the cluster together — the
-    * reviewer's first question about any cross-modal merge). Scale
-    * shape: each leg is its own banded/blocked sweep (never all-pairs),
-    * the union is edge-count-sized, and CC is the star-collapse loop
-    * every c-family row already rides. The oracle replays ALL THREE
-    * pair chains (m1's MinHash CTEs, the prefixed mm10/mm11 chains),
-    * the union, a recursive transitive closure, and the evidence
-    * rollup. */
+    * modalities: text near-dup edges (m1's MinHash sweep), image edges
+    * (mm10's banded dHash), audio edges (mm11's banded energy
+    * fingerprint), and video edges (mm18's banded frame-luma contour)
+    * union into ONE graph, and [[graft.operators.ConnectedComponents]]
+    * resolves it into clusters — a 100 TB multimodal training set
+    * dedups its images, audio, and video the same way it dedups text,
+    * and a pair invisible to one modality (paraphrased caption, same
+    * artwork) still collapses when another modality links it. Per
+    * cluster: member count plus the per-modality edge evidence (which
+    * signals hold the cluster together — the reviewer's first question
+    * about any cross-modal merge). Scale shape: each leg is its own
+    * banded/blocked sweep (never all-pairs), the union is edge-count-
+    * sized, and CC is the star-collapse loop every c-family row already
+    * rides. The oracle replays ALL FOUR pair chains (m1's MinHash CTEs,
+    * the prefixed mm10/mm11/mm18 chains), the union, a recursive
+    * transitive closure, and the evidence rollup. */
   def mm13MultimodalClusters(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamOps
     // every leg reads a LANDED pair artifact — the sweeps themselves are
-    // priced by their own rows (m1, mm10/mm16, mm11/mm17); a composition
-    // that re-shingled and re-decoded the corpus per call would pay the
-    // whole dedup tier three times over (measured 7.0 s → sub-second).
+    // priced by their own rows (m1, mm10/mm16, mm11/mm17, mm18/mm19); a
+    // composition that re-shingled and re-decoded the corpus per call
+    // would pay the whole dedup tier several times over (measured 7.0 s
+    // → sub-second for the first three legs alone).
     // Text: g1s's symmetric m1 edge list at the SAME 0.3 threshold
     // (Mm13TextThreshold == the corpus NearDupThreshold), folded back to
-    // the id_a < id_b pair form. Image/audio: the mm16s/mm17s rolling
-    // pair logs, whose full-frontier union IS the one-shot mm10/mm11
-    // answer (the exactly-once sweep identity, spec-pinned).
+    // the id_a < id_b pair form. Image/audio/video: the mm16s/mm17s/
+    // mm19s rolling pair logs, whose full-frontier union IS the one-shot
+    // mm10/mm11/mm18 answer (the exactly-once sweep identity,
+    // spec-pinned).
     val text = s.read
       .parquet(s"${graft.queries.CorpusOps.g1EdgeRoot(s, dir)}/edges")
       .filter(col("src") < col("dst"))
@@ -2485,10 +2508,16 @@ object MediaOps {
         asOf = Mm16Batches - 1L)
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         lit("audio").as("modality"))
+    val vid = StreamOps.videoNdAsOf(s,
+        rollingNdState(s, dir, "mm19s", StreamOps.videoNdBatch),
+        asOf = Mm16Batches - 1L)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        lit("video").as("modality"))
     // eager checkpoint: the edge union feeds BOTH the CC loop and the
     // evidence rollup, and the rows must pin off the artifact files
     // before any concurrent fingerprint prune (the c20 rule)
-    val edges = text.unionByName(img).unionByName(aud).localCheckpoint()
+    val edges = text.unionByName(img).unionByName(aud).unionByName(vid)
+      .localCheckpoint()
     val comps = graft.operators.ConnectedComponents
       .components(edges.select(col("id_a"), col("id_b")))
     val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_docs"))
@@ -2499,7 +2528,8 @@ object MediaOps {
       .agg(
         sum(when(col("modality") === "text", 1L).otherwise(0L)).as("n_text_edges"),
         sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image_edges"),
-        sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio_edges"))
+        sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio_edges"),
+        sum(when(col("modality") === "video", 1L).otherwise(0L)).as("n_video_edges"))
     sizes.join(evidence, Seq("component")).orderBy("component")
   }
 
@@ -2509,12 +2539,16 @@ object MediaOps {
        |${ndSqlPairsCtes("i_")},
        |${mm11BitsCtes("a_")},
        |${ndSqlPairsCtes("a_")},
+       |${mm18BitsCtes("v_")},
+       |${ndSqlPairsCtes("v_")},
        |med AS (
        |  SELECT id_a, id_b, 'text' AS modality FROM fpairs
        |  UNION ALL
        |  SELECT doc_a, doc_b, 'image' FROM i_nd
        |  UNION ALL
-       |  SELECT doc_a, doc_b, 'audio' FROM a_nd),
+       |  SELECT doc_a, doc_b, 'audio' FROM a_nd
+       |  UNION ALL
+       |  SELECT doc_a, doc_b, 'video' FROM v_nd),
        |sym AS (
        |  SELECT id_a AS src, id_b AS dst FROM med
        |  UNION
@@ -2532,11 +2566,13 @@ object MediaOps {
        |    CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_image_edges,
        |    CAST(SUM(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS n_audio_edges
+       |      AS n_audio_edges,
+       |    CAST(SUM(CASE WHEN modality = 'video' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_video_edges
        |  FROM med m JOIN clusters c ON c.id = m.id_a
        |  GROUP BY c.component)
        |SELECT cnt.component, cnt.n_docs,
-       |  em.n_text_edges, em.n_image_edges, em.n_audio_edges
+       |  em.n_text_edges, em.n_image_edges, em.n_audio_edges, em.n_video_edges
        |FROM cnt JOIN em USING (component)
        |ORDER BY component""".stripMargin
 
@@ -2558,7 +2594,8 @@ object MediaOps {
     "mm15_audio_neardup_at_rest" -> (mm15AudioNeardupAtRest _),
     "mm16_rolling_image_neardup" -> (mm16RollingImageNeardup _),
     "mm17_rolling_audio_neardup" -> (mm17RollingAudioNeardup _),
-    "mm18_video_neardup" -> (mm18VideoNearDup _))
+    "mm18_video_neardup" -> (mm18VideoNearDup _),
+    "mm19_rolling_video_neardup" -> (mm19RollingVideoNeardup _))
 
   val oracles: Map[String, String] = Map(
     "mm1_video_luma" -> mm1Sql,
@@ -2578,5 +2615,6 @@ object MediaOps {
     "mm15_audio_neardup_at_rest" -> mm15Sql,
     "mm16_rolling_image_neardup" -> mm16Sql,
     "mm17_rolling_audio_neardup" -> mm17Sql,
-    "mm18_video_neardup" -> mm18Sql)
+    "mm18_video_neardup" -> mm18Sql,
+    "mm19_rolling_video_neardup" -> mm19Sql)
 }

@@ -1878,6 +1878,13 @@ object StreamOps {
     mediaNdBatch(batch, statePath, batchId,
       graft.multimodal.MediaOps.audioBandRows, "aud_fp", "aud_nd")
 
+  /** [[imageNdBatch]] for the VIDEO modality: mm18's banded
+    * frame-luma-contour fingerprints, same exactly-once sweep identity. */
+  private[graft] def videoNdBatch(batch: DataFrame, statePath: String,
+      batchId: Long): DataFrame =
+    mediaNdBatch(batch, statePath, batchId,
+      graft.multimodal.MediaOps.videoBandRows, "vid_fp", "vid_nd")
+
   private def mediaNdBatch(batch: DataFrame, statePath: String,
       batchId: Long,
       bandRows: org.apache.spark.sql.Dataset[(Long, String)] => DataFrame,
@@ -1956,6 +1963,10 @@ object StreamOps {
   /** [[imageNdAsOf]] for the audio pair log. */
   def audioNdAsOf(spark: SparkSession, statePath: String, asOf: Long): DataFrame =
     mediaNdAsOf(spark, statePath, "aud_nd", asOf)
+
+  /** [[imageNdAsOf]] for the video pair log. */
+  def videoNdAsOf(spark: SparkSession, statePath: String, asOf: Long): DataFrame =
+    mediaNdAsOf(spark, statePath, "vid_nd", asOf)
 
   private def mediaNdAsOf(spark: SparkSession, statePath: String,
       ndName: String, asOf: Long): DataFrame = {
@@ -3285,10 +3296,10 @@ object StreamOps {
         // unbounded small files, contrary to the documented posture that
         // append-only deltas are bounded by compactParquet
         "pr_edges",
-        // the rolling image/audio families' append-only deltas
+        // the rolling image/audio/video families' append-only deltas
         // (fingerprint bands + discovered pairs) — same unbounded-small-
         // files argument
-        "img_fp", "img_nd", "aud_fp", "aud_nd").map(merge)
+        "img_fp", "img_nd", "aud_fp", "aud_nd", "vid_fp", "vid_nd").map(merge)
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

@@ -513,15 +513,17 @@ class MediaOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the eagerly-built banded caches
   }
 
-  test("mm13: multimodal clusters equal an independent union-find over the three edge sets") {
+  test("mm13: multimodal clusters equal an independent union-find over the four edge sets") {
     val texts = graft.Tables(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    // independent edge replays: image/audio from the spec's own bit
-    // functions, text from the m1 operator (its own oracle pins it)
+    // independent edge replays: image/audio/video from the spec's own
+    // bit functions, text from the m1 operator (its own oracle pins it)
     val imgPairs = bruteForcePairs(texts.map { case (id, t) => id -> mm10Bits(t) })
       .map(p => (p._1, p._2))
     val audPairs = bruteForcePairs(texts.map { case (id, t) => id -> mm11Bits(t) })
+      .map(p => (p._1, p._2))
+    val vidPairs = bruteForcePairs(texts.map { case (id, t) => id -> mm18Bits(t) })
       .map(p => (p._1, p._2))
     val txtPairs = graft.operators.MinHashDedup
       .nearDuplicates(graft.Tables(spark, sfDir, "documents"), "doc_id", "text", 0.3)
@@ -536,29 +538,30 @@ class MediaOpsSpec extends AnyFunSuite {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val all = txtPairs.toSeq ++ imgPairs.toSeq ++ audPairs.toSeq
+    val all = txtPairs.toSeq ++ imgPairs.toSeq ++ audPairs.toSeq ++ vidPairs.toSeq
     all.foreach { case (a, b) => union(a, b) }
     val members = all.flatMap(p => Seq(p._1, p._2)).distinct
     val wantSizes = members.groupBy(find).map { case (c, ms) => c -> ms.size.toLong }
     def edgeCount(pairs: Set[(Long, Long)]): Map[Long, Long] =
       pairs.toSeq.groupBy(p => find(p._1)).map { case (c, es) => c -> es.size.toLong }
-    val (wt, wi, wa) = (edgeCount(txtPairs), edgeCount(imgPairs), edgeCount(audPairs))
+    val (wt, wi, wa, wv) = (edgeCount(txtPairs), edgeCount(imgPairs),
+      edgeCount(audPairs), edgeCount(vidPairs))
     val got = MediaOps.queries("mm13_multimodal_clusters")(spark, sfDir)
       .collect().map(r => (r.getLong(0),
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     assert(got.keySet == wantSizes.keySet,
       s"components differ: got ${got.keySet.toSeq.sorted}, want ${wantSizes.keySet.toSeq.sorted}")
-    got.foreach { case (c, (n, t, i, a)) =>
+    got.foreach { case (c, (n, t, i, a, v)) =>
       assert(n == wantSizes(c), s"component $c size: got $n want ${wantSizes(c)}")
       assert(t == wt.getOrElse(c, 0L) && i == wi.getOrElse(c, 0L) &&
-        a == wa.getOrElse(c, 0L),
-        s"component $c evidence: got ($t,$i,$a), want " +
-          s"(${wt.getOrElse(c, 0L)},${wi.getOrElse(c, 0L)},${wa.getOrElse(c, 0L)})")
+        a == wa.getOrElse(c, 0L) && v == wv.getOrElse(c, 0L),
+        s"component $c evidence: got ($t,$i,$a,$v), want " +
+          s"(${wt.getOrElse(c, 0L)},${wi.getOrElse(c, 0L)},${wa.getOrElse(c, 0L)},${wv.getOrElse(c, 0L)})")
     }
     // the fixture must exercise a genuinely CROSS-MODAL merge: some
     // cluster holds evidence from more than one modality
-    assert(got.values.exists { case (_, t, i, a) =>
-      Seq(t, i, a).count(_ > 0) >= 2 }, "no cross-modal cluster in fixture")
+    assert(got.values.exists { case (_, t, i, a, v) =>
+      Seq(t, i, a, v).count(_ > 0) >= 2 }, "no cross-modal cluster in fixture")
     spark.catalog.clearCache()
   }
 
