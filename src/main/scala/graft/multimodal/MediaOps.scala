@@ -1841,18 +1841,33 @@ object MediaOps {
       docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame =
     ndBanded(mm18Fingerprints(docs))
 
+  /** Band-row count above which [[ndSweepBatch]] stops broadcasting the
+    * arriving batch: each band row is [[MmNdBands]]+3 longs (~100 B
+    * serialized), so 1M rows ≈ 100 MB — past that an explicit broadcast
+    * hint (which bypasses autoBroadcastJoinThreshold) risks the driver,
+    * and a shuffled (t, bv) equi-join is the correct plan anyway. */
+  private[graft] val NdSweepBroadcastMaxRows = 1L << 20
+
   /** The ROLLING sweep join of the image family: every Hamming ≤
     * [[MmNdMaxHamming]] pair between the accumulated `landed` band rows
-    * and the arriving `batch` band rows (cross — the arrival side is a
-    * micro-batch, so it broadcasts), plus within the batch itself — so
-    * each pair is found exactly ONCE, at its later endpoint's wave (the
-    * c7 sweep identity: per-wave pair sets sum to mm10's one-shot
-    * answer). Output normalized to (doc_a < doc_b, hamming). One copy
-    * of the banding/Hamming arithmetic shared with [[ndPairs]] and the
-    * at-rest gate. */
-  private[graft] def ndSweepBatch(landed: DataFrame, batch: DataFrame): DataFrame = {
+    * and the arriving `batch` band rows, plus within the batch itself —
+    * so each pair is found exactly ONCE, at its later endpoint's wave
+    * (the c7 sweep identity: per-wave pair sets sum to mm10's one-shot
+    * answer). A micro-batch-sized arrival (`batchRows` ≤
+    * [[NdSweepBroadcastMaxRows]]) broadcasts into the landed side; a
+    * larger arrival — a backfill wave replaying a corpus slice — falls
+    * back to the shuffled band equi-join instead of forcing an
+    * unbounded broadcast past the autoBroadcastJoinThreshold guard.
+    * Output normalized to (doc_a < doc_b, hamming). One copy of the
+    * banding/Hamming arithmetic shared with [[ndPairs]] and the at-rest
+    * gate. */
+  private[graft] def ndSweepBatch(landed: DataFrame, batch: DataFrame,
+      batchRows: Long): DataFrame = {
     val hamming = ndHamming
-    val cross = landed.as("a").join(broadcast(batch.as("b")),
+    val arriving =
+      if (batchRows <= NdSweepBroadcastMaxRows) broadcast(batch.as("b"))
+      else batch.as("b")
+    val cross = landed.as("a").join(arriving,
         col("a.t") === col("b.t") && col("a.bv") === col("b.bv"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),

@@ -1917,7 +1917,11 @@ object StreamOps {
             "exactly-once pair log; dedup ids upstream")
         // eager checkpoint: the pair land below and the caller's read
         // both consume the sweep exactly once
-        val pairs = graft.multimodal.MediaOps.ndSweepBatch(landed, bands)
+        // n (the already-materialized band-row count) gates the sweep's
+        // broadcast: an over-sized backfill wave must not force an
+        // unbounded driver broadcast (ndSweepBatch falls back to the
+        // shuffled band equi-join above its row bound)
+        val pairs = graft.multimodal.MediaOps.ndSweepBatch(landed, bands, n)
           .localCheckpoint()
         landDelta(pairs, s"$statePath/$ndName", batchId)
         landDelta(bands, s"$statePath/$fpName", batchId)
@@ -2353,7 +2357,18 @@ object StreamOps {
 
   /** The grown IVF index after any number of [[ivfAssignPerBatch]]
     * waves: the frozen centroids over base ∪ landed assignment deltas.
-    * Reads lazily — probes prune to the routed lists as usual.
+    *
+    * Maintenance isolation: the visible delta rows PIN EAGERLY at
+    * resolve time (`localCheckpoint` — the cost is bounded by the
+    * since-last-retrain growth, the same rows any probe wave scans, and
+    * [[i10RetrainLoop]]'s audit is what keeps that log from growing
+    * unbounded), so an index resolved BEFORE a [[maintain]] window
+    * answers identically AFTER it: `compact_ivf_assign`'s staged rename
+    * can no longer strand a resolved probe on deleted file paths. This
+    * closes the one reader that previously required the quiet window by
+    * scheduling. When no delta has landed and no tombstone exists the
+    * base index returns untouched — zero extra plan nodes on the
+    * pre-growth probes.
     *
     * Time travel: `asOf` serves the index as of that batch frontier
     * (inclusive) — later deltas are partition-pruned away, so a probe
@@ -2372,12 +2387,23 @@ object StreamOps {
       asOf: Long = Long.MaxValue): graft.operators.IvfSearch.Index = {
     import org.apache.spark.sql.types.{LongType, StructType}
     val idType = base.assignments.schema("id").dataType
+    val hasGrow = hasParquetData(spark, s"$statePath/ivf_assign")
+    val hasTombs = Seq("ivf_tombstones", "ivf_base_tombstones")
+      .exists(n => hasParquetData(spark, s"$statePath/$n"))
+    // nothing landed, nothing deleted: the base serves as-is — the i8
+    // cold-start probes pay no union/anti-join for empty state
+    if (!hasGrow && !hasTombs) return base
     // explicit-schema delta reads throughout: a data-file-less directory
     // (an all-empty land, or reclaim draining every batch leaf) must read
-    // as zero rows, never throw schema inference into every later probe
-    val deltas = readDelta(spark, s"$statePath/ivf_assign",
+    // as zero rows, never throw schema inference into every later probe.
+    // localCheckpoint = the resolve-time pin documented above.
+    val deltas =
+      if (!hasGrow) readDelta(spark, s"$statePath/ivf_assign",
         StructType(base.assignments.schema.fields))
-      .filter(col("batch_id").cast("long") <= asOf)
+      else readDelta(spark, s"$statePath/ivf_assign",
+          StructType(base.assignments.schema.fields))
+        .filter(col("batch_id").cast("long") <= asOf)
+        .localCheckpoint()
     // versions carry their landing wave so a tombstone suppresses only
     // versions landed AT OR BEFORE its delete wave — a later re-ingest
     // supersedes the delete (the k11 model); base rows predate every wave
@@ -2386,13 +2412,19 @@ object StreamOps {
       .unionByName(deltas.withColumnRenamed("batch_id", "src_batch")
         .select(col("id"), col("emb"), col("centroid_id"),
           col("src_batch").cast("long")))
+    if (!hasTombs)
+      return graft.operators.IvfSearch.Index(base.centroids,
+        grown.select(col("id"), col("emb"), col("centroid_id")))
     val tombSchema = new StructType()
       .add("id", idType).add("dead_batch", LongType)
+    // request-sized: the tombstone pin costs the forget-list, and makes
+    // a resolved index equally immune to a concurrent reclaim's log clear
     val dead = Seq("ivf_tombstones", "ivf_base_tombstones")
       .map(n => readDelta(spark, s"$statePath/$n", tombSchema)
         .filter(col("batch_id").cast("long") <= asOf)
         .select(col("id").as("t_id"), col("batch_id").cast("long").as("del_batch")))
       .reduce(_.unionByName(_))
+      .localCheckpoint()
     val live = grown.join(broadcast(dead),
         grown("id") === col("t_id") && grown("src_batch") <= col("del_batch"),
         "left_anti")
@@ -2418,14 +2450,18 @@ object StreamOps {
     // landed-version lookup and the base-only anti-join both read it
     val del = ids.select(col("id")).distinct().localCheckpoint()
     val assignPath = s"$statePath/ivf_assign"
-    val landed = (
-      if (pathExists(spark, assignPath))
-        spark.read.parquet(assignPath)
-          .join(broadcast(del), Seq("id"))
-          .select(col("id"), col("batch_id").cast("long").as("dead_batch"))
-      else
-        del.limit(0).select(col("id"), lit(-1L).as("dead_batch"))
-    ).localCheckpoint()
+    // explicit-schema delta read (the grownIvfIndex rule): a directory
+    // that exists but holds no data files — all grow waves landed empty —
+    // must read as zero landed versions, never throw schema inference
+    val assignSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", del.schema("id").dataType)
+      .add("emb", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      .add("centroid_id", org.apache.spark.sql.types.IntegerType)
+    val landed = readDelta(spark, assignPath, assignSchema)
+      .join(broadcast(del), Seq("id"))
+      .select(col("id"), col("batch_id").cast("long").as("dead_batch"))
+      .localCheckpoint()
     val baseOnly = del
       .join(landed.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit(-1L).as("dead_batch"))
@@ -2772,8 +2808,12 @@ object StreamOps {
   private def reclaimDeadVersions(spark: SparkSession, tombsPath: String,
       families: Seq[(String, Seq[String])]): (Long, Long) = {
     if (!hasParquetData(spark, tombsPath)) return (0L, 0L)
+    // distinct: a victim deleted in two different waves lands the same
+    // (id, dead_batch) tombstone twice — one physical row dies, so the
+    // reported count (and the anti/semi join probes) dedup first
     val tombs = spark.read.parquet(tombsPath)
-      .select(col("id").as("t_id"), col("dead_batch")).localCheckpoint()
+      .select(col("id").as("t_id"), col("dead_batch"))
+      .distinct().localCheckpoint()
     val nDead = tombs.count()
     val deadBatches = tombs.select(col("dead_batch")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -3227,15 +3267,12 @@ object StreamOps {
     * probed rows at resolve time, the as-of snapshot readers
     * ([[labelsAsOf]], [[repAsOf]], [[semLabelsAsOf]], [[kanonAsOf]],
     * [[prAsOf]]) target exactly the latest+previous snapshots the
-    * prunes retain and those families are never file-compacted here —
-    * so a reader resolved BEFORE a maintenance window answers
-    * identically after it (spec-pinned, both interleave orders). The
-    * one reader still requiring the quiet window is [[grownIvfIndex]]:
-    * its lazy union over the ivf_assign delta log would re-list files
-    * `compact_ivf_assign` rewrites — resolve it after maintenance, or
-    * schedule maintenance between queries (the documented posture for
-    * the ANN tier, where pinning the whole delta log per query would
-    * copy the grown corpus, not a probe).
+    * prunes retain and those families are never file-compacted here,
+    * and [[grownIvfIndex]] pins its visible assignment deltas eagerly
+    * at resolve time (cost bounded by since-last-retrain growth) — so
+    * EVERY reader resolved BEFORE a maintenance window answers
+    * identically after it (spec-pinned, both interleave orders, all
+    * tiers — the ANN exception rounds 14–16 documented is closed).
     *
     * Every step is individually idempotent and crash-safe, and the
     * composition adds no new failure mode: a crash BETWEEN steps is

@@ -2542,26 +2542,35 @@ class StreamOpsSpec extends AnyFunSuite {
         val probeBase = probe()
         assert(probeBase.exists(r => r(1).asInstanceOf[Long] >= split),
           "deltas not probe-reachable before the window")
-        // order A: pr reader resolved BEFORE the window, read AFTER —
-        // snapshot as-of readers target latest+previous, which every
-        // prune retains, and the pr snapshot family is never
-        // file-compacted (the maintain() isolation contract)
+        // order A: readers resolved BEFORE the window, read AFTER.
+        // The pr as-of reader targets latest+previous snapshots, which
+        // every prune retains and which are never file-compacted; the
+        // grown-index probe pins its visible deltas at resolve
+        // (grownIvfIndex's localCheckpoint), so compact_ivf_assign's
+        // staged rename cannot strand it — the round-16 quiet-window
+        // exception, now closed
         val resolved = prServe(1L)
+        val resolvedProbe = IvfSearch.approxTopK(
+          e.filter(col("vec_id") < 3),
+          StreamOps.grownIvfIndex(spark, base, root),
+          "vec_id", "embedding", k = 5, nprobe = 2)
         val steps = StreamOps.maintain(spark, root)
         assert(steps.exists { case (n, b, a) =>
           n == "compact_pr_edges" && b > a },
           s"the window must compact the wide pr_edges log, got $steps")
         assert(resolved.collect().map(_.toSeq).toSet == prBase,
           "a pre-window pr resolve answered differently after maintenance")
+        assert(resolvedProbe.orderBy("q_id", "rk").collect()
+            .map(_.toSeq).toSeq == probeBase,
+          "a pre-window grown-index probe diverged across ivf_assign " +
+            "compaction — the resolve-time delta pin failed")
         // order B: resolve and read entirely after the window
         assert(prServe(1L).collect().map(_.toSeq).toSet == prBase,
           "a post-window pr resolve answered differently")
         // ...and the pruned-frontier contract still fails loudly
         val gone = intercept[RuntimeException] { prServe(0L).collect() }
         assert(gone.getMessage.contains("no pagerank snapshot"))
-        // the grown-index probe: resolved FRESH after the compaction
-        // window (grownIvfIndex's documented posture — its lazy delta
-        // union re-lists files), answers must be bit-identical
+        // the grown-index probe resolved fresh after the window
         assert(probe() == probeBase,
           "grown-index probe diverged across ivf_assign compaction")
         // a further wave lands cleanly on the compacted log and the
