@@ -682,6 +682,83 @@ object TextOps {
        |  CAST(SUM(CASE WHEN s <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
        |FROM q""".stripMargin
 
+  /** d48 minimum shared-substring length in words — Lee et al.'s L on
+    * the word-gram grid (d25's passage size, so the two rows read the
+    * same corpus signal at two depths: d25 counts duplicated grams,
+    * d48 merges them into covered spans). */
+  private[queries] val D48MinLen = 8
+
+  /** d48: EXACT-SUBSTRING SPAN DEDUP — the full Lee et al. 2022
+    * operator ([[graft.operators.SpanDedup]]): per document, the merged
+    * token ranges covered by any ≥ [[D48MinLen]]-word substring shared
+    * verbatim with another document — span count, covered tokens,
+    * longest span, and the copied fraction on the integer ppm grid.
+    * d25/d46 approximate this signal at fixed-gram granularity (how
+    * many duplicated grams); d48 is the span-extension form (how much
+    * text the duplicates COVER once overlapping grams merge) — the
+    * number an ExactSubstr funnel stage thresholds on (pipe4). Oracle
+    * replays the whole chain: positional grams, hex60 hashes, the
+    * ≥2-doc rule, the fixed-length interval merge as a window, and the
+    * per-doc rollup. */
+  def d48SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup
+      .spanProfile(Tables(s, dir, "documents"), "doc_id", "text", D48MinLen)
+      .orderBy("doc_id")
+
+  /** The d48 CTE chain ending in `d48out(doc_id, n_tokens, n_spans,
+    * covered_tokens, longest_span, copied_ppm)` — parameterized on a
+    * WHERE clause so pipe4 replays the same text over the training
+    * universe. Package-visible for [[PipelineOps]]. */
+  private[queries] def d48SpanCtes(where: String = ""): String = {
+    val n = D48MinLen
+    val gram = (1 to n).map(j => s"ws[pos+$j]").mkString(" || ' ' || ")
+    s"""d48g AS (
+       |  SELECT doc_id AS id, string_split(text, ' ') AS ws
+       |  FROM documents $where),
+       |d48p AS (
+       |  SELECT id, ws,
+       |    CAST(unnest(range(0, greatest(len(ws) - ${n - 1}, 0))) AS INTEGER) AS pos
+       |  FROM d48g),
+       |d48h AS (
+       |  SELECT id, pos,
+       |    CAST(('0x' || substr(md5($gram), 1, 15)) AS BIGINT) AS gh
+       |  FROM d48p),
+       |d48d AS (SELECT gh FROM (
+       |    SELECT gh, COUNT(DISTINCT id) AS nd FROM d48h GROUP BY gh) z
+       |  WHERE nd >= 2),
+       |d48s AS (SELECT id, pos FROM d48h WHERE gh IN (SELECT gh FROM d48d)),
+       |d48sp AS (
+       |  SELECT id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+       |      OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + $n
+       |    THEN 1 ELSE 0 END AS ns
+       |  FROM d48s),
+       |d48sid AS (
+       |  SELECT id, pos, SUM(ns) OVER (PARTITION BY id ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM d48sp),
+       |d48spans AS (
+       |  SELECT id, CAST(MAX(pos) + $n - MIN(pos) AS BIGINT) AS len
+       |  FROM d48sid GROUP BY id, sid),
+       |d48pd AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(len) AS BIGINT) AS covered_tokens,
+       |    CAST(MAX(len) AS BIGINT) AS longest_span
+       |  FROM d48spans GROUP BY id),
+       |d48out AS (
+       |  SELECT g.id AS doc_id, CAST(len(g.ws) AS BIGINT) AS n_tokens,
+       |    COALESCE(p.n_spans, 0) AS n_spans,
+       |    COALESCE(p.covered_tokens, 0) AS covered_tokens,
+       |    COALESCE(p.longest_span, 0) AS longest_span,
+       |    (1000000 * COALESCE(p.covered_tokens, 0))
+       |      // CAST(len(g.ws) AS BIGINT) AS copied_ppm
+       |  FROM d48g g LEFT JOIN d48pd p ON p.id = g.id)""".stripMargin
+  }
+
+  private lazy val d48Sql: String =
+    s"""WITH ${d48SpanCtes()}
+       |SELECT * FROM d48out ORDER BY doc_id""".stripMargin
+
   /** d43 anonymity threshold: classes smaller than this are
     * re-identification risks. Package-visible: the streaming monitor
     * ([[graft.streaming.StreamOps.kAnonPerBatch]]) enforces the SAME
@@ -1737,6 +1814,7 @@ object TextOps {
     "d45_asof_kanon" -> (d45AsofKanon _),
     "d46_dup_gram_fraction" -> (d46DupGramFraction _),
     "d47_corpus_datasheet" -> (d47CorpusDatasheet _),
+    "d48_span_dedup" -> (d48SpanDedup _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1775,5 +1853,6 @@ object TextOps {
     "d45_asof_kanon" -> d45Sql,
     "d46_dup_gram_fraction" -> d46Sql,
     "d47_corpus_datasheet" -> d47Sql,
+    "d48_span_dedup" -> d48Sql,
     "d13_clean_pipeline" -> d13Sql)
 }
