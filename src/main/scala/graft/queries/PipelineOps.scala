@@ -99,31 +99,26 @@ object PipelineOps {
     s.read.parquet(table)
   }
 
-  /** pipe1: the funnel itself — one row per stage with the documents
-    * entering it, dropped by it, surviving it, and the whitespace-token
-    * mass of the survivors (the number the training-budget conversation
-    * is actually about). Telescopes by construction: stage i's docs_out
-    * is stage i+1's docs_in. */
-  def pipe1TrainingFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The funnel rollup over an attribution frame (doc_id, lang, toks,
+    * dropped_at): one row per stage with entering/dropped/surviving
+    * docs and surviving token mass. `att` must already be pinned
+    * (localCheckpoint) — it feeds both the per-stage agg and the totals
+    * row. ≤ |stages| rows from the first agg on: the window cum-sums
+    * run on the funnel, not the corpus. Shared by pipe1 and pipe4. */
+  private def funnelRows(s: SparkSession, att: DataFrame,
+      stages: Seq[(Int, String)]): DataFrame = {
     import s.implicits._
-    // eager checkpoint: the attribution feeds BOTH the per-stage agg and
-    // the totals row — unpinned, the whole funnel chain (MinHash sweep +
-    // decontamination join) would execute twice
-    val att = attributed(s, dir).localCheckpoint()
-    // ≤ 5 rows from here on: the window cum-sums run on the funnel, not
-    // the corpus
     val agg = att.groupBy(col("dropped_at"))
       .agg(count(lit(1)).as("n_drop"), sum(col("toks")).as("t_drop"))
     val tot = att.agg(count(lit(1)).as("n_tot"), sum(col("toks")).as("t_tot"))
-    val stages = Stages.toDF("stage_ord", "stage")
     val wOrd = Window.orderBy(col("stage_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stages
+    stages.toDF("stage_ord", "stage")
       .join(agg, col("stage_ord") === col("dropped_at"), "left")
       .select(col("stage_ord"), col("stage"),
         coalesce(col("n_drop"), lit(0L)).as("n_drop"),
         coalesce(col("t_drop"), lit(0L)).as("t_drop"))
-      .crossJoin(tot) // 4×1: the totals row
+      .crossJoin(tot) // |stages|×1: the totals row
       .withColumn("cum_n", sum(col("n_drop")).over(wOrd))
       .withColumn("cum_t", sum(col("t_drop")).over(wOrd))
       .select(col("stage_ord"), col("stage"),
@@ -133,6 +128,17 @@ object PipelineOps {
         (col("t_tot") - col("cum_t")).as("tokens_out"))
       .orderBy("stage_ord")
   }
+
+  /** pipe1: the funnel itself — one row per stage with the documents
+    * entering it, dropped by it, surviving it, and the whitespace-token
+    * mass of the survivors (the number the training-budget conversation
+    * is actually about). Telescopes by construction: stage i's docs_out
+    * is stage i+1's docs_in. */
+  def pipe1TrainingFunnel(s: SparkSession, dir: String): DataFrame =
+    // eager checkpoint: the attribution feeds BOTH the per-stage agg and
+    // the totals row — unpinned, the whole funnel chain (MinHash sweep +
+    // decontamination join) would execute twice
+    funnelRows(s, attributed(s, dir).localCheckpoint(), Stages)
 
   /** pipe2: the funnel's per-language retention cut — what the same
     * build did to the corpus MIX (the question after "how much survived"
@@ -169,6 +175,52 @@ object PipelineOps {
       .orderBy("pack_id")
   }
 
+  /** pipe4's span-stage drop threshold: a training document with at
+    * least half its tokens inside cross-document shared substrings
+    * (d48's copied_ppm ≥ this) drops even when no single partner
+    * crosses the near-dup pair threshold — the Lee et al. ExactSubstr
+    * attrition MinHash can't see (stitched/boilerplate documents). */
+  private val SpanDropPpm = 500000L
+
+  /** pipe4's stage order: pipe1's funnel with d48's exact-substring
+    * span stage inserted after near-dedup — the dedup phase runs both
+    * passes (the Lee et al. deployment: MinHash for document-level
+    * near-dups, ExactSubstr for copied passages), then decontamination
+    * and the quality floor shift down one slot. */
+  private val Stages5 = Seq((1, "exact"), (2, "neardup"), (3, "spans"),
+    (4, "decontam"), (5, "quality"))
+
+  /** pipe4: the funnel with the EXACT-SUBSTRING SPAN stage — pipe1's
+    * variant showing the extra attrition d48 adds. The base four-stage
+    * attribution serves from the landed pipe1s artifact
+    * ([[attributedAtRest]]); what this row PRICES is the span sweep
+    * itself (one gram shuffle + per-doc window over the training
+    * universe) plus the overlay — first-drop-wins re-attribution with
+    * spans slotted between near-dedup and decontamination. At sf0.01
+    * the span stage drops training documents that survive all four
+    * pipe1 stages (≥ half their text is copied, but no single partner
+    * crosses the MinHash pair threshold) — exactly the memorization
+    * tail the paper's ExactSubstr pass exists to catch. */
+  def pipe4SpanFunnel(s: SparkSession, dir: String): DataFrame = {
+    val spans = graft.operators.SpanDedup
+      .spanProfile(
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") >= CorpusOps.EvalSplit),
+        "doc_id", "text", TextOps.D48MinLen)
+      .filter(col("copied_ppm") >= SpanDropPpm)
+      .select(col("doc_id"), lit(1).as("fs"))
+    val att5 = attributedAtRest(s, dir)
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("toks"),
+        when(col("dropped_at") === 1, 1)
+          .when(col("dropped_at") === 2, 2)
+          .when(col("fs") === 1, 3)
+          .when(col("dropped_at") === 3, 4)
+          .when(col("dropped_at") === 4, 5)
+          .otherwise(0).as("dropped_at"))
+    funnelRows(s, att5.localCheckpoint(), Stages5)
+  }
+
   /** The shared attribution CTE chain (`att(doc_id, lang, toks,
     * dropped_at)`): the m1 pair CTEs restricted to the training
     * universe, c2's gram CTEs, d1's window rule, d3's score — each
@@ -197,20 +249,22 @@ object PipelineOps {
        |  FROM tr t)""".stripMargin
   }
 
-  private lazy val pipe1Sql: String = {
-    val vals = Stages.map { case (o, n) => s"($o, '$n')" }.mkString(", ")
-    s"""WITH $attCtes,
-       |agg AS (
+  /** The funnel-rollup SQL tail over an attribution CTE `attName` —
+    * CTE continuation + final SELECT, shared by pipe1 and pipe4
+    * (exactly [[funnelRows]]'s arithmetic). */
+  private def funnelSql(stages: Seq[(Int, String)], attName: String): String = {
+    val vals = stages.map { case (o, n) => s"($o, '$n')" }.mkString(", ")
+    s"""agg AS (
        |  SELECT dropped_at, COUNT(*) AS n_drop,
        |    CAST(SUM(toks) AS BIGINT) AS t_drop
-       |  FROM att GROUP BY dropped_at),
+       |  FROM $attName GROUP BY dropped_at),
        |st AS (SELECT * FROM (VALUES $vals) v(stage_ord, stage)),
        |j AS (
        |  SELECT st.stage_ord, st.stage,
        |    COALESCE(agg.n_drop, 0) AS n_drop, COALESCE(agg.t_drop, 0) AS t_drop
        |  FROM st LEFT JOIN agg ON agg.dropped_at = st.stage_ord),
        |tot AS (SELECT COUNT(*) AS n_tot,
-       |        CAST(SUM(toks) AS BIGINT) AS t_tot FROM att),
+       |        CAST(SUM(toks) AS BIGINT) AS t_tot FROM $attName),
        |cum AS (
        |  SELECT stage_ord, stage, n_drop, t_drop,
        |    CAST(SUM(n_drop) OVER (ORDER BY stage_ord) AS BIGINT) AS cum_n,
@@ -224,6 +278,28 @@ object PipelineOps {
        |FROM cum c CROSS JOIN tot
        |ORDER BY stage_ord""".stripMargin
   }
+
+  private lazy val pipe1Sql: String =
+    s"""WITH $attCtes,
+       |${funnelSql(Stages, "att")}""".stripMargin
+
+  /** pipe4's replay: the shared attribution chain, the d48 span chain
+    * over the SAME training universe, the first-drop-wins overlay, and
+    * the shared funnel tail. */
+  private lazy val pipe4Sql: String =
+    s"""WITH $attCtes,
+       |${TextOps.d48SpanCtes(s"WHERE doc_id >= ${CorpusOps.EvalSplit}")},
+       |spd AS (SELECT doc_id FROM d48out WHERE copied_ppm >= $SpanDropPpm),
+       |att5 AS (
+       |  SELECT doc_id, lang, toks,
+       |    CASE WHEN dropped_at = 1 THEN 1
+       |         WHEN dropped_at = 2 THEN 2
+       |         WHEN doc_id IN (SELECT doc_id FROM spd) THEN 3
+       |         WHEN dropped_at = 3 THEN 4
+       |         WHEN dropped_at = 4 THEN 5
+       |         ELSE 0 END AS dropped_at
+       |  FROM att),
+       |${funnelSql(Stages5, "att5")}""".stripMargin
 
   private lazy val pipe2Sql: String =
     s"""WITH $attCtes
@@ -251,10 +327,12 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_training_funnel" -> (pipe1TrainingFunnel _),
     "pipe2_funnel_by_lang" -> (pipe2FunnelByLang _),
-    "pipe3_funnel_packing" -> (pipe3FunnelPacking _))
+    "pipe3_funnel_packing" -> (pipe3FunnelPacking _),
+    "pipe4_span_funnel" -> (pipe4SpanFunnel _))
 
   val oracles: Map[String, String] = Map(
     "pipe1_training_funnel" -> pipe1Sql,
     "pipe2_funnel_by_lang" -> pipe2Sql,
-    "pipe3_funnel_packing" -> pipe3Sql)
+    "pipe3_funnel_packing" -> pipe3Sql,
+    "pipe4_span_funnel" -> pipe4Sql)
 }
