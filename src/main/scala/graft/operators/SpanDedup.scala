@@ -78,21 +78,7 @@ object SpanDedup {
       .select(col("gh"))
     val starts = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("id"), col("pos"))
-    // interval merge: fixed-length intervals sorted by start have
-    // monotone ends, so a span breaks exactly when the start gap
-    // exceeds L (at exactly L the intervals are adjacent — no hole)
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val prev = lag(col("pos"), 1).over(w)
-    val spans = starts
-      .withColumn("ns",
-        when(prev.isNull || col("pos") > prev + lit(minLen), 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("ns")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("id"), col("sid"))
-      .agg(min(col("pos")).as("s"), max(col("pos")).as("m"))
-      .select(col("id"), (col("m") + lit(minLen) - col("s")).cast("long").as("len"))
-    val perDoc = spans.groupBy(col("id"))
+    val perDoc = mergedSpanLens(starts, minLen).groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("len")).as("covered_tokens"),
         max(col("len")).as("longest_span"))
@@ -105,5 +91,27 @@ object SpanDedup {
         coalesce(col("longest_span"), lit(0L)).as("longest_span"))
       .withColumn("copied_ppm",
         expr("(1000000 * covered_tokens) div n_tokens"))
+  }
+
+  /** Merge the fixed-length intervals [pos, pos+minLen−1] of a (id, pos)
+    * start table into maximal covered runs: one (id, len) row per merged
+    * span. Fixed-length intervals sorted by start have monotone ends, so
+    * a span breaks exactly when the start gap exceeds L (at exactly L
+    * the intervals are adjacent — no uncovered hole). Per-document
+    * window only — bounded by a document's own length. Shared by
+    * [[spanProfile]] (cross-doc spans) and the within-doc Gopher
+    * repetition rules (d49). */
+  private[graft] def mergedSpanLens(starts: DataFrame, minLen: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    starts
+      .withColumn("ns",
+        when(prev.isNull || col("pos") > prev + lit(minLen), 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("sid"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("m"))
+      .select(col("id"), (col("m") + lit(minLen) - col("s")).cast("long").as("len"))
   }
 }

@@ -759,6 +759,160 @@ object TextOps {
     s"""WITH ${d48SpanCtes()}
        |SELECT * FROM d48out ORDER BY doc_id""".stripMargin
 
+  /** d49's within-doc duplicated-gram size (Rae et al.'s smallest
+    * dup-n-gram rule, n = 5). */
+  private val D49DupN = 5
+
+  /** d49: the GOPHER REPETITION SCORECARD (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", table A1) — the per-document repetition battery the
+    * standard quality-filter stack applies alongside d3/d11/d29/d38:
+    *   - dup_line_ppm: fraction of lines that repeat an earlier line
+    *     (split on newline; single-line corpora score 0 — correctly);
+    *   - top2_char_ppm / top3_char_ppm: fraction of characters inside
+    *     occurrences of the MOST FREQUENT word 2-/3-gram (count
+    *     desc, gram asc tie-break — deterministic on both engines);
+    *   - dup5_token_ppm: fraction of tokens covered by any word
+    *     [[D49DupN]]-gram occurring ≥ 2 times WITHIN the document —
+    *     the within-doc twin of d48's cross-doc span coverage, on the
+    *     same interval-merge machinery ([[graft.operators.SpanDedup
+    *     .mergedSpanLens]]).
+    * All ppm-grid integers. Scale shape: line stats are row-local;
+    * the gram signals shuffle keyed (doc, gram) — per-key rows bounded
+    * by a document's own length, never cross-document. */
+  def d49GopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetition(Tables(s, dir, "documents"))
+
+  /** [[d49GopherRepetition]] over an arbitrary (doc_id, text) frame —
+    * package-visible so the spec can drive the degenerate-on-this-
+    * corpus signals (multi-line duplicates, within-doc gram repeats)
+    * through crafted fixtures. */
+  private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+    // duplicate lines: row-local (no shuffle) — lines beyond the first
+    // occurrence of their text are duplicates
+    val lines = docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("nl"),
+        size(array_distinct(split(col("text"), "\n"))).cast("long").as("ndl"))
+      .select(col("doc_id"),
+        expr("(1000000 * (nl - ndl)) div nl").as("dup_line_ppm"))
+    // top n-gram char mass: gram OCCURRENCES (not distinct) per doc
+    def topGramChars(n: Int, out: String): DataFrame = {
+      val ws = split(col("text"), " ")
+      val cnt = size(ws) - (n - 1)
+      val grams = (1 to n).map(i => slice(ws, lit(i), cnt))
+        .reduce((acc, next) => zip_with(acc, next, (a, b) => concat_ws(" ", a, b)))
+      val byGram = docs
+        .select(col("doc_id"),
+          explode(when(cnt >= 1, grams)
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+      byGram.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), (col("c") * length(col("g"))).cast("long").as(out))
+    }
+    // within-doc duplicated 5-gram coverage: positional grams, the
+    // ≥2-occurrences-in-THIS-doc rule, then the shared interval merge
+    val pos5 = graft.operators.SpanDedup
+      .posGramHashes(docs, "doc_id", "text", D49DupN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pos5.count() // materialize ONCE: occurrence-count and semi-join sides
+    val dupIn = pos5.groupBy(col("id"), col("gh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("id"), col("gh"))
+    val starts = pos5.join(dupIn, Seq("id", "gh"), "left_semi")
+      .select(col("id"), col("pos"))
+    val dup5 = graft.operators.SpanDedup.mergedSpanLens(starts, D49DupN)
+      .groupBy(col("id")).agg(sum(col("len")).as("cov5"))
+      .select(col("id").as("doc_id"), col("cov5"))
+    base
+      .join(lines, Seq("doc_id"))
+      .join(topGramChars(2, "c2"), Seq("doc_id"), "left")
+      .join(topGramChars(3, "c3"), Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+        col("dup_line_ppm"),
+        expr("(1000000 * coalesce(c2, 0)) div n_chars").as("top2_char_ppm"),
+        expr("(1000000 * coalesce(c3, 0)) div n_chars").as("top3_char_ppm"),
+        expr("(1000000 * coalesce(cov5, 0)) div n_tokens").as("dup5_token_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val d49Sql: String = {
+    def gramList(n: Int): String = {
+      val g = (1 to n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""CASE WHEN len(ws) >= $n
+         |  THEN list_transform(range(0, len(ws) - ${n - 1}), i -> $g)
+         |  ELSE []::VARCHAR[] END""".stripMargin
+    }
+    def topCte(n: Int, p: String): String =
+      s"""${p}g AS (
+         |  SELECT doc_id, unnest(${gramList(n)}) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) z),
+         |${p}c AS (SELECT doc_id, g, COUNT(*) AS c FROM ${p}g GROUP BY doc_id, g),
+         |${p}t AS (
+         |  SELECT doc_id, CAST(c * length(g) AS BIGINT) AS chars FROM (
+         |    SELECT doc_id, g, c,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+         |    FROM ${p}c) z
+         |  WHERE rk = 1)""".stripMargin
+    val n = D49DupN
+    val dgram = (1 to n).map(j => s"ws[pos+$j]").mkString(" || ' ' || ")
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |ln AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+       |    CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT) AS ndl
+       |  FROM documents),
+       |${topCte(2, "b2")},
+       |${topCte(3, "b3")},
+       |p5 AS (
+       |  SELECT doc_id AS id, ws,
+       |    CAST(unnest(range(0, greatest(len(ws) - ${n - 1}, 0))) AS INTEGER) AS pos
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) z),
+       |h5 AS (
+       |  SELECT id, pos,
+       |    CAST(('0x' || substr(md5($dgram), 1, 15)) AS BIGINT) AS gh
+       |  FROM p5),
+       |di AS (SELECT id, gh FROM (
+       |    SELECT id, gh, COUNT(*) AS c FROM h5 GROUP BY id, gh) z
+       |  WHERE c >= 2),
+       |s5 AS (SELECT h5.id, h5.pos FROM h5 JOIN di USING (id, gh)),
+       |sp5 AS (
+       |  SELECT id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+       |      OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + $n
+       |    THEN 1 ELSE 0 END AS ns
+       |  FROM s5),
+       |sid5 AS (
+       |  SELECT id, pos, SUM(ns) OVER (PARTITION BY id ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM sp5),
+       |sl5 AS (
+       |  SELECT id, CAST(MAX(pos) + $n - MIN(pos) AS BIGINT) AS len
+       |  FROM sid5 GROUP BY id, sid),
+       |d5 AS (SELECT id AS doc_id, CAST(SUM(len) AS BIGINT) AS cov5
+       |       FROM sl5 GROUP BY id)
+       |SELECT b.doc_id, b.n_tokens, b.n_chars,
+       |  (1000000 * (ln.nl - ln.ndl)) // ln.nl AS dup_line_ppm,
+       |  (1000000 * COALESCE(b2t.chars, 0)) // b.n_chars AS top2_char_ppm,
+       |  (1000000 * COALESCE(b3t.chars, 0)) // b.n_chars AS top3_char_ppm,
+       |  (1000000 * COALESCE(d5.cov5, 0)) // b.n_tokens AS dup5_token_ppm
+       |FROM b
+       |JOIN ln ON ln.doc_id = b.doc_id
+       |LEFT JOIN b2t ON b2t.doc_id = b.doc_id
+       |LEFT JOIN b3t ON b3t.doc_id = b.doc_id
+       |LEFT JOIN d5 ON d5.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** d43 anonymity threshold: classes smaller than this are
     * re-identification risks. Package-visible: the streaming monitor
     * ([[graft.streaming.StreamOps.kAnonPerBatch]]) enforces the SAME
@@ -1815,6 +1969,7 @@ object TextOps {
     "d46_dup_gram_fraction" -> (d46DupGramFraction _),
     "d47_corpus_datasheet" -> (d47CorpusDatasheet _),
     "d48_span_dedup" -> (d48SpanDedup _),
+    "d49_gopher_repetition" -> (d49GopherRepetition _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -1854,5 +2009,6 @@ object TextOps {
     "d46_dup_gram_fraction" -> d46Sql,
     "d47_corpus_datasheet" -> d47Sql,
     "d48_span_dedup" -> d48Sql,
+    "d49_gopher_repetition" -> d49Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

@@ -119,6 +119,40 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got == brute(docs, L))
   }
 
+  test("d49 Gopher scorecard: duplicate lines, top-gram char mass, within-doc dup-5-gram coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, one repeated twice more → 2 of 4 lines are duplicates
+      1L -> "alpha beta\ngamma delta\nalpha beta\nalpha beta",
+      // "w1 w2 w3 w4 w5" appears twice within the doc (starts 0 and 7,
+      // gap 7 > 5) → two merged spans of 5 = 10 of 13 tokens covered;
+      // top bigram "w1 w2" occurs twice (5 chars each)
+      2L -> "w1 w2 w3 w4 w5 x y w1 w2 w3 w4 w5 z",
+      // single line, no repeats at all
+      3L -> "plain unique words only here")
+    val got = graft.queries.TextOps.gopherRepetition(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val d1 = got(1L)
+    assert(d1._3 == 500000L, s"dup_line_ppm: $d1") // 2 dup of 4 lines
+    val d2 = got(2L)
+    assert(d2._1 == 13L && d2._6 == 1000000L * 10L / 13L,
+      s"dup5_token_ppm: $d2")
+    // top bigram of doc 2: "w1 w2" ×2 → 2·5 chars of 33
+    assert(d2._4 == 1000000L * 10L / d2._2, s"top2_char_ppm: $d2")
+    val d3 = got(3L)
+    assert(d3._3 == 0L && d3._6 == 0L, s"clean doc: $d3")
+    // a doc with 1 token: no bigrams/trigrams/5-grams, nothing throws
+    val tiny = graft.queries.TextOps
+      .gopherRepetition(Seq(9L -> "solo").toDF("doc_id", "text"))
+      .collect().head
+    assert(tiny.getLong(4) == 0L && tiny.getLong(5) == 0L &&
+      tiny.getLong(6) == 0L)
+    spark.catalog.clearCache()
+  }
+
   test("sf0.001 corpus: operator equals the brute-force replay at the d48 L") {
     val docs = graft.Tables(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
