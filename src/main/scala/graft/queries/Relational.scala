@@ -1018,7 +1018,86 @@ object Relational {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** geo1 (SURVEY J5): REVERSE GEOCODE through the grid-bucketed
+    * broadcast join ([[graft.ingest.Geo.reverseGeocodeBucketed]] — the
+    * 10⁵-gazetteer scale path, previously spec-only): points synthesize
+    * deterministically from customer keys, the gazetteer from
+    * nation⋈region, both on exact decimal grids; each point joins its
+    * 45°-cell ring's broadcast candidate array and the codegen'd
+    * `nearest_entry` argmin picks the city (ties on city, country).
+    * Points whose ring holds no city report '(none)' — the documented
+    * null contract. The oracle replays the WHOLE bucketed chain in
+    * DuckDB: cell assignment, 3×3 ring replication with longitude wrap,
+    * the ring join, and the haversine argmin as a window rank. Output
+    * aggregates to per-city point counts, so the float surface is the
+    * argmin ordering only (identical libm-level winners on the
+    * synthetic grid — a flip needs two cities equidistant to ~1e-12
+    * relative). */
+  def geo1ReverseGeocode(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables(s, dir, "customer").select(
+      col("c_custkey"),
+      (((col("c_custkey") * 7919) % 1800).cast("double") / 10.0 - 90.0 + 0.05)
+        .as("latitude"),
+      (((col("c_custkey") * 104729) % 3600).cast("double") / 10.0 - 180.0 + 0.05)
+        .as("longitude"))
+    val gaz = Tables(s, dir, "nation")
+      .join(Tables(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("city"), col("r_name").as("country"),
+        (((col("n_nationkey") * 131) % 160 - 80).cast("double") + 0.5).as("lat"),
+        (((col("n_nationkey") * 37) % 344 - 172).cast("double") + 0.25).as("lon"))
+    graft.ingest.Geo.reverseGeocodeBucketed(points, gaz, cellDeg = 45.0)
+      .groupBy(col("City"), col("Country"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(coalesce(col("City"), lit("(none)")).as("city"),
+        coalesce(col("Country"), lit("(none)")).as("country"),
+        col("n_points"))
+      .orderBy("city", "country")
+  }
+
+  private val geo1Sql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey,
+      |    CAST((c_custkey * 7919) % 1800 AS DOUBLE) / 10.0 - 90.0 + 0.05 AS plat,
+      |    CAST((c_custkey * 104729) % 3600 AS DOUBLE) / 10.0 - 180.0 + 0.05 AS plon
+      |  FROM customer),
+      |gaz AS (
+      |  SELECT n_name AS city, r_name AS country,
+      |    CAST((n_nationkey * 131) % 160 - 80 AS DOUBLE) + 0.5 AS glat,
+      |    CAST((n_nationkey * 37) % 344 - 172 AS DOUBLE) + 0.25 AS glon
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+      |offs AS (
+      |  SELECT a.dla, b.dlo
+      |  FROM (VALUES (-1), (0), (1)) a(dla), (VALUES (-1), (0), (1)) b(dlo)),
+      |cells AS (
+      |  SELECT g.city, g.country, g.glat, g.glon,
+      |    (CAST(floor((g.glat + 90.0) / 45.0) AS BIGINT) + o.dla) * 8
+      |      + (((CAST(floor((g.glon + 180.0) / 45.0) AS BIGINT) % 8 + 8) % 8
+      |          + o.dlo) % 8 + 8) % 8 AS cell
+      |  FROM gaz g CROSS JOIN offs o),
+      |cand AS (
+      |  SELECT p.c_custkey, c.city, c.country,
+      |    12742.0 * asin(sqrt(
+      |      pow(sin(radians(c.glat - p.plat) / 2), 2)
+      |      + cos(radians(p.plat)) * cos(radians(c.glat))
+      |        * pow(sin(radians(c.glon - p.plon) / 2), 2))) AS d
+      |  FROM pts p
+      |  LEFT JOIN cells c
+      |    ON CAST(floor((p.plat + 90.0) / 45.0) AS BIGINT) * 8
+      |       + (CAST(floor((p.plon + 180.0) / 45.0) AS BIGINT) % 8 + 8) % 8
+      |       = c.cell),
+      |ranked AS (
+      |  SELECT c_custkey, city, country,
+      |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+      |      ORDER BY d, city, country) AS rk
+      |  FROM cand)
+      |SELECT COALESCE(city, '(none)') AS city,
+      |  COALESCE(country, '(none)') AS country,
+      |  COUNT(*) AS n_points
+      |FROM ranked WHERE rk = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo1_reverse_geocode" -> (geo1ReverseGeocode _),
     "q32_column_stats" -> (q32ColumnStats _),
     "q30_benford" -> (q30Benford _),
     "q31_sorted_blocking" -> (q31SortedBlocking _),
@@ -1058,6 +1137,7 @@ object Relational {
     "q37_bag_setops" -> (q37BagSetops _))
 
   val oracles: Map[String, String] = Map(
+    "geo1_reverse_geocode" -> geo1Sql,
     "q32_column_stats" -> q32Sql,
     "q30_benford" -> q30Sql,
     "q31_sorted_blocking" -> q31Sql,
