@@ -2642,6 +2642,127 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(t.conf.get(PartsKey) == "16",
       "restore reverted a deliberate application width change")
   }
+
+  test("whole-plant rehearsal: every rolling family chaos-interleaved with " +
+      "maintenance windows, a replay, and a reclaim equals the clean drive") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import DeployFixture._
+    import graft.operators.IvfSearch
+    val idx = IvfSearch.buildIndex(staticVecs, "vec_id", "embedding",
+      k = 2, iters = 2, roundDecimals = 6)
+    // media waves: identical texts render to identical PNG/WAV/Y4M, so
+    // each modality discovers one cross-wave pair (500, 502)
+    val mediaText = "render me into pixels and samples for the dedup sweep"
+    val m0 = Seq(500L -> mediaText, 501L -> "a completely different payload")
+    val m1 = Seq(502L -> mediaText, 503L -> "yet another unrelated body")
+    val e0 = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L)
+    val e1 = Seq(3L -> 4L, 4L -> 3L)
+    def mediaDf(w: Seq[(Long, String)]) = w.toDF("doc_id", "text")
+    def edgeDf(w: Seq[(Long, Long)]) = w.toDF("src", "dst")
+    // the full serve surface, one row-set per read path — what a
+    // deployment's queries actually resolve between and during windows
+    def readsOf(cfg: StreamOps.DeployGatesConfig): Seq[Set[Seq[Any]]] = {
+      val st = cfg.statePath
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+      def latest(name: String): Set[Seq[Any]] =
+        rows(StreamOps.latestSnapshot(spark, s"$st/$name").drop("batch_id"))
+      Seq(
+        rows(StreamOps.bm25ServeRolling(spark, st,
+          Seq("streaming", "benchmark"), 8)),
+        rows(StreamOps.posServeRolling(spark, st,
+          Seq("climate", "adaptation"), 16)),
+        rows(StreamOps.fuzzyServeRolling(spark, st, Seq("streamin"), 16)),
+        rows(StreamOps.compactLanded(spark, cfg.outPath, st, corpusIds,
+          "doc_id").select("doc_id")),
+        latest("labels"), latest("rep"), latest("kanon"),
+        latest("sem_labels"),
+        rows(StreamOps.prAsOf(spark, st,
+          sys.error("seed fallback must not fire"),
+          org.apache.spark.sql.types.LongType, 1L)),
+        rows(StreamOps.imageNdAsOf(spark, st, Long.MaxValue)),
+        rows(StreamOps.audioNdAsOf(spark, st, Long.MaxValue)),
+        rows(StreamOps.videoNdAsOf(spark, st, Long.MaxValue)),
+        rows(IvfSearch.approxTopK(staticVecs,
+          StreamOps.grownIvfIndex(spark, idx, st),
+          "vec_id", "embedding", k = 3, nprobe = 2)))
+    }
+    try {
+      // CLEAN drive: every family's waves in order, NO maintenance ever
+      val rootC = Files.createTempDirectory("plant_clean")
+      val cfgC = config(idx, rootC)
+      StreamOps.deployGatesBatch(waveDf(wave0), cfgC, 0L)
+      StreamOps.imageNdBatch(mediaDf(m0), cfgC.statePath, 0L)
+      StreamOps.audioNdBatch(mediaDf(m0), cfgC.statePath, 0L)
+      StreamOps.videoNdBatch(mediaDf(m0), cfgC.statePath, 0L)
+      StreamOps.pagerankEdgesBatch(edgeDf(e0), iters = 2,
+        dampPpm = 850000L, cfgC.statePath, 0L)
+      StreamOps.deployGatesBatch(waveDf(wave1), cfgC, 1L)
+      StreamOps.imageNdBatch(mediaDf(m1), cfgC.statePath, 1L)
+      StreamOps.audioNdBatch(mediaDf(m1), cfgC.statePath, 1L)
+      StreamOps.videoNdBatch(mediaDf(m1), cfgC.statePath, 1L)
+      StreamOps.pagerankEdgesBatch(edgeDf(e1), iters = 2,
+        dampPpm = 850000L, cfgC.statePath, 1L)
+      StreamOps.ivfDeleteBatch(Seq(103L).toDF("id"), cfgC.statePath, 2L)
+      val baseline = readsOf(cfgC)
+      assert(baseline.forall(_.nonEmpty), "a clean-drive read path is empty")
+      // CHAOS drive: the same waves with maintenance windows between
+      // arbitrary steps, readers resolved ACROSS a window, a committed-
+      // wave replay of every family, and a physical reclaim
+      val rootX = Files.createTempDirectory("plant_chaos")
+      val cfgX = config(idx, rootX)
+      val st = cfgX.statePath
+      val landed = Some(StreamOps.LandedCorpus(cfgX.outPath, corpusIds,
+        "doc_id"))
+      StreamOps.deployGatesBatch(waveDf(wave0), cfgX, 0L)
+      StreamOps.imageNdBatch(mediaDf(m0), st, 0L)
+      StreamOps.maintain(spark, st, landed) // window A, mid-wave-0
+      StreamOps.audioNdBatch(mediaDf(m0), st, 0L)
+      StreamOps.videoNdBatch(mediaDf(m0), st, 0L)
+      StreamOps.pagerankEdgesBatch(edgeDf(e0), iters = 2,
+        dampPpm = 850000L, st, 0L)
+      // readers resolved BEFORE window B, read AFTER it — every tier
+      val preBm = StreamOps.bm25ServeRolling(spark, st,
+        Seq("streaming", "benchmark"), 8)
+      val preBmRows = preBm.collect().map(_.toSeq.toVector).toSet
+      val prePr = StreamOps.prAsOf(spark, st,
+        sys.error("seed fallback must not fire"),
+        org.apache.spark.sql.types.LongType, 0L)
+      val prePrRows = prePr.collect().map(_.toSeq.toVector).toSet
+      val preProbe = IvfSearch.approxTopK(staticVecs,
+        StreamOps.grownIvfIndex(spark, idx, st),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      val preProbeRows = preProbe.collect().map(_.toSeq.toVector).toSet
+      StreamOps.maintain(spark, st, landed) // window B
+      assert(preBm.collect().map(_.toSeq.toVector).toSet == preBmRows,
+        "bm25 reader resolved before window B answered differently")
+      assert(prePr.collect().map(_.toSeq.toVector).toSet == prePrRows,
+        "pr reader resolved before window B answered differently")
+      assert(preProbe.collect().map(_.toSeq.toVector).toSet == preProbeRows,
+        "grown-index probe resolved before window B answered differently")
+      StreamOps.deployGatesBatch(waveDf(wave1), cfgX, 1L)
+      StreamOps.imageNdBatch(mediaDf(m1), st, 1L)
+      StreamOps.audioNdBatch(mediaDf(m1), st, 1L)
+      StreamOps.videoNdBatch(mediaDf(m1), st, 1L)
+      StreamOps.pagerankEdgesBatch(edgeDf(e1), iters = 2,
+        dampPpm = 850000L, st, 1L)
+      // crash-restart: the whole wave-1 fleet replays (uncommitted
+      // batch semantics — dynamic overwrite makes every land idempotent)
+      StreamOps.deployGatesBatch(waveDf(wave1), cfgX, 1L)
+      StreamOps.imageNdBatch(mediaDf(m1), st, 1L)
+      StreamOps.audioNdBatch(mediaDf(m1), st, 1L)
+      StreamOps.videoNdBatch(mediaDf(m1), st, 1L)
+      StreamOps.pagerankEdgesBatch(edgeDf(e1), iters = 2,
+        dampPpm = 850000L, st, 1L)
+      StreamOps.ivfDeleteBatch(Seq(103L).toDF("id"), st, 2L)
+      StreamOps.maintain(spark, st, landed) // window C, post-delete
+      StreamOps.reclaimIvfDeleted(spark, st) // physical forget
+      assert(readsOf(cfgX) == baseline,
+        "chaos-interleaved plant diverged from the clean sequential drive")
+    } finally idx.close()
+    spark.catalog.clearCache()
+  }
 }
 
 /** Top-level so MemoryStream's encoder derivation sees a stable type. */
