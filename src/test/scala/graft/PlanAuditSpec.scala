@@ -1009,4 +1009,42 @@ class PlanAuditSpec extends AnyFunSuite {
       "both branches must read the persisted gram table, not re-derive it: " +
         s.take(1200))
   }
+
+  test("d48 span dedup: gram-hash shuffles + per-doc window, never a pair join") {
+    val s = try formatted(SparkEntry.queries("d48_span_dedup")(spark, sfDir))
+    finally spark.catalog.clearCache() // spanProfile persists its gram table
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+    // duplicated-gram detection must be the semi-join back onto the
+    // posting list, and the interval merge a per-doc window
+    assert(s.contains("LeftSemi"), s.take(1200))
+    assert(s.contains("Window"), s.take(1200))
+    assert(s.contains("InMemoryTableScan") || s.contains("TableCacheQueryStage"),
+      "df-filter and semi-join must share the persisted gram table: " +
+        s.take(1200))
+  }
+
+  test("geo1 bucketed reverse geocode: points never shuffle — ring join broadcasts") {
+    val s = formatted(SparkEntry.queries("geo1_reverse_geocode")(spark, sfDir))
+    assert(nodeCount(s, "BroadcastHashJoin") >= 1,
+      "the cell-ring candidate table must broadcast: " + s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0,
+      "the gazetteer must never cross-join the points: " + s.take(1200))
+  }
+
+  test("pipe4 span funnel: the rollup runs over the pinned attribution") {
+    val s = try formatted(SparkEntry.queries("pipe4_span_funnel")(spark, sfDir))
+    finally spark.catalog.clearCache()
+    // the attribution (pipe1s artifact + span overlay) pins via
+    // localCheckpoint before the funnel agg — the executed plan's only
+    // input is that pinned RDD, never a re-derived corpus chain (no
+    // parquet scans, no gram/shingle shuffles in the rollup itself)
+    assert(s.contains("ExistingRDD"),
+      "funnel rollup must read the pinned attribution: " + s.take(1500))
+    assert(!s.contains("Scan parquet"),
+      "the rollup re-derived state from parquet instead of the pin: " +
+        s.take(1500))
+    assert(nodeCount(s, "CartesianProduct") == 0, s.take(1200))
+  }
 }
