@@ -686,7 +686,7 @@ object TextOps {
     * the word-gram grid (d25's passage size, so the two rows read the
     * same corpus signal at two depths: d25 counts duplicated grams,
     * d48 merges them into covered spans). */
-  private[queries] val D48MinLen = 8
+  private[graft] val D48MinLen = 8
 
   /** d48: EXACT-SUBSTRING SPAN DEDUP — the full Lee et al. 2022
     * operator ([[graft.operators.SpanDedup]]): per document, the merged
@@ -709,55 +709,111 @@ object TextOps {
     * covered_tokens, longest_span, copied_ppm)` — parameterized on a
     * WHERE clause so pipe4 replays the same text over the training
     * universe. Package-visible for [[PipelineOps]]. */
-  private[queries] def d48SpanCtes(where: String = ""): String = {
+  private[queries] def d48SpanCtes(where: String = "", p: String = "d48"): String = {
     val n = D48MinLen
     val gram = (1 to n).map(j => s"ws[pos+$j]").mkString(" || ' ' || ")
-    s"""d48g AS (
+    s"""${p}g AS (
        |  SELECT doc_id AS id, string_split(text, ' ') AS ws
        |  FROM documents $where),
-       |d48p AS (
+       |${p}p AS (
        |  SELECT id, ws,
        |    CAST(unnest(range(0, greatest(len(ws) - ${n - 1}, 0))) AS INTEGER) AS pos
-       |  FROM d48g),
-       |d48h AS (
+       |  FROM ${p}g),
+       |${p}h AS (
        |  SELECT id, pos,
        |    CAST(('0x' || substr(md5($gram), 1, 15)) AS BIGINT) AS gh
-       |  FROM d48p),
-       |d48d AS (SELECT gh FROM (
-       |    SELECT gh, COUNT(DISTINCT id) AS nd FROM d48h GROUP BY gh) z
+       |  FROM ${p}p),
+       |${p}d AS (SELECT gh FROM (
+       |    SELECT gh, COUNT(DISTINCT id) AS nd FROM ${p}h GROUP BY gh) z
        |  WHERE nd >= 2),
-       |d48s AS (SELECT id, pos FROM d48h WHERE gh IN (SELECT gh FROM d48d)),
-       |d48sp AS (
+       |${p}s AS (SELECT id, pos FROM ${p}h WHERE gh IN (SELECT gh FROM ${p}d)),
+       |${p}sp AS (
        |  SELECT id, pos,
        |    CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
        |      OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + $n
        |    THEN 1 ELSE 0 END AS ns
-       |  FROM d48s),
-       |d48sid AS (
+       |  FROM ${p}s),
+       |${p}sid AS (
        |  SELECT id, pos, SUM(ns) OVER (PARTITION BY id ORDER BY pos
        |    ROWS UNBOUNDED PRECEDING) AS sid
-       |  FROM d48sp),
-       |d48spans AS (
+       |  FROM ${p}sp),
+       |${p}spans AS (
        |  SELECT id, CAST(MAX(pos) + $n - MIN(pos) AS BIGINT) AS len
-       |  FROM d48sid GROUP BY id, sid),
-       |d48pd AS (
+       |  FROM ${p}sid GROUP BY id, sid),
+       |${p}pd AS (
        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_spans,
        |    CAST(SUM(len) AS BIGINT) AS covered_tokens,
        |    CAST(MAX(len) AS BIGINT) AS longest_span
-       |  FROM d48spans GROUP BY id),
-       |d48out AS (
+       |  FROM ${p}spans GROUP BY id),
+       |${p}out AS (
        |  SELECT g.id AS doc_id, CAST(len(g.ws) AS BIGINT) AS n_tokens,
        |    COALESCE(p.n_spans, 0) AS n_spans,
        |    COALESCE(p.covered_tokens, 0) AS covered_tokens,
        |    COALESCE(p.longest_span, 0) AS longest_span,
        |    (1000000 * COALESCE(p.covered_tokens, 0))
        |      // CAST(len(g.ws) AS BIGINT) AS copied_ppm
-       |  FROM d48g g LEFT JOIN d48pd p ON p.id = g.id)""".stripMargin
+       |  FROM ${p}g g LEFT JOIN ${p}pd p ON p.id = g.id)""".stripMargin
   }
 
   private lazy val d48Sql: String =
     s"""WITH ${d48SpanCtes()}
        |SELECT * FROM d48out ORDER BY doc_id""".stripMargin
+
+  /** d50: ROLLING exact-substring span dedup — d48 as a stream, served
+    * per frontier ([[graft.streaming.StreamOps.spanDedupBatch]], the
+    * 14th rolling family): documents arrive in three waves (wave =
+    * doc_id mod 3); each wave probes the landed gram log ONLY on its
+    * own gram keys and lands newly-covered occurrences as events — the
+    * RETROACTIVE half is the point: a wave-2 arrival makes a wave-0
+    * document's passage copied text, and the event log says so at
+    * wave 2 without re-sweeping the corpus. Per frontier the row
+    * reports covered docs / spans / covered tokens; each frontier
+    * equals the one-shot d48 over the documents arrived by then (the
+    * oracle replays three prefixed d48 chains — the rolling machinery
+    * must be invisible in the numbers). State builds once per corpus
+    * fingerprint (the i13 buildOnce discipline) and every invocation
+    * serves from the landed event log. */
+  def d50RollingSpans(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val root = ScaleOps.artifactRoot("d50s",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    ScaleOps.buildOnce("d50s", root) {
+      val t = s.newSession()
+      val docs = Tables(t, dir, "documents").select(col("doc_id"), col("text"))
+      (0 until 3).foreach { b =>
+        StreamOps.spanDedupBatch(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b.toLong),
+          s"$root/state", b.toLong)
+      }
+    }
+    (0 until 3).map { f =>
+      StreamOps.spansAsOf(s, s"$root/state", f.toLong)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_spans")).as("ns"),
+          sum(col("covered_tokens")).as("ct"))
+        .select(lit(f.toLong).as("frontier"), col("n_docs"),
+          coalesce(col("ns"), lit(0L)).as("n_spans"),
+          coalesce(col("ct"), lit(0L)).as("covered_tokens"))
+    }.reduce(_ unionByName _).orderBy("frontier")
+  }
+
+  private lazy val d50Sql: String = {
+    def sel(f: Int): String =
+      s"""SELECT CAST($f AS BIGINT) AS frontier,
+         |  COUNT(*) AS n_docs,
+         |  COALESCE(CAST(SUM(n_spans) AS BIGINT), 0) AS n_spans,
+         |  COALESCE(CAST(SUM(covered_tokens) AS BIGINT), 0) AS covered_tokens
+         |FROM r${f}out WHERE n_spans > 0""".stripMargin
+    s"""WITH ${d48SpanCtes("WHERE doc_id % 3 <= 0", "r0")},
+       |${d48SpanCtes("WHERE doc_id % 3 <= 1", "r1")},
+       |${d48SpanCtes("", "r2")}
+       |${sel(0)}
+       |UNION ALL
+       |${sel(1)}
+       |UNION ALL
+       |${sel(2)}
+       |ORDER BY frontier""".stripMargin
+  }
 
   /** d49's within-doc duplicated-gram size (Rae et al.'s smallest
     * dup-n-gram rule, n = 5). */
@@ -1970,6 +2026,7 @@ object TextOps {
     "d47_corpus_datasheet" -> (d47CorpusDatasheet _),
     "d48_span_dedup" -> (d48SpanDedup _),
     "d49_gopher_repetition" -> (d49GopherRepetition _),
+    "d50_rolling_spans" -> (d50RollingSpans _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
   val oracles: Map[String, String] = Map(
@@ -2010,5 +2067,6 @@ object TextOps {
     "d47_corpus_datasheet" -> d47Sql,
     "d48_span_dedup" -> d48Sql,
     "d49_gopher_repetition" -> d49Sql,
+    "d50_rolling_spans" -> d50Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

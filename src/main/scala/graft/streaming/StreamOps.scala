@@ -1982,6 +1982,122 @@ object StreamOps {
       .filter(col("batch_id").cast("long") <= asOf).drop("batch_id")
   }
 
+  /** The d48 span length the rolling family fixes — one authority with
+    * the batch operator ([[graft.queries.TextOps.D48MinLen]]), so the
+    * rolling/one-shot equality can never desynchronize on L. */
+  private val SpanMinLen: Int = graft.queries.TextOps.D48MinLen
+
+  /** ROLLING exact-substring span dedup — d48 as a stream (the 14th
+    * rolling family): per micro-batch, ONLY the batch builds positional
+    * gram hashes; the landed gram log is probed ONLY on the batch's own
+    * gram keys (broadcast under [[graft.multimodal.MediaOps
+    * .NdSweepBroadcastMaxRows]]'s bound, shuffled equi-join above);
+    * and the newly-COVERED occurrences land as an append-only event
+    * delta. The exactly-once identity is gram-level and RETROACTIVE: a
+    * gram hash crosses the ≥2-distinct-docs threshold exactly once
+    * (ids are append-only), and at that wave BOTH the arriving and the
+    * already-landed occurrences of that hash emit — so the event log as
+    * of any frontier merges ([[graft.operators.SpanDedup
+    * .mergedSpanLens]]) to exactly the one-shot d48 coverage over the
+    * documents arrived by that frontier (spec-pinned per frontier).
+    * State: `span_grams` (the positional gram log) and `span_events`,
+    * both batch_id-partitioned, replay-idempotent (dynamic overwrite),
+    * compacted by [[maintain]]. Returns the wave's event delta. */
+  private[graft] def spanDedupBatch(batch: DataFrame, statePath: String,
+      batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val grams = graft.operators.SpanDedup
+      .posGramHashes(batch.select(col("doc_id"), col("text")),
+        "doc_id", "text", SpanMinLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = grams.count() // materialize ONCE: key probe + counts + events
+    withBatchShuffleWidth(spark, n, statePath) {
+      try {
+        import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+        val gramSchema = new StructType()
+          .add("id", LongType).add("pos", IntegerType).add("gh", LongType)
+        // replay guard: a re-run batch must not see its own landed grams
+        val landed = readDelta(spark, s"$statePath/span_grams", gramSchema)
+          .filter(col("batch_id") < batchId).drop("batch_id")
+        // a cross-batch re-arrival would double-count its doc in the
+        // distinct-doc threshold and re-emit its events — fail loudly
+        // (the mediaNdBatch convention)
+        val clash = landed.select(col("id")).distinct()
+          .join(grams.select(col("id")).distinct(), Seq("id"))
+          .limit(1).count()
+        require(clash == 0L,
+          s"spanDedupBatch: batch $batchId contains doc ids already landed " +
+            s"under $statePath/span_grams — re-ingest would corrupt the " +
+            "exactly-once event log; dedup ids upstream")
+        // landed occurrences of THIS batch's gram keys only — the probe
+        // broadcasts while micro-batch-sized, never past the bound
+        val keys = grams.select(col("gh")).distinct()
+        val probe =
+          if (n <= graft.multimodal.MediaOps.NdSweepBroadcastMaxRows)
+            broadcast(keys)
+          else keys
+        val hit = landed.join(probe, Seq("gh"), "left_semi")
+          .localCheckpoint() // bounded by the batch keys' document freq
+        val st = grams.groupBy(col("gh"))
+          .agg(countDistinct(col("id")).as("n_new"))
+          .join(hit.groupBy(col("gh"))
+            .agg(countDistinct(col("id")).as("n_old")), Seq("gh"), "left")
+          .select(col("gh"), coalesce(col("n_old"), lit(0L)).as("n_old"),
+            col("n_new"))
+        // ids are disjoint (the clash guard), so old+new IS the distinct
+        // doc count; a hash crosses 2 at most once — exactly-once events
+        val dupNow = st.filter(col("n_old") + col("n_new") >= 2)
+          .select(col("gh"))
+        val newly = st.filter(col("n_old") < 2 &&
+            col("n_old") + col("n_new") >= 2)
+          .select(col("gh"))
+        val events = grams.join(dupNow, Seq("gh"), "left_semi")
+          .select(col("id"), col("pos"))
+          .unionByName(hit.join(newly, Seq("gh"), "left_semi")
+            .select(col("id"), col("pos")))
+          .localCheckpoint() // the land below and the caller's read
+        landDelta(events, s"$statePath/span_events", batchId)
+        landDelta(grams, s"$statePath/span_grams", batchId)
+        events
+      } finally grams.unpersist()
+    }
+  }
+
+  /** The checkpointed streaming form of [[spanDedupBatch]] — replay of
+    * an uncommitted batch rewrites its own partitions and re-derives
+    * the same events (its landed grams are excluded from its own
+    * sweep), so the event log is exactly-once under restart. */
+  def spanDedupPerBatch(docs: DataFrame, statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        spanDedupBatch(batch, statePath, batchId); ()
+      }
+      .start()
+
+  /** Per-document copied-span coverage AS OF a wave: the event log ≤
+    * `asOf` merged into maximal spans — equals the one-shot
+    * [[graft.operators.SpanDedup.spanProfile]] over the documents
+    * arrived by that frontier (covered docs only; a document with no
+    * event has zero coverage by construction). Events are immutable
+    * facts stamped at their discovery wave (the media pair-log rule),
+    * so this is a partition-pruned delta read, never a snapshot pick. */
+  def spansAsOf(spark: SparkSession, statePath: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+    val evSchema = new StructType()
+      .add("id", LongType).add("pos", IntegerType)
+    val events = readDelta(spark, s"$statePath/span_events", evSchema)
+      .filter(col("batch_id").cast("long") <= asOf)
+      .select(col("id"), col("pos"))
+    graft.operators.SpanDedup.mergedSpanLens(events, SpanMinLen)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("len")).as("covered_tokens"),
+        max(col("len")).as("longest_span"))
+  }
+
   /** Streaming maintenance of the k6 BM25 inverted index — the Lucene
     * segment model expressed as delta partitions: each arriving batch
     * lands its postings (term, id, dli, tf) under
@@ -3336,7 +3452,9 @@ object StreamOps {
         // the rolling image/audio/video families' append-only deltas
         // (fingerprint bands + discovered pairs) — same unbounded-small-
         // files argument
-        "img_fp", "img_nd", "aud_fp", "aud_nd", "vid_fp", "vid_nd").map(merge)
+        "img_fp", "img_nd", "aud_fp", "aud_nd", "vid_fp", "vid_nd",
+        // the rolling span-dedup family's gram log + covered-event log
+        "span_grams", "span_events").map(merge)
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

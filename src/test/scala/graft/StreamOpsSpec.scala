@@ -2643,6 +2643,91 @@ class StreamOpsSpec extends AnyFunSuite {
       "restore reverted a deliberate application width change")
   }
 
+  test("rolling span dedup: per-frontier serves equal the one-shot d48, " +
+      "retro events stamp at the later wave, committed-wave replay is a no-op") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SpanDedup
+    val root = Files.createTempDirectory("spanroll").toString
+    val st = s"$root/state"
+    // the shared 9-word passage: wave 0's doc 1 holds it; wave 2's doc 5
+    // duplicates it — doc 1's coverage must appear RETROACTIVELY at
+    // frontier 2. Wave 1's docs 3/4 share their own passage (covered at
+    // arrival). Doc 2 never matches anything.
+    val passage = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val other = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val waves = Seq(
+      Seq(1L -> s"$passage tail1 tail2", 2L -> "lone a b c d e f g h"),
+      Seq(3L -> s"head1 $other", 4L -> s"$other end1 end2"),
+      Seq(5L -> s"pre1 pre2 $passage"))
+    waves.zipWithIndex.foreach { case (w, b) =>
+      StreamOps.spanDedupBatch(w.toDF("doc_id", "text"), st, b.toLong)
+    }
+    def serve(f: Long): Map[Long, (Long, Long, Long)] =
+      StreamOps.spansAsOf(spark, st, f).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    def oneShot(upTo: Int): Map[Long, (Long, Long, Long)] =
+      SpanDedup.spanProfile(
+          waves.take(upTo + 1).flatten.toDF("doc_id", "text"),
+          "doc_id", "text", 8)
+        .filter(col("n_spans") > 0).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    // frontier 0: nothing duplicated yet
+    assert(serve(0L).isEmpty && oneShot(0).isEmpty)
+    // frontier 1: docs 3/4 share `other`; doc 1 still uncovered
+    val f1 = serve(1L)
+    assert(f1.keySet == Set(3L, 4L) && f1 == oneShot(1), s"got $f1")
+    // frontier 2: doc 5 arrives — doc 1's passage coverage appears
+    // retroactively, and every frontier equals its one-shot twin
+    val f2 = serve(2L)
+    assert(f2.keySet == Set(1L, 3L, 4L, 5L) && f2 == oneShot(2), s"got $f2")
+    // the retro event rows for doc 1 are stamped at the DISCOVERY wave
+    val doc1Events = spark.read.parquet(s"$st/span_events")
+      .filter(col("id") === 1L).select(col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(doc1Events == Set(2L),
+      s"doc 1's coverage must stamp at wave 2 (retro), got $doc1Events")
+    // committed-wave replay: dynamic overwrite + the landed<batch guard
+    // re-derive identical state
+    StreamOps.spanDedupBatch(waves(1).toDF("doc_id", "text"), st, 1L)
+    assert(serve(2L) == f2, "replay of wave 1 changed the served answers")
+    // maintenance compaction leaves every frontier unchanged
+    StreamOps.maintain(spark, st)
+    assert(serve(1L) == f1 && serve(2L) == f2,
+      "maintain() changed a span frontier")
+    spark.catalog.clearCache()
+  }
+
+  test("spanDedupPerBatch: streamed waves equal the direct batch drive") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import java.nio.file.Files
+    val rootA = Files.createTempDirectory("spanstream").toString
+    val rootB = Files.createTempDirectory("spanbatch").toString
+    val passage = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val w0 = Seq(StreamDoc(10L, s"$passage a b"), StreamDoc(11L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"))
+    val w1 = Seq(StreamDoc(12L, s"c d $passage"))
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamOps.spanDedupPerBatch(ms.toDF(), s"$rootA/state",
+      s"$rootA/ck")
+    try {
+      ms.addData(w0: _*); q.processAllAvailable()
+      ms.addData(w1: _*); q.processAllAvailable()
+    } finally q.stop()
+    Seq(w0, w1).zipWithIndex.foreach { case (w, b) =>
+      StreamOps.spanDedupBatch(
+        w.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        s"$rootB/state", b.toLong)
+    }
+    def rows(st: String) = StreamOps.spansAsOf(spark, st).collect()
+      .map(_.toSeq.toVector).toSet
+    assert(rows(s"$rootA/state") == rows(s"$rootB/state") &&
+      rows(s"$rootA/state").nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("whole-plant rehearsal: every rolling family chaos-interleaved with " +
       "maintenance windows, a replay, and a reclaim equals the clean drive") {
     import spark.implicits._
@@ -2658,6 +2743,10 @@ class StreamOpsSpec extends AnyFunSuite {
     val m1 = Seq(502L -> mediaText, 503L -> "yet another unrelated body")
     val e0 = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L)
     val e1 = Seq(3L -> 4L, 4L -> 3L)
+    // span waves: wave 1's doc 602 duplicates wave 0's doc 600 passage
+    val spanPassage = "sp1 sp2 sp3 sp4 sp5 sp6 sp7 sp8"
+    val s0 = Seq(600L -> s"$spanPassage trail", 601L -> "v1 v2 v3 v4 v5 v6 v7 v8 v9")
+    val s1 = Seq(602L -> s"lead $spanPassage")
     def mediaDf(w: Seq[(Long, String)]) = w.toDF("doc_id", "text")
     def edgeDf(w: Seq[(Long, Long)]) = w.toDF("src", "dst")
     // the full serve surface, one row-set per read path — what a
@@ -2684,6 +2773,7 @@ class StreamOpsSpec extends AnyFunSuite {
         rows(StreamOps.imageNdAsOf(spark, st, Long.MaxValue)),
         rows(StreamOps.audioNdAsOf(spark, st, Long.MaxValue)),
         rows(StreamOps.videoNdAsOf(spark, st, Long.MaxValue)),
+        rows(StreamOps.spansAsOf(spark, st)),
         rows(IvfSearch.approxTopK(staticVecs,
           StreamOps.grownIvfIndex(spark, idx, st),
           "vec_id", "embedding", k = 3, nprobe = 2)))
@@ -2698,12 +2788,14 @@ class StreamOpsSpec extends AnyFunSuite {
       StreamOps.videoNdBatch(mediaDf(m0), cfgC.statePath, 0L)
       StreamOps.pagerankEdgesBatch(edgeDf(e0), iters = 2,
         dampPpm = 850000L, cfgC.statePath, 0L)
+      StreamOps.spanDedupBatch(mediaDf(s0), cfgC.statePath, 0L)
       StreamOps.deployGatesBatch(waveDf(wave1), cfgC, 1L)
       StreamOps.imageNdBatch(mediaDf(m1), cfgC.statePath, 1L)
       StreamOps.audioNdBatch(mediaDf(m1), cfgC.statePath, 1L)
       StreamOps.videoNdBatch(mediaDf(m1), cfgC.statePath, 1L)
       StreamOps.pagerankEdgesBatch(edgeDf(e1), iters = 2,
         dampPpm = 850000L, cfgC.statePath, 1L)
+      StreamOps.spanDedupBatch(mediaDf(s1), cfgC.statePath, 1L)
       StreamOps.ivfDeleteBatch(Seq(103L).toDF("id"), cfgC.statePath, 2L)
       val baseline = readsOf(cfgC)
       assert(baseline.forall(_.nonEmpty), "a clean-drive read path is empty")
@@ -2722,6 +2814,7 @@ class StreamOpsSpec extends AnyFunSuite {
       StreamOps.videoNdBatch(mediaDf(m0), st, 0L)
       StreamOps.pagerankEdgesBatch(edgeDf(e0), iters = 2,
         dampPpm = 850000L, st, 0L)
+      StreamOps.spanDedupBatch(mediaDf(s0), st, 0L)
       // readers resolved BEFORE window B, read AFTER it — every tier
       val preBm = StreamOps.bm25ServeRolling(spark, st,
         Seq("streaming", "benchmark"), 8)
@@ -2747,6 +2840,7 @@ class StreamOpsSpec extends AnyFunSuite {
       StreamOps.videoNdBatch(mediaDf(m1), st, 1L)
       StreamOps.pagerankEdgesBatch(edgeDf(e1), iters = 2,
         dampPpm = 850000L, st, 1L)
+      StreamOps.spanDedupBatch(mediaDf(s1), st, 1L)
       // crash-restart: the whole wave-1 fleet replays (uncommitted
       // batch semantics — dynamic overwrite makes every land idempotent)
       StreamOps.deployGatesBatch(waveDf(wave1), cfgX, 1L)
@@ -2755,6 +2849,7 @@ class StreamOpsSpec extends AnyFunSuite {
       StreamOps.videoNdBatch(mediaDf(m1), st, 1L)
       StreamOps.pagerankEdgesBatch(edgeDf(e1), iters = 2,
         dampPpm = 850000L, st, 1L)
+      StreamOps.spanDedupBatch(mediaDf(s1), st, 1L)
       StreamOps.ivfDeleteBatch(Seq(103L).toDF("id"), st, 2L)
       StreamOps.maintain(spark, st, landed) // window C, post-delete
       StreamOps.reclaimIvfDeleted(spark, st) // physical forget
