@@ -2002,7 +2002,17 @@ object StreamOps {
     * documents arrived by that frontier (spec-pinned per frontier).
     * State: `span_grams` (the positional gram log) and `span_events`,
     * both batch_id-partitioned, replay-idempotent (dynamic overwrite),
-    * compacted by [[maintain]]. Returns the wave's event delta. */
+    * compacted by [[maintain]]. Returns the wave's event delta.
+    *
+    * Per-wave cost, honestly: the key probe is one SHUFFLE-FREE
+    * columnar scan of the landed gram log (broadcast hash filter — the
+    * log itself never repartitions), so a wave costs O(log bytes) I/O
+    * plus batch-sized compute; amortized over any maintenance interval
+    * that is the same I/O as re-running the one-shot d48 once per
+    * interval, with the retroactive answers available continuously
+    * instead. The log's FILE count is bounded by [[maintain]]'s
+    * compaction — the same posture as [[mediaNdBatch]]'s fingerprint
+    * scan, scaled to a token-sized log. */
   private[graft] def spanDedupBatch(batch: DataFrame, statePath: String,
       batchId: Long): DataFrame = {
     val spark = batch.sparkSession
