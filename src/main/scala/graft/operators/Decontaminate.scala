@@ -38,12 +38,24 @@ object Decontaminate {
   def wordNgrams(textCol: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     val ws = split(textCol, " ")
+    array_distinct(when(size(ws) - (n - 1) >= 1, slidingGrams(ws, n))
+      .otherwise(array(textCol)))
+  }
+
+  /** The raw sliding word-gram array over a pre-split token array —
+    * position i holds tokens [i, i+n). THE one copy of the gram-build
+    * arithmetic ([[wordNgrams]], [[SpanDedup.posGramHashes]], and the
+    * d49 top-gram rollup all wrap it): n parallel shifted slices folded
+    * pairwise, O(n·tokens) per full evaluation regardless of how many
+    * times the optimizer inlines the expression. Documents shorter than
+    * n tokens yield an EMPTY array (callers choose their own short-doc
+    * contract). */
+  def slidingGrams(ws: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     val cnt = size(ws) - (n - 1)
-    // n parallel shifted slices folded pairwise: O(n·tokens) per full
-    // evaluation regardless of how many times the optimizer inlines it
     val grams = (1 to n).map(i => slice(ws, lit(i), cnt))
       .reduce((acc, next) => zip_with(acc, next, (a, b) => concat_ws(" ", a, b)))
-    array_distinct(when(cnt >= 1, grams).otherwise(array(textCol)))
+    when(cnt >= 1, grams).otherwise(array().cast("array<string>"))
   }
 
   /** (id, gram_hash) — exploded distinct n-gram hashes per document. */

@@ -50,23 +50,24 @@ object SpanDedup {
     * [[Decontaminate.gramHashes]]) — positions are the point. */
   def posGramHashes(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
-    require(n >= 1, s"gram size must be >= 1, got $n")
     graft.functions.SketchFunctions.register(docs.sparkSession)
-    val ws = split(col(textCol), " ")
-    val cnt = size(ws) - (n - 1)
-    val grams = (1 to n).map(i => slice(ws, lit(i), cnt))
-      .reduce((acc, next) => zip_with(acc, next, (a, b) => concat_ws(" ", a, b)))
-    val hashes = when(cnt >= 1,
-      graft.functions.SketchFunctions.hex60Array(grams))
-      .otherwise(array().cast("array<long>"))
     docs.select(col(idCol).as("id"),
-      posexplode(hashes).as(Seq("pos", "gh")))
+      posexplode(graft.functions.SketchFunctions.hex60Array(
+        Decontaminate.slidingGrams(split(col(textCol), " "), n)))
+        .as(Seq("pos", "gh")))
   }
 
   /** Per-document copied-span profile: (doc_id, n_tokens, n_spans,
     * covered_tokens, longest_span, copied_ppm), every document present
     * (zero coverage reports zeros). `minLen` is the minimum shared
-    * substring length in words — the paper's L. */
+    * substring length in words — the paper's L.
+    *
+    * Cache contract (the MinHashDedup/SimHash convention): the
+    * positional gram table stays persisted so the df-filter and the
+    * semi-join share one derivation — the CALLER releases it
+    * (`spark.catalog.clearCache()`, as Verify/Bench do per query);
+    * invoking this in a loop without releasing accumulates one cached
+    * gram table per call. */
   def spanProfile(docs: DataFrame, idCol: String, textCol: String,
                   minLen: Int): DataFrame = {
     val grams = posGramHashes(docs, idCol, textCol, minLen)

@@ -842,7 +842,10 @@ object TextOps {
   /** [[d49GopherRepetition]] over an arbitrary (doc_id, text) frame —
     * package-visible so the spec can drive the degenerate-on-this-
     * corpus signals (multi-line duplicates, within-doc gram repeats)
-    * through crafted fixtures. */
+    * through crafted fixtures. Cache contract: the positional 5-gram
+    * table stays persisted (occurrence-count and semi-join sides share
+    * it) — the CALLER releases it via clearCache, the
+    * [[graft.operators.SpanDedup.spanProfile]] convention. */
   private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -856,14 +859,10 @@ object TextOps {
         expr("(1000000 * (nl - ndl)) div nl").as("dup_line_ppm"))
     // top n-gram char mass: gram OCCURRENCES (not distinct) per doc
     def topGramChars(n: Int, out: String): DataFrame = {
-      val ws = split(col("text"), " ")
-      val cnt = size(ws) - (n - 1)
-      val grams = (1 to n).map(i => slice(ws, lit(i), cnt))
-        .reduce((acc, next) => zip_with(acc, next, (a, b) => concat_ws(" ", a, b)))
       val byGram = docs
         .select(col("doc_id"),
-          explode(when(cnt >= 1, grams)
-            .otherwise(array().cast("array<string>"))).as("g"))
+          explode(graft.operators.Decontaminate
+            .slidingGrams(split(col("text"), " "), n)).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
@@ -1960,12 +1959,8 @@ object TextOps {
     * top-30 boundary break on the bigram text, so the cut is total-
     * ordered on both engines. */
   def d26BigramTopK(s: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val cnt = size(ws) - 1
-    val grams = when(cnt >= 1,
-      zip_with(slice(ws, lit(1), cnt), slice(ws, lit(2), cnt),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
+    val grams = graft.operators.Decontaminate
+      .slidingGrams(split(col("text"), " "), 2)
     Tables(s, dir, "documents")
       .select(col("doc_id"), explode(grams).as("bigram"))
       .groupBy(col("bigram"))

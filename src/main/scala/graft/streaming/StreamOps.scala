@@ -1987,6 +1987,15 @@ object StreamOps {
     * rolling/one-shot equality can never desynchronize on L. */
   private val SpanMinLen: Int = graft.queries.TextOps.D48MinLen
 
+  /** Distinct gram-key count above which [[spanDedupBatch]] stops
+    * broadcasting the batch's key probe: keys are bare 8-byte longs
+    * (8M ≈ 64 MB serialized plus hash-set overhead), so this bound is
+    * key-sized — NOT [[graft.multimodal.MediaOps
+    * .NdSweepBroadcastMaxRows]], which was calibrated for ~100 B band
+    * rows and counts the wrong side. Past it, the shuffled equi-join
+    * repartitions the landed log — correct, just no longer free. */
+  private val SpanProbeBroadcastMaxKeys = 8L << 20
+
   /** ROLLING exact-substring span dedup — d48 as a stream (the 14th
     * rolling family): per micro-batch, ONLY the batch builds positional
     * gram hashes; the landed gram log is probed ONLY on the batch's own
@@ -2031,23 +2040,29 @@ object StreamOps {
           .filter(col("batch_id") < batchId).drop("batch_id")
         // a cross-batch re-arrival would double-count its doc in the
         // distinct-doc threshold and re-emit its events — fail loudly
-        // (the mediaNdBatch convention)
-        val clash = landed.select(col("id")).distinct()
-          .join(grams.select(col("id")).distinct(), Seq("id"))
+        // (the mediaNdBatch convention). Guard cost: one scan of the
+        // landed log against the BROADCAST batch-id set with a 1-row
+        // limit — never a distinct-aggregate of the token-sized log
+        val clash = landed
+          .join(broadcast(grams.select(col("id")).distinct()),
+            Seq("id"), "left_semi")
           .limit(1).count()
         require(clash == 0L,
           s"spanDedupBatch: batch $batchId contains doc ids already landed " +
             s"under $statePath/span_grams — re-ingest would corrupt the " +
             "exactly-once event log; dedup ids upstream")
         // landed occurrences of THIS batch's gram keys only — the probe
-        // broadcasts while micro-batch-sized, never past the bound
+        // broadcasts while key-bounded ([[SpanProbeBroadcastMaxKeys]] —
+        // gated on the DISTINCT key count actually shipped, cheap off
+        // the cached grams), never past the bound
         val keys = grams.select(col("gh")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val probe =
-          if (n <= graft.multimodal.MediaOps.NdSweepBroadcastMaxRows)
-            broadcast(keys)
+          if (keys.count() <= SpanProbeBroadcastMaxKeys) broadcast(keys)
           else keys
         val hit = landed.join(probe, Seq("gh"), "left_semi")
           .localCheckpoint() // bounded by the batch keys' document freq
+        keys.unpersist() // hit is pinned — the probe side is done
         val st = grams.groupBy(col("gh"))
           .agg(countDistinct(col("id")).as("n_new"))
           .join(hit.groupBy(col("gh"))
@@ -2517,19 +2532,24 @@ object StreamOps {
     val hasTombs = Seq("ivf_tombstones", "ivf_base_tombstones")
       .exists(n => hasParquetData(spark, s"$statePath/$n"))
     // nothing landed, nothing deleted: the base serves as-is — the i8
-    // cold-start probes pay no union/anti-join for empty state
-    if (!hasGrow && !hasTombs) return base
+    // cold-start probes pay no union/anti-join for empty state. A fresh
+    // wrapper, never `base` itself: callers own the returned index's
+    // close(), and aliasing would let that close() unpersist the
+    // caller's SHARED base inverted file
+    if (!hasGrow && !hasTombs)
+      return graft.operators.IvfSearch.Index(base.centroids, base.assignments)
     // explicit-schema delta reads throughout: a data-file-less directory
     // (an all-empty land, or reclaim draining every batch leaf) must read
     // as zero rows, never throw schema inference into every later probe.
-    // localCheckpoint = the resolve-time pin documented above.
-    val deltas =
-      if (!hasGrow) readDelta(spark, s"$statePath/ivf_assign",
+    // ONE read with the asOf filter always applied (correct even if a
+    // wave lands between the hasGrow probe and here); the pin
+    // (localCheckpoint — the resolve-time isolation documented above)
+    // is skipped only when the log was empty at the probe: pinning an
+    // empty frame buys nothing
+    val deltasRaw = readDelta(spark, s"$statePath/ivf_assign",
         StructType(base.assignments.schema.fields))
-      else readDelta(spark, s"$statePath/ivf_assign",
-          StructType(base.assignments.schema.fields))
-        .filter(col("batch_id").cast("long") <= asOf)
-        .localCheckpoint()
+      .filter(col("batch_id").cast("long") <= asOf)
+    val deltas = if (hasGrow) deltasRaw.localCheckpoint() else deltasRaw
     // versions carry their landing wave so a tombstone suppresses only
     // versions landed AT OR BEFORE its delete wave — a later re-ingest
     // supersedes the delete (the k11 model); base rows predate every wave
