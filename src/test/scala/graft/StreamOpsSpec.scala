@@ -2697,6 +2697,15 @@ class StreamOpsSpec extends AnyFunSuite {
     StreamOps.maintain(spark, st)
     assert(serve(1L) == f1 && serve(2L) == f2,
       "maintain() changed a span frontier")
+    // the as-of read PRUNES to the frontier's batch_id partitions — a
+    // full-log scan per probe would not survive a long-running stream
+    val asOf1 = StreamOps.spansAsOf(spark, st, 1L)
+    asOf1.collect()
+    val plan = asOf1.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(_.contains("batch_id")),
+      s"spansAsOf must partition-prune on batch_id, got:\n${pf.mkString("\n")}")
     spark.catalog.clearCache()
   }
 
