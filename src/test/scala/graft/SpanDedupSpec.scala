@@ -153,6 +153,23 @@ class SpanDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("property: operator equals the covered-set brute force on random corpora") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // a 4-word vocabulary makes shared 3-grams COMMON, so the sampled
+    // corpora hit real span structure (overlaps, adjacency, multi-span)
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(0, 18).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val prop = forAll(corpus) { docs => profile(docs, 3) == brute(docs, 3) }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+    spark.catalog.clearCache()
+  }
+
   test("sf0.001 corpus: operator equals the brute-force replay at the d48 L") {
     val docs = graft.Tables(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
