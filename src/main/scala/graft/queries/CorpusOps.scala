@@ -1054,6 +1054,73 @@ object CorpusOps {
        |FROM ch c JOIN eh e ON c.gh = e.gh
        |GROUP BY c.id ORDER BY c.id""".stripMargin
 
+  /** Shard count for the c23 at-rest decontamination gram index — the
+    * k6/k8/k9 convention. */
+  private[queries] val C23Shards = 16
+
+  /** The c23 at-rest decontamination gram index: the TRAINING side's
+    * distinct word-5-gram hashes ((id, gh), exactly [[Decontaminate
+    * .gramHashes]]'s rows) landed ONCE per corpus fingerprint as a
+    * gh-sharded parquet table — marker-last under the family lock (the
+    * k6/i5/c12 discipline). The corpus tokenize+hash+distinct pass is
+    * the entire cost of a decontamination sweep (the eval side is tiny
+    * by assumption); at 100 TB this turns every sweep after the first
+    * into a columnar scan of 8-byte longs instead of a corpus re-shingle
+    * — and a SMALL eval probe (one benchmark) partition-prunes to its
+    * gram hashes' shards and never touches the rest. */
+  private[queries] def decontamGramsRoot(s: SparkSession, dir: String): java.nio.file.Path = {
+    val root = ScaleOps.artifactRoot("c23",
+      ScaleOps.dataFingerprint(dir, Seq("documents")))
+    ScaleOps.buildOnce("c23", root, "_INDEX_OK") {
+      val t = s.newSession()
+      graft.functions.SketchFunctions.register(t)
+      Decontaminate.gramHashes(
+          Tables(t, dir, "documents").filter(col("doc_id") >= EvalSplit),
+          "doc_id", "text", n = 5)
+        .withColumn("shard", pmod(col("gh"), lit(C23Shards.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(root.resolve("grams").toString)
+    }
+    root
+  }
+
+  /** c2's contamination report served from the c23 index — the ONE
+    * serve implementation (c23's row and PipelineOps' decontamination
+    * stage both call it): fresh eval grams (tiny) broadcast against the
+    * landed posting table, shard-pruned to the eval grams' own shards,
+    * then the identical distinct-count aggregate. Bit-equal to
+    * [[c2Decontaminate]] by construction — same gram rule, same hash,
+    * same agg — so c23 replays c2's exact oracle SQL. */
+  private[queries] def contaminationFromIndex(s: SparkSession, dir: String): DataFrame = {
+    val root = decontamGramsRoot(s, dir)
+    graft.functions.SketchFunctions.register(s)
+    val evalGrams = Decontaminate.gramHashes(
+        Tables(s, dir, "documents").filter(col("doc_id") < EvalSplit),
+        "doc_id", "text", n = 5)
+      .select(col("id").as("eval_id"), col("gh"))
+    // the eval probe's shard list: bounded by C23Shards, derived from
+    // the (tiny) eval side — a one-benchmark probe reads only its own
+    // shard directories; a full eval suite degrades to reading all of a
+    // table that is still just (id, gh) longs, never the corpus text
+    val shards = evalGrams
+      .select(pmod(col("gh"), lit(C23Shards.toLong)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    s.read.parquet(root.resolve("grams").toString)
+      .filter(col("shard").isin(shards: _*))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("gh")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** c23: the decontamination sweep SERVED — c2's exact answer (same
+    * oracle SQL, bit-for-bit) with the corpus re-shingle replaced by
+    * the at-rest gram index. c2 stays the declared pricing sibling that
+    * builds from the raw corpus; this row is what the deployment runs
+    * on every sweep after the first. */
+  def c23DecontaminateServed(s: SparkSession, dir: String): DataFrame =
+    contaminationFromIndex(s, dir).orderBy("id")
+
   // c9 scenario split: eval [0, EvalSplit), static corpus
   // [EvalSplit, C9CorpusEnd), stream [C9CorpusEnd, C9StreamEnd) in
   // C9Batches micro-batches by doc_id mod C9Batches (so near-dup
@@ -2346,6 +2413,7 @@ object CorpusOps {
     "g3_personalized_pagerank" -> (g3PersonalizedPagerank _),
     "g4_weighted_pagerank" -> (g4WeightedPagerank _),
     "c2_decontaminate" -> (c2Decontaminate _),
+    "c23_decontaminate_served" -> (c23DecontaminateServed _),
     "c6_split_leakage" -> (c6SplitLeakage _),
     "c7_source_overlap" -> (c7SourceOverlap _),
     "c8_threshold_sweep" -> (c8ThresholdSweep _),
@@ -2385,6 +2453,8 @@ object CorpusOps {
     "g3_personalized_pagerank" -> g3Sql,
     "g4_weighted_pagerank" -> g4Sql,
     "c2_decontaminate" -> c2Sql,
+    // the at-rest index serve must reproduce c2's sweep exactly
+    "c23_decontaminate_served" -> c2Sql,
     "c6_split_leakage" -> c6Sql,
     "c7_source_overlap" -> c7Sql,
     "c8_threshold_sweep" -> c8Sql,
