@@ -777,7 +777,15 @@ object TextOps {
     import graft.streaming.StreamOps
     val root = ScaleOps.artifactRoot("d50s",
       ScaleOps.dataFingerprint(dir, Seq("documents")))
-    ScaleOps.buildOnce("d50s", root) {
+    // rebuildIf: schema-upgrade hook — state landed before the family
+    // grew the span_doclens universe log can't serve the one-shot
+    // schema; rebuild from scratch (delete-state-first, so the rebuild
+    // is exactly a first run)
+    val doclens = java.nio.file.Paths.get(s"$root/state/span_doclens")
+    ScaleOps.buildOnce("d50s", root,
+        rebuildIf = () => !java.nio.file.Files.exists(doclens)) {
+      graft.sources.Sources.deleteRecursively(
+        new java.io.File(s"$root/state"))
       val t = s.newSession()
       val docs = Tables(t, dir, "documents").select(col("doc_id"), col("text"))
       (0 until 3).foreach { b =>
@@ -788,6 +796,7 @@ object TextOps {
     }
     (0 until 3).map { f =>
       StreamOps.spansAsOf(s, s"$root/state", f.toLong)
+        .filter(col("n_spans") > 0) // the row reports COVERED docs
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_spans")).as("ns"),
           sum(col("covered_tokens")).as("ct"))
@@ -966,6 +975,128 @@ object TextOps {
        |LEFT JOIN b3t ON b3t.doc_id = b.doc_id
        |LEFT JOIN d5 ON d5.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** d51's stop-word list — Rae et al. 2021's eight (the Gopher "stop
+    * word filter" requires at least [[D51MinStops]] of these present). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher thresholds (Rae et al. 2021 §A1.1), on this engine's
+    * integer grids: words ∈ [50, 100k], mean word length ∈ [3, 10]
+    * chars (c100 grid), symbol-to-word ≤ 0.1, bullet lines ≤ 90%,
+    * ellipsis lines ≤ 30%, alphabetic words ≥ 80%, ≥ 2 stop words. */
+  private val D51MinWords = 50L
+  private val D51MaxWords = 100000L
+  private val D51MinStops = 2L
+
+  /** d51: the GOPHER QUALITY BATTERY — the non-repetition half of the
+    * Rae et al. 2021 table-A1 filter stack (d49 holds the repetition
+    * rules): per document, word count, mean word length, symbol-to-word
+    * ratio ('#' and '...' — the paper's two symbols), the share of
+    * lines that are bullets / end in an ellipsis, the share of words
+    * containing an alphabetic character, how many of the eight Gopher
+    * stop words appear, and the composed PASS verdict every threshold
+    * must clear. All integer-grid (c100 / ppm), all ROW-LOCAL — zero
+    * shuffles before the output sort, so the battery costs one corpus
+    * scan at any scale. The synthetic corpus is single-line and clean,
+    * so the degenerate signals (bullet/ellipsis/symbol trips) are
+    * exercised by crafted fixtures in the spec, like d49's. */
+  def d51GopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherQuality(Tables(s, dir, "documents"))
+
+  /** [[d51GopherQuality]] over an arbitrary (doc_id, text) frame —
+    * package-visible for the crafted-fixture spec. */
+  private[graft] def gopherQuality(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val ls = split(col("text"), "\n")
+    val nWords = size(ws).cast("long")
+    val nLines = size(ls).cast("long")
+    // characters across words (separators excluded) — a sequential
+    // integer fold, bit-equal to DuckDB's list_sum(list_transform(...))
+    val wordChars = aggregate(ws, lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
+    // the paper's two symbols: '#' occurrences + non-overlapping '...'
+    // occurrences (both engines' replace() is leftmost-non-overlapping)
+    val symbols =
+      (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("long") +
+        expr("(length(text) - length(replace(text, '...', ''))) div 3")
+          .cast("long")
+    val bulletLines = size(filter(ls, l =>
+      l.startsWith("- ") || l.startsWith("• ") || l.startsWith("* ")))
+      .cast("long")
+    val ellipsisLines = size(filter(ls, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stops = GopherStops.map(w =>
+        when(array_contains(ws, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(col("doc_id"),
+        nWords.as("n_words"), nLines.as("n_lines"),
+        wordChars.as("wchars"), symbols.as("symbols"),
+        bulletLines.as("bl"), ellipsisLines.as("el"),
+        alphaWords.as("aw"), stops.as("stopword_hits"))
+      .select(col("doc_id"), col("n_words"),
+        expr("(100 * wchars) div n_words").as("mean_word_len_c100"),
+        expr("(1000000 * symbols) div n_words").as("symbol_ppm"),
+        expr("(1000000 * bl) div n_lines").as("bullet_line_ppm"),
+        expr("(1000000 * el) div n_lines").as("ellipsis_line_ppm"),
+        expr("(1000000 * aw) div n_words").as("alpha_word_ppm"),
+        col("stopword_hits"))
+      .withColumn("gopher_pass",
+        when(col("n_words").between(D51MinWords, D51MaxWords) &&
+          col("mean_word_len_c100").between(300L, 1000L) &&
+          col("symbol_ppm") <= 100000L &&
+          col("bullet_line_ppm") <= 900000L &&
+          col("ellipsis_line_ppm") <= 300000L &&
+          col("alpha_word_ppm") >= 800000L &&
+          col("stopword_hits") >= D51MinStops, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private lazy val d51Sql: String = {
+    val stopSum = GopherStops.map(w =>
+      s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    string_split(text, ' ') AS ws,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS wchars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+       |      AS symbols,
+       |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+       |      OR starts_with(l, '• ') OR starts_with(l, '* '))) AS BIGINT) AS bl,
+       |    CAST(len(list_filter(ls, l -> ends_with(l, '...')
+       |      OR ends_with(l, '…'))) AS BIGINT) AS el,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+       |    CAST($stopSum AS BIGINT) AS stopword_hits
+       |  FROM b),
+       |o AS (
+       |  SELECT doc_id, n_words,
+       |    (100 * wchars) // n_words AS mean_word_len_c100,
+       |    (1000000 * symbols) // n_words AS symbol_ppm,
+       |    (1000000 * bl) // n_lines AS bullet_line_ppm,
+       |    (1000000 * el) // n_lines AS ellipsis_line_ppm,
+       |    (1000000 * aw) // n_words AS alpha_word_ppm,
+       |    stopword_hits
+       |  FROM m)
+       |SELECT *,
+       |  CAST(CASE WHEN n_words BETWEEN $D51MinWords AND $D51MaxWords
+       |    AND mean_word_len_c100 BETWEEN 300 AND 1000
+       |    AND symbol_ppm <= 100000
+       |    AND bullet_line_ppm <= 900000
+       |    AND ellipsis_line_ppm <= 300000
+       |    AND alpha_word_ppm >= 800000
+       |    AND stopword_hits >= $D51MinStops THEN 1 ELSE 0 END AS BIGINT)
+       |    AS gopher_pass
+       |FROM o ORDER BY doc_id""".stripMargin
   }
 
   /** d43 anonymity threshold: classes smaller than this are
@@ -2021,6 +2152,7 @@ object TextOps {
     "d47_corpus_datasheet" -> (d47CorpusDatasheet _),
     "d48_span_dedup" -> (d48SpanDedup _),
     "d49_gopher_repetition" -> (d49GopherRepetition _),
+    "d51_gopher_quality" -> (d51GopherQuality _),
     "d50_rolling_spans" -> (d50RollingSpans _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
@@ -2062,6 +2194,7 @@ object TextOps {
     "d47_corpus_datasheet" -> d47Sql,
     "d48_span_dedup" -> d48Sql,
     "d49_gopher_repetition" -> d49Sql,
+    "d51_gopher_quality" -> d51Sql,
     "d50_rolling_spans" -> d50Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

@@ -1999,8 +1999,8 @@ object StreamOps {
   /** ROLLING exact-substring span dedup — d48 as a stream (the 14th
     * rolling family): per micro-batch, ONLY the batch builds positional
     * gram hashes; the landed gram log is probed ONLY on the batch's own
-    * gram keys (broadcast under [[graft.multimodal.MediaOps
-    * .NdSweepBroadcastMaxRows]]'s bound, shuffled equi-join above);
+    * gram keys (broadcast under [[SpanProbeBroadcastMaxKeys]]'s
+    * key-sized bound, shuffled equi-join above);
     * and the newly-COVERED occurrences land as an append-only event
     * delta. The exactly-once identity is gram-level and RETROACTIVE: a
     * gram hash crosses the ≥2-distinct-docs threshold exactly once
@@ -2009,9 +2009,11 @@ object StreamOps {
     * of any frontier merges ([[graft.operators.SpanDedup
     * .mergedSpanLens]]) to exactly the one-shot d48 coverage over the
     * documents arrived by that frontier (spec-pinned per frontier).
-    * State: `span_grams` (the positional gram log) and `span_events`,
-    * both batch_id-partitioned, replay-idempotent (dynamic overwrite),
-    * compacted by [[maintain]]. Returns the wave's event delta.
+    * State: `span_grams` (the positional gram log), `span_events`, and
+    * `span_doclens` (the arrived-document universe — 1 row per doc, the
+    * serving schema's n_tokens side), all batch_id-partitioned,
+    * replay-idempotent (dynamic overwrite), compacted by [[maintain]].
+    * Returns the wave's event delta.
     *
     * Per-wave cost, honestly: the key probe is one SHUFFLE-FREE
     * columnar scan of the landed gram log (broadcast hash filter — the
@@ -2083,6 +2085,12 @@ object StreamOps {
           .localCheckpoint() // the land below and the caller's read
         landDelta(events, s"$statePath/span_events", batchId)
         landDelta(grams, s"$statePath/span_grams", batchId)
+        // the arrived-document universe (1 row per doc): what lets
+        // spansAsOf serve the one-shot d48 schema — zero-coverage and
+        // shorter-than-L documents included — without a corpus join
+        landDelta(batch.select(col("doc_id").as("id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          s"$statePath/span_doclens", batchId)
         events
       } finally grams.unpersist()
     }
@@ -2101,26 +2109,43 @@ object StreamOps {
       }
       .start()
 
-  /** Per-document copied-span coverage AS OF a wave: the event log ≤
-    * `asOf` merged into maximal spans — equals the one-shot
+  /** Per-document copied-span coverage AS OF a wave, in the ONE-SHOT
+    * d48 SCHEMA: (doc_id, n_tokens, n_spans, covered_tokens,
+    * longest_span, copied_ppm), EVERY document arrived by the frontier
+    * present (zero coverage reports zeros) — equals the one-shot
     * [[graft.operators.SpanDedup.spanProfile]] over the documents
-    * arrived by that frontier (covered docs only; a document with no
-    * event has zero coverage by construction). Events are immutable
-    * facts stamped at their discovery wave (the media pair-log rule),
-    * so this is a partition-pruned delta read, never a snapshot pick. */
+    * arrived by that frontier, column for column (spec-pinned), so a
+    * reader can switch between the batch and rolling serve surfaces
+    * without a schema shim. The arrived-document universe comes from
+    * the `span_doclens` delta each wave lands (1 row per doc — the
+    * cheapest state in the family); events are immutable facts stamped
+    * at their discovery wave (the media pair-log rule), so both sides
+    * are partition-pruned delta reads, never a snapshot pick. */
   def spansAsOf(spark: SparkSession, statePath: String,
       asOf: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
     val evSchema = new StructType()
       .add("id", LongType).add("pos", IntegerType)
+    val dlSchema = new StructType()
+      .add("id", LongType).add("n_tokens", LongType)
     val events = readDelta(spark, s"$statePath/span_events", evSchema)
       .filter(col("batch_id").cast("long") <= asOf)
       .select(col("id"), col("pos"))
-    graft.operators.SpanDedup.mergedSpanLens(events, SpanMinLen)
+    val perDoc = graft.operators.SpanDedup.mergedSpanLens(events, SpanMinLen)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("len")).as("covered_tokens"),
         max(col("len")).as("longest_span"))
+    readDelta(spark, s"$statePath/span_doclens", dlSchema)
+      .filter(col("batch_id").cast("long") <= asOf)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+      .join(perDoc, col("doc_id") === perDoc("id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .withColumn("copied_ppm",
+        expr("(1000000 * covered_tokens) div n_tokens"))
   }
 
   /** Streaming maintenance of the k6 BM25 inverted index — the Lucene
@@ -2532,12 +2557,16 @@ object StreamOps {
     val hasTombs = Seq("ivf_tombstones", "ivf_base_tombstones")
       .exists(n => hasParquetData(spark, s"$statePath/$n"))
     // nothing landed, nothing deleted: the base serves as-is — the i8
-    // cold-start probes pay no union/anti-join for empty state. A fresh
-    // wrapper, never `base` itself: callers own the returned index's
-    // close(), and aliasing would let that close() unpersist the
-    // caller's SHARED base inverted file
+    // cold-start probes pay no union/anti-join for empty state. The
+    // assignments get a fresh PLAN NODE (a trivial Project over the
+    // cached base), never `base.assignments` itself: callers own the
+    // returned index's close(), whose unpersist matches cache entries
+    // by plan — handing back the same DataFrame instance would let a
+    // contract-honoring close() evict the caller's SHARED base
+    // inverted file, while the Project wrapper makes it a no-op
     if (!hasGrow && !hasTombs)
-      return graft.operators.IvfSearch.Index(base.centroids, base.assignments)
+      return graft.operators.IvfSearch.Index(base.centroids,
+        base.assignments.select(col("id"), col("emb"), col("centroid_id")))
     // explicit-schema delta reads throughout: a data-file-less directory
     // (an all-empty land, or reclaim draining every batch leaf) must read
     // as zero rows, never throw schema inference into every later probe.
@@ -3484,7 +3513,8 @@ object StreamOps {
         // files argument
         "img_fp", "img_nd", "aud_fp", "aud_nd", "vid_fp", "vid_nd",
         // the rolling span-dedup family's gram log + covered-event log
-        "span_grams", "span_events").map(merge)
+        // + the arrived-document universe the serving schema reads
+        "span_grams", "span_events", "span_doclens").map(merge)
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

@@ -2663,26 +2663,36 @@ class StreamOpsSpec extends AnyFunSuite {
     waves.zipWithIndex.foreach { case (w, b) =>
       StreamOps.spanDedupBatch(w.toDF("doc_id", "text"), st, b.toLong)
     }
-    def serve(f: Long): Map[Long, (Long, Long, Long)] =
+    // FULL-SCHEMA parity: the as-of serve emits the one-shot d48 schema
+    // (doc_id, n_tokens, n_spans, covered_tokens, longest_span,
+    // copied_ppm) with zero-coverage docs PRESENT — a reader can switch
+    // serve surfaces without a shim
+    assert(StreamOps.spansAsOf(spark, st, 0L).columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_spans", "covered_tokens",
+        "longest_span", "copied_ppm"))
+    def serve(f: Long): Set[Vector[Any]] =
       StreamOps.spansAsOf(spark, st, f).collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-        .toMap
-    def oneShot(upTo: Int): Map[Long, (Long, Long, Long)] =
+        .map(_.toSeq.toVector: Vector[Any]).toSet
+    def oneShot(upTo: Int): Set[Vector[Any]] =
       SpanDedup.spanProfile(
           waves.take(upTo + 1).flatten.toDF("doc_id", "text"),
           "doc_id", "text", 8)
-        .filter(col("n_spans") > 0).collect()
-        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
-        .toMap
-    // frontier 0: nothing duplicated yet
-    assert(serve(0L).isEmpty && oneShot(0).isEmpty)
+        .collect().map(_.toSeq.toVector: Vector[Any]).toSet
+    def covered(rows: Set[Vector[Any]]): Set[Any] =
+      rows.filter(_(2).asInstanceOf[Long] > 0L).map(_(0))
+    // frontier 0: both docs arrived, nothing duplicated yet — the serve
+    // still reports them (zero coverage), exactly like the one-shot
+    val f0 = serve(0L)
+    assert(f0 == oneShot(0) && covered(f0).isEmpty &&
+      f0.map(_(0)) == Set[Any](1L, 2L), s"got $f0")
     // frontier 1: docs 3/4 share `other`; doc 1 still uncovered
     val f1 = serve(1L)
-    assert(f1.keySet == Set(3L, 4L) && f1 == oneShot(1), s"got $f1")
+    assert(covered(f1) == Set[Any](3L, 4L) && f1 == oneShot(1), s"got $f1")
     // frontier 2: doc 5 arrives — doc 1's passage coverage appears
     // retroactively, and every frontier equals its one-shot twin
     val f2 = serve(2L)
-    assert(f2.keySet == Set(1L, 3L, 4L, 5L) && f2 == oneShot(2), s"got $f2")
+    assert(covered(f2) == Set[Any](1L, 3L, 4L, 5L) && f2 == oneShot(2),
+      s"got $f2")
     // the retro event rows for doc 1 are stamped at the DISCOVERY wave
     val doc1Events = spark.read.parquet(s"$st/span_events")
       .filter(col("id") === 1L).select(col("batch_id").cast("long"))
@@ -2704,7 +2714,8 @@ class StreamOpsSpec extends AnyFunSuite {
     val plan = asOf1.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
-    assert(pf.exists(_.contains("batch_id")),
+    // BOTH state scans (span_events AND span_doclens) must prune
+    assert(pf.size >= 2 && pf.forall(_.contains("batch_id")),
       s"spansAsOf must partition-prune on batch_id, got:\n${pf.mkString("\n")}")
     spark.catalog.clearCache()
   }
@@ -2782,6 +2793,11 @@ class StreamOpsSpec extends AnyFunSuite {
         rows(StreamOps.imageNdAsOf(spark, st, Long.MaxValue)),
         rows(StreamOps.audioNdAsOf(spark, st, Long.MaxValue)),
         rows(StreamOps.videoNdAsOf(spark, st, Long.MaxValue)),
+        // the span family at EVERY frontier, not just the head —
+        // compaction/replay mid-wave must leave each retroactive
+        // frontier byte-identical (the mm17 pattern)
+        rows(StreamOps.spansAsOf(spark, st, 0L)),
+        rows(StreamOps.spansAsOf(spark, st, 1L)),
         rows(StreamOps.spansAsOf(spark, st)),
         rows(IvfSearch.approxTopK(staticVecs,
           StreamOps.grownIvfIndex(spark, idx, st),

@@ -60,6 +60,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.select("pred_lang").distinct().count() >= 1)
   }
 
+  test("d51 Gopher quality battery: every rule trips on its crafted fixture " +
+      "and a clean long doc passes") {
+    import spark.implicits._
+    // the corpus is single-line and clean, so the degenerate signals are
+    // exercised here (the d49 convention). One doc per rule:
+    val cleanWords = (1 to 60).map(i => Seq("the", "be", "to", "of", "and",
+      "that", "have", "with", "word", "token")(i % 10))
+    val docs = Seq(
+      1L -> cleanWords.mkString(" "),                       // passes everything
+      2L -> "the be ### of ## and # that",                  // symbol-heavy
+      3L -> (1 to 6).map(i => s"- bullet item $i").mkString("\n"), // all bullets
+      4L -> (1 to 6).map(i => s"line $i trails off...").mkString("\n"), // ellipses
+      5L -> "zz1 942 771 x9 00 11 22 33",                   // no stops, few alpha
+      6L -> (1 to 60).map(_ => "a").mkString(" "),          // mean word len < 3
+      7L -> "the be to of and that have with"               // too few words
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 60 words, stops present, alpha 100%, no symbols → pass
+    assert(got(1L).getAs[Long]("gopher_pass") == 1L, s"${got(1L)}")
+    assert(got(1L).getAs[Long]("alpha_word_ppm") == 1000000L)
+    assert(got(1L).getAs[Long]("stopword_hits") == 8L)
+    // doc 2: 6 '#' over 8 words = 750000 ppm > 100000 → fail
+    assert(got(2L).getAs[Long]("symbol_ppm") == 1000000L * 6 / 8, s"${got(2L)}")
+    assert(got(2L).getAs[Long]("gopher_pass") == 0L)
+    // doc 3: 6/6 bullet lines
+    assert(got(3L).getAs[Long]("bullet_line_ppm") == 1000000L, s"${got(3L)}")
+    assert(got(3L).getAs[Long]("gopher_pass") == 0L)
+    // doc 4: 6/6 ellipsis lines; each '...' also counts as one symbol.
+    // Space-split words: 18 spaces → 19 words (the '\n' join points merge
+    // "off...\nline" into one word — the split-on-space convention)
+    assert(got(4L).getAs[Long]("ellipsis_line_ppm") == 1000000L, s"${got(4L)}")
+    assert(got(4L).getAs[Long]("symbol_ppm") == 1000000L * 6 / 19, s"${got(4L)}")
+    // doc 5: zero stop words; alpha words 2 of 8
+    assert(got(5L).getAs[Long]("stopword_hits") == 0L, s"${got(5L)}")
+    assert(got(5L).getAs[Long]("alpha_word_ppm") == 1000000L * 2 / 8)
+    assert(got(5L).getAs[Long]("gopher_pass") == 0L)
+    // doc 6: mean word length 1.00 (c100 = 100) < 300 → fail
+    assert(got(6L).getAs[Long]("mean_word_len_c100") == 100L, s"${got(6L)}")
+    assert(got(6L).getAs[Long]("gopher_pass") == 0L)
+    // doc 7: 8 words < 50 → fail on count alone (all else clean)
+    assert(got(7L).getAs[Long]("n_words") == 8L &&
+      got(7L).getAs[Long]("gopher_pass") == 0L, s"${got(7L)}")
+  }
+
   test("CDC chunking is LOCAL: an insertion only perturbs its own neighborhood") {
     import spark.implicits._
     // deterministic pseudo-random text, long enough for many ~64-char chunks
