@@ -86,19 +86,35 @@ object Geo {
     * they are detectable and re-runnable with a larger cell.
     */
   def reverseGeocodeBucketed(points: DataFrame, gazetteer: DataFrame,
-                             cellDeg: Double = 1.0): DataFrame = {
+                             cellDeg: Double = 1.0): DataFrame =
+    probeGazetteerCells(points, gazetteerCells(gazetteer, cellDeg), cellDeg)
+
+  private def latCellC(c: org.apache.spark.sql.Column, cellDeg: Double) =
+    floor((c + lit(90.0)) / lit(cellDeg)).cast("long")
+  private def lonCellC(c: org.apache.spark.sql.Column, cellDeg: Double,
+      nLon: Int) =
+    pmod(floor((c + lit(180.0)) / lit(cellDeg)).cast("long"), lit(nLon.toLong))
+
+  private def nLonOf(cellDeg: Double): Int =
+    math.max(1, math.round(360.0 / cellDeg).toInt)
+
+  /** The bucketed gazetteer's cell→candidate-ring table — (cell,
+    * cands: array<struct<lat,lon,city,country>>), each city replicated
+    * to its 3×3 cell neighborhood (longitude wraps at ±180°). Bounded
+    * by 9·|gazetteer| rows pre-group; the gazetteer is static by
+    * nature, so deployments LAND this once per gazetteer fingerprint
+    * and serve probes from the artifact (geo1s) rather than rebuilding
+    * the ring per query. */
+  def gazetteerCells(gazetteer: DataFrame, cellDeg: Double): DataFrame = {
     require(cellDeg > 0, "cellDeg must be positive")
-    val nLon = math.max(1, math.round(360.0 / cellDeg).toInt)
-    def latCell(c: org.apache.spark.sql.Column) =
-      floor((c + lit(90.0)) / lit(cellDeg)).cast("long")
-    def lonCell(c: org.apache.spark.sql.Column) =
-      pmod(floor((c + lit(180.0)) / lit(cellDeg)).cast("long"), lit(nLon.toLong))
+    val nLon = nLonOf(cellDeg)
     def key(la: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column) =
       la * lit(nLon.toLong) + lo
     val offsets = for { dla <- -1 to 1; dlo <- -1 to 1 } yield (dla, dlo)
-    val cells = gazetteer
+    gazetteer
       .select(col("city"), col("country"), col("lat"), col("lon"),
-        latCell(col("lat")).as("la"), lonCell(col("lon")).as("lo"))
+        latCellC(col("lat"), cellDeg).as("la"),
+        lonCellC(col("lon"), cellDeg, nLon).as("lo"))
       .select(col("city"), col("country"), col("lat"), col("lon"),
         explode(array(offsets.map { case (dla, dlo) =>
           key(col("la") + dla, pmod(col("lo") + dlo, lit(nLon.toLong)))
@@ -106,10 +122,22 @@ object Geo {
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("lat"), col("lon"),
         col("city"), col("country"))).as("cands"))
+  }
+
+  /** The probe side of [[reverseGeocodeBucketed]], over an already-built
+    * (or already-LANDED) [[gazetteerCells]] table: broadcast the ring
+    * table, equi-join points on their own cell key — the points side
+    * NEVER shuffles — and fold each row's candidate array through the
+    * codegen'd argmin. `cellDeg` must match the build's. */
+  def probeGazetteerCells(points: DataFrame, cells: DataFrame,
+                          cellDeg: Double): DataFrame = {
+    require(cellDeg > 0, "cellDeg must be positive")
+    val nLon = nLonOf(cellDeg)
     graft.functions.NearestEntry.register(points.sparkSession)
     points
       .join(broadcast(cells),
-        key(latCell(col("latitude")), lonCell(col("longitude"))) === col("cell"),
+        latCellC(col("latitude"), cellDeg) * lit(nLon.toLong) +
+          lonCellC(col("longitude"), cellDeg, nLon) === col("cell"),
         "left")
       // per-row argmin over ~|ring| candidates as ONE codegen'd loop
       // (`nearest_entry`; the composable transform/array_min form runs
