@@ -246,4 +246,89 @@ object CorpusShaping {
       .select(col("id"), col("nt"),
         expr(s"(cum - nt) div ${budget}L").as("pack_id"))
   }
+
+  /** Deterministic EPOCH CURRICULUM — the step between "corpus built"
+    * and "corpus consumable": a reproducible training order per epoch
+    * that (a) SHUFFLES within each stratum by a seeded content-free
+    * hash (hex60 of "epoch:id" — re-runs, re-partitionings, and both
+    * engines agree bit-for-bit), and (b) INTERLEAVES the strata evenly
+    * (stratum s's r-th document sorts at fractional key (2r+1)/(2·nₛ),
+    * so any prefix of the stream holds each stratum in proportion — the
+    * data-mixing property a curriculum exists for; a plain global
+    * shuffle only achieves it in expectation, this achieves it by
+    * construction). Epochs differ (the hash is epoch-seeded) but each
+    * is the same multiset — one pass per epoch over the corpus, zero
+    * randomness.
+    *
+    * Output: (epoch, position, id, stratum), position dense 0..N−1 per
+    * epoch.
+    *
+    * Scale shape: NO global or per-stratum window anywhere — both the
+    * within-stratum rank and the global position are two-phase
+    * distributed prefix counts (the [[packSequences]] posture): bin on
+    * the hash/key range, collect per-bin COUNTS (bounded by
+    * epochs × |strata| × partitions — never data), then per-bin
+    * row_number + broadcast offsets. The fractional key is ONE integer
+    * division in doubles ((2r+1)/(2nₛ), both operands ≪ 2⁵³ for any
+    * real corpus), so the IEEE result — and therefore the order — is
+    * engine-portable. `stratumCol` is compared as a string (strata are
+    * labels). */
+  def curriculumInterleave(docs: DataFrame, idCol: String,
+      stratumCol: String, epochs: Int, nParts: Int = 0): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = if (nParts > 0) nParts
+      else spark.sessionState.conf.numShufflePartitions
+    val base = docs.select(col(idCol).as("id"),
+      col(stratumCol).cast("string").as("stratum"))
+    val ep = (0 until epochs).map(e => base.withColumn("epoch", lit(e.toLong)))
+      .reduce(_ unionByName _)
+    val hashed = ep.withColumn("h", PortableHash.hex60(
+      concat(col("epoch").cast("string"), lit(":"), col("id").cast("string"))))
+    // phase A — within-stratum rank: bin the 60-bit hash space
+    val hWidth = (1L << 60) / parts + 1L
+    val binned = hashed.withColumn("hbin", expr(s"h div ${hWidth}L"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val aCounts = binned.groupBy(col("epoch"), col("stratum"), col("hbin"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val offRows = aCounts.groupBy(r => (r._1, r._2)).toSeq.flatMap {
+      case ((e, s), rows) =>
+        val sorted = rows.sortBy(_._3)
+        val ns = sorted.map(_._4).sum
+        sorted.map(_._3).zip(sorted.map(_._4).scanLeft(0L)(_ + _))
+          .map { case (bin, off) => (e, s, bin, off, ns) }
+    }
+    val offDf = offRows.toDF("epoch", "stratum", "hbin", "off", "ns")
+    val wH = Window.partitionBy(col("epoch"), col("stratum"), col("hbin"))
+      .orderBy(col("h"), col("id"))
+    val keyed = binned.join(broadcast(offDf), Seq("epoch", "stratum", "hbin"))
+      .withColumn("r", row_number().over(wH).cast("long") - 1L + col("off"))
+      .withColumn("key",
+        expr("CAST(2 * r + 1 AS DOUBLE) / CAST(2 * ns AS DOUBLE)"))
+      .withColumn("kbin", floor(col("key") * lit(parts.toDouble)).cast("long"))
+    // phase B — global position per epoch: bin the key range (key ∈
+    // (0,1); floor(key·parts) is monotone in key, so cross-bin order is
+    // the global (key, stratum, id) order)
+    val bCounts = keyed.groupBy(col("epoch"), col("kbin"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val off2Rows = bCounts.groupBy(_._1).toSeq.flatMap { case (e, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (bin, off) => (e, bin, off) }
+    }
+    val off2Df = off2Rows.toDF("epoch", "kbin", "off2")
+    val wK = Window.partitionBy(col("epoch"), col("kbin"))
+      .orderBy(col("key"), col("stratum"), col("id"))
+    // release the phase-A cache: the final plan recomputes the row-local
+    // hash/bin projection from the scan (deterministic), the
+    // packSequences discipline — callers hold no cache
+    binned.unpersist()
+    keyed.join(broadcast(off2Df), Seq("epoch", "kbin"))
+      .withColumn("position",
+        row_number().over(wK).cast("long") - 1L + col("off2"))
+      .select(col("epoch"), col("position"), col("id"), col("stratum"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontaminate, MinHashDedup}
+import graft.operators.MinHashDedup
 
 /** The training-data BUILD funnel — the composition every LLM data
   * pipeline actually ships: exact dedup → near-dedup → benchmark
@@ -65,10 +65,11 @@ object PipelineOps {
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("fn", lit(1))
     // stage 3 — decontamination: c2's 5-gram contamination report IS the
-    // drop list (eval side broadcast; output already distinct per id)
-    val contam = Decontaminate.contamination(
-        train, all.filter(col("doc_id") < CorpusOps.EvalSplit),
-        "doc_id", "text", n = 5)
+    // drop list (output already distinct per id), SERVED from the c23
+    // at-rest gram index — the funnel build reads the landed posting
+    // table instead of re-shingling the training corpus (same rows by
+    // construction: same gram rule, same hash, same join)
+    val contam = CorpusOps.contaminationFromIndex(s, dir)
       .select(col("id").as("doc_id"), lit(1).as("fc"))
     base
       .join(exact, Seq("doc_id"), "left")
@@ -194,22 +195,31 @@ object PipelineOps {
     * variant showing the extra attrition d48 adds. The base four-stage
     * attribution serves from the landed pipe1s artifact
     * ([[attributedAtRest]]); what this row PRICES is the span sweep
-    * itself (one gram shuffle + per-doc window over the training
-    * universe) plus the overlay — first-drop-wins re-attribution with
-    * spans slotted between near-dedup and decontamination. At sf0.01
-    * the span stage drops training documents that survive all four
-    * pipe1 stages (≥ half their text is copied, but no single partner
-    * crosses the MinHash pair threshold) — exactly the memorization
-    * tail the paper's ExactSubstr pass exists to catch. */
+    * itself (one gram shuffle + per-doc window) plus the overlay —
+    * first-drop-wins re-attribution with spans slotted between
+    * near-dedup and decontamination. The sweep's universe is the
+    * DEDUP SURVIVORS (dropped_at ∉ {1,2}) — the Lee et al. deployment
+    * runs ExactSubstr after document-level dedup, so a span drop is
+    * never triggered by overlap with a document an earlier stage
+    * already removed, and the sweep's gram shuffle prices only the
+    * surviving corpus. At sf0.01 the span stage still drops training
+    * documents that survive all four pipe1 stages (≥ half their text
+    * is copied, but no single partner crosses the MinHash pair
+    * threshold) — exactly the memorization tail the paper's
+    * ExactSubstr pass exists to catch. */
   def pipe4SpanFunnel(s: SparkSession, dir: String): DataFrame = {
+    val att = attributedAtRest(s, dir)
+    // dedup-survivor universe for the sweep: exact (1) and near-dup (2)
+    // casualties are out before any gram is hashed
+    val sweepDocs = att.filter(!col("dropped_at").isin(1, 2))
+      .select(col("doc_id"))
     val spans = graft.operators.SpanDedup
       .spanProfile(
-        Tables(s, dir, "documents")
-          .filter(col("doc_id") >= CorpusOps.EvalSplit),
+        Tables(s, dir, "documents").join(sweepDocs, Seq("doc_id"), "left_semi"),
         "doc_id", "text", TextOps.D48MinLen)
       .filter(col("copied_ppm") >= SpanDropPpm)
       .select(col("doc_id"), lit(1).as("fs"))
-    val att5 = attributedAtRest(s, dir)
+    val att5 = att
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("toks"),
         when(col("dropped_at") === 1, 1)
@@ -284,11 +294,13 @@ object PipelineOps {
        |${funnelSql(Stages, "att")}""".stripMargin
 
   /** pipe4's replay: the shared attribution chain, the d48 span chain
-    * over the SAME training universe, the first-drop-wins overlay, and
-    * the shared funnel tail. */
+    * over the DEDUP-SURVIVOR universe (dropped_at ∉ {1,2} in `att` —
+    * mirrors [[pipe4SpanFunnel]]'s semi-join), the first-drop-wins
+    * overlay, and the shared funnel tail. */
   private lazy val pipe4Sql: String =
     s"""WITH $attCtes,
-       |${TextOps.d48SpanCtes(s"WHERE doc_id >= ${CorpusOps.EvalSplit}")},
+       |${TextOps.d48SpanCtes(
+            "WHERE doc_id IN (SELECT doc_id FROM att WHERE dropped_at NOT IN (1, 2))")},
        |spd AS (SELECT doc_id FROM d48out WHERE copied_ppm >= $SpanDropPpm),
        |att5 AS (
        |  SELECT doc_id, lang, toks,
@@ -324,15 +336,77 @@ object PipelineOps {
        |  CAST(SUM(nt) AS BIGINT) AS pack_tokens
        |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin
 
+  /** pipe5's epoch count — enough to pin that epochs differ while the
+    * row stays output-bounded. */
+  private val CurriculumEpochs = 2
+
+  /** pipe5: the DOCUMENT-LEVEL MIXTURE CURRICULUM — the funnel's last
+    * mile: the surviving documents laid into a reproducible per-epoch
+    * training order ([[graft.operators.CorpusShaping
+    * .curriculumInterleave]]): within-language order is an epoch-seeded
+    * hash shuffle, and languages INTERLEAVE evenly by construction
+    * (stratum s's r-th doc at fractional key (2r+1)/(2nₛ)), so any
+    * prefix of any epoch holds the corpus mix — what "shuffle the
+    * training data" actually needs to guarantee. Pure hash/integer/one-
+    * division arithmetic end to end: the DuckDB oracle replays the
+    * entire ordering and the spec pins re-runs byte-identical. */
+  def pipe5Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val kept = attributedAtRest(s, dir)
+      .filter(col("dropped_at") === 0)
+      .select(col("doc_id"), col("lang"))
+    graft.operators.CorpusShaping
+      .curriculumInterleave(kept, "doc_id", "lang", CurriculumEpochs)
+      .select(col("epoch"), col("position"),
+        col("id").as("doc_id"), col("stratum").as("lang"))
+      .orderBy("epoch", "position")
+  }
+
+  /** pipe5's replay: the attribution chain's survivors crossed with the
+    * epoch list, the SAME hex60("epoch:id") hash, the same per-stratum
+    * rank → fractional-key → global-order arithmetic — plain window
+    * functions here (DuckDB runs at oracle scale; the Spark side's
+    * two-phase prefix counts exist for the 100 TB posture, not the
+    * semantics). */
+  private lazy val pipe5Sql: String = {
+    val epochVals = (0 until CurriculumEpochs).map(e => s"($e)").mkString(", ")
+    s"""WITH $attCtes,
+       |kept AS (SELECT doc_id, lang FROM att WHERE dropped_at = 0),
+       |ep AS (
+       |  SELECT CAST(e.epoch AS BIGINT) AS epoch, k.doc_id, k.lang
+       |  FROM kept k CROSS JOIN (VALUES $epochVals) e(epoch)),
+       |h AS (
+       |  SELECT epoch, doc_id, lang,
+       |    CAST(('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':'
+       |      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM ep),
+       |r AS (
+       |  SELECT epoch, doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, lang ORDER BY h, doc_id)
+       |      - 1 AS r,
+       |    COUNT(*) OVER (PARTITION BY epoch, lang) AS ns
+       |  FROM h),
+       |k AS (
+       |  SELECT epoch, doc_id, lang,
+       |    CAST(2 * r + 1 AS DOUBLE) / CAST(2 * ns AS DOUBLE) AS key
+       |  FROM r)
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY key, lang, doc_id) - 1 AS BIGINT) AS position,
+       |  doc_id, lang
+       |FROM k ORDER BY epoch, position""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_training_funnel" -> (pipe1TrainingFunnel _),
     "pipe2_funnel_by_lang" -> (pipe2FunnelByLang _),
     "pipe3_funnel_packing" -> (pipe3FunnelPacking _),
-    "pipe4_span_funnel" -> (pipe4SpanFunnel _))
+    "pipe4_span_funnel" -> (pipe4SpanFunnel _),
+    "pipe5_curriculum" -> (pipe5Curriculum _))
 
   val oracles: Map[String, String] = Map(
     "pipe1_training_funnel" -> pipe1Sql,
     "pipe2_funnel_by_lang" -> pipe2Sql,
     "pipe3_funnel_packing" -> pipe3Sql,
-    "pipe4_span_funnel" -> pipe4Sql)
+    "pipe4_span_funnel" -> pipe4Sql,
+    "pipe5_curriculum" -> pipe5Sql)
 }

@@ -154,4 +154,48 @@ class CorpusShapingSpec extends AnyFunSuite {
     val d = docs().select(col("doc_id"), col("lang"), col("text"))
     assert(CorpusShaping.packSequences(d, "doc_id", "text", 10).count() == 0L)
   }
+
+  test("curriculumInterleave: dense per-epoch permutations, byte-identical " +
+      "re-runs, epoch-seeded shuffles, and by-construction even interleave") {
+    import spark.implicits._
+    // strata A (8 docs) and B (4 docs): the fractional-key construction
+    // makes the stratum SEQUENCE deterministic regardless of which doc
+    // the hash puts at each rank — A at (2r+1)/16, B at (2r+1)/8 merge
+    // to A B A A B A A B A A B A, exactly every third slot a B
+    val d = ((1L to 8L).map(i => (i, "A")) ++ (9L to 12L).map(i => (i, "B")))
+      .toDF("doc_id", "lang")
+    val out = CorpusShaping.curriculumInterleave(d, "doc_id", "lang", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.length == 24)
+    (0L to 1L).foreach { e =>
+      val ep = out.filter(_._1 == e).sortBy(_._2)
+      assert(ep.map(_._2).toSeq == (0L until 12L).toSeq,
+        s"epoch $e positions not dense: ${ep.map(_._2).toSeq}")
+      assert(ep.map(_._3).toSet == (1L to 12L).toSet,
+        s"epoch $e is not a permutation")
+      assert(ep.map(_._4).toSeq == Seq("A", "B", "A", "A", "B", "A",
+        "A", "B", "A", "A", "B", "A"),
+        s"epoch $e stratum sequence broke the interleave: ${ep.map(_._4).toSeq}")
+    }
+    // epochs are DIFFERENT shuffles of the same multiset (the hash is
+    // epoch-seeded) — with 8! orderings of A a collision is negligible
+    val orders = (0L to 1L).map(e =>
+      out.filter(_._1 == e).sortBy(_._2).map(_._3).toSeq)
+    assert(orders(0) != orders(1), "epoch orders must differ")
+    // byte-identical re-run (and partitioning-independent: force a
+    // different bin width via nParts)
+    val again = CorpusShaping.curriculumInterleave(d, "doc_id", "lang", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(again.sortBy(x => (x._1, x._2)).toSeq ==
+      out.sortBy(x => (x._1, x._2)).toSeq)
+    val narrow = CorpusShaping
+      .curriculumInterleave(d, "doc_id", "lang", 2, nParts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(narrow.sortBy(x => (x._1, x._2)).toSeq ==
+      out.sortBy(x => (x._1, x._2)).toSeq,
+      "a different two-phase bin width changed the order")
+  }
 }
