@@ -1033,6 +1033,62 @@ class PlanAuditSpec extends AnyFunSuite {
       "the gazetteer must never cross-join the points: " + s.take(1200))
   }
 
+  test("c23 served decontamination: shard-pruned index scan, eval side " +
+      "broadcasts, corpus text never re-read") {
+    val s = formatted(
+      SparkEntry.queries("c23_decontaminate_served")(spark, sfDir))
+    // the posting-table scan partition-prunes on the eval probe's shards
+    val pf = s.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(_.contains("shard")),
+      s"posting scan must partition-prune on shard:\n${pf.mkString("\n")}")
+    // the tiny eval-gram side broadcasts — the join is map-side
+    assert(nodeCount(s, "BroadcastHashJoin") >= 1, s.take(1500))
+    // the corpus side reads (id, gh) longs from the index, never text —
+    // the whole point of serving at rest: the ONLY text scan allowed is
+    // the (tiny) eval side's
+    val textScans = s.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("text:string")).size
+    assert(textScans <= 1,
+      s"only the eval side may read document text, got $textScans text scans")
+  }
+
+  test("geo1s served reverse geocode: the landed ring table broadcasts, " +
+      "points never shuffle") {
+    val s = formatted(
+      SparkEntry.queries("geo1s_reverse_geocode_served")(spark, sfDir))
+    assert(nodeCount(s, "BroadcastHashJoin") >= 1,
+      "the landed cell-ring table must broadcast: " + s.take(1200))
+    assert(nodeCount(s, "CartesianProduct") == 0 &&
+      nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
+    // exactly one exchange below the rollup is allowed (the per-city
+    // aggregate); the points themselves must not shuffle pre-join: the
+    // join side count is the cheap proxy — the probe join input chain
+    // has no Exchange between scan and join
+    val tree = s.split(raw"== Initial Plan ==").head
+    val joinIdx = tree.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    val preJoin = tree.linesIterator.toSeq.take(joinIdx)
+    assert(!preJoin.exists(l => l.contains("Exchange hashpartitioning")),
+      "points shuffled before the ring join: " + preJoin.mkString("\n"))
+  }
+
+  test("pipe5 curriculum: no global or per-stratum window — every Window " +
+      "partitions on a two-phase bin") {
+    val s = try formatted(SparkEntry.queries("pipe5_curriculum")(spark, sfDir))
+    finally spark.catalog.clearCache()
+    // every Window node's partition spec must include a bin column
+    // (hbin/kbin) — a Window partitioned on (epoch, stratum) alone or on
+    // nothing would sort an unbounded stratum in one task
+    val tree = s.split(raw"== Initial Plan ==").head
+    val winDetails = s.split("\n\n").filter(_.contains("Window"))
+      .filter(_.contains("windowspecdefinition"))
+    assert(winDetails.nonEmpty, "expected Window details in plan")
+    winDetails.foreach { d =>
+      assert(d.contains("hbin") || d.contains("kbin"),
+        s"a Window runs without a two-phase bin partition:\n${d.take(800)}")
+    }
+    assert(nodeCount(tree, "CartesianProduct") == 0, s.take(1200))
+  }
+
   test("pipe4 span funnel: the rollup runs over the pinned attribution") {
     val s = try formatted(SparkEntry.queries("pipe4_span_funnel")(spark, sfDir))
     finally spark.catalog.clearCache()
