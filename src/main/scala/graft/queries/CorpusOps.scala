@@ -1094,17 +1094,24 @@ object CorpusOps {
   private[queries] def contaminationFromIndex(s: SparkSession, dir: String): DataFrame = {
     val root = decontamGramsRoot(s, dir)
     graft.functions.SketchFunctions.register(s)
-    val evalGrams = Decontaminate.gramHashes(
+    // materialize the eval grams ONCE (tiny by assumption — they ride a
+    // broadcast either way): the shard list and the probe side both
+    // derive from this single collect, so a serve pays the eval
+    // tokenize+hash exactly once, not once per consumer of the frame
+    val evalDf = Decontaminate.gramHashes(
         Tables(s, dir, "documents").filter(col("doc_id") < EvalSplit),
         "doc_id", "text", n = 5)
       .select(col("id").as("eval_id"), col("gh"))
+    val evalRows = evalDf.collect()
+    val evalGrams = s.createDataFrame(
+      java.util.Arrays.asList(evalRows: _*), evalDf.schema)
     // the eval probe's shard list: bounded by C23Shards, derived from
     // the (tiny) eval side — a one-benchmark probe reads only its own
     // shard directories; a full eval suite degrades to reading all of a
     // table that is still just (id, gh) longs, never the corpus text
-    val shards = evalGrams
-      .select(pmod(col("gh"), lit(C23Shards.toLong)).cast("int").as("shard"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val shards = evalRows
+      .map(r => java.lang.Math.floorMod(r.getLong(1), C23Shards.toLong).toInt)
+      .distinct.toSeq
     s.read.parquet(root.resolve("grams").toString)
       .filter(col("shard").isin(shards: _*))
       .join(broadcast(evalGrams), "gh")

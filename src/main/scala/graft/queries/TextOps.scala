@@ -1007,7 +1007,12 @@ object TextOps {
 
   /** [[d51GopherQuality]] over an arbitrary (doc_id, text) frame —
     * package-visible for the crafted-fixture spec. */
-  private[graft] def gopherQuality(docs: DataFrame): DataFrame = {
+  private[graft] def gopherQuality(docs0: DataFrame): DataFrame = {
+    // NULL text coalesces to '' on BOTH sides (mirrored in d51Sql): the
+    // engines disagree on the degenerate input otherwise — Spark's
+    // size(split(NULL)) is -1 (negative ppm grids) while DuckDB's
+    // len(string_split(NULL)) is NULL (row of NULLs)
+    val docs = docs0.withColumn("text", coalesce(col("text"), lit("")))
     val ws = split(col("text"), " ")
     val ls = split(col("text"), "\n")
     val nWords = size(ws).cast("long")
@@ -1059,9 +1064,9 @@ object TextOps {
       s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH b AS (
-       |  SELECT doc_id, text,
-       |    string_split(text, ' ') AS ws,
-       |    string_split(text, chr(10)) AS ls
+       |  SELECT doc_id, COALESCE(text, '') AS text,
+       |    string_split(COALESCE(text, ''), ' ') AS ws,
+       |    string_split(COALESCE(text, ''), chr(10)) AS ls
        |  FROM documents),
        |m AS (
        |  SELECT doc_id,

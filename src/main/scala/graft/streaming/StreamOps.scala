@@ -2085,9 +2085,12 @@ object StreamOps {
           .localCheckpoint() // the land below and the caller's read
         landDelta(events, s"$statePath/span_events", batchId)
         landDelta(grams, s"$statePath/span_grams", batchId)
-        // the arrived-document universe (1 row per doc): what lets
-        // spansAsOf serve the one-shot d48 schema — zero-coverage and
-        // shorter-than-L documents included — without a corpus join
+        // the arrived-document universe (1 row per doc PER BATCH): what
+        // lets spansAsOf serve the one-shot d48 schema — zero-coverage
+        // and shorter-than-L documents included — without a corpus join.
+        // Gram-producing re-arrivals fail the clash guard above; a
+        // gram-FREE doc re-arriving across batches lands two rows here,
+        // which spansAsOf collapses (min-batch wins) at serve time
         landDelta(batch.select(col("doc_id").as("id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
           s"$statePath/span_doclens", batchId)
@@ -2136,9 +2139,16 @@ object StreamOps {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("len")).as("covered_tokens"),
         max(col("len")).as("longest_span"))
+    // one universe row per doc even if a doc id ever lands doclens rows
+    // in two waves: the gram-side clash guard only sees docs that PRODUCE
+    // grams, so a shorter-than-L doc re-arriving across batches would
+    // slip it and duplicate here — keep the first arrival's row (min
+    // batch), matching the event log's exactly-once discovery stamps
     readDelta(spark, s"$statePath/span_doclens", dlSchema)
       .filter(col("batch_id").cast("long") <= asOf)
-      .select(col("id").as("doc_id"), col("n_tokens"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(min_by(col("n_tokens"), col("batch_id").cast("long"))
+        .as("n_tokens"))
       .join(perDoc, col("doc_id") === perDoc("id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),

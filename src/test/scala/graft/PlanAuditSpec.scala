@@ -1060,15 +1060,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "the landed cell-ring table must broadcast: " + s.take(1200))
     assert(nodeCount(s, "CartesianProduct") == 0 &&
       nodeCount(s, "BroadcastNestedLoopJoin") == 0, s.take(1200))
-    // exactly one exchange below the rollup is allowed (the per-city
-    // aggregate); the points themselves must not shuffle pre-join: the
-    // join side count is the cheap proxy — the probe join input chain
-    // has no Exchange between scan and join
+    // the points themselves must not shuffle pre-join: walk the join's
+    // SUBTREE (the lines after the join at deeper indent — formatted
+    // explain lists children below their parent) and require its only
+    // Exchange to be the ring table's BroadcastExchange. The round-18
+    // form of this assertion grepped the tree for 'Exchange
+    // hashpartitioning', which the tree never prints (that string lives
+    // in the details section) — it could not fail
     val tree = s.split(raw"== Initial Plan ==").head
-    val joinIdx = tree.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
-    val preJoin = tree.linesIterator.toSeq.take(joinIdx)
-    assert(!preJoin.exists(l => l.contains("Exchange hashpartitioning")),
-      "points shuffled before the ring join: " + preJoin.mkString("\n"))
+    val lines = tree.linesIterator.toSeq
+    def depth(l: String): Int = l.indexWhere(c => c.isLetter || c == '*')
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(joinIdx >= 0, "expected a BroadcastHashJoin in the tree:\n" +
+      s.take(1500))
+    val jd = depth(lines(joinIdx))
+    val subtree = lines.drop(joinIdx + 1)
+      .takeWhile(l => depth(l) > jd || depth(l) < 0)
+    assert(subtree.nonEmpty, "join subtree parse came up empty:\n" +
+      lines.slice(joinIdx, joinIdx + 5).mkString("\n"))
+    val shuffles = subtree.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles.isEmpty,
+      "points shuffled before the ring join: " + shuffles.mkString("\n"))
   }
 
   test("pipe5 curriculum: no global or per-stratum window — every Window " +
