@@ -546,12 +546,22 @@ object ScaleOps {
     * close the index immediately. */
   private def semDedupRollup(s: SparkSession,
       idx: IvfSearch.Index): DataFrame = {
+    val res = rollupVerdicts(semDedupVerdicts(s, idx))
+    // bounded (IvfK rows): materialize before the caller closes the index
+    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+  }
+
+  /** The within-list near-duplicate PAIRS of an IVF-blocked sweep —
+    * (id_a, id_b) at cosine ≥ [[A4Threshold]], a.id < b.id. The
+    * quadratic term every semantic sweep pays; a9 lands its output so
+    * serves never re-pay it. */
+  private def semDedupPairs(s: SparkSession, idx: IvfSearch.Index): DataFrame = {
     graft.functions.DotProduct.register(s)
     val dot = graft.functions.DotProduct.dotProduct _
     // norm once per row — the pair join must never recompute ||x||
     val asg = idx.assignments
       .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-    val pairs = asg.as("a")
+    asg.as("a")
       .join(asg.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.id") < col("b.id"))
@@ -559,18 +569,39 @@ object ScaleOps {
         dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos") >= A4Threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Per-id sweep VERDICTS — (id, centroid_id, dropped): the pair graph
+    * collapsed to components, min-id-wins. ONE implementation under
+    * a4 (trains per call), a8 (index at rest), and a9 (verdicts at
+    * rest) — the three cannot drift. */
+  private def semDedupVerdicts(s: SparkSession,
+      idx: IvfSearch.Index): DataFrame =
+    verdictsFromPairs(idx, semDedupPairs(s, idx))
+
+  /** (id, centroid_id, dropped) off an explicit pair frame — shared by
+    * the in-memory path and a9's build, where the pairs come back off
+    * the just-landed log so the verdicts trace to the exact audit
+    * trail sitting next to them. */
+  private def verdictsFromPairs(idx: IvfSearch.Index,
+      pairs: DataFrame): DataFrame = {
     val dropped = graft.operators.ConnectedComponents.components(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id"), lit(1L).as("drp"))
-    val res = idx.assignments.select(col("id"), col("centroid_id"))
+    idx.assignments.select(col("id"), col("centroid_id"))
       .join(dropped, Seq("id"), "left")
-      .groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
-      .orderBy("centroid_id")
-    // bounded (IvfK rows): materialize before the caller closes the index
-    s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+      .select(col("id"), col("centroid_id"),
+        coalesce(col("drp"), lit(0L)).as("dropped"))
   }
+
+  /** a4's per-cluster histogram off a verdict table — longs in, longs
+    * out, so a verdicts round-trip through parquet reproduces a4's
+    * in-memory rollup bit for bit. */
+  private def rollupVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dropped")).as("n_dropped"))
+      .orderBy("centroid_id")
 
   /** a8: a4's sweep SERVED from an at-rest IVF index — the k-means
     * train (the 9-of-9.2 s of a4's wall) lands once per embeddings
@@ -591,8 +622,52 @@ object ScaleOps {
       try IvfSearch.saveIndex(idx, root.resolve("index").toString)
       finally idx.close()
     }
-    // close() on a loaded index is a no-op; the rollup materializes
-    semDedupRollup(s, IvfSearch.loadIndex(s, root.resolve("index").toString))
+    // persist the loaded inverted file for the sweep's three scans (both
+    // sides of the within-list self-join + the rollup) — a4 pays these
+    // from buildIndex's persisted assignments, so the serve must not
+    // re-read the parquet redundantly; the rollup materializes (bounded,
+    // IvfK rows), so close() can unpersist immediately after
+    val idx = IvfSearch.loadIndex(s, root.resolve("index").toString)
+    idx.assignments.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try semDedupRollup(s, idx) finally idx.close()
+  }
+
+  /** a9: the semantic-dedup sweep VERDICTS at rest — the last recurring
+    * cost in the family gone. a8 serves the INDEX but still pays the
+    * within-list pair join + connected components on every sweep (the
+    * heaviest recurring non-pricing cost, ~3.6 s quiet at sf0.1); a9
+    * lands the pair log (the audit trail release reviews read) and the
+    * per-id component verdicts ONCE per (embeddings fingerprint,
+    * threshold) — the mm14/mm15 at-rest gate posture, marker-last under
+    * the family lock — and serves a4's per-cluster rollup as a columnar
+    * scan of [[IvfK]]-bounded long rows. The threshold rides the
+    * fingerprint key: a retuned threshold is a different artifact, and
+    * [[artifactRoot]]'s stale-fingerprint prune evicts the old one.
+    * Bit-equal to a4 by construction: verdicts are longs (lossless
+    * through parquet) and the rollup is [[rollupVerdicts]] — the same
+    * aggregate a4 runs in memory. a4 prices the train, a8 the sweep,
+    * a9 the serve. */
+  def a9SemDedupVerdictsAtRest(s: SparkSession, dir: String): DataFrame = {
+    val fp = dataFingerprint(dir, Seq("embeddings")) +
+      "_t" + math.round(A4Threshold * 100)
+    val root = artifactRoot("a9", fp)
+    buildOnce("a9", root, "_VERDICTS_OK") {
+      val t = s.newSession()
+      val e = Tables(t, dir, "embeddings").filter(col("vec_id") < 500)
+      val idx = IvfSearch.buildIndex(e, "vec_id", "embedding",
+        k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+      try {
+        semDedupPairs(t, idx).write.mode("overwrite")
+          .parquet(root.resolve("pairs").toString)
+        // components re-derive from the landed pair log — the verdicts
+        // a reader audits trace to the exact pairs sitting next to them
+        verdictsFromPairs(idx,
+            t.read.parquet(root.resolve("pairs").toString))
+          .write.mode("overwrite")
+          .parquet(root.resolve("verdicts").toString)
+      } finally idx.close()
+    }
+    rollupVerdicts(s.read.parquet(root.resolve("verdicts").toString))
   }
 
   /** a7's eval/train split inside the a2/a4 demo block: ids below are
@@ -1965,13 +2040,98 @@ object ScaleOps {
       marker: String = "_STATE_OK",
       rebuildIf: () => Boolean = () => false)(build: => Unit): Unit = {
     val done = root.resolve(marker)
-    if (java.nio.file.Files.exists(done) && !rebuildIf()) return
+    if (java.nio.file.Files.exists(done) && !rebuildIf()) {
+      touchServed(root); return
+    }
     withFamilyLock(family) {
       if (!java.nio.file.Files.exists(done) || rebuildIf()) {
         java.nio.file.Files.deleteIfExists(done)
         build
         java.nio.file.Files.createDirectories(root)
         java.nio.file.Files.write(done, Array.emptyByteArray)
+      }
+    }
+    touchServed(root)
+  }
+
+  /** Refresh the root's `_SERVED` stamp — every serve goes through
+    * [[buildOnce]], so this one touch point gives each artifact root a
+    * last-served time. Advisory (the manifest and GC read it; nothing
+    * correctness-bearing does), so stamp failures never fail a serve. */
+  private def touchServed(root: java.nio.file.Path): Unit = try {
+    val served = root.resolve("_SERVED")
+    if (java.nio.file.Files.exists(served))
+      java.nio.file.Files.setLastModifiedTime(served, java.nio.file.attribute
+        .FileTime.fromMillis(System.currentTimeMillis()))
+    else java.nio.file.Files.write(served, Array.emptyByteArray)
+  } catch { case _: java.io.IOException => () }
+
+  /** One row per landed artifact root — the lifecycle ledger a
+    * long-lived deployment reads before deciding what its artifact
+    * volume is spending bytes on. Derived entirely from the filesystem
+    * (root name = `<family>_<fingerprint>`; built_at = newest `_*OK`
+    * marker mtime; last_served = the `_SERVED` stamp [[buildOnce]]
+    * refreshes per serve), so there is no mutable manifest file to
+    * corrupt or race. */
+  private[graft] case class ArtifactInfo(family: String, fingerprint: String,
+      bytes: Long, builtAt: Long, lastServed: Long)
+
+  private def artifactRootDirs(): Seq[java.io.File] =
+    Option(artifactBase.toFile.listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains('_'))
+
+  private[graft] def artifactManifest(): Seq[ArtifactInfo] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    artifactRootDirs().map { f =>
+      val files = walk(f)
+      val family = f.getName.takeWhile(_ != '_')
+      val builtAt = files.filter(x => x.getName.startsWith("_") &&
+        x.getName.endsWith("OK")).map(_.lastModified)
+        .sorted.lastOption.getOrElse(0L)
+      val served = new java.io.File(f, "_SERVED")
+      ArtifactInfo(family, f.getName.drop(family.length + 1),
+        files.map(_.length).sum, builtAt,
+        if (served.exists) served.lastModified else builtAt)
+    }.sortBy(a => (a.family, a.fingerprint))
+  }
+
+  /** The artifact RETENTION SWEEP — the eviction story the at-rest
+    * families (i5, c12, c23, d50s, geo1s, a8, a9, pipe1s, the mm
+    * gates, ...) were missing: [[artifactRoot]] prunes a family's stale
+    * fingerprints only when that family is next TOUCHED with a fresh
+    * one, so a family the workload moved away from strands its old
+    * roots forever. For every family holding more than one root, keep
+    * the most recently served/built and evict the rest — under the
+    * family FileLock, so GC can never race that family's
+    * [[buildOnce]] (an in-flight build holds the lock until its marker
+    * is down). Eviction is only ever a re-train on next touch: markers
+    * write last, so a victim that was about to be served again simply
+    * rebuilds. Returns the evicted (family, fingerprint) pairs. Wired
+    * into [[graft.streaming.StreamOps.maintain]] as the `gc_artifacts`
+    * step. */
+  private[graft] def gcArtifacts(): Seq[(String, String)] = {
+    val families = artifactRootDirs().map(_.getName.takeWhile(_ != '_'))
+      .groupBy(identity).collect { case (fam, rs) if rs.size > 1 => fam }
+    families.toSeq.sorted.flatMap { family =>
+      withFamilyLock(family) {
+        // re-list under the lock: a concurrent artifactRoot prune or a
+        // racing GC may already have thinned this family
+        val cur = artifactRootDirs()
+          .filter(_.getName.startsWith(s"${family}_"))
+        if (cur.size <= 1) Nil
+        else {
+          def stamp(f: java.io.File): Long = {
+            val served = new java.io.File(f, "_SERVED")
+            if (served.exists) served.lastModified else f.lastModified
+          }
+          val keep = cur.maxBy(f => (stamp(f), f.getName))
+          cur.filterNot(_ == keep).map { f =>
+            graft.sources.Sources.deleteRecursively(f)
+            (family, f.getName.drop(family.length + 1))
+          }
+        }
       }
     }
   }
@@ -2368,6 +2528,7 @@ object ScaleOps {
     "a2_embedding_neardup" -> (a2EmbeddingNeardup _),
     "a4_semdedup" -> (a4SemDedup _),
     "a8_semdedup_at_rest" -> (a8SemDedupAtRest _),
+    "a9_semdedup_verdicts_at_rest" -> (a9SemDedupVerdictsAtRest _),
     "a7_semantic_decontam" -> (a7SemanticDecontam _),
     "a5_rolling_semdedup" -> (a5RollingSemDedup _),
     "a6_asof_semdedup" -> (a6AsofSemDedup _),
@@ -2405,6 +2566,7 @@ object ScaleOps {
     "a4_semdedup" -> a4Sql,
     // the at-rest index serve must reproduce a4's sweep exactly
     "a8_semdedup_at_rest" -> a4Sql,
+    "a9_semdedup_verdicts_at_rest" -> a4Sql,
     "a7_semantic_decontam" -> a7Sql,
     "a5_rolling_semdedup" -> a5Sql,
     "a6_asof_semdedup" -> a6Sql,

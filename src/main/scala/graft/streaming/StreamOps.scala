@@ -3524,7 +3524,16 @@ object StreamOps {
         "img_fp", "img_nd", "aud_fp", "aud_nd", "vid_fp", "vid_nd",
         // the rolling span-dedup family's gram log + covered-event log
         // + the arrived-document universe the serving schema reads
-        "span_grams", "span_events", "span_doclens").map(merge)
+        "span_grams", "span_events", "span_doclens").map(merge) ++
+      // the at-rest artifact volume's retention sweep (round 19): evict
+      // every family's non-current fingerprints under that family's
+      // FileLock — see [[graft.queries.ScaleOps.gcArtifacts]]. Reported
+      // as (roots evicted, roots remaining).
+      Seq("gc_artifacts" -> { () =>
+        val evicted = graft.queries.ScaleOps.gcArtifacts()
+        (evicted.size.toLong,
+          graft.queries.ScaleOps.artifactManifest().size.toLong)
+      })
   }
 
   /** Checkpointed parquet sink: exactly-once file output via the commit

@@ -313,6 +313,68 @@ class ScaleOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a9 verdicts-at-rest equals a4's in-memory sweep bit-for-bit; " +
+      "the second serve reuses the landed verdict log") {
+    import graft.queries.ScaleOps
+    val a4 = ScaleOps.queries("a4_semdedup")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val a9 = ScaleOps.queries("a9_semdedup_verdicts_at_rest")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a9 == a4, s"a9 $a9 vs a4 $a4")
+    // the verdict log landed marker-last; a second serve reads it without
+    // re-running the pair join / components (no file under the root moves)
+    def verdictMtimes(): Seq[Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      Option(ScaleOps.artifactBase.toFile.listFiles).toSeq.flatten
+        .filter(_.getName.startsWith("a9_"))
+        .flatMap(walk)
+        .filterNot(_.getName == "_SERVED") // the serve stamp moves per call
+        .map(_.lastModified).sorted
+    }
+    val before = verdictMtimes()
+    assert(before.nonEmpty, "expected a landed a9 artifact")
+    val again = ScaleOps.queries("a9_semdedup_verdicts_at_rest")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == a4)
+    assert(verdictMtimes() == before, "second serve must not rebuild")
+    spark.catalog.clearCache()
+  }
+
+  test("artifact manifest reports landed roots; GC keeps each family's " +
+      "freshest fingerprint and evicts the rest") {
+    import graft.queries.ScaleOps
+    val base = ScaleOps.artifactBase
+    java.nio.file.Files.createDirectories(base)
+    def mkRoot(name: String, servedAt: Long): java.nio.file.Path = {
+      val r = base.resolve(name)
+      java.nio.file.Files.createDirectories(r)
+      java.nio.file.Files.write(r.resolve("data.bin"), Array[Byte](1, 2, 3))
+      java.nio.file.Files.write(r.resolve("_STATE_OK"), Array.emptyByteArray)
+      java.nio.file.Files.write(r.resolve("_SERVED"), Array.emptyByteArray)
+      java.nio.file.Files.setLastModifiedTime(r.resolve("_SERVED"),
+        java.nio.file.attribute.FileTime.fromMillis(servedAt))
+      r
+    }
+    val now = System.currentTimeMillis()
+    val old = mkRoot("gcxtest_oldfp", now - 3600 * 1000L)
+    val cur = mkRoot("gcxtest_newfp", now)
+    try {
+      val rows = ScaleOps.artifactManifest().filter(_.family == "gcxtest")
+      assert(rows.map(_.fingerprint).toSet == Set("oldfp", "newfp"), s"$rows")
+      assert(rows.forall(_.bytes >= 3L), s"$rows")
+      assert(rows.forall(_.builtAt > 0L), s"$rows")
+      val evicted = ScaleOps.gcArtifacts()
+      assert(evicted.contains(("gcxtest", "oldfp")), s"evicted: $evicted")
+      assert(!java.nio.file.Files.exists(old), "stale root must be gone")
+      assert(java.nio.file.Files.exists(cur.resolve("_STATE_OK")),
+        "current root must survive")
+      // idempotent: a single-root family is never evicted
+      assert(!ScaleOps.gcArtifacts().exists(_._1 == "gcxtest"))
+    } finally graft.sources.Sources.deleteRecursively(cur.toFile)
+  }
+
   test("c18s shared artifact: lineage reads reuse one landed drive; second call builds nothing") {
     import graft.queries.{CorpusOps, ScaleOps}
     val q = CorpusOps.queries

@@ -2852,7 +2852,28 @@ class StreamOpsSpec extends AnyFunSuite {
         StreamOps.grownIvfIndex(spark, idx, st),
         "vec_id", "embedding", k = 3, nprobe = 2)
       val preProbeRows = preProbe.collect().map(_.toSeq.toVector).toSet
+      // a stale at-rest fingerprint sits on the artifact volume when
+      // window B opens: the window's gc_artifacts step must evict it
+      // (keep-newest under the family lock) without perturbing any
+      // rolling answer — the readsOf equality below is the proof
+      val gcBase = graft.queries.ScaleOps.artifactBase
+      Files.createDirectories(gcBase)
+      def plantRoot(n: String, at: Long): java.nio.file.Path = {
+        val r = gcBase.resolve(n)
+        Files.createDirectories(r)
+        Files.write(r.resolve("_STATE_OK"), Array.emptyByteArray)
+        Files.write(r.resolve("_SERVED"), Array.emptyByteArray)
+        Files.setLastModifiedTime(r.resolve("_SERVED"),
+          java.nio.file.attribute.FileTime.fromMillis(at))
+        r
+      }
+      val nowMs = System.currentTimeMillis()
+      val staleRoot = plantRoot("rehgcx_stalefp", nowMs - 3600 * 1000L)
+      val liveRoot = plantRoot("rehgcx_livefp", nowMs)
       StreamOps.maintain(spark, st, landed) // window B
+      assert(!Files.exists(staleRoot) && Files.exists(liveRoot),
+        "window B's gc step must evict exactly the stale fingerprint")
+      graft.sources.Sources.deleteRecursively(liveRoot.toFile)
       assert(preBm.collect().map(_.toSeq.toVector).toSet == preBmRows,
         "bm25 reader resolved before window B answered differently")
       assert(prePr.collect().map(_.toSeq.toVector).toSet == prePrRows,
