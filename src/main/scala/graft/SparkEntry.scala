@@ -29,4 +29,10 @@ object SparkEntry {
       VectorOps.oracles ++ ScaleOps.oracles ++ CorpusOps.oracles ++
       SearchOps.oracles ++ HybridOps.oracles ++ PipelineOps.oracles ++
       graft.multimodal.MediaOps.oracles
+
+  /** Large-SF oracle materialization hints — (setup DDL, served SQL)
+    * per query whose oracle shares an expensive CTE chain. Local
+    * tooling only (`tools/check_oracle.py --use-hints`); the driver's
+    * compare reads the self-contained `oracleSql`. */
+  def oracleHints: Map[String, (String, String)] = PipelineOps.oracleHints
 }

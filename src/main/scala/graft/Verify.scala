@@ -37,6 +37,15 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     System.err.println(s"[verify] oracle_sql.json written: ${oracle.size} " +
       s"entries -> $outDir")
+    // large-SF materialization hints for check_oracle --use-hints (the
+    // 10×-probe spill fix); driver compare never reads this file
+    val hints = SparkEntry.oracleHints.filter(e => keep(e._1))
+    if (hints.nonEmpty) {
+      val hjson = hints.map { case (k, (setup, sql)) =>
+        s"${q(k)}: {${q("setup")}: ${q(setup)}, ${q("sql")}: ${q(sql)}}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_hints.json"), hjson)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

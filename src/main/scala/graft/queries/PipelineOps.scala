@@ -289,17 +289,21 @@ object PipelineOps {
        |ORDER BY stage_ord""".stripMargin
   }
 
+  // Every pipe oracle is `WITH <attCtes>[,] <tail>`, with the tail
+  // referencing ONLY `att` from the shared prefix — which is what lets
+  // [[oracleHints]] swap the prefix for a materialized temp table
+  // without touching the tail text.
+  private lazy val pipe1Tail: String = funnelSql(Stages, "att")
+
   private lazy val pipe1Sql: String =
-    s"""WITH $attCtes,
-       |${funnelSql(Stages, "att")}""".stripMargin
+    s"WITH $attCtes,\n$pipe1Tail"
 
   /** pipe4's replay: the shared attribution chain, the d48 span chain
     * over the DEDUP-SURVIVOR universe (dropped_at ∉ {1,2} in `att` —
     * mirrors [[pipe4SpanFunnel]]'s semi-join), the first-drop-wins
     * overlay, and the shared funnel tail. */
-  private lazy val pipe4Sql: String =
-    s"""WITH $attCtes,
-       |${TextOps.d48SpanCtes(
+  private lazy val pipe4Tail: String =
+    s"""${TextOps.d48SpanCtes(
             "WHERE doc_id IN (SELECT doc_id FROM att WHERE dropped_at NOT IN (1, 2))")},
        |spd AS (SELECT doc_id FROM d48out WHERE copied_ppm >= $SpanDropPpm),
        |att5 AS (
@@ -313,21 +317,27 @@ object PipelineOps {
        |  FROM att),
        |${funnelSql(Stages5, "att5")}""".stripMargin
 
-  private lazy val pipe2Sql: String =
-    s"""WITH $attCtes
-       |SELECT lang, COUNT(*) AS n_docs,
+  private lazy val pipe4Sql: String =
+    s"WITH $attCtes,\n$pipe4Tail"
+
+  private lazy val pipe2Tail: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN dropped_at = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  CAST((1000000 * CAST(SUM(CASE WHEN dropped_at = 0 THEN 1 ELSE 0 END) AS BIGINT))
        |    // COUNT(*) AS BIGINT) AS kept_ppm
        |FROM att GROUP BY lang ORDER BY lang""".stripMargin
 
+  // plain concatenation, NOT a stripMargin template: the interpolated
+  // tails contain `||` string-concat continuation lines, and a second
+  // stripMargin pass would eat their leading pipe
+  private lazy val pipe2Sql: String = s"WITH $attCtes\n$pipe2Tail"
+
   /** DuckDB replay of [[pipe3FunnelPacking]]: the shared attribution
     * chain filtered to survivors, then d18's single-window cumsum pack
     * rule — the same integer arithmetic the distributed prefix sum
     * computes. */
-  private lazy val pipe3Sql: String =
-    s"""WITH $attCtes,
-       |t AS (SELECT doc_id AS id, toks AS nt FROM att WHERE dropped_at = 0),
+  private lazy val pipe3Tail: String =
+    s"""t AS (SELECT doc_id AS id, toks AS nt FROM att WHERE dropped_at = 0),
        |c AS (
        |  SELECT id, nt, SUM(nt) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t)
@@ -335,6 +345,9 @@ object PipelineOps {
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(nt) AS BIGINT) AS pack_tokens
        |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
+  private lazy val pipe3Sql: String =
+    s"WITH $attCtes,\n$pipe3Tail"
 
   /** pipe5's epoch count — enough to pin that epochs differ while the
     * row stays output-bounded. */
@@ -367,10 +380,9 @@ object PipelineOps {
     * functions here (DuckDB runs at oracle scale; the Spark side's
     * two-phase prefix counts exist for the 100 TB posture, not the
     * semantics). */
-  private lazy val pipe5Sql: String = {
+  private lazy val pipe5Tail: String = {
     val epochVals = (0 until CurriculumEpochs).map(e => s"($e)").mkString(", ")
-    s"""WITH $attCtes,
-       |kept AS (SELECT doc_id, lang FROM att WHERE dropped_at = 0),
+    s"""kept AS (SELECT doc_id, lang FROM att WHERE dropped_at = 0),
        |ep AS (
        |  SELECT CAST(e.epoch AS BIGINT) AS epoch, k.doc_id, k.lang
        |  FROM kept k CROSS JOIN (VALUES $epochVals) e(epoch)),
@@ -396,17 +408,132 @@ object PipelineOps {
        |FROM k ORDER BY epoch, position""".stripMargin
   }
 
+  /** pipe6: the PACKED-SEQUENCE CURRICULUM — pipe5 orders documents,
+    * but a training loader consumes pipe3's PACKS; pipe6 composes them
+    * so the funnel's output is literally the epoch stream a trainer
+    * reads. Survivors pack under the pipe3 rule (cumulative-token
+    * prefix sum, [[CorpusOps.PackBudget]]); each pack's stratum is its
+    * DOMINANT LANGUAGE (most tokens, lang-asc tie-break — a
+    * deterministic argmax both engines replay); the packs then run the
+    * pipe5 interleave ([[graft.operators.CorpusShaping
+    * .curriculumInterleave]] keyed on pack_id). Pure hash/integer/one-
+    * division arithmetic end to end — DuckDB replays the entire
+    * ordering; re-runs are byte-identical (spec). Scale shape: the
+    * pack table is |corpus tokens| / budget rows — three orders
+    * smaller than the doc table — so the interleave's bounded
+    * per-bin count collects shrink accordingly. */
+  def pipe6PackCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val kept = attributedAtRest(s, dir)
+      .filter(col("dropped_at") === 0)
+      .select(col("doc_id"), col("lang"))
+    val docs = Tables(s, dir, "documents")
+      .join(kept.select(col("doc_id")), Seq("doc_id"))
+    val packed = graft.operators.CorpusShaping
+      .packSequences(docs, "doc_id", "text", CorpusOps.PackBudget)
+    val domLang = packed
+      .join(kept.withColumnRenamed("doc_id", "id"), Seq("id"))
+      .groupBy(col("pack_id"), col("lang"))
+      .agg(sum(col("nt")).as("ltoks"))
+      .groupBy(col("pack_id"))
+      .agg(min_by(col("lang"),
+        struct((-col("ltoks")).as("o1"), col("lang").as("o2")))
+        .as("dom_lang"))
+    graft.operators.CorpusShaping
+      .curriculumInterleave(domLang, "pack_id", "dom_lang", CurriculumEpochs)
+      .select(col("epoch"), col("position"),
+        col("id").as("pack_id"), col("stratum").as("dom_lang"))
+      .orderBy("epoch", "position")
+  }
+
+  /** pipe6's replay: the attribution survivors, pipe3's pack rule, the
+    * dominant-language argmax, then pipe5's interleave arithmetic over
+    * (pack_id, dom_lang) — plain windows at oracle scale. */
+  private lazy val pipe6Tail: String = {
+    val epochVals = (0 until CurriculumEpochs).map(e => s"($e)").mkString(", ")
+    s"""t AS (SELECT doc_id AS id, lang, toks AS nt FROM att WHERE dropped_at = 0),
+       |c AS (
+       |  SELECT id, lang, nt,
+       |    SUM(nt) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t),
+       |p AS (SELECT id, lang, nt,
+       |    CAST((cum - nt) // ${CorpusOps.PackBudget} AS BIGINT) AS pack_id
+       |  FROM c),
+       |lt AS (SELECT pack_id, lang, CAST(SUM(nt) AS BIGINT) AS ltoks
+       |  FROM p GROUP BY pack_id, lang),
+       |dm AS (SELECT pack_id, lang AS dom_lang FROM (
+       |    SELECT pack_id, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY pack_id
+       |        ORDER BY ltoks DESC, lang) AS rk
+       |    FROM lt) z
+       |  WHERE rk = 1),
+       |ep AS (
+       |  SELECT CAST(e.epoch AS BIGINT) AS epoch, d.pack_id, d.dom_lang
+       |  FROM dm d CROSS JOIN (VALUES $epochVals) e(epoch)),
+       |h AS (
+       |  SELECT epoch, pack_id, dom_lang,
+       |    CAST(('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':'
+       |      || CAST(pack_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM ep),
+       |r AS (
+       |  SELECT epoch, pack_id, dom_lang,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, dom_lang ORDER BY h, pack_id)
+       |      - 1 AS r,
+       |    COUNT(*) OVER (PARTITION BY epoch, dom_lang) AS ns
+       |  FROM h),
+       |k AS (
+       |  SELECT epoch, pack_id, dom_lang,
+       |    CAST(2 * r + 1 AS DOUBLE) / CAST(2 * ns AS DOUBLE) AS key
+       |  FROM r)
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+       |    ORDER BY key, dom_lang, pack_id) - 1 AS BIGINT) AS position,
+       |  pack_id, dom_lang
+       |FROM k ORDER BY epoch, position""".stripMargin
+  }
+
+  private lazy val pipe5Sql: String =
+    s"WITH $attCtes,\n$pipe5Tail"
+
+  private lazy val pipe6Sql: String =
+    s"WITH $attCtes,\n$pipe6Tail"
+
+  /** Large-SF oracle MATERIALIZATION HINTS (round 19, after the 10×
+    * probe incident): DuckDB inlines a WITH chain per reference, so the
+    * shared `att` attribution chain re-evaluates once per consumer —
+    * at 10× the pipe4 replay spilled >72 GB and exhausted the volume.
+    * Each hint is (setup DDL, served SQL): run the setup once (it pins
+    * `att` to a temp table — the localCheckpoint posture the Spark side
+    * already has), then the served SQL replays the IDENTICAL tail text
+    * over `att AS (SELECT * FROM graft_att_mat)`. Consumed by
+    * `tools/check_oracle.py --use-hints`; the driver's own compare
+    * keeps reading the self-contained oracle_sql.json. */
+  lazy val oracleHints: Map[String, (String, String)] = {
+    val setup = s"CREATE OR REPLACE TEMP TABLE graft_att_mat AS " +
+      s"WITH $attCtes SELECT * FROM att"
+    def served(tail: String, comma: Boolean = true): String =
+      s"WITH att AS (SELECT * FROM graft_att_mat)${if (comma) "," else ""}\n$tail"
+    Map(
+      "pipe1_training_funnel" -> (setup, served(pipe1Tail)),
+      "pipe2_funnel_by_lang" -> (setup, served(pipe2Tail, comma = false)),
+      "pipe3_funnel_packing" -> (setup, served(pipe3Tail)),
+      "pipe4_span_funnel" -> (setup, served(pipe4Tail)),
+      "pipe5_curriculum" -> (setup, served(pipe5Tail)),
+      "pipe6_pack_curriculum" -> (setup, served(pipe6Tail)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_training_funnel" -> (pipe1TrainingFunnel _),
     "pipe2_funnel_by_lang" -> (pipe2FunnelByLang _),
     "pipe3_funnel_packing" -> (pipe3FunnelPacking _),
     "pipe4_span_funnel" -> (pipe4SpanFunnel _),
-    "pipe5_curriculum" -> (pipe5Curriculum _))
+    "pipe5_curriculum" -> (pipe5Curriculum _),
+    "pipe6_pack_curriculum" -> (pipe6PackCurriculum _))
 
   val oracles: Map[String, String] = Map(
     "pipe1_training_funnel" -> pipe1Sql,
     "pipe2_funnel_by_lang" -> pipe2Sql,
     "pipe3_funnel_packing" -> pipe3Sql,
     "pipe4_span_funnel" -> pipe4Sql,
-    "pipe5_curriculum" -> pipe5Sql)
+    "pipe5_curriculum" -> pipe5Sql,
+    "pipe6_pack_curriculum" -> pipe6Sql)
 }

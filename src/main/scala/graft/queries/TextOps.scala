@@ -1104,6 +1104,64 @@ object TextOps {
        |FROM o ORDER BY doc_id""".stripMargin
   }
 
+  /** d52's repetition thresholds (Rae et al. 2021 table A1, on this
+    * engine's ppm grids): duplicate-line share ≤ 30%, top-2-gram char
+    * share ≤ 20%, top-3-gram ≤ 18%, duplicated-5-gram coverage ≤ 15%. */
+  private val D52MaxDupLinePpm = 300000L
+  private val D52MaxTop2Ppm = 200000L
+  private val D52MaxTop3Ppm = 180000L
+  private val D52MaxDup5Ppm = 150000L
+
+  /** d52: the COMPOSED GOPHER VERDICT — the Rae et al. table-A1 filter
+    * stack as ONE deployable keep/drop row: d49's repetition grid and
+    * d51's quality grid, each collapsed to its pass bit, joined on
+    * doc_id. `kept` is the conjunction — what a corpus build actually
+    * reads. Replays BOTH halves' full ppm batteries (the oracle nests
+    * d49Sql and d51Sql verbatim as derived tables), so the composition
+    * cannot drift from its parts; one corpus scan per half, the join
+    * keyed on doc_id — row-bounded at any scale. */
+  def d52GopherVerdict(s: SparkSession, dir: String): DataFrame =
+    gopherVerdict(Tables(s, dir, "documents"))
+
+  /** [[d52GopherVerdict]] over an arbitrary (doc_id, text) frame —
+    * package-visible for the crafted-fixture spec (the clean corpus
+    * trips neither half; fixtures trip each rule). Inherits d49's
+    * cache contract (the caller releases the positional-gram persist
+    * via clearCache). */
+  private[graft] def gopherVerdict(docs: DataFrame): DataFrame = {
+    val rep = gopherRepetition(docs).select(col("doc_id"),
+      when(col("dup_line_ppm") <= D52MaxDupLinePpm &&
+        col("top2_char_ppm") <= D52MaxTop2Ppm &&
+        col("top3_char_ppm") <= D52MaxTop3Ppm &&
+        col("dup5_token_ppm") <= D52MaxDup5Ppm, 1L).otherwise(0L)
+        .as("repetition_pass"))
+    val qual = gopherQuality(docs).select(col("doc_id"),
+      col("gopher_pass").as("quality_pass"))
+    rep.join(qual, Seq("doc_id"))
+      .withColumn("kept",
+        when(col("repetition_pass") === 1L && col("quality_pass") === 1L,
+          1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private lazy val d52Sql: String =
+    s"""WITH rep AS (SELECT * FROM ($d49Sql)),
+       |qual AS (SELECT * FROM ($d51Sql))
+       |SELECT r.doc_id,
+       |  CAST(CASE WHEN r.dup_line_ppm <= $D52MaxDupLinePpm
+       |    AND r.top2_char_ppm <= $D52MaxTop2Ppm
+       |    AND r.top3_char_ppm <= $D52MaxTop3Ppm
+       |    AND r.dup5_token_ppm <= $D52MaxDup5Ppm THEN 1 ELSE 0 END AS BIGINT)
+       |    AS repetition_pass,
+       |  q.gopher_pass AS quality_pass,
+       |  CAST(CASE WHEN r.dup_line_ppm <= $D52MaxDupLinePpm
+       |    AND r.top2_char_ppm <= $D52MaxTop2Ppm
+       |    AND r.top3_char_ppm <= $D52MaxTop3Ppm
+       |    AND r.dup5_token_ppm <= $D52MaxDup5Ppm
+       |    AND q.gopher_pass = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM rep r JOIN qual q ON q.doc_id = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+
   /** d43 anonymity threshold: classes smaller than this are
     * re-identification risks. Package-visible: the streaming monitor
     * ([[graft.streaming.StreamOps.kAnonPerBatch]]) enforces the SAME
@@ -2158,6 +2216,7 @@ object TextOps {
     "d48_span_dedup" -> (d48SpanDedup _),
     "d49_gopher_repetition" -> (d49GopherRepetition _),
     "d51_gopher_quality" -> (d51GopherQuality _),
+    "d52_gopher_verdict" -> (d52GopherVerdict _),
     "d50_rolling_spans" -> (d50RollingSpans _),
     "d13_clean_pipeline" -> (d13CleanPipeline _))
 
@@ -2200,6 +2259,7 @@ object TextOps {
     "d48_span_dedup" -> d48Sql,
     "d49_gopher_repetition" -> d49Sql,
     "d51_gopher_quality" -> d51Sql,
+    "d52_gopher_verdict" -> d52Sql,
     "d50_rolling_spans" -> d50Sql,
     "d13_clean_pipeline" -> d13Sql)
 }

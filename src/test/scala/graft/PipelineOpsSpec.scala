@@ -132,4 +132,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a later pipe call re-derived the funnel artifact")
     spark.catalog.clearCache()
   }
+
+  test("pipe6: every epoch is a dense permutation of pipe3's packs; " +
+      "re-runs are byte-identical") {
+    def run() = PipelineOps.queries("pipe6_pack_curriculum")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val out = run()
+    val packs = PipelineOps.queries("pipe3_funnel_packing")(spark, sfDir)
+      .select("pack_id").collect().map(_.getLong(0)).toSet
+    assert(packs.nonEmpty)
+    val epochs = out.map(_._1).distinct.sorted.toSeq
+    assert(epochs == Seq(0L, 1L), s"epochs $epochs")
+    epochs.foreach { e =>
+      val ep = out.filter(_._1 == e).sortBy(_._2)
+      assert(ep.map(_._2).toSeq == (0L until packs.size.toLong).toSeq,
+        s"epoch $e positions not dense")
+      assert(ep.map(_._3).toSet == packs,
+        s"epoch $e is not a permutation of the pack set")
+    }
+    assert(run().toSeq == out.toSeq, "pipe6 re-run must be byte-identical")
+    spark.catalog.clearCache()
+  }
 }

@@ -105,6 +105,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       got(7L).getAs[Long]("gopher_pass") == 0L, s"${got(7L)}")
   }
 
+  test("d52 composed Gopher verdict: each half gates independently and " +
+      "kept is their conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      // 60 distinct 3-char words incl. two stops: passes BOTH halves
+      1L -> (Seq("the", "and") ++ (3 to 60).map(i => f"w$i%02d")).mkString(" "),
+      // one 2-gram repeated 30x: repetition fails (top2 char share ~90%),
+      // quality passes (60 words, mean len 400, stops that/have)
+      2L -> Seq.fill(30)("that have").mkString(" "),
+      // 60 distinct words, ZERO stop words: quality fails, repetition passes
+      3L -> (1 to 60).map(i => f"w$i%02d").mkString(" "),
+      // short-word loop: repetition fails AND mean word length 225 < 300
+      4L -> Seq.fill(15)("the be to of").mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextOps.gopherVerdict(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    spark.catalog.clearCache() // gopherRepetition's positional-gram cache
+    assert(got(1L) == ((1L, 1L, 1L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((0L, 1L, 0L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((1L, 0L, 0L)), s"doc3 ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L)), s"doc4 ${got(4L)}")
+  }
+
   test("CDC chunking is LOCAL: an insertion only perturbs its own neighborhood") {
     import spark.implicits._
     // deterministic pseudo-random text, long enough for many ~64-char chunks
