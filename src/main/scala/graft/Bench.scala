@@ -75,7 +75,11 @@ object Bench {
     * single-sampled. */
   private val PricingQueries = Set(
     "a5_rolling_semdedup", "c13_incremental_cc",
-    "c14_rolling_cc", "c17_rolling_rep")
+    "c14_rolling_cc", "c17_rolling_rep",
+    // the ingest one-shots (round 19 on): from-cold multi-wave builds
+    // into a fresh temp root each run — build rows in all but name,
+    // with at-rest serving siblings (c12's serve path, c20/c21)
+    "c9_ingest_compaction", "c12_ingest_at_rest")
 
   /** max/min rep-time ratio above which a query is flagged on stderr. */
   private val VarianceFlagRatio = 3.0
