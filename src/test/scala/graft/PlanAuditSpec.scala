@@ -1052,6 +1052,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the eval side may read document text, got $textScans text scans")
   }
 
+  test("a9 served verdicts: one parquet scan, no pair join, no dot " +
+      "products - the sweep cost is gone from the serve plan") {
+    val s = formatted(
+      SparkEntry.queries("a9_semdedup_verdicts_at_rest")(spark, sfDir))
+    assert(nodeCount(s, "BroadcastHashJoin") == 0 &&
+      nodeCount(s, "SortMergeJoin") == 0 &&
+      nodeCount(s, "ShuffledHashJoin") == 0,
+      "the at-rest serve must not re-run the within-list pair join: " +
+        s.take(1200))
+    assert(!s.contains("dot_product"),
+      "the serve plan must not recompute cosines: " + s.take(1200))
+    // count scans in the executed tree only (the formatted dump repeats
+    // the tree under == Initial Plan == and again in the details section)
+    val tree = s.split(raw"== Initial Plan ==").head
+    val scans = tree.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"expected exactly the verdict-table scan, got $scans:\n${tree.take(1200)}")
+  }
+
   test("geo1s served reverse geocode: the landed ring table broadcasts, " +
       "points never shuffle") {
     val s = formatted(
