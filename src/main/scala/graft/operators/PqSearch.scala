@@ -49,13 +49,39 @@ object PqSearch {
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // EAGER cache population: the parallel fits below all scan `base`
+      // concurrently, and a lazily persisted frame only materializes
+      // per-partition at first touch — concurrent first readers would
+      // race-compute the same partitions (the profiled CC union race)
+      base.count()
       val dim = base.select(size(col("emb"))).head().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
       val sub = dim / m
-      val books = (0 until m).map { s =>
-        IvfSearch.fitPrepared(
-          base.select(col("id"), slice(col("emb"), s * sub + 1, sub).as("emb")),
-          k, iters, roundDecimals)
+      // the m subspace fits are INDEPENDENT jobs over one shared cache:
+      // submit them from a small thread pool so one fit's driver
+      // roundtrips (per-iteration centroid collects) back-fill the
+      // cores the others leave idle (guide §2.6 — overlap independent
+      // jobs). Each fit is the same deterministic Lloyd; assembling by
+      // subspace index keeps the codebook order identical to the
+      // sequential form. The narrowed train conf wraps ALL fits once
+      // (set before the pool spawns, restored after every fit joined),
+      // so no thread ever races a conf save/restore.
+      val books = IvfSearch.withTrainConf(base, k) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fits = (0 until m).map { s =>
+            scala.concurrent.Future {
+              IvfSearch.fitPrepared(
+                base.select(col("id"),
+                  slice(col("emb"), s * sub + 1, sub).as("emb")),
+                k, iters, roundDecimals)
+            }
+          }
+          fits.map(scala.concurrent.Await.result(_,
+            scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
       }
       Codebooks(m, sub, books)
     } finally base.unpersist()
