@@ -856,17 +856,24 @@ object TextOps {
     * it) — the CALLER releases it via clearCache, the
     * [[graft.operators.SpanDedup.spanProfile]] convention. */
   private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+    // one row-local scan for BOTH the token/char sizes and the duplicate-
+    // line ppm (they were two scans + a join; all four signals are
+    // per-row expressions over the same text column)
     val base = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars"))
-    // duplicate lines: row-local (no shuffle) — lines beyond the first
-    // occurrence of their text are duplicates
-    val lines = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
         size(split(col("text"), "\n")).cast("long").as("nl"),
         size(array_distinct(split(col("text"), "\n"))).cast("long").as("ndl"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"),
         expr("(1000000 * (nl - ndl)) div nl").as("dup_line_ppm"))
-    // top n-gram char mass: gram OCCURRENCES (not distinct) per doc
+    // top n-gram char mass: gram OCCURRENCES (not distinct) per doc.
+    // Kept as TWO independent pipelines deliberately (r19 measured):
+    // fusing them into one explode of concat(2-grams, 3-grams) ran
+    // SLOWER (2.91→3.07 s) — the fused tree serializes what the
+    // scheduler otherwise runs as two concurrent stage chains, and
+    // InferFiltersFromGenerate duplicates the doubled gram-array
+    // expression per row; a min(struct(-c, g)) top-1 (no window sort)
+    // was slower still (4.1 s — interpreted struct comparisons).
     def topGramChars(n: Int, out: String): DataFrame = {
       val byGram = docs
         .select(col("doc_id"),
@@ -894,7 +901,6 @@ object TextOps {
       .groupBy(col("id")).agg(sum(col("len")).as("cov5"))
       .select(col("id").as("doc_id"), col("cov5"))
     base
-      .join(lines, Seq("doc_id"))
       .join(topGramChars(2, "c2"), Seq("doc_id"), "left")
       .join(topGramChars(3, "c3"), Seq("doc_id"), "left")
       .join(dup5, Seq("doc_id"), "left")
