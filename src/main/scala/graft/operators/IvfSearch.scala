@@ -106,17 +106,25 @@ object IvfSearch {
     for (_ <- 0 until iters) {
       val assigned = assign(e, centroids)
       // element-wise mean per cluster: posexplode to (cid, pos, val),
-      // per-dimension avg, re-assemble sorted by pos — no UDAF needed
+      // per-dimension avg — the SAME round(avg(...)) aggregate the
+      // unrolled oracle replays, bit for bit — then assemble the k·dim
+      // mean rows into arrays ON THE DRIVER. The assembly used to be a
+      // second groupBy (collect_list + array_sort + transform): a whole
+      // extra exchange per Lloyd iteration spent ordering k·dim rows the
+      // driver is about to collect anyway. (r19 also measured the
+      // "one wide groupBy of dim sum(element_at) columns" form: SLOWER —
+      // 65 aggregate exprs re-planned per iteration cost more than the
+      // exchange they saved.)
       val mean = if (roundDecimals >= 0) round(avg(col("col")), roundDecimals)
                  else avg(col("col"))
       val updated = assigned
         .select(col("centroid_id"), posexplode(col("emb")))
         .groupBy(col("centroid_id"), col("pos")).agg(mean.as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("sm"))
-        .select(col("centroid_id"), transform(col("sm"), s => s.getField("m")).as("mean"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
       // a cluster that lost all members keeps its previous centroid
       centroids = centroids.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
