@@ -87,6 +87,35 @@ object MinHashDedup {
         graft.functions.SketchFunctions.hex60Array(col("shset"))).as("mh"))
   }
 
+  /** (id, hsh: array<long>, sz) — the HASHED shingle sets: the one
+    * expensive pass over document text (split → 3-shingle → distinct →
+    * md5 per shingle) a sweep needs. Every table a sweep consumes — the
+    * minhash signatures/band table (candidate generation), the exploded
+    * shingle hashes (exact-Jaccard verify) and the set sizes — is a
+    * row-local derivation of this frame, so sweeps persist IT and pay
+    * the text pass once; before r19 each derived table re-ran the whole
+    * chain (3 corpus text passes per sweep). */
+  private def hashedSets(sets: DataFrame): DataFrame = {
+    graft.functions.SketchFunctions.register(sets.sparkSession)
+    sets.select(col("id"),
+      graft.functions.SketchFunctions.hex60Array(col("shset")).as("hsh"),
+      size(col("shset")).cast("long").as("sz"))
+  }
+
+  /** [[signatureFromSets]] over an already-hashed (id, hsh, ...) frame —
+    * row-local (the K affine rehashes fold over the hash array). */
+  private def signatureFromHashes(hs: DataFrame): DataFrame =
+    hs.select(col("id"),
+      graft.functions.SketchFunctions.minhashSig(col("hsh")).as("mh"))
+
+  /** Distinct candidate pairs (id_a < id_b) off a band table. */
+  private def pairsFromBands(bs: DataFrame): DataFrame =
+    bs.as("a").join(bs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
   /** (id, band, sig) — band signature = md5 of the comma-joined minhash
     * values, so bucket keys are fixed-width strings. */
   def bandSignatures(sigs: DataFrame): DataFrame = {
@@ -112,32 +141,19 @@ object MinHashDedup {
     // `spark.catalog.clearCache()` between runs (Bench/Verify do)
     val bs = bandSignatures(signatureFromSets(sets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bs.as("a").join(bs.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    pairsFromBands(bs)
   }
 
   /** Exact shingle-set Jaccard over candidate `pairs`, filtered to
-    * `>= threshold`. Set sizes come straight from the per-row shingle
-    * arrays (no aggregation shuffle); only the intersection count needs
-    * the exploded join — and that join carries `hex60(shingle)` longs
-    * (8 bytes) instead of raw shingle strings (~25+ bytes), cutting the
-    * verify phase's shuffle bytes ~4× at a 2⁻⁶⁰ per-pair collision risk.
-    * The DuckDB oracle joins on the same hashes, so results stay
-    * bit-identical by construction. */
-  private def verifyJaccard(pairs: DataFrame, sets: DataFrame,
-                            threshold: Double): DataFrame =
-    verifyJaccardFrom(pairs,
-      sets.select(col("id"),
-        explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh")),
-      sets.select(col("id"), size(col("shset")).cast("long").as("sz")),
-      threshold)
-
-  /** Verify form over pre-materialized (id, sh) hashes and (id, sz)
-    * sizes — the index-backed sweep reads these from tables instead of
-    * re-deriving them from corpus text. */
+    * `>= threshold`, over (id, sh) hash and (id, sz) size tables (every
+    * sweep derives these from its persisted hashed sets; the index-backed
+    * sweep reads them from tables). Set sizes come straight from the
+    * per-row shingle arrays (no aggregation shuffle); only the
+    * intersection count needs the exploded join — and that join carries
+    * `hex60(shingle)` longs (8 bytes) instead of raw shingle strings
+    * (~25+ bytes), cutting the verify phase's shuffle bytes ~4× at a
+    * 2⁻⁶⁰ per-pair collision risk. The DuckDB oracle joins on the same
+    * hashes, so results stay bit-identical by construction. */
   private def verifyJaccardFrom(pairs: DataFrame, sh: DataFrame,
                                 sizes: DataFrame, threshold: Double): DataFrame = {
     val inter = pairs
@@ -154,12 +170,24 @@ object MinHashDedup {
   }
 
   /** Candidate pairs with exact Jaccard attached (see [[verifyJaccard]]),
-    * over one corpus. */
+    * over one corpus. The hashed shingle sets persist EAGERLY (count())
+    * before the band table and the verify tables derive from them: the
+    * pair join + the three verify reads land in one job whose concurrent
+    * stages would otherwise race-compute the same partitions of a lazy
+    * cache (the ConnectedComponents eager-persist precedent). Cache
+    * lifecycle: callers clearCache between runs (Bench/Verify do). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double): DataFrame = {
     graft.functions.SketchFunctions.register(docs.sparkSession)
-    val sets = shingleSets(docs, idCol, textCol)
-    verifyJaccard(candidatePairsFromSets(sets), sets, threshold)
+    val hs = hashedSets(shingleSets(docs, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hs.count()
+    val bs = bandSignatures(signatureFromHashes(hs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccardFrom(pairsFromBands(bs),
+      hs.select(col("id"), explode(col("hsh")).as("sh")),
+      hs.select(col("id"), col("sz")),
+      threshold)
   }
 
   /** INCREMENTAL near-dup detection: every pair touching `newDocs` —
@@ -217,14 +245,21 @@ object MinHashDedup {
     graft.functions.SketchFunctions.register(corpus.sparkSession)
     graft.functions.SketchFunctions.register(newDocs.sparkSession)
     if (validateDisjoint) requireDisjointIds(corpus.select(col(idCol)), newDocs, idCol)
-    val setsC = shingleSets(corpus, idCol, textCol)
-    val setsN = shingleSets(newDocs, idCol, textCol)
+    // ONE persisted text pass per side (eager — the sweep's joins read
+    // each side several ways in one job; see nearDuplicates): bands,
+    // verify hashes and sizes all derive row-locally from it
+    val hsC = hashedSets(shingleSets(corpus, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hsC.count()
+    val hsN = hashedSets(shingleSets(newDocs, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hsN.count()
     // both band tables persist for the same reason candidatePairsFromSets
     // persists: each is read by two joins below (lifecycle: caller
     // clearCache or unpersist the returned caches)
-    val bandsC = bandSignatures(signatureFromSets(setsC))
+    val bandsC = bandSignatures(signatureFromHashes(hsC))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandsN = bandSignatures(signatureFromSets(setsN))
+    val bandsN = bandSignatures(signatureFromHashes(hsN))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = bandsN.as("n").join(bandsC.as("c"),
         col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
@@ -234,8 +269,12 @@ object MinHashDedup {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    (verifyJaccard(cross.union(within).distinct(),
-      setsC.unionByName(setsN), threshold), Seq(bandsC, bandsN))
+    (verifyJaccardFrom(cross.union(within).distinct(),
+      hsC.select(col("id"), explode(col("hsh")).as("sh"))
+        .unionByName(hsN.select(col("id"), explode(col("hsh")).as("sh"))),
+      hsC.select(col("id"), col("sz"))
+        .unionByName(hsN.select(col("id"), col("sz"))),
+      threshold), Seq(bandsC, bandsN, hsC, hsN))
   }
 
   /** The corpus side of the incremental sweep at rest: the band table
@@ -246,12 +285,19 @@ object MinHashDedup {
 
   def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String): DedupIndex = {
     graft.functions.SketchFunctions.register(corpus.sparkSession)
-    val sets = shingleSets(corpus, idCol, textCol)
+    // ONE persisted text pass (eager: a consumer's first job typically
+    // joins all three index tables at once, and concurrent stages over a
+    // lazy cache race-compute the same partitions); the three tables are
+    // row-local derivations. Lifecycle: callers clearCache between runs
+    // (the candidatePairsFromSets convention) — per-wave drivers reuse
+    // the SAME index frames across waves, which is the point
+    val hs = hashedSets(shingleSets(corpus, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hs.count()
     DedupIndex(
-      bandSignatures(signatureFromSets(sets)),
-      sets.select(col("id"),
-        explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh")),
-      sets.select(col("id"), size(col("shset")).cast("long").as("sz")))
+      bandSignatures(signatureFromHashes(hs)),
+      hs.select(col("id"), explode(col("hsh")).as("sh")),
+      hs.select(col("id"), col("sz")))
   }
 
   /** Persist a dedup index as three BUCKETED tables
@@ -322,8 +368,11 @@ object MinHashDedup {
       validateDisjoint: Boolean = true): BatchSweep = {
     graft.functions.SketchFunctions.register(newDocs.sparkSession)
     if (validateDisjoint) requireDisjointIds(index.sizes.select(col("id")), newDocs, idCol)
-    val setsN = shingleSets(newDocs, idCol, textCol)
-    val bandsN = bandSignatures(signatureFromSets(setsN))
+    // ONE persisted text pass over the batch (eager — see nearDuplicates)
+    val hsN = hashedSets(shingleSets(newDocs, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hsN.count()
+    val bandsN = bandSignatures(signatureFromHashes(hsN))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = bandsN.as("n").join(index.bands.as("c"),
         col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
@@ -333,13 +382,12 @@ object MinHashDedup {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val shN = setsN.select(col("id"),
-      explode(graft.functions.SketchFunctions.hex60Array(col("shset"))).as("sh"))
-    val sizesN = setsN.select(col("id"), size(col("shset")).cast("long").as("sz"))
+    val shN = hsN.select(col("id"), explode(col("hsh")).as("sh"))
+    val sizesN = hsN.select(col("id"), col("sz"))
     BatchSweep(
       verifyJaccardFrom(cross.union(within).distinct(),
         index.shingleHashes.unionByName(shN), index.sizes.unionByName(sizesN),
         threshold),
-      DedupIndex(bandsN, shN, sizesN), Seq(bandsN))
+      DedupIndex(bandsN, shN, sizesN), Seq(bandsN, hsN))
   }
 }
