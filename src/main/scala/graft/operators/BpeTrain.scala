@@ -73,8 +73,44 @@ object BpeTrain {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    // lazy: the nTypes count below is the first action and materializes
+    // the checkpoint in the same job — an eager checkpoint would spend a
+    // separate job on it
     var syms = words.select(col("wc"), symbolize(col("w")).as("s"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // the k merge rounds run with AQE off and a shuffle width sized to
+    // the word-TYPE table the loop actually shuffles (the
+    // ConnectedComponents loop pattern): each round's pair-count groupBy
+    // carries |types|-bounded rows whatever the corpus size, so
+    // session-width rounds are near-empty tasks whose scheduling —
+    // plus AQE's per-round materialize-and-replan — dominates. The
+    // count() is cheap (post-checkpoint); conf is save/restored exactly
+    // as the CC loop does, everything fallible before the first set.
+    val session = docs.sparkSession
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val PartsKey = "spark.sql.shuffle.partitions"
+    graft.operators.ShuffleWidth.untouched(session)
+    val prevAqe = session.conf.get(AqeKey)
+    val prevParts = session.conf.get(PartsKey)
+    val nTypes = syms.count()
+    val loopParts = scala.util.Try(prevParts.toLong).toOption
+      .map(p => math.max(1L, math.min(p, nTypes / 500000 + 1)).toString)
+    try {
+      session.conf.set(AqeKey, "false")
+      loopParts.foreach(session.conf.set(PartsKey, _))
+      // collapse the symbol table itself to the loop width once: it
+      // arrives session-width from the word-count groupBy, and the
+      // rewrite is row-local, so every one of the k checkpoints would
+      // otherwise re-materialize session-width near-empty tasks
+      learnLoop(loopParts.map(p => syms.repartition(p.toInt)).getOrElse(syms), k)
+    } finally {
+      session.conf.set(AqeKey, prevAqe)
+      session.conf.set(PartsKey, prevParts)
+    }
+  }
+
+  private def learnLoop(syms0: DataFrame, k: Int): Seq[Merge] = {
+    var syms = syms0
     val out = Seq.newBuilder[Merge]
     var r = 1
     var exhausted = false
@@ -106,8 +142,14 @@ object BpeTrain {
           val merged = (1 to 3).foldLeft(col("s")) { (c, _) =>
             call_function("replace", c, lit(pat), lit(rep))
           }
+          // LAZY checkpoint: the rewrite materializes inside the NEXT
+          // round's pair-count job (one job per round, not two — the
+          // eager form spent a dedicated job per rewrite). Lineage still
+          // truncates at materialization, so the plan the next round
+          // analyzes is one rewrite over a checkpoint leaf — the
+          // exponential-growth trap the scaladoc describes never opens.
           val next = syms.select(col("wc"), merged.as("s"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           syms.unpersist()
           syms = next
         }
