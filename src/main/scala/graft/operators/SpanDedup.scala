@@ -73,9 +73,15 @@ object SpanDedup {
     val grams = posGramHashes(docs, idCol, textCol, minLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams.count() // materialize ONCE: df-filter and semi-join both read it
+    // "gram appears in ≥ 2 DISTINCT docs" as min(id) ≠ max(id): the
+    // countDistinct form planned an Expand + two-phase distinct
+    // aggregate just to answer an existence test; min/max is a plain
+    // partially-aggregated groupBy (identical gram set — a gram whose
+    // occurrences all share one id has min = max, any second id breaks
+    // it; the oracle keeps the COUNT(DISTINCT) spelling)
     val dup = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("id")).as("i0"), max(col("id")).as("i1"))
+      .filter(col("i0") =!= col("i1"))
       .select(col("gh"))
     val starts = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("id"), col("pos"))

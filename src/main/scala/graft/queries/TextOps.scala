@@ -597,9 +597,13 @@ object TextOps {
       .gramHashes(Tables(s, dir, "documents"), "doc_id", "text", D46N)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams.count() // materialize ONCE: three consumers below (ndPairs rule)
+    // ≥2-distinct-docs as min(id) ≠ max(id) — a plain partial-agg
+    // groupBy instead of the Expand + two-phase distinct aggregate
+    // (identical gram set; the SpanDedup.spanProfile rewrite, same
+    // proof; oracle keeps COUNT(DISTINCT))
     val dupGrams = grams.groupBy(col("gh"))
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("id")).as("i0"), max(col("id")).as("i1"))
+      .filter(col("i0") =!= col("i1"))
       .select(col("gh"))
     val perDoc = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val dupPerDoc = grams.join(dupGrams, Seq("gh"), "left_semi")
