@@ -280,24 +280,54 @@ object MinHashDedup {
   /** The corpus side of the incremental sweep at rest: the band table
     * (candidate generation), the shingle-hash table (exact-Jaccard
     * verification), and the per-document set sizes. Everything a batch
-    * probe needs WITHOUT touching corpus text again. */
-  case class DedupIndex(bands: DataFrame, shingleHashes: DataFrame, sizes: DataFrame)
+    * probe needs WITHOUT touching corpus text again. `caches` holds the
+    * frames [[buildDedupIndex]] left persisted (the hashed-sets base) so
+    * a wave driver can release the index DETERMINISTICALLY when its loop
+    * ends ([[release]]) instead of leaving the widest cached frame
+    * resident until a global clearCache (the r19 32-core residency
+    * pathology). Loaded at-rest indexes carry no caches. */
+  case class DedupIndex(bands: DataFrame, shingleHashes: DataFrame,
+                        sizes: DataFrame, caches: Seq[DataFrame] = Nil) {
+    def release(): Unit = caches.foreach(_.unpersist())
+  }
 
   def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String): DedupIndex = {
     graft.functions.SketchFunctions.register(corpus.sparkSession)
     // ONE persisted text pass (eager: a consumer's first job typically
     // joins all three index tables at once, and concurrent stages over a
     // lazy cache race-compute the same partitions); the three tables are
-    // row-local derivations. Lifecycle: callers clearCache between runs
-    // (the candidatePairsFromSets convention) — per-wave drivers reuse
-    // the SAME index frames across waves, which is the point
+    // row-local derivations. Lifecycle: callers release() when their
+    // loop is done (or clearCache between runs — the
+    // candidatePairsFromSets convention) — per-wave drivers reuse the
+    // SAME index frames across waves, which is the point
     val hs = hashedSets(shingleSets(corpus, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hs.count()
     DedupIndex(
       bandSignatures(signatureFromHashes(hs)),
       hs.select(col("id"), explode(col("hsh")).as("sh")),
-      hs.select(col("id"), col("sz")))
+      hs.select(col("id"), col("sz")),
+      caches = Seq(hs))
+  }
+
+  /** [[nearDuplicates]] served from an in-memory [[DedupIndex]] — the
+    * wave drivers' seed-pair derivation: candidate generation and
+    * verification all read the index's ONE persisted text pass instead
+    * of re-shingling the corpus under a second (plan-aliased) cache
+    * entry. Returns the band cache this call persists alongside the
+    * pairs so the caller releases it as soon as the pairs are
+    * materialized. Emits exactly [[nearDuplicates]]' rows: same hashes,
+    * same band table, same verify arithmetic (oracle-pinned by every
+    * consumer's own SQL). */
+  private[graft] def nearDuplicatesFromIndexWithCaches(index: DedupIndex,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    // persist the band table before self-joining (the
+    // candidatePairsFromSets rationale: both join sides would re-derive
+    // the signature fold); released by the caller via the handle
+    val bs = index.bands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (verifyJaccardFrom(pairsFromBands(bs),
+      index.shingleHashes, index.sizes, threshold), Seq(bs))
   }
 
   /** Persist a dedup index as three BUCKETED tables

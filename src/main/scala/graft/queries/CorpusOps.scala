@@ -349,9 +349,12 @@ object CorpusOps {
         .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
         .select(col("doc_id"), col("text"))
       val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-      val corpusPairs = MinHashDedup
-        .nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
-        .select(col("id_a"), col("id_b"))
+      // seed pairs off the index's one text pass (the
+      // driveIngestWavesSeeded lifecycle); wave 0 consumes them lazily,
+      // so the band cache releases after that wave, the index after all
+      val (corpusPairs0, seedCaches) = MinHashDedup
+        .nearDuplicatesFromIndexWithCaches(staticIndex, NearDupThreshold)
+      val corpusPairs = corpusPairs0.select(col("id_a"), col("id_b"))
       val noPairs = t.createDataFrame(
         t.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         new org.apache.spark.sql.types.StructType()
@@ -361,13 +364,14 @@ object CorpusOps {
         .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < G2StreamEnd)
         .select(col("doc_id"), col("text"))
       val state = root.resolve("state").toString
-      (0 until C9Batches).foreach { b =>
+      try (0 until C9Batches).foreach { b =>
         StreamOps.pagerankBatch(
           stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
           staticIndex, if (b == 0) corpusPairs else noPairs,
           "doc_id", "text", NearDupThreshold, PrIters, PrDampPpm,
-          state, b.toLong)
-      }
+          state, b.toLong, validateDisjoint = false)
+        if (b == 0) seedCaches.foreach(_.unpersist())
+      } finally staticIndex.release()
       java.nio.file.Files.createDirectories(root)
       java.nio.file.Files.write(windowTag, Array.emptyByteArray)
     }
@@ -589,15 +593,27 @@ object CorpusOps {
     val corpus = docs
       .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
       .select(col("doc_id"), col("text"))
-    val staticIndex = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    val staticIndex = graft.operators.JobLabel(s, "c-wave: static index") {
+      MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
+    }
     val stream = docs
       .filter(col("doc_id") >= C9CorpusEnd && col("doc_id") < C9StreamEnd)
     val root = java.nio.file.Files.createTempDirectory("graft_waves_").toString
     try {
-      val seed = ConnectedComponents.components(
-        MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
-          .select(col("id_a"), col("id_b")))
-        .localCheckpoint()
+      // seed pairs derive from the index's ONE persisted text pass
+      // (nearDuplicates would re-persist a plan-aliased copy of the
+      // hashed sets — the r19 residency pathology); every cache the seed
+      // derivation takes is released as soon as the seed labels are
+      // checkpointed, so the wave loop runs with exactly ONE corpus-side
+      // cached frame (the index) live
+      val seed = graft.operators.JobLabel(s, "c-wave: seed clusters") {
+        val (seedPairs, seedCaches) = MinHashDedup
+          .nearDuplicatesFromIndexWithCaches(staticIndex, NearDupThreshold)
+        val sd = ConnectedComponents.withComponents(
+          seedPairs.select(col("id_a"), col("id_b")))(_.localCheckpoint())
+        seedCaches.foreach(_.unpersist())
+        sd
+      }
       val seedBundle = seedOf(seed)
       var carry = seed
       (0 until C9Batches).foreach { b =>
@@ -610,6 +626,7 @@ object CorpusOps {
       // the returned frame must not lazily re-read it
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally {
+      staticIndex.release()
       graft.sources.Sources.deleteRecursively(new java.io.File(root))
     }
   }
@@ -617,8 +634,14 @@ object CorpusOps {
   def c14RollingCc(s: SparkSession, dir: String): DataFrame =
     driveIngestWaves(s, dir,
       (batch, idx, seed, state, b) =>
+        // validateDisjoint=false: the pmod wave split over the
+        // [C9CorpusEnd, C9StreamEnd) range is disjoint from the corpus
+        // by construction — the per-wave corpus-id probe proves nothing
+        // here (the opt-out the sweep's contract provides for callers
+        // with established id discipline)
         graft.streaming.StreamOps.rollingCcBatch(batch, idx, seed,
-          "doc_id", "text", NearDupThreshold, state, b),
+          "doc_id", "text", NearDupThreshold, state, b,
+          validateDisjoint = false),
       labels => labels.groupBy(col("component"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("component"))
@@ -776,8 +799,11 @@ object CorpusOps {
     driveIngestWavesSeeded[DataFrame](s, dir,
       seed => StreamOps.repStateOf(seed, scores).localCheckpoint(),
       (batch, idx, seed, seedState, state, b) =>
+        // validateDisjoint=false: pmod wave split, disjoint by
+        // construction (the c14 rationale)
         StreamOps.rollingRepBatch(batch, idx, seed, seedState, scores,
-          "doc_id", "text", NearDupThreshold, state, b)._2,
+          "doc_id", "text", NearDupThreshold, state, b,
+          validateDisjoint = false)._2,
       (_, state, _) => state.filter(col("n_docs") >= 2)
         .select(col("component"), col("n_docs"), col("best_doc"),
           col("best_q_e6"), expr("q_sum div n_docs").as("mean_q_e6"))
@@ -883,9 +909,13 @@ object CorpusOps {
         .select(col("doc_id"), col("text"))
       val corpusIds = corpus.select(col("doc_id"))
       val sources = docs.select(col("doc_id"), col("source"))
-      val seed = ConnectedComponents.components(
-        MinHashDedup.nearDuplicates(corpus, "doc_id", "text", NearDupThreshold)
-          .select(col("id_a"), col("id_b"))).localCheckpoint()
+      // seed off the index's one text pass, caches released once the
+      // labels are checkpointed (the driveIngestWavesSeeded lifecycle)
+      val (seedPairs, seedCaches) = MinHashDedup
+        .nearDuplicatesFromIndexWithCaches(staticIndex, NearDupThreshold)
+      val seed = ConnectedComponents.withComponents(
+        seedPairs.select(col("id_a"), col("id_b")))(_.localCheckpoint())
+      seedCaches.foreach(_.unpersist())
       val scores = docs.select(col("doc_id").as("id"), qScoreE6.as("q_e6"))
       val seedState = StreamOps.repStateOf(seed, scores).localCheckpoint()
       val idx = graft.operators.IvfSearch.buildIndex(
@@ -914,7 +944,7 @@ object CorpusOps {
             stream.filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong),
             cfg, b.toLong)
         }
-      } finally idx.close()
+      } finally { idx.close(); staticIndex.release() }
     }
     root.toString
   }
@@ -1212,16 +1242,19 @@ object CorpusOps {
       (0 until C9Batches).foreach { b =>
         val batch = stream
           .filter(pmod(col("doc_id"), lit(C9Batches.toLong)) === b.toLong)
+        // validateDisjoint=false: pmod wave split, disjoint by
+        // construction (the c14 rationale)
         StreamOps.ingestBatchCompact(batch, staticIndex, corpusIds, evalSet,
           "doc_id", "text", NearDupThreshold, n = 5,
           outPath = s"$root/landed", statePath = s"$root/state",
-          batchId = b.toLong)
+          batchId = b.toLong, validateDisjoint = false)
       }
       val res = finish(root, corpusIds)
       // bounded result: materialize before the temp state is deleted —
       // the returned frame must not lazily re-read it
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     } finally {
+      staticIndex.release()
       graft.sources.Sources.deleteRecursively(new java.io.File(root))
     }
   }
@@ -1265,7 +1298,7 @@ object CorpusOps {
         .filter(col("doc_id") >= EvalSplit && col("doc_id") < C9CorpusEnd)
         .select(col("doc_id"), col("text"))
       val idx = MinHashDedup.buildDedupIndex(corpus, "doc_id", "text")
-      Seq("bands" -> idx.bands, "shingles" -> idx.shingleHashes,
+      try Seq("bands" -> idx.bands, "shingles" -> idx.shingleHashes,
         "sizes" -> idx.sizes).foreach { case (tn, df) =>
         val cols = bucketCols(tn)
         df.write.mode("overwrite").format("parquet")
@@ -1273,7 +1306,7 @@ object CorpusOps {
           .sortBy(cols.head, cols.tail: _*)
           .option("path", root.resolve(tn).toString)
           .saveAsTable(s"${prefix}_$tn")
-      }
+      } finally idx.release()
     }
     if (!bucketCols.keys.forall(t => s.catalog.tableExists(s"${prefix}_$t"))) {
       // files landed by an earlier process/session: re-attach by DDL,

@@ -1097,11 +1097,14 @@ object StreamOps {
     * partition overwrite, so a checkpoint replay rewrites its own
     * partition instead of appending a duplicate. */
   private def landDelta(df: DataFrame, path: String, batchId: Long): Unit =
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(path)
+    graft.operators.JobLabel(df.sparkSession,
+      s"land ${path.split('/').takeRight(1).mkString} b=$batchId") {
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    }
 
   /** The per-batch invariant every versioned rolling index shares: a doc
     * id appearing twice in ONE batch would mix both versions' rows in
@@ -1297,7 +1300,8 @@ object StreamOps {
   private[graft] def sweepBatchAccum(batch: DataFrame,
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       idCol: String, textCol: String, threshold: Double,
-      statePath: String, batchId: Long): DataFrame = {
+      statePath: String, batchId: Long,
+      validateDisjoint: Boolean = true): DataFrame = {
     import graft.operators.MinHashDedup
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
     val spark = batch.sparkSession
@@ -1318,8 +1322,9 @@ object StreamOps {
       staticIndex.bands.unionByName(seenBands),
       staticIndex.shingleHashes.unionByName(seenSh),
       staticIndex.sizes.unionByName(seenSizes))
+    graft.operators.JobLabel(spark, s"sweep b=$batchId") {
     val sweep = MinHashDedup.sweepAgainstIndex(corpusIndex, batch,
-      idCol, textCol, threshold)
+      idCol, textCol, threshold, validateDisjoint)
     // pairs feed the caller's use AND the at-rest log: persist so the
     // sweep (band probe + Jaccard verify) runs once, not twice — the
     // pair-log write below is the materializing action (no separate
@@ -1327,12 +1332,19 @@ object StreamOps {
     val pairs = sweep.pairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the lands stay SEQUENTIAL even though the paths are independent:
+      // each dynamic-overwrite write triggers CacheManager.recacheByPath
+      // over shared cached plans (the pairs cache reads these very delta
+      // paths), and concurrent recaches of one cache entry corrupt the
+      // scan/reader pairing (measured: parallel lands made wave-2 reads
+      // throw ParquetFileFormat's partitionValues arity assertion)
       landDelta(pairs, s"$statePath/pairs", batchId)
       landDelta(sweep.delta.bands, s"$statePath/bands", batchId)
       landDelta(sweep.delta.shingleHashes, s"$statePath/shingles", batchId)
       landDelta(sweep.delta.sizes, s"$statePath/sizes", batchId)
     } finally sweep.caches.foreach(_.unpersist())
     pairs
+    }
   }
 
   /** One micro-batch of [[ingestPipelineCompact]] — package-visible so
@@ -1342,10 +1354,11 @@ object StreamOps {
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       staticCorpusIds: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, threshold: Double, n: Int,
-      outPath: String, statePath: String, batchId: Long): Unit =
+      outPath: String, statePath: String, batchId: Long,
+      validateDisjoint: Boolean = true): Unit =
     withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
-      threshold, statePath, batchId)
+      threshold, statePath, batchId, validateDisjoint)
     try promoteClean(batch, pairs, staticCorpusIds, evalSet, idCol,
       textCol, n, outPath, batchId)
     finally pairs.unpersist()
@@ -1515,12 +1528,13 @@ object StreamOps {
   private[graft] def rollingCcBatch(batch: DataFrame,
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       seedLabels: DataFrame, idCol: String, textCol: String,
-      threshold: Double, statePath: String, batchId: Long): DataFrame =
+      threshold: Double, statePath: String, batchId: Long,
+      validateDisjoint: Boolean = true): DataFrame =
     withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
       rollingCcBatchFrom(batch, staticIndex,
         landedLabelsBefore(batch.sparkSession, statePath, seedLabels,
           batch.schema(idCol).dataType, batchId),
-        idCol, textCol, threshold, statePath, batchId)
+        idCol, textCol, threshold, statePath, batchId, validateDisjoint)
     }
 
   /** [[rollingCcBatch]] with the pre-advance labels already in hand —
@@ -1528,9 +1542,10 @@ object StreamOps {
   private def rollingCcBatchFrom(batch: DataFrame,
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       prev: DataFrame, idCol: String, textCol: String,
-      threshold: Double, statePath: String, batchId: Long): DataFrame = {
+      threshold: Double, statePath: String, batchId: Long,
+      validateDisjoint: Boolean = true): DataFrame = {
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
-      threshold, statePath, batchId)
+      threshold, statePath, batchId, validateDisjoint)
     try ccAdvance(prev, pairs, statePath, batchId)
     finally pairs.unpersist()
   }
@@ -1546,8 +1561,17 @@ object StreamOps {
     // entries per batch in a continuous stream). The localCheckpoint
     // INSIDE the callback is eager, so the labels are materialized
     // before the caches are released — and pairs right after.
-    val labels = graft.operators.ConnectedComponents
-      .incrementalStepWith(prev, pairs)(_.localCheckpoint())
+    // (r20 note: a land-then-read-back variant — land the snapshot as
+    // the materializing action and return a reader over the landed
+    // partition — was measured and REVERTED: the write's recacheByPath
+    // over the just-read state path races the family's partitioned
+    // readers and intermittently threw ParquetFileFormat's
+    // partitionValues arity assertion at sf0.1.)
+    val labels = graft.operators.JobLabel(pairs.sparkSession,
+      s"cc-advance b=$batchId") {
+      graft.operators.ConnectedComponents
+        .incrementalStepWith(prev, pairs)(_.localCheckpoint())
+    }
     landSnapshot(labels, s"$statePath/labels", batchId)
     // label snapshots below latest+previous are superseded — prune
     // them now that the new land is durable (bounds at-rest state to
@@ -1615,7 +1639,8 @@ object StreamOps {
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       seedLabels: DataFrame, seedState: DataFrame, scores: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      statePath: String, batchId: Long): (DataFrame, DataFrame) =
+      statePath: String, batchId: Long,
+      validateDisjoint: Boolean = true): (DataFrame, DataFrame) =
     withBatchShuffleWidth(batch.sparkSession, batch.count(), statePath) {
     val spark = batch.sparkSession
     val idType = batch.schema(idCol).dataType
@@ -1625,7 +1650,7 @@ object StreamOps {
       idType, batchId)
     val prevState = repStateBefore(spark, statePath, seedState, idType, batchId)
     val labels = rollingCcBatchFrom(batch, staticIndex, prevLabels, idCol,
-      textCol, threshold, statePath, batchId)
+      textCol, threshold, statePath, batchId, validateDisjoint)
     (labels, repAdvance(labels, prevLabels, prevState, scores, idType,
       statePath, batchId))
   }
@@ -1701,16 +1726,18 @@ object StreamOps {
       .select(col("component"), lit(1L).as("n_docs"),
         col("q_e6").as("q_sum"),
         col("q_e6").as("best_q_e6"), col("id").as("best_doc"))
-    val state = rekeyed.unionByName(fresh)
-      .groupBy(col("component"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("q_sum")).as("q_sum"),
-        // same id-generic (q desc, id asc) argmax as [[repStateOf]]
-        min(struct((-col("best_q_e6")).as("nq"),
-          col("best_doc").as("bd"))).as("b"))
-      .select(col("component"), col("n_docs"), col("q_sum"),
-        (-col("b.nq")).as("best_q_e6"), col("b.bd").as("best_doc"))
-      .localCheckpoint() // eager — same plan-stacking trap as the labels
+    val state = graft.operators.JobLabel(spark, s"rep-advance b=$batchId") {
+      rekeyed.unionByName(fresh)
+        .groupBy(col("component"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("q_sum")).as("q_sum"),
+          // same id-generic (q desc, id asc) argmax as [[repStateOf]]
+          min(struct((-col("best_q_e6")).as("nq"),
+            col("best_doc").as("bd"))).as("b"))
+        .select(col("component"), col("n_docs"), col("q_sum"),
+          (-col("b.nq")).as("best_q_e6"), col("b.bd").as("best_doc"))
+        .localCheckpoint() // eager — same plan-stacking trap as the labels
+    }
     landSnapshot(state, s"$statePath/rep", batchId)
     pruneSupersededBatches(spark, s"$statePath/rep")
     state
@@ -1806,9 +1833,10 @@ object StreamOps {
       staticIndex: graft.operators.MinHashDedup.DedupIndex,
       extraPairs: DataFrame, idCol: String, textCol: String,
       threshold: Double, iters: Int, dampPpm: Long,
-      statePath: String, batchId: Long): DataFrame = {
+      statePath: String, batchId: Long,
+      validateDisjoint: Boolean = true): DataFrame = {
     val pairs = sweepBatchAccum(batch, staticIndex, idCol, textCol,
-      threshold, statePath, batchId)
+      threshold, statePath, batchId, validateDisjoint)
     try {
       val delta = pairs.select(col("id_a"), col("id_b"))
         .unionByName(extraPairs.select(col("id_a"), col("id_b")))
