@@ -37,9 +37,19 @@ object DistributedPercentile {
     // percentile()/quantile_cont ignore NULLs; rank/count only real values
     // (an ascending sort would otherwise rank nulls first and skew both
     // the count and the bracketing ranks)
+    //
+    // PERSISTED (r20): the ranked table feeds BOTH the bracketing join's
+    // stream side and the target-rank derivation — unpersisted, the
+    // window sort over the full input ran twice per call (and the
+    // upstream derivation with it; e20 feeds this a join it would
+    // otherwise recompute). Cache contract: the caller releases
+    // (clearCache per query — the MinHashDedup/SpanDedup convention).
     val ranked = df.select(col(keyCol), col(valCol).cast("double").as("_v"))
       .filter(col("_v").isNotNull)
       .withColumn("_rk", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // group sizes off the ranked cache — one count-window column would
+    // also work, but the aggregate reads the (tiny) cache, not the sort
     val counts = ranked.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
     // 0-based fractional position per (group, percentile); bracketing
     // 1-based ranks _lo/_hi. |groups|·|ps| rows — broadcast-sized.

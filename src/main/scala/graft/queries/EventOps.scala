@@ -862,8 +862,13 @@ object EventOps {
       .select(col("event_type"), col("event_id"), col("value"))
     val med = graft.operators.DistributedPercentile
       .groupPercentiles(ev, "event_type", "value", Seq("med" -> 0.5))
+    // persisted: the deviation table feeds the MAD percentile pass AND
+    // the final outlier filter — unpersisted, the events scan + median
+    // broadcast join re-ran per consumer (released by the caller's
+    // clearCache, the groupPercentiles convention)
     val dev = ev.join(broadcast(med), Seq("event_type"))
       .withColumn("ad", abs(col("value") - col("med")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = graft.operators.DistributedPercentile
       .groupPercentiles(dev, "event_type", "ad", Seq("mad" -> 0.5))
     dev.join(broadcast(mad), Seq("event_type"))
