@@ -99,8 +99,8 @@ object IvfSearch {
     * UPSTREAM the caller has persisted (either the projection itself, or
     * — as [[PqSearch.train]] does — one shared base the projection
     * slices from, so m subspace fits reuse a single cache). */
-  private[operators] def fitPrepared(e: DataFrame, k: Int, iters: Int,
-                                     roundDecimals: Int): Seq[(Int, Seq[Double])] = {
+  private[graft] def fitPrepared(e: DataFrame, k: Int, iters: Int,
+                                 roundDecimals: Int): Seq[(Int, Seq[Double])] = {
     var centroids: Seq[(Int, Seq[Double])] = e.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }
     for (_ <- 0 until iters) {

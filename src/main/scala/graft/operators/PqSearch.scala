@@ -79,8 +79,16 @@ object PqSearch {
                 k, iters, roundDecimals)
             }
           }
-          fits.map(scala.concurrent.Await.result(_,
-            scala.concurrent.duration.Duration.Inf))
+          // await ALL fits before leaving (collecting failures, first
+          // rethrown after): an early throw would let the enclosing
+          // finally chain restore the session conf and unpersist `base`
+          // while sibling fits still run (pool.shutdown() does not
+          // cancel in-flight work) — stray jobs would then recompute
+          // the unpersisted base under the restored conf
+          val done = fits.map(f => scala.util.Try(
+            scala.concurrent.Await.result(f,
+              scala.concurrent.duration.Duration.Inf)))
+          done.map(_.get)
         } finally pool.shutdown()
       }
       Codebooks(m, sub, books)

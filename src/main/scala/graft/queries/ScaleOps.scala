@@ -1447,10 +1447,41 @@ object ScaleOps {
     * recovery == baseline is precisely the claim being demonstrated. */
   def i10RetrainLoop(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val idx0 = IvfSearch.buildIndex(e.filter(col("vec_id") < I8TrainEnd),
-      "vec_id", "embedding", k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
-    val full = IvfSearch.buildIndex(e, "vec_id", "embedding",
-      k = IvfK, iters = IvfIters, roundDecimals = IvfRound)
+    // the two quantizer trainings (frozen train-subset + full retrain)
+    // are INDEPENDENT Lloyd loops whose per-iteration driver collects
+    // leave the cluster idle — overlap them from a 2-thread pool over
+    // ONE shared eagerly-persisted projection (guide §2.6, the PqSearch
+    // subspace-fit pattern; the train-subset side slices the same cache
+    // with a row-local id filter). Same fitPrepared arithmetic over the
+    // same rows → bit-identical centroids, so the oracle is untouched.
+    graft.functions.DotProduct.register(s)
+    val proj = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    proj.count() // eager: concurrent fits must not race-populate
+    val (idx0, full) = try {
+      val projTrain = proj.filter(col("id") < I8TrainEnd)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fits = Seq(projTrain, proj).map(p => scala.concurrent.Future {
+        IvfSearch.fitPrepared(p, IvfK, IvfIters, IvfRound)
+      })
+      // await ALL before leaving (collecting failures): a failed fit
+      // must not strand the sibling on an unpersisted base
+      val done = try fits.map(f => scala.util.Try(
+          scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)))
+        finally pool.shutdown()
+      val Seq(cs0, csFull) = done.map(_.get)
+      def materialized(cs: Seq[(Int, Seq[Double])], p: org.apache.spark.sql.DataFrame) = {
+        val a = IvfSearch.assign(p, cs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.count()
+        IvfSearch.Index(cs, a)
+      }
+      (materialized(cs0, projTrain), materialized(csFull, proj))
+    } finally proj.unpersist()
     try {
       val late = e.filter(col("vec_id") >= I8TrainEnd)
         .select(col("vec_id").as("id"),
