@@ -29,7 +29,7 @@ class GraftSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has a callable plan and nonempty schema on sf0.001") {
+  test("every query has a callable plan and nonempty schema on sf0.001", SlowTier) {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       assert(df.schema.nonEmpty, s"$name has empty schema")

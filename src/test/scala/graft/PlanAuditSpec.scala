@@ -92,7 +92,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected <=1 exchange:\n${s.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
   }
 
-  test("no declared query ever plans a CartesianProduct") {
+  test("no declared query ever plans a CartesianProduct", SlowTier) {
     // sweeping scale-killer net over the whole inventory: broadcast cross
     // joins on tiny dims (q19/q21) plan as BroadcastNestedLoopJoin and are
     // fine; an un-broadcast CartesianProduct anywhere is a regression

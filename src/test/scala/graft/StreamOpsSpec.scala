@@ -2030,7 +2030,7 @@ class StreamOpsSpec extends AnyFunSuite {
         root.resolve("out").toString, root.resolve("state").toString)
   }
 
-  test("deployGatesBatch: every composed gate equals its solo run after 2 waves") {
+  test("deployGatesBatch: every composed gate equals its solo run after 2 waves", SlowTier) {
     import spark.implicits._
     import java.nio.file.Files
     import DeployFixture._
@@ -2177,7 +2177,7 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("deployGatesPerBatch streams all gates and halts on k-anonymity degradation") {
+  test("deployGatesPerBatch streams all gates and halts on k-anonymity degradation", SlowTier) {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     import java.nio.file.Files
@@ -2220,7 +2220,7 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("deployGatesPerBatch auto-maintain: cadence equals manual maintain, crash mid-maintain replays clean") {
+  test("deployGatesPerBatch auto-maintain: cadence equals manual maintain, crash mid-maintain replays clean", SlowTier) {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     import java.nio.file.Files
@@ -2720,7 +2720,7 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("spanDedupPerBatch: streamed waves equal the direct batch drive") {
+  test("spanDedupPerBatch: streamed waves equal the direct batch drive", SlowTier) {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     import java.nio.file.Files
