@@ -115,7 +115,6 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "5000")
-      .config("spark.cleaner.periodicGC.interval", "90s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT/codegen/shuffle/window/join machinery, so the first
@@ -208,6 +207,18 @@ object Bench {
           }
         }
       }
+      // drain the query's own garbage BETWEEN measurements, never during
+      // one: clearCache() cannot free localCheckpoint/broadcast blocks —
+      // the ContextCleaner only learns of them when a GC collects the
+      // dead references, and the default periodic GC (30 min) exceeds
+      // the whole run, so blocks piled up for the rest of the suite
+      // (the r19 driver-run pathology: bursty 4–30× rep outliers on the
+      // cache-heavy families). A timer-based GC (measured at 90 s) moved
+      // the cleaner's block-removal bursts INTO later queries' timed
+      // regions instead; the explicit GC here runs strictly outside
+      // them, so each query starts from a clean block manager and pays
+      // nothing for its predecessors.
+      System.gc()
       // official value: min of reps (contention only adds time); median
       // kept alongside so either policy is recomputable from the JSON
       val best = if (!ok) -1.0 else measured.min

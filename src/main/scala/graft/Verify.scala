@@ -57,7 +57,6 @@ object Verify {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "5000")
-      .config("spark.cleaner.periodicGC.interval", "90s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.filter(e => keep(e._1))
@@ -75,7 +74,10 @@ object Verify {
       } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // no persist leak across queries
+      } finally {
+        spark.catalog.clearCache() // no persist leak across queries
+        System.gc() // drain dead checkpoint/broadcast blocks (Bench rule)
+      }
     }
     System.err.println(f"[verify] complete: $done ok, $failed failed, " +
       f"${(System.nanoTime() - t0) / 1e9}%.0fs total")
