@@ -1,7 +1,7 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Per-job diagnostic runner (optimization rounds): runs named
   * `SparkEntry.queries` entries once under the bench session config and
@@ -23,18 +23,29 @@ object QueryDiag {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val starts = new ConcurrentHashMap[Int, (Long, String)]()
+    val starts = new ConcurrentHashMap[Int, (Long, String, Seq[Int])]()
+    val stages = new ConcurrentHashMap[Int, String]()
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
           .map(_.getProperty("spark.job.description", "")).getOrElse("")
-        starts.put(js.jobId, (System.nanoTime(), desc))
+        starts.put(js.jobId, (System.nanoTime(), desc, js.stageIds.map(_.toInt)))
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(-1L)
+        stages.put(si.stageId,
+          f"    stage ${si.stageId}%4d $dur%6d ms ${si.numTasks}%4dt ${si.name.take(90)}")
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
+        Option(starts.remove(je.jobId)).foreach { case (t0, desc, sids) =>
           val ms = (System.nanoTime() - t0) / 1e6
           lines.add(f"job ${je.jobId}%4d ${ms}%9.1f ms  $desc")
+          if (ms > 300)
+            sids.sorted.foreach(sid =>
+              Option(stages.get(sid)).foreach(lines.add))
         }
       }
     })
